@@ -1,0 +1,337 @@
+package graft.cypher
+
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pattern execution: frontier joins over the distributed edge relation.
+  *
+  * The reference walks adjacency lists node-by-node (`walkPaths`,
+  * Cypher.hs:798-863); the Spark-native equivalent advances a whole frontier
+  * at once with one join per step — path provenance is kept as columns
+  * (`n0, e1_label, n1, …, nk`) instead of nested lists (`Nodes2..9`,
+  * Table.hs:21-32), which both `table` (flatten) and `temp` (re-nest via
+  * collect_list) views derive from.
+  *
+  * Reference semantics preserved (pinned by GraphQuerySpec):
+  *  - direction truth table of `-->/<--/~~/<--| |--/--| |-->` (Spec.hs:151-178);
+  *  - a step that matches nothing collapses the whole result to empty
+  *    (evalLtoR `noMoreNodesFound`, Cypher.hs:680-683);
+  *  - `several lo hi` yields the FINAL frontier only — on dry-up after ≥lo
+  *    hops the previous frontier is the result; dry-up before lo fails the
+  *    query (stopRecursion, Cypher.hs:823-837);
+  *  - edge layers appear in `table` output only when the step's path length
+  *    is exactly 1 (`count == 1` check, Cypher.hs:665-667);
+  *  - orth overlay: a query with orths O matches edges whose attrMask is a
+  *    nonzero combination of O's bits (genAttrs setProduct, Cypher.hs:288-316)
+  *    — here a bitmask predicate instead of attr enumeration.
+  *
+  * Documented deviations (strict refinements):
+  *  - target node specifiers restrict each step (the reference's evalLtoR
+  *    discards them, Cypher.hs:653-663 — its examples all have redundant
+  *    target specs; intersection matches the documented intent);
+  *  - `***` (unbounded repetition) runs BFS to fixpoint and therefore
+  *    terminates on cyclic graphs, returning all nodes reachable in ≥1 hop.
+  *
+  * Scale: each step is one equi-join `paths.src = edges.src` with the label
+  * /direction/orth predicates pushed into the scan; AQE turns small-frontier
+  * joins into broadcasts at runtime. Repetition loops `localCheckpoint`
+  * every hop to cut lineage and keep the per-hop plan constant-size.
+  */
+object Exec {
+
+  sealed trait LayerOut
+  /** Distinct node ids of one layer (reference `N (Ns …)`). */
+  final case class NodeLayerOut(ids: DataFrame) extends LayerOut
+  /** (src,label) node-edge pairs of one step (reference `NE [nodeEdge]`);
+    * empty DataFrame when the step had path length > 1. */
+  final case class EdgeLayerOut(pairs: DataFrame) extends LayerOut
+
+  final case class QueryResult(
+      layers: Vector[LayerOut],
+      paths: DataFrame,
+      traversed: DataFrame,
+      failed: Boolean,
+      /** Path snapshot after each node layer (index k = paths of length k)
+        * — `temp`'s nesting needs the pre-continuation prefixes so dried-up
+        * branches keep their empty child lists (walkPaths keeps
+        * non-matching centers, Cypher.hs:806-812). */
+      pathsPerLayer: Vector[DataFrame] = Vector.empty)
+
+  // ---- node specifier evaluation (reference evalNode, Cypher.hs:622-642) --
+
+  def frontierOf(g: PropertyGraph, spec: NodeSpec): DataFrame = {
+    val base = spec.sel match {
+      case AllNodes => g.nodes.select(col("id"))
+      case LabelSel(ls) =>
+        // label → id spans are closed-form from ranges: no scan at all.
+        val spans = g.ranges.filter(r => ls.contains(r.nodeLabel))
+        val spark = g.spark
+        import spark.implicits._
+        spans.flatMap(r => r.start until (r.start + r.len)).toDF("id")
+      case IdSel(ids) =>
+        val spark = g.spark
+        import spark.implicits._
+        ids.toDF("id")
+      case DfSel(df) => df.select(col("id"))
+    }
+    spec.applFn.fold(base)(f => f(base))
+  }
+
+  /** Predicate restricting a target column to a node spec — used to filter
+    * join results without materializing the frontier when the spec is
+    * range-expressible. */
+  private def targetPred(g: PropertyGraph, spec: NodeSpec, c: Column): Option[Column] =
+    spec.sel match {
+      case AllNodes => None
+      case LabelSel(ls) =>
+        val spans = g.ranges.filter(r => ls.contains(r.nodeLabel))
+        if (spans.isEmpty) Some(lit(false))
+        else Some(spans.map(r => c >= r.start && c < r.start + r.len).reduce(_ || _))
+      case IdSel(ids) => Some(c.isin(ids: _*))
+      case DfSel(_) => None // handled with a semi-join by the caller
+    }
+
+  // ---- one hop ------------------------------------------------------------
+
+  /** Edge-row predicate for a spec (label ∈ attrs ∪ orth-combinations ∪ all,
+    * direction, where_). `walkRight=false` flips direction — walking a
+    * right-directed step leftwards follows the stored back-edge rows
+    * (genAttrs addDir, Cypher.hs:288-296). */
+  def edgePred(e: EdgeSpec, walkRight: Boolean, label: Column, attrMask: Column, dirC: Column): Column = {
+    val labelPred: Column = {
+      val attrP = if (e.attrs.nonEmpty) Some(label.isin(e.attrs: _*)) else None
+      val orthP = if (e.orths.nonEmpty)
+        Some(attrMask =!= 0L && attrMask.bitwiseAND(lit(~e.orthMask)) === 0L)
+      else None
+      (attrP, orthP) match {
+        case (Some(a), Some(o)) => a || o
+        case (Some(a), None) => a
+        case (None, Some(o)) => o
+        case (None, None) => lit(true)
+      }
+    }
+    val dirPred: Column = e.dir match {
+      case DirNone => lit(true)
+      case DirR => if (walkRight) dirC === true else dirC === false
+      case DirL => if (walkRight) dirC === false else dirC === true
+    }
+    val wherePred = e.whereFn.fold(lit(true))(f => f(label))
+    labelPred && dirPred && wherePred
+  }
+
+  /** Advance `paths` one hop: join current endpoint against edges, keep
+    * provenance columns, emit `e{step}_label` + `n{step}`. */
+  private def hop(g: PropertyGraph, paths: DataFrame, fromCol: String, e: EdgeSpec,
+      step: Int, walkRight: Boolean, keepEdgeCols: Boolean): DataFrame = {
+    val ed = g.edges.select(
+      col("src").as("__src"), col("dst").as("__dst"),
+      col("label").as("__label"), col("attrMask").as("__mask"), col("dir").as("__dir"))
+    val pred = edgePred(e, walkRight, col("__label"), col("__mask"), col("__dir"))
+    val joined = paths.join(ed.filter(pred), paths(fromCol) === col("__src"))
+    val keep = paths.columns.map(paths(_)) ++
+      (if (keepEdgeCols) Seq(col("__label").as(s"e${step}_label")) else Nil) :+
+      col("__dst").as(s"n$step")
+    joined.select(keep: _*)
+  }
+
+  private def applyTarget(g: PropertyGraph, df: DataFrame, spec: NodeSpec, colName: String): DataFrame = {
+    val restricted = spec.sel match {
+      case DfSel(f) =>
+        df.join(f.select(col("id").as(colName)), Seq(colName), "left_semi")
+      case _ => targetPred(g, spec, col(colName)).fold(df)(p => df.filter(p))
+    }
+    spec.applFn.fold(restricted)(f => f(restricted))
+  }
+
+  /** One pattern step incl. repetition. Returns (paths, pathLen) or None if
+    * the step failed (frontier dried up per reference stop semantics). */
+  private def walkStep(g: PropertyGraph, paths0: DataFrame, fromCol: String,
+      e: EdgeSpec, target: NodeSpec, step: Int, walkRight: Boolean): Option[(DataFrame, Int)] = {
+    val (lo, hi) = e.several.getOrElse((1, 1))
+    val unbounded = hi == Int.MaxValue
+
+    if (lo == 1 && hi == 1) {
+      // Lazy: no per-step action. Empty frontiers propagate through the
+      // inner joins, and evalLtoR's single final emptiness check implements
+      // the whole-result collapse — one action per query instead of one per
+      // hop, and the full multi-join plan stays visible to Catalyst.
+      Some((applyTarget(g, hop(g, paths0, fromCol, e, step, walkRight, keepEdgeCols = true), target, s"n$step"), 1))
+    } else {
+      // Repetition: replace the step column per hop; provenance = prefix cols.
+      val prefix = paths0.columns
+      var cur = paths0.select(prefix.map(col) :+ col(fromCol).as(s"n$step"): _*)
+        .localCheckpoint(true)
+      var count = 0
+      var visited = if (unbounded) cur.select((prefix :+ s"n$step").map(col): _*) else null
+      var acc: DataFrame = null // unbounded: union of frontiers at depth >= lo
+      var done = false
+      var failedStep = false
+      while (!done) {
+        val next0 = hop(g, cur, s"n$step", e, step + 1000, walkRight, keepEdgeCols = false)
+          .drop(s"n$step").withColumnRenamed(s"n${step + 1000}", s"n$step")
+          .dropDuplicates(prefix :+ s"n$step")
+        val next = (if (unbounded)
+          next0.join(visited, (prefix :+ s"n$step").map(c => next0(c) === visited(c)).reduce(_ && _), "left_anti")
+        else next0).localCheckpoint(true)
+        count += 1
+        val dry = next.isEmpty
+        if (dry) {
+          if (count == 1 || count < lo) { failedStep = true; done = true } // failed query (Cypher.hs:824-826)
+          else done = true // success: frontier before the dry hop, i.e. `cur`
+                           // (stopRecursion returns its input startNs, Cypher.hs:830-832)
+        } else if (!unbounded && count >= hi) {
+          cur = next; done = true                                          // success at hi
+        } else {
+          cur = next
+          if (unbounded) {
+            visited = visited.unionByName(next.select((prefix :+ s"n$step").map(col): _*)).localCheckpoint(true)
+            if (count >= lo) acc = if (acc == null) next else acc.unionByName(next)
+          }
+        }
+      }
+      if (failedStep) None
+      else {
+        val res0 = if (unbounded) {
+          val all = if (acc == null) cur else acc
+          all.dropDuplicates(prefix :+ s"n$step")
+        } else cur
+        val res = applyTarget(g, res0, target, s"n$step").localCheckpoint(true)
+        if (res.isEmpty) None else Some((res, count))
+      }
+    }
+  }
+
+  // ---- full evaluation ----------------------------------------------------
+
+  private def pairsOf(comps: Vector[Comp]): Seq[(EdgeSpec, NodeSpec)] =
+    comps.tail.grouped(2).collect { case Vector(CompE(e), CompN(n)) => (e, n) }.toSeq
+
+  /** Quick strategy — strict left-to-right (reference evalLtoR,
+    * Cypher.hs:650-695). */
+  def evalLtoR(g: PropertyGraph, pat: Pat): QueryResult = {
+    val comps = pat.comps
+    val start = comps.head match {
+      case CompN(n) => n
+      case _ => throw new IllegalArgumentException("a query has to start with a node")
+    }
+    var paths = frontierOf(g, start).select(col("id").as("n0"))
+    var layers = Vector[LayerOut](NodeLayerOut(paths.select(col("n0").as("id")).distinct()))
+    var snapshots = Vector(paths)
+    var traversed: DataFrame = null
+    var step = 0
+    for ((e, n) <- pairsOf(comps)) {
+      step += 1
+      walkStep(g, paths, s"n${step - 1}", e, n, step, walkRight = true) match {
+        case None => return emptyResult(g, comps)
+        case Some((p, count)) =>
+          paths = p
+          snapshots = snapshots :+ p
+          val edgeLayer =
+            if (count == 1 && p.columns.contains(s"e${step}_label"))
+              p.select(col(s"n${step - 1}").as("src"), col(s"e${step}_label").as("label")).distinct()
+            else emptyEdgePairs(g)
+          layers = layers :+ EdgeLayerOut(edgeLayer) :+
+            NodeLayerOut(p.select(col(s"n$step").as("id")).distinct())
+          if (count == 1 && p.columns.contains(s"e${step}_label")) {
+            val t = p.select(col(s"n${step - 1}").as("src"), col(s"n$step").as("dst"),
+              col(s"e${step}_label").as("label"), lit(0L).as("attrMask"), lit(true).as("dir"))
+            traversed = if (traversed == null) t else traversed.unionByName(t)
+          }
+      }
+    }
+    // One final action implements the reference's whole-result collapse
+    // (noMoreNodesFound, Cypher.hs:680-688): any empty step empties the
+    // final inner-join chain.
+    if (paths.isEmpty) emptyResult(g, comps)
+    else QueryResult(layers, paths, Option(traversed).getOrElse(emptyEdges(g)), failed = false, snapshots)
+  }
+
+  /** Planned strategy (reference runOnE, Cypher.hs:711-785): start at the
+    * cheapest node column by REAL cardinality (ranges give label spans;
+    * explicit ids are exact — replacing the reference's 0/#labels/100000
+    * heuristic, Cypher.hs:573-583), walk right to the end, then left to the
+    * beginning. Target-spec intersection makes the result order-independent,
+    * so the planner only affects cost.
+    */
+  def runOnE(g: PropertyGraph, pat: Pat): QueryResult = {
+    val comps = pat.comps
+    val nodeIdx = comps.zipWithIndex.collect { case (CompN(n), i) => (n, i) }
+    def cost(n: NodeSpec): Long = n.sel match {
+      case IdSel(ids) => ids.size.toLong
+      case DfSel(_) => 1000L
+      case LabelSel(ls) => g.ranges.filter(r => ls.contains(r.nodeLabel)).map(_.len).sum
+      case AllNodes => g.ranges.map(_.len).sum max 100000L
+    }
+    val (_, startIdx) = nodeIdx.minBy { case (n, i) => (cost(n), i) }
+    val startLayer = startIdx / 2
+    if (startLayer == 0) return evalLtoR(g, pat)
+
+    val startSpec = nodeIdx.find(_._2 == startIdx).get._1
+    var paths = frontierOf(g, startSpec).select(col("id").as(s"n$startLayer")).localCheckpoint(true)
+    if (paths.isEmpty) return emptyResult(g, comps)
+    val stepPairs = pairsOf(comps).toVector
+
+    // walk right from the center
+    var step = startLayer
+    for ((e, n) <- stepPairs.drop(startLayer)) {
+      step += 1
+      walkStep(g, paths, s"n${step - 1}", e, n, step, walkRight = true) match {
+        case None => return emptyResult(g, comps)
+        case Some((p, _)) => paths = p
+      }
+    }
+    // walk left from the center: step i walks edge i over (target = node i-1)
+    var li = startLayer
+    while (li > 0) {
+      val (e, _) = stepPairs(li - 1)
+      val targetSpec = comps(2 * (li - 1)) match { case CompN(n) => n; case _ => NodeSpec(AllNodes) }
+      val tmp = s"n${li - 1 + 2000}"
+      walkStep(g, paths, s"n$li", e.copy(several = e.several), targetSpec, li - 1 + 2000, walkRight = false) match {
+        case None => return emptyResult(g, comps)
+        case Some((p, _)) =>
+          paths = p.withColumnRenamed(tmp, s"n${li - 1}")
+            .withColumnRenamed(s"e${li - 1 + 2000}_label", s"e${li}_label")
+      }
+      li -= 1
+    }
+    if (paths.isEmpty) return emptyResult(g, comps)
+    val layers = (0 to stepPairs.size).flatMap { i =>
+      val nl = NodeLayerOut(paths.select(col(s"n$i").as("id")).distinct())
+      if (i == 0) Vector(nl)
+      else {
+        val el =
+          if (paths.columns.contains(s"e${i}_label"))
+            EdgeLayerOut(paths.select(col(s"n${i - 1}").as("src"), col(s"e${i}_label").as("label")).distinct())
+          else EdgeLayerOut(emptyEdgePairs(g))
+        Vector(el, nl)
+      }
+    }.toVector
+    val snaps = (0 to stepPairs.size).map { k =>
+      paths.select((0 to k).map(i => col(s"n$i")): _*).distinct()
+    }.toVector
+    QueryResult(layers, paths, emptyEdges(g), failed = false, snaps)
+  }
+
+  private def emptyEdges(g: PropertyGraph): DataFrame =
+    g.spark.createDataFrame(g.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], PropertyGraph.edgeSchema)
+
+  private def emptyEdgePairs(g: PropertyGraph): DataFrame = {
+    import org.apache.spark.sql.types._
+    g.spark.createDataFrame(g.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", LongType), StructField("label", IntegerType))))
+  }
+
+  /** A failed query collapses every layer (reference returns [] when a step
+    * dries up, Cypher.hs:685-688). */
+  private def emptyResult(g: PropertyGraph, comps: Vector[Comp]): QueryResult = {
+    import org.apache.spark.sql.types._
+    val emptyIds = g.spark.createDataFrame(g.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType))))
+    val layers = comps.map {
+      case CompN(_) => NodeLayerOut(emptyIds)
+      case CompE(_) => EdgeLayerOut(emptyEdgePairs(g))
+    }.toVector
+    QueryResult(layers, emptyIds, emptyEdges(g), failed = true)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.cypher
+
+import graft.model._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The four result modes of the reference's `GraphCreateReadUpdate` class
+  * (Cypher.hs:423-520): table / temp / createMem / graphQuery, plus the
+  * flat path DataFrame that is this engine's ground truth.
+  */
+object Query {
+
+  /** Evaluate with quick (left-to-right) or planned strategy — the
+    * reference's `quickStrat` flag (Cypher.hs:465-471). */
+  def run(g: PropertyGraph, pat: Pat, quick: Boolean = true): Exec.QueryResult =
+    if (quick) Exec.evalLtoR(g, pat) else Exec.runOnE(g, pat)
+
+  /** Flat path DataFrame: one row per complete match, columns
+    * n0, e1_label, n1, …, nk. */
+  def paths(g: PropertyGraph, pat: Pat, quick: Boolean = true): DataFrame =
+    run(g, pat, quick).paths
+
+  /** Flattened layer table (reference `table`, Cypher.hs:463-471): one
+    * entry per pattern component — distinct node ids per node layer,
+    * (src,label) pairs per edge layer (empty unless path length 1). */
+  def table(g: PropertyGraph, pat: Pat, quick: Boolean = true): Vector[Exec.LayerOut] =
+    run(g, pat, quick).layers
+
+  /** Driver-side rendering of `table` for tests/debug (small results). */
+  def tableCollected(g: PropertyGraph, pat: Pat, quick: Boolean = true): Vector[Seq[Any]] =
+    table(g, pat, quick).map {
+      case Exec.NodeLayerOut(df) => df.orderBy("id").collect().map(_.getLong(0)).toSeq
+      case Exec.EdgeLayerOut(df) =>
+        df.orderBy("src", "label").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    }
+
+  /** Nested view (reference `temp`, Cypher.hs:473-479): for each step k ≥ 1
+    * a DataFrame (prefix n0..n{k-1}, children ARRAY<LONG>) — children of each
+    * distinct path prefix, [] when a prefix has no continuation, exactly the
+    * reference's Nodes2..9 nesting with empty sublists retained
+    * (walkPaths keeps non-matching centers with [], Cypher.hs:806-812).
+    */
+  def temp(g: PropertyGraph, pat: Pat, quick: Boolean = true): Vector[DataFrame] = {
+    val res = run(g, pat, quick)
+    if (res.failed) return Vector.empty
+    (1 until res.pathsPerLayer.length).map { k =>
+      val prefix = res.pathsPerLayer(k - 1).columns.filter(_.startsWith("n"))
+      // left-join layer-(k-1) prefixes against layer-k paths: prefixes whose
+      // branch dried up keep an empty child list.
+      val prefixes = res.pathsPerLayer(k - 1).select(prefix.map(col): _*).distinct()
+      val nextCol = res.pathsPerLayer(k).columns.filter(_.startsWith("n")).last
+      val next = res.pathsPerLayer(k).select((prefix :+ nextCol).map(col): _*).distinct()
+      prefixes.join(next, prefix.toSeq, "left")
+        .groupBy(prefix.map(col): _*)
+        .agg(sort_array(collect_list(col(nextCol))).as("children"))
+    }.toVector
+  }
+
+  /** Query-driven update (reference `createMem`, Cypher.hs:481-484,866-889):
+    * the traversal's (src, label, dst) triples are upserted; the return
+    * value is the GraphDiff to apply to the stored copy. DataFrames are
+    * immutable, so the diff IS the result: newEdges = traversed edges not
+    * already present; deletedEdges = rows overwritten by an upsert (same
+    * (src,label,dir) slot, different target — the reference's
+    * insertNodeEdgeAttr overwrite=True, Cypher.hs:866-889).
+    */
+  def createMem(g: PropertyGraph, pat: Pat, quick: Boolean = true): GraphDiff = {
+    val res = run(g, pat, quick)
+    val cols = Seq("src", "dst", "label", "attrMask", "dir")
+    if (res.failed) {
+      val e = res.traversed
+      return GraphDiff(e, e)
+    }
+    val trav = res.traversed.select(cols.map(col): _*).distinct()
+    val newEdges = trav.join(g.edges.select("src", "dst", "label"), Seq("src", "dst", "label"), "left_anti")
+    val deleted = g.edges.join(newEdges.select(col("src"), col("label"), col("dir")), Seq("src", "label", "dir"), "left_semi")
+    GraphDiff(newEdges, deleted)
+  }
+
+  /** Apply a diff (the reference applies it to the LMDB copy offline). */
+  def applyDiff(g: PropertyGraph, diff: GraphDiff): PropertyGraph = {
+    val cols = Seq("src", "dst", "label", "attrMask", "dir")
+    g.copy(edges = g.edges
+      .join(diff.deletedEdges.select("src", "dst", "label"), Seq("src", "dst", "label"), "left_anti")
+      .unionByName(diff.newEdges.select(cols.map(col): _*)))
+  }
+
+  /** Subgraph of all edges traversed by the pattern (reference `graphQuery`
+    * — stubbed there, Cypher.hs:895-898; real here): a new PropertyGraph
+    * whose edge set is the matched steps. */
+  def graphQuery(g: PropertyGraph, pat: Pat, quick: Boolean = true): PropertyGraph = {
+    val res = run(g, pat, quick)
+    if (res.failed) return PropertyGraph.empty(g.spark, g.ranges)
+    val nodeCols = res.paths.columns.filter(_.startsWith("n")).sorted
+    val stepEdges = (1 until nodeCols.length).flatMap { k =>
+      if (res.paths.columns.contains(s"e${k}_label"))
+        Some(res.paths.select(
+          col(nodeCols(k - 1)).as("src"), col(nodeCols(k)).as("dst"),
+          col(s"e${k}_label").as("label")))
+      else None
+    }
+    if (stepEdges.isEmpty) return PropertyGraph.empty(g.spark, g.ranges)
+    val wanted = stepEdges.reduce(_ unionByName _).distinct()
+    // semi-join back to the edge relation to recover attrMask/dir
+    val sub = g.edges.join(wanted, Seq("src", "dst", "label"), "left_semi")
+    PropertyGraph(sub, g.ranges, g.nodeProps, g.edgeProps)
+  }
+}

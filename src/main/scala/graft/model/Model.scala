@@ -1,0 +1,119 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core data model of the engine.
+  *
+  * The reference (tkvogt/judy-graph-db) stores a graph as a judy array of
+  * 64-bit `node|edge` keys to 32-bit target nodes, with node labels implied
+  * by index ranges and edge labels bit-packed into the edge word
+  * (reference: src/JudyGraph/FastAccess.hs:19-58, 129-158). That encoding is
+  * *physical* and single-machine; the Spark-native equivalent keeps the same
+  * logical content as two distributed relations plus a small broadcastable
+  * range table:
+  *
+  *   nodes:  id LONG, label INT
+  *   edges:  src LONG, dst LONG, label INT, attrMask LONG, dir BOOLEAN
+  *   ranges: (start, len, nodeLabel, validEdgeLabels)
+  *
+  * `dir = true` marks the stored direction of a directed edge; a mirrored
+  * "back" edge (reference edgeBackward bit 0x80000000,
+  * FastAccess.hs:149-150) is a row with src/dst swapped and `dir = false`.
+  * An undirected edge is two `dir = true` rows (README.md:219-225).
+  *
+  * `attrMask` carries "orthogonal" overlay label bits: the reference sums
+  * attr words when several labels overlay one physical edge
+  * (FastAccess.hs:271-278); here each label `l` contributes bit `1 << l`
+  * and overlay insert ORs masks (see [[graft.operators.GraphOps]]).
+  */
+final case class NodeRow(id: Long, label: Int)
+
+final case class EdgeRow(src: Long, dst: Long, label: Int, attrMask: Long, dir: Boolean)
+
+/** One node-class range: ids in [start, start+len) carry `nodeLabel` and may
+  * only originate edges with labels in `validEdgeLabels`
+  * (reference FastAccess.hs:157-158, Enum.hs:364-369).
+  */
+final case class RangeDef(start: Long, len: Long, nodeLabel: Int, validEdgeLabels: Seq[Int]) {
+  def contains(id: Long): Boolean = id >= start && id < start + len
+}
+
+/** Result of a mutating query (`createMem`) — the reference returns the
+  * delta to be applied to a persistent copy rather than mutating in place
+  * (reference Cypher.hs:445-461, 866-889). Spark DataFrames are immutable,
+  * so the diff IS the natural result here.
+  */
+final case class GraphDiff(newEdges: DataFrame, deletedEdges: DataFrame) {
+  def isEmpty: Boolean = newEdges.isEmpty && deletedEdges.isEmpty
+}
+
+/** A property graph: distributed edge/node relations + small driver-side
+  * range metadata + optional rich property tables (the reference's LMDB
+  * tier, JudyGraph.hs:99-113, becomes parquet-backed DataFrames).
+  *
+  * Scale notes (designed for ~100 TB / 1000 executors):
+  *  - `edges` is the big relation; traversals join a (usually small)
+  *    frontier against it on `src`. Callers that traverse repeatedly should
+  *    pre-partition once via [[partitionBySrc]] so every hop reuses the same
+  *    hash partitioning and only the frontier moves.
+  *  - `ranges` is driver-side and tiny (node classes), so label lookups are
+  *    closed-form arithmetic — never a join against a big table.
+  */
+final case class PropertyGraph(
+    edges: DataFrame,
+    ranges: Seq[RangeDef],
+    nodeProps: Option[DataFrame] = None,
+    edgeProps: Option[DataFrame] = None,
+    explicitNodes: Option[DataFrame] = None) {
+
+  def spark: SparkSession = edges.sparkSession
+
+  /** All node ids with labels. If the graph was built from an explicit node
+    * list we use it; otherwise nodes are derived from edge endpoints (the
+    * reference enumerates `nodesJ` the same way, FastAccess.hs:466-475).
+    */
+  def nodes: DataFrame = {
+    val ids = explicitNodes.getOrElse(
+      edges.select(col("src").as("id")).union(edges.select(col("dst").as("id"))).distinct())
+    ids.select(col("id"), PropertyGraph.labelForId(col("id"), ranges).as("label"))
+  }
+
+  /** Column expression mapping a node id to its range label — a broadcast-free
+    * CASE WHEN chain, since ranges are tiny driver-side metadata. */
+  def labelOf(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    PropertyGraph.labelForId(idCol, ranges)
+
+  /** Hash-partition edges by src so repeated frontier joins co-locate
+    * without reshuffling the big side (the Spark analogue of the
+    * reference's contiguous-key locality, FastAccess.hs:602-607). */
+  def partitionBySrc(n: Int): PropertyGraph =
+    copy(edges = edges.repartition(n, col("src")).sortWithinPartitions("src", "label"))
+
+  /** Cache the edge relation for iterative traversal. */
+  def cached(): PropertyGraph = copy(edges = edges.cache())
+
+  def isNull: Boolean = edges.isEmpty
+
+  /** Per-(node,label) out-degree — the reference's `adjacentEdgeCount`
+    * counter slots (FastAccess.hs:296-305) as a relation. */
+  def degrees: DataFrame =
+    edges.groupBy(col("src"), col("label")).agg(count(lit(1)).as("degree"))
+}
+
+object PropertyGraph {
+  import org.apache.spark.sql.Column
+
+  /** CASE WHEN chain for range→label (reference nodeLabel, FastAccess.hs:654-667). */
+  def labelForId(id: Column, ranges: Seq[RangeDef]): Column =
+    ranges.foldLeft(lit(-1)) { (acc, r) =>
+      when(id >= r.start && id < r.start + r.len, lit(r.nodeLabel)).otherwise(acc)
+    }
+
+  val edgeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[EdgeRow].schema
+
+  /** Empty graph over the given ranges (reference `empty`, FastAccess.hs:240-245). */
+  def empty(spark: SparkSession, ranges: Seq[RangeDef]): PropertyGraph =
+    PropertyGraph(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], edgeSchema), ranges)
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's point-read / point-mutation surface (SURVEY §2.2-2.4) as
+  * relational transforms. Reads are filters/joins the optimizer can push
+  * into the parquet scan; "mutations" return a new PropertyGraph (immutable
+  * lineage) — the reference itself treats post-load mutation as second-class
+  * ("Deletion not tested and slows down the queries", README.md:17).
+  */
+object GraphOps {
+
+  private val edgeCols = Seq("src", "dst", "label", "attrMask", "dir")
+
+  /** All (edge,target) pairs for node+label+dir — the reference's flagship
+    * `adjacentNodesByAttr` ("the function that is the purpose of the whole
+    * library", FastAccess.hs:602-619). A single pushed-down filter here;
+    * the bulk form used by traversal is a frontier join in cypher.Exec.
+    */
+  def adjacentNodesByAttr(g: PropertyGraph, node: Long, label: Int, forward: Boolean = true): DataFrame =
+    g.edges.filter(col("src") === node && col("label") === label && col("dir") === forward)
+      .select(col("dst"))
+
+  /** First adjacent node or None (reference adjacentNodeByAttr, FastAccess.hs:587-599). */
+  def adjacentNodeByAttr(g: PropertyGraph, node: Long, label: Int, forward: Boolean = true): Option[Long] =
+    adjacentNodesByAttr(g, node, label, forward).orderBy("dst").limit(1)
+      .collect().headOption.map(_.getLong(0))
+
+  /** All edge labels leaving a node (reference allChildEdges, Enum.hs:301-309). */
+  def allChildEdges(g: PropertyGraph, node: Long): DataFrame =
+    g.edges.filter(col("src") === node).select(col("label"), col("dir"))
+
+  /** All target nodes of a node (reference allChildNodes, Enum.hs:312-321). */
+  def allChildNodes(g: PropertyGraph, node: Long): DataFrame =
+    g.edges.filter(col("src") === node).select(col("dst"))
+
+  /** Per-(node,label) edge count (reference adjacentEdgeCount, Enum.hs:495-506). */
+  def adjacentEdgeCount(g: PropertyGraph, node: Long, label: Int): Long =
+    g.edges.filter(col("src") === node && col("label") === label).count()
+
+  /** Keep only edges whose target satisfies a predicate (reference
+    * filterEdgesTo, FastAccess.hs:411-420). */
+  def filterEdgesTo(g: PropertyGraph, pred: Column => Column): PropertyGraph =
+    g.copy(edges = g.edges.filter(pred(col("dst"))))
+
+  /** The labels valid for a node per its range (reference allAttrBases, Enum.hs:342-349). */
+  def allAttrBases(g: PropertyGraph, node: Long): Seq[Int] =
+    g.ranges.find(_.contains(node)).map(_.validEdgeLabels).getOrElse(Nil)
+
+  /** Range label of a node (reference nodeLabel, FastAccess.hs:654-667). */
+  def nodeLabel(g: PropertyGraph, node: Long): Option[Int] =
+    g.ranges.find(_.contains(node)).map(_.nodeLabel)
+
+  // ---- mutations (return new graphs / diffs) -------------------------------
+
+  /** Insert edges; `overwrite=true` upserts per (src,dst,label,dir) keeping
+    * the new row (reference insertNodeEdge's overwrite flag,
+    * FastAccess.hs:283-290); otherwise appends (multi-edges allowed, like
+    * the reference's counter-bumped extra slots).
+    */
+  def insertEdges(g: PropertyGraph, newEdges: DataFrame, overwrite: Boolean = false): PropertyGraph = {
+    val key = Seq("src", "dst", "label", "dir")
+    val merged =
+      if (overwrite) g.edges.join(newEdges.select(edgeCols.map(col): _*), key, "left_anti")
+        .unionByName(newEdges.select(edgeCols.map(col): _*))
+      else g.edges.unionByName(newEdges.select(edgeCols.map(col): _*))
+    g.copy(edges = merged)
+  }
+
+  /** Overlay additional labels onto existing edges — the reference sums
+    * orthogonal attr words onto one physical edge (insertNodeEdges overlay,
+    * FastAccess.hs:271-278). Here: OR the bits into attrMask for matching
+    * (src,dst) rows.
+    */
+  def overlayLabels(g: PropertyGraph, pairs: DataFrame, mask: Long): PropertyGraph = {
+    val tagged = g.edges.join(pairs.select(col("src"), col("dst"), lit(true).as("__hit")), Seq("src", "dst"), "left")
+    g.copy(edges = tagged.withColumn("attrMask",
+        when(col("__hit"), col("attrMask").bitwiseOR(lit(mask))).otherwise(col("attrMask")))
+      .drop("__hit"))
+  }
+
+  /** Delete all edges touching the given nodes (reference deleteNode(s),
+    * FastAccess.hs:351-358 — the Spark form is an actual implementation
+    * where the reference's was effectively a stub). */
+  def deleteNodes(g: PropertyGraph, nodes: Seq[Long]): PropertyGraph =
+    g.copy(edges = g.edges.filter(!col("src").isin(nodes: _*) && !col("dst").isin(nodes: _*)),
+      explicitNodes = g.explicitNodes.map(_.filter(!col("id").isin(nodes: _*))))
+
+  /** Delete specific (src,dst) edges in both directions (reference
+    * deleteEdge(s), FastAccess.hs:364-376). */
+  def deleteEdges(g: PropertyGraph, pairs: DataFrame): PropertyGraph = {
+    val back = pairs.select(col("dst").as("src"), col("src").as("dst"))
+    g.copy(edges = g.edges
+      .join(pairs.select("src", "dst"), Seq("src", "dst"), "left_anti")
+      .join(back, Seq("src", "dst"), "left_anti"))
+  }
+
+  /** Rewrite the target of one (node,label) slot (reference updateNodeEdges,
+    * FastAccess.hs:442-449). */
+  def updateEdgeTarget(g: PropertyGraph, src: Long, label: Int, newDst: Long): PropertyGraph =
+    g.copy(edges = g.edges.withColumn("dst",
+      when(col("src") === src && col("label") === label, lit(newDst)).otherwise(col("dst"))))
+
+  /** Re-map node ids through a column function, preserving edges (reference
+    * mapNodeJ re-maps node-attr bits of every key, FastAccess.hs:516-547).
+    */
+  def mapNodes(g: PropertyGraph, f: Column => Column): PropertyGraph =
+    g.copy(edges = g.edges.withColumn("src", f(col("src"))).withColumn("dst", f(col("dst"))),
+      explicitNodes = g.explicitNodes.map(_.withColumn("id", f(col("id")))))
+
+  /** Merge two graphs (reference union, FastAccess.hs:378-393): union of
+    * edge sets, deduped on the full key — the reference's insert-smaller-
+    * into-bigger trick is irrelevant under a shuffle-dedup. Ranges must
+    * agree (the reference unions same-schema graphs too).
+    */
+  def union(a: PropertyGraph, b: PropertyGraph): PropertyGraph = {
+    val merged = a.edges.unionByName(b.edges)
+      .groupBy(col("src"), col("dst"), col("label"), col("dir"))
+      .agg(max(col("attrMask")).as("attrMask"))
+      .select(edgeCols.map(col): _*)
+    PropertyGraph(merged, if (a.ranges.nonEmpty) a.ranges else b.ranges,
+      a.nodeProps.orElse(b.nodeProps), a.edgeProps.orElse(b.edgeProps))
+  }
+
+  /** Sanity check from the reference (`attrOverlap`, FastAccess.hs:727-742):
+    * within a node class, no two valid edge labels may collide. In the bit
+    * model a collision is two labels with equal ids. Returns colliding ids.
+    */
+  def attrOverlap(g: PropertyGraph): Seq[Int] =
+    g.ranges.flatMap(r => r.validEdgeLabels.groupBy(identity).collect { case (l, xs) if xs.size > 1 => l }).distinct
+}

@@ -1,0 +1,157 @@
+package graft.sources
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph construction — the reference's ingest surface re-expressed as
+  * Spark sources (reference: fromList FastAccess.hs:247-258,
+  * insertNodeLines Enum.hs:387-407, insertCSVEdgeStream FastAccess.hs:323-341).
+  */
+object Loaders {
+
+  /** One logical input edge for [[fromList]]: a directed edge plus labels.
+    * `addReverse` mirrors the reference's `dirRev`/nodeEdges handling
+    * (FastAccess.hs:253-258): when set, a back-edge row (dst→src, dir=false)
+    * is also emitted so the edge is visible from both endpoints.
+    */
+  final case class InputEdge(src: Long, dst: Long, labels: Seq[Int], addReverse: Boolean)
+
+  /** Build a graph from in-memory lists (reference `fromList`/`fromListE`).
+    * Multiple labels on one input edge overlay into `attrMask` exactly like
+    * the reference's summed attr words (FastAccess.hs:271-278): the row's
+    * `label` is the first label, `attrMask` ORs bit `1 << l` per label.
+    */
+  def fromList(
+      spark: SparkSession,
+      directed: Seq[InputEdge],
+      ranges: Seq[RangeDef],
+      nodes: Seq[NodeRow] = Nil): PropertyGraph = {
+    import spark.implicits._
+    val rows = directed.flatMap { e =>
+      val mask = e.labels.foldLeft(0L)((m, l) => m | (1L << l))
+      val fwd = EdgeRow(e.src, e.dst, e.labels.headOption.getOrElse(-1), mask, dir = true)
+      if (e.addReverse) Seq(fwd, EdgeRow(e.dst, e.src, e.labels.headOption.getOrElse(-1), mask, dir = false))
+      else Seq(fwd)
+    }
+    val nodeDf = if (nodes.isEmpty) None else Some(nodes.toDF().select("id"))
+    PropertyGraph(rows.toDF(), ranges, explicitNodes = nodeDf)
+  }
+
+  /** Bulk-load a whitespace-separated int-pair edge list — the reference's
+    * MIW benchmark ingest path (`insertNodeLines`, Enum.hs:387-407;
+    * Bench.hs:53-58). One fixed label; scales as a pure text scan →
+    * split → cast, no shuffle at all (narrow pipeline into parquet-ready
+    * rows), so ingest throughput is bounded by IO not the engine.
+    */
+  def fromEdgeTextFile(spark: SparkSession, path: String, label: Int, mirror: Boolean, ranges: Seq[RangeDef]): PropertyGraph = {
+    val raw = spark.read.text(path)
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .filter(size(col("f")) >= 2)
+      .select(
+        col("f").getItem(0).cast(LongType).as("src"),
+        col("f").getItem(1).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    fromEdgeDF(raw, label, mirror, ranges)
+  }
+
+  /** Build from any (src,dst) DataFrame with one fixed label. */
+  def fromEdgeDF(pairs: DataFrame, label: Int, mirror: Boolean, ranges: Seq[RangeDef]): PropertyGraph = {
+    val fwd = pairs.select(
+      col("src"), col("dst"), lit(label).as("label"),
+      lit(1L << label).as("attrMask"), lit(true).as("dir"))
+    val all = if (mirror) fwd.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst"),
+        lit(label).as("label"), lit(1L << label).as("attrMask"), lit(false).as("dir")))
+    else fwd
+    PropertyGraph(all, ranges)
+  }
+
+  /** CSV ingest (reference `insertCSVEdgeStream` + `AddCSVLine`,
+    * FastAccess.hs:323-343, 230-235): read CSV in PERMISSIVE/DROPMALFORMED
+    * mode, map string keys to dense node ids via a dictionary built with a
+    * window-free `zipWithIndex`-style assignment, then emit edges.
+    *
+    * The reference threads a `Map String Word32` on the driver; at 100 TB
+    * that dictionary must itself be distributed — we build it as a DataFrame
+    * and resolve names with two (broadcast-able when small) joins.
+    *
+    * @param srcCol/dstCol names of the string-key columns in the CSV.
+    * @return (graph, dictionary DataFrame (name, id)).
+    */
+  def fromCSV(
+      spark: SparkSession,
+      path: String,
+      srcCol: String,
+      dstCol: String,
+      label: Int,
+      mirror: Boolean,
+      ranges: Seq[RangeDef],
+      header: Boolean = true): (PropertyGraph, DataFrame) = {
+    val raw = spark.read.option("header", header.toString).option("mode", "DROPMALFORMED").csv(path)
+    fromStringPairs(raw.select(col(srcCol).as("sname"), col(dstCol).as("dname")), label, mirror, ranges)
+  }
+
+  /** Name→dense-id assignment + edge emission from a (sname, dname) DF. */
+  def fromStringPairs(pairs: DataFrame, label: Int, mirror: Boolean, ranges: Seq[RangeDef]): (PropertyGraph, DataFrame) = {
+    val spark = pairs.sparkSession
+    // Dense deterministic ids: sort distinct names once. zipWithIndex gives
+    // stable contiguous ids (unlike monotonically_increasing_id) — the
+    // range→label contract needs density (SURVEY §1.3).
+    import spark.implicits._
+    val names = pairs.select(col("sname").as("name")).union(pairs.select(col("dname"))).distinct()
+    val dict = spark.createDataFrame(
+      names.orderBy("name").as[String].rdd.zipWithIndex().map { case (n, i) => (n, i) }
+    ).toDF("name", "id")
+    val withIds = pairs
+      .join(dict.withColumnRenamed("name", "sname").withColumnRenamed("id", "src"), "sname")
+      .join(dict.withColumnRenamed("name", "dname").withColumnRenamed("id", "dst"), "dname")
+      .select("src", "dst")
+    (fromEdgeDF(withIds, label, mirror, ranges), dict)
+  }
+
+  /** Write-side of the persistence tier (reference listToDB/fromDB,
+    * JudyGraph.hs:160-203 — LMDB replaced by parquet). Partitioned by
+    * bucketed src would be ideal on a real cluster; plain parquet keeps the
+    * local test path simple while remaining cluster-valid.
+    */
+  def save(g: PropertyGraph, dir: String): Unit = {
+    g.edges.write.mode("overwrite").parquet(s"$dir/edges.parquet")
+    g.nodeProps.foreach(_.write.mode("overwrite").parquet(s"$dir/node_props.parquet"))
+    g.edgeProps.foreach(_.write.mode("overwrite").parquet(s"$dir/edge_props.parquet"))
+    val spark = g.spark
+    import spark.implicits._
+    g.ranges.map(r => (r.start, r.len, r.nodeLabel, r.validEdgeLabels))
+      .toDF("start", "len", "nodeLabel", "validEdgeLabels")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/ranges.parquet")
+  }
+
+  def load(spark: SparkSession, dir: String): PropertyGraph = {
+    val ranges = spark.read.parquet(s"$dir/ranges.parquet").collect().map { r =>
+      RangeDef(r.getLong(0), r.getLong(1), r.getInt(2), r.getSeq[Int](3))
+    }.toSeq.sortBy(_.start)
+    val props = {
+      val p = new java.io.File(s"$dir/node_props.parquet")
+      if (p.exists) Some(spark.read.parquet(p.getPath)) else None
+    }
+    PropertyGraph(spark.read.parquet(s"$dir/edges.parquet"), ranges, nodeProps = props)
+  }
+
+  /** Debug sink: render the whole graph as a Graphviz digraph string
+    * (reference `Show EnumGraph`, Enum.hs:78-91). Driver-side collect —
+    * debug-only by definition, guarded by a row limit.
+    */
+  def toGraphviz(g: PropertyGraph, maxEdges: Int = 10000): String = {
+    val es = g.edges.filter(col("dir")).limit(maxEdges).collect()
+    val body = es.map(r => s"""  ${r.getLong(0)} -> ${r.getLong(1)} [label="${r.getInt(2)}"];""").mkString("\n")
+    s"digraph G {\n$body\n}"
+  }
+
+  /** Debug sink: nodes/edges CSV for visualization (reference debugToCSV,
+    * FastAccess.hs:719-724). */
+  def debugToCSV(g: PropertyGraph, dir: String): Unit = {
+    g.edges.write.mode("overwrite").option("header", "true").csv(s"$dir/edges_csv")
+    g.nodes.write.mode("overwrite").option("header", "true").csv(s"$dir/nodes_csv")
+  }
+}

@@ -1,0 +1,211 @@
+package graft
+
+import graft.model._
+import graft.sources.Loaders
+import graft.sources.Loaders.InputEdge
+import graft.cypher._
+import graft.cypher.Dsl._
+import graft.operators.GraphOps
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Pins the reference's observable semantics:
+  *  - F1 direction truth table (reference test/Spec.hs:151-178)
+  *  - F2 issue-tracker multi-hop (reference app/Main.hs:33-59, README.md:144-163)
+  *  - F3 repetition / several semantics (reference Cypher.hs:823-837,
+  *    test/examples/SortNodes.hs:89-99)
+  */
+class GraphQuerySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // ---- F1: 2 nodes, 1 logical edge, mirrored back-edge --------------------
+  // rightEdge: 0→1 stored forward, with back row; leftEdge: 1→0 stored
+  // forward, with back row (Spec.hs:231-238).
+  val f1Ranges = Seq(RangeDef(0, 10, 0, Seq(0)), RangeDef(10, 10, 1, Seq(0)))
+  lazy val rightEdge = Loaders.fromList(spark,
+    Seq(InputEdge(0, 1, Seq(0), addReverse = true)), f1Ranges)
+  lazy val leftEdge = Loaders.fromList(spark,
+    Seq(InputEdge(1, 0, Seq(0), addReverse = true)), f1Ranges)
+
+  val ns0 = nodes32(0)
+  val ns1 = nodes32(1)
+  def ee = edge(several(1, Int.MaxValue)) // Spec's `edge (***)`
+
+  def tbl(g: PropertyGraph, p: Pat): Vector[Seq[Any]] = Query.tableCollected(g, p)
+  // Single-hop steps expose their (src,label) node-edge pairs in the edge
+  // layer (evalLtoR count==1, Cypher.hs:665-667); the Spec's `NE []` rows all
+  // use `edge (***)` whose path length ends > 1.
+  val matchTable: Vector[Seq[Any]] = Vector(Seq(0L), Seq((0L, 0)), Seq(1L))
+  val matchTableRep: Vector[Seq[Any]] = Vector(Seq(0L), Seq(), Seq(1L))
+  val emptyTable: Vector[Seq[Any]] = Vector(Seq(), Seq(), Seq())
+
+  test("F1.0 both arrows behave as undirected (Spec.hs:153-154)") {
+    assert(tbl(rightEdge, ns0 <--| ee |--> ns1) === tbl(rightEdge, ns0 --| ee |-- ns1))
+  }
+  test("F1.2 right edge, query left → empty") { assert(tbl(rightEdge, ns0 <-- ns1) === emptyTable) }
+  test("F1.3 right edge, query right → match") { assert(tbl(rightEdge, ns0 --> ns1) === matchTable) }
+  test("F1.4 right edge, query undirected → match") { assert(tbl(rightEdge, ns0 ~~ ns1) === matchTable) }
+  test("F1.5 left edge, query right → empty") { assert(tbl(leftEdge, ns0 --> ns1) === emptyTable) }
+  test("F1.6 left edge, query left → match") { assert(tbl(leftEdge, ns0 <-- ns1) === matchTable) }
+  test("F1.8 right edge, labeled query left → empty") { assert(tbl(rightEdge, ns0 <--| ee |-- ns1) === emptyTable) }
+  test("F1.9 right edge, labeled query right → match") { assert(tbl(rightEdge, ns0 --| ee |--> ns1) === matchTableRep) }
+  test("F1.10 left edge, labeled query right → empty") { assert(tbl(leftEdge, ns0 --| ee |--> ns1) === emptyTable) }
+  test("F1.11 left edge, labeled query left → match") { assert(tbl(leftEdge, ns0 <--| ee |-- ns1) === matchTableRep) }
+
+  test("F1 adjacency ops: one child edge/node of n0 (Spec.hs:126-141)") {
+    assert(GraphOps.allChildNodes(rightEdge, 0).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(GraphOps.allChildEdges(rightEdge, 0).count() === 1L)
+    assert(GraphOps.adjacentEdgeCount(rightEdge, 0, 0) === 1L)
+    assert(GraphOps.adjacentNodesByAttr(rightEdge, 0, 0).collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("F1 union: empty∪empty = empty; overlapping non-empty (Spec.hs:74-83)") {
+    val e0 = PropertyGraph.empty(spark, f1Ranges)
+    assert(GraphOps.union(e0, PropertyGraph.empty(spark, f1Ranges)).isNull)
+    val u = GraphOps.union(rightEdge, leftEdge)
+    assert(!u.isNull)
+    assert(u.edges.count() === 4L) // 4 distinct (src,dst,dir) rows
+    // idempotent
+    assert(GraphOps.union(rightEdge, rightEdge).edges.count() === rightEdge.edges.count())
+  }
+
+  // ---- F2: issue tracker (app/Main.hs:33-59) ------------------------------
+  // labels: PROGRAMMER=0 ORGANISATION=1 ISSUE=2 PULL_REQUEST=3
+  // edge labels: Raises=1 Accepts=2 Closes=3 BelongsTo=4 References=5
+  val PROGRAMMER = 0; val ORGANISATION = 1; val ISSUE = 2; val PULL_REQUEST = 3
+  val Raises = 1; val Accepts = 2; val Closes = 3; val BelongsTo = 4; val References = 5
+  val f2Ranges = Seq(
+    RangeDef(0, 2, PROGRAMMER, Seq(Raises, Closes, BelongsTo)),
+    RangeDef(2, 1, ORGANISATION, Seq(Accepts)),
+    RangeDef(3, 4, ISSUE, Seq(References, Closes)),
+    RangeDef(7, 1, PULL_REQUEST, Seq()))
+  lazy val issueGraph = Loaders.fromList(spark, Seq(
+    InputEdge(0, 3, Seq(Raises), addReverse = false),
+    InputEdge(0, 4, Seq(Raises), addReverse = false),
+    InputEdge(0, 5, Seq(Raises), addReverse = false),
+    InputEdge(0, 6, Seq(Raises), addReverse = false),
+    InputEdge(3, 5, Seq(References), addReverse = false),
+    InputEdge(4, 3, Seq(References), addReverse = false),
+    InputEdge(4, 6, Seq(References), addReverse = false),
+    InputEdge(5, 4, Seq(Closes), addReverse = false),
+    InputEdge(0, 3, Seq(Closes), addReverse = false),
+    InputEdge(1, 7, Seq(Accepts), addReverse = false),
+    InputEdge(0, 2, Seq(BelongsTo), addReverse = false)), f2Ranges)
+
+  test("F2 flagship: simon --| raises |-- issue --| references |-- issue") {
+    val simon = nodes32(0)
+    val issue = labels(ISSUE)
+    val res = Query.run(issueGraph, simon --| edge(attr(Raises)) |-- issue --| edge(attr(References)) |-- issue)
+    // layer 0 = [0]; layer 1 = [3,4,5,6]... but paths only keep raised
+    // issues that DO reference: table layer1 flattens all reached nodes.
+    val t = Query.tableCollected(issueGraph,
+      simon --| edge(attr(Raises)) |-- issue --| edge(attr(References)) |-- issue)
+    assert(t(0) === Seq(0L))
+    assert(t(2) === Seq(3L, 4L, 5L, 6L))
+    assert(t(4) === Seq(3L, 5L, 6L)) // references targets of {3,4}: 3→5, 4→{3,6}
+    // nested view (temp): children per provenance, empties retained
+    val nested = Query.temp(issueGraph,
+      simon --| edge(attr(Raises)) |-- issue --| edge(attr(References)) |-- issue)
+    val layer2 = nested(1).collect().map(r => (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(layer2 === Map(3L -> Seq(5L), 4L -> Seq(3L, 6L), 5L -> Seq(), 6L -> Seq()))
+  }
+
+  test("F2 quick and planned strategies agree") {
+    val p = nodes32(0) --| edge(attr(Raises)) |-- labels(ISSUE) --| edge(attr(References)) |-- labels(ISSUE)
+    val quick = Query.paths(issueGraph, p, quick = true)
+    val planned = Query.paths(issueGraph, p, quick = false)
+    val qs = quick.select("n0", "n1", "n2").collect().map(_.toSeq).toSet
+    val ps = planned.select("n0", "n1", "n2").collect().map(_.toSeq).toSet
+    assert(qs === ps)
+    assert(qs.nonEmpty)
+  }
+
+  test("F2 target label restriction: Raises targets restricted to PULL_REQUEST is empty") {
+    val t = Query.tableCollected(issueGraph, nodes32(0) --| edge(attr(Raises)) |-- labels(PULL_REQUEST))
+    assert(t === Vector(Seq(), Seq(), Seq()))
+  }
+
+  test("F2 graphQuery returns the traversed subgraph (reference stubbed this)") {
+    val sub = Query.graphQuery(issueGraph, nodes32(0) --| edge(attr(Raises)) |-- labels(ISSUE))
+    assert(sub.edges.count() === 4L)
+    assert(sub.edges.select("label").distinct().collect().map(_.getInt(0)).toSeq === Seq(Raises))
+  }
+
+  test("F2 createMem on an already-stored pattern yields no new edges") {
+    val diff = Query.createMem(issueGraph, nodes32(0) --| edge(attr(Raises)) |-- labels(ISSUE))
+    assert(diff.newEdges.isEmpty)
+  }
+
+  // ---- F3: several / repetition (SortNodes.hs:89-99) ----------------------
+  // NextVer chains: 1→2→3 and 7→8→9→10
+  val PACKAGE = 0; val PACKAGEVER = 1; val FUNCTION = 2
+  val PartOf = 1; val NextVer = 2
+  val f3Ranges = Seq(RangeDef(0, 1, PACKAGE, Seq(PartOf)),
+    RangeDef(1, 3, PACKAGEVER, Seq(NextVer, PartOf)),
+    RangeDef(4, 7, FUNCTION, Seq(NextVer)))
+  lazy val pkgGraph = Loaders.fromList(spark,
+    Seq((0, 1), (0, 2), (0, 3)).map { case (s, d) => InputEdge(s, d, Seq(PartOf), addReverse = false) } ++
+      Seq((1, 4), (2, 4), (2, 5), (2, 6), (3, 4), (3, 5)).map { case (s, d) => InputEdge(s, d, Seq(PartOf), addReverse = false) } ++
+      Seq((1, 2), (2, 3), (7, 8), (8, 9), (9, 10)).map { case (s, d) => InputEdge(s, d, Seq(NextVer), addReverse = false) },
+    f3Ranges)
+
+  test("F3 several(1,3): 3 hops taken, stop at hi → final frontier {10}") {
+    val t = Query.tableCollected(pkgGraph, nodes32(7) --| edge(attr(NextVer), several(1, 3)) |-- anyNode)
+    assert(t.last === Seq(10L))
+  }
+  test("F3 several(1,3) from 9: dries after 1 hop ≥ lo → previous frontier {10}") {
+    val t = Query.tableCollected(pkgGraph, nodes32(9) --| edge(attr(NextVer), several(1, 3)) |-- anyNode)
+    assert(t.last === Seq(10L))
+  }
+  test("F3 several(2,3) from 10: dries at count 1 < lo → failed query") {
+    val t = Query.tableCollected(pkgGraph, nodes32(10) --| edge(attr(NextVer), several(2, 3)) |-- anyNode)
+    assert(t === Vector(Seq(), Seq(), Seq()))
+  }
+  test("F3 several(1,1) ≡ plain labeled step") {
+    val a = Query.tableCollected(pkgGraph, nodes32(1) --| edge(attr(NextVer), several(1, 1)) |-- anyNode)
+    val b = Query.tableCollected(pkgGraph, nodes32(1) --| edge(attr(NextVer)) |-- anyNode)
+    assert(a.last === b.last)
+    assert(a.last === Seq(2L))
+  }
+  test("F3 anyLength (***): BFS fixpoint, terminates, all reachable") {
+    val t = Query.tableCollected(pkgGraph, nodes32(7) --| edge(attr(NextVer), several(1, Int.MaxValue)) |-- anyNode)
+    assert(t.last === Seq(8L, 9L, 10L))
+  }
+
+  // ---- orth overlay --------------------------------------------------------
+  test("orth: bitmask predicate equals explicit combination enumeration") {
+    val A = 1; val B = 2; val C = 3
+    val g = Loaders.fromList(spark, Seq(
+      InputEdge(0, 1, Seq(A), addReverse = false),       // mask 0b0010
+      InputEdge(0, 2, Seq(A, B), addReverse = false),    // mask 0b0110
+      InputEdge(0, 3, Seq(B), addReverse = false),
+      InputEdge(0, 4, Seq(C), addReverse = false),       // not in {A,B} combos
+      InputEdge(0, 5, Seq(A, C), addReverse = false)),   // has C bit → excluded
+      Seq(RangeDef(0, 10, 0, Seq(A, B, C))))
+    val t = Query.tableCollected(g, nodes32(0) --| edge(orth(A), orth(B)) |-- anyNode)
+    assert(t.last === Seq(1L, 2L, 3L))
+  }
+
+  test("where_ predicate filters edges") {
+    val t = Query.tableCollected(issueGraph,
+      nodes32(0) --| edge(attr(Raises), attr(Closes), where_(l => l === Raises)) |-- anyNode)
+    assert(t.last === Seq(3L, 4L, 5L, 6L))
+  }
+
+  test("multi-attr follows union of labels (Cypher.hs:250-253)") {
+    val t = Query.tableCollected(issueGraph,
+      nodes32(0) --| edge(attr(Raises), attr(BelongsTo)) |-- anyNode)
+    assert(t.last === Seq(2L, 3L, 4L, 5L, 6L))
+  }
+}
