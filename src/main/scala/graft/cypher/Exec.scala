@@ -63,12 +63,13 @@ object Exec {
   def frontierOf(g: PropertyGraph, spec: NodeSpec): DataFrame = {
     val base = spec.sel match {
       case AllNodes => g.nodes.select(col("id"))
-      case LabelSel(ls) =>
-        // label → id spans are closed-form from ranges: no scan at all.
-        val spans = g.ranges.filter(r => ls.contains(r.nodeLabel))
-        val spark = g.spark
-        import spark.implicits._
-        spans.flatMap(r => r.start until (r.start + r.len)).toDF("id")
+      case LabelSel(_) =>
+        // Nodes of the graph within the label's range spans. NOT a driver
+        // enumeration of [start, start+len): ranges may be sparse id
+        // reservations (e.g. 10^7-wide), so the node set must come from the
+        // data, bounded by actual graph size.
+        val pred = targetPred(g, spec, col("id")).getOrElse(lit(true))
+        g.nodes.select(col("id")).filter(pred)
       case IdSel(ids) =>
         val spark = g.spark
         import spark.implicits._
@@ -215,14 +216,43 @@ object Exec {
       case CompN(n) => n
       case _ => throw new IllegalArgumentException("a query has to start with a node")
     }
-    var paths = frontierOf(g, start).select(col("id").as("n0"))
-    var layers = Vector[LayerOut](NodeLayerOut(paths.select(col("n0").as("id")).distinct()))
-    var snapshots = Vector(paths)
+    val stepPairs = pairsOf(comps)
+    // Predicate-only starts (labels/anyNode, no appl hook) never materialize
+    // a frontier: the range restriction folds into the first edge scan — at
+    // scale a label's id span can be a sparse 10^7-wide reservation while
+    // the matching edges are few; enumerating it would dwarf the query.
+    val pushdownStart = stepPairs.nonEmpty && start.applFn.isEmpty &&
+      (start.sel match { case AllNodes | LabelSel(_) => true; case _ => false })
+
+    // Layer 0 display stays reference-faithful (all nodes of the start
+    // spec, even match-less ones) but lazy — only computed if collected.
+    var layers = Vector[LayerOut](NodeLayerOut(frontierOf(g, start).distinct()))
+    var snapshots = Vector(frontierOf(g, start).select(col("id").as("n0")))
+    var paths: DataFrame =
+      if (pushdownStart) {
+        val (e1, _) = stepPairs.head
+        val srcPred = targetPred(g, start, col("src")).getOrElse(lit(true))
+        if (e1.several.isEmpty) null // first hop reads edges directly below
+        else // repetition seed: start nodes having >=1 matching edge
+          g.edges.filter(srcPred &&
+              edgePred(e1, walkRight = true, col("label"), col("attrMask"), col("dir")))
+            .select(col("src").as("n0")).distinct()
+      } else frontierOf(g, start).select(col("id").as("n0"))
+
     var traversed: DataFrame = null
     var step = 0
-    for ((e, n) <- pairsOf(comps)) {
+    for ((e, n) <- stepPairs) {
       step += 1
-      walkStep(g, paths, s"n${step - 1}", e, n, step, walkRight = true) match {
+      val stepRes: Option[(DataFrame, Int)] =
+        if (paths == null) {
+          // first hop straight off the edge scan (no frontier join at all)
+          val srcPred = targetPred(g, start, col("src")).getOrElse(lit(true))
+          val p0 = g.edges
+            .filter(srcPred && edgePred(e, walkRight = true, col("label"), col("attrMask"), col("dir")))
+            .select(col("src").as("n0"), col("label").as("e1_label"), col("dst").as("n1"))
+          Some((applyTarget(g, p0, n, "n1"), 1))
+        } else walkStep(g, paths, s"n${step - 1}", e, n, step, walkRight = true)
+      stepRes match {
         case None => return emptyResult(g, comps)
         case Some((p, count)) =>
           paths = p

@@ -1,0 +1,298 @@
+package graft.gate
+
+import graft.model._
+import graft.sources.Loaders
+import graft.cypher._
+import graft.cypher.Dsl._
+import graft.operators.GraphOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The driver-facing correctness-gate queries: every entry has a Spark
+  * implementation (through the engine's public operators) and, where ANSI
+  * SQL can express it, a DuckDB oracle over the same parquet tables.
+  *
+  * Oracle-parity rules (the driver hash-compares values after sorting
+  * columns by name):
+  *  - every computed column is aliased identically on both sides;
+  *  - money aggregates go through DECIMAL(18,2) (exact, order-independent)
+  *    and are cast to DOUBLE at the end so both engines emit the same type;
+  *  - double SUMs of non-integral values are avoided (order-dependent);
+  *  - window orderings use integer keys only (ns-vs-µs timestamp truncation
+  *    differs between DuckDB and Spark).
+  */
+object GateQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    * LONG via spark.sql.legacy.parquet.nanosAsLong (DuckDB reads it as
+    * TIMESTAMP_NS natively) — queries must treat ts as nanos-since-epoch. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+
+  // ---- graph model over the TPC-H-ish tables ------------------------------
+  // Node id layout: customers [0, 1e7), orders [1e7, 2e7), parts [2e7, 3e7),
+  // suppliers [3e7, 4e7). Dense ranges → labels (SURVEY §1.3).
+  val ORDER_BASE = 10000000L
+  val PART_BASE = 20000000L
+  val SUPP_BASE = 30000000L
+  val CUSTOMER = 0; val ORDER = 1; val PART = 2; val SUPPLIER = 3
+  val Placed = 1; val Contains = 2; val SuppliedBy = 3; val NextOrder = 4
+
+  def ranges: Seq[RangeDef] = Seq(
+    RangeDef(0L, ORDER_BASE, CUSTOMER, Seq(Placed)),
+    RangeDef(ORDER_BASE, PART_BASE - ORDER_BASE, ORDER, Seq(Contains, NextOrder)),
+    RangeDef(PART_BASE, SUPP_BASE - PART_BASE, PART, Seq(SuppliedBy)),
+    RangeDef(SUPP_BASE, 10000000L, SUPPLIER, Seq()))
+
+  /** customer --Placed--> order --Contains--> part --SuppliedBy--> supplier
+    * (mirrored), plus order --NextOrder--> next order of the same customer
+    * (by (o_orderdate, o_orderkey)) for repetition queries.
+    *
+    * Built once per sf dir and cached: the edge relation is referenced by
+    * every hop of every gate query, so at scale it must be materialized
+    * once, not recomputed per join.
+    */
+  private val graphCache = scala.collection.concurrent.TrieMap[String, PropertyGraph]()
+  def graph(spark: SparkSession, dir: String): PropertyGraph =
+    graphCache.getOrElseUpdate(spark.sparkContext.hashCode() + "|" + dir, {
+      val g = buildGraph(spark, dir)
+      g.copy(edges = g.edges.cache())
+    })
+
+  def buildGraph(spark: SparkSession, dir: String): PropertyGraph = {
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    val placed = orders.select(col("o_custkey").cast("long").as("src"),
+      (col("o_orderkey") + ORDER_BASE).cast("long").as("dst"))
+    val contains = lineitem.select((col("l_orderkey") + ORDER_BASE).cast("long").as("src"),
+      (col("l_partkey") + PART_BASE).cast("long").as("dst")).distinct()
+    val supplied = lineitem.select((col("l_partkey") + PART_BASE).cast("long").as("src"),
+      (col("l_suppkey") + SUPP_BASE).cast("long").as("dst")).distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val nextOrder = orders
+      .select((col("o_orderkey") + ORDER_BASE).cast("long").as("src"),
+        (lead(col("o_orderkey"), 1).over(w) + ORDER_BASE).cast("long").as("dst"))
+      .filter(col("dst").isNotNull)
+    Seq(
+      Loaders.fromEdgeDF(placed, Placed, mirror = true, ranges),
+      Loaders.fromEdgeDF(contains, Contains, mirror = true, ranges),
+      Loaders.fromEdgeDF(supplied, SuppliedBy, mirror = true, ranges),
+      Loaders.fromEdgeDF(nextOrder, NextOrder, mirror = false, ranges)
+    ).reduce((a, b) => a.copy(edges = a.edges.unionByName(b.edges)))
+  }
+
+  // Money: exact decimal accumulation, double on the way out.
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core --------------------------------------------------
+    "q1_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        count(lit(1)).as("count_order"),
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(3,2)"))).cast("double").as("sum_disc_price"))
+    }),
+    "q2_revenue_by_nation" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    }),
+    "q3_top_customers" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      o.groupBy(col("o_custkey")).agg(dsum(col("o_totalprice")).as("total_spent"))
+        .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("total_spent"))
+        .orderBy(desc("total_spent"), col("c_custkey"))
+        .limit(10)
+    }),
+    "q4_first_events_per_user" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      events(s, d).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("rn").cast("long").as("rn")) // DuckDB ROW_NUMBER() is BIGINT
+    }),
+    "q5_customers_with_orders" -> ((s, d) => {
+      t(s, d, "customer").join(t(s, d, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q6_customers_without_orders" -> ((s, d) => {
+      t(s, d, "customer").join(t(s, d, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q7_events_hourly" -> ((s, d) => {
+      // ts is nanos-since-epoch LONG (see `events`); hour bucket in seconds.
+      events(s, d).groupBy(
+          expr("ts DIV 3600000000000 * 3600").as("hour_ts"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q8_orders_by_year_priority" -> ((s, d) => {
+      t(s, d, "orders").groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    }),
+
+    // ---- graph queries through the cypher engine --------------------------
+    "g1_building_customer_orders" -> ((s, d) => {
+      val g = graph(s, d)
+      val building = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").cast("long").as("id"))
+      Query.paths(g, nodesDF(building) --| edge(attr(Placed)) |--> labels(ORDER))
+        .select(col("n0"), col("n1"))
+    }),
+    "g2_parts_of_customer_orders" -> ((s, d) => {
+      val g = graph(s, d)
+      val custs = t(s, d, "customer").filter(col("c_custkey") <= 20)
+        .select(col("c_custkey").cast("long").as("id"))
+      Query.paths(g, nodesDF(custs) --| edge(attr(Placed)) |--> labels(ORDER)
+          --| edge(attr(Contains)) |--> labels(PART))
+        .select(col("n0"), col("n2")).distinct()
+    }),
+    "g3_out_degrees" -> ((s, d) => {
+      // forward-only graph: per-(node,label) out-degree relation
+      val g = graph(s, d)
+      g.copy(edges = g.edges.filter(col("dir"))).degrees
+        .filter(col("label").isin(Placed, Contains))
+    }),
+    "g4_union_overlap" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderstatus") === "O")
+      val b = o.filter(col("o_totalprice") > 100000.0)
+      def edgesOf(df: DataFrame) = df.select(col("o_custkey").cast("long").as("src"),
+        (col("o_orderkey") + ORDER_BASE).cast("long").as("dst"))
+      val g = GraphOps.union(
+        Loaders.fromEdgeDF(edgesOf(a), Placed, mirror = false, ranges),
+        Loaders.fromEdgeDF(edgesOf(b), Placed, mirror = false, ranges))
+      g.edges.select(col("src"), col("dst"))
+    }),
+    "g5_second_next_order" -> ((s, d) => {
+      // exactly two NextOrder hops: final-frontier repetition semantics
+      val g = graph(s, d)
+      Query.paths(g, labels(ORDER) --| edge(attr(NextOrder), several(2, 2)) |--> labels(ORDER))
+        .select(col("n0"), col("n1"))
+    }),
+    "g6_orders_to_customer_backedges" -> ((s, d) => {
+      // walk the mirrored Placed edges right-to-left: order ← customer
+      val g = graph(s, d)
+      Query.paths(g, labels(ORDER) <--| edge(attr(Placed)) |-- labels(CUSTOMER))
+        .select(col("n0").as("order_node"), col("n1").as("cust_node"))
+    }),
+    "g7_part_suppliers_3hop" -> ((s, d) => {
+      val g = graph(s, d)
+      val custs = t(s, d, "customer").filter(col("c_custkey") <= 5)
+        .select(col("c_custkey").cast("long").as("id"))
+      Query.paths(g, nodesDF(custs) --| edge(attr(Placed)) |--> labels(ORDER)
+          --| edge(attr(Contains)) |--> labels(PART)
+          --| edge(attr(SuppliedBy)) |--> labels(SUPPLIER))
+        .select(col("n0"), col("n3")).distinct()
+    }),
+
+    // ---- text / documents -------------------------------------------------
+    "t1_token_counts" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("long").as("n_tokens"))
+    }),
+    "t2_dedup_exact" -> ((s, d) => {
+      t(s, d, "documents").groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+    }),
+    "t3_doc_stats" -> ((s, d) => {
+      t(s, d, "documents").groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"), sum(col("n_chars")).as("sum_chars"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order,
+        |SUM(l_quantity) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_revenue_by_nation" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+    "q3_top_customers" ->
+      """SELECT c_custkey, c_name, total_spent FROM (
+        |SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM orders GROUP BY o_custkey) t JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_spent DESC, c_custkey LIMIT 10""".stripMargin,
+    "q4_first_events_per_user" ->
+      """SELECT user_id, event_id, event_type, rn FROM (
+        |SELECT user_id, event_id, event_type,
+        |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |FROM events) t WHERE rn <= 3""".stripMargin,
+    "q5_customers_with_orders" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    "q6_customers_without_orders" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+    "q7_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        |event_type, COUNT(*) AS n FROM events GROUP BY 1, 2""".stripMargin,
+    "q8_orders_by_year_priority" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "g1_building_customer_orders" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS n0, CAST(o_orderkey + 10000000 AS BIGINT) AS n1
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "g2_parts_of_customer_orders" ->
+      """SELECT DISTINCT CAST(c_custkey AS BIGINT) AS n0, CAST(l_partkey + 20000000 AS BIGINT) AS n2
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey WHERE c_custkey <= 20""".stripMargin,
+    "g3_out_degrees" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS src, 1 AS label, COUNT(*) AS degree
+        |FROM orders GROUP BY 1, 2
+        |UNION ALL
+        |SELECT CAST(l_orderkey + 10000000 AS BIGINT) AS src, 2 AS label,
+        |COUNT(DISTINCT l_partkey) AS degree FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "g4_union_overlap" ->
+      """SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |CAST(o_orderkey + 10000000 AS BIGINT) AS dst
+        |FROM orders WHERE o_orderstatus = 'O' OR o_totalprice > 100000.0""".stripMargin,
+    "g5_second_next_order" ->
+      """WITH chain AS (
+        |SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS src,
+        |CAST(LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) + 10000000 AS BIGINT) AS dst
+        |FROM orders)
+        |SELECT a.src AS n0, b.dst AS n1 FROM chain a
+        |JOIN chain b ON a.dst = b.src WHERE b.dst IS NOT NULL""".stripMargin,
+    "g6_orders_to_customer_backedges" ->
+      """SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS order_node,
+        |CAST(o_custkey AS BIGINT) AS cust_node FROM orders""".stripMargin,
+    "g7_part_suppliers_3hop" ->
+      """SELECT DISTINCT CAST(c_custkey AS BIGINT) AS n0,
+        |CAST(sup.l_suppkey + 30000000 AS BIGINT) AS n3
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem li ON li.l_orderkey = o_orderkey
+        |JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sup
+        |  ON sup.l_partkey = li.l_partkey
+        |WHERE c_custkey <= 5""".stripMargin,
+    "t1_token_counts" ->
+      """SELECT doc_id, CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+    "t2_dedup_exact" ->
+      """SELECT MD5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "t3_doc_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+        |MAX(n_chars) AS max_chars, SUM(n_chars) AS sum_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin
+  )
+}
