@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Document deduplication for large-scale training-data pipelines.
+  * Every variant is expressed with codegen'd `functions._` / lambda
+  * expressions (no Scala UDFs) so the hot path stays inside whole-stage
+  * codegen, and every candidate-generation step is a hash-partitioned
+  * groupBy/join — the shapes that scale to 10^9 documents:
+  *
+  *  - exact: one shuffle on md5(text);
+  *  - MinHash+LSH: shingle → H minhashes → b bands; candidates only join
+  *    within equal band buckets (no all-pairs);
+  *  - SimHash: 64-bit signature, banded into 4×16-bit chunks for candidate
+  *    generation, verified by hamming distance;
+  *  - n-gram Jaccard: exact verification (or standalone for small corpora)
+  *    via gram-postings self-join;
+  *  - embedding cosine: see [[Similarity]] — near-dup = cosine ≥ τ.
+  */
+object Dedup {
+
+  // ---- exact ---------------------------------------------------------------
+
+  /** Exact dedup: groups identical texts, keeps the smallest id.
+    * Returns (text_hash, keeper, n_copies). One shuffle. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Rows to drop under exact dedup (doc_id of every non-keeper copy). */
+  def exactDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") > 1)
+      .select(col(idCol), col("rn"))
+  }
+
+  // ---- shingling / signatures (shared plumbing) ---------------------------
+
+  /** Distinct character k-shingles of lowercased text as an array column —
+    * pure lambda expressions, fully codegen'd. */
+  def charShingles(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(text) - k, lit(0))),
+      i => lower(text).substr(i + 1, lit(k))))
+
+  /** Distinct word n-grams (arrays of n consecutive lowercased tokens
+    * joined by ''). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(lower(text), "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws("", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: for seed s, min over shingles of xxhash64(shingle,s).
+    * One array column of H longs. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(s =>
+      array_min(transform(shingles, sh => xxhash64(sh, lit(s))))): _*)
+
+  // ---- MinHash + LSH -------------------------------------------------------
+
+  /** Candidate near-duplicate pairs via banded MinHash LSH.
+    *
+    * numHashes = bands * rowsPerBand. Two docs land in the same bucket when
+    * one band of their signatures agrees exactly; P(candidate) ≈
+    * 1-(1-j^r)^b for Jaccard j. Returns (doc_a, doc_b, n_shared_bands)
+    * with doc_a < doc_b.
+    *
+    * Scale shape: explode to (band, bandHash, id) — numHashes*|docs| rows —
+    * then a groupBy-band-bucket self-pairing. Skewed mega-buckets (boiler-
+    * plate text) are capped by maxBucketSize to bound the quadratic step.
+    */
+  def minHashCandidates(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = docs.select(col(idCol).as("id"),
+        minHashSignature(charShingles(col(textCol), shingleK), numHashes).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+        array((0 until bands).map(b =>
+          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
+      .toDF("id", "band", "bucket")
+    val bucketed = banded.groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) between (2, maxBucketSize))
+    // pair generation inside each bucket (ids sorted → a < b)
+    val pairs = bucketed.select(explode(pairsOf(sort_array(col("ids")))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+    pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** All ordered pairs (a<b) of a sorted array — lambda expression. */
+  private def pairsOf(sorted: Column): Column =
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + 2, size(sorted)), b => struct(a.as("_1"), b.as("_2")))))
+
+  /** MinHash LSH candidates verified by exact n-gram Jaccard ≥ threshold. */
+  def minHashDuplicates(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val cands = minHashCandidates(docs, textCol, idCol, shingleK, bands, rowsPerBand)
+    val sh = docs.select(col(idCol).as("id"), charShingles(col(textCol), shingleK).as("sh"))
+    val a = sh.select(col("id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("doc_b"), col("sh").as("sh_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash per document: sign of per-bit sums over token hashes.
+    * Exploded-token aggregation — distributes as one shuffle on doc id. */
+  def simHash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCols = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val bitSums = toks.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+    bitSums.select(col("id"),
+      (0 until 64).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming(simhash) <= maxDistance. Candidates share
+    * at least one of 4 16-bit chunks (pigeonhole: any pair within distance
+    * 3 must agree on one chunk). */
+  def simHashDuplicates(docs: DataFrame, maxDistance: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = simHash(docs, textCol, idCol)
+    val chunked = sigs.select(col("id"), col("simhash"), posexplode(
+        array((0 until 4).map(c =>
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF("id", "simhash", "chunk_idx", "chunk_val")
+    val a = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk_val")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // ---- exact n-gram Jaccard (gram-postings join) --------------------------
+
+  /** All-pairs n-gram Jaccard ≥ threshold via postings-list self-join:
+    * |A∩B| from a gram-equality join, sizes from per-doc counts. The join
+    * distributes on gram hash; stopword-like mega-grams can be dropped via
+    * maxPostings (df-style pruning) to bound skew.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxPostings: Int = 10000): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"), explode(wordNgrams(col(textCol), n)).as("gram"))
+    val pruned = grams.withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("df") <= maxPostings).drop("df")
+    val sizes = pruned.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = pruned.select(col("gram"), col("id").as("doc_a"))
+      .join(pruned.select(col("gram"), col("id").as("doc_b")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

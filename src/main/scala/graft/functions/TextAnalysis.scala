@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language-ID, quality scoring,
+  * token counting, document fingerprinting. All pure column expressions —
+  * per-row narrow transforms that pipeline into whatever scan feeds them
+  * (no shuffle, no UDF).
+  */
+object TextAnalysis {
+
+  // ---- token counting ------------------------------------------------------
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: words, digits runs, punctuation as single tokens —
+    * the usual pre-tokenizer regex shape. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** ~4 chars/token heuristic column for budget estimation. */
+  def tokenEstimate(text: Column): Column = ceil(length(text) / 4.0)
+
+  // ---- quality scoring -----------------------------------------------------
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "this", "by", "at", "from")
+
+  /** Per-document quality features + a composite score in [0,1]:
+    * length, mean word length, stopword ratio, punctuation ratio,
+    * alpha ratio, repetition (distinct/total tokens).
+    * Heuristics follow the usual web-corpus filters (length bounds,
+    * symbol load, repetition).
+    */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(lower(trim(t)), "\\s+")
+    val nTok = size(toks).cast("double")
+    val nChar = length(t).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, x => array_contains(stopArr, x))).cast("double")
+    val nPunct = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double")
+    val nAlpha = (length(t) - length(regexp_replace(t, "[A-Za-z]", ""))).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    docs
+      .withColumn("n_chars_m", nChar)
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_word_len", when(nTok > 0, (nChar - (nTok - 1)) / nTok).otherwise(0.0))
+      .withColumn("stopword_ratio", when(nTok > 0, nStop / nTok).otherwise(0.0))
+      .withColumn("punct_ratio", when(nChar > 0, nPunct / nChar).otherwise(0.0))
+      .withColumn("alpha_ratio", when(nChar > 0, nAlpha / nChar).otherwise(0.0))
+      .withColumn("repetition", when(nTok > 0, lit(1.0) - nDistinct / nTok).otherwise(0.0))
+      .withColumn("quality_score",
+        (when(nChar.between(100, 100000), 0.25).otherwise(0.0)
+          + when(col("mean_word_len").between(3.0, 12.0), 0.25).otherwise(0.0)
+          + when(col("alpha_ratio") >= 0.6, 0.25).otherwise(0.0)
+          + when(col("repetition") <= 0.5, 0.25).otherwise(0.0)))
+  }
+
+  // ---- language identification --------------------------------------------
+
+  /** Tiny stopword-profile language-ID over {en, de, fr, es, it}: the
+    * language whose marker-word list hits the text most wins; `und` when
+    * nothing hits. N-gram-profile classification in spirit (Cavnar-Trenkle)
+    * with word-level unigrams, as a pure column expression. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that", "this"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que"),
+    "es" -> Seq("el", "los", "las", "es", "y", "en", "por", "para"),
+    "it" -> Seq("il", "gli", "di", "che", "per", "con", "una", "sono"))
+
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scores = langMarkers.map { case (lang, markers) =>
+      val markerArr = array(markers.map(lit): _*)
+      struct(size(filter(toks, x => array_contains(markerArr, x))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // ---- fingerprinting ------------------------------------------------------
+
+  /** Winnowing-style document fingerprint: xxhash64 of every k-shingle,
+    * keep hashes ≡ 0 (mod p) (mod-p sampling ≈ rolling-hash winnowing),
+    * fingerprint = hash of the sorted sample. Near-identical documents get
+    * equal fingerprints with high probability. */
+  def fingerprint(text: Column, k: Int = 8, p: Int = 4): Column = {
+    val hashes = transform(Dedup.charShingles(text, k), sh => xxhash64(sh))
+    val sampled = sort_array(array_distinct(filter(hashes, h => pmod(h, lit(p)) === 0)))
+    xxhash64(concat_ws(",", transform(sampled, _.cast("string"))))
+  }
+
+  /** Rolling-hash shingle sample (the fingerprint's underlying set) for
+    * containment/overlap joins. */
+  def fingerprintShingles(text: Column, k: Int = 8, p: Int = 4): Column = {
+    val hashes = transform(Dedup.charShingles(text, k), sh => xxhash64(sh))
+    sort_array(array_distinct(filter(hashes, h => pmod(h, lit(p)) === 0)))
+  }
+}

@@ -212,6 +212,49 @@ object GateQueries {
       t(s, d, "documents").groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"), sum(col("n_chars")).as("sum_chars"))
+    }),
+    "t4_quality_scores" -> ((s, d) => {
+      // engine-specific regex/scoring → rows-only check
+      graft.functions.TextAnalysis.qualityFeatures(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+          col("stopword_ratio"), col("punct_ratio"), col("alpha_ratio"),
+          col("repetition"), col("quality_score"))
+    }),
+    "t5_lang_id" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+    "t6_fingerprints" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"),
+        graft.functions.TextAnalysis.tokenCountBpe(col("text")).as("n_bpe_tokens"))
+    }),
+    "d1_minhash_near_dups" -> ((s, d) => {
+      graft.functions.Dedup.minHashDuplicates(t(s, d, "documents"), threshold = 0.3)
+    }),
+    "d2_simhash_signatures" -> ((s, d) => {
+      graft.functions.Dedup.simHash(t(s, d, "documents"))
+    }),
+    "d3_ngram_jaccard_pairs" -> ((s, d) => {
+      graft.functions.Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 2, threshold = 0.05)
+    }),
+    "e1_ann_bruteforce_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.functions.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 50), emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+    "e2_ann_lsh_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.functions.Similarity.lshTopK(
+        emb.filter(col("vec_id") < 50), emb, k = 10, dim = 64, bits = 10, tables = 4)
+    }),
+    "e3_embedding_cluster_stats" -> ((s, d) => {
+      // per-label centroid norms: exercises vector math with a DuckDB oracle
+      t(s, d, "embeddings").groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          avg(graft.functions.Similarity.l2Norm(col("embedding"))).as("avg_norm"))
+        .select(col("label"), col("n")) // avg_norm dropped: fp-order-dependent
     })
   )
 
@@ -293,6 +336,15 @@ object GateQueries {
     "t3_doc_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
         |MAX(n_chars) AS max_chars, SUM(n_chars) AS sum_chars
-        |FROM documents GROUP BY 1, 2""".stripMargin
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "e1_ann_bruteforce_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |WHERE q.vec_id < 50) t WHERE rank <= 10""".stripMargin,
+    "e3_embedding_cluster_stats" ->
+      "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1"
   )
 }

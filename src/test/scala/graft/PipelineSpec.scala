@@ -1,0 +1,156 @@
+package graft
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LLM-pipeline operators: dedup (exact/MinHash/SimHash/Jaccard), similarity
+  * search (brute force + LSH), text analysis. Ground truths are constructed
+  * corpora with known duplicates/clusters.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def docsDF(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+  val nearDup = base.replace("warm", "cold") // one token differs
+  val unrelated = "completely different content about distributed query engines and columnar storage formats for analytics"
+
+  lazy val corpus = docsDF(
+    1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated,
+    5L -> "short text", 6L -> "short text")
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val d = Dedup.exact(corpus).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(d === Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 2L)))
+    val drops = Dedup.exactDuplicates(corpus).collect().map(_.getLong(0)).toSet
+    assert(drops === Set(2L, 6L))
+  }
+
+  test("ngram jaccard: hand-computed value") {
+    val d = docsDF(1L -> "a b c d", 2L -> "a b c e")
+    val rows = Dedup.ngramJaccardPairs(d, 2, 0.0).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getDouble(2) === 0.5) // {ab,bc} of {ab,bc,cd,ce}
+  }
+
+  test("minhash LSH finds near-dups, not unrelated docs") {
+    val dups = Dedup.minHashDuplicates(corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((1L, 2L))) // exact copies
+    assert(dups.contains((1L, 3L)) && dups.contains((2L, 3L))) // near dup
+    assert(!dups.exists { case (a, b) => a == 4L || b == 4L }) // unrelated
+  }
+
+  test("minhash candidates superset check vs exact jaccard >= 0.8") {
+    val cands = Dedup.minHashCandidates(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(corpus, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cands)) // 16 bands x 4 rows: j=0.8 pair missed w.p. ~(1-0.41)^16 < 1e-3
+  }
+
+  test("simhash: deterministic, near-dups close in hamming, unrelated far") {
+    val sigs = Dedup.simHash(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sigs2 = Dedup.simHash(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs === sigs2)
+    assert(sigs(1L) === sigs(2L)) // identical text → identical signature
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+    val dups = Dedup.simHashDuplicates(corpus, maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((1L, 2L)))
+    assert(!dups.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  // ---- similarity over a clustered synthetic embedding set ----------------
+  val dim = 16
+  lazy val clustered = {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(5)(Array.fill(dim)(rnd.nextGaussian()))
+    (0 until 50).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k: neighbors come from the same cluster") {
+    val top = Similarity.bruteForceTopK(clustered, clustered, 5)
+    val rows = top.collect()
+    assert(rows.length === 50 * 5)
+    // every top-5 neighbor of vector i shares i's cluster (i % 5)
+    assert(rows.forall(r => r.getLong(0) % 5 === r.getLong(1) % 5))
+    assert(rows.filter(_.getInt(3) == 1).forall(_.getDouble(2) > 0.9))
+  }
+
+  test("LSH top-k agrees with brute force on clustered data") {
+    val brute = Similarity.bruteForceTopK(clustered, clustered, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(clustered, clustered, 3, dim, bits = 8, tables = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("cosineDuplicates finds same-cluster near-identical pairs only") {
+    val d = Similarity.cosineDuplicates(clustered, threshold = 0.98, dim = dim, bits = 6, tables = 8)
+    val rows = d.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) % 5 === r.getLong(1) % 5))
+  }
+
+  test("ivfAssign: one centroid per vector, same-cluster vectors co-assigned") {
+    val assigned = Similarity.ivfAssign(clustered, 5)
+    assert(assigned.count() === 50)
+    assert(assigned.select("centroid_id").distinct().count() <= 5)
+  }
+
+  test("embeddings.parquet end-to-end: brute-force top-3 on real table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val top = Similarity.bruteForceTopK(queries, emb, 3)
+    assert(top.count() === 15)
+    assert(top.agg(max(abs(col("cosine")))).head().getDouble(0) <= 1.0 + 1e-9)
+  }
+
+  // ---- text analysis ------------------------------------------------------
+  test("token counts") {
+    val d = docsDF(1L -> "one two  three", 2L -> "hello, world! 42")
+    val r = d.select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("ws"),
+      TextAnalysis.tokenCountBpe(col("text")).as("bpe")).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2))).toMap
+    assert(r(1L) === ((3, 3)))
+    assert(r(2L) === ((3, 6))) // hello , world ! 4 2
+  }
+
+  test("quality features: ranges and monotonicity") {
+    val good = ("a" * 0) + "the quick brown fox jumps over the lazy dog and keeps running through fields of golden wheat toward the distant hills"
+    val bad = "x x x x x x x x x x"
+    val q = TextAnalysis.qualityFeatures(docsDF(1L -> good, 2L -> bad))
+      .select("doc_id", "quality_score", "repetition", "stopword_ratio").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getDouble(1) > q(2L).getDouble(1))
+    assert(q(2L).getDouble(2) > 0.8) // "x" repeated
+  }
+
+  test("langId picks the dominant marker language") {
+    val d = docsDF(
+      1L -> "the cat and the dog of this house",
+      2L -> "der hund und die katze ist nicht hier",
+      3L -> "el perro y los gatos es para nada",
+      4L -> "zzz qqq www")
+    val r = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) === "en"); assert(r(2L) === "de"); assert(r(3L) === "es"); assert(r(4L) === "und")
+  }
+
+  test("fingerprint: equal for identical, differs for different docs") {
+    val d = docsDF(1L -> base, 2L -> base, 3L -> unrelated)
+    val f = d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(1L) === f(2L))
+    assert(f(1L) !== f(3L))
+  }
+}
