@@ -1,0 +1,52 @@
+package graft.bench
+
+import graft.model._
+import graft.sources.Loaders
+import graft.cypher.Dsl._
+import graft.cypher.Query
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Reproduction of the reference's two concrete benchmark workloads
+  * (benchmark/Bench.hs:40-58, socialsensor/graphdb-benchmarks naming):
+  *
+  *  - MIW (massive insert): bulk-ingest a whitespace int-pair edge list
+  *    (reference insertNodeLines, Enum.hs:387-407) — 367,662 lines,
+  *    node ids 0..9999, single MAILED label, EMPLOYEE range;
+  *  - CW: load + 1-hop query `number128 --| mailed |-- anybody`.
+  *
+  * data.txt itself is not redistributable, so the same shape is
+  * regenerated deterministically (LCG, fixed seed).
+  */
+object MailGraph {
+  val MAILED = 1
+  val EMPLOYEE = 0
+  val ranges: Seq[RangeDef] = Seq(RangeDef(0, 10000, EMPLOYEE, Seq(MAILED)))
+
+  /** Deterministic mail-graph edge list in the reference's data.txt format. */
+  def generate(path: String, edges: Int = 367662, nodes: Int = 10000): String = {
+    val f = new java.io.File(path)
+    if (!f.exists || f.length == 0) {
+      val out = new java.io.PrintWriter(new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20))
+      var x = 88172645463325252L
+      def nxt(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
+      var i = 0
+      while (i < edges) {
+        val a = java.lang.Long.remainderUnsigned(nxt(), nodes)
+        val b = java.lang.Long.remainderUnsigned(nxt(), nodes)
+        out.println(s"$a $b")
+        i += 1
+      }
+      out.close()
+    }
+    path
+  }
+
+  /** MIW: text-scan ingest → graph. Narrow pipeline (read → split → cast),
+    * shuffle-free; throughput bounded by IO. */
+  def miw(spark: SparkSession, path: String): PropertyGraph =
+    Loaders.fromEdgeTextFile(spark, path, MAILED, mirror = false, ranges)
+
+  /** CW: the reference's canonical 1-hop query from node 128 to anyNode. */
+  def cw(g: PropertyGraph): DataFrame =
+    Query.paths(g, nodes32(128) --| edge(attr(MAILED)) |-- anyNode)
+}

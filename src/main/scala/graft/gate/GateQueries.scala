@@ -255,6 +255,65 @@ object GateQueries {
         .agg(count(lit(1)).as("n"),
           avg(graft.functions.Similarity.l2Norm(col("embedding"))).as("avg_norm"))
         .select(col("label"), col("n")) // avg_norm dropped: fp-order-dependent
+    }),
+
+    // ---- streaming-shaped (same transforms run on readStream) -------------
+    "s1_sliding_window_counts" -> ((s, d) => {
+      graft.streaming.EventStreams
+        .slidingUserActivity(events(s, d), "1 hour", "30 minutes")
+        .select(unix_timestamp(col("win_start")).as("win_s"), col("user_id"), col("n_events"))
+    }),
+    "s2_user_sessions" -> ((s, d) => {
+      import s.implicits._
+      val evs = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams.sessionize(evs, gapNanos = 3600L * 1000000000L).toDF()
+    }),
+
+    // ---- whole-graph analytics (GraphX/Pregel) ----------------------------
+    "a1_reachable_orders" -> ((s, d) => {
+      // all orders transitively after customer 1's first order (NextOrder***)
+      val g = graph(s, d)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val first = t(s, d, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("o_custkey") === 1 && col("rn") === 1)
+        .select((col("o_orderkey") + ORDER_BASE).cast("long")).head().getLong(0)
+      graft.analytics.GraphAnalytics.reachableFrom(g, Seq(first), Some(NextOrder))
+    }),
+    "a2_shortest_hops" -> ((s, d) => {
+      val g = graph(s, d)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val first = t(s, d, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("o_custkey") === 1 && col("rn") === 1)
+        .select((col("o_orderkey") + ORDER_BASE).cast("long")).head().getLong(0)
+      val chain = graph(s, d).copy(edges = g.edges.filter(col("label") === NextOrder))
+      graft.analytics.GraphAnalytics.shortestPaths(chain, first)
+    }),
+    "a3_connected_components" -> ((s, d) => {
+      graft.analytics.GraphAnalytics.connectedComponents(graph(s, d))
+    }),
+    "a4_degree_histogram" -> ((s, d) => {
+      graft.analytics.GraphAnalytics.degreeHistogram(graph(s, d))
+    }),
+
+    // ---- multimodal plumbing (stubbed codec, real batch pipeline) ---------
+    "m1_media_features" -> ((s, d) => {
+      val media = graft.functions.Multimodal.synthesize(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.functions.Multimodal.extractFeatures(
+        graft.functions.Multimodal.typed(media)).toDF()
+        .select(col("media_id"), col("n_bytes"))
+    }),
+
+    // ---- reference benchmark workloads (Bench.hs:40-58 shapes) ------------
+    "miw_bulk_ingest" -> ((s, d) => {
+      val path = graft.bench.MailGraph.generate(s"/tmp/graft_mail_${d.replace('/', '_')}.txt")
+      graft.bench.MailGraph.miw(s, path).edges.select(col("src"), col("dst"))
+    }),
+    "cw_mailed_1hop" -> ((s, d) => {
+      val path = graft.bench.MailGraph.generate(s"/tmp/graft_mail_${d.replace('/', '_')}.txt")
+      graft.bench.MailGraph.cw(graft.bench.MailGraph.miw(s, path))
     })
   )
 
@@ -335,7 +394,7 @@ object GateQueries {
         |FROM documents GROUP BY 1""".stripMargin,
     "t3_doc_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
-        |MAX(n_chars) AS max_chars, SUM(n_chars) AS sum_chars
+        |MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "e1_ann_bruteforce_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
@@ -345,6 +404,27 @@ object GateQueries {
         |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |WHERE q.vec_id < 50) t WHERE rank <= 10""".stripMargin,
     "e3_embedding_cluster_stats" ->
-      "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1"
+      "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1",
+    "s1_sliding_window_counts" ->
+      """WITH grid AS (
+        |  SELECT user_id, (ts_ns // 1800000000000) * 1800 AS s1 FROM
+        |  (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts_ns FROM events))
+        |SELECT win_s, user_id, COUNT(*) AS n_events FROM (
+        |  SELECT user_id, s1 AS win_s FROM grid
+        |  UNION ALL
+        |  SELECT user_id, s1 - 1800 AS win_s FROM grid
+        |) GROUP BY 1, 2""".stripMargin,
+    "a1_reachable_orders" ->
+      """WITH ranked AS (
+        |  SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS id,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey = 1)
+        |SELECT id FROM ranked WHERE rn > 1""".stripMargin,
+    "a2_shortest_hops" ->
+      """WITH ranked AS (
+        |  SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS id,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey = 1)
+        |SELECT id, CAST(rn - 1 AS BIGINT) AS dist FROM ranked""".stripMargin
   )
 }

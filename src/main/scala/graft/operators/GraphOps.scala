@@ -124,6 +124,39 @@ object GraphOps {
       a.nodeProps.orElse(b.nodeProps), a.edgeProps.orElse(b.edgeProps))
   }
 
+  // ---- rich property tier (the reference's LMDB databases,
+  //      JudyGraph.hs:99-113, as parquet-backed DataFrames) ---------------
+
+  /** Rich node properties for one id (reference lookupNode, JudyGraph.hs:403-410). */
+  def lookupNode(g: PropertyGraph, id: Long): Option[org.apache.spark.sql.Row] =
+    g.nodeProps.flatMap(_.filter(col("id") === id).collect().headOption)
+
+  /** Rich edge properties for one (src,dst) (reference lookupEdge, JudyGraph.hs:412-417). */
+  def lookupEdge(g: PropertyGraph, src: Long, dst: Long): Option[org.apache.spark.sql.Row] =
+    g.edgeProps.flatMap(_.filter(col("src") === src && col("dst") === dst).collect().headOption)
+
+  /** Upsert node property rows by id (reference insertNode(s), JudyGraph.hs:134-157). */
+  def insertNodeProps(g: PropertyGraph, props: DataFrame): PropertyGraph = {
+    val merged = g.nodeProps match {
+      case Some(old) => old.join(props.select("id"), Seq("id"), "left_anti").unionByName(props)
+      case None => props
+    }
+    g.copy(nodeProps = Some(merged))
+  }
+
+  /** All property-carrying node ids / all property rows (reference
+    * nodeKeys/nodeElems, JudyGraph.hs:419-429). */
+  def nodeKeys(g: PropertyGraph): DataFrame =
+    g.nodeProps.map(_.select("id")).getOrElse(g.nodes.select("id").limit(0))
+  def nodeElems(g: PropertyGraph): DataFrame =
+    g.nodeProps.getOrElse(g.nodes.limit(0))
+
+  /** Enrich a query layer with node properties — the relational form of the
+    * reference's fetch-rich-label-on-demand (JudyGraph.hs:403-417). */
+  def withNodeProps(g: PropertyGraph, layer: DataFrame, idCol: String): DataFrame =
+    g.nodeProps.fold(layer)(p =>
+      layer.join(p.withColumnRenamed("id", idCol), Seq(idCol), "left"))
+
   /** Sanity check from the reference (`attrOverlap`, FastAccess.hs:727-742):
     * within a node class, no two valid edge labels may collide. In the bit
     * model a collision is two labels with equal ids. Returns colliding ids.

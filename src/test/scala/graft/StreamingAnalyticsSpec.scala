@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.Multimodal
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import graft.analytics.GraphAnalytics
+import graft.bench.MailGraph
+import graft.model.RangeDef
+import graft.sources.Loaders
+import graft.sources.Loaders.InputEdge
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming windowed counts == batch windowed counts (memory sink)") {
+    val batch = EventStreams.windowedTypeCounts(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    // FileStreamSource needs a directory of files, not a single file
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(java.nio.file.Path.of(s"$sfDir/events.parquet"),
+      java.nio.file.Path.of(s"$dir/events.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = EventStreams.windowedTypeCounts(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("wincounts").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wincounts")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionize: hand-built gap sessions") {
+    val h = 3600L * 1000000000L // 1h in nanos
+    val evs = Seq(
+      Event(1, 0L, 7L, "view", 0.0), Event(2, h / 2, 7L, "purchase", 1.0),
+      Event(3, 3 * h, 7L, "view", 0.0), // gap > 1h → new session
+      Event(4, 0L, 8L, "click", 0.0)).toDS()
+    val sessions = EventStreams.sessionize(evs, gapNanos = h)
+      .collect().map(s => (s.user_id, s.start_ts, s.n_events, s.n_purchases)).toSet
+    assert(sessions === Set((7L, 0L, 2, 1), (7L, 3 * h, 1, 0), (8L, 0L, 1, 0)))
+  }
+
+  test("multimodal: deterministic features, resize and frame sampling shapes") {
+    val media = Multimodal.typed(Multimodal.synthesize(
+      Seq((1L, "hello world this is payload"), (2L, "other payload")).toDF("id", "txt"),
+      "id", "txt"))
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.map(_.feature.toSeq).toSeq === f2.map(_.feature.toSeq).toSeq)
+    assert(f1.forall(_.feature.length === 32))
+    assert(f1.forall(f => math.abs(f.feature.sum - 1.0f) < 1e-3)) // normalized histogram
+    val resized = Multimodal.resize(media, 8, 8).collect()
+    assert(resized.forall(_.media.length === 64))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 === 0))
+  }
+
+  test("analytics: components/pagerank/shortest on a two-island graph") {
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
+    val g = Loaders.fromList(spark,
+      Seq((0, 1), (1, 2), (5, 6)).map { case (s, d) => InputEdge(s, d, Seq(1), addReverse = true) },
+      ranges)
+    val cc = GraphAnalytics.connectedComponents(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(0L) === cc(1L) && cc(1L) === cc(2L))
+    assert(cc(5L) === cc(6L))
+    assert(cc(0L) !== cc(5L))
+    val sp = GraphAnalytics.shortestPaths(g, 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sp === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    val reach = GraphAnalytics.reachableFrom(g, Seq(0L)).collect().map(_.getLong(0)).toSet
+    assert(reach === Set(1L, 2L))
+    val pr = GraphAnalytics.pageRank(g).collect()
+    assert(pr.length === 5 && pr.forall(_.getDouble(1) > 0))
+  }
+
+  test("MIW/CW: deterministic mail graph, ingest count and 1-hop shape") {
+    val path = MailGraph.generate("/tmp/graft_mail_test.txt", edges = 10000, nodes = 1000)
+    val g = MailGraph.miw(spark, path)
+    assert(g.edges.count() === 10000)
+    val cw = MailGraph.cw(g)
+    val n = cw.count()
+    assert(n > 0 && n < 100) // ~10 out-edges per node at 10k/1k
+    // determinism: regenerating produces the same file
+    val path2 = MailGraph.generate("/tmp/graft_mail_test2.txt", edges = 10000, nodes = 1000)
+    assert(java.nio.file.Files.mismatch(
+      java.nio.file.Path.of(path), java.nio.file.Path.of(path2)) === -1L)
+  }
+}
