@@ -14,11 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnalytics {
 
-  /** PropertyGraph → GraphX graph (forward edges only; vertex attr = label). */
+  /** Partition count sized to the data, from Catalyst plan statistics:
+    * ceil(bytes / 64 MB), clamped to [1, 10000]. Iterative algorithms pay a
+    * per-partition task cost EVERY superstep, so partition count must track
+    * data volume — a fixed count is 30× task overhead on a 1 MB graph and
+    * undersized shuffles on a 100 TB one. */
+  def sizedPartitions(df: DataFrame, targetBytes: Long = 64L << 20): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    ((bytes + targetBytes - 1) / targetBytes).min(10000).max(1).toInt
+  }
+
+  /** PropertyGraph → GraphX graph (forward edges only; vertex attr = label).
+    * The edge RDD is coalesced to a stats-sized partition count before any
+    * Pregel runs — superstep latency is dominated by tasks-per-superstep. */
   def toGraphX(g: PropertyGraph): GxGraph[Int, Int] = {
-    val edges = g.edges.filter(col("dir"))
+    val fwd = g.edges.filter(col("dir"))
       .select(col("src"), col("dst"), col("label"))
-      .rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), r.getInt(2)))
+    val p = sizedPartitions(fwd)
+    val edges = fwd.rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), r.getInt(2)))
+      .coalesce(p)
     GxGraph.fromEdges(edges, defaultValue = -1)
   }
 
@@ -60,6 +74,7 @@ object GraphAnalytics {
     val base = label.fold(g.edges.filter(col("dir")))(l =>
       g.edges.filter(col("dir") && col("label") === l))
     val edges = base.select("src", "dst").rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
+      .coalesce(sizedPartitions(base))
     val srcSet = sources.toSet
     val gx = GxGraph.fromEdges(edges, defaultValue = 0)
       .mapVertices((v, _) => srcSet.contains(v))
@@ -69,6 +84,43 @@ object GraphAnalytics {
       (a, b) => a || b)
     res.vertices.filter { case (v, reached) => reached && !srcSet.contains(v) }
       .map(_._1).toDF("id")
+  }
+
+  /** Reachability along one edge label by pointer doubling: O(log depth)
+    * rounds of two joins, vs one Pregel superstep (or BFS join) per hop.
+    * J holds exactly-h-step jumps and squares each round; R (nodes within
+    * distance h of a source) absorbs R ⋈ J. Intended for labels whose
+    * out-degree is small (chain/successor relations like a per-key
+    * next-row edge) — J stays O(|V| · outdeg^h∧paths) there; for dense
+    * labels use [[reachableFrom]] (Pregel), which never materializes
+    * multi-hop pairs. Row counts are driver-side actions on cached
+    * intermediates; lineage is cut by caching each round. */
+  def reachableByDoubling(g: PropertyGraph, sources: Seq[Long], label: Int): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    var jump = g.edges.filter(col("dir") && col("label") === label)
+      .select(col("src").as("v"), col("dst").as("w")).cache()
+    var reach = sources.toDF("id").cache()
+    var reachN = reach.count()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 41) { // 2^41 hops ≫ any real chain
+      val stepped = reach.join(jump, reach("id") === jump("v"))
+        .select(col("w").as("id"))
+      val nextReach = reach.union(stepped).distinct().cache()
+      val nextN = nextReach.count()
+      if (nextN == reachN) done = true
+      else {
+        reach.unpersist(); reach = nextReach; reachN = nextN
+        val j2 = jump.alias("a").join(jump.alias("b"), col("a.w") === col("b.v"))
+          .select(col("a.v").as("v"), col("b.w").as("w")).distinct().cache()
+        if (j2.isEmpty) done = true else { jump.unpersist(); jump = j2 }
+      }
+      rounds += 1
+    }
+    jump.unpersist()
+    val srcSet = sources.toSet
+    reach.filter(!col("id").isin(srcSet.toSeq: _*))
   }
 
   /** Degree distribution (out-degree histogram) — a one-liner the reference

@@ -55,10 +55,33 @@ object Dedup {
   }
 
   /** MinHash signature: for seed s, min over shingles of xxhash64(shingle,s).
-    * One array column of H longs. */
+    * One array column of H longs.
+    *
+    * NOTE: as a single expression this repeats the shingle computation H
+    * times if `shingles` is itself an expression (Catalyst collapses the
+    * projections and re-evaluates per seed). Fine for ad-hoc use on a
+    * materialized array column; the bulk path is [[minHashSignatures]]. */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map(s =>
       array_min(transform(shingles, sh => xxhash64(sh, lit(s))))): _*)
+
+  /** Bulk signatures: (id, sig ARRAY<LONG>[numHashes]). Explodes shingles to
+    * (id, shingle) rows — each shingle hashed once per seed — and reduces
+    * with H map-side-combining `min` aggregates in ONE shuffle on id. This
+    * is the 10^9-document shape: no expression blowup, partial aggregation
+    * shrinks the exploded rows back to |docs| before the exchange. */
+  def minHashSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 5,
+      numHashes: Int = 64): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(charShingles(col(textCol), shingleK)).as("sh"))
+    val mins = (0 until numHashes).map(s => min(xxhash64(col("sh"), lit(s))).as(s"h$s"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+  }
 
   // ---- MinHash + LSH -------------------------------------------------------
 
@@ -82,8 +105,7 @@ object Dedup {
       rowsPerBand: Int = 4,
       maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = docs.select(col(idCol).as("id"),
-        minHashSignature(charShingles(col(textCol), shingleK), numHashes).as("sig"))
+    val sig = minHashSignatures(docs, textCol, idCol, shingleK, numHashes)
     val banded = sig.select(col("id"), posexplode(
         array((0 until bands).map(b =>
           xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))

@@ -80,6 +80,14 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(sp === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
     val reach = GraphAnalytics.reachableFrom(g, Seq(0L)).collect().map(_.getLong(0)).toSet
     assert(reach === Set(1L, 2L))
+    val dbl = GraphAnalytics.reachableByDoubling(g, Seq(0L), 1).collect().map(_.getLong(0)).toSet
+    assert(dbl === reach)
+    // long chain: doubling must cover every hop, not just power-of-two depths
+    val chain = Loaders.fromList(spark,
+      (0 until 37).map(i => InputEdge(i, i + 1, Seq(1), addReverse = false)), ranges)
+    val chainReach = GraphAnalytics.reachableByDoubling(chain, Seq(0L), 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(chainReach === (1 to 37).map(_.toLong).toSet)
     val pr = GraphAnalytics.pageRank(g).collect()
     assert(pr.length === 5 && pr.forall(_.getDouble(1) > 0))
   }
