@@ -124,7 +124,17 @@ object Dedup {
     flatten(transform(sorted, (a, i) =>
       transform(slice(sorted, i + 2, size(sorted)), b => struct(a.as("_1"), b.as("_2")))))
 
-  /** MinHash LSH candidates verified by exact n-gram Jaccard ≥ threshold. */
+  /** MinHash LSH candidates verified by exact shingle Jaccard ≥ threshold.
+    *
+    * Three stages, each shrinking the pair set before the next pays per-pair
+    * cost — the shape that keeps this linear-ish at 10^9 docs:
+    *  1. banded LSH candidates (pairs sharing ≥1 band);
+    *  2. signature-estimate prefilter: est-Jaccard = fraction of agreeing
+    *     minhashes (64 long compares/pair), keep est ≥ threshold − margin.
+    *     At H=64 the estimate's σ is ≈ sqrt(t(1−t)/64) ≤ 0.063, so the
+    *     default margin 0.15 is ≈ 2.4σ — recall loss ≪ the LSH banding's own;
+    *  3. exact verify: shingle-array intersection only on survivors.
+    * Signatures are computed once (cached) and reused by stages 1–2. */
   def minHashDuplicates(
       docs: DataFrame,
       threshold: Double,
@@ -132,12 +142,33 @@ object Dedup {
       idCol: String = "doc_id",
       shingleK: Int = 5,
       bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
-    val cands = minHashCandidates(docs, textCol, idCol, shingleK, bands, rowsPerBand)
-    val sh = docs.select(col(idCol).as("id"), charShingles(col(textCol), shingleK).as("sh"))
-    val a = sh.select(col("id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("id").as("doc_b"), col("sh").as("sh_b"))
-    cands.join(a, "doc_a").join(b, "doc_b")
+      rowsPerBand: Int = 4,
+      estimateMargin: Double = 0.15): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = minHashSignatures(docs, textCol, idCol, shingleK, numHashes).cache()
+    val banded = sigs.select(col("id"), posexplode(
+        array((0 until bands).map(b =>
+          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
+      .toDF("id", "band", "bucket")
+    val bucketed = banded.groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) between (2, 1000))
+    val cands = bucketed.select(explode(pairsOf(sort_array(col("ids")))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b")).distinct()
+    val estimated = cands
+      .join(sigs.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est", aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _) / lit(numHashes))
+      .filter(col("est") >= threshold - estimateMargin)
+      .select(col("doc_a"), col("doc_b"))
+    // exact verify on HASHED shingles: same Jaccard (collision odds ~n²/2^64),
+    // and long-array intersection is several× cheaper than string arrays
+    val sh = docs.select(col(idCol).as("id"),
+      sort_array(transform(charShingles(col(textCol), shingleK), s => xxhash64(s))).as("sh"))
+    estimated
+      .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
@@ -185,10 +216,13 @@ object Dedup {
   // ---- exact n-gram Jaccard (gram-postings join) --------------------------
 
   /** All-pairs n-gram Jaccard ≥ threshold via postings-list self-join:
-    * |A∩B| from a gram-equality join, sizes from per-doc counts. The join
-    * distributes on gram hash; stopword-like mega-grams can be dropped via
-    * maxPostings (df-style pruning) to bound skew.
-    */
+    * |A∩B| by counting gram-equality join hits, sizes from per-doc counts.
+    * Everything stays in whole-stage codegen (long/count aggregation — no
+    * per-pair array materialization, which benchmarked 5× slower on corpora
+    * with heavy cross-similarity). The join distributes on gram; its row
+    * count is Σ_gram df², so stopword-like mega-grams are dropped via
+    * maxPostings (df cap) — this bounds skew AND defines the semantics as
+    * "Jaccard over grams with df ≤ cap" consistently on both sides. */
   def ngramJaccardPairs(
       docs: DataFrame,
       n: Int,
@@ -196,7 +230,10 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxPostings: Int = 10000): DataFrame = {
-    val grams = docs.select(col(idCol).as("id"), explode(wordNgrams(col(textCol), n)).as("gram"))
+    // grams carried as xxhash64 longs: equality-preserving (collision odds
+    // ~|grams|²/2^64) and the join/shuffle run on 8-byte keys, not strings
+    val grams = docs.select(col(idCol).as("id"),
+      explode(transform(wordNgrams(col(textCol), n), g => xxhash64(g))).as("gram"))
     val pruned = grams.withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("df") <= maxPostings).drop("df")
     val sizes = pruned.groupBy("id").agg(count(lit(1)).as("sz"))

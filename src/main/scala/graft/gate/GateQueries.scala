@@ -236,7 +236,7 @@ object GateQueries {
       graft.functions.Dedup.simHash(t(s, d, "documents"))
     }),
     "d3_ngram_jaccard_pairs" -> ((s, d) => {
-      graft.functions.Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 2, threshold = 0.05)
+      graft.functions.Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 2, threshold = 0.3)
     }),
     "e1_ann_bruteforce_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")

@@ -36,6 +36,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.head.getDouble(2) === 0.5) // {ab,bc} of {ab,bc,cd,ce}
   }
 
+  test("prefix filtering is exact: t=0.4 equals unfiltered join cut at 0.4") {
+    // at threshold 0 the prefix is the whole doc → plain postings join
+    val full = Dedup.ngramJaccardPairs(corpus, 2, 0.0)
+      .filter(col("jaccard") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = Dedup.ngramJaccardPairs(corpus, 2, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full === pruned && pruned.nonEmpty)
+  }
+
   test("minhash LSH finds near-dups, not unrelated docs") {
     val dups = Dedup.minHashDuplicates(corpus, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
