@@ -41,6 +41,13 @@ final case class NodeSpec(sel: NodeSel, applFn: Option[DataFrame => DataFrame] =
   def ~~(n: NodeSpec): Pat = Pat.of(this) ~~ n
   def ~~(p: Pat): Pat = Pat.of(this) ~~ p
   def ~~(p: PatE): PatE = Pat.of(this) ~~ p
+
+  // unicode aliases (reference Cypher.hs:98-144)
+  def ─┤(e: EdgeSpec): PatE = this --| e
+  def <─┤(e: EdgeSpec): PatE = this <--| e
+  def ⟼(n: NodeSpec): Pat = this --> n
+  def ⟻(n: NodeSpec): Pat = this <-- n
+  def ⟞⟝(n: NodeSpec): Pat = this ~~ n
 }
 
 /** Direction of one step, as recorded by the combinators
@@ -102,6 +109,10 @@ final case class PatE(comps: Vector[Comp]) {
   def |-->(n: NodeSpec): Pat = Pat(flip :+ CompN(n))
   def |-->(p: Pat): Pat = Pat(flip ++ p.comps)
   def |-->(p: PatE): PatE = PatE(flip ++ p.comps)
+
+  // unicode aliases (reference Cypher.hs:98-144)
+  def ├─(n: NodeSpec): Pat = this |-- n
+  def ├─>(n: NodeSpec): Pat = this |--> n
 }
 
 /** Pieces accepted by the variadic `edge(...)` builder (reference `edge`

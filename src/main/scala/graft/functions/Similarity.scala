@@ -88,23 +88,70 @@ object Similarity {
       .filter(col("query_id") < col("neighbor_id") && col("cosine") >= threshold)
       .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"), col("cosine"))
 
-  /** IVF-style coarse quantization: assign each vector to the nearest of
-    * `centroids` (broadcast), search only matching partitions. Centroid
-    * selection here is a deterministic sample (ids hashed) refined by one
-    * Lloyd step — enough structure for partition pruning without an
-    * iterative KMeans dependency.
-    */
-  def ivfAssign(vectors: DataFrame, nCentroids: Int,
+  /** Nearest-centroid assignment against a broadcast centroid table
+    * (cid, centroid). Adds `centroid_id`; distance = negative cosine. */
+  private def assignTo(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val withC = vectors.crossJoin(broadcast(centroids))
+      .withColumn("d", -dot(col(vecCol), col("centroid")) /
+        (l2Norm(col(vecCol)) * l2Norm(col("centroid"))))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("d"), col("cid"))
+    withC.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .drop("rk", "d", "centroid")
+      .withColumnRenamed("cid", "centroid_id")
+  }
+
+  /** IVF coarse-quantizer centroids: deterministic hash-ordered sample of
+    * nCentroids vectors, refined by one Lloyd step (assign all vectors,
+    * recompute element-wise means). Returns (cid, centroid). The Lloyd
+    * pass explodes |corpus|×dim rows once at index-build time — a linear,
+    * shuffle-partitioned pass, amortized over every later probe. */
+  def ivfCentroids(vectors: DataFrame, nCentroids: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val seeds = vectors
       .withColumn("h", pmod(xxhash64(col(idCol)), lit(1000000)))
       .orderBy("h").limit(nCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
-    val withC = vectors.crossJoin(broadcast(seeds))
-      .withColumn("d", -dot(col(vecCol), col("centroid")) /
-        (l2Norm(col(vecCol)) * l2Norm(col("centroid"))))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("d"), col("cid"))
-    withC.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col(idCol), col(vecCol), col("cid").as("centroid_id"))
+    val assigned = assignTo(vectors, seeds, idCol, vecCol)
+    assigned
+      .select(col("centroid_id").as("cid"), posexplode(col(vecCol)))
+      .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+  }
+
+  /** IVF-style coarse quantization: each vector labeled with its nearest
+    * Lloyd-refined centroid — the partition key for pruned ANN search. */
+  def ivfAssign(vectors: DataFrame, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignTo(vectors, ivfCentroids(vectors, nCentroids, idCol, vecCol), idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+
+  /** IVF top-k: probe the nProbe nearest centroid partitions per query and
+    * run exact cosine only inside them. The corpus side shuffles once on
+    * centroid_id (bucketable/persistable as an index at scale); queries
+    * fan out ×nProbe, so the scored row count is ~|q|·nProbe·|corpus|/nlist
+    * instead of |q|·|corpus|. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol)
+    val assigned = assignTo(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d", -dot(col("qv"), col("centroid")) /
+        (l2Norm(col("qv")) * l2Norm(col("centroid"))))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cid"))
+    val qprobe = probes.withColumn("rk", row_number().over(pw))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("centroid_id"))
+    val scored = qprobe.join(assigned, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 }

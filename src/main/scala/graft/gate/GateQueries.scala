@@ -249,6 +249,17 @@ object GateQueries {
       graft.functions.Similarity.lshTopK(
         emb.filter(col("vec_id") < 50), emb, k = 10, dim = 64, bits = 10, tables = 4)
     }),
+    "e4_ann_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.functions.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 50), emb, k = 10, nCentroids = 16, nProbe = 4)
+    }),
+    "d4_embedding_near_dups" -> ((s, d) => {
+      // synthetic embeddings top out at pairwise cosine ~0.5, so the
+      // "near-dup" bar is 0.35 here; recall needs coarse buckets (6 bits)
+      graft.functions.Similarity.cosineDuplicates(
+        t(s, d, "embeddings"), threshold = 0.35, dim = 64, bits = 6, tables = 8)
+    }),
     "e3_embedding_cluster_stats" -> ((s, d) => {
       // per-label centroid norms: exercises vector math with a DuckDB oracle
       t(s, d, "embeddings").groupBy(col("label"))

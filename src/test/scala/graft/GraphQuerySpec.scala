@@ -64,6 +64,14 @@ class GraphQuerySpec extends AnyFunSuite {
   test("F1.10 left edge, labeled query right → empty") { assert(tbl(leftEdge, ns0 --| ee |--> ns1) === emptyTable) }
   test("F1.11 left edge, labeled query left → match") { assert(tbl(leftEdge, ns0 <--| ee |-- ns1) === matchTableRep) }
 
+  test("F1.12 unicode aliases ≡ ascii combinators (Cypher.hs:98-144)") {
+    assert(tbl(rightEdge, ns0 ⟼ ns1) === tbl(rightEdge, ns0 --> ns1))
+    assert(tbl(rightEdge, ns0 ⟻ ns1) === tbl(rightEdge, ns0 <-- ns1))
+    assert(tbl(rightEdge, ns0 ⟞⟝ ns1) === tbl(rightEdge, ns0 ~~ ns1))
+    assert(tbl(rightEdge, ns0 ─┤ ee ├─ ns1) === tbl(rightEdge, ns0 --| ee |-- ns1))
+    assert(tbl(rightEdge, (ns0 <─┤ ee) ├─> ns1) === tbl(rightEdge, ns0 <--| ee |--> ns1))
+  }
+
   test("F1 adjacency ops: one child edge/node of n0 (Spec.hs:126-141)") {
     assert(GraphOps.allChildNodes(rightEdge, 0).collect().map(_.getLong(0)).toSeq === Seq(1L))
     assert(GraphOps.allChildEdges(rightEdge, 0).count() === 1L)

@@ -117,6 +117,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(assigned.select("centroid_id").distinct().count() <= 5)
   }
 
+  test("ivfTopK: high recall vs brute force when probing most partitions") {
+    val brute = Similarity.bruteForceTopK(clustered, clustered, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(clustered, clustered, 3, nCentroids = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("embeddings.parquet end-to-end: brute-force top-3 on real table") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
