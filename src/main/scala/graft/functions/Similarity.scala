@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor search over an embedding column
-  * (ARRAY<FLOAT>). All vector math is lambda expressions
-  * (`zip_with`/`aggregate`) — codegen'd, no UDFs.
+  * (ARRAY<FLOAT>). Hot-path vector math runs through the native codegen'd
+  * [[graft.functions.expressions.DotProduct]] expression (`graft_dot`);
+  * the lambda forms ([[dot]]/[[l2Norm]]/[[cosine]]) remain as the
+  * session-free public API.
   *
   * Two tiers:
   *  - [[bruteForceTopK]]: exact cosine top-k. The baseline; the join is a
@@ -19,7 +21,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** dot(a,b) as a Column (double). */
+  /** dot(a,b) as a Column (double) — session-free lambda form (interpreted
+    * HigherOrderFunction). The DataFrame entry points below upgrade to the
+    * codegen'd native [[graft.functions.expressions.DotProduct]] via
+    * [[useNative]]. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
@@ -28,17 +33,25 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  // native (whole-stage-codegen) variants, used once a session is in hand
+  private def useNative(df: DataFrame): Unit =
+    graft.functions.expressions.GraftFunctions.init(df.sparkSession)
+  private def ndot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  private def nnorm(a: Column): Column = sqrt(ndot(a, a))
+  private def ncos(a: Column, b: Column): Column = ndot(a, b) / (nnorm(a) * nnorm(b))
+
   /** Exact top-k cosine neighbors for each query vector.
     * queries/corpus: (idCol, vecCol). Returns (query_id, neighbor_id,
     * cosine, rank) with rank 1..k, self-matches excluded.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    useNative(queries)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", ncos(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -58,22 +71,28 @@ object Similarity {
       when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
+  private def nativeSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(ndot(vec, array(p.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
   /** LSH-bucketed approximate top-k: union of per-table bucket joins,
     * exact cosine on the candidates, global top-k per query. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       bits: Int = 12, tables: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    useNative(queries)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val candidates = (0 until tables).map { t =>
       val planes = hyperplanes(dim, bits, t, seed)
-      q.withColumn("bucket", lshSignature(col("qv"), planes))
-        .join(c.withColumn("bucket", lshSignature(col("cv"), planes)), "bucket")
+      q.withColumn("bucket", nativeSignature(col("qv"), planes))
+        .join(c.withColumn("bucket", nativeSignature(col("cv"), planes)), "bucket")
         .drop("bucket")
     }.reduce(_ unionByName _)
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates.withColumn("cosine", cosine(col("qv"), col("cv")))
+    val scored = candidates.withColumn("cosine", ncos(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -92,9 +111,9 @@ object Similarity {
     * (cid, centroid). Adds `centroid_id`; distance = negative cosine. */
   private def assignTo(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
+    useNative(vectors)
     val withC = vectors.crossJoin(broadcast(centroids))
-      .withColumn("d", -dot(col(vecCol), col("centroid")) /
-        (l2Norm(col(vecCol)) * l2Norm(col("centroid"))))
+      .withColumn("d", -ncos(col(vecCol), col("centroid")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("d"), col("cid"))
     withC.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .drop("rk", "d", "centroid")
@@ -141,15 +160,14 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("d", -dot(col("qv"), col("centroid")) /
-        (l2Norm(col("qv")) * l2Norm(col("centroid"))))
+      .withColumn("d", -ncos(col("qv"), col("centroid")))
     val pw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cid"))
     val qprobe = probes.withColumn("rk", row_number().over(pw))
       .filter(col("rk") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid").as("centroid_id"))
     val scored = qprobe.join(assigned, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", ncos(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))

@@ -117,6 +117,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(assigned.select("centroid_id").distinct().count() <= 5)
   }
 
+  test("native graft_dot expression == lambda dot on float and double arrays") {
+    graft.functions.expressions.GraftFunctions.init(spark)
+    val f = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val d = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    for (df <- Seq(f, d)) {
+      val r = df.select(
+        call_function("graft_dot", col("a"), col("b")).as("native"),
+        Similarity.dot(col("a"), col("b")).as("lambda"),
+        call_function("graft_dot", col("a").cast("array<double>"), col("b")).as("mixed")
+      ).head()
+      assert(math.abs(r.getDouble(0) - 32.0) < 1e-9)
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+      assert(math.abs(r.getDouble(2) - 32.0) < 1e-9)
+    }
+    // also resolvable from SQL
+    f.createOrReplaceTempView("dot_t")
+    assert(math.abs(spark.sql("SELECT graft_dot(a, b) FROM dot_t").head().getDouble(0) - 32.0) < 1e-9)
+  }
+
   test("ivfTopK: high recall vs brute force when probing most partitions") {
     val brute = Similarity.bruteForceTopK(clustered, clustered, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
