@@ -53,7 +53,8 @@ object EventStreams {
 
   case class Event(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
   case class Session(user_id: Long, start_ts: Long, end_ts: Long, n_events: Int, n_purchases: Int)
-  private case class SessionState(start: Long, last: Long, n: Int, purchases: Int)
+  // public: the streaming state store codegens this class's constructor
+  case class SessionState(start: Long, last: Long, n: Int, purchases: Int)
 
   /** Gap-based sessionization via flatMapGroupsWithState (the reference has
     * no analogue; this is the KeyValueGroupedDataset custom-state path).
@@ -84,6 +85,53 @@ object EventStreams {
         cur.foreach(s => sessions += Session(user, s.start, s.last, s.n, s.purchases))
         state.remove()
         sessions.iterator
+    }
+  }
+
+  /** Streaming sessionization: state survives micro-batches; a session is
+    * emitted when the gap elapses in EVENT time (watermark-driven timeout),
+    * so results are deterministic under any batch slicing. Input must be a
+    * STREAMING Dataset[Event]; set the watermark delay ≥ max expected
+    * lateness. This is the scale shape for billions of users: state is
+    * per-key (HDFS/RocksDB-backed state store), each micro-batch touches
+    * only keys with new events or expiring timers. */
+  def sessionizeStream(events: Dataset[Event], gapNanos: Long,
+      watermarkDelay: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val withTime = withEventTime(events.toDF())
+      .withWatermark("event_time", watermarkDelay)
+      .as[Event]
+    withTime.groupByKey(_.user_id).flatMapGroupsWithState[SessionState, Session](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          // watermark passed last_ts + gap: the session is closed for good
+          val s = state.get
+          state.remove()
+          Iterator.single(Session(user, s.start, s.last, s.n, s.purchases))
+        } else {
+          val evs = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer[Session]()
+          var cur: Option[SessionState] = state.getOption
+          for (e <- evs) {
+            val p = if (e.event_type == "purchase") 1 else 0
+            cur match {
+              case Some(s) if e.ts - s.last <= gapNanos =>
+                cur = Some(SessionState(s.start, e.ts, s.n + 1, s.purchases + p))
+              case Some(s) =>
+                closed += Session(user, s.start, s.last, s.n, s.purchases)
+                cur = Some(SessionState(e.ts, e.ts, 1, p))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1, p))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            // fire once the watermark passes session end + gap
+            state.setTimeoutTimestamp(s.last / 1000000L + gapNanos / 1000000L)
+          }
+          closed.iterator
+        }
     }
   }
 }

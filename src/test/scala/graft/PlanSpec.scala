@@ -1,0 +1,77 @@
+package graft
+
+import graft.gate.GateQueries
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the properties that make these operators
+  * survive a 100× scale-up are pinned here so a refactor can't silently
+  * lose them — filter pushdown into parquet scans, column pruning,
+  * broadcast (not shuffle) joins for frontier hops, and whole-stage
+  * codegen coverage of the relational core.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter + projection reach the parquet scan (pushdown, pruning)") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_shipdate") <= "1998-09-02" && col("l_quantity") < 24)
+      .select("l_orderkey", "l_extendedprice")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("LessThanOrEqual(l_shipdate"), s"no pushed filter in:\n$plan")
+    // pruned read schema: only the referenced columns are scanned
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_comment"), s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("2-hop pattern query plans broadcast joins with range filters pushed") {
+    val g = GateQueries.graph(spark, sfDir)
+    val q = GateQueries.queries("g2_parts_of_customer_orders")(spark, sfDir)
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastHashJoin"), s"frontier hop not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("relational aggregation is partial (map-side combine) + hash-based") {
+    val plan = planOf(GateQueries.queries("q1_pricing_summary")(spark, sfDir))
+    // two HashAggregates around one Exchange = partial aggregation: the
+    // shuffle moves |groups| rows, not |lineitem| rows
+    assert(plan.contains("partial_sum") && plan.contains("partial_count"),
+      s"no partial agg:\n$plan")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size === 1, s"extra shuffles:\n$plan")
+  }
+
+  test("native graft_dot keeps ANN scoring in whole-stage codegen") {
+    graft.functions.expressions.GraftFunctions.init(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val native = emb.select(call_function("graft_dot", col("embedding"), col("embedding")).as("d"))
+    val plan = planOf(native)
+    // `* Project` = the projection over graft_dot is inside a codegen span;
+    // the interpreted lambda form would still codegen the Project but pays
+    // per-element closure calls inside it — this pins at least that the
+    // native expression doesn't BREAK the span
+    assert(plan.contains("* Project"), s"native dot fell out of codegen:\n$plan")
+  }
+
+  test("label-start pattern pushes the range predicate into the edge source") {
+    // a labels(...) start must NOT materialize a frontier join; the range
+    // becomes a src-bound predicate on the edge relation itself
+    import graft.cypher.Dsl._
+    val g = GateQueries.graph(spark, sfDir)
+    val pat = labels(GateQueries.CUSTOMER) --|
+      edge(attr(GateQueries.Placed)) |--> anyNode
+    val paths = graft.cypher.Query.paths(g, pat)
+    val plan = planOf(paths)
+    assert(plan.contains("src#") || plan.contains("__src"), plan)
+    assert(plan.contains(">= 0") || plan.contains("< 10000000"),
+      s"range predicate missing from scan filters:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"label start should not join a frontier:\n$plan")
+  }
+}

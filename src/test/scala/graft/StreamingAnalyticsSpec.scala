@@ -49,6 +49,38 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(sessions === Set((7L, 0L, 2, 1), (7L, 3 * h, 1, 0), (8L, 0L, 1, 0)))
   }
 
+  test("sessionizeStream: state across micro-batches, event-time timeout closure") {
+    val h = 3600L * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_stream").toString
+    def push(evs: Seq[Event]): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: user 7's first session closes WITHIN the batch (gap 1h
+    // exceeded at 6h); the 6h event stays open in state. Times start at 1h:
+    // ts=0 equals the initial watermark and would be dropped as late.
+    push(Seq(Event(1, h, 7L, "view", 0.0), Event(2, h + h / 2, 7L, "purchase", 1.0),
+      Event(3, 6 * h, 7L, "view", 0.0)))
+    val src = EventStreams.readEventStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = EventStreams.sessionizeStream(src, gapNanos = h, watermarkDelay = "1 second")
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("sess_out").collect()
+      assert(afterB1.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet ===
+        Set((7L, h, 2))) // in-batch closure only; 6h session still open
+      // batch 2 advances the watermark past 7h; batch 3's run fires the
+      // event-time timeout registered at 7h
+      push(Seq(Event(4, 10 * h, 8L, "click", 0.0)))
+      q.processAllAvailable()
+      push(Seq(Event(5, 11 * h, 8L, "click", 0.0)))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(sessions.contains((7L, 6 * h, 1)), s"timed-out session missing: $sessions")
+    } finally q.stop()
+  }
+
   test("multimodal: deterministic features, resize and frame sampling shapes") {
     val media = Multimodal.typed(Multimodal.synthesize(
       Seq((1L, "hello world this is payload"), (2L, "other payload")).toDF("id", "txt"),
