@@ -142,6 +142,31 @@ object GateQueries {
       t(s, d, "orders").groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
     }),
+    "q9_rollup_totals" -> ((s, d) => {
+      t(s, d, "orders")
+        .rollup(year(col("o_orderdate")).cast("long").as("o_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    }),
+    "q10_scalar_functions" -> ((s, d) => {
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_u"),
+        expr("substring(o_orderpriority, 1, 1)").as("prio_code"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        date_add(col("o_orderdate"), 30).as("due_date"),
+        quarter(col("o_orderdate")).cast("long").as("o_quarter"))
+    }),
+    "q11_analytic_windows" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1, 0.0).over(w).as("prev_price"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        count(lit(1)).over(Window.partitionBy(col("o_custkey"))).as("n_orders"))
+    }),
 
     // ---- graph queries through the cypher engine --------------------------
     "g1_building_customer_orders" -> ((s, d) => {
@@ -361,6 +386,26 @@ object GateQueries {
       """SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, o_orderpriority, COUNT(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q9_rollup_totals" ->
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(1, 2)""".stripMargin,
+    "q10_scalar_functions" ->
+      """SELECT o_orderkey, UPPER(o_orderpriority) AS prio_u,
+        |SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+        |CAST(LENGTH(o_orderpriority) AS BIGINT) AS prio_len,
+        |CONCAT_WS('-', o_orderstatus, o_orderpriority) AS status_prio,
+        |CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+        |CAST(QUARTER(o_orderdate) AS BIGINT) AS o_quarter
+        |FROM orders""".stripMargin,
+    "q11_analytic_windows" ->
+      """SELECT o_custkey, o_orderkey,
+        |COALESCE(LAG(o_totalprice, 1) OVER w, 0.0) AS prev_price,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |  (PARTITION BY o_custkey ORDER BY o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
     "g1_building_customer_orders" ->
       """SELECT CAST(c_custkey AS BIGINT) AS n0, CAST(o_orderkey + 10000000 AS BIGINT) AS n1
         |FROM customer JOIN orders ON o_custkey = c_custkey
