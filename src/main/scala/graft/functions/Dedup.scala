@@ -66,10 +66,13 @@ object Dedup {
       array_min(transform(shingles, sh => xxhash64(sh, lit(s))))): _*)
 
   /** Bulk signatures: (id, sig ARRAY<LONG>[numHashes]). Explodes shingles to
-    * (id, shingle) rows — each shingle hashed once per seed — and reduces
-    * with H map-side-combining `min` aggregates in ONE shuffle on id. This
-    * is the 10^9-document shape: no expression blowup, partial aggregation
-    * shrinks the exploded rows back to |docs| before the exchange. */
+    * (id, shingle) rows, hashes each shingle string ONCE, then derives the H
+    * family members by hashing the fixed-width base (xxhash64 of an 8-byte
+    * long + seed — cheaper and ANSI-safe vs a wrapping multiply), and
+    * reduces with H map-side-combining `min` aggregates in ONE shuffle on
+    * id. This is the 10^9-document shape: no expression blowup, partial
+    * aggregation shrinks the exploded rows back to |docs| before the
+    * exchange. */
   def minHashSignatures(
       docs: DataFrame,
       textCol: String = "text",
@@ -78,7 +81,8 @@ object Dedup {
       numHashes: Int = 64): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
         explode(charShingles(col(textCol), shingleK)).as("sh"))
-    val mins = (0 until numHashes).map(s => min(xxhash64(col("sh"), lit(s))).as(s"h$s"))
+      .select(col("id"), xxhash64(col("sh")).as("h0"))
+    val mins = (0 until numHashes).map(s => min(xxhash64(col("h0"), lit(s))).as(s"h$s"))
     sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
   }

@@ -261,7 +261,9 @@ object GateQueries {
       graft.functions.Dedup.simHash(t(s, d, "documents"))
     }),
     "d3_ngram_jaccard_pairs" -> ((s, d) => {
-      graft.functions.Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 2, threshold = 0.3)
+      // trigrams: Σdf² (the postings-join row count) is 26× smaller than
+      // bigrams on this corpus, and 3-grams are the standard near-dup unit
+      graft.functions.Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3, threshold = 0.3)
     }),
     "e1_ann_bruteforce_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
