@@ -127,6 +127,25 @@ object Loaders {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/ranges.parquet")
   }
 
+  /** Bucketed persistence: edges hash-bucketed AND sorted by src. Every
+    * adjacency/frontier/self join keys on src, so a bucketed edge table
+    * joins co-located — zero Exchange on the edge side (pinned by
+    * PlanSpec). At 100 TB this is the difference between re-shuffling the
+    * whole edge relation per query and reading pre-partitioned buckets.
+    * Written as an EXTERNAL table (explicit path) in the session catalog;
+    * bucket count should follow data volume (`sizedPartitions`-style). */
+  def saveBucketed(g: PropertyGraph, table: String, path: String, buckets: Int = 64): Unit = {
+    val spark = g.spark
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    g.edges.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(table)
+  }
+
+  def loadBucketed(spark: SparkSession, table: String, ranges: Seq[RangeDef]): PropertyGraph =
+    PropertyGraph(spark.table(table), ranges)
+
   def load(spark: SparkSession, dir: String): PropertyGraph = {
     val ranges = spark.read.parquet(s"$dir/ranges.parquet").collect().map { r =>
       RangeDef(r.getLong(0), r.getLong(1), r.getInt(2), r.getSeq[Int](3))

@@ -60,6 +60,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("* Project"), s"native dot fell out of codegen:\n$plan")
   }
 
+  test("bucketed edge table self-joins without any Exchange") {
+    import graft.model.RangeDef
+    import graft.sources.Loaders
+    import graft.sources.Loaders.InputEdge
+    val ranges = Seq(RangeDef(0, 1000, 0, Seq(1)))
+    val g = Loaders.fromList(spark,
+      (0 until 200).map(i => InputEdge(i % 50, (i * 7) % 50, Seq(1), addReverse = false)),
+      ranges)
+    Loaders.saveBucketed(g, "graft_bucketed_edges", "/tmp/graft_bucketed_edges", buckets = 8)
+    val e = Loaders.loadBucketed(spark, "graft_bucketed_edges", ranges).edges
+    val joined = e.alias("a").hint("merge")
+      .join(e.alias("b"), col("a.src") === col("b.src"))
+    val plan = planOf(joined)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!"\\(\\d+\\) Exchange".r.findFirstIn(plan).isDefined,
+      s"bucketed self-join should not shuffle:\n$plan")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"), plan)
+  }
+
   test("label-start pattern pushes the range predicate into the edge source") {
     // a labels(...) start must NOT materialize a frontier join; the range
     // becomes a src-bound predicate on the edge relation itself

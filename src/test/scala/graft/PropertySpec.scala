@@ -1,0 +1,103 @@
+package graft
+
+import graft.cypher.Dsl._
+import graft.cypher.Query
+import graft.model.RangeDef
+import graft.operators.GraphOps
+import graft.sources.Loaders
+import graft.sources.Loaders.InputEdge
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants over randomly generated small graphs
+  * (FIXTURES.md "Property-based ideas"): reverse-edge symmetry,
+  * `several(1,1)` ≡ plain step, union algebra, table/temp agreement.
+  * Spark makes each check expensive, so minSuccessful stays small;
+  * generators are seeded by ScalaCheck for reproducible shrinking.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val ranges = Seq(RangeDef(0, 30, 0, Seq(1, 2, 3)))
+
+  val genEdgeList: Gen[List[(Int, Int, Int)]] =
+    Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, for {
+      s <- Gen.choose(0, 14); d <- Gen.choose(0, 14); l <- Gen.choose(1, 3)
+    } yield (s, d, l)))
+
+  private def graphOf(edges: List[(Int, Int, Int)], mirror: Boolean) =
+    Loaders.fromList(spark,
+      edges.map { case (s, d, l) => InputEdge(s, d, Seq(l), addReverse = mirror) }, ranges)
+
+  private def check(name: String, p: Prop, n: Int = 6): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("reverse-edge symmetry: mirrored build emits (dst,src,!dir) per edge") {
+    check("symmetry", Prop.forAll(genEdgeList) { edges =>
+      val rows = graphOf(edges, mirror = true).edges
+        .select("src", "dst", "label", "dir").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3))).toSeq
+      val fwd = rows.filter(_._4).map(t => (t._1, t._2, t._3))
+      val bwd = rows.filterNot(_._4).map(t => (t._2, t._1, t._3))
+      fwd.sorted == bwd.sorted
+    })
+  }
+
+  test("several(1,1) ≡ plain labeled step (final frontier)") {
+    check("several11", Prop.forAll(genEdgeList, Gen.choose(1, 3)) { (edges, l) =>
+      val g = graphOf(edges, mirror = false)
+      def lastLayer(p: graft.cypher.Pat): Set[Long] =
+        Query.run(g, p).layers.last match {
+          case graft.cypher.Exec.NodeLayerOut(df) => df.collect().map(_.getLong(0)).toSet
+          case _ => Set.empty
+        }
+      lastLayer(anyNode --| edge(attr(l), several(1, 1)) |--> anyNode) ==
+        lastLayer(anyNode --| edge(attr(l)) |--> anyNode)
+    })
+  }
+
+  test("union is commutative and idempotent on edge sets") {
+    check("union", Prop.forAll(genEdgeList, genEdgeList) { (e1, e2) =>
+      val (a, b) = (graphOf(e1, mirror = false), graphOf(e2, mirror = false))
+      def edgeSet(g: graft.model.PropertyGraph): Set[(Long, Long, Int)] =
+        g.edges.select("src", "dst", "label").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      edgeSet(GraphOps.union(a, b)) == edgeSet(GraphOps.union(b, a)) &&
+        edgeSet(GraphOps.union(a, a)) == edgeSet(a)
+    })
+  }
+
+  test("table layer == distinct of temp nesting per layer") {
+    check("tableTemp", Prop.forAll(genEdgeList) { edges =>
+      val g = graphOf(edges, mirror = false)
+      val pat = anyNode --| edge(attr(1)) |--> anyNode --| edge(attr(2)) |--> anyNode
+      val layers = Query.table(g, pat)
+      val nested = Query.temp(g, pat)
+      if (nested.isEmpty) layers.forall {
+        case graft.cypher.Exec.NodeLayerOut(df) => df.isEmpty
+        case graft.cypher.Exec.EdgeLayerOut(df) => df.isEmpty
+      }
+      else (1 until nested.length + 1).forall { k =>
+        val flatK = layers(2 * k) match {
+          case graft.cypher.Exec.NodeLayerOut(df) => df.collect().map(_.getLong(0)).toSet
+          case _ => Set.empty[Long]
+        }
+        val nestedK = nested(k - 1).select(explode(col("children")).as("id"))
+          .collect().map(_.getLong(0)).toSet
+        flatK == nestedK
+      }
+    })
+  }
+
+  test("quick and planned strategies agree on random graphs") {
+    check("strategies", Prop.forAll(genEdgeList) { edges =>
+      val g = graphOf(edges, mirror = false)
+      val pat = labels(0) --| edge(attr(1)) |--> anyNode
+      Query.tableCollected(g, pat, quick = true) ==
+        Query.tableCollected(g, pat, quick = false)
+    })
+  }
+}
