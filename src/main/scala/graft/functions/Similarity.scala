@@ -47,11 +47,15 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     useNative(queries)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms are per-vector, so compute them per SIDE (O(|q|+|c|) dots)
+    // before the join rather than per pair (O(|q|*|c|) extra dots)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      nnorm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      nnorm(col(vecCol)).as("cn"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", ncos(col("qv"), col("cv")))
+      .withColumn("cosine", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -82,8 +86,10 @@ object Similarity {
       bits: Int = 12, tables: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     useNative(queries)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      nnorm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      nnorm(col(vecCol)).as("cn"))
     val candidates = (0 until tables).map { t =>
       val planes = hyperplanes(dim, bits, t, seed)
       q.withColumn("bucket", nativeSignature(col("qv"), planes))
@@ -92,7 +98,8 @@ object Similarity {
     }.reduce(_ unionByName _)
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates.withColumn("cosine", ncos(col("qv"), col("cv")))
+    val scored = candidates.withColumn("cosine",
+      ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -157,17 +164,19 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol)
     val assigned = assignTo(corpus, cents, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"),
+        nnorm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      nnorm(col(vecCol)).as("qn"))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("d", -ncos(col("qv"), col("centroid")))
     val pw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cid"))
     val qprobe = probes.withColumn("rk", row_number().over(pw))
       .filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cid").as("centroid_id"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cid").as("centroid_id"))
     val scored = qprobe.join(assigned, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", ncos(col("qv"), col("cv")))
+      .withColumn("cosine", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
