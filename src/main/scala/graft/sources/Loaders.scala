@@ -127,6 +127,36 @@ object Loaders {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/ranges.parquet")
   }
 
+  /** STREAMING CSV edge ingest — the reference's `insertCSVEdgeStream`
+    * (FastAccess.hs:323-341) is a chunked streaming file reader; here it is
+    * a Structured Streaming file source: new CSV files appearing under
+    * `inDir` are projected to edge rows per micro-batch and appended to a
+    * parquet edge log that [[PropertyGraph]] reads directly. Exactly-once
+    * via the checkpoint; the per-line callback of the reference becomes the
+    * row→edge projection. Integer-keyed input; string keys need the
+    * batch dictionary path ([[fromStringPairs]]) because a streaming
+    * dictionary is cross-batch state. Caller stops the returned query. */
+  def streamCSVEdges(
+      spark: SparkSession,
+      inDir: String,
+      sinkDir: String,
+      checkpointDir: String,
+      label: Int,
+      mirror: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    val raw = spark.readStream.schema(schema)
+      .option("mode", "DROPMALFORMED").csv(inDir)
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        fromEdgeDF(batch.toDF(), label, mirror, Nil).edges
+          .write.mode("append").parquet(sinkDir)
+      }
+      .start()
+  }
+
   /** Bucketed persistence: edges hash-bucketed AND sorted by src. Every
     * adjacency/frontier/self join keys on src, so a bucketed edge table
     * joins co-located — zero Exchange on the edge side (pinned by

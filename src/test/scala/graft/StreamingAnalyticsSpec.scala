@@ -81,6 +81,25 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamCSVEdges: files appearing in a dir become graph edges exactly once") {
+    val base = java.nio.file.Files.createTempDirectory("graft_csv_stream").toString
+    val in = s"$base/in"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(in))
+    def pushFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$in/$name"), lines.mkString("\n"))
+    pushFile("a.csv", Seq("0,1", "1,2", "garbage_line", "2,3"))
+    val q = Loaders.streamCSVEdges(spark, in, sink, ckpt, label = 1, mirror = true)
+    try {
+      q.processAllAvailable()
+      pushFile("b.csv", Seq("3,4"))
+      q.processAllAvailable()
+      val g = graft.model.PropertyGraph(
+        spark.read.parquet(sink), Seq(RangeDef(0, 100, 0, Seq(1))))
+      assert(g.edges.count() === 8) // 4 valid lines, mirrored
+      assert(g.edges.filter(col("dir")).count() === 4)
+    } finally q.stop()
+  }
+
   test("multimodal: deterministic features, resize and frame sampling shapes") {
     val media = Multimodal.typed(Multimodal.synthesize(
       Seq((1L, "hello world this is payload"), (2L, "other payload")).toDF("id", "txt"),
