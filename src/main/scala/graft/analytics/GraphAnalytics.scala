@@ -26,11 +26,14 @@ object GraphAnalytics {
 
   /** PropertyGraph → GraphX graph (forward edges only; vertex attr = label).
     * The edge RDD is coalesced to a stats-sized partition count before any
-    * Pregel runs — superstep latency is dominated by tasks-per-superstep. */
+    * Pregel runs — superstep latency is dominated by tasks-per-superstep,
+    * but supersteps also run per-partition-threaded, so the GraphX target
+    * is 8 MB/partition (vs 64 MB for batch scans): parallelism inside a
+    * superstep wins over fewer tasks once the graph is non-trivial. */
   def toGraphX(g: PropertyGraph): GxGraph[Int, Int] = {
     val fwd = g.edges.filter(col("dir"))
       .select(col("src"), col("dst"), col("label"))
-    val p = sizedPartitions(fwd)
+    val p = sizedPartitions(fwd, targetBytes = 8L << 20)
     val edges = fwd.rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), r.getInt(2)))
       .coalesce(p)
     GxGraph.fromEdges(edges, defaultValue = -1)
