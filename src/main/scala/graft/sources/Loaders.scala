@@ -89,7 +89,11 @@ object Loaders {
       mirror: Boolean,
       ranges: Seq[RangeDef],
       header: Boolean = true): (PropertyGraph, DataFrame) = {
+    // DROPMALFORMED only rejects structurally broken rows; short rows are
+    // null-padded, so skip-on-parse-failure (the reference's insertCSVEdge
+    // Left-skip, FastAccess.hs:342-343) needs the null filter too
     val raw = spark.read.option("header", header.toString).option("mode", "DROPMALFORMED").csv(path)
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
     fromStringPairs(raw.select(col(srcCol).as("sname"), col(dstCol).as("dname")), label, mirror, ranges)
   }
 

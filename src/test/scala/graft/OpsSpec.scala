@@ -1,0 +1,148 @@
+package graft
+
+import graft.model.{PropertyGraph, RangeDef}
+import graft.operators.GraphOps
+import graft.sources.Loaders
+import graft.sources.Loaders.InputEdge
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DML, property-tier, and loader round-trip coverage — one test per
+  * SURVEY §2.2/§2.3 operator claimed in COVERAGE.md.
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val ranges = Seq(RangeDef(0, 50, 0, Seq(1, 2)), RangeDef(50, 50, 1, Seq(3)))
+
+  def g0: PropertyGraph = Loaders.fromList(spark, Seq(
+    InputEdge(0, 1, Seq(1), addReverse = false),
+    InputEdge(0, 2, Seq(2), addReverse = false),
+    InputEdge(1, 2, Seq(1), addReverse = true)), ranges)
+
+  def edgeSet(g: PropertyGraph): Set[(Long, Long, Int, Boolean)] =
+    g.edges.select("src", "dst", "label", "dir").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3))).toSet
+
+  test("insertEdges: append keeps multi-edges; overwrite upserts the slot") {
+    val extra = Seq((0L, 1L, 1, 2L, true)).toDF("src", "dst", "label", "attrMask", "dir")
+    val appended = GraphOps.insertEdges(g0, extra)
+    assert(appended.edges.filter(col("src") === 0 && col("dst") === 1).count() === 2)
+    val upserted = GraphOps.insertEdges(g0, extra, overwrite = true)
+    val rows = upserted.edges.filter(col("src") === 0 && col("dst") === 1).collect()
+    assert(rows.length === 1 && rows.head.getAs[Long]("attrMask") === 2L)
+  }
+
+  test("overlayLabels ORs bits into attrMask for matching pairs only") {
+    val g = GraphOps.overlayLabels(g0, Seq((0L, 1L)).toDF("src", "dst"), mask = 8L)
+    val masks = g.edges.select("src", "dst", "attrMask").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert((masks((0L, 1L)) & 8L) === 8L)
+    assert((masks((0L, 2L)) & 8L) === 0L)
+  }
+
+  test("deleteNodes removes every edge touching the node") {
+    val g = GraphOps.deleteNodes(g0, Seq(2L))
+    assert(edgeSet(g) === Set((0L, 1L, 1, true)))
+  }
+
+  test("deleteEdges removes the pair in both directions") {
+    val g = GraphOps.deleteEdges(g0, Seq((1L, 2L)).toDF("src", "dst"))
+    assert(edgeSet(g).forall { case (s, d, _, _) => !(Set(s, d) == Set(1L, 2L)) })
+    assert(edgeSet(g).size === 2)
+  }
+
+  test("updateEdgeTarget rewrites the (src,label) slot") {
+    val g = GraphOps.updateEdgeTarget(g0, 0L, 2, newDst = 5L)
+    assert(edgeSet(g).contains((0L, 5L, 2, true)))
+    assert(!edgeSet(g).contains((0L, 2L, 2, true)))
+  }
+
+  test("mapNodes rewrites ids on both endpoints") {
+    val g = GraphOps.mapNodes(g0, c => c + 100)
+    assert(edgeSet(g).forall { case (s, d, _, _) => s >= 100 && d >= 100 })
+  }
+
+  test("filterEdgesTo keeps edges by target predicate") {
+    val g = GraphOps.filterEdgesTo(g0, dst => dst === 2)
+    assert(edgeSet(g).map(_._2) === Set(2L))
+  }
+
+  test("allAttrBases / nodeLabel come from the node's range") {
+    assert(GraphOps.allAttrBases(g0, 10L) === Seq(1, 2))
+    assert(GraphOps.allAttrBases(g0, 60L) === Seq(3))
+    assert(GraphOps.nodeLabel(g0, 10L) === Some(0))
+    assert(GraphOps.nodeLabel(g0, 60L) === Some(1))
+    assert(GraphOps.nodeLabel(g0, 200L) === None)
+  }
+
+  test("attrOverlap flags duplicate labels within a range") {
+    val bad = g0.copy(ranges = Seq(RangeDef(0, 50, 0, Seq(1, 1, 2))))
+    assert(GraphOps.attrOverlap(bad) === Seq(1))
+    assert(GraphOps.attrOverlap(g0) === Seq())
+  }
+
+  test("node props: insert, upsert, lookup, keys/elems, layer enrichment") {
+    val p1 = Seq((0L, "alice"), (1L, "bob")).toDF("id", "name")
+    val g1 = GraphOps.insertNodeProps(g0, p1)
+    assert(GraphOps.lookupNode(g1, 0L).map(_.getString(1)) === Some("alice"))
+    assert(GraphOps.nodeKeys(g1).collect().map(_.getLong(0)).toSet === Set(0L, 1L))
+    // upsert replaces by id
+    val g2 = GraphOps.insertNodeProps(g1, Seq((1L, "bobby")).toDF("id", "name"))
+    assert(GraphOps.lookupNode(g2, 1L).map(_.getString(1)) === Some("bobby"))
+    assert(GraphOps.nodeElems(g2).count() === 2)
+    val layer = Seq(0L, 1L).toDF("id")
+    val enriched = GraphOps.withNodeProps(g2, layer, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enriched === Map(0L -> "alice", 1L -> "bobby"))
+  }
+
+  test("edge props: lookupEdge reads the edge_props tier") {
+    val ep = Seq((0L, 1L, Seq("knows"))).toDF("src", "dst", "labels")
+    val g = g0.copy(edgeProps = Some(ep))
+    assert(GraphOps.lookupEdge(g, 0L, 1L).map(_.getSeq[String](2)) === Some(Seq("knows")))
+    assert(GraphOps.lookupEdge(g, 0L, 2L) === None)
+  }
+
+  test("save/load parquet roundtrip preserves edges, ranges and props") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_saveload").toString
+    val g1 = GraphOps.insertNodeProps(g0, Seq((0L, "alice")).toDF("id", "name"))
+    Loaders.save(g1, dir)
+    val back = Loaders.load(spark, dir)
+    assert(edgeSet(back) === edgeSet(g1))
+    assert(back.ranges === ranges)
+    assert(GraphOps.lookupNode(back, 0L).map(_.getString(1)) === Some("alice"))
+  }
+
+  test("fromCSV/fromStringPairs: dictionary join assigns dense sorted ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$dir/e.csv"),
+      "from,to\ncarol,alice\nalice,bob\nbad_line_with_no_comma_is_still_two_cols_missing\n")
+    val (g, dict) = Loaders.fromCSV(spark, dir, "from", "to", label = 1,
+      mirror = false, ranges)
+    val d = dict.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d.keySet === Set("alice", "bob", "carol"))
+    assert(d.values.toSeq.sorted === Seq(0L, 1L, 2L)) // dense, sorted names
+    assert(d("alice") === 0L && d("bob") === 1L && d("carol") === 2L)
+    assert(edgeSet(g) === Set((d("carol"), d("alice"), 1, true), (d("alice"), d("bob"), 1, true)))
+  }
+
+  test("debug sinks: graphviz digraph string and CSV dump") {
+    val s = Loaders.toGraphviz(g0)
+    assert(s.startsWith("digraph G {") && s.contains("0 -> 1"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dbgcsv").toString
+    Loaders.debugToCSV(g0, dir)
+    assert(spark.read.option("header", "true").csv(s"$dir/edges_csv").count() === 4)
+  }
+
+  test("adjacency point reads: flagship + single + counts") {
+    assert(GraphOps.adjacentNodesByAttr(g0, 0L, 1).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(GraphOps.adjacentNodeByAttr(g0, 0L, 2) === Some(2L))
+    assert(GraphOps.adjacentNodeByAttr(g0, 0L, 3) === None)
+    assert(GraphOps.adjacentEdgeCount(g0, 0L, 1) === 1L)
+    assert(GraphOps.allChildNodes(g0, 0L).count() === 2L)
+    assert(GraphOps.allChildEdges(g0, 1L).count() === 1L) // fwd 1→2; the mirror row lives on src=2
+    assert(GraphOps.allChildEdges(g0, 2L).count() === 1L) // the back-edge 2→1
+  }
+}
