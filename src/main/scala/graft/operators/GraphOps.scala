@@ -40,6 +40,21 @@ object GraphOps {
   def adjacentEdgeCount(g: PropertyGraph, node: Long, label: Int): Long =
     g.edges.filter(col("src") === node && col("label") === label).count()
 
+  /** Enumerated adjacency slice: the start..end-th (1-based, inclusive)
+    * adjacent (label, dst) entries of a node in deterministic (label, dst)
+    * order — the reference's enum-index interleaved slot reads
+    * (adjacentEdgesByIndex/adjacentNodesByIndex, Enum.hs:458-492). The
+    * contiguous-slot physical encoding disappears; the ordinal is a
+    * row_number over the node's partition. */
+  def adjacentByIndex(g: PropertyGraph, node: Long, start: Int, end: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("label"), col("dst"), col("dir"))
+    g.edges.filter(col("src") === node)
+      .withColumn("idx", row_number().over(w))
+      .filter(col("idx").between(start, end))
+      .select(col("idx"), col("label"), col("dst"))
+  }
+
   /** Keep only edges whose target satisfies a predicate (reference
     * filterEdgesTo, FastAccess.hs:411-420). */
   def filterEdgesTo(g: PropertyGraph, pred: Column => Column): PropertyGraph =

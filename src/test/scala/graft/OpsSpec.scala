@@ -136,6 +136,18 @@ class OpsSpec extends AnyFunSuite {
     assert(spark.read.option("header", "true").csv(s"$dir/edges_csv").count() === 4)
   }
 
+  test("adjacentByIndex: ordered slot slice of a node's adjacency") {
+    val g = Loaders.fromList(spark, Seq(
+      InputEdge(0, 5, Seq(2), addReverse = false),
+      InputEdge(0, 3, Seq(1), addReverse = false),
+      InputEdge(0, 9, Seq(1), addReverse = false),
+      InputEdge(0, 7, Seq(3), addReverse = false)), ranges)
+    // (label, dst) order: (1,3) (1,9) (2,5) (3,7) → slots 1..4
+    val slice = GraphOps.adjacentByIndex(g, 0L, 2, 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(slice === Seq((2, 1, 9L), (3, 2, 5L)))
+  }
+
   test("adjacency point reads: flagship + single + counts") {
     assert(GraphOps.adjacentNodesByAttr(g0, 0L, 1).collect().map(_.getLong(0)).toSeq === Seq(1L))
     assert(GraphOps.adjacentNodeByAttr(g0, 0L, 2) === Some(2L))
