@@ -139,6 +139,17 @@ object GraphOps {
       a.nodeProps.orElse(b.nodeProps), a.edgeProps.orElse(b.edgeProps))
   }
 
+  /** Edge-set intersection — absent in the reference (SURVEY §2.4), free
+    * relationally. attrMask keeps the left side's bits. */
+  def intersect(a: PropertyGraph, b: PropertyGraph): PropertyGraph =
+    a.copy(edges = a.edges.join(
+      b.edges.select("src", "dst", "label", "dir"), Seq("src", "dst", "label", "dir"), "left_semi"))
+
+  /** Edge-set difference (a minus b) — absent in the reference, free. */
+  def except(a: PropertyGraph, b: PropertyGraph): PropertyGraph =
+    a.copy(edges = a.edges.join(
+      b.edges.select("src", "dst", "label", "dir"), Seq("src", "dst", "label", "dir"), "left_anti"))
+
   // ---- rich property tier (the reference's LMDB databases,
   //      JudyGraph.hs:99-113, as parquet-backed DataFrames) ---------------
 

@@ -49,6 +49,17 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Streaming exact dedup on a key column: duplicates arriving within the
+    * watermark horizon are dropped; state for a key is reclaimed once the
+    * watermark passes its event time (bounded state — the requirement for
+    * running dedup over an unbounded 100 TB stream; batch exact dedup is
+    * [[graft.functions.Dedup.exact]]). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ---- stateful sessionization --------------------------------------------
 
   case class Event(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)

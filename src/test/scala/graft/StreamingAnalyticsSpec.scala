@@ -81,6 +81,42 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops within-watermark duplicate keys across micro-batches") {
+    val h = 3600L * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    def push(evs: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    push(Seq((1L, h, 7L, "view", 0.0, ""), (1L, h + 1, 7L, "view", 0.0, ""))) // dup in-batch
+    val src = EventStreams.readEventStream(spark, dir)
+    val q = EventStreams.dedupStream(src, Seq("event_id"), "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      push(Seq((1L, h + 2, 7L, "view", 0.0, ""), (2L, 2 * h, 8L, "click", 1.0, ""))) // dup next batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("graph set ops: intersect and except on edge sets") {
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
+    val a = Loaders.fromList(spark,
+      Seq(InputEdge(0, 1, Seq(1), addReverse = false), InputEdge(1, 2, Seq(1), addReverse = false)), ranges)
+    val b = Loaders.fromList(spark,
+      Seq(InputEdge(1, 2, Seq(1), addReverse = false), InputEdge(2, 3, Seq(1), addReverse = false)), ranges)
+    def pairs(g: graft.model.PropertyGraph) =
+      g.edges.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(graft.operators.GraphOps.intersect(a, b)) === Set((1L, 2L)))
+    assert(pairs(graft.operators.GraphOps.except(a, b)) === Set((0L, 1L)))
+    // edge cases: empty graph on either side
+    val e = graft.model.PropertyGraph.empty(spark, ranges)
+    assert(pairs(graft.operators.GraphOps.intersect(a, e)) === Set())
+    assert(pairs(graft.operators.GraphOps.except(a, e)) === pairs(a))
+    assert(graft.operators.GraphOps.union(e, e).isNull)
+  }
+
   test("streamCSVEdges: files appearing in a dir become graph edges exactly once") {
     val base = java.nio.file.Files.createTempDirectory("graft_csv_stream").toString
     val in = s"$base/in"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
