@@ -106,13 +106,32 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold, a<b) via
-    * LSH candidates — the embedding-space analogue of Dedup.minHash. */
+    * LSH candidates — the embedding-space analogue of Dedup.minHash.
+    * Unlike [[lshTopK]] there is NO per-query rank window: thresholding
+    * needs only candidate → score → filter, so the candidate set streams
+    * through one codegen'd projection instead of a shuffle+sort per query
+    * partition (that window made this quadratic-ish on duplicate-heavy
+    * corpora). */
   def cosineDuplicates(vectors: DataFrame, threshold: Double, dim: Int,
       bits: Int = 12, tables: Int = 4, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    lshTopK(vectors, vectors, Int.MaxValue, dim, bits, tables, seed, idCol, vecCol)
-      .filter(col("query_id") < col("neighbor_id") && col("cosine") >= threshold)
-      .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"), col("cosine"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    useNative(vectors)
+    val a = vectors.select(col(idCol).as("doc_a"), col(vecCol).as("av"),
+      nnorm(col(vecCol)).as("an"))
+    val b = vectors.select(col(idCol).as("doc_b"), col(vecCol).as("bv"),
+      nnorm(col(vecCol)).as("bn"))
+    (0 until tables).map { t =>
+      val planes = hyperplanes(dim, bits, t, seed)
+      a.withColumn("bucket", nativeSignature(col("av"), planes))
+        .join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")
+        .drop("bucket")
+    }.reduce(_ unionByName _)
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+  }
 
   /** Nearest-centroid assignment against a broadcast centroid table
     * (cid, centroid). Adds `centroid_id`; distance = negative cosine. */

@@ -346,11 +346,12 @@ object GateQueries {
 
     // ---- reference benchmark workloads (Bench.hs:40-58 shapes) ------------
     "miw_bulk_ingest" -> ((s, d) => {
-      val path = graft.bench.MailGraph.generate(s"/tmp/graft_mail_${d.replace('/', '_')}.txt")
+      // the mail graph is sf-independent (fixed 367,662-edge reference shape)
+      val path = graft.bench.MailGraph.generate("/tmp/graft_mail_data.txt")
       graft.bench.MailGraph.miw(s, path).edges.select(col("src"), col("dst"))
     }),
     "cw_mailed_1hop" -> ((s, d) => {
-      val path = graft.bench.MailGraph.generate(s"/tmp/graft_mail_${d.replace('/', '_')}.txt")
+      val path = graft.bench.MailGraph.generate("/tmp/graft_mail_data.txt")
       graft.bench.MailGraph.cw(graft.bench.MailGraph.miw(s, path))
     })
   )
