@@ -64,6 +64,16 @@ class GraphQuerySpec extends AnyFunSuite {
   test("F1.10 left edge, labeled query right → empty") { assert(tbl(leftEdge, ns0 --| ee |--> ns1) === emptyTable) }
   test("F1.11 left edge, labeled query left → match") { assert(tbl(leftEdge, ns0 <--| ee |-- ns1) === matchTableRep) }
 
+  test("appl hook transforms evaluated layers (Cypher.hs:179-192, SortNodes.hs:58-59)") {
+    import org.apache.spark.sql.functions.col
+    // start-layer hook: drop the only start node → query collapses
+    val dropStart = nodes32(0).appl(_.filter(col("id") =!= 0))
+    assert(tbl(rightEdge, dropStart --> ns1) === emptyTable)
+    // target-layer hook: sees the paths DF of the step; keep matching rows
+    assert(tbl(rightEdge, ns0 --> anyNode.appl(_.filter(col("n1") === 1))) === matchTable)
+    assert(tbl(rightEdge, ns0 --> anyNode.appl(_.filter(col("n1") === 99))) === emptyTable)
+  }
+
   test("F1.12 unicode aliases ≡ ascii combinators (Cypher.hs:98-144)") {
     assert(tbl(rightEdge, ns0 ⟼ ns1) === tbl(rightEdge, ns0 --> ns1))
     assert(tbl(rightEdge, ns0 ⟻ ns1) === tbl(rightEdge, ns0 <-- ns1))
