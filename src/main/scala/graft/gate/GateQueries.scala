@@ -455,6 +455,23 @@ object GateQueries {
       """SELECT lang, source, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
         |MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "d3_ngram_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct([t[i] || t[i+1] || t[i+2] for i in range(1, len(t) - 1)])) AS gram
+        |  FROM toks
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3""".stripMargin,
     "e1_ann_bruteforce_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
