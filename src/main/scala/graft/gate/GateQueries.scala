@@ -306,7 +306,11 @@ object GateQueries {
       val evs = events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.Event]
+      // session bounds reported at µs: DuckDB truncates TIMESTAMP_NS to µs,
+      // so the oracle can only compare at that precision (gap logic stays ns)
       graft.streaming.EventStreams.sessionize(evs, gapNanos = 3600L * 1000000000L).toDF()
+        .select(col("user_id"), expr("start_ts DIV 1000").as("start_us"),
+          expr("end_ts DIV 1000").as("end_us"), col("n_events"), col("n_purchases"))
     }),
 
     // ---- whole-graph analytics (GraphX/Pregel) ----------------------------
@@ -481,6 +485,20 @@ object GateQueries {
         |WHERE q.vec_id < 50) t WHERE rank <= 10""".stripMargin,
     "e3_embedding_cluster_stats" ->
       "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1",
+    "s2_user_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 3600000000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+        |  CAST(COUNT(*) AS INT) AS n_events,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS INT) AS n_purchases
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "s1_sliding_window_counts" ->
       """WITH grid AS (
         |  SELECT user_id, (ts_ns // 1800000000000) * 1800 AS s1 FROM
