@@ -485,6 +485,19 @@ object GateQueries {
         |WHERE q.vec_id < 50) t WHERE rank <= 10""".stripMargin,
     "e3_embedding_cluster_stats" ->
       "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1",
+    "a4_degree_histogram" ->
+      """WITH fwd AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS src FROM orders
+        |  UNION ALL
+        |  SELECT CAST(l_orderkey + 10000000 AS BIGINT) FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  UNION ALL
+        |  SELECT CAST(l_partkey + 20000000 AS BIGINT) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey + 10000000 AS BIGINT) FROM (
+        |    SELECT o_orderkey, LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+        |    FROM orders) WHERE nxt IS NOT NULL
+        |), deg AS (SELECT src, COUNT(*) AS degree FROM fwd GROUP BY 1)
+        |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1""".stripMargin,
     "s2_user_sessions" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type,
