@@ -122,17 +122,28 @@ object Exec {
   }
 
   /** Advance `paths` one hop: join current endpoint against edges, keep
-    * provenance columns, emit `e{step}_label` + `n{step}`. */
+    * provenance columns, emit `e{step}_label` + `n{step}`.
+    *
+    * Walking LEFTWARD (runOnE's planned strategy expanding from a cheap
+    * center) traverses exactly the row set the rightward walk would match,
+    * joined from the `dst` side — NOT the mirror rows. The reference walks
+    * left over backward slot entries and therefore silently loses paths on
+    * one-sided (unmirrored) graphs; joining the same oriented rows from the
+    * other end makes planned ≡ quick on every graph (documented strict
+    * refinement). Direction-bit VISIBILITY semantics (Spec.hs:151-178) are
+    * untouched: the predicate is always evaluated in rightward orientation.
+    */
   private def hop(g: PropertyGraph, paths: DataFrame, fromCol: String, e: EdgeSpec,
       step: Int, walkRight: Boolean, keepEdgeCols: Boolean): DataFrame = {
     val ed = g.edges.select(
       col("src").as("__src"), col("dst").as("__dst"),
       col("label").as("__label"), col("attrMask").as("__mask"), col("dir").as("__dir"))
-    val pred = edgePred(e, walkRight, col("__label"), col("__mask"), col("__dir"))
-    val joined = paths.join(ed.filter(pred), paths(fromCol) === col("__src"))
+    val pred = edgePred(e, walkRight = true, col("__label"), col("__mask"), col("__dir"))
+    val (joinSide, emitSide) = if (walkRight) ("__src", "__dst") else ("__dst", "__src")
+    val joined = paths.join(ed.filter(pred), paths(fromCol) === col(joinSide))
     val keep = paths.columns.map(paths(_)) ++
       (if (keepEdgeCols) Seq(col("__label").as(s"e${step}_label")) else Nil) :+
-      col("__dst").as(s"n$step")
+      col(emitSide).as(s"n$step")
     joined.select(keep: _*)
   }
 

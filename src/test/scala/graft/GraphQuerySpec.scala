@@ -64,6 +64,40 @@ class GraphQuerySpec extends AnyFunSuite {
   test("F1.10 left edge, labeled query right → empty") { assert(tbl(leftEdge, ns0 --| ee |--> ns1) === emptyTable) }
   test("F1.11 left edge, labeled query left → match") { assert(tbl(leftEdge, ns0 <--| ee |-- ns1) === matchTableRep) }
 
+  test("planned strategy walks `several` leftward from a cheap center (same paths)") {
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
+    val chain = Loaders.fromList(spark,
+      (0 until 3).map(i => InputEdge(i, i + 1, Seq(1), addReverse = false)), ranges)
+    // nodes32(3) costs 1 → runOnE starts at the RIGHT end and walks the
+    // exactly-2-hop step leftward — over the SAME oriented rows (dst-join),
+    // so paths agree with evalLtoR even though the graph has no mirror rows.
+    // (Displayed layer 0 differs by design: quick echoes the full start
+    // spec, reference evalLtoR's `adjCenter = startNs`, Cypher.hs:664.)
+    val pat = anyNode --| edge(attr(1), several(2, 2)) |--> nodes32(3)
+    def pathSet(quick: Boolean) = Query.paths(chain, pat, quick)
+      .select("n0", "n1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pathSet(quick = true) === Set((1L, 3L)))
+    assert(pathSet(quick = false) === Set((1L, 3L)))
+    assert(Query.tableCollected(chain, pat, quick = true) ===
+      Vector(Seq(0L, 1L, 2L, 3L), Seq(), Seq(3L)))
+  }
+
+  test("orth overlay: subset-of-queried-bits semantics through repetition") {
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1, 2)))
+    // chain whose edges carry BOTH orth bits {1,2} (mask 6)
+    val g = Loaders.fromList(spark,
+      (0 until 3).map(i => InputEdge(i, i + 1, Seq(1, 2), addReverse = false)), ranges)
+    // querying both orths → combination {1,2} is generated → match
+    val both = Query.tableCollected(g,
+      nodes32(0) --| edge(orth(1), orth(2), several(2, 2)) |--> anyNode)
+    assert(both === Vector(Seq(0L), Seq(), Seq(2L)))
+    // a single orth bit does NOT match a {1,2}-overlaid edge (genAttrs
+    // enumerates combinations of the QUERIED orths only, Cypher.hs:288-316)
+    val one = Query.tableCollected(g,
+      nodes32(0) --| edge(orth(2), several(2, 2)) |--> anyNode)
+    assert(one === Vector(Seq(), Seq(), Seq()))
+  }
+
   test("appl hook transforms evaluated layers (Cypher.hs:179-192, SortNodes.hs:58-59)") {
     import org.apache.spark.sql.functions.col
     // start-layer hook: drop the only start node → query collapses
