@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   *    discards them, Cypher.hs:653-663 — its examples all have redundant
   *    target specs; intersection matches the documented intent);
   *  - `***` (unbounded repetition) runs BFS to fixpoint and therefore
-  *    terminates on cyclic graphs, returning all nodes reachable in ≥1 hop.
+  *    terminates on cyclic graphs, returning all nodes reachable in ≥1 hop;
+  *  - the planned strategy's leftward expansion traverses the SAME oriented
+  *    rows as a rightward walk (dst-side join, see [[hop]]) instead of
+  *    mirror entries, so planned ≡ quick paths even on one-sided graphs.
   *
   * Scale: each step is one equi-join `paths.src = edges.src` with the label
   * /direction/orth predicates pushed into the scan; AQE turns small-frontier
@@ -96,10 +99,9 @@ object Exec {
   // ---- one hop ------------------------------------------------------------
 
   /** Edge-row predicate for a spec (label ∈ attrs ∪ orth-combinations ∪ all,
-    * direction, where_). `walkRight=false` flips direction — walking a
-    * right-directed step leftwards follows the stored back-edge rows
-    * (genAttrs addDir, Cypher.hs:288-296). */
-  def edgePred(e: EdgeSpec, walkRight: Boolean, label: Column, attrMask: Column, dirC: Column): Column = {
+    * direction, where_), always in rightward orientation — leftward walks
+    * reuse it and join from the dst side (see [[hop]]). */
+  def edgePred(e: EdgeSpec, label: Column, attrMask: Column, dirC: Column): Column = {
     val labelPred: Column = {
       val attrP = if (e.attrs.nonEmpty) Some(label.isin(e.attrs: _*)) else None
       val orthP = if (e.orths.nonEmpty)
@@ -114,8 +116,8 @@ object Exec {
     }
     val dirPred: Column = e.dir match {
       case DirNone => lit(true)
-      case DirR => if (walkRight) dirC === true else dirC === false
-      case DirL => if (walkRight) dirC === false else dirC === true
+      case DirR => dirC === true
+      case DirL => dirC === false
     }
     val wherePred = e.whereFn.fold(lit(true))(f => f(label))
     labelPred && dirPred && wherePred
@@ -138,7 +140,7 @@ object Exec {
     val ed = g.edges.select(
       col("src").as("__src"), col("dst").as("__dst"),
       col("label").as("__label"), col("attrMask").as("__mask"), col("dir").as("__dir"))
-    val pred = edgePred(e, walkRight = true, col("__label"), col("__mask"), col("__dir"))
+    val pred = edgePred(e, col("__label"), col("__mask"), col("__dir"))
     val (joinSide, emitSide) = if (walkRight) ("__src", "__dst") else ("__dst", "__src")
     val joined = paths.join(ed.filter(pred), paths(fromCol) === col(joinSide))
     val keep = paths.columns.map(paths(_)) ++
@@ -246,7 +248,7 @@ object Exec {
         if (e1.several.isEmpty) null // first hop reads edges directly below
         else // repetition seed: start nodes having >=1 matching edge
           g.edges.filter(srcPred &&
-              edgePred(e1, walkRight = true, col("label"), col("attrMask"), col("dir")))
+              edgePred(e1, col("label"), col("attrMask"), col("dir")))
             .select(col("src").as("n0")).distinct()
       } else frontierOf(g, start).select(col("id").as("n0"))
 
@@ -259,7 +261,7 @@ object Exec {
           // first hop straight off the edge scan (no frontier join at all)
           val srcPred = targetPred(g, start, col("src")).getOrElse(lit(true))
           val p0 = g.edges
-            .filter(srcPred && edgePred(e, walkRight = true, col("label"), col("attrMask"), col("dir")))
+            .filter(srcPred && edgePred(e, col("label"), col("attrMask"), col("dir")))
             .select(col("src").as("n0"), col("label").as("e1_label"), col("dst").as("n1"))
           Some((applyTarget(g, p0, n, "n1"), 1))
         } else walkStep(g, paths, s"n${step - 1}", e, n, step, walkRight = true)
