@@ -148,6 +148,18 @@ class OpsSpec extends AnyFunSuite {
     assert(slice === Seq((2, 1, 9L), (3, 2, 5L)))
   }
 
+  test("explicit node list: isolated nodes appear in the node set") {
+    val g = Loaders.fromList(spark,
+      Seq(InputEdge(0, 1, Seq(1), addReverse = false)), ranges,
+      nodes = Seq(graft.model.NodeRow(0, 0), graft.model.NodeRow(1, 0),
+        graft.model.NodeRow(42, 0))) // 42 has no edges
+    val ids = g.nodes.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(0L, 1L, 42L))
+    // without explicit nodes, the node set derives from edge endpoints only
+    val g2 = Loaders.fromList(spark, Seq(InputEdge(0, 1, Seq(1), addReverse = false)), ranges)
+    assert(g2.nodes.select("id").collect().map(_.getLong(0)).toSet === Set(0L, 1L))
+  }
+
   test("adjacency point reads: flagship + single + counts") {
     assert(GraphOps.adjacentNodesByAttr(g0, 0L, 1).collect().map(_.getLong(0)).toSeq === Seq(1L))
     assert(GraphOps.adjacentNodeByAttr(g0, 0L, 2) === Some(2L))
