@@ -36,7 +36,12 @@ object GraphAnalytics {
     val p = sizedPartitions(fwd, targetBytes = 8L << 20)
     val edges = fwd.rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), r.getInt(2)))
       .coalesce(p)
-    GxGraph.fromEdges(edges, defaultValue = -1)
+    // seed the vertex set from g.nodes, not just edge endpoints: isolated
+    // nodes (explicitNodes) must appear as singleton components / ranked
+    // vertices rather than silently vanishing
+    val vertices = g.nodes.select(col("id")).rdd.map(r => (r.getLong(0), -1))
+      .coalesce(p)
+    GxGraph(vertices, edges, defaultVertexAttr = -1)
   }
 
   /** Connected components (undirected sense) → (id, component). */
@@ -112,12 +117,13 @@ object GraphAnalytics {
         .select(col("w").as("id"))
       val nextReach = reach.union(stepped).distinct().cache()
       val nextN = nextReach.count()
-      if (nextN == reachN) done = true
+      if (nextN == reachN) { nextReach.unpersist(); done = true }
       else {
         reach.unpersist(); reach = nextReach; reachN = nextN
         val j2 = jump.alias("a").join(jump.alias("b"), col("a.w") === col("b.v"))
           .select(col("a.v").as("v"), col("b.w").as("w")).distinct().cache()
-        if (j2.isEmpty) done = true else { jump.unpersist(); jump = j2 }
+        if (j2.isEmpty) { j2.unpersist(); done = true }
+        else { jump.unpersist(); jump = j2 }
       }
       rounds += 1
     }

@@ -22,11 +22,15 @@ object MailGraph {
   val EMPLOYEE = 0
   val ranges: Seq[RangeDef] = Seq(RangeDef(0, 10000, EMPLOYEE, Seq(MAILED)))
 
-  /** Deterministic mail-graph edge list in the reference's data.txt format. */
+  /** Deterministic mail-graph edge list in the reference's data.txt format.
+    * Written to a temp file and atomically renamed so a crash mid-write can
+    * never leave a partial file that later runs silently ingest; write
+    * errors (PrintWriter swallows IOExceptions) surface via checkError. */
   def generate(path: String, edges: Int = 367662, nodes: Int = 10000): String = {
     val f = new java.io.File(path)
     if (!f.exists || f.length == 0) {
-      val out = new java.io.PrintWriter(new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20))
+      val tmp = new java.io.File(path + ".tmp")
+      val out = new java.io.PrintWriter(new java.io.BufferedWriter(new java.io.FileWriter(tmp), 1 << 20))
       var x = 88172645463325252L
       def nxt(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
       var i = 0
@@ -36,7 +40,10 @@ object MailGraph {
         out.println(s"$a $b")
         i += 1
       }
+      val failed = out.checkError()
       out.close()
+      if (failed || !tmp.renameTo(f))
+        throw new java.io.IOException(s"mail-graph generation failed for $path")
     }
     path
   }

@@ -45,13 +45,16 @@ object Dedup {
       sequence(lit(0), greatest(length(text) - k, lit(0))),
       i => lower(text).substr(i + 1, lit(k))))
 
-  /** Distinct word n-grams (arrays of n consecutive lowercased tokens
-    * joined by ''). */
+  /** Distinct word n-grams (n consecutive lowercased tokens joined by
+    * \\x01 — an unambiguous separator). Documents with fewer than n tokens
+    * yield NO gram, not a truncated one — the SQL-replicable definition
+    * the d3 oracle mirrors. */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = split(lower(text), "\\s+")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws("", slice(toks, i + 1, lit(n)))))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws("", slice(toks, i + 1, lit(n))))))
   }
 
   /** MinHash signature: for seed s, min over shingles of xxhash64(shingle,s).
@@ -107,10 +110,16 @@ object Dedup {
       shingleK: Int = 5,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = minHashSignatures(docs, textCol, idCol, shingleK, numHashes)
-    val banded = sig.select(col("id"), posexplode(
+      maxBucketSize: Int = 1000): DataFrame =
+    candidatesFromSigs(minHashSignatures(docs, textCol, idCol, shingleK, bands * rowsPerBand),
+      bands, rowsPerBand, maxBucketSize)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_bands"))
+
+  /** Banded-LSH pair generation from a (id, sig) signature table: one
+    * (doc_a, doc_b) row per shared band bucket (callers dedupe). */
+  private def candidatesFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int): DataFrame = {
+    val banded = sigs.select(col("id"), posexplode(
         array((0 until bands).map(b =>
           xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
       .toDF("id", "band", "bucket")
@@ -118,9 +127,8 @@ object Dedup {
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) between (2, maxBucketSize))
     // pair generation inside each bucket (ids sorted → a < b)
-    val pairs = bucketed.select(explode(pairsOf(sort_array(col("ids")))).as("p"))
+    bucketed.select(explode(pairsOf(sort_array(col("ids")))).as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
-    pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_bands"))
   }
 
   /** All ordered pairs (a<b) of a sorted array — lambda expression. */
@@ -147,18 +155,11 @@ object Dedup {
       shingleK: Int = 5,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      estimateMargin: Double = 0.15): DataFrame = {
+      estimateMargin: Double = 0.15,
+      maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigs = minHashSignatures(docs, textCol, idCol, shingleK, numHashes).cache()
-    val banded = sigs.select(col("id"), posexplode(
-        array((0 until bands).map(b =>
-          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
-      .toDF("id", "band", "bucket")
-    val bucketed = banded.groupBy("band", "bucket")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) between (2, 1000))
-    val cands = bucketed.select(explode(pairsOf(sort_array(col("ids")))).as("p"))
-      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b")).distinct()
+    val cands = candidatesFromSigs(sigs, bands, rowsPerBand, maxBucketSize).distinct()
     val estimated = cands
       .join(sigs.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")

@@ -181,7 +181,9 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol)
+    // cached: referenced by BOTH the corpus assignment and the query probe
+    // subtrees — without it the whole Lloyd index-build pass runs twice
+    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol).cache()
     val assigned = assignTo(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"),
         nnorm(col(vecCol)).as("cn"))

@@ -463,7 +463,7 @@ object GateQueries {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
         |), grams AS (
-        |  SELECT doc_id, unnest(list_distinct([t[i] || t[i+1] || t[i+2] for i in range(1, len(t) - 1)])) AS gram
+        |  SELECT doc_id, unnest(list_distinct([t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] for i in range(1, len(t) - 1)])) AS gram
         |  FROM toks
         |), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
         |inter AS (

@@ -155,11 +155,11 @@ object GraphOps {
 
   /** Rich node properties for one id (reference lookupNode, JudyGraph.hs:403-410). */
   def lookupNode(g: PropertyGraph, id: Long): Option[org.apache.spark.sql.Row] =
-    g.nodeProps.flatMap(_.filter(col("id") === id).collect().headOption)
+    g.nodeProps.flatMap(_.filter(col("id") === id).limit(1).collect().headOption)
 
   /** Rich edge properties for one (src,dst) (reference lookupEdge, JudyGraph.hs:412-417). */
   def lookupEdge(g: PropertyGraph, src: Long, dst: Long): Option[org.apache.spark.sql.Row] =
-    g.edgeProps.flatMap(_.filter(col("src") === src && col("dst") === dst).collect().headOption)
+    g.edgeProps.flatMap(_.filter(col("src") === src && col("dst") === dst).limit(1).collect().headOption)
 
   /** Upsert node property rows by id (reference insertNode(s), JudyGraph.hs:134-157). */
   def insertNodeProps(g: PropertyGraph, props: DataFrame): PropertyGraph = {

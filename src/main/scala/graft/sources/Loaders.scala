@@ -134,12 +134,15 @@ object Loaders {
   /** STREAMING CSV edge ingest — the reference's `insertCSVEdgeStream`
     * (FastAccess.hs:323-341) is a chunked streaming file reader; here it is
     * a Structured Streaming file source: new CSV files appearing under
-    * `inDir` are projected to edge rows per micro-batch and appended to a
-    * parquet edge log that [[PropertyGraph]] reads directly. Exactly-once
-    * via the checkpoint; the per-line callback of the reference becomes the
-    * row→edge projection. Integer-keyed input; string keys need the
-    * batch dictionary path ([[fromStringPairs]]) because a streaming
-    * dictionary is cross-batch state. Caller stops the returned query. */
+    * `inDir` are projected to edge rows per micro-batch into a parquet edge
+    * log read back via [[loadEdgeLog]]. Exactly-once: each micro-batch
+    * lands in its own `__batch=<id>` partition with dynamic overwrite, so a
+    * batch replayed after a crash-before-checkpoint-commit REPLACES its
+    * partition instead of appending duplicates. The per-line callback of
+    * the reference becomes the row→edge projection. Integer-keyed input;
+    * string keys need the batch dictionary path ([[fromStringPairs]])
+    * because a streaming dictionary is cross-batch state. Caller stops the
+    * returned query. */
   def streamCSVEdges(
       spark: SparkSession,
       inDir: String,
@@ -154,12 +157,21 @@ object Loaders {
       .filter(col("src").isNotNull && col("dst").isNotNull)
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         fromEdgeDF(batch.toDF(), label, mirror, Nil).edges
-          .write.mode("append").parquet(sinkDir)
+          .withColumn("__batch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch")
+          .parquet(sinkDir)
       }
       .start()
   }
+
+  /** Open the edge log written by [[streamCSVEdges]] as a graph (drops the
+    * idempotence partition column). */
+  def loadEdgeLog(spark: SparkSession, sinkDir: String, ranges: Seq[RangeDef]): PropertyGraph =
+    PropertyGraph(spark.read.parquet(sinkDir).drop("__batch"), ranges)
 
   /** Bucketed persistence: edges hash-bucketed AND sorted by src. Every
     * adjacency/frontier/self join keys on src, so a bucketed edge table

@@ -105,7 +105,12 @@ object EventStreams {
     * STREAMING Dataset[Event]; set the watermark delay ≥ max expected
     * lateness. This is the scale shape for billions of users: state is
     * per-key (HDFS/RocksDB-backed state store), each micro-batch touches
-    * only keys with new events or expiring timers. */
+    * only keys with new events or expiring timers.
+    *
+    * Known limit: an event later than a full gap behind the open session
+    * (but inside the watermark) starts a new session instead of splicing a
+    * PRIOR one — exact splicing needs a session list per key; size the
+    * watermark ≤ gap to rule the case out. */
   def sessionizeStream(events: Dataset[Event], gapNanos: Long,
       watermarkDelay: String = "1 hour"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -127,8 +132,12 @@ object EventStreams {
           for (e <- evs) {
             val p = if (e.event_type == "purchase") 1 else 0
             cur match {
-              case Some(s) if e.ts - s.last <= gapNanos =>
-                cur = Some(SessionState(s.start, e.ts, s.n + 1, s.purchases + p))
+              // |e.ts - s.last| handles LATE (within-watermark) events from a
+              // previous micro-batch: bounds extend via min/max so a late
+              // merge can never produce end < start or regress the timeout
+              case Some(s) if math.abs(e.ts - s.last) <= gapNanos =>
+                cur = Some(SessionState(math.min(s.start, e.ts),
+                  math.max(s.last, e.ts), s.n + 1, s.purchases + p))
               case Some(s) =>
                 closed += Session(user, s.start, s.last, s.n, s.purchases)
                 cur = Some(SessionState(e.ts, e.ts, 1, p))

@@ -129,10 +129,10 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       q.processAllAvailable()
       pushFile("b.csv", Seq("3,4"))
       q.processAllAvailable()
-      val g = graft.model.PropertyGraph(
-        spark.read.parquet(sink), Seq(RangeDef(0, 100, 0, Seq(1))))
+      val g = Loaders.loadEdgeLog(spark, sink, Seq(RangeDef(0, 100, 0, Seq(1))))
       assert(g.edges.count() === 8) // 4 valid lines, mirrored
       assert(g.edges.filter(col("dir")).count() === 4)
+      assert(!g.edges.columns.contains("__batch"))
     } finally q.stop()
   }
 
