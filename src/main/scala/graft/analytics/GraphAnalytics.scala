@@ -36,12 +36,17 @@ object GraphAnalytics {
     val p = sizedPartitions(fwd, targetBytes = 8L << 20)
     val edges = fwd.rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), r.getInt(2)))
       .coalesce(p)
-    // seed the vertex set from g.nodes, not just edge endpoints: isolated
-    // nodes (explicitNodes) must appear as singleton components / ranked
-    // vertices rather than silently vanishing
-    val vertices = g.nodes.select(col("id")).rdd.map(r => (r.getLong(0), -1))
-      .coalesce(p)
-    GxGraph(vertices, edges, defaultVertexAttr = -1)
+    // isolated nodes (explicitNodes) must appear as singleton components /
+    // ranked vertices; without an explicit node list the vertex set equals
+    // the edge endpoints, which fromEdges derives for free — skipping the
+    // distinct-over-endpoints shuffle that g.nodes would pay
+    g.explicitNodes match {
+      case Some(_) =>
+        val vertices = g.nodes.select(col("id")).rdd.map(r => (r.getLong(0), -1))
+          .coalesce(p)
+        GxGraph(vertices, edges, defaultVertexAttr = -1)
+      case None => GxGraph.fromEdges(edges, defaultValue = -1)
+    }
   }
 
   /** Connected components (undirected sense) → (id, component). */

@@ -177,6 +177,14 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(chainReach === (1 to 37).map(_.toLong).toSet)
     val pr = GraphAnalytics.pageRank(g).collect()
     assert(pr.length === 5 && pr.forall(_.getDouble(1) > 0))
+    // isolated explicit node: its own singleton component
+    val gIso = Loaders.fromList(spark,
+      Seq(InputEdge(0, 1, Seq(1), addReverse = true)), ranges,
+      nodes = Seq(graft.model.NodeRow(0, 0), graft.model.NodeRow(1, 0),
+        graft.model.NodeRow(42, 0)))
+    val ccIso = GraphAnalytics.connectedComponents(gIso).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccIso.contains(42L) && ccIso(42L) === 42L)
   }
 
   test("MIW/CW: deterministic mail graph, ingest count and 1-hop shape") {
