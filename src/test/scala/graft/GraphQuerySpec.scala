@@ -98,6 +98,17 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(one === Vector(Seq(), Seq(), Seq()))
   }
 
+  test("deep repetition: several(1,30) over a 30-deep chain stays bounded") {
+    // 30 hop iterations × localCheckpoint each — pins that the loop's
+    // lineage cuts keep per-hop plans constant-size (no analysis blowup)
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
+    val chain = Loaders.fromList(spark,
+      (0 until 30).map(i => InputEdge(i, i + 1, Seq(1), addReverse = false)), ranges)
+    val t = Query.tableCollected(chain,
+      nodes32(0) --| edge(attr(1), several(1, 30)) |--> anyNode)
+    assert(t(2) === Seq(30L)) // final frontier only (reference stop semantics)
+  }
+
   test("appl hook transforms evaluated layers (Cypher.hs:179-192, SortNodes.hs:58-59)") {
     import org.apache.spark.sql.functions.col
     // start-layer hook: drop the only start node → query collapses
