@@ -98,6 +98,28 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(one === Vector(Seq(), Seq(), Seq()))
   }
 
+  test("createMem + applyDiff: appl-rewired traversal upserts edges (SortNodes.hs:53-69 shape)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
+    val g = Loaders.fromList(spark,
+      Seq(InputEdge(0, 1, Seq(1), addReverse = false)), ranges)
+    // the appl hook rewires the step's target — the traversed (0,1,99)
+    // triple is novel, so createMem reports it as the upsert diff
+    val pat = nodes32(0) --| edge(attr(1)) |--> anyNode.appl(_.withColumn("n1", lit(99L)))
+    val diff = Query.createMem(g, pat)
+    val newE = diff.newEdges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(newE === Set((0L, 99L)))
+    // the old (src,label,dir) slot is overwritten per insertNodeEdgeAttr
+    // overwrite=True (Cypher.hs:866-889)
+    val delE = diff.deletedEdges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delE === Set((0L, 1L)))
+    val g2 = Query.applyDiff(g, diff)
+    assert(g2.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 99L)))
+  }
+
   test("deep repetition: several(1,30) over a 30-deep chain stays bounded") {
     // 30 hop iterations × localCheckpoint each — pins that the loop's
     // lineage cuts keep per-hop plans constant-size (no analysis blowup)
