@@ -58,10 +58,18 @@ case object DirNone extends Dir
 case object DirL extends Dir
 case object DirR extends Dir
 
+/** The edge-row view a `where_` predicate sees — the relational form of the
+  * reference predicate's full edge word + edge map (Cypher.hs:268-270,
+  * applied :840-849): the step's label, the orthogonal overlay bits, and the
+  * stored target node. `dst` is the physical row's target (= the walked-to
+  * node on rightward steps; on leftward steps the row is traversed from its
+  * dst side, so `dst` is the node being left). */
+final case class EdgeView(label: Column, attrMask: Column, dst: Column)
+
 final case class EdgeSpec(
     attrs: Seq[Int] = Nil,
     orths: Seq[Int] = Nil,
-    whereFn: Option[Column => Column] = None,
+    whereFn: Option[EdgeView => Column] = None,
     several: Option[(Int, Int)] = None,
     dir: Dir = DirNone) {
   /** `edge(attr(L)).rep(1,3)` — the reference's `(1…3)` repetition
@@ -120,7 +128,7 @@ final case class PatE(comps: Vector[Comp]) {
 sealed trait EdgePart
 final case class AttrPart(label: Int) extends EdgePart
 final case class OrthPart(label: Int) extends EdgePart
-final case class WherePart(f: Column => Column) extends EdgePart
+final case class WherePart(f: EdgeView => Column) extends EdgePart
 final case class SeveralPart(lo: Int, hi: Int) extends EdgePart
 
 object Dsl {
@@ -139,8 +147,15 @@ object Dsl {
     * edges whose attrMask is a nonzero combination of the given orth bits. */
   def orth(label: Int): EdgePart = OrthPart(label)
   /** Per-edge predicate over the label column (reference where_,
-    * Cypher.hs:268-270). */
-  def where_(f: Column => Column): EdgePart = WherePart(f)
+    * Cypher.hs:268-270 — the common case; [[whereEdge]] exposes the full
+    * edge view). */
+  def where_(f: Column => Column): EdgePart = WherePart(v => f(v.label))
+
+  /** Per-edge predicate over the FULL edge view (label, attrMask, dst) —
+    * the reference predicate sees the whole edge word and edge map
+    * (Cypher.hs:268-270, applied :840-849), so attr-bit and target-node
+    * filters are expressible. */
+  def whereEdge(f: EdgeView => Column): EdgePart = WherePart(f)
   /** Bounded repetition (reference several/(…), Cypher.hs:272-274). */
   def several(lo: Int, hi: Int): EdgePart = SeveralPart(lo, hi)
 

@@ -101,7 +101,8 @@ object Exec {
   /** Edge-row predicate for a spec (label ∈ attrs ∪ orth-combinations ∪ all,
     * direction, where_), always in rightward orientation — leftward walks
     * reuse it and join from the dst side (see [[hop]]). */
-  def edgePred(e: EdgeSpec, label: Column, attrMask: Column, dirC: Column): Column = {
+  def edgePred(e: EdgeSpec, label: Column, attrMask: Column, dirC: Column,
+      dst: Column): Column = {
     val labelPred: Column = {
       val attrP = if (e.attrs.nonEmpty) Some(label.isin(e.attrs: _*)) else None
       val orthP = if (e.orths.nonEmpty)
@@ -119,7 +120,7 @@ object Exec {
       case DirR => dirC === true
       case DirL => dirC === false
     }
-    val wherePred = e.whereFn.fold(lit(true))(f => f(label))
+    val wherePred = e.whereFn.fold(lit(true))(f => f(EdgeView(label, attrMask, dst)))
     labelPred && dirPred && wherePred
   }
 
@@ -140,7 +141,7 @@ object Exec {
     val ed = g.edges.select(
       col("src").as("__src"), col("dst").as("__dst"),
       col("label").as("__label"), col("attrMask").as("__mask"), col("dir").as("__dir"))
-    val pred = edgePred(e, col("__label"), col("__mask"), col("__dir"))
+    val pred = edgePred(e, col("__label"), col("__mask"), col("__dir"), col("__dst"))
     val (joinSide, emitSide) = if (walkRight) ("__src", "__dst") else ("__dst", "__src")
     val joined = paths.join(ed.filter(pred), paths(fromCol) === col(joinSide))
     val keep = paths.columns.map(paths(_)) ++
@@ -248,7 +249,7 @@ object Exec {
         if (e1.several.isEmpty) null // first hop reads edges directly below
         else // repetition seed: start nodes having >=1 matching edge
           g.edges.filter(srcPred &&
-              edgePred(e1, col("label"), col("attrMask"), col("dir")))
+              edgePred(e1, col("label"), col("attrMask"), col("dir"), col("dst")))
             .select(col("src").as("n0")).distinct()
       } else frontierOf(g, start).select(col("id").as("n0"))
 
@@ -261,7 +262,7 @@ object Exec {
           // first hop straight off the edge scan (no frontier join at all)
           val srcPred = targetPred(g, start, col("src")).getOrElse(lit(true))
           val p0 = g.edges
-            .filter(srcPred && edgePred(e, col("label"), col("attrMask"), col("dir")))
+            .filter(srcPred && edgePred(e, col("label"), col("attrMask"), col("dir"), col("dst")))
             .select(col("src").as("n0"), col("label").as("e1_label"), col("dst").as("n1"))
           Some((applyTarget(g, p0, n, "n1"), 1))
         } else walkStep(g, paths, s"n${step - 1}", e, n, step, walkRight = true)
@@ -290,24 +291,35 @@ object Exec {
     else QueryResult(layers, paths, Option(traversed).getOrElse(emptyEdges(g)), failed = false, snapshots)
   }
 
+  /** The planned strategy's start choice (exposed for tests): the node
+    * layer with the smallest REAL cardinality. Label/all-node costs come
+    * from actual per-label node counts ([[PropertyGraph.labelCounts]]), not
+    * range spans — spans are id reservations and say nothing about data
+    * size (the reference's 0/#labels/100000 heuristic, Cypher.hs:573-583,
+    * had the same blind spot). Explicit ids are exact; a DfSel frontier is
+    * unknown-but-usually-small. */
+  def planStart(g: PropertyGraph, pat: Pat): Int = {
+    val nodeIdx = pat.comps.zipWithIndex.collect { case (CompN(n), i) => (n, i) }
+    def cost(n: NodeSpec): Long = n.sel match {
+      case IdSel(ids) => ids.size.toLong
+      case DfSel(_) => 1000L
+      case LabelSel(ls) => ls.distinct.map(l => g.labelCounts.getOrElse(l, 0L)).sum
+      case AllNodes => g.labelCounts.values.sum max 1L
+    }
+    val (_, startIdx) = nodeIdx.minBy { case (n, i) => (cost(n), i) }
+    startIdx / 2
+  }
+
   /** Planned strategy (reference runOnE, Cypher.hs:711-785): start at the
-    * cheapest node column by REAL cardinality (ranges give label spans;
-    * explicit ids are exact — replacing the reference's 0/#labels/100000
-    * heuristic, Cypher.hs:573-583), walk right to the end, then left to the
-    * beginning. Target-spec intersection makes the result order-independent,
-    * so the planner only affects cost.
+    * cheapest node column by REAL cardinality (see [[planStart]]), walk
+    * right to the end, then left to the beginning. Target-spec intersection
+    * makes the result order-independent, so the planner only affects cost.
     */
   def runOnE(g: PropertyGraph, pat: Pat): QueryResult = {
     val comps = pat.comps
     val nodeIdx = comps.zipWithIndex.collect { case (CompN(n), i) => (n, i) }
-    def cost(n: NodeSpec): Long = n.sel match {
-      case IdSel(ids) => ids.size.toLong
-      case DfSel(_) => 1000L
-      case LabelSel(ls) => g.ranges.filter(r => ls.contains(r.nodeLabel)).map(_.len).sum
-      case AllNodes => g.ranges.map(_.len).sum max 100000L
-    }
-    val (_, startIdx) = nodeIdx.minBy { case (n, i) => (cost(n), i) }
-    val startLayer = startIdx / 2
+    val startLayer = planStart(g, pat)
+    val startIdx = startLayer * 2
     if (startLayer == 0) return evalLtoR(g, pat)
 
     val startSpec = nodeIdx.find(_._2 == startIdx).get._1

@@ -56,6 +56,15 @@ object Query {
     }.toVector
   }
 
+  /** Re-feed a `temp` layer into a follow-up pattern — the reference's
+    * reuse flow, where `temp` output feeds the next query
+    * (README.md:229-240, Cypher.hs:473-479). The layer's nested children
+    * lists flatten back to a distinct node frontier, usable as any pattern
+    * position via `nodesDF`; composing query 2 from query 1's temp output
+    * matches running the combined pattern one-shot. */
+  def fromTemp(layer: DataFrame): NodeSpec =
+    Dsl.nodesDF(layer.select(explode(col("children")).as("id")).distinct())
+
   /** Query-driven update (reference `createMem`, Cypher.hs:481-484,866-889):
     * the traversal's (src, label, dst) triples are upserted; the return
     * value is the GraphDiff to apply to the stored copy. DataFrames are

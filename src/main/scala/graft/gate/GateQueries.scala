@@ -333,7 +333,14 @@ object GateQueries {
       graft.analytics.GraphAnalytics.shortestPaths(chain, first)
     }),
     "a3_connected_components" -> ((s, d) => {
-      graft.analytics.GraphAnalytics.connectedComponents(graph(s, d))
+      // CC over the customer↔order subgraph (Placed stars + NextOrder
+      // chains): ~1500 distinct components — a far more discriminating CC
+      // instance than the full graph (which collapses to ONE giant
+      // component, i.e. a constant column) and oracle-checkable by a
+      // general recursive min-label propagation in DuckDB.
+      val g = graph(s, d)
+      graft.analytics.GraphAnalytics.connectedComponents(
+        g.copy(edges = g.edges.filter(col("label").isin(Placed, NextOrder))))
     }),
     "a4_degree_histogram" -> ((s, d) => {
       graft.analytics.GraphAnalytics.degreeHistogram(graph(s, d))
@@ -355,8 +362,9 @@ object GateQueries {
       graft.bench.MailGraph.miw(s, path).edges.select(col("src"), col("dst"))
     }),
     "cw_mailed_1hop" -> ((s, d) => {
+      // read-side query → cached graph (ingest cost is miw's to measure)
       val path = graft.bench.MailGraph.generate("/tmp/graft_mail_data.txt")
-      graft.bench.MailGraph.cw(graft.bench.MailGraph.miw(s, path))
+      graft.bench.MailGraph.cw(graft.bench.MailGraph.miwCached(s, path))
     })
   )
 
@@ -532,6 +540,92 @@ object GateQueries {
         |  SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS id,
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders WHERE o_custkey = 1)
-        |SELECT id, CAST(rn - 1 AS BIGINT) AS dist FROM ranked""".stripMargin
+        |SELECT id, CAST(rn - 1 AS BIGINT) AS dist FROM ranked""".stripMargin,
+    // general undirected min-label propagation (recursive closure pruned to
+    // labels smaller than their target — only candidates for the MIN
+    // survive) over the same Placed+NextOrder edge set the Spark side feeds
+    // to GraphX; GraphX's component id = min vertex id of the component.
+    "a3_connected_components" ->
+      """WITH RECURSIVE
+        |fwd AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS a, CAST(o_orderkey + 10000000 AS BIGINT) AS b FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey + 10000000 AS BIGINT), CAST(nxt + 10000000 AS BIGINT) FROM (
+        |    SELECT o_orderkey, LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+        |    FROM orders) t WHERE nxt IS NOT NULL
+        |),
+        |e AS (SELECT a, b FROM fwd UNION SELECT b, a FROM fwd),
+        |verts AS (SELECT DISTINCT a AS id FROM e),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN e ON e.a = r.id WHERE r.comp < e.b
+        |)
+        |SELECT id, MIN(comp) AS component FROM reach GROUP BY id""".stripMargin,
+    "m1_media_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(strlen(text) AS INT) AS n_bytes
+        |FROM documents""".stripMargin,
+    // the mail corpus is a deterministic generated file (MailGraph.generate,
+    // fixed xorshift seed) — the oracle reads the same file back
+    "miw_bulk_ingest" ->
+      """SELECT src, dst FROM read_csv('/tmp/graft_mail_data.txt', header=false, delim=' ',
+        |  columns={'src':'BIGINT','dst':'BIGINT'})""".stripMargin,
+    "cw_mailed_1hop" ->
+      """SELECT CAST(128 AS BIGINT) AS n0, CAST(1 AS INT) AS e1_label, dst AS n1
+        |FROM read_csv('/tmp/graft_mail_data.txt', header=false, delim=' ',
+        |  columns={'src':'BIGINT','dst':'BIGINT'})
+        |WHERE src = 128""".stripMargin,
+    "t4_quality_scores" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    CAST(length(text) AS DOUBLE) AS n_char,
+        |    CAST(length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS n_nopunct,
+        |    CAST(length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS n_noalpha
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, n_char,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','this','by','at','from'))) AS DOUBLE) AS n_stop,
+        |    n_char - n_nopunct AS n_punct,
+        |    n_char - n_noalpha AS n_alpha,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct
+        |  FROM f
+        |), h AS (
+        |  SELECT doc_id, n_tok AS n_tokens,
+        |    CASE WHEN n_tok > 0 THEN (n_char - (n_tok - 1)) / n_tok ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stopword_ratio,
+        |    CASE WHEN n_char > 0 THEN n_punct / n_char ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN n_char > 0 THEN n_alpha / n_char ELSE 0.0 END AS alpha_ratio,
+        |    CASE WHEN n_tok > 0 THEN 1.0 - n_distinct / n_tok ELSE 0.0 END AS repetition,
+        |    n_char
+        |  FROM g
+        |)
+        |SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, punct_ratio, alpha_ratio, repetition,
+        |  (CASE WHEN n_char BETWEEN 100 AND 100000 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END
+        |   + CASE WHEN repetition <= 0.5 THEN 0.25 ELSE 0.0 END) AS quality_score
+        |FROM h""".stripMargin,
+    "t5_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), scores AS (
+        |  SELECT doc_id,
+        |    len(list_filter(t, x -> x IN ('the','and','of','to','is','with','that','this'))) AS s_en,
+        |    len(list_filter(t, x -> x IN ('der','die','das','und','ist','mit','nicht','ein'))) AS s_de,
+        |    len(list_filter(t, x -> x IN ('le','la','les','et','est','dans','pour','que'))) AS s_fr,
+        |    len(list_filter(t, x -> x IN ('el','los','las','es','y','en','por','para'))) AS s_es,
+        |    len(list_filter(t, x -> x IN ('il','gli','di','che','per','con','una','sono'))) AS s_it
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_it) = 0 THEN 'und'
+        |       WHEN s_it = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'it'
+        |       WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'fr'
+        |       WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'es'
+        |       WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_it) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM scores""".stripMargin
   )
 }

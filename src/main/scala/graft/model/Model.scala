@@ -93,6 +93,16 @@ final case class PropertyGraph(
   /** Cache the edge relation for iterative traversal. */
   def cached(): PropertyGraph = copy(edges = edges.cache())
 
+  /** Real per-label node counts (one aggregation over the node set,
+    * memoized per graph instance) — the planner's statistics source.
+    * Range SPANS are id reservations (often uniform 10^7-wide), so
+    * span length says nothing about data size; the reference's planner
+    * had the same blind spot with its 0/#labels/100000 heuristic
+    * (Cypher.hs:573-583). Driver-side result is tiny: one row per label. */
+  lazy val labelCounts: Map[Int, Long] =
+    nodes.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
   def isNull: Boolean = edges.isEmpty
 
   /** Per-(node,label) out-degree — the reference's `adjacentEdgeCount`

@@ -170,6 +170,30 @@ object GraphOps {
     g.copy(nodeProps = Some(merged))
   }
 
+  /** Append rich edge-property rows for (src,dst) pairs — the peer of
+    * [[insertNodeProps]]. The reference APPENDS each rich edge label to the
+    * (src,dst) pair's label list (insertNodeEdge P-variant,
+    * JudyGraph.hs:227-235) and lookupEdge returns the accumulated list
+    * (JudyGraph.hs:412-417); relationally the list is the multiset of rows
+    * per (src,dst), so append = union without dedup.
+    */
+  def insertEdgeProps(g: PropertyGraph, props: DataFrame): PropertyGraph = {
+    val merged = g.edgeProps match {
+      case Some(old) => old.unionByName(props, allowMissingColumns = true)
+      case None => props
+    }
+    g.copy(edgeProps = Some(merged))
+  }
+
+  /** All rich edge-property rows of one (src,dst) pair, in insert order
+    * semantics (the reference's label list) — the multi-row generalization
+    * of [[lookupEdge]]. */
+  def lookupEdgeProps(g: PropertyGraph, src: Long, dst: Long): DataFrame = {
+    val base = g.edgeProps.getOrElse(
+      g.edges.select(col("src"), col("dst")).limit(0))
+    base.filter(col("src") === src && col("dst") === dst)
+  }
+
   /** All property-carrying node ids / all property rows (reference
     * nodeKeys/nodeElems, JudyGraph.hs:419-429). */
   def nodeKeys(g: PropertyGraph): DataFrame =

@@ -196,11 +196,12 @@ object Loaders {
     val ranges = spark.read.parquet(s"$dir/ranges.parquet").collect().map { r =>
       RangeDef(r.getLong(0), r.getLong(1), r.getInt(2), r.getSeq[Int](3))
     }.toSeq.sortBy(_.start)
-    val props = {
-      val p = new java.io.File(s"$dir/node_props.parquet")
+    def optional(name: String) = {
+      val p = new java.io.File(s"$dir/$name.parquet")
       if (p.exists) Some(spark.read.parquet(p.getPath)) else None
     }
-    PropertyGraph(spark.read.parquet(s"$dir/edges.parquet"), ranges, nodeProps = props)
+    PropertyGraph(spark.read.parquet(s"$dir/edges.parquet"), ranges,
+      nodeProps = optional("node_props"), edgeProps = optional("edge_props"))
   }
 
   /** Debug sink: render the whole graph as a Graphviz digraph string

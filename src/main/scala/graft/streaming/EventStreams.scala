@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
@@ -67,36 +68,33 @@ object EventStreams {
   // public: the streaming state store codegens this class's constructor
   case class SessionState(start: Long, last: Long, n: Int, purchases: Int)
 
-  /** Gap-based sessionization via flatMapGroupsWithState (the reference has
-    * no analogue; this is the KeyValueGroupedDataset custom-state path).
-    * Emits a session when a user is silent for `gapNanos`. Batch mode emits
-    * every closed-plus-final session; streaming mode emits on timeout.
+  /** Gap-based BATCH sessionization in gaps-and-islands window form:
+    * mark a session break where the gap to the previous event exceeds
+    * `gapNanos` (lag), number sessions with a running sum of breaks
+    * (conditional cumsum), aggregate per (user, session).
+    *
+    * This is the 100 TB shape: a sort-based window exchange on user_id —
+    * no executor ever holds a whole user's events in memory, so a skewed
+    * key (a bot with 10^8 events) streams through the window operator
+    * instead of OOMing a flatMapGroupsWithState group buffer. The
+    * custom-state path remains [[sessionizeStream]], where per-key state is
+    * bounded by the open session, not the user's history.
     */
   def sessionize(events: Dataset[Event], gapNanos: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id).flatMapGroupsWithState[SessionState, Session](
-      OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-        // batch path: all events of the user at once, sorted by time
-        val evs = it.toSeq.sortBy(e => (e.ts, e.event_id))
-        val sessions = scala.collection.mutable.ArrayBuffer[Session]()
-        var cur: Option[SessionState] = state.getOption
-        for (e <- evs) {
-          cur match {
-            case Some(s) if e.ts - s.last <= gapNanos =>
-              cur = Some(SessionState(s.start, e.ts, s.n + 1,
-                s.purchases + (if (e.event_type == "purchase") 1 else 0)))
-            case Some(s) =>
-              sessions += Session(user, s.start, s.last, s.n, s.purchases)
-              cur = Some(SessionState(e.ts, e.ts, 1, if (e.event_type == "purchase") 1 else 0))
-            case None =>
-              cur = Some(SessionState(e.ts, e.ts, 1, if (e.event_type == "purchase") 1 else 0))
-          }
-        }
-        cur.foreach(s => sessions += Session(user, s.start, s.last, s.n, s.purchases))
-        state.remove()
-        sessions.iterator
-    }
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.toDF()
+      .withColumn("__brk",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gapNanos, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        count(lit(1)).cast("int").as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).cast("int").as("n_purchases"))
+      .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"), col("n_purchases"))
+      .as[Session]
   }
 
   /** Streaming sessionization: state survives micro-batches; a session is

@@ -289,6 +289,55 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(t.last === Seq(3L, 4L, 5L, 6L))
   }
 
+  test("whereEdge: predicate sees attrMask bits and target node (Cypher.hs:268-270)") {
+    import org.apache.spark.sql.functions.lit
+    val A = 1; val B = 2
+    val g = Loaders.fromList(spark, Seq(
+      InputEdge(0, 1, Seq(A), addReverse = false),    // mask 1<<A = 2
+      InputEdge(0, 2, Seq(A, B), addReverse = false), // mask 2|4 = 6
+      InputEdge(0, 3, Seq(B), addReverse = false)),   // mask 4
+      Seq(RangeDef(0, 10, 0, Seq(A, B))))
+    // attr-bit filter: only edges carrying the B bit
+    val hasB = Query.tableCollected(g,
+      nodes32(0) --| edge(whereEdge(v => v.attrMask.bitwiseAND(lit(1L << B)) =!= 0)) |-- anyNode)
+    assert(hasB.last === Seq(2L, 3L))
+    // target-node filter through the edge view (the reference's edge map)
+    val noTwo = Query.tableCollected(g,
+      nodes32(0) --| edge(whereEdge(v => v.dst =!= 2L)) |-- anyNode)
+    assert(noTwo.last === Seq(1L, 3L))
+    // composes with attr(): label predicate AND where view
+    val aAndB = Query.tableCollected(g,
+      nodes32(0) --| edge(attr(A), whereEdge(v => v.attrMask.bitwiseAND(lit(1L << B)) =!= 0)) |-- anyNode)
+    assert(aAndB.last === Seq(2L))
+  }
+
+  test("planStart picks a non-leftmost start when data cardinality says so") {
+    // equal 100-wide range spans — the old span-cost model saw both layers
+    // as cost 100 and degenerated to leftmost; real counts are 20 vs 1
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)), RangeDef(100, 100, 1, Seq(1)))
+    val g = Loaders.fromList(spark,
+      (0 until 20).map(i => InputEdge(i, 100, Seq(1), addReverse = false)), ranges)
+    val pat = labels(0) --| edge(attr(1)) |--> labels(1)
+    assert(Exec.planStart(g, pat) === 1)
+    // planned result still agrees with quick
+    val q = Query.paths(g, pat, quick = true)
+      .select("n0", "n1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p = Query.paths(g, pat, quick = false)
+      .select("n0", "n1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p === q && q.size === 20)
+  }
+
+  test("fromTemp: composing query 2 from query 1's temp output matches one-shot") {
+    val q1 = Query.temp(issueGraph, nodes32(0) --| edge(attr(Raises)) |-- labels(ISSUE))
+    val start = Query.fromTemp(q1.last)
+    val composed = Query.tableCollected(issueGraph,
+      start --| edge(attr(References)) |-- labels(ISSUE))
+    val oneShot = Query.tableCollected(issueGraph,
+      nodes32(0) --| edge(attr(Raises)) |-- labels(ISSUE) --| edge(attr(References)) |-- labels(ISSUE))
+    assert(composed.last === oneShot.last)
+    assert(composed.last === Seq(3L, 5L, 6L))
+  }
+
   test("multi-attr follows union of labels (Cypher.hs:250-253)") {
     val t = Query.tableCollected(issueGraph,
       nodes32(0) --| edge(attr(Raises), attr(BelongsTo)) |-- anyNode)

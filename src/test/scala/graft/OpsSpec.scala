@@ -115,6 +115,24 @@ class OpsSpec extends AnyFunSuite {
     assert(GraphOps.lookupNode(back, 0L).map(_.getString(1)) === Some("alice"))
   }
 
+  test("edge props: insertEdgeProps appends (no upsert) and survives save/load") {
+    // reference APPENDS each rich edge label to the pair's list
+    // (JudyGraph.hs:227-235); two inserts on the same (src,dst) → two rows
+    val g1 = GraphOps.insertEdgeProps(g0, Seq((0L, 1L, "knows")).toDF("src", "dst", "rel"))
+    val g2 = GraphOps.insertEdgeProps(g1, Seq((0L, 1L, "likes")).toDF("src", "dst", "rel"))
+    assert(GraphOps.lookupEdgeProps(g2, 0L, 1L).collect()
+      .map(_.getString(2)).toSeq.sorted === Seq("knows", "likes"))
+    assert(GraphOps.lookupEdgeProps(g2, 0L, 2L).isEmpty)
+    // lookupEdge (single-row view) still serves from the tier
+    assert(GraphOps.lookupEdge(g2, 0L, 1L).isDefined)
+    val dir = java.nio.file.Files.createTempDirectory("graft_edgeprops").toString
+    Loaders.save(g2, dir)
+    val back = Loaders.load(spark, dir)
+    assert(back.edgeProps.isDefined, "load must read edge_props.parquet back")
+    assert(GraphOps.lookupEdgeProps(back, 0L, 1L).collect()
+      .map(_.getString(2)).toSeq.sorted === Seq("knows", "likes"))
+  }
+
   test("fromCSV/fromStringPairs: dictionary join assigns dense sorted ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     java.nio.file.Files.writeString(java.nio.file.Path.of(s"$dir/e.csv"),

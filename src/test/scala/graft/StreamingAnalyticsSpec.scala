@@ -49,6 +49,24 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(sessions === Set((7L, 0L, 2, 1), (7L, 3 * h, 1, 0), (8L, 0L, 1, 0)))
   }
 
+  test("sessionize batch path is a window exchange, survives a skewed key") {
+    val h = 3600L * 1000000000L
+    // one pathological user with 50k events, every one its own session
+    // (2h apart, 1h gap) — the gaps-and-islands form streams this through
+    // a sort-based window; the old flatMapGroupsWithState path buffered the
+    // whole user in one executor's memory
+    val evs = (0 until 50000).map(i => Event(i.toLong, i.toLong * 2 * h, 7L, "view", 0.0)) :+
+      Event(100000L, h, 8L, "purchase", 1.0)
+    val sessions = EventStreams.sessionize(evs.toDS(), gapNanos = h)
+    val plan = sessions.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"batch sessionize must be a window plan:\n$plan")
+    assert(!plan.contains("FlatMapGroupsWithState"),
+      "batch path must not buffer whole users in state")
+    assert(sessions.count() === 50001)
+    assert(sessions.filter(col("user_id") === 8L).collect()
+      .map(s => (s.n_events, s.n_purchases)).toSeq === Seq((1, 1)))
+  }
+
   test("sessionizeStream: state across micro-batches, event-time timeout closure") {
     val h = 3600L * 1000000000L
     val dir = java.nio.file.Files.createTempDirectory("graft_sess_stream").toString
