@@ -172,6 +172,23 @@ object Exec {
       // the whole-result collapse — one action per query instead of one per
       // hop, and the full multi-join plan stays visible to Catalyst.
       Some((applyTarget(g, hop(g, paths0, fromCol, e, step, walkRight, keepEdgeCols = true), target, s"n$step"), 1))
+    } else if (lo == hi && hi <= 8) {
+      // Exact-k repetition (several(k,k)): the dry-up-after-lo stop rule
+      // can't fire when lo == hi — the result IS the k-th frontier, failed
+      // iff empty. So the k hops compose LAZILY (dropDuplicates is a
+      // shuffle op, not an action) into ONE Spark job with a single final
+      // materialization, instead of a checkpoint + emptiness action per
+      // hop. Capped at 8 hops to keep the composed plan small; deeper
+      // exact-k loops use the checkpointing path below.
+      val prefix = paths0.columns
+      var cur = paths0.select(prefix.map(col) :+ col(fromCol).as(s"n$step"): _*)
+      for (i <- 1 to hi) {
+        cur = hop(g, cur, s"n$step", e, step + 1000 + i, walkRight, keepEdgeCols = false)
+          .drop(s"n$step").withColumnRenamed(s"n${step + 1000 + i}", s"n$step")
+          .dropDuplicates(prefix :+ s"n$step")
+      }
+      val res = applyTarget(g, cur, target, s"n$step").localCheckpoint(true)
+      if (res.isEmpty) None else Some((res, hi))
     } else {
       // Repetition: replace the step column per hop; provenance = prefix cols.
       val prefix = paths0.columns

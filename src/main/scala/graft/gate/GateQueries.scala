@@ -331,6 +331,11 @@ object GateQueries {
       val first = t(s, d, "orders").withColumn("rn", row_number().over(w))
         .filter(col("o_custkey") === 1 && col("rn") === 1)
         .select((col("o_orderkey") + ORDER_BASE).cast("long")).head().getLong(0)
+      // Pregel BFS, not pointer doubling: doubling's per-round
+      // cache+count+distinct on DataFrames measured 15× slower here (58s vs
+      // 3.9s at sf0.1) and its unbounded .cache() calls evict the shared
+      // graph cache; the doubling variant remains available for the
+      // genuinely deep-chain regime (agreement is unit-pinned).
       graft.analytics.GraphAnalytics.reachableFrom(g, Seq(first), Some(NextOrder))
     }),
     "a2_shortest_hops" -> ((s, d) => {
