@@ -181,6 +181,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  // ---- duplicate clusters --------------------------------------------------
+
+  /** Group near-dup PAIRS into duplicate CLUSTERS — the step that makes
+    * pair output actionable: near-duplication is transitive in practice
+    * (a~b, b~c → {a,b,c} is one boilerplate family), and a dedup pipeline
+    * keeps ONE representative per cluster, not per pair. Returns
+    * (doc_id, cluster_id, keep) for every document appearing in a pair,
+    * where cluster_id = min doc id of the connected component and
+    * keep = (doc_id == cluster_id) — the min-id keeper rule, matching
+    * [[exact]]'s min-id convention.
+    *
+    * Distribution: connected components over the pair graph (GraphX Pregel
+    * via [[graft.analytics.GraphAnalytics.connectedComponents]]) — near-dup
+    * components are overwhelmingly small (boilerplate families), so
+    * convergence is a handful of supersteps regardless of corpus size.
+    */
+  def duplicateClusters(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val spark = pairs.sparkSession
+    val maxId = 1L << 62
+    val ranges = Seq(graft.model.RangeDef(0L, maxId, 0, Seq(1)))
+    val g = graft.sources.Loaders.fromEdgeDF(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+      label = 1, mirror = true, ranges)
+    graft.analytics.GraphAnalytics.connectedComponents(g)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("keep"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash per document: sign of per-bit sums over token hashes.

@@ -267,6 +267,13 @@ object GateQueries {
       // the DuckDB oracle computes.
       graft.functions.Dedup.minHashDuplicates(t(s, d, "documents"), threshold = 0.8)
     }),
+    "d5_dedup_clusters" -> ((s, d) => {
+      // pairs → connected-component duplicate families with a min-id keeper
+      // (keep emitted as INT: both engines render 0/1 identically)
+      val pairs = graft.functions.Dedup.minHashDuplicates(t(s, d, "documents"), threshold = 0.8)
+      graft.functions.Dedup.duplicateClusters(pairs)
+        .select(col("doc_id"), col("cluster_id"), col("keep").cast("int").as("keep"))
+    }),
     "d2_simhash_signatures" -> ((s, d) => {
       graft.functions.Dedup.simHash(t(s, d, "documents"))
     }),
@@ -642,6 +649,35 @@ object GateQueries {
         |SELECT doc_a, doc_b, i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8""".stripMargin,
+    // duplicate families over the same exact ≥0.8 pair set as the d1
+    // oracle, clustered by the a3 recursive min-label propagation pattern
+    "d5_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(text)-4, 1)+1),
+        |    i -> substr(lower(text), i::INT, 5)))) AS g
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |), p AS (
+        |  SELECT CAST(doc_a AS BIGINT) AS a, CAST(doc_b AS BIGINT) AS b
+        |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8
+        |), e AS (
+        |  SELECT a, b FROM p UNION SELECT b, a FROM p
+        |), verts AS (
+        |  SELECT DISTINCT a AS id FROM e
+        |), reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN e ON e.a = r.id WHERE r.comp < e.b
+        |)
+        |SELECT id AS doc_id, MIN(comp) AS cluster_id,
+        |  CAST(id = MIN(comp) AS INT) AS keep
+        |FROM reach GROUP BY id""".stripMargin,
     "t5_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents

@@ -29,6 +29,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(drops === Set(2L, 6L))
   }
 
+  test("duplicateClusters: transitive pairs become one family with a min-id keeper") {
+    import spark.implicits._
+    // chain 1~2, 2~3 (transitive family) + isolated pair 10~11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val c = Dedup.duplicateClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(c === Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
   test("ngram jaccard: hand-computed value") {
     val d = docsDF(1L -> "a b c d", 2L -> "a b c e")
     val rows = Dedup.ngramJaccardPairs(d, 2, 0.0).collect()
