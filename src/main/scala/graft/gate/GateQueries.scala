@@ -330,6 +330,25 @@ object GateQueries {
           expr("end_ts DIV 1000").as("end_us"), col("n_events"), col("n_purchases"))
     }),
 
+    "s3_asof_join" -> ((s, d) => {
+      // each view event enriched with the user's latest purchase at-or-
+      // before it; purchases pre-aggregated to unique (user, ts) so the
+      // as-of pick is deterministic; inner-asof (unmatched views dropped);
+      // times reported at µs (DuckDB's TIMESTAMP_NS read precision)
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("p_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.streaming.EventStreams
+        .asofJoin(views, purchases, "user_id", "ts", "ts", Seq("ts", "p_value"))
+        .filter(col("asof_ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("ts_us"),
+          expr("asof_ts DIV 1000").as("p_us"),
+          col("asof_p_value").as("p_value"))
+    }),
+
     // ---- whole-graph analytics (GraphX/Pregel) ----------------------------
     "a1_reachable_orders" -> ((s, d) => {
       // all orders transitively after customer 1's first order (NextOrder***)
@@ -551,6 +570,18 @@ object GateQueries {
         |  UNION ALL
         |  SELECT user_id, s1 - 1800 AS win_s FROM grid
         |) GROUP BY 1, 2""".stripMargin,
+    // native ASOF JOIN — DuckDB's own operator is the oracle for ours
+    "s3_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, MAX(value) AS p_value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), views AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        |)
+        |SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,
+        |  epoch_us(p.ts) AS p_us, p.p_value
+        |FROM views v ASOF JOIN purchases p
+        |  ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
     "a1_reachable_orders" ->
       """WITH ranked AS (
         |  SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS id,

@@ -152,4 +152,39 @@ object EventStreams {
         }
     }
   }
+
+  /** As-of join: attach to each left row the latest right row of the same
+    * key with right time <= left time (inclusive) — the canonical
+    * time-series enrichment ("state of X as of this event"). The reference
+    * has no analogue; ANSI/DuckDB express it as ASOF JOIN.
+    *
+    * Spark-first shape: NOT a range join (whose candidate set is
+    * |left|×|right| per key before pruning). Both sides are tagged and
+    * unioned, then ONE window sorted on (key, time, side) carries each
+    * right row's values forward with a running `last(ignoreNulls)`. Cost =
+    * one hash exchange on key + one sort — linear in |left|+|right|, skew
+    * bounded by the biggest single key, and the right row at exactly the
+    * left timestamp is included because the right tag sorts first.
+    *
+    * Left rows with no prior right row keep NULLs (left-asof semantics);
+    * filter on `<prefix><rightTs>` IS NOT NULL for inner-asof. If several
+    * right rows share (key, time), the last one in (time, tag) order wins —
+    * pre-aggregate the right side to unique (key, time) for deterministic
+    * output.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val r = right.select(col(key) +: col(rightTs).as("__t") +:
+        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+      .withColumn("__is_l", lit(0))
+    val l = left.withColumn("__t", col(leftTs)).withColumn("__is_l", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__is_l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = valueCols.foldLeft(u)((df, c) =>
+      df.withColumn(prefix + c, last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+    attached.filter(col("__is_l") === 1)
+      .drop(valueCols.map(c => s"__r_$c") :+ "__t" :+ "__is_l": _*)
+  }
 }

@@ -99,6 +99,26 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofJoin: latest right row at-or-before each left row, per key") {
+    val trades = Seq((1L, 7L, 100L), (2L, 7L, 200L), (3L, 8L, 150L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq((7L, 50L, 1.0), (7L, 100L, 2.0), (7L, 150L, 3.0), (9L, 10L, 9.0))
+      .toDF("sym", "t", "px")
+    val j = EventStreams.asofJoin(trades, quotes, "sym", "t", "t", Seq("t", "px"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(j === Set(
+      (1L, Some(100L), Some(2.0)),  // same-ts quote included (inclusive asof)
+      (2L, Some(150L), Some(3.0)),  // latest quote before t=200
+      (3L, None, None)))            // sym 8 has no quotes → left-asof nulls
+    // one exchange on the key, no range-join explosion
+    val plan = EventStreams.asofJoin(trades, quotes, "sym", "t", "t", Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"))
+    assert(!plan.toLowerCase.contains("cartesianproduct"))
+  }
+
   test("dedupStream drops within-watermark duplicate keys across micro-batches") {
     val h = 3600L * 1000000000L
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
