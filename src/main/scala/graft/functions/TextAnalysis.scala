@@ -102,4 +102,48 @@ object TextAnalysis {
     val hashes = transform(Dedup.charShingles(text, k), sh => xxhash64(sh))
     sort_array(array_distinct(filter(hashes, h => pmod(h, lit(p)) === 0)))
   }
+
+  // ---- deterministic sampling ----------------------------------------------
+
+  /** Deterministic hash-based sample predicate: keep a row iff the first 8
+    * hex chars of md5(key) sort below the fraction's hex threshold.
+    * Unlike rand()-based sampling this is reproducible across runs,
+    * engines, partitionings and cluster sizes — the property a training-
+    * data pipeline needs for auditable holdouts — and the comparison is on
+    * lowercase-hex STRINGS, so any engine with md5 computes the identical
+    * sample (no hex→int conversion portability trap). Pure narrow column
+    * expression; no shuffle. */
+  def sampleByHash(key: Column, fraction: Double): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    if (fraction >= 1.0) lit(true)
+    else {
+      val threshold = f"${math.round(fraction * 4294967296.0)}%08x"
+      substring(md5(key.cast("string").cast("binary")), 1, 8) < lit(threshold)
+    }
+  }
+
+  // ---- sequence packing ----------------------------------------------------
+
+  /** Deterministic token-budget packing: within each shard, documents (in
+    * id order) are laid out back-to-back and assigned to the training chunk
+    * their START offset falls in — chunk_id = start_offset div budget.
+    * Returns (shard, id, n_tokens, chunk_id, offset_in_chunk).
+    *
+    * Scale shape: ONE sort-based window per shard (partitionBy shard), so
+    * packing parallelizes across shards and no global total order is ever
+    * required — a Window.orderBy without partitioning would serialize the
+    * whole corpus through one task. Integer arithmetic only, so any SQL
+    * engine replicates it bit-for-bit. */
+  def packSequences(docs: DataFrame, budgetTokens: Long, tokens: Column,
+      shardCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col(shardCol).as("shard"), col(idCol), tokens.cast("long").as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk_id", expr(s"CAST((__cum - n_tokens) DIV $budgetTokens AS BIGINT)"))
+      .withColumn("offset_in_chunk", expr(s"CAST((__cum - n_tokens) % $budgetTokens AS BIGINT)"))
+      .drop("__cum")
+  }
 }

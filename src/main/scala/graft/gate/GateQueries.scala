@@ -267,6 +267,16 @@ object GateQueries {
       // the DuckDB oracle computes.
       graft.functions.Dedup.minHashDuplicates(t(s, d, "documents"), threshold = 0.8)
     }),
+    "t7_deterministic_sample" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(graft.functions.TextAnalysis.sampleByHash(col("doc_id"), 0.25))
+        .select(col("doc_id"))
+    }),
+    "t8_pack_sequences" -> ((s, d) => {
+      // token formula mirrors t1's space-count (exact in any SQL engine)
+      graft.functions.TextAnalysis.packSequences(t(s, d, "documents"), 2048,
+        length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+    }),
     "d5_dedup_clusters" -> ((s, d) => {
       // pairs → connected-component duplicate families with a min-id keeper
       // (keep emitted as INT: both engines render 0/1 identically)
@@ -680,6 +690,24 @@ object GateQueries {
         |SELECT doc_a, doc_b, i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8""".stripMargin,
+    "t7_deterministic_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'""".stripMargin,
+    "t8_pack_sequences" ->
+      """WITH tok AS (
+        |  SELECT source AS shard, doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tok
+        |)
+        |SELECT shard, doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS chunk_id,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS offset_in_chunk
+        |FROM c""".stripMargin,
     // duplicate families over the same exact ≥0.8 pair set as the d1
     // oracle, clustered by the a3 recursive min-label propagation pattern
     "d5_dedup_clusters" ->

@@ -39,6 +39,38 @@ class PipelineSpec extends AnyFunSuite {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("sampleByHash: deterministic, disjoint complement, ~fraction sized") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    def sample(f: Double) = ids.filter(
+      graft.functions.TextAnalysis.sampleByHash(col("id"), f))
+      .collect().map(_.getLong(0)).toSet
+    val s25a = sample(0.25); val s25b = sample(0.25)
+    assert(s25a === s25b) // reproducible across runs
+    assert(math.abs(s25a.size - 500) < 100) // ~25% of 2000
+    assert(sample(1.0).size === 2000)
+    assert(sample(0.0).isEmpty)
+    // monotone: a smaller fraction is a subset of a larger one
+    assert(sample(0.1).subsetOf(s25a))
+  }
+
+  test("packSequences: start-offset chunking per shard, integer exact") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", 1L, "w w w w"),      // 4 tokens, offsets 0..3  → chunk 0
+      ("a", 2L, "w w w"),        // 3 tokens, offsets 4..6  → chunk 0
+      ("a", 3L, "w w w w w"),    // 5 tokens, start 7       → chunk 0 (7 div 10)
+      ("a", 4L, "w w"),          // start 12                → chunk 1
+      ("b", 9L, "w")             // separate shard restarts → chunk 0
+    ).toDF("source", "doc_id", "text")
+    val packed = graft.functions.TextAnalysis.packSequences(docs, 10,
+      graft.functions.TextAnalysis.tokenCountWs(col("text")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    assert(packed === Set(
+      ("a", 1L, 0L, 0L), ("a", 2L, 0L, 4L), ("a", 3L, 0L, 7L),
+      ("a", 4L, 1L, 2L), ("b", 9L, 0L, 0L)))
+  }
+
   test("ngram jaccard: hand-computed value") {
     val d = docsDF(1L -> "a b c d", 2L -> "a b c e")
     val rows = Dedup.ngramJaccardPairs(d, 2, 0.0).collect()
