@@ -103,6 +103,25 @@ object TextAnalysis {
     sort_array(array_distinct(filter(hashes, h => pmod(h, lit(p)) === 0)))
   }
 
+  // ---- decontamination -----------------------------------------------------
+
+  /** Benchmark decontamination: flag documents containing any of the given
+    * probe strings (eval-set n-grams, canary strings). Returns one
+    * (doc_id-cols…, probe_id) row per hit.
+    *
+    * Scale shape: the probe set is small by nature (benchmarks), so it
+    * BROADCASTS and the scan stays narrow — each executor tests its own
+    * documents against the in-memory probe list, no shuffle of the corpus.
+    * For probe sets too big to broadcast, pre-filter with
+    * [[fingerprintShingles]] containment first. */
+  def findContamination(docs: DataFrame, probes: DataFrame,
+      textCol: String = "text", probeCol: String = "probe"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    docs.crossJoin(broadcast(probes))
+      .filter(contains(col(textCol), col(probeCol)))
+      .drop(textCol)
+  }
+
   // ---- deterministic sampling ----------------------------------------------
 
   /** Deterministic hash-based sample predicate: keep a row iff the first 8

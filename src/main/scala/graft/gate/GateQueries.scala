@@ -267,6 +267,18 @@ object GateQueries {
       // the DuckDB oracle computes.
       graft.functions.Dedup.minHashDuplicates(t(s, d, "documents"), threshold = 0.8)
     }),
+    "t9_decontamination" -> ((s, d) => {
+      // probes = distinctive mid-document 40-char slices of 5 docs (the
+      // "benchmark set"); hits include each probe's own source doc plus any
+      // document sharing the slice (near-dup clones)
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("probe_id"),
+          substring(col("text"), 20, 40).as("probe"))
+        .filter(length(col("probe")) === 40)
+      graft.functions.TextAnalysis.findContamination(docs, probes)
+        .select(col("doc_id"), col("probe_id"))
+    }),
     "t7_deterministic_sample" -> ((s, d) => {
       t(s, d, "documents")
         .filter(graft.functions.TextAnalysis.sampleByHash(col("doc_id"), 0.25))
@@ -690,6 +702,13 @@ object GateQueries {
         |SELECT doc_a, doc_b, i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8""".stripMargin,
+    "t9_decontamination" ->
+      """WITH probes AS (
+        |  SELECT doc_id AS probe_id, substr(text, 20, 40) AS probe
+        |  FROM documents WHERE doc_id < 5 AND length(substr(text, 20, 40)) = 40
+        |)
+        |SELECT d.doc_id, p.probe_id FROM documents d, probes p
+        |WHERE contains(d.text, p.probe)""".stripMargin,
     "t7_deterministic_sample" ->
       """SELECT doc_id FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'""".stripMargin,

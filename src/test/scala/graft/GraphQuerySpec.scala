@@ -311,6 +311,16 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(aAndB.last === Seq(2L))
   }
 
+  test("whereEdge applies per hop inside repetition (dst filter truncates the walk)") {
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
+    val chain = Loaders.fromList(spark,
+      (0 until 5).map(i => InputEdge(i, i + 1, Seq(1), addReverse = false)), ranges)
+    // block walking INTO node 3: several(1,5) from 0 must stop at frontier {2}
+    val t = Query.tableCollected(chain,
+      nodes32(0) --| edge(attr(1), whereEdge(v => v.dst =!= 3L), several(1, 5)) |-- anyNode)
+    assert(t.last === Seq(2L))
+  }
+
   test("planStart picks a non-leftmost start when data cardinality says so") {
     // equal 100-wide range spans — the old span-cost model saw both layers
     // as cost 100 and degenerated to leftmost; real counts are 20 vs 1

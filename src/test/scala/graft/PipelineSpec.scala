@@ -39,6 +39,22 @@ class PipelineSpec extends AnyFunSuite {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("findContamination: substring probes hit their sources and clones only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the secret benchmark answer is fourty two indeed"),
+      (2L, "an unrelated clean training document"),
+      (3L, "copy: the secret benchmark answer is fourty two!")).toDF("doc_id", "text")
+    val probes = Seq((100L, "benchmark answer is fourty two")).toDF("probe_id", "probe")
+    val hits = graft.functions.TextAnalysis.findContamination(docs, probes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((1L, 100L), (3L, 100L)))
+    // probe list is broadcast: no shuffle of the corpus side
+    val plan = graft.functions.TextAnalysis.findContamination(docs, probes)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"))
+  }
+
   test("sampleByHash: deterministic, disjoint complement, ~fraction sized") {
     import spark.implicits._
     val ids = (0L until 2000L).toDF("id")
