@@ -103,4 +103,44 @@ class PropertySpec extends AnyFunSuite {
         Query.tableCollected(g, pat, quick = false)
     })
   }
+
+  test("asofJoin ≡ brute-force as-of semantics on random inputs") {
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(1, 12); nr <- Gen.choose(0, 12)
+      l <- Gen.listOfN(nl, for { k <- Gen.choose(0, 3); t <- Gen.choose(0, 20) } yield (k, t))
+      r <- Gen.listOfN(nr, for { k <- Gen.choose(0, 3); t <- Gen.choose(0, 20); v <- Gen.choose(0, 99) } yield (k, t, v))
+    } yield (l, r.distinctBy(x => (x._1, x._2))) // unique (key,ts) → deterministic pick
+    check("asof", Prop.forAll(gen) { case (l, r) =>
+      val lids = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k.toLong, t.toLong) }
+      val left = lids.toDF("lid", "k", "t")
+      val right = r.map { case (k, t, v) => (k.toLong, t.toLong, v.toLong) }.toDF("k", "t", "v")
+      val got = graft.streaming.EventStreams.asofJoin(left, right, "k", "t", "t", Seq("t", "v"))
+        .collect().map(row => (row.getLong(0),
+          Option(row.get(3)).map(_.asInstanceOf[Long]),
+          Option(row.get(4)).map(_.asInstanceOf[Long]))).toSet
+      val want = lids.map { case (lid, k, t) =>
+        val cand = r.filter(x => x._1 == k && x._2 <= t)
+        if (cand.isEmpty) (lid, None, None)
+        else { val m = cand.maxBy(_._2); (lid, Some(m._2.toLong), Some(m._3.toLong)) }
+      }.toSet
+      got == want
+    }, n = 5)
+  }
+
+  test("saltedJoin ≡ plain equi-join incl. multiplicities, hot key spread") {
+    import spark.implicits._
+    // hot key 7 on the left; duplicate keys on both sides → multiplicity matters
+    val left = (Seq.fill(500)(7L) ++ Seq(1L, 1L, 2L, 3L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "lv")
+    // (1,10) twice → join multiplicity 2 for key-1 triples
+    val right = Seq((7L, 100L), (7L, 200L), (1L, 10L), (1L, 10L), (4L, 40L)).toDF("k", "rv")
+    def multiset(df: org.apache.spark.sql.DataFrame) = df.select("k", "lv", "rv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val plain = multiset(left.join(right, Seq("k")))
+    val salted = multiset(graft.functions.Skew.saltedJoin(left, right, "k", buckets = 8))
+    assert(salted === plain)
+    assert(plain.size === 1002) // 500×2 hot-key combos + 2×1 for key 1
+  }
 }
