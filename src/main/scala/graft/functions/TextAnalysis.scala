@@ -103,6 +103,19 @@ object TextAnalysis {
     sort_array(array_distinct(filter(hashes, h => pmod(h, lit(p)) === 0)))
   }
 
+  /** Engine-portable fingerprint: the same winnowing scheme as
+    * [[fingerprint]] but built ENTIRELY from md5 + string ops so any SQL
+    * engine reproduces it byte-for-byte — shingles are md5'd, the sample
+    * keeps hashes whose first hex nibble is '0' (1/16 mod-sampling on the
+    * hash value), and the fingerprint is the md5 of the sorted sample
+    * joined by ','. Returns a 32-char hex string. The xxhash64 form stays
+    * the default (cheaper per shingle). */
+  def fingerprintMd5(text: Column, k: Int = 8): Column = {
+    val hashes = transform(Dedup.charShingles(text, k), sh => md5(sh.cast("binary")))
+    val sampled = array_sort(array_distinct(filter(hashes, h => h.startsWith("0"))))
+    md5(concat_ws(",", sampled).cast("binary"))
+  }
+
   // ---- decontamination -----------------------------------------------------
 
   /** Benchmark decontamination: flag documents containing any of the given

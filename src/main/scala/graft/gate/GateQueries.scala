@@ -63,14 +63,14 @@ object GateQueries {
     * any recount reuse it). */
   private val pairsCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate(spark.sparkContext.hashCode() + "|" + dir, {
+    pairsCache.getOrElseUpdate(s"${spark.sparkContext.hashCode()}|$dir", {
       graft.functions.Dedup
         .minHashDuplicates(t(spark, dir, "documents"), threshold = 0.8).cache()
     })
 
   private val graphCache = scala.collection.concurrent.TrieMap[String, PropertyGraph]()
   def graph(spark: SparkSession, dir: String): PropertyGraph =
-    graphCache.getOrElseUpdate(spark.sparkContext.hashCode() + "|" + dir, {
+    graphCache.getOrElseUpdate(s"${spark.sparkContext.hashCode()}|$dir", {
       val g = buildGraph(spark, dir)
       g.copy(edges = g.edges.cache())
     })
@@ -262,8 +262,10 @@ object GateQueries {
         graft.functions.TextAnalysis.langId(col("text")).as("lang_pred"))
     }),
     "t6_fingerprints" -> ((s, d) => {
+      // md5-winnowing variant → the fingerprint VALUE is oracle-checked
+      // (the xxhash64 form stays the production default)
       t(s, d, "documents").select(col("doc_id"),
-        graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"),
+        graft.functions.TextAnalysis.fingerprintMd5(col("text")).as("fp"),
         graft.functions.TextAnalysis.tokenCountBpe(col("text")).as("n_bpe_tokens"))
     }),
     "d1_minhash_near_dups" -> ((s, d) => {
@@ -308,7 +310,10 @@ object GateQueries {
         .select(col("doc_id"), col("cluster_id"), col("keep").cast("int").as("keep"))
     }),
     "d2_simhash_signatures" -> ((s, d) => {
-      graft.functions.Dedup.simHash(t(s, d, "documents"))
+      // md5-nibble variant: bit-identical in any engine with md5 + string
+      // ops, so the signature itself is oracle-checked (the xxhash64 form
+      // stays the production default; both share the explode+sum shape)
+      graft.functions.Dedup.simHashMd5(t(s, d, "documents"))
     }),
     "d3_ngram_jaccard_pairs" -> ((s, d) => {
       // trigrams: Σdf² (the postings-join row count) is 26× smaller than
@@ -713,6 +718,40 @@ object GateQueries {
         |SELECT doc_a, doc_b, i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8""".stripMargin,
+    // md5-winnowing fingerprint: shingle→md5, keep first-nibble-'0' sample,
+    // fingerprint = md5 of sorted sample joined by ','
+    "t6_fingerprints" ->
+      """SELECT doc_id,
+        |  md5(COALESCE(array_to_string(list_sort(list_distinct(list_filter(
+        |    list_transform(
+        |      list_distinct(list_transform(
+        |        range(1, greatest(length(text)-7, 1)+1),
+        |        i -> substr(lower(text), i::INT, 8))),
+        |      sh -> md5(sh)),
+        |    h -> substr(h, 1, 1) = '0'))), ','), '')) AS fp,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    // md5-nibble SimHash: nibble value = strpos(hex alphabet, char) - 1;
+    // bit b = bit (b%4) of nibble (b/4); signature = Σ 2^b over positive
+    // bit-sums (disjoint powers ≡ the engine's OR fold)
+    "d2_simhash_signatures" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, md5(tok) AS hx FROM toks
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    ((strpos('0123456789abcdef', substr(hx, CAST(b // 4 + 1 AS INT), 1)) - 1)
+        |      // CAST(power(2, b % 4) AS INT)) % 2 AS bit
+        |  FROM h, (SELECT unnest(range(0, 60)) AS b) g
+        |), s AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS sb
+        |  FROM bits GROUP BY 1, 2
+        |)
+        |SELECT doc_id AS id,
+        |  CAST(SUM(CASE WHEN sb > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM s GROUP BY doc_id""".stripMargin,
     "t9_decontamination" ->
       """WITH probes AS (
         |  SELECT doc_id AS probe_id, substr(text, 20, 40) AS probe

@@ -39,6 +39,15 @@ class PipelineSpec extends AnyFunSuite {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("simHashMd5: positive 60-bit signatures, equal for identical docs, near for near-dups") {
+    val sigs = Dedup.simHashMd5(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.values.forall(_ >= 0L)) // 60 bits → no sign-bit surprises anywhere
+    assert(sigs(1L) === sigs(2L))       // identical docs, identical signature
+    val near = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val far = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
   test("findContamination: substring probes hit their sources and clones only") {
     import spark.implicits._
     val docs = Seq(
@@ -167,6 +176,13 @@ class PipelineSpec extends AnyFunSuite {
     val rows = d.collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(0) % 5 === r.getLong(1) % 5))
+    // adaptive bucket sizing (bits <= 0): buckets sized from a count() so
+    // per-bucket work stays constant as the corpus grows; small corpus →
+    // coarse buckets → full recall here, same pair set
+    val auto = Similarity.cosineDuplicates(clustered, threshold = 0.98, dim = dim,
+      bits = -1, tables = 8).collect()
+    assert(auto.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
   test("ivfAssign: one centroid per vector, same-cluster vectors co-assigned") {
