@@ -119,11 +119,12 @@ object Similarity {
     // Fixed bits do NOT survive corpus growth: per-bucket pair count grows
     // with (n/2^bits)², so 4× data at constant bits ≈ 16× candidate pairs
     // (measured 8.2× wall on the 4× corpus). bits <= 0 → size buckets to
-    // the data: one count() at index-build time, bits = log2(n/128),
-    // keeping expected bucket size — and therefore per-bucket work —
-    // constant as the corpus scales.
+    // the data: one count() at index-build time, bits = log2(n/32),
+    // keeping expected bucket size (≈32, the hand-tuned sweet spot at
+    // n=2000) — and therefore per-bucket work — constant as the corpus
+    // scales; the multi-table union covers the per-table recall loss.
     val nBits = if (bits > 0) bits
-      else math.max(2, math.ceil(math.log(math.max(vectors.count(), 256L) / 128.0)
+      else math.max(2, math.ceil(math.log(math.max(vectors.count(), 128L) / 32.0)
         / math.log(2.0)).toInt)
     val a = vectors.select(col(idCol).as("doc_a"), col(vecCol).as("av"),
       nnorm(col(vecCol)).as("an"))

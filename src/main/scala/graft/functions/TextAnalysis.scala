@@ -154,6 +154,39 @@ object TextAnalysis {
     }
   }
 
+  // ---- source interleaving -------------------------------------------------
+
+  /** Deterministic weighted interleaving of sources — the training-data
+    * "mixing ratios" step: a source with weight w contributes w documents
+    * per `scale` positions of the merged stream. Each document gets an
+    * integer `mix_key` = (rank-within-source − 1) · (scale / weight); the
+    * merged order is (mix_key, shard, id) and a prefix of it realizes the
+    * ratios (±1 per source). Emitting the KEY, not a global rank, is the
+    * scale shape: ranking within a source is a per-shard window, a global
+    * row_number would serialize the corpus through one task — downstream
+    * consumers sort/bucket by mix_key, which any engine reproduces
+    * (integer arithmetic only).
+    *
+    * `scale` must be a common multiple of the weights so w divides it
+    * exactly (checked). */
+  def interleaveSources(docs: DataFrame, weights: Map[String, Int],
+      scale: Int, shardCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
+    require(weights.values.forall(scale % _ == 0),
+      s"scale $scale must be a common multiple of the weights ${weights.values}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+    val weightCol = weights.foldLeft(lit(null).cast("int")) {
+      case (acc, (src, wt)) => when(col("shard") === src, lit(wt)).otherwise(acc)
+    }
+    docs.select(col(shardCol).as("shard"), col(idCol))
+      .withColumn("__w", weightCol)
+      .filter(col("__w").isNotNull) // unweighted sources are excluded
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("mix_key", (col("src_rank") - 1) * (lit(scale) / col("__w")).cast("long"))
+      .drop("__w")
+  }
+
   // ---- sequence packing ----------------------------------------------------
 
   /** Deterministic token-budget packing: within each shard, documents (in

@@ -281,6 +281,12 @@ object GateQueries {
       // the DuckDB oracle computes.
       minhashPairs(s, d)
     }),
+    "t10_interleave_sources" -> ((s, d) => {
+      // 4:2:1 mix of three sources; mix_key realizes the ratios in any
+      // prefix of the (mix_key, shard, doc_id) order
+      graft.functions.TextAnalysis.interleaveSources(t(s, d, "documents"),
+        Map("src0" -> 4, "src1" -> 2, "src2" -> 1), scale = 4)
+    }),
     "t9_decontamination" -> ((s, d) => {
       // probes = distinctive mid-document 40-char slices of 5 docs (the
       // "benchmark set"); hits include each probe's own source doc plus any
@@ -338,9 +344,11 @@ object GateQueries {
     }),
     "d4_embedding_near_dups" -> ((s, d) => {
       // synthetic embeddings top out at pairwise cosine ~0.5, so the
-      // "near-dup" bar is 0.35 here; recall needs coarse buckets (6 bits)
+      // "near-dup" bar is 0.35 here; bits = -1 → bucket width sized from
+      // the corpus (log2(n/128)) — the scale-correct default: fixed bits
+      // measured 8.2× wall at 4× data, adaptive keeps bucket work constant
       graft.functions.Similarity.cosineDuplicates(
-        t(s, d, "embeddings"), threshold = 0.35, dim = 64, bits = 6, tables = 8)
+        t(s, d, "embeddings"), threshold = 0.35, dim = 64, bits = -1, tables = 8)
     }),
     "e3_embedding_cluster_stats" -> ((s, d) => {
       // per-label centroid norms: exercises vector math with a DuckDB oracle
@@ -752,6 +760,16 @@ object GateQueries {
         |SELECT doc_id AS id,
         |  CAST(SUM(CASE WHEN sb > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM s GROUP BY doc_id""".stripMargin,
+    "t10_interleave_sources" ->
+      """WITH ranked AS (
+        |  SELECT source AS shard, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank,
+        |    CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2 WHEN 'src2' THEN 1 END AS w
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        |)
+        |SELECT shard, doc_id, src_rank,
+        |  CAST((src_rank - 1) * (4 // w) AS BIGINT) AS mix_key
+        |FROM ranked""".stripMargin,
     "t9_decontamination" ->
       """WITH probes AS (
         |  SELECT doc_id AS probe_id, substr(text, 20, 40) AS probe

@@ -79,6 +79,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(sample(0.1).subsetOf(s25a))
   }
 
+  test("interleaveSources: 2:1 weights realize the ratio in every prefix") {
+    import spark.implicits._
+    val docs = (Seq.tabulate(6)(i => ("a", i.toLong)) ++ Seq.tabulate(3)(i => ("b", 100L + i)))
+      .toDF("source", "doc_id")
+    val mixed = graft.functions.TextAnalysis
+      .interleaveSources(docs, Map("a" -> 2, "b" -> 1), scale = 2)
+      .orderBy("mix_key", "shard", "doc_id").collect()
+      .map(r => r.getString(0))
+    assert(mixed.length === 9)
+    assert(mixed.take(3).count(_ == "a") === 2) // 2:1 in every prefix
+    assert(mixed.take(6).count(_ == "a") === 4)
+    assert(mixed.take(9).count(_ == "a") === 6)
+  }
+
   test("packSequences: start-offset chunking per shard, integer exact") {
     import spark.implicits._
     val docs = Seq(
