@@ -311,6 +311,14 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(aAndB.last === Seq(2L))
   }
 
+  test("whereEdge on a DirL step sees the traversed mirror row's dst (documented view)") {
+    // leftEdge stores 1→0 (dir=true) + mirror 0→1 (dir=false); a DirL query
+    // traverses the mirror row, so the EdgeView dst is 1 — the node walked
+    // to, per the EdgeView scaladoc
+    assert(tbl(leftEdge, ns0 <--| edge(whereEdge(v => v.dst === 1L)) |-- ns1) === matchTable)
+    assert(tbl(leftEdge, ns0 <--| edge(whereEdge(v => v.dst =!= 1L)) |-- ns1) === emptyTable)
+  }
+
   test("whereEdge applies per hop inside repetition (dst filter truncates the walk)") {
     val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
     val chain = Loaders.fromList(spark,
