@@ -57,12 +57,12 @@ object MailGraph {
     * queries like [[cw]] are point/1-hop lookups — without the cache every
     * action re-parses the 367k-line text corpus, which dominates the query
     * (the ingest benchmark itself uses the uncached [[miw]]). */
-  private val cache = scala.collection.concurrent.TrieMap[String, PropertyGraph]()
+  private val cache = new graft.util.SessionCache[PropertyGraph]
   def miwCached(spark: SparkSession, path: String): PropertyGraph =
-    cache.getOrElseUpdate(s"${spark.sparkContext.hashCode()}|$path", {
+    cache(spark, path) {
       val g = miw(spark, path)
       g.copy(edges = g.edges.cache())
-    })
+    }
 
   /** CW: the reference's canonical 1-hop query from node 128 to anyNode. */
   def cw(g: PropertyGraph): DataFrame =

@@ -173,22 +173,39 @@ object Exec {
       // hop, and the full multi-join plan stays visible to Catalyst.
       Some((applyTarget(g, hop(g, paths0, fromCol, e, step, walkRight, keepEdgeCols = true), target, s"n$step"), 1))
     } else if (lo == hi && hi <= 8) {
-      // Exact-k repetition (several(k,k)): the dry-up-after-lo stop rule
-      // can't fire when lo == hi — the result IS the k-th frontier, failed
-      // iff empty. So the k hops compose LAZILY (dropDuplicates is a
-      // shuffle op, not an action) into ONE Spark job with a single final
-      // materialization, instead of a checkpoint + emptiness action per
-      // hop. Capped at 8 hops to keep the composed plan small; deeper
-      // exact-k loops use the checkpointing path below.
+      // Exact-k repetition (several(k,k)): the k hops compose LAZILY
+      // (dropDuplicates is a shuffle op, not an action) into ONE Spark job
+      // with a single materialization on the common path, instead of a
+      // checkpoint + emptiness action per hop. The reference stop rule
+      // still applies when the frontier dries EXACTLY at hop k (count ==
+      // lo ≥ lo → previous frontier, Cypher.hs:830-832), so an empty k-th
+      // frontier falls back to materializing the (k-1)-th: nonempty →
+      // that's the result; empty → the walk dried before lo → failed.
+      // Capped at 8 hops to keep the composed plan small; deeper exact-k
+      // loops use the checkpointing path below.
       val prefix = paths0.columns
-      var cur = paths0.select(prefix.map(col) :+ col(fromCol).as(s"n$step"): _*)
-      for (i <- 1 to hi) {
-        cur = hop(g, cur, s"n$step", e, step + 1000 + i, walkRight, keepEdgeCols = false)
+      def hopN(from: DataFrame, i: Int): DataFrame =
+        hop(g, from, s"n$step", e, step + 1000 + i, walkRight, keepEdgeCols = false)
           .drop(s"n$step").withColumnRenamed(s"n${step + 1000 + i}", s"n$step")
           .dropDuplicates(prefix :+ s"n$step")
+      val f0 = paths0.select(prefix.map(col) :+ col(fromCol).as(s"n$step"): _*)
+      val fPrev = (1 until hi).foldLeft(f0)(hopN) // frontier after k-1 hops
+      // dryness is judged on the RAW frontier (before the target spec
+      // restricts it), exactly like the general loop's `next.isEmpty`
+      val fK = hopN(fPrev, hi).localCheckpoint(true)
+      val resultFrontier =
+        if (!fK.isEmpty) Some(fK)
+        else if (hi == 1) None // dry at count 1 → failed (Cypher.hs:824-826)
+        else {
+          // dry at hop k (count == lo): previous frontier is the result
+          // unless it is itself empty (the walk dried before lo → failed)
+          val prev = fPrev.localCheckpoint(true)
+          if (prev.isEmpty) None else Some(prev)
+        }
+      resultFrontier.flatMap { f =>
+        val res = applyTarget(g, f, target, s"n$step").localCheckpoint(true)
+        if (res.isEmpty) None else Some((res, hi))
       }
-      val res = applyTarget(g, cur, target, s"n$step").localCheckpoint(true)
-      if (res.isEmpty) None else Some((res, hi))
     } else {
       // Repetition: replace the step column per hop; provenance = prefix cols.
       val prefix = paths0.columns

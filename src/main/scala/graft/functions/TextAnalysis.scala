@@ -132,7 +132,7 @@ object TextAnalysis {
     import org.apache.spark.sql.functions.broadcast
     docs.crossJoin(broadcast(probes))
       .filter(contains(col(textCol), col(probeCol)))
-      .drop(textCol)
+      .drop(textCol, probeCol) // hit rows must not re-materialize the probe strings
   }
 
   // ---- deterministic sampling ----------------------------------------------
@@ -149,7 +149,10 @@ object TextAnalysis {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
     if (fraction >= 1.0) lit(true)
     else {
-      val threshold = f"${math.round(fraction * 4294967296.0)}%08x"
+      // clamp: round(fraction·2³²) can reach 2³² for fractions just below
+      // 1.0, whose 9-char hex would break the 8-char string comparison
+      val bound = math.min(math.round(fraction * 4294967296.0), 0xFFFFFFFFL)
+      val threshold = f"$bound%08x"
       substring(md5(key.cast("string").cast("binary")), 1, 8) < lit(threshold)
     }
   }
@@ -201,6 +204,7 @@ object TextAnalysis {
     * engine replicates it bit-for-bit. */
   def packSequences(docs: DataFrame, budgetTokens: Long, tokens: Column,
       shardCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -61,19 +61,19 @@ object GateQueries {
     * step consumes the pair stage's output, it does not re-shingle the
     * corpus. Cached as a materialized DataFrame (d5's CC conversion and
     * any recount reuse it). */
-  private val pairsCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private val pairsCache = new graft.util.SessionCache[DataFrame]
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate(s"${spark.sparkContext.hashCode()}|$dir", {
+    pairsCache(spark, dir) {
       graft.functions.Dedup
         .minHashDuplicates(t(spark, dir, "documents"), threshold = 0.8).cache()
-    })
+    }
 
-  private val graphCache = scala.collection.concurrent.TrieMap[String, PropertyGraph]()
+  private val graphCache = new graft.util.SessionCache[PropertyGraph]
   def graph(spark: SparkSession, dir: String): PropertyGraph =
-    graphCache.getOrElseUpdate(s"${spark.sparkContext.hashCode()}|$dir", {
+    graphCache(spark, dir) {
       val g = buildGraph(spark, dir)
       g.copy(edges = g.edges.cache())
-    })
+    }
 
   def buildGraph(spark: SparkSession, dir: String): PropertyGraph = {
     val orders = t(spark, dir, "orders")

@@ -99,9 +99,20 @@ final case class PropertyGraph(
     * span length says nothing about data size; the reference's planner
     * had the same blind spot with its 0/#labels/100000 heuristic
     * (Cypher.hs:573-583). Driver-side result is tiny: one row per label. */
-  lazy val labelCounts: Map[Int, Long] =
-    nodes.groupBy(col("label")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  lazy val labelCounts: Map[Int, Long] = {
+    // memoized per (session, edge-plan): a stats pass costs one aggregation
+    // over the node set, and prop-only copies (insertNodeProps/
+    // insertEdgeProps/applyDiff round-trips that keep the same edge plan)
+    // must not re-pay it — the per-instance lazy val alone dies with each
+    // `copy()`. Edge-mutating copies get a new semantic hash and recount,
+    // which is correct: the graph changed.
+    val key = s"${edges.queryExecution.logical.semanticHash()}|" +
+      explicitNodes.map(_.queryExecution.logical.semanticHash()).getOrElse(0)
+    PropertyGraph.labelCountCache(spark, key) {
+      nodes.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+  }
 
   def isNull: Boolean = edges.isEmpty
 
@@ -113,6 +124,8 @@ final case class PropertyGraph(
 
 object PropertyGraph {
   import org.apache.spark.sql.Column
+
+  private[model] val labelCountCache = new graft.util.SessionCache[Map[Int, Long]]
 
   /** CASE WHEN chain for range→label (reference nodeLabel, FastAccess.hs:654-667). */
   def labelForId(id: Column, ranges: Seq[RangeDef]): Column =

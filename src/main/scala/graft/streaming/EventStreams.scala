@@ -175,16 +175,24 @@ object EventStreams {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, valueCols: Seq[String],
       prefix: String = "asof_"): DataFrame = {
-    val r = right.select(col(key) +: col(rightTs).as("__t") +:
-        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+    // all right values ride in ONE struct so the carried forward row is
+    // atomic — per-column last() windows would stitch fields from
+    // DIFFERENT right rows whenever a value column is null (the struct is
+    // non-null per right row even when its fields are null). Null keys are
+    // excluded from the right side: NULL = NULL joins nothing in the
+    // equi/ASOF semantics this implements.
+    val r = right.filter(col(key).isNotNull)
+      .select(col(key), col(rightTs).as("__t"),
+        struct(valueCols.map(col): _*).as("__rrow"))
       .withColumn("__is_l", lit(0))
     val l = left.withColumn("__t", col(leftTs)).withColumn("__is_l", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__is_l"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = valueCols.foldLeft(u)((df, c) =>
-      df.withColumn(prefix + c, last(col(s"__r_$c"), ignoreNulls = true).over(w)))
-    attached.filter(col("__is_l") === 1)
-      .drop(valueCols.map(c => s"__r_$c") :+ "__t" :+ "__is_l": _*)
+    val attached = u.withColumn("__asof", last(col("__rrow"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(attached)((df, c) =>
+        df.withColumn(prefix + c, col("__asof").getField(c)))
+      .filter(col("__is_l") === 1)
+      .drop("__rrow", "__asof", "__t", "__is_l")
   }
 }

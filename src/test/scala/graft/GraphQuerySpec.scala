@@ -258,6 +258,16 @@ class GraphQuerySpec extends AnyFunSuite {
     val t = Query.tableCollected(pkgGraph, nodes32(10) --| edge(attr(NextVer), several(2, 3)) |-- anyNode)
     assert(t === Vector(Seq(), Seq(), Seq()))
   }
+  test("F3 several(2,2) from 9: dries exactly at lo → previous frontier {10}") {
+    // the exact-k lazy path must preserve the stop rule: hop1={10}, hop2
+    // dry at count==lo → previous frontier, NOT a failed query
+    val t = Query.tableCollected(pkgGraph, nodes32(9) --| edge(attr(NextVer), several(2, 2)) |-- anyNode)
+    assert(t.last === Seq(10L))
+    // but a target spec that rejects the fallback frontier still fails
+    val t2 = Query.tableCollected(pkgGraph, nodes32(9) --| edge(attr(NextVer), several(2, 2)) |-- labels(PACKAGE))
+    assert(t2 === Vector(Seq(), Seq(), Seq()))
+  }
+
   test("F3 several(1,1) ≡ plain labeled step") {
     val a = Query.tableCollected(pkgGraph, nodes32(1) --| edge(attr(NextVer), several(1, 1)) |-- anyNode)
     val b = Query.tableCollected(pkgGraph, nodes32(1) --| edge(attr(NextVer)) |-- anyNode)

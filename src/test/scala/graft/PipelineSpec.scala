@@ -74,6 +74,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(s25a === s25b) // reproducible across runs
     assert(math.abs(s25a.size - 500) < 100) // ~25% of 2000
     assert(sample(1.0).size === 2000)
+    assert(sample(0.9999999999).size === 2000) // threshold clamps at 0xffffffff
     assert(sample(0.0).isEmpty)
     // monotone: a smaller fraction is a subset of a larger one
     assert(sample(0.1).subsetOf(s25a))

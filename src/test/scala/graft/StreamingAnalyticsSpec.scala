@@ -119,6 +119,25 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cartesianproduct"))
   }
 
+  test("asofJoin: null right values stay atomic; null keys never match") {
+    val left = Seq((1L, java.lang.Long.valueOf(7L), 3L), (2L, null.asInstanceOf[java.lang.Long], 5L))
+      .toDF("lid", "k", "t")
+    // k=7: (t=1, v=5) then (t=2, v=null) — the as-of row at t>=2 is the
+    // t=2 row WITH ITS null v, not a stitch of t=2 and the older v=5
+    val right = Seq(
+      (java.lang.Long.valueOf(7L), 1L, java.lang.Double.valueOf(5.0)),
+      (java.lang.Long.valueOf(7L), 2L, null.asInstanceOf[java.lang.Double]),
+      (null.asInstanceOf[java.lang.Long], 1L, java.lang.Double.valueOf(9.0)))
+      .toDF("k", "t", "v")
+    val out = EventStreams.asofJoin(left, right, "k", "t", "t", Seq("t", "v"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(out === Set(
+      (1L, Some(2L), None),  // atomic: t=2 row's v is null
+      (2L, None, None)))     // null key matches no right row (not even null-key rows)
+  }
+
   test("dedupStream drops within-watermark duplicate keys across micro-batches") {
     val h = 3600L * 1000000000L
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
