@@ -12,6 +12,14 @@ import org.apache.spark.sql.SparkSession
   * Failures are recorded, not swallowed: a failed query reports `null`
   * timing, is listed in `errors`, and is excluded from the total — a crash
   * must never read as a fast run.
+  *
+  * Deliberate exception to the warmup policy: the shared minhash pair set
+  * (GateQueries.minhashPairs) is NOT pre-built — building it IS d1's
+  * workload (shingle → signature → band → verify), so d1 owns that cost by
+  * design and d5 (clustering the pair set) reuses the cache for free,
+  * mirroring a real pipeline where clustering consumes the pair stage's
+  * output. The graph/mail warmup is different: those caches are INPUTS to
+  * many queries, owned by none.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,11 +36,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // dev-only subset runs (e.g. pipeline ops on a scaled corpus that has
-    // no TPC tables): SPARK_GRAFT_ONLY=d1_…,t8_… — absent in driver runs
+    // no TPC tables): SPARK_GRAFT_ONLY=d1_…,t8_… — absent in driver runs.
+    // SPARK_GRAFT_WARM=1 forces the shared-cache warmup even for a subset
+    // (attribution runs need warm caches to time the query, not the build);
+    // SPARK_GRAFT_REPEAT=n times the subset n times (extra passes to stderr)
+    // to separate first-touch cost from steady-state.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val warm = only.isEmpty || sys.env.get("SPARK_GRAFT_WARM").exists(_ == "1")
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
 
     val tBuild = System.nanoTime()
-    if (only.isEmpty) { // shared-cache warmup needs the TPC + mail inputs
+    if (warm) { // shared-cache warmup needs the TPC + mail inputs
       graft.gate.GateQueries.graph(spark, sfDir).edges.count()
       val mailPath = graft.bench.MailGraph.generate("/tmp/graft_mail_data.txt")
       graft.bench.MailGraph.miwCached(spark, mailPath).edges.count()
@@ -40,17 +54,23 @@ object Bench {
     val buildSec = (System.nanoTime() - tBuild) / 1e9
 
     val errors = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          errors += name; false
-        }
-      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+    def runPass(): Seq[(String, Option[Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            errors += name; false
+          }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      }
+    val results = runPass()
+    for (i <- 2 to repeat) {
+      val extra = runPass().map { case (k, v) => s"$k=${v.fold("err")(t => f"$t%.3f")}" }
+      System.err.println(s"[bench] pass $i: ${extra.mkString(" ")}")
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")

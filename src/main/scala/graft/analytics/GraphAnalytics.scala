@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.model.PropertyGraph
-import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph, VertexId}
+import org.apache.spark.graphx.{Edge => GxEdge, EdgeDirection, Graph => GxGraph, VertexId}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -71,7 +71,12 @@ object GraphAnalytics {
     import spark.implicits._
     val gx = toGraphX(g).mapVertices((v, _) =>
       if (v == source) 0.0 else Double.PositiveInfinity)
-    val res = gx.pregel(Double.PositiveInfinity)(
+    // activeDirection = Out: a vertex's dist only drops when it receives a
+    // message, and messages flow src→dst, so each superstep only needs to
+    // scan triplets whose SOURCE was just updated — on long chains this
+    // cuts per-superstep triplet evaluation from |E| to the frontier.
+    val res = gx.pregel(Double.PositiveInfinity,
+      activeDirection = EdgeDirection.Out)(
       (_, dist, msg) => math.min(dist, msg),
       t => if (t.srcAttr + 1 < t.dstAttr) Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
       (a, b) => math.min(a, b))
@@ -91,7 +96,10 @@ object GraphAnalytics {
     val srcSet = sources.toSet
     val gx = GxGraph.fromEdges(edges, defaultValue = 0)
       .mapVertices((v, _) => srcSet.contains(v))
-    val res = gx.pregel(false)(
+    // activeDirection = Out: `reached` flips only on message receipt and
+    // messages flow src→dst — only out-edges of newly-reached vertices can
+    // emit, so triplet scans shrink to the frontier per superstep.
+    val res = gx.pregel(false, activeDirection = EdgeDirection.Out)(
       (_, reached, msg) => reached || msg,
       t => if (t.srcAttr && !t.dstAttr) Iterator((t.dstId, true)) else Iterator.empty,
       (a, b) => a || b)

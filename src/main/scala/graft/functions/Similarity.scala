@@ -36,6 +36,19 @@ object Similarity {
   // native (whole-stage-codegen) variants, used once a session is in hand
   private def useNative(df: DataFrame): Unit =
     graft.functions.expressions.GraftFunctions.init(df.sparkSession)
+
+  /** Corpus row count for index sizing, memoized per (session, plan):
+    * prefers an exact Catalyst rowCount stat (free when the corpus is
+    * cached/CBO-analyzed), else one count() whose result is reused by
+    * every later call on the same plan. */
+  private val countCache = new graft.util.SessionCache[Long]
+  private def corpusCount(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(n) => n.toLong
+      case None =>
+        countCache(df.sparkSession,
+          s"n|${df.queryExecution.logical.semanticHash()}")(df.count())
+    }
   private def ndot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   private def nnorm(a: Column): Column = sqrt(ndot(a, a))
   private def ncos(a: Column, b: Column): Column = ndot(a, b) / (nnorm(a) * nnorm(b))
@@ -119,13 +132,18 @@ object Similarity {
     // Fixed bits do NOT survive corpus growth: per-bucket pair count grows
     // with (n/2^bits)², so 4× data at constant bits ≈ 16× candidate pairs
     // (measured 8.2× wall on the 4× corpus). bits <= 0 → size buckets to
-    // the data: one count() at index-build time, bits = log2(n/32),
-    // keeping expected bucket size (≈32, the hand-tuned sweet spot at
-    // n=2000) — and therefore per-bucket work — constant as the corpus
-    // scales; the multi-table union covers the per-table recall loss.
+    // the data: bits = log2(n/32), keeping expected bucket size (≈32, the
+    // hand-tuned sweet spot at n=2000) — and therefore per-bucket work —
+    // constant as the corpus scales; the multi-table union covers the
+    // per-table recall loss. n comes from a session-memoized count so a
+    // repeatedly-called API pays the sizing action once per corpus plan,
+    // not one driver-side job per call.
     val nBits = if (bits > 0) bits
-      else math.max(2, math.ceil(math.log(math.max(vectors.count(), 128L) / 32.0)
-        / math.log(2.0)).toInt)
+      else {
+        val n = corpusCount(vectors)
+        math.max(2, math.ceil(math.log(math.max(n, 128L) / 32.0)
+          / math.log(2.0)).toInt)
+      }
     val a = vectors.select(col(idCol).as("doc_a"), col(vecCol).as("av"),
       nnorm(col(vecCol)).as("an"))
     val b = vectors.select(col(idCol).as("doc_b"), col(vecCol).as("bv"),

@@ -24,6 +24,9 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // withColumn would silently replace a pre-existing __salt
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin: inputs must not already have a __salt column")
     // salt from spread bits of the row id: uniform enough to split a hot
     // key, and the JOIN RESULT is salt-independent either way
     val l = left.withColumn("__salt",

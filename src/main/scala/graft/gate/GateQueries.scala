@@ -64,6 +64,15 @@ object GateQueries {
   private val pairsCache = new graft.util.SessionCache[DataFrame]
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     pairsCache(spark, dir) {
+      // The d1/d5 ORACLE equality (LSH+exact-verify == exact jaccard>=0.8
+      // pair set) is an empirically-pinned property of the driver's
+      // synthetic documents corpus (verified 100% recall at sf0.001-0.1,
+      // deterministic seeds). On a different corpus the 2e-4 per-pair miss
+      // probability can surface as an oracle hash mismatch that is NOT an
+      // engine bug — log the assumption so such a mismatch is attributable.
+      if (!dir.matches(".*sf0\\.(001|01|1)/?$"))
+        System.err.println(s"[gate] d1/d5 oracle recall pinned on the sf* synthetic corpus; " +
+          s"running on '$dir' may false-mismatch (approximate-by-design)")
       graft.functions.Dedup
         .minHashDuplicates(t(spark, dir, "documents"), threshold = 0.8).cache()
     }

@@ -100,14 +100,23 @@ final case class PropertyGraph(
     * had the same blind spot with its 0/#labels/100000 heuristic
     * (Cypher.hs:573-583). Driver-side result is tiny: one row per label. */
   lazy val labelCounts: Map[Int, Long] = {
-    // memoized per (session, edge-plan): a stats pass costs one aggregation
-    // over the node set, and prop-only copies (insertNodeProps/
+    // memoized per (session, edge-plan, ranges): a stats pass costs one
+    // aggregation over the node set, and prop-only copies (insertNodeProps/
     // insertEdgeProps/applyDiff round-trips that keep the same edge plan)
     // must not re-pay it — the per-instance lazy val alone dies with each
     // `copy()`. Edge-mutating copies get a new semantic hash and recount,
-    // which is correct: the graph changed.
+    // which is correct: the graph changed. Ranges are part of the key
+    // because labels derive from them: two graphs sharing one edge plan
+    // with different range tables have different per-label counts.
+    // NOTE: this is a planning-time Spark action (distinct over endpoints +
+    // groupBy) — the first planned query on a large uncached graph pays it
+    // up front. Entries are tiny (one Long per label) but live for the
+    // session; path-backed plans whose underlying files are overwritten
+    // in-session would serve stale counts (cost-only: the planner picks a
+    // worse start, results are unaffected).
     val key = s"${edges.queryExecution.logical.semanticHash()}|" +
-      explicitNodes.map(_.queryExecution.logical.semanticHash()).getOrElse(0)
+      explicitNodes.map(_.queryExecution.logical.semanticHash()).getOrElse(0) +
+      s"|${ranges.hashCode}"
     PropertyGraph.labelCountCache(spark, key) {
       nodes.groupBy(col("label")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

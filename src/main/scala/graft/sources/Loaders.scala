@@ -178,14 +178,26 @@ object Loaders {
     * joins co-located — zero Exchange on the edge side (pinned by
     * PlanSpec). At 100 TB this is the difference between re-shuffling the
     * whole edge relation per query and reading pre-partitioned buckets.
-    * Written as an EXTERNAL table (explicit path) in the session catalog;
-    * bucket count should follow data volume (`sizedPartitions`-style). */
-  def saveBucketed(g: PropertyGraph, table: String, path: String, buckets: Int = 64): Unit = {
+    * Written as an EXTERNAL table (explicit path) in the session catalog.
+    *
+    * `buckets <= 0` (the default) sizes the bucket count from Catalyst plan
+    * statistics (~128 MB of scan bytes per bucket, clamped to [4, 10000]) —
+    * a fixed count is either thousands of tiny files at sf0.001 or
+    * multi-GB buckets at 100 TB; the byte target keeps one bucket ≈ one
+    * healthy task either way.
+    */
+  def saveBucketed(g: PropertyGraph, table: String, path: String, buckets: Int = 0): Unit = {
     val spark = g.spark
+    val n =
+      if (buckets > 0) buckets
+      else {
+        val bytes = g.edges.queryExecution.optimizedPlan.stats.sizeInBytes
+        ((bytes + (128L << 20) - 1) / (128L << 20)).min(10000).max(4).toInt
+      }
     spark.sql(s"DROP TABLE IF EXISTS $table")
     g.edges.write.mode("overwrite")
       .option("path", path)
-      .bucketBy(buckets, "src").sortBy("src")
+      .bucketBy(n, "src").sortBy("src")
       .saveAsTable(table)
   }
 

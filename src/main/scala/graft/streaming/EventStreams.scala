@@ -181,6 +181,13 @@ object EventStreams {
     // non-null per right row even when its fields are null). Null keys are
     // excluded from the right side: NULL = NULL joins nothing in the
     // equi/ASOF semantics this implements.
+    // withColumn silently REPLACES an existing column: an input already
+    // carrying an internal or output name would corrupt results, so fail
+    // loudly instead.
+    val reserved = Seq("__t", "__is_l", "__rrow", "__asof") ++ valueCols.map(prefix + _)
+    val clash = reserved.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"asofJoin: left input already has reserved/output column(s) ${clash.mkString(", ")}")
     val r = right.filter(col(key).isNotNull)
       .select(col(key), col(rightTs).as("__t"),
         struct(valueCols.map(col): _*).as("__rrow"))
