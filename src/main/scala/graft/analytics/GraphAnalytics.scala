@@ -65,6 +65,20 @@ object GraphAnalytics {
       .map { case (v, r) => (v, r) }.toDF("id", "rank")
   }
 
+  /** Fixed-iteration (power-iteration) PageRank → (id, rank). Unlike the
+    * tolerance form this is DETERMINISTIC in iteration count, so its output
+    * is oracle-expressible as an unrolled power iteration in plain SQL:
+    * rank₀ = 1; rankᵢ = reset + (1-reset)·Σ_in rankᵢ₋₁/outdeg; final ranks
+    * scaled to sum to |V| (GraphX normalizeRankSum). Sinks keep their mass
+    * un-redistributed per iteration — the trailing normalization is what
+    * GraphX does about them. */
+  def pageRankStatic(g: PropertyGraph, numIter: Int, resetProb: Double = 0.15): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    toGraphX(g).staticPageRank(numIter, resetProb).vertices
+      .map { case (v, r) => (v, r) }.toDF("id", "rank")
+  }
+
   /** Unweighted single-source shortest hop counts via Pregel → (id, dist). */
   def shortestPaths(g: PropertyGraph, source: Long): DataFrame = {
     val spark = g.spark

@@ -67,4 +67,55 @@ object MailGraph {
   /** CW: the reference's canonical 1-hop query from node 128 to anyNode. */
   def cw(g: PropertyGraph): DataFrame =
     Query.paths(g, nodes32(128) --| edge(attr(MAILED)) |-- anyNode)
+
+  // ---- the reference's commented-out workloads (Bench.hs:31-37,
+  // socialsensor/graphdb-benchmarks naming) — completed here ---------------
+
+  /** SIW (single-insert workload): the same edge list arrives as `chunks`
+    * successive append batches through the point-mutation API
+    * (GraphOps.insertEdges, the reference's per-line insertNodeEdge path)
+    * instead of one bulk scan — measures incremental-append overhead vs
+    * MIW, and gates on incremental ≡ bulk. Chunk assignment hashes
+    * (src,dst) so it is deterministic under lazy re-evaluation (a
+    * row-number split would let rows migrate chunks between actions). */
+  def siw(spark: SparkSession, path: String, chunks: Int = 16): PropertyGraph = {
+    import org.apache.spark.sql.functions._
+    val parsed = spark.read.text(path)
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .filter(size(col("f")) >= 2)
+      .select(col("f").getItem(0).cast("long").as("src"),
+        col("f").getItem(1).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .withColumn("__chunk", pmod(xxhash64(col("src"), col("dst")), lit(chunks.toLong)))
+    (0 until chunks).foldLeft(PropertyGraph.empty(spark, ranges)) { (g, i) =>
+      graft.operators.GraphOps.insertEdges(g,
+        Loaders.fromEdgeDF(parsed.filter(col("__chunk") === i).select("src", "dst"),
+          MAILED, mirror = false, ranges).edges)
+    }
+  }
+
+  /** QW-FN (find neighbours of all nodes): full-graph 1-hop expansion
+    * through the query surface, reported per node. The pattern start is
+    * predicate-only, so the whole workload is ONE pushed-down edge scan +
+    * partial aggregation — no frontier materialization. */
+  def qwfn(g: PropertyGraph): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Query.paths(g, anyNode --| edge(attr(MAILED)) |--> anyNode)
+      .groupBy(col("n0")).agg(count(lit(1)).as("n_neighbours"))
+  }
+
+  /** QW-FA (find adjacent nodes of all edges): resolve both endpoint node
+    * objects (label via the broadcast-free range CASE chain) for every
+    * distinct edge. */
+  def qwfa(g: PropertyGraph): DataFrame = {
+    import org.apache.spark.sql.functions._
+    g.edges.filter(col("dir")).select(col("src"), col("dst"),
+      g.labelOf(col("src")).as("src_label"), g.labelOf(col("dst")).as("dst_label"))
+      .distinct()
+  }
+
+  /** QW-FS (find shortest paths): unweighted hop distances from the CW
+    * anchor node 128 to every reachable node (Pregel). */
+  def qwfs(g: PropertyGraph): DataFrame =
+    graft.analytics.GraphAnalytics.shortestPaths(g, 128L)
 }

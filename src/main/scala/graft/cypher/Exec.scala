@@ -334,55 +334,84 @@ object Exec {
     * unknown-but-usually-small. */
   def planStart(g: PropertyGraph, pat: Pat): Int = {
     val nodeIdx = pat.comps.zipWithIndex.collect { case (CompN(n), i) => (n, i) }
-    def cost(n: NodeSpec): Long = n.sel match {
-      case IdSel(ids) => ids.size.toLong
-      case DfSel(_) => 1000L
-      case LabelSel(ls) => ls.distinct.map(l => g.labelCounts.getOrElse(l, 0L)).sum
-      case AllNodes => g.labelCounts.values.sum max 1L
-    }
-    val (_, startIdx) = nodeIdx.minBy { case (n, i) => (cost(n), i) }
+    val (_, startIdx) = nodeIdx.minBy { case (n, i) => (specCost(g, n), i) }
     startIdx / 2
   }
 
+  private def specCost(g: PropertyGraph, n: NodeSpec): Long = n.sel match {
+    case IdSel(ids) => ids.size.toLong
+    case DfSel(_) => 1000L
+    case LabelSel(ls) => ls.distinct.map(l => g.labelCounts.getOrElse(l, 0L)).sum
+    case AllNodes => g.labelCounts.values.sum max 1L
+  }
+
+  /** The planned strategy's expansion order (exposed for tests): node-layer
+    * indices in the order their column joins the walk. Starts at
+    * [[planStart]]; after EVERY expansion the two frontier-adjacent layers
+    * are re-costed from real label stats and the cheaper side expands next
+    * (the reference re-costs per step and picks sides via `useLeft`,
+    * Cypher.hs:711-785, :777-782) — so a chain with two cheap ends
+    * approaches its expensive middle from both sides, instead of sweeping
+    * right-to-end then left. Ties expand right. */
+  def planExpansionOrder(g: PropertyGraph, pat: Pat): Vector[Int] = {
+    val nodeSpecs = pat.comps.collect { case CompN(n) => n }
+    val last = nodeSpecs.size - 1
+    val start = planStart(g, pat)
+    var lo = start; var hi = start
+    var order = Vector(start)
+    while (lo > 0 || hi < last) {
+      val goRight =
+        if (lo == 0) true
+        else if (hi == last) false
+        else specCost(g, nodeSpecs(hi + 1)) <= specCost(g, nodeSpecs(lo - 1))
+      if (goRight) { hi += 1; order = order :+ hi }
+      else { lo -= 1; order = order :+ lo }
+    }
+    order
+  }
+
   /** Planned strategy (reference runOnE, Cypher.hs:711-785): start at the
-    * cheapest node column by REAL cardinality (see [[planStart]]), walk
-    * right to the end, then left to the beginning. Target-spec intersection
-    * makes the result order-independent, so the planner only affects cost.
+    * cheapest node column by REAL cardinality and grow the covered interval
+    * one layer at a time, re-costing both frontier-adjacent layers after
+    * every expansion and taking the cheaper side
+    * (see [[planExpansionOrder]]). Target-spec intersection makes the
+    * result order-independent, so the planner only affects cost.
     */
   def runOnE(g: PropertyGraph, pat: Pat): QueryResult = {
     val comps = pat.comps
     val nodeIdx = comps.zipWithIndex.collect { case (CompN(n), i) => (n, i) }
-    val startLayer = planStart(g, pat)
-    val startIdx = startLayer * 2
+    val order = planExpansionOrder(g, pat)
+    val startLayer = order.head
     if (startLayer == 0) return evalLtoR(g, pat)
 
-    val startSpec = nodeIdx.find(_._2 == startIdx).get._1
+    val startSpec = nodeIdx.find(_._2 == startLayer * 2).get._1
     var paths = frontierOf(g, startSpec).select(col("id").as(s"n$startLayer")).localCheckpoint(true)
     if (paths.isEmpty) return emptyResult(g, comps)
     val stepPairs = pairsOf(comps).toVector
 
-    // walk right from the center
-    var step = startLayer
-    for ((e, n) <- stepPairs.drop(startLayer)) {
-      step += 1
-      walkStep(g, paths, s"n${step - 1}", e, n, step, walkRight = true) match {
-        case None => return emptyResult(g, comps)
-        case Some((p, _)) => paths = p
+    var hi = startLayer
+    for (layer <- order.tail) {
+      if (layer > hi) {
+        // rightward: edge (layer-1 → layer), target = node spec at `layer`
+        val (e, n) = stepPairs(layer - 1)
+        walkStep(g, paths, s"n${layer - 1}", e, n, layer, walkRight = true) match {
+          case None => return emptyResult(g, comps)
+          case Some((p, _)) => paths = p
+        }
+        hi = layer
+      } else {
+        // leftward: edge (layer → layer+1) walked from its dst side,
+        // target = node spec at `layer` (see [[hop]] on oriented rows)
+        val (e, _) = stepPairs(layer)
+        val targetSpec = comps(2 * layer) match { case CompN(n) => n; case _ => NodeSpec(AllNodes) }
+        val tmp = s"n${layer + 2000}"
+        walkStep(g, paths, s"n${layer + 1}", e, targetSpec, layer + 2000, walkRight = false) match {
+          case None => return emptyResult(g, comps)
+          case Some((p, _)) =>
+            paths = p.withColumnRenamed(tmp, s"n$layer")
+              .withColumnRenamed(s"e${layer + 2000}_label", s"e${layer + 1}_label")
+        }
       }
-    }
-    // walk left from the center: step i walks edge i over (target = node i-1)
-    var li = startLayer
-    while (li > 0) {
-      val (e, _) = stepPairs(li - 1)
-      val targetSpec = comps(2 * (li - 1)) match { case CompN(n) => n; case _ => NodeSpec(AllNodes) }
-      val tmp = s"n${li - 1 + 2000}"
-      walkStep(g, paths, s"n$li", e.copy(several = e.several), targetSpec, li - 1 + 2000, walkRight = false) match {
-        case None => return emptyResult(g, comps)
-        case Some((p, _)) =>
-          paths = p.withColumnRenamed(tmp, s"n${li - 1}")
-            .withColumnRenamed(s"e${li - 1 + 2000}_label", s"e${li}_label")
-      }
-      li -= 1
     }
     if (paths.isEmpty) return emptyResult(g, comps)
     val layers = (0 to stepPairs.size).flatMap { i =>

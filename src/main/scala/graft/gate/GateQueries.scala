@@ -441,6 +441,17 @@ object GateQueries {
     "a4_degree_histogram" -> ((s, d) => {
       graft.analytics.GraphAnalytics.degreeHistogram(graph(s, d))
     }),
+    "a5_pagerank" -> ((s, d) => {
+      // fixed-iteration PageRank on the customer→order Placed + NextOrder
+      // subgraph (the a3 subgraph: discriminating structure, not one giant
+      // hub). 5 iterations: deterministic, so the DuckDB oracle unrolls the
+      // same power iteration; ranks rounded to 6 dp on BOTH sides because
+      // double summation order differs between engines (~1e-15 relative).
+      val g = graph(s, d)
+      val sub = g.copy(edges = g.edges.filter(col("label").isin(Placed, NextOrder)))
+      graft.analytics.GraphAnalytics.pageRankStatic(sub, numIter = 5)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
 
     // ---- multimodal plumbing (stubbed codec, real batch pipeline) ---------
     "m1_media_features" -> ((s, d) => {
@@ -461,10 +472,63 @@ object GateQueries {
       // read-side query → cached graph (ingest cost is miw's to measure)
       val path = graft.bench.MailGraph.generate("/tmp/graft_mail_data.txt")
       graft.bench.MailGraph.cw(graft.bench.MailGraph.miwCached(s, path))
+    }),
+    "siw_incremental_ingest" -> ((s, d) => {
+      // single-insert workload: 16 successive append batches through the
+      // mutation API; the gate checks incremental ≡ bulk (same row set as
+      // miw, duplicates preserved)
+      val path = graft.bench.MailGraph.generate("/tmp/graft_mail_data.txt")
+      graft.bench.MailGraph.siw(s, path).edges.select(col("src"), col("dst"))
+    }),
+    "qwfn_find_neighbours" -> ((s, d) => {
+      val path = graft.bench.MailGraph.generate("/tmp/graft_mail_data.txt")
+      graft.bench.MailGraph.qwfn(graft.bench.MailGraph.miwCached(s, path))
+    }),
+    "qwfa_find_adjacent" -> ((s, d) => {
+      val path = graft.bench.MailGraph.generate("/tmp/graft_mail_data.txt")
+      graft.bench.MailGraph.qwfa(graft.bench.MailGraph.miwCached(s, path))
+    }),
+    "qwfs_find_shortest" -> ((s, d) => {
+      val path = graft.bench.MailGraph.generate("/tmp/graft_mail_data.txt")
+      graft.bench.MailGraph.qwfs(graft.bench.MailGraph.miwCached(s, path))
     })
   )
 
+  /** a5 oracle: GraphX staticPageRank unrolled as chained CTEs — rank₀=1,
+    * rankᵢ = 0.15 + 0.85·Σ_in rankᵢ₋₁/outdeg (sinks receive only the reset
+    * term; senders use the ORIGINAL out-degree), then the trailing
+    * normalizeRankSum scale to Σrank = |V|. Fixed iteration count makes
+    * this exactly expressible; recursion is unrolled because the working
+    * table of a recursive CTE cannot be referenced twice (verts ⟕ msgs). */
+  private def pageRankOracleSql(numIter: Int): String = {
+    val iters = (1 to numIter).map { i =>
+      s"""pr$i AS (
+         |  SELECT v.id, 0.15 + 0.85 * COALESCE(m.s, 0.0) AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.rank / od.d) AS s
+         |    FROM pr${i - 1} p JOIN edges e ON e.src = p.id
+         |    JOIN outdeg od ON od.src = p.id
+         |    GROUP BY 1) m ON m.id = v.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |edges AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS src, CAST(o_orderkey + 10000000 AS BIGINT) AS dst FROM orders
+       |  UNION ALL
+       |  SELECT CAST(o_orderkey + 10000000 AS BIGINT), CAST(nxt + 10000000 AS BIGINT) FROM (
+       |    SELECT o_orderkey, LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+       |    FROM orders) t WHERE nxt IS NOT NULL
+       |),
+       |verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges) u),
+       |outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+       |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts),
+       |$iters
+       |SELECT id, ROUND(rank * (SELECT COUNT(*) FROM verts) / (SELECT SUM(rank) FROM pr$numIter), 6) AS rank
+       |FROM pr$numIter""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "a5_pagerank" -> pageRankOracleSql(5),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order,
         |SUM(l_quantity) AS sum_qty,
@@ -683,6 +747,36 @@ object GateQueries {
         |FROM read_csv('/tmp/graft_mail_data.txt', header=false, delim=' ',
         |  columns={'src':'BIGINT','dst':'BIGINT'})
         |WHERE src = 128""".stripMargin,
+    // incremental appends must reproduce the bulk-ingest row set exactly
+    // (duplicates preserved) — same oracle as miw by design
+    "siw_incremental_ingest" ->
+      """SELECT src, dst FROM read_csv('/tmp/graft_mail_data.txt', header=false, delim=' ',
+        |  columns={'src':'BIGINT','dst':'BIGINT'})""".stripMargin,
+    "qwfn_find_neighbours" ->
+      """SELECT src AS n0, COUNT(*) AS n_neighbours
+        |FROM read_csv('/tmp/graft_mail_data.txt', header=false, delim=' ',
+        |  columns={'src':'BIGINT','dst':'BIGINT'})
+        |GROUP BY 1""".stripMargin,
+    "qwfa_find_adjacent" ->
+      """SELECT DISTINCT src, dst, CAST(0 AS INT) AS src_label, CAST(0 AS INT) AS dst_label
+        |FROM read_csv('/tmp/graft_mail_data.txt', header=false, delim=' ',
+        |  columns={'src':'BIGINT','dst':'BIGINT'})""".stripMargin,
+    // BFS hop distances from node 128. The recursive term joins the LAST
+    // frontier only; UNION dedups (id, dist) rows so cycles terminate at
+    // the dist cap. Cap 8 ≫ the mail graph's eccentricity from 128 (the
+    // graph is a dense xorshift-random digraph, avg out-degree ~37 →
+    // everything is within ~4 hops), so MIN(dist) below the cap is the
+    // true distance.
+    "qwfs_find_shortest" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT CAST(128 AS BIGINT) AS id, 0 AS dist
+        |  UNION
+        |  SELECT e.dst, r.dist + 1
+        |  FROM r JOIN read_csv('/tmp/graft_mail_data.txt', header=false, delim=' ',
+        |    columns={'src':'BIGINT','dst':'BIGINT'}) e ON e.src = r.id
+        |  WHERE r.dist < 8
+        |)
+        |SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM r GROUP BY 1""".stripMargin,
     "t4_quality_scores" ->
       """WITH f AS (
         |  SELECT doc_id,

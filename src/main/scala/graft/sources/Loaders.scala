@@ -173,6 +173,87 @@ object Loaders {
   def loadEdgeLog(spark: SparkSession, sinkDir: String, ranges: Seq[RangeDef]): PropertyGraph =
     PropertyGraph(spark.read.parquet(sinkDir).drop("__batch"), ranges)
 
+  /** STREAMING CSV ingest with STRING keys — the stateful equivalent of the
+    * reference's `AddCSVLine` name→id map (FastAccess.hs:230-235), whose
+    * driver-side `Map String Word32` is threaded across the WHOLE stream.
+    * Spark-first shape: the dictionary is a persisted parquet table that
+    * grows append-only across micro-batches inside `foreachBatch`:
+    *
+    *  1. detect the batch's new names (anti-join against the dictionary —
+    *     broadcast while the dict is small, shuffle join at scale);
+    *  2. assign them a dense monotonic id block starting at max(id)+1,
+    *     ordered by name within the batch (deterministic, so a replayed
+    *     batch re-derives identical ids);
+    *  3. append ONLY the new entries (never rewrite the dict — rewriting
+    *     would race the read in the same job), then resolve the batch's
+    *     edges through the updated dict into the `__batch`-partitioned
+    *     edge log (same exactly-once overwrite as [[streamCSVEdges]]).
+    *
+    * Crash safety: dict-append lands before the edge write; a batch
+    * replayed after any crash finds its names already assigned (anti-join
+    * → empty) and rewrites its edge partition with identical ids. Ids are
+    * dense 0..n-1 as the range→label contract requires (SURVEY §1.3).
+    */
+  def streamCSVEdgesNamed(
+      spark: SparkSession,
+      inDir: String,
+      sinkDir: String,
+      checkpointDir: String,
+      dictDir: String,
+      srcCol: String,
+      dstCol: String,
+      label: Int,
+      mirror: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = StructType(Seq(
+      StructField(srcCol, StringType), StructField(dstCol, StringType)))
+    val raw = spark.readStream.schema(schema)
+      .option("mode", "DROPMALFORMED").csv(inDir)
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        import spark.implicits._
+        val pairs = batch.toDF()
+          .select(col(srcCol).as("sname"), col(dstCol).as("dname"))
+          .localCheckpoint(true) // batch sources don't survive multiple jobs
+        val dictExists = new java.io.File(dictDir).exists
+        val dict0 =
+          if (dictExists) spark.read.parquet(dictDir)
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("name", StringType), StructField("id", LongType))))
+        val names = pairs.select(col("sname").as("name"))
+          .union(pairs.select(col("dname"))).distinct()
+        // materialize before the dict append mutates what dict0 reads
+        val newNames = names.join(dict0, Seq("name"), "left_anti").localCheckpoint(true)
+        if (!newNames.isEmpty) {
+          val base = if (dictExists)
+            spark.read.parquet(dictDir).agg(max(col("id"))).head().getLong(0) + 1L
+          else 0L
+          spark.createDataFrame(
+            newNames.orderBy("name").as[String].rdd.zipWithIndex()
+              .map { case (n, i) => (n, base + i) }
+          ).toDF("name", "id").write.mode("append").parquet(dictDir)
+        }
+        val dict = spark.read.parquet(dictDir)
+        val withIds = pairs
+          .join(dict.withColumnRenamed("name", "sname").withColumnRenamed("id", "src"), "sname")
+          .join(dict.withColumnRenamed("name", "dname").withColumnRenamed("id", "dst"), "dname")
+          .select("src", "dst")
+        fromEdgeDF(withIds, label, mirror, Nil).edges
+          .withColumn("__batch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch")
+          .parquet(sinkDir)
+      }
+      .start()
+  }
+
+  /** Open the edge log + dictionary written by [[streamCSVEdgesNamed]]. */
+  def loadNamedEdgeLog(spark: SparkSession, sinkDir: String, dictDir: String,
+      ranges: Seq[RangeDef]): (PropertyGraph, DataFrame) =
+    (loadEdgeLog(spark, sinkDir, ranges), spark.read.parquet(dictDir))
+
   /** Bucketed persistence: edges hash-bucketed AND sorted by src. Every
     * adjacency/frontier/self join keys on src, so a bucketed edge table
     * joins co-located — zero Exchange on the edge side (pinned by

@@ -355,6 +355,30 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(p === q && q.size === 20)
   }
 
+  test("planned expansion re-costs per step: expensive middle approached from both cheap ends") {
+    // 4 labels, node counts by DATA (not spans): A=10, B=8, C=2, D=50.
+    // Chain pattern A→B→C→D starts at C (min). A right-then-left sweep
+    // would walk D (50) before B (8); per-step re-costing goes LEFT first
+    // (B=8 < D=50), then left again (A=10 < D=50), then right.
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)), RangeDef(100, 100, 1, Seq(1)),
+      RangeDef(200, 100, 2, Seq(1)), RangeDef(300, 100, 3, Seq(1)))
+    val edges =
+      (0 until 10).map(i => InputEdge(i, 100 + i % 8, Seq(1), addReverse = false)) ++
+      (0 until 8).map(i => InputEdge(100 + i, 200 + i % 2, Seq(1), addReverse = false)) ++
+      (0 until 50).map(i => InputEdge(200 + i % 2, 300 + i, Seq(1), addReverse = false))
+    val g = Loaders.fromList(spark, edges, ranges)
+    val pat = labels(0) --| edge(attr(1)) |--> labels(1) --| edge(attr(1)) |--> labels(2) --|
+      edge(attr(1)) |--> labels(3)
+    assert(Exec.planStart(g, pat) === 2)
+    assert(Exec.planExpansionOrder(g, pat) === Vector(2, 1, 0, 3))
+    // and the interleaved walk still produces exactly the quick result
+    val q = Query.paths(g, pat, quick = true).select("n0", "n1", "n2", "n3")
+      .collect().map(_.toSeq).toSet
+    val p = Query.paths(g, pat, quick = false).select("n0", "n1", "n2", "n3")
+      .collect().map(_.toSeq).toSet
+    assert(p === q && q.nonEmpty)
+  }
+
   test("fromTemp: composing query 2 from query 1's temp output matches one-shot") {
     val q1 = Query.temp(issueGraph, nodes32(0) --| edge(attr(Raises)) |-- labels(ISSUE))
     val start = Query.fromTemp(q1.last)

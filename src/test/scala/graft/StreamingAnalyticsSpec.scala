@@ -244,6 +244,86 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(ccIso.contains(42L) && ccIso(42L) === 42L)
   }
 
+  test("streamCSVEdgesNamed: cross-batch name→id dictionary assigns stable dense ids") {
+    val root = java.nio.file.Files.createTempDirectory("graft_named").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val ranges = Seq(RangeDef(0, 1000, 0, Seq(1)))
+    val q = Loaders.streamCSVEdgesNamed(spark, inDir, s"$root/sink", s"$root/ckpt",
+      s"$root/dict", "a", "b", label = 1, mirror = false)
+    try {
+      // batch 1: alice→bob, bob→carol
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$inDir/b1.csv"),
+        "alice,bob\nbob,carol\n")
+      q.processAllAvailable()
+      val dict1 = spark.read.parquet(s"$root/dict").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // dense ids 0..2, name-ordered within the first block
+      assert(dict1 === Map("alice" -> 0L, "bob" -> 1L, "carol" -> 2L))
+      // batch 2: overlapping names (bob, carol) + new ones (dave, eve)
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$inDir/b2.csv"),
+        "carol,dave\nbob,eve\ndave,alice\n")
+      q.processAllAvailable()
+      val dict2 = spark.read.parquet(s"$root/dict").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // old names keep their ids; new names extend the dense block
+      assert(dict2 === dict1 ++ Map("dave" -> 3L, "eve" -> 4L))
+      val (g, dict) = Loaders.loadNamedEdgeLog(spark, s"$root/sink", s"$root/dict", ranges)
+      assert(dict.count() === 5)
+      val got = g.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((0L, 1L), (1L, 2L), (2L, 3L), (1L, 4L), (3L, 0L)))
+    } finally q.stop()
+  }
+
+  test("pageRankStatic matches a hand-rolled power iteration + rank-sum normalization") {
+    // star + chain: 0→1, 0→2, 2→3 (ranges irrelevant to rank)
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
+    val g = Loaders.fromList(spark,
+      Seq(InputEdge(0, 1, Seq(1), addReverse = false),
+        InputEdge(0, 2, Seq(1), addReverse = false),
+        InputEdge(2, 3, Seq(1), addReverse = false)), ranges)
+    val iters = 3
+    // reference model: r₀=1; rᵢ = 0.15 + 0.85·Σ_in rᵢ₋₁/outdeg; scale Σ→|V|
+    val edges = Seq(0L -> 1L, 0L -> 2L, 2L -> 3L)
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var r = Seq(0L, 1L, 2L, 3L).map(v => v -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val msg = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
+      r = r.keys.map(v => v -> (0.15 + 0.85 * msg.getOrElse(v, 0.0))).toMap
+    }
+    val scale = r.size / r.values.sum
+    val want = r.view.mapValues(x => math.rint(x * scale * 1e6) / 1e6).toMap
+    val got = GraphAnalytics.pageRankStatic(g, iters).collect()
+      .map(x => x.getLong(0) -> math.rint(x.getDouble(1) * 1e6) / 1e6).toMap
+    assert(got === want)
+  }
+
+  test("SIW/QW workloads: incremental ≡ bulk; FN/FA/FS shapes on the mail graph") {
+    val path = MailGraph.generate("/tmp/graft_mail_test.txt", edges = 10000, nodes = 1000)
+    val bulk = MailGraph.miw(spark, path)
+    // SIW: 7 append batches reproduce the bulk row multiset exactly
+    val inc = MailGraph.siw(spark, path, chunks = 7)
+    assert(inc.edges.count() === 10000)
+    assert(inc.edges.groupBy("src", "dst").count()
+      .except(bulk.edges.groupBy("src", "dst").count()).isEmpty)
+    // FN: per-node neighbour counts == plain groupBy over the edge list
+    val fn = MailGraph.qwfn(bulk).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fwd = bulk.edges.groupBy("src").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fn === fwd)
+    // FA: distinct edges with EMPLOYEE labels both sides
+    val fa = MailGraph.qwfa(bulk)
+    assert(fa.count() === bulk.edges.select("src", "dst").distinct().count())
+    assert(fa.filter(col("src_label") =!= MailGraph.EMPLOYEE ||
+      col("dst_label") =!= MailGraph.EMPLOYEE).isEmpty)
+    // FS: dist 0 at the anchor, and every 1-hop neighbour at dist 1
+    val fs = MailGraph.qwfs(bulk).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fs(128L) === 0L)
+    val oneHop = bulk.edges.filter(col("src") === 128).select("dst")
+      .collect().map(_.getLong(0)).filter(_ != 128L)
+    assert(oneHop.nonEmpty && oneHop.forall(d => fs(d) === 1L))
+  }
+
   test("MIW/CW: deterministic mail graph, ingest count and 1-hop shape") {
     val path = MailGraph.generate("/tmp/graft_mail_test.txt", edges = 10000, nodes = 1000)
     val g = MailGraph.miw(spark, path)
