@@ -79,6 +79,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"), plan)
   }
 
+  test("full-graph 1-hop (QW-FN) compiles to one scan + partial agg, no join") {
+    // anyNode --| e |--> anyNode with a groupBy: the predicate-only start
+    // must fold into the edge scan — a frontier materialization would put
+    // a join (and a distinct-over-endpoints shuffle) in front of a
+    // whole-relation read
+    val path = graft.bench.MailGraph.generate("/tmp/graft_mail_plan.txt", 5000, 500)
+    val g = graft.bench.MailGraph.miw(spark, path)
+    val plan = planOf(graft.bench.MailGraph.qwfn(g))
+    assert(!plan.contains("Join"), s"QW-FN should be join-free:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash agg in:\n$plan")
+  }
+
   test("label-start pattern pushes the range predicate into the edge source") {
     // a labels(...) start must NOT materialize a frontier join; the range
     // becomes a src-bound predicate on the edge relation itself
