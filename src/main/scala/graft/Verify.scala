@@ -17,7 +17,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev-only subset iteration (mirrors Bench); absent in driver runs
+    // dev-only subset iteration (mirrors Bench); absent in driver runs.
+    // NOTE: a subset run rewrites oracle_sql.json with ONLY the subset's
+    // entries — point it at a fresh outDir (stale full-run dumps beside a
+    // subset json would silently escape the checker's iteration).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -37,18 +37,18 @@ object Similarity {
   private def useNative(df: DataFrame): Unit =
     graft.functions.expressions.GraftFunctions.init(df.sparkSession)
 
-  /** Corpus row count for index sizing, memoized per (session, plan):
-    * prefers an exact Catalyst rowCount stat (free when the corpus is
-    * cached/CBO-analyzed), else one count() whose result is reused by
-    * every later call on the same plan. */
+  /** Corpus row count for index sizing, memoized per (session, plan) —
+    * always an EXACT count(): Catalyst's stats.rowCount is a
+    * CBO-propagated estimate on derived plans (a selectivity-misjudged
+    * filter would silently mis-size the index either into recall loss or
+    * the (n/2^bits)² blowup), so it is not trusted here. Staleness caveat
+    * as with labelCounts: a path-backed plan whose files are overwritten
+    * in-session keeps its first count (index sizing drifts, output
+    * semantics per the `bits<=0` contract are unchanged). */
   private val countCache = new graft.util.SessionCache[Long]
   private def corpusCount(df: DataFrame): Long =
-    df.queryExecution.optimizedPlan.stats.rowCount match {
-      case Some(n) => n.toLong
-      case None =>
-        countCache(df.sparkSession,
-          s"n|${df.queryExecution.logical.semanticHash()}")(df.count())
-    }
+    countCache(df.sparkSession,
+      s"n|${df.queryExecution.logical.semanticHash()}")(df.count())
   private def ndot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   private def nnorm(a: Column): Column = sqrt(ndot(a, a))
   private def ncos(a: Column, b: Column): Column = ndot(a, b) / (nnorm(a) * nnorm(b))

@@ -108,12 +108,17 @@ object Loaders {
     val dict = spark.createDataFrame(
       names.orderBy("name").as[String].rdd.zipWithIndex().map { case (n, i) => (n, i) }
     ).toDF("name", "id")
-    val withIds = pairs
+    (fromEdgeDF(resolveNames(pairs, dict), label, mirror, ranges), dict)
+  }
+
+  /** Resolve a (sname, dname) pair DF to (src, dst) ids through a
+    * (name, id) dictionary — two equi-joins, broadcast while the dict is
+    * small. Shared by the batch and streaming string-key paths. */
+  private def resolveNames(pairs: DataFrame, dict: DataFrame): DataFrame =
+    pairs
       .join(dict.withColumnRenamed("name", "sname").withColumnRenamed("id", "src"), "sname")
       .join(dict.withColumnRenamed("name", "dname").withColumnRenamed("id", "dst"), "dname")
       .select("src", "dst")
-    (fromEdgeDF(withIds, label, mirror, ranges), dict)
-  }
 
   /** Write-side of the persistence tier (reference listToDB/fromDB,
     * JudyGraph.hs:160-203 — LMDB replaced by parquet). Partitioned by
@@ -189,10 +194,17 @@ object Loaders {
     *     edges through the updated dict into the `__batch`-partitioned
     *     edge log (same exactly-once overwrite as [[streamCSVEdges]]).
     *
-    * Crash safety: dict-append lands before the edge write; a batch
-    * replayed after any crash finds its names already assigned (anti-join
-    * → empty) and rewrites its edge partition with identical ids. Ids are
-    * dense 0..n-1 as the range→label contract requires (SURVEY §1.3).
+    * Crash safety: dict-append lands before the edge write, so a batch
+    * replayed after a crash BETWEEN the two finds its names already
+    * assigned (anti-join → empty) and rewrites its edge partition with
+    * identical ids. Ids are unique and, under Spark's all-or-nothing job
+    * commit, dense 0..n-1 as the range→label contract requires (SURVEY
+    * §1.3); on a store whose rename is not atomic a crash INSIDE the
+    * append's commit window can surface a partial block, in which case
+    * replay assigns the missing names a fresh block — ids stay unique and
+    * stable but density can gain a gap (the honest limit of
+    * append-without-a-transaction-log; a table format with atomic commits
+    * slots in here at production scale).
     */
   def streamCSVEdgesNamed(
       spark: SparkSession,
@@ -203,10 +215,12 @@ object Loaders {
       srcCol: String,
       dstCol: String,
       label: Int,
-      mirror: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
+      mirror: Boolean,
+      header: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = StructType(Seq(
       StructField(srcCol, StringType), StructField(dstCol, StringType)))
     val raw = spark.readStream.schema(schema)
+      .option("header", header.toString)
       .option("mode", "DROPMALFORMED").csv(inDir)
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
     raw.writeStream
@@ -216,30 +230,38 @@ object Loaders {
         val pairs = batch.toDF()
           .select(col(srcCol).as("sname"), col(dstCol).as("dname"))
           .localCheckpoint(true) // batch sources don't survive multiple jobs
-        val dictExists = new java.io.File(dictDir).exists
-        val dict0 =
-          if (dictExists) spark.read.parquet(dictDir)
-          else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("name", StringType), StructField("id", LongType))))
+        // distributed-FS-correct existence check (dictDir may be hdfs://
+        // or s3a:// — java.io.File would say "absent" every batch and
+        // restart id blocks at 0); an existing-but-uncommitted dir (crash
+        // before the first append's commit) reads as empty, not an error
+        val dict0 = try {
+          spark.read.parquet(dictDir)
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage != null &&
+                (e.getMessage.contains("Path does not exist") ||
+                 e.getMessage.contains("Unable to infer schema")) =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("name", StringType), StructField("id", LongType))))
+        }
         val names = pairs.select(col("sname").as("name"))
           .union(pairs.select(col("dname"))).distinct()
-        // materialize before the dict append mutates what dict0 reads
+        // materialize both sides of the catalog state BEFORE the append
+        // mutates what dict0 reads — dict0 itself is re-read lazily
         val newNames = names.join(dict0, Seq("name"), "left_anti").localCheckpoint(true)
-        if (!newNames.isEmpty) {
-          val base = if (dictExists)
-            spark.read.parquet(dictDir).agg(max(col("id"))).head().getLong(0) + 1L
-          else 0L
-          spark.createDataFrame(
-            newNames.orderBy("name").as[String].rdd.zipWithIndex()
-              .map { case (n, i) => (n, base + i) }
-          ).toDF("name", "id").write.mode("append").parquet(dictDir)
-        }
-        val dict = spark.read.parquet(dictDir)
-        val withIds = pairs
-          .join(dict.withColumnRenamed("name", "sname").withColumnRenamed("id", "src"), "sname")
-          .join(dict.withColumnRenamed("name", "dname").withColumnRenamed("id", "dst"), "dname")
-          .select("src", "dst")
-        fromEdgeDF(withIds, label, mirror, Nil).edges
+        val dict =
+          if (newNames.isEmpty) dict0.localCheckpoint(true)
+          else {
+            val old = dict0.localCheckpoint(true)
+            val base = old.agg(coalesce(max(col("id")), lit(-1L))).head().getLong(0) + 1L
+            val block = spark.createDataFrame(
+              newNames.orderBy("name").as[String].rdd.zipWithIndex()
+                .map { case (n, i) => (n, base + i) }
+            ).toDF("name", "id").localCheckpoint(true)
+            block.write.mode("append").parquet(dictDir)
+            old.unionByName(block)
+          }
+        fromEdgeDF(resolveNames(pairs, dict), label, mirror, Nil).edges
           .withColumn("__batch", lit(id))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -272,8 +294,12 @@ object Loaders {
     val n =
       if (buckets > 0) buckets
       else {
+        // statless plans (e.g. RDD-backed) report defaultSizeInBytes
+        // (Long.MaxValue-ish) — that sentinel must not clamp a tiny graph
+        // to 10000 near-empty bucket files; fall back to the fixed 64
         val bytes = g.edges.queryExecution.optimizedPlan.stats.sizeInBytes
-        ((bytes + (128L << 20) - 1) / (128L << 20)).min(10000).max(4).toInt
+        if (bytes >= spark.sessionState.conf.defaultSizeInBytes) 64
+        else ((bytes + (128L << 20) - 1) / (128L << 20)).min(10000).max(4).toInt
       }
     spark.sql(s"DROP TABLE IF EXISTS $table")
     g.edges.write.mode("overwrite")

@@ -249,7 +249,7 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
     val ranges = Seq(RangeDef(0, 1000, 0, Seq(1)))
     val q = Loaders.streamCSVEdgesNamed(spark, inDir, s"$root/sink", s"$root/ckpt",
-      s"$root/dict", "a", "b", label = 1, mirror = false)
+      s"$root/dict", "a", "b", label = 1, mirror = false, header = false)
     try {
       // batch 1: alice→bob, bob→carol
       java.nio.file.Files.writeString(java.nio.file.Path.of(s"$inDir/b1.csv"),
