@@ -81,15 +81,20 @@ object Similarity {
     Seq.fill(bits)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
   }
 
-  /** B-bit random-hyperplane signature of a vector column. */
+  /** B-bit random-hyperplane signature of a vector column. Zero planes →
+    * constant bucket 0 (the degenerate exhaustive configuration: every
+    * vector shares one bucket, so the bucket join is the full cross
+    * product — the verification tier of the LSH path). */
   def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
+    if (planes.isEmpty) lit(0L)
+    else planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
       when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
   private def nativeSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
+    if (planes.isEmpty) lit(0L)
+    else planes.zipWithIndex.map { case (p, i) =>
       when(ndot(vec, array(p.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
@@ -127,7 +132,8 @@ object Similarity {
     * corpora). */
   def cosineDuplicates(vectors: DataFrame, threshold: Double, dim: Int,
       bits: Int = 12, tables: Int = 4, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      exhaustive: Boolean = false): DataFrame = {
     useNative(vectors)
     // Fixed bits do NOT survive corpus growth: per-bucket pair count grows
     // with (n/2^bits)², so 4× data at constant bits ≈ 16× candidate pairs
@@ -138,17 +144,23 @@ object Similarity {
     // per-table recall loss. n comes from a session-memoized count so a
     // repeatedly-called API pays the sizing action once per corpus plan,
     // not one driver-side job per call.
-    val nBits = if (bits > 0) bits
+    //
+    // exhaustive = the verification tier (one table, zero-bit signature =
+    // one bucket = all pairs): EXACT cosine-threshold pairs, against which
+    // the LSH configs' recall is gauged — and the oracle-checkable form.
+    val (nBits, nTables) =
+      if (exhaustive) (0, 1)
+      else if (bits > 0) (bits, tables)
       else {
         val n = corpusCount(vectors)
-        math.max(2, math.ceil(math.log(math.max(n, 128L) / 32.0)
-          / math.log(2.0)).toInt)
+        (math.max(2, math.ceil(math.log(math.max(n, 128L) / 32.0)
+          / math.log(2.0)).toInt), tables)
       }
     val a = vectors.select(col(idCol).as("doc_a"), col(vecCol).as("av"),
       nnorm(col(vecCol)).as("an"))
     val b = vectors.select(col(idCol).as("doc_b"), col(vecCol).as("bv"),
       nnorm(col(vecCol)).as("bn"))
-    (0 until tables).map { t =>
+    (0 until nTables).map { t =>
       val planes = hyperplanes(dim, nBits, t, seed)
       a.withColumn("bucket", nativeSignature(col("av"), planes))
         .join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")

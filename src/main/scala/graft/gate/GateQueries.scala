@@ -359,6 +359,29 @@ object GateQueries {
       graft.functions.Similarity.cosineDuplicates(
         t(s, d, "embeddings"), threshold = 0.35, dim = 64, bits = -1, tables = 8)
     }),
+    // ---- degenerate-exact configurations of the approximate tiers: at
+    // nProbe = nCentroids / zero-bit signatures / exhaustive pairs, the
+    // approximate MACHINERY (assignment, probing, bucket joins, dedup,
+    // windows) must reproduce the exact result — hash-checked gates for
+    // the code paths whose production configs (e2/e4/d4) are rows-only
+    // by approximation design.
+    "e5_ann_ivf_exact" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.functions.Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 50), emb, k = 10, nCentroids = 16, nProbe = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+    "e6_ann_lsh_exact" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.functions.Similarity.lshTopK(
+          emb.filter(col("vec_id") < 50), emb, k = 10, dim = 64, bits = 0, tables = 1)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+    "d6_embedding_dups_exact" -> ((s, d) => {
+      graft.functions.Similarity.cosineDuplicates(
+          t(s, d, "embeddings"), threshold = 0.35, dim = 64, exhaustive = true)
+        .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
+    }),
     "e3_embedding_cluster_stats" -> ((s, d) => {
       // per-label centroid norms: exercises vector math with a DuckDB oracle
       t(s, d, "embeddings").groupBy(col("label"))
@@ -653,6 +676,33 @@ object GateQueries {
         |WHERE q.vec_id < 50) t WHERE rank <= 10""".stripMargin,
     "e3_embedding_cluster_stats" ->
       "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1",
+    // exact-equivalence gates: full-probe IVF and single-bucket LSH must
+    // equal brute-force top-k (same oracle as e1)
+    "e5_ann_ivf_exact" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |WHERE q.vec_id < 50) t WHERE rank <= 10""".stripMargin,
+    "e6_ann_lsh_exact" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |WHERE q.vec_id < 50) t WHERE rank <= 10""".stripMargin,
+    // exhaustive cosine-threshold pairs. Both engines must do the math in
+    // DOUBLE: Spark promotes each float element to double before the
+    // sequential dot/norm accumulation, so the oracle casts the arrays to
+    // DOUBLE[] (float-space cosine differs ~1e-7 → rounding boundaries)
+    // and rounds in double space (ROUND on a FLOAT returns FLOAT, whose
+    // nearest value to 0.350084 prints as 0.35008400678…).
+    "d6_embedding_dups_exact" ->
+      """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
     "a4_degree_histogram" ->
       """WITH fwd AS (
         |  SELECT CAST(o_custkey AS BIGINT) AS src FROM orders
