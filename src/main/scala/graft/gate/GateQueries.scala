@@ -378,8 +378,11 @@ object GateQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
     "d6_embedding_dups_exact" -> ((s, d) => {
+      // vec_id < 1000 bounds the deliberately-quadratic verification tier
+      // in the bench (covers the whole corpus at the sf0.01 gate scale)
       graft.functions.Similarity.cosineDuplicates(
-          t(s, d, "embeddings"), threshold = 0.35, dim = 64, exhaustive = true)
+          t(s, d, "embeddings").filter(col("vec_id") < 1000),
+          threshold = 0.35, dim = 64, exhaustive = true)
         .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
     }),
     "e3_embedding_cluster_stats" -> ((s, d) => {
@@ -702,7 +705,8 @@ object GateQueries {
       """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
         |ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
+        |WHERE a.vec_id < 1000 AND b.vec_id < 1000
+        |AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
     "a4_degree_histogram" ->
       """WITH fwd AS (
         |  SELECT CAST(o_custkey AS BIGINT) AS src FROM orders
