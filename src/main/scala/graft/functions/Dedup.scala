@@ -117,12 +117,16 @@ object Dedup {
 
   /** Banded-LSH pair generation from a (id, sig) signature table: one
     * (doc_a, doc_b) row per shared band bucket (callers dedupe). */
-  private def candidatesFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucketSize: Int): DataFrame = {
-    val banded = sigs.select(col("id"), posexplode(
+  /** (id, band, bucket) band-bucket rows of a (id, sig) signature table. */
+  private def bandBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"), posexplode(
         array((0 until bands).map(b =>
           xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
       .toDF("id", "band", "bucket")
+
+  private def candidatesFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int): DataFrame = {
+    val banded = bandBuckets(sigs, bands, rowsPerBand)
     val bucketed = banded.groupBy("band", "bucket")
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) between (2, maxBucketSize))
@@ -208,6 +212,101 @@ object Dedup {
     graft.analytics.GraphAnalytics.connectedComponents(g)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
         (col("id") === col("component")).as("keep"))
+  }
+
+  // ---- streaming near-dup --------------------------------------------------
+
+  /** STREAMING near-duplicate detection: each micro-batch of documents is
+    * checked against the ACCUMULATED corpus — the "dedup the new crawl
+    * against everything ingested so far" shape a training-data pipeline
+    * runs continuously, where re-running batch [[minHashDuplicates]] over
+    * the whole corpus per arrival would be O(corpus) per batch.
+    *
+    * State = an append-only parquet signature store (id, sig). Per batch:
+    *  1. signatures for the batch's docs (one pass, as in the batch path);
+    *  2. banded-LSH bucket join of the NEW signatures against old ∪ new —
+    *     per-batch cost is O(new × bucket density), never O(corpus²);
+    *     corpus-side hot buckets (boilerplate) are dropped above
+    *     `maxBucketSize`, the same skew bound as the batch path;
+    *  3. signature-estimate verdict: est-Jaccard ≥ threshold. The
+    *     streaming tier stops at the estimate (σ ≈ 0.063 at H=64) because
+    *     exact shingle verify would need the full text corpus in state;
+    *     run the batch path as a compaction/audit job where exactness
+    *     matters — same two-tier contract as ANN (e1 vs e2/e4);
+    *  4. append ONLY genuinely-new ids to the store (anti-join — a
+    *     replayed batch appends nothing), and land the batch's pairs in a
+    *     `__batch=<id>` partition with dynamic overwrite (replay REPLACES
+    *     its partition; the pair computation excludes the batch's own ids
+    *     from the corpus side, so replayed output is identical).
+    *
+    * Emits (doc_a, doc_b, est_jaccard, __batch) under `pairsDir`, a<b.
+    */
+  def minHashDedupStream(
+      docs: DataFrame,
+      sigDir: String,
+      pairsDir: String,
+      checkpointDir: String,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery = {
+    val numHashes = bands * rowsPerBand
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.types._
+        val newSigs = minHashSignatures(batch.toDF(), textCol, idCol, shingleK, numHashes)
+          .localCheckpoint(true)
+        val store = (try spark.read.parquet(sigDir) catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage != null &&
+                (e.getMessage.contains("Path does not exist") ||
+                 e.getMessage.contains("Unable to infer schema")) =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("id", LongType),
+                StructField("sig", ArrayType(LongType)))))
+        }).localCheckpoint(true)
+        // corpus side excludes this batch's own ids → replay-deterministic
+        // (after a crash-after-sig-append replay, the batch's docs are in
+        // the store but must pair as NEW, not as corpus)
+        val old = store.join(newSigs.select("id"), Seq("id"), "left_anti")
+        val corpus = old.unionByName(newSigs)
+        val newB = bandBuckets(newSigs, bands, rowsPerBand)
+        val allB = bandBuckets(corpus, bands, rowsPerBand)
+          .toDF("id2", "band", "bucket")
+        // cap hot corpus-side buckets (boilerplate) like the batch path
+        val smallBuckets = allB.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketSize)
+          .select("band", "bucket")
+        val pairs = newB.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+          .join(allB, Seq("band", "bucket"))
+          .filter(col("id") =!= col("id2"))
+          .select(least(col("id"), col("id2")).as("doc_a"),
+            greatest(col("id"), col("id2")).as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        val sigsAll = corpus
+        val verdicts = pairs
+          .join(sigsAll.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(sigsAll.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+          .withColumn("est_jaccard", aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _) / lit(numHashes))
+          .filter(col("est_jaccard") >= threshold)
+          .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+        verdicts.withColumn("__batch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch")
+          .parquet(pairsDir)
+        // store append LAST: a crash before this point replays cleanly
+        // (pairs partition just gets rewritten); genuinely-new ids only
+        val toAppend = newSigs.join(store.select("id"), Seq("id"), "left_anti")
+        if (!toAppend.isEmpty) toAppend.write.mode("append").parquet(sigDir)
+      }
+      .start()
   }
 
   // ---- SimHash -------------------------------------------------------------

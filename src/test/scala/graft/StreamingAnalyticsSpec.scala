@@ -274,6 +274,41 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("minHashDedupStream: new docs near-dup'd against the accumulated corpus per batch") {
+    import graft.functions.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/$name")
+    // batch 1 present before the stream starts: docs 1,2 identical, 10 unrelated
+    writeBatch("b1", Seq(1L -> text, 2L -> text,
+      10L -> "completely different content with nothing shared at all here"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+    val q = Dedup.minHashDedupStream(stream, s"$root/sigs", s"$root/pairs",
+      s"$root/ckpt", threshold = 0.8)
+    try {
+      q.processAllAvailable()
+      val p1 = spark.read.parquet(s"$root/pairs")
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p1 === Set((1L, 2L)))
+      // batch 2: doc 3 duplicates the batch-1 text → pairs vs BOTH old docs
+      writeBatch("b2", Seq(3L -> text))
+      q.processAllAvailable()
+      val p2 = spark.read.parquet(s"$root/pairs")
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p2 === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+      // signature store holds each id exactly once
+      val ids = spark.read.parquet(s"$root/sigs").select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids === Array(1L, 2L, 3L, 10L))
+    } finally q.stop()
+  }
+
   test("pageRankStatic matches a hand-rolled power iteration + rank-sum normalization") {
     // star + chain: 0→1, 0→2, 2→3 (ranges irrelevant to rank)
     val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
