@@ -352,7 +352,9 @@ object Exec {
     * (the reference re-costs per step and picks sides via `useLeft`,
     * Cypher.hs:711-785, :777-782) — so a chain with two cheap ends
     * approaches its expensive middle from both sides, instead of sweeping
-    * right-to-end then left. Ties expand right. */
+    * right-to-end then left. Ties expand right.
+    * NOTE: patterns containing repetition steps evaluate strictly left-to-
+    * right regardless of this order (see the guard in [[runOnE]]). */
   def planExpansionOrder(g: PropertyGraph, pat: Pat): Vector[Int] = {
     val nodeSpecs = pat.comps.collect { case CompN(n) => n }
     val last = nodeSpecs.size - 1
@@ -380,6 +382,19 @@ object Exec {
   def runOnE(g: PropertyGraph, pat: Pat): QueryResult = {
     val comps = pat.comps
     val nodeIdx = comps.zipWithIndex.collect { case (CompN(n), i) => (n, i) }
+    // Repetition steps pin the strategy to left-to-right: `several`'s stop
+    // rules are GLOBAL over the frontier (dry-up keeps the previous
+    // frontier, any extension drops all shorter branches —
+    // Cypher.hs:823-837), so they are defined operationally in walk order.
+    // A walk from elsewhere seeds the repetition with every node of the
+    // start spec — including chains the rightward walk never reaches —
+    // and those extra branches can flip the dry-up decisions (e.g. an
+    // unconnected deep chain keeps the loop alive past the depth where
+    // the real paths dried, emptying the result after target filtering).
+    // Plain-step patterns keep full planning freedom: inner joins are
+    // order-independent under target intersection.
+    if (pairsOf(comps).exists(_._1.several.exists(s => s != (1, 1))))
+      return evalLtoR(g, pat)
     val order = planExpansionOrder(g, pat)
     val startLayer = order.head
     if (startLayer == 0) return evalLtoR(g, pat)
@@ -441,15 +456,27 @@ object Exec {
   }
 
   /** A failed query collapses every layer (reference returns [] when a step
-    * dries up, Cypher.hs:685-688). */
+    * dries up, Cypher.hs:685-688). The empty `paths` DF still carries the
+    * pattern's column shape (n0..nk, plus e{i}_label for plain steps —
+    * exactly the columns a successful run emits), so downstream selects
+    * compose instead of crashing on a schema-less empty. */
   private def emptyResult(g: PropertyGraph, comps: Vector[Comp]): QueryResult = {
     import org.apache.spark.sql.types._
     val emptyIds = g.spark.createDataFrame(g.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("id", LongType))))
+    val pathFields = StructField("n0", LongType) +:
+      pairsOf(comps).zipWithIndex.flatMap { case ((e, _), i) =>
+        val step = i + 1
+        val lbl = if (e.several.forall(_ == (1, 1)))
+          Seq(StructField(s"e${step}_label", IntegerType)) else Nil
+        lbl :+ StructField(s"n$step", LongType)
+      }
+    val emptyPaths = g.spark.createDataFrame(g.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(pathFields))
     val layers = comps.map {
       case CompN(_) => NodeLayerOut(emptyIds)
       case CompE(_) => EdgeLayerOut(emptyEdgePairs(g))
     }.toVector
-    QueryResult(layers, emptyIds, emptyEdges(g), failed = true)
+    QueryResult(layers, emptyPaths, emptyEdges(g), failed = true)
   }
 }

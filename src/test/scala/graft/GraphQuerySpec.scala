@@ -68,11 +68,12 @@ class GraphQuerySpec extends AnyFunSuite {
     val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
     val chain = Loaders.fromList(spark,
       (0 until 3).map(i => InputEdge(i, i + 1, Seq(1), addReverse = false)), ranges)
-    // nodes32(3) costs 1 → runOnE starts at the RIGHT end and walks the
-    // exactly-2-hop step leftward — over the SAME oriented rows (dst-join),
-    // so paths agree with evalLtoR even though the graph has no mirror rows.
-    // (Displayed layer 0 differs by design: quick echoes the full start
-    // spec, reference evalLtoR's `adjCenter = startNs`, Cypher.hs:664.)
+    // nodes32(3) costs 1, but the pattern has a repetition step, so runOnE
+    // must pin the strategy to left-to-right (`several` stop rules are
+    // global over the frontier and defined in walk order — a leftward walk
+    // seeds the repetition with every right-end node, and unconnected deep
+    // chains would flip its dry-up decisions). Planned ≡ quick here BY
+    // FALLBACK; this test pins that equality.
     val pat = anyNode --| edge(attr(1), several(2, 2)) |--> nodes32(3)
     def pathSet(quick: Boolean) = Query.paths(chain, pat, quick)
       .select("n0", "n1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -104,6 +104,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("quick and planned agree on random multi-label chains (interleaved expansion)") {
+    // four label populations drive planStart/planExpansionOrder into
+    // different interleavings per draw; plain steps only — repetition
+    // patterns pin to left-to-right by the runOnE guard
+    val ranges4 = Seq(RangeDef(0, 10, 0, Seq(1, 2, 3)), RangeDef(10, 10, 1, Seq(1, 2, 3)),
+      RangeDef(20, 10, 2, Seq(1, 2, 3)), RangeDef(30, 10, 3, Seq(1, 2, 3)))
+    val gen = Gen.choose(5, 40).flatMap(n => Gen.listOfN(n, for {
+      s <- Gen.choose(0, 39); d <- Gen.choose(0, 39); l <- Gen.choose(1, 3)
+    } yield (s, d, l)))
+    check("interleaved", Prop.forAll(gen) { edges =>
+      val g = Loaders.fromList(spark,
+        edges.map { case (s, d, l) => InputEdge(s, d, Seq(l), addReverse = false) }, ranges4)
+      val pat = labels(0) --| edge(attr(1)) |--> labels(1) --|
+        edge(attr(2)) |--> labels(2) --| edge(attr(3)) |--> labels(3)
+      def rows(quick: Boolean) = Query.paths(g, pat, quick)
+        .select("n0", "n1", "n2", "n3").collect().map(_.toSeq).toSet
+      rows(quick = true) == rows(quick = false)
+    }, n = 5)
+  }
+
   test("asofJoin ≡ brute-force as-of semantics on random inputs") {
     import spark.implicits._
     val gen = for {
