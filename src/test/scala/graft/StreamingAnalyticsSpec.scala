@@ -274,6 +274,32 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamCSVEdgesNamed: restart from checkpoint keeps the dictionary consistent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_named_rs").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val ranges = Seq(RangeDef(0, 1000, 0, Seq(1)))
+    def start() = Loaders.streamCSVEdgesNamed(spark, inDir, s"$root/sink", s"$root/ckpt",
+      s"$root/dict", "a", "b", label = 1, mirror = false, header = false)
+    val q1 = start()
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$inDir/b1.csv"), "x,y\n")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart against the same checkpoint: ids assigned before the stop
+    // must survive, new names extend the dense block
+    val q2 = start()
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$inDir/b2.csv"), "y,z\nx,w\n")
+      q2.processAllAvailable()
+      val dict = spark.read.parquet(s"$root/dict").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dict === Map("x" -> 0L, "y" -> 1L, "w" -> 2L, "z" -> 3L))
+      val edges = Loaders.loadEdgeLog(spark, s"$root/sink", ranges)
+        .edges.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(edges === Set((0L, 1L), (1L, 3L), (0L, 2L)))
+    } finally q2.stop()
+  }
+
   test("minHashDedupStream: new docs near-dup'd against the accumulated corpus per batch") {
     import graft.functions.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft_neardup").toString
