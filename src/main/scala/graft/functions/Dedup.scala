@@ -115,8 +115,6 @@ object Dedup {
       bands, rowsPerBand, maxBucketSize)
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_bands"))
 
-  /** Banded-LSH pair generation from a (id, sig) signature table: one
-    * (doc_a, doc_b) row per shared band bucket (callers dedupe). */
   /** (id, band, bucket) band-bucket rows of a (id, sig) signature table. */
   private def bandBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(col("id"), posexplode(
@@ -124,6 +122,8 @@ object Dedup {
           xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
       .toDF("id", "band", "bucket")
 
+  /** Banded-LSH pair generation from a (id, sig) signature table: one
+    * (doc_a, doc_b) row per shared band bucket (callers dedupe). */
   private def candidatesFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucketSize: Int): DataFrame = {
     val banded = bandBuckets(sigs, bands, rowsPerBand)
@@ -224,8 +224,11 @@ object Dedup {
     *
     * State = an append-only parquet signature store (id, sig). Per batch:
     *  1. signatures for the batch's docs (one pass, as in the batch path);
-    *  2. banded-LSH bucket join of the NEW signatures against old ∪ new —
-    *     per-batch cost is O(new × bucket density), never O(corpus²);
+    *  2. banded-LSH bucket join of the NEW signatures against old ∪ new,
+    *     with the corpus side semi-joined down to the buckets the batch
+    *     touches BEFORE any aggregation — per-batch shuffle cost is
+    *     O(touched-bucket membership), never O(corpus²) and not even
+    *     O(corpus × bands) (the store contributes one narrow scan);
     *     corpus-side hot buckets (boilerplate) are dropped above
     *     `maxBucketSize`, the same skew bound as the batch path;
     *  3. signature-estimate verdict: est-Jaccard ≥ threshold. The
@@ -240,6 +243,9 @@ object Dedup {
     *     from the corpus side, so replayed output is identical).
     *
     * Emits (doc_a, doc_b, est_jaccard, __batch) under `pairsDir`, a<b.
+    * NOTE: until the first batch with ≥1 verdict lands, `pairsDir` may
+    * exist with no committed data files — read it tolerantly
+    * ([[graft.util.ParquetIO.readOrEmpty]]) from concurrent jobs.
     */
   def minHashDedupStream(
       docs: DataFrame,
@@ -261,24 +267,40 @@ object Dedup {
         import org.apache.spark.sql.types._
         val newSigs = minHashSignatures(batch.toDF(), textCol, idCol, shingleK, numHashes)
           .localCheckpoint(true)
-        val store = (try spark.read.parquet(sigDir) catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage != null &&
-                (e.getMessage.contains("Path does not exist") ||
-                 e.getMessage.contains("Unable to infer schema")) =>
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(StructField("id", LongType),
-                StructField("sig", ArrayType(LongType)))))
-        }).localCheckpoint(true)
+        val store = graft.util.ParquetIO.readOrEmpty(spark, sigDir,
+          StructType(Seq(StructField("id", LongType),
+            StructField("sig", ArrayType(LongType))))).localCheckpoint(true)
+        // fail fast on a bands/rowsPerBand mismatch with the existing
+        // store: zip_with over unequal sig lengths null-pads (est-jaccard
+        // silently collapses) and slice() past the end hashes empty bands
+        // — a silent recall collapse, not an approximation
+        store.head(1).foreach { r =>
+          val len = r.getSeq[Long](1).size
+          require(len == numHashes,
+            s"minHashDedupStream: signature store at $sigDir has $len hashes/doc but " +
+              s"bands*rowsPerBand = $numHashes — restart with the store's parameters")
+        }
         // corpus side excludes this batch's own ids → replay-deterministic
         // (after a crash-after-sig-append replay, the batch's docs are in
         // the store but must pair as NEW, not as corpus)
         val old = store.join(newSigs.select("id"), Seq("id"), "left_anti")
         val corpus = old.unionByName(newSigs)
-        val newB = bandBuckets(newSigs, bands, rowsPerBand)
+        val newB = bandBuckets(newSigs, bands, rowsPerBand).localCheckpoint(true)
+        // Restrict the corpus side to buckets the BATCH touches before any
+        // aggregation or join: per-batch shuffled/aggregated rows are then
+        // O(touched-bucket membership), not O(corpus × bands) — a tiny
+        // batch against a 100M-doc store must not re-aggregate the whole
+        // store's bucket table. (The band-bucket explode itself remains a
+        // narrow scan of the store.) Bucket-size capping still sees FULL
+        // touched-bucket membership, so maxBucketSize semantics match the
+        // batch path.
+        val touched = newB.select("band", "bucket").distinct()
+        // rename by NAME before the semi-join — a join moves its keys to
+        // the front, so a positional toDF afterwards would scramble columns
         val allB = bandBuckets(corpus, bands, rowsPerBand)
-          .toDF("id2", "band", "bucket")
-        // cap hot corpus-side buckets (boilerplate) like the batch path
+          .withColumnRenamed("id", "id2")
+          .join(touched, Seq("band", "bucket"), "left_semi")
+          .localCheckpoint(true)
         val smallBuckets = allB.groupBy("band", "bucket")
           .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketSize)
           .select("band", "bucket")
@@ -288,10 +310,9 @@ object Dedup {
           .select(least(col("id"), col("id2")).as("doc_a"),
             greatest(col("id"), col("id2")).as("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
-        val sigsAll = corpus
         val verdicts = pairs
-          .join(sigsAll.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-          .join(sigsAll.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+          .join(corpus.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(corpus.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
           .withColumn("est_jaccard", aggregate(zip_with(col("sig_a"), col("sig_b"),
               (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _) / lit(numHashes))
           .filter(col("est_jaccard") >= threshold)

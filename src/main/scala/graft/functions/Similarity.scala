@@ -108,14 +108,17 @@ object Similarity {
       nnorm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       nnorm(col(vecCol)).as("cn"))
-    val candidates = (0 until tables).map { t =>
+    val cands0 = (0 until tables).map { t =>
       val planes = hyperplanes(dim, bits, t, seed)
       q.withColumn("bucket", nativeSignature(col("qv"), planes))
         .join(c.withColumn("bucket", nativeSignature(col("cv"), planes)), "bucket")
         .drop("bucket")
     }.reduce(_ unionByName _)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
+    // single table → one bucket per vector → no duplicate (q,c) pairs;
+    // skip the dedup shuffle (matters for the bits=0 exhaustive config)
+    val candidates = if (tables == 1) cands0
+      else cands0.dropDuplicates("query_id", "neighbor_id")
     val scored = candidates.withColumn("cosine",
       ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
@@ -160,15 +163,18 @@ object Similarity {
       nnorm(col(vecCol)).as("an"))
     val b = vectors.select(col(idCol).as("doc_b"), col(vecCol).as("bv"),
       nnorm(col(vecCol)).as("bn"))
-    (0 until nTables).map { t =>
+    val cands = (0 until nTables).map { t =>
       val planes = hyperplanes(dim, nBits, t, seed)
       a.withColumn("bucket", nativeSignature(col("av"), planes))
         .join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")
         .drop("bucket")
     }.reduce(_ unionByName _)
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
+    // one table = one bucket per vector = no duplicate pairs: skip the
+    // dedup shuffle so the exhaustive tier stays scan-shaped (a quadratic
+    // candidate set must stream through codegen, not hash-exchange)
+    val uniq = if (nTables == 1) cands else cands.dropDuplicates("doc_a", "doc_b")
+    uniq.withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
   }

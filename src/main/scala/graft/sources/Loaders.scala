@@ -230,20 +230,8 @@ object Loaders {
         val pairs = batch.toDF()
           .select(col(srcCol).as("sname"), col(dstCol).as("dname"))
           .localCheckpoint(true) // batch sources don't survive multiple jobs
-        // distributed-FS-correct existence check (dictDir may be hdfs://
-        // or s3a:// — java.io.File would say "absent" every batch and
-        // restart id blocks at 0); an existing-but-uncommitted dir (crash
-        // before the first append's commit) reads as empty, not an error
-        val dict0 = try {
-          spark.read.parquet(dictDir)
-        } catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage != null &&
-                (e.getMessage.contains("Path does not exist") ||
-                 e.getMessage.contains("Unable to infer schema")) =>
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(StructField("name", StringType), StructField("id", LongType))))
-        }
+        val dict0 = graft.util.ParquetIO.readOrEmpty(spark, dictDir,
+          StructType(Seq(StructField("name", StringType), StructField("id", LongType))))
         val names = pairs.select(col("sname").as("name"))
           .union(pairs.select(col("dname"))).distinct()
         // materialize both sides of the catalog state BEFORE the append
