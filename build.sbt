@@ -9,6 +9,7 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+scalacOptions ++= Seq("-deprecation", "-feature")
 Test / fork := true
 run / fork := true
 // forked stdout passes through un-prefixed: graft.Bench's contract is ONE

@@ -144,7 +144,7 @@ object Exec {
     val pred = edgePred(e, col("__label"), col("__mask"), col("__dir"), col("__dst"))
     val (joinSide, emitSide) = if (walkRight) ("__src", "__dst") else ("__dst", "__src")
     val joined = paths.join(ed.filter(pred), paths(fromCol) === col(joinSide))
-    val keep = paths.columns.map(paths(_)) ++
+    val keep = paths.columns.toSeq.map(paths(_)) ++
       (if (keepEdgeCols) Seq(col("__label").as(s"e${step}_label")) else Nil) :+
       col(emitSide).as(s"n$step")
     joined.select(keep: _*)
@@ -188,7 +188,7 @@ object Exec {
         hop(g, from, s"n$step", e, step + 1000 + i, walkRight, keepEdgeCols = false)
           .drop(s"n$step").withColumnRenamed(s"n${step + 1000 + i}", s"n$step")
           .dropDuplicates(prefix :+ s"n$step")
-      val f0 = paths0.select(prefix.map(col) :+ col(fromCol).as(s"n$step"): _*)
+      val f0 = paths0.select(prefix.map(col).toSeq :+ col(fromCol).as(s"n$step"): _*)
       val fPrev = (1 until hi).foldLeft(f0)(hopN) // frontier after k-1 hops
       // dryness is judged on the RAW frontier (before the target spec
       // restricts it), exactly like the general loop's `next.isEmpty`
@@ -209,10 +209,10 @@ object Exec {
     } else {
       // Repetition: replace the step column per hop; provenance = prefix cols.
       val prefix = paths0.columns
-      var cur = paths0.select(prefix.map(col) :+ col(fromCol).as(s"n$step"): _*)
+      var cur = paths0.select(prefix.map(col).toSeq :+ col(fromCol).as(s"n$step"): _*)
         .localCheckpoint(true)
       var count = 0
-      var visited = if (unbounded) cur.select((prefix :+ s"n$step").map(col): _*) else null
+      var visited = if (unbounded) cur.select((prefix :+ s"n$step").toSeq.map(col): _*) else null
       var acc: DataFrame = null // unbounded: union of frontiers at depth >= lo
       var done = false
       var failedStep = false
@@ -234,7 +234,7 @@ object Exec {
         } else {
           cur = next
           if (unbounded) {
-            visited = visited.unionByName(next.select((prefix :+ s"n$step").map(col): _*)).localCheckpoint(true)
+            visited = visited.unionByName(next.select((prefix :+ s"n$step").toSeq.map(col): _*)).localCheckpoint(true)
             if (count >= lo) acc = if (acc == null) next else acc.unionByName(next)
           }
         }

@@ -47,11 +47,11 @@ object Query {
       val prefix = res.pathsPerLayer(k - 1).columns.filter(_.startsWith("n"))
       // left-join layer-(k-1) prefixes against layer-k paths: prefixes whose
       // branch dried up keep an empty child list.
-      val prefixes = res.pathsPerLayer(k - 1).select(prefix.map(col): _*).distinct()
+      val prefixes = res.pathsPerLayer(k - 1).select(prefix.map(col).toSeq: _*).distinct()
       val nextCol = res.pathsPerLayer(k).columns.filter(_.startsWith("n")).last
-      val next = res.pathsPerLayer(k).select((prefix :+ nextCol).map(col): _*).distinct()
+      val next = res.pathsPerLayer(k).select((prefix :+ nextCol).toSeq.map(col): _*).distinct()
       prefixes.join(next, prefix.toSeq, "left")
-        .groupBy(prefix.map(col): _*)
+        .groupBy(prefix.map(col).toSeq: _*)
         .agg(sort_array(collect_list(col(nextCol))).as("children"))
     }.toVector
   }
