@@ -90,6 +90,25 @@ object Dedup {
       .select(col("id"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
   }
 
+  /** Bulk signatures via the native codegen'd
+    * [[graft.functions.expressions.MinHashSignature]] expression —
+    * bit-identical output to [[minHashSignatures]] (parity-pinned) with NO
+    * explode and NO shuffle: the relational form exchanges
+    * |docs|·|shingles| rows on id for its H-column min aggregate; this is
+    * one narrow projection (the whole signature computed per row inside
+    * whole-stage codegen). Used by [[minHashDuplicates]]; the relational
+    * form remains as the executable specification. */
+  def minHashSignaturesNative(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 5,
+      numHashes: Int = 64): DataFrame = {
+    graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+      call_function("graft_minhash", col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** Candidate near-duplicate pairs via banded MinHash LSH.
@@ -162,7 +181,7 @@ object Dedup {
       estimateMargin: Double = 0.15,
       maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = minHashSignatures(docs, textCol, idCol, shingleK, numHashes).cache()
+    val sigs = minHashSignaturesNative(docs, textCol, idCol, shingleK, numHashes).cache()
     val cands = candidatesFromSigs(sigs, bands, rowsPerBand, maxBucketSize).distinct()
     val estimated = cands
       .join(sigs.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -172,9 +191,12 @@ object Dedup {
       .filter(col("est") >= threshold - estimateMargin)
       .select(col("doc_a"), col("doc_b"))
     // exact verify on HASHED shingles: same Jaccard (collision odds ~n²/2^64),
-    // and long-array intersection is several× cheaper than string arrays
+    // and long-array intersection is several× cheaper than string arrays.
+    // Native one-pass expression (parity-pinned vs the lambda form) — the
+    // interpreted transform/array_distinct chain was the next-largest d1
+    // cost after signatures.
     val sh = docs.select(col(idCol).as("id"),
-      sort_array(transform(charShingles(col(textCol), shingleK), s => xxhash64(s))).as("sh"))
+      call_function("graft_shingle_hashes", col(textCol), lit(shingleK)).as("sh"))
     estimated
       .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -265,7 +287,7 @@ object Dedup {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.types._
-        val newSigs = minHashSignatures(batch.toDF(), textCol, idCol, shingleK, numHashes)
+        val newSigs = minHashSignaturesNative(batch.toDF(), textCol, idCol, shingleK, numHashes)
           .localCheckpoint(true)
         val store = graft.util.ParquetIO.readOrEmpty(spark, sigDir,
           StructType(Seq(StructField("id", LongType),

@@ -80,7 +80,9 @@ case class DotProduct(left: Expression, right: Expression)
 
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (children => DotProduct(children(0), children(1))))
+    "graft_dot" -> (children => DotProduct(children(0), children(1))),
+    "graft_minhash" -> (children => MinHashSignature.fromChildren(children)),
+    "graft_shingle_hashes" -> (children => ShingleHashes.fromChildren(children)))
 
   /** Idempotently register graft's native SQL functions on a session. */
   def init(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
@@ -94,9 +96,18 @@ object GraftFunctions {
 
 /** Cluster entry point: `--conf spark.sql.extensions=graft.functions.expressions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
       children => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getCanonicalName, "graft_minhash"),
+      children => MinHashSignature.fromChildren(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getCanonicalName, "graft_shingle_hashes"),
+      children => ShingleHashes.fromChildren(children)))
+  }
 }

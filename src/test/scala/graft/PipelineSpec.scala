@@ -22,6 +22,36 @@ class PipelineSpec extends AnyFunSuite {
     1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated,
     5L -> "short text", 6L -> "short text")
 
+  test("graft_minhash: native signature ≡ relational minHashSignatures, bit for bit") {
+    import spark.implicits._
+    // edge shapes: empty text (one empty shingle), shorter-than-k (one
+    // clipped shingle), ascii, unicode incl. case folding + combining marks
+    val docs = Seq(
+      (0L, ""), (1L, "ab"), (2L, "abcde"), (3L, "the quick brown fox"),
+      (4L, "ÄÖÜßéàç ünïcødé string"), (5L, "AAAAAAAAAA"),
+      (6L, "mixed CASE With Ünicode ΣΙΓΜΑ and digits 12345"),
+      (7L, "é combining acute over there")).toDF("doc_id", "text")
+    val rel = Dedup.minHashSignatures(docs, numHashes = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val nat = Dedup.minHashSignaturesNative(docs, numHashes = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(nat === rel)
+    // and the native form is a narrow projection: no exchange, no aggregate
+    val plan = Dedup.minHashSignaturesNative(docs, numHashes = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("HashAggregate"),
+      s"native signatures should not shuffle/aggregate:\n$plan")
+    // graft_shingle_hashes: same parity contract vs the lambda chain
+    graft.functions.expressions.GraftFunctions.init(spark)
+    val relSh = docs.select(col("doc_id"),
+        sort_array(transform(Dedup.charShingles(col("text"), 5), s => xxhash64(s))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val natSh = docs.select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(5)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(natSh === relSh)
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val d = Dedup.exact(corpus).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(d === Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 2L)))
