@@ -430,9 +430,13 @@ object Dedup {
       idCol: String = "doc_id",
       maxPostings: Int = 10000): DataFrame = {
     // grams carried as xxhash64 longs: equality-preserving (collision odds
-    // ~|grams|²/2^64) and the join/shuffle run on 8-byte keys, not strings
+    // ~|grams|²/2^64) and the join/shuffle run on 8-byte keys, not strings.
+    // Native one-pass gram build (parity-pinned vs the transform/wordNgrams
+    // lambda chain) — the interpreted HOFs were pure per-doc overhead ahead
+    // of the postings join.
+    graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
     val grams = docs.select(col(idCol).as("id"),
-      explode(transform(wordNgrams(col(textCol), n), g => xxhash64(g))).as("gram"))
+      explode(call_function("graft_ngram_hashes", col(textCol), lit(n))).as("gram"))
     // df cap as a one-pass window: the postings relation feeds BOTH sides of
     // the self-join below, so a groupBy+broadcast-anti-join cap (measured)
     // re-derives the exploded postings once per side and runs 3× slower —

@@ -82,7 +82,8 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (children => DotProduct(children(0), children(1))),
     "graft_minhash" -> (children => MinHashSignature.fromChildren(children)),
-    "graft_shingle_hashes" -> (children => ShingleHashes.fromChildren(children)))
+    "graft_shingle_hashes" -> (children => ShingleHashes.fromChildren(children)),
+    "graft_ngram_hashes" -> (children => NgramHashes.fromChildren(children)))
 
   /** Idempotently register graft's native SQL functions on a session. */
   def init(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
@@ -109,5 +110,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getCanonicalName, "graft_shingle_hashes"),
       children => ShingleHashes.fromChildren(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getCanonicalName, "graft_ngram_hashes"),
+      children => NgramHashes.fromChildren(children)))
   }
 }

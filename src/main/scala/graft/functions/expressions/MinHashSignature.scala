@@ -145,3 +145,66 @@ object ShingleHashes {
     ShingleHashes(children(0), MinHashSignature.intLit(children(1), "graft_shingle_hashes", "k"))
   }
 }
+
+/** Native hashed word n-grams: xxhash64 values of the distinct lowercased
+  * word n-grams (tokens split on \s+, joined by \\x01) in first-occurrence
+  * order, one codegen'd pass per document. Bit-for-bit equal
+  * (parity-pinned) to the interpreted
+  * `transform(wordNgrams(text, n), g => xxhash64(g))` lambda chain —
+  * including `split`'s kept-empty-token corners and string-level
+  * distinctness — feeding d3's gram-postings build without the per-doc
+  * higher-order-function interpretation. Documents with fewer than n
+  * tokens yield the empty array (no truncated gram). */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && n > 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_ngram_hashes requires (STRING, n > 0), got " +
+        s"${child.dataType.catalogString}, n=$n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    NgramHashes.compute(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NgramHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramHashes {
+  private val WS = UTF8String.fromString("\\s+")
+  private val SEP = UTF8String.fromString("\u0001") // wordNgrams' \x01 separator
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toLowerCase.split(WS, -1) // = Spark split(lower(text), "\s+")
+    if (toks.length < n) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val last = toks.length - n
+    val seen = new java.util.HashSet[UTF8String](math.max(16, (last + 1) * 2))
+    val hashes = new Array[Long](last + 1)
+    var m = 0
+    var i = 0
+    while (i <= last) {
+      val parts = new Array[UTF8String](n)
+      System.arraycopy(toks, i, parts, 0, n)
+      val gram = UTF8String.concatWs(SEP, parts: _*)
+      if (seen.add(gram)) {
+        hashes(m) = XXH64.hashUnsafeBytes(gram.getBaseObject, gram.getBaseOffset, gram.numBytes, 42L)
+        m += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hashes, m))
+  }
+
+  private[expressions] def fromChildren(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "graft_ngram_hashes(text, n) takes 2 arguments")
+    NgramHashes(children(0), MinHashSignature.intLit(children(1), "graft_ngram_hashes", "n"))
+  }
+}

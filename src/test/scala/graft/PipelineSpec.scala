@@ -50,6 +50,18 @@ class PipelineSpec extends AnyFunSuite {
         call_function("graft_shingle_hashes", col("text"), lit(5)).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(natSh === relSh)
+    // graft_ngram_hashes: parity vs transform(wordNgrams) incl. the
+    // split-kept-empty-token corners (leading/trailing whitespace)
+    val docs2 = docs.unionByName(Seq(
+      (100L, "  leading and trailing  "), (101L, "one"),
+      (102L, "a b a b a b")).toDF("doc_id", "text"))
+    val relNg = docs2.select(col("doc_id"),
+        transform(Dedup.wordNgrams(col("text"), 2), g => xxhash64(g)).as("ng"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val natNg = docs2.select(col("doc_id"),
+        call_function("graft_ngram_hashes", col("text"), lit(2)).as("ng"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(natNg === relNg)
   }
 
   test("exact dedup groups identical texts and keeps min id") {
