@@ -159,6 +159,9 @@ object Similarity {
         (math.max(2, math.ceil(math.log(math.max(n, 128L) / 32.0)
           / math.log(2.0)).toInt), tables)
       }
+    // Per-table bucket joins + union (NOT one posexplode'd composite-key
+    // join — measured 14% slower at sf0.1: the 8× exploded rows through a
+    // single exchange cost more than 8 small joins AQE can broadcast).
     val a = vectors.select(col(idCol).as("doc_a"), col(vecCol).as("av"),
       nnorm(col(vecCol)).as("an"))
     val b = vectors.select(col(idCol).as("doc_b"), col(vecCol).as("bv"),
