@@ -124,6 +124,37 @@ class PropertySpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("native text-hash expressions ≡ their relational forms on random strings") {
+    import spark.implicits._
+    import graft.functions.Dedup
+    graft.functions.expressions.GraftFunctions.init(spark)
+    // strings over a small alphabet with whitespace runs + unicode chars:
+    // maximizes duplicate shingles/grams and split() corner cases
+    val genDoc = Gen.listOf(Gen.frequency(
+      5 -> Gen.oneOf('a', 'b', 'A', 'ü', 'Σ'), 2 -> Gen.const(' '),
+      1 -> Gen.const('\t'))).map(_.mkString)
+    check("nativeParity", Prop.forAll(Gen.listOfN(6, genDoc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val relSig = Dedup.minHashSignatures(docs, numHashes = 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val natSig = Dedup.minHashSignaturesNative(docs, numHashes = 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val relSh = docs.select(col("doc_id"),
+          sort_array(transform(Dedup.charShingles(col("text"), 3), s => xxhash64(s))).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val natSh = docs.select(col("doc_id"),
+          call_function("graft_shingle_hashes", col("text"), lit(3)).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val relNg = docs.select(col("doc_id"),
+          transform(Dedup.wordNgrams(col("text"), 2), g => xxhash64(g)).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val natNg = docs.select(col("doc_id"),
+          call_function("graft_ngram_hashes", col("text"), lit(2)).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      natSig == relSig && natSh == relSh && natNg == relNg
+    }, n = 4)
+  }
+
   test("asofJoin ≡ brute-force as-of semantics on random inputs") {
     import spark.implicits._
     val gen = for {
