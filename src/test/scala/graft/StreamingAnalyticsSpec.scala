@@ -335,6 +335,36 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("minHashDedupStream: restart from checkpoint keeps pairs and store consistent") {
+    import graft.functions.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_neardup_rs").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val text = "some repeated text that will be duplicated across batches here"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def start() = Dedup.minHashDedupStream(
+      spark.readStream.schema(schema).parquet(s"$inDir/*"),
+      s"$root/sigs", s"$root/pairs", s"$root/ckpt", threshold = 0.8)
+    val q1 = start()
+    try {
+      Seq(1L -> text, 2L -> "unrelated filler content nothing shared with anything else")
+        .toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b1")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      Seq(3L -> text).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b2")
+      q2.processAllAvailable()
+      val pairs = spark.read.parquet(s"$root/pairs")
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 3L))) // the post-restart doc pairs with the pre-restart corpus
+      val ids = spark.read.parquet(s"$root/sigs").select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids === Array(1L, 2L, 3L))
+    } finally q2.stop()
+  }
+
   test("pageRankStatic matches a hand-rolled power iteration + rank-sum normalization") {
     // star + chain: 0→1, 0→2, 2→3 (ranges irrelevant to rank)
     val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
