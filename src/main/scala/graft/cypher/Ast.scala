@@ -129,7 +129,13 @@ sealed trait EdgePart
 final case class AttrPart(label: Int) extends EdgePart
 final case class OrthPart(label: Int) extends EdgePart
 final case class WherePart(f: EdgeView => Column) extends EdgePart
-final case class SeveralPart(lo: Int, hi: Int) extends EdgePart
+final case class SeveralPart(lo: Int, hi: Int) extends EdgePart {
+  // lo = 0 ("zero hops acceptable") is not a reference semantic — its
+  // stopRecursion counts from 1 (Cypher.hs:823-837) — and the executor's
+  // dry-up rules assume lo >= 1; fail construction, not the query result
+  require(lo >= 1 && hi >= lo,
+    s"several($lo, $hi): bounds must satisfy 1 <= lo <= hi")
+}
 
 object Dsl {
   /** All nodes (reference anyNode, Cypher.hs:336-338). */

@@ -39,9 +39,15 @@ object Query {
     * distinct path prefix, [] when a prefix has no continuation, exactly the
     * reference's Nodes2..9 nesting with empty sublists retained
     * (walkPaths keeps non-matching centers with [], Cypher.hs:806-812).
+    *
+    * Always evaluates LEFT-TO-RIGHT regardless of `quick`: the
+    * empty-children contract needs the pre-continuation prefix snapshot of
+    * each layer, which only a walk in pattern order produces — the planned
+    * strategy's snapshots are projections of the final inner join, where a
+    * dried-up prefix no longer exists.
     */
   def temp(g: PropertyGraph, pat: Pat, quick: Boolean = true): Vector[DataFrame] = {
-    val res = run(g, pat, quick)
+    val res = run(g, pat, quick = true)
     if (res.failed) return Vector.empty
     (1 until res.pathsPerLayer.length).map { k =>
       val prefix = res.pathsPerLayer(k - 1).columns.filter(_.startsWith("n"))

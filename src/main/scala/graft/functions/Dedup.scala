@@ -170,6 +170,11 @@ object Dedup {
     *     default margin 0.15 is ≈ 2.4σ — recall loss ≪ the LSH banding's own;
     *  3. exact verify: shingle-array intersection only on survivors.
     * Signatures are computed once (cached) and reused by stages 1–2. */
+  /* NOTE: the signature relation is .cache()'d for the duration of the
+   * returned plan (stages 1-2 both read it) and there is no handle to
+   * unpersist it — on a session calling this API per shard, cached
+   * signature relations accumulate until session end (Spark evicts LRU
+   * under pressure; MEMORY_AND_DISK, so correctness is unaffected). */
   def minHashDuplicates(
       docs: DataFrame,
       threshold: Double,
@@ -396,6 +401,11 @@ object Dedup {
     * 3 must agree on one chunk). */
   def simHashDuplicates(docs: DataFrame, maxDistance: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // 4 chunks are pigeonhole-complete only up to distance 3; a larger
+    // distance would silently lose recall (a pair can differ in all 4
+    // chunks at hamming 4) — fail loudly instead
+    require(maxDistance >= 0 && maxDistance <= 3,
+      s"simHashDuplicates: 4-chunk banding is complete only for maxDistance <= 3, got $maxDistance")
     val sigs = simHash(docs, textCol, idCol)
     val chunked = sigs.select(col("id"), col("simhash"), posexplode(
         array((0 until 4).map(c =>

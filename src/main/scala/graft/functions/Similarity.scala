@@ -204,7 +204,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val seeds = vectors
       .withColumn("h", pmod(xxhash64(col(idCol)), lit(1000000)))
-      .orderBy("h").limit(nCentroids)
+      .orderBy(col("h"), col(idCol)).limit(nCentroids) // id tie-break: hash collisions must not make the seed set run-dependent
       .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
     val assigned = assignTo(vectors, seeds, idCol, vecCol)
     assigned

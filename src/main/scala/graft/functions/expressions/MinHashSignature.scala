@@ -54,8 +54,11 @@ object MinHashSignature {
     * forwarder on the companion class). */
   def compute(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
     val lowered = text.toLowerCase
-    val n = lowered.numChars()
-    val last = math.max(n - k, 0)
+    // position bound comes from the ORIGINAL length — the relational spec
+    // is sequence(0, greatest(length(text)-k, 0)) over lower(text), and
+    // lowercasing can CHANGE numChars (İ → i + combining dot), so using
+    // the lowered length would diverge from charShingles and the oracles
+    val last = math.max(text.numChars() - k, 0)
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
@@ -121,8 +124,8 @@ case class ShingleHashes(child: Expression, shingleK: Int)
 object ShingleHashes {
   def compute(text: UTF8String, k: Int): ArrayData = {
     val lowered = text.toLowerCase
-    val n = lowered.numChars()
-    val last = math.max(n - k, 0)
+    // original-length bound, as in MinHashSignature.compute (see there)
+    val last = math.max(text.numChars() - k, 0)
     val seen = new java.util.HashSet[UTF8String](math.max(16, (last + 1) * 2))
     val hashes = new Array[Long](last + 1)
     var m = 0

@@ -90,7 +90,11 @@ object GraphOps {
     * (src,dst) rows.
     */
   def overlayLabels(g: PropertyGraph, pairs: DataFrame, mask: Long): PropertyGraph = {
-    val tagged = g.edges.join(pairs.select(col("src"), col("dst"), lit(true).as("__hit")), Seq("src", "dst"), "left")
+    // distinct: a duplicate (src,dst) in pairs must not multiply edge rows
+    // through the left join
+    val tagged = g.edges.join(
+      pairs.select(col("src"), col("dst")).distinct().withColumn("__hit", lit(true)),
+      Seq("src", "dst"), "left")
     g.copy(edges = tagged.withColumn("attrMask",
         when(col("__hit"), col("attrMask").bitwiseOR(lit(mask))).otherwise(col("attrMask")))
       .drop("__hit"))
@@ -131,9 +135,12 @@ object GraphOps {
     * agree (the reference unions same-schema graphs too).
     */
   def union(a: PropertyGraph, b: PropertyGraph): PropertyGraph = {
+    // attrMask bits OR together — the model contract for overlay labels
+    // (Model.scala: overlay insert ORs masks; the reference SUMS disjoint
+    // attr words). max() would silently drop bits one side carries.
     val merged = a.edges.unionByName(b.edges)
       .groupBy(col("src"), col("dst"), col("label"), col("dir"))
-      .agg(max(col("attrMask")).as("attrMask"))
+      .agg(expr("bit_or(attrMask)").as("attrMask"))
       .select(edgeCols.map(col): _*)
     PropertyGraph(merged, if (a.ranges.nonEmpty) a.ranges else b.ranges,
       a.nodeProps.orElse(b.nodeProps), a.edgeProps.orElse(b.edgeProps))

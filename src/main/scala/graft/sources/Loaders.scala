@@ -303,10 +303,16 @@ object Loaders {
     val ranges = spark.read.parquet(s"$dir/ranges.parquet").collect().map { r =>
       RangeDef(r.getLong(0), r.getLong(1), r.getInt(2), r.getSeq[Int](3))
     }.toSeq.sortBy(_.start)
-    def optional(name: String) = {
-      val p = new java.io.File(s"$dir/$name.parquet")
-      if (p.exists) Some(spark.read.parquet(p.getPath)) else None
-    }
+    // FS-agnostic optional read: a java.io.File probe is always false on
+    // hdfs:///s3a:// paths and would silently drop the property tables
+    def optional(name: String) =
+      try Some(spark.read.parquet(s"$dir/$name.parquet"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null &&
+              (e.getMessage.contains("Path does not exist") ||
+               e.getMessage.contains("Unable to infer schema")) => None
+      }
     PropertyGraph(spark.read.parquet(s"$dir/edges.parquet"), ranges,
       nodeProps = optional("node_props"), edgeProps = optional("edge_props"))
   }

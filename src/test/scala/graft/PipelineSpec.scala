@@ -30,7 +30,11 @@ class PipelineSpec extends AnyFunSuite {
       (0L, ""), (1L, "ab"), (2L, "abcde"), (3L, "the quick brown fox"),
       (4L, "ÄÖÜßéàç ünïcødé string"), (5L, "AAAAAAAAAA"),
       (6L, "mixed CASE With Ünicode ΣΙΓΜΑ and digits 12345"),
-      (7L, "é combining acute over there")).toDF("doc_id", "text")
+      (7L, "é combining acute over there"),
+      // \u0130 (LATIN CAPITAL I WITH DOT) lowercases to TWO chars \u2014 position
+      // bounds must follow the ORIGINAL length like the relational
+      // sequence(0, len(text)-k)
+      (8L, "\u0130stanbul \u0130\u0130"), (9L, "\u0130ab")).toDF("doc_id", "text")
     val rel = Dedup.minHashSignatures(docs, numHashes = 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val nat = Dedup.minHashSignaturesNative(docs, numHashes = 16)
