@@ -167,6 +167,16 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       g.edges.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs(graft.operators.GraphOps.intersect(a, b)) === Set((1L, 2L)))
     assert(pairs(graft.operators.GraphOps.except(a, b)) === Set((0L, 1L)))
+    // union ORs overlay bits when the same edge carries different masks
+    // (max would drop bits): {1} ∪ {2} overlays → mask 6 on the shared edge
+    val ranges12 = Seq(RangeDef(0, 100, 0, Seq(1, 2)))
+    val ov1 = Loaders.fromList(spark, Seq(InputEdge(0, 1, Seq(1), addReverse = false)), ranges12)
+    val ov2 = Loaders.fromList(spark, Seq(InputEdge(0, 1, Seq(2), addReverse = false)), ranges12)
+    val masks = graft.operators.GraphOps.union(
+        ov1.copy(edges = ov1.edges.withColumn("label", lit(1))),
+        ov2.copy(edges = ov2.edges.withColumn("label", lit(1))))
+      .edges.select("attrMask").collect().map(_.getLong(0)).toSet
+    assert(masks === Set(6L))
     // edge cases: empty graph on either side
     val e = graft.model.PropertyGraph.empty(spark, ranges)
     assert(pairs(graft.operators.GraphOps.intersect(a, e)) === Set())
