@@ -29,23 +29,35 @@ object GraphAnalytics {
     * Pregel runs — superstep latency is dominated by tasks-per-superstep,
     * but supersteps also run per-partition-threaded, so the GraphX target
     * is 8 MB/partition (vs 64 MB for batch scans): parallelism inside a
-    * superstep wins over fewer tasks once the graph is non-trivial. */
+    * superstep wins over fewer tasks once the graph is non-trivial.
+    *
+    * Memoized per (session, edge-plan): the conversion (DF → RDD +
+    * GraphX index build) is an analytics INDEX — two algorithms on the
+    * same (sub)graph in one session (e.g. reachability then shortest
+    * paths on a filtered label chain) must not each pay it. The memoized
+    * graph's RDDs are cached; entries die with the session. */
+  private val gxCache = new graft.util.SessionCache[GxGraph[Int, Int]]
   def toGraphX(g: PropertyGraph): GxGraph[Int, Int] = {
-    val fwd = g.edges.filter(col("dir"))
-      .select(col("src"), col("dst"), col("label"))
-    val p = sizedPartitions(fwd, targetBytes = 8L << 20)
-    val edges = fwd.rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), r.getInt(2)))
-      .coalesce(p)
-    // isolated nodes (explicitNodes) must appear as singleton components /
-    // ranked vertices; without an explicit node list the vertex set equals
-    // the edge endpoints, which fromEdges derives for free — skipping the
-    // distinct-over-endpoints shuffle that g.nodes would pay
-    g.explicitNodes match {
-      case Some(_) =>
-        val vertices = g.nodes.select(col("id")).rdd.map(r => (r.getLong(0), -1))
-          .coalesce(p)
-        GxGraph(vertices, edges, defaultVertexAttr = -1)
-      case None => GxGraph.fromEdges(edges, defaultValue = -1)
+    val key = s"gx|${g.edges.queryExecution.logical.semanticHash()}|" +
+      g.explicitNodes.map(_.queryExecution.logical.semanticHash()).getOrElse(0)
+    gxCache(g.spark, key) {
+      val fwd = g.edges.filter(col("dir"))
+        .select(col("src"), col("dst"), col("label"))
+      val p = sizedPartitions(fwd, targetBytes = 8L << 20)
+      val edges = fwd.rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), r.getInt(2)))
+        .coalesce(p)
+      // isolated nodes (explicitNodes) must appear as singleton components /
+      // ranked vertices; without an explicit node list the vertex set equals
+      // the edge endpoints, which fromEdges derives for free — skipping the
+      // distinct-over-endpoints shuffle that g.nodes would pay
+      val gx = g.explicitNodes match {
+        case Some(_) =>
+          val vertices = g.nodes.select(col("id")).rdd.map(r => (r.getLong(0), -1))
+            .coalesce(p)
+          GxGraph(vertices, edges, defaultVertexAttr = -1)
+        case None => GxGraph.fromEdges(edges, defaultValue = -1)
+      }
+      gx.cache()
     }
   }
 
@@ -99,17 +111,16 @@ object GraphAnalytics {
   }
 
   /** All nodes reachable from `sources` following a given edge label
-    * (optionally any) — Pregel form of the `***` pattern. */
+    * (optionally any) — Pregel form of the `***` pattern. Routes through
+    * the memoized [[toGraphX]] of the label-filtered subgraph, so
+    * reachability and shortest paths over the same chain share one
+    * conversion. */
   def reachableFrom(g: PropertyGraph, sources: Seq[Long], label: Option[Int] = None): DataFrame = {
     val spark = g.spark
     import spark.implicits._
-    val base = label.fold(g.edges.filter(col("dir")))(l =>
-      g.edges.filter(col("dir") && col("label") === l))
-    val edges = base.select("src", "dst").rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
-      .coalesce(sizedPartitions(base))
+    val sub = label.fold(g)(l => g.copy(edges = g.edges.filter(col("label") === l)))
     val srcSet = sources.toSet
-    val gx = GxGraph.fromEdges(edges, defaultValue = 0)
-      .mapVertices((v, _) => srcSet.contains(v))
+    val gx = toGraphX(sub).mapVertices((v, _) => srcSet.contains(v))
     // activeDirection = Out: `reached` flips only on message receipt and
     // messages flow src→dst — only out-edges of newly-reached vertices can
     // emit, so triplet scans shrink to the frontier per superstep.
