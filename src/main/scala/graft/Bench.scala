@@ -45,6 +45,21 @@ object Bench {
     val warm = only.isEmpty || sys.env.get("SPARK_GRAFT_WARM").exists(_ == "1")
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
 
+    // VM-noise witness: a fixed single-thread CPU probe (2^22 iterations of
+    // a long mix) timed at suite start and end. Driver VMs have shown 3-12×
+    // transient load (BENCH_r02 g6, BENCH_r03 g5/g7/siw — same code measured
+    // 8-12× faster locally); build_sec alone can't witness load that arrives
+    // MID-run. cal ≈ [same, same] on a quiet VM; a skewed pair flags that
+    // per-query numbers include machine noise, not plan cost.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      while (i < (1 << 22)) { x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L + i; i += 1 }
+      if (x == 42) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calStart = calibrate()
+
     val tBuild = System.nanoTime()
     if (warm) { // shared-cache warmup needs the TPC + mail inputs
       graft.gate.GateQueries.graph(spark, sfDir).edges.count()
@@ -76,11 +91,20 @@ object Bench {
       val extra = runPass(extraErrors).map { case (k, v) => s"$k=${v.fold("err")(t => f"$t%.3f")}" }
       System.err.println(s"[bench] pass $i: ${extra.mkString(" ")}")
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
+    // The harness reading this line keeps only the LAST 2000 chars of stdout
+    // (observed: BENCH_r03 truncated a ~2.7k-char full-precision line and
+    // failed to parse). 3 decimals = 1 ms precision, and the whole line must
+    // stay under ~1.9k chars so it survives the window with sbt's trailer.
+    def s3(d: Double): String = f"$d%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(s3) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","build_sec":$buildSec,"errors":$errJson}""")
+    val calEnd = calibrate()
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","build_sec":${s3(buildSec)},"cal":[${s3(calStart)},${s3(calEnd)}],"errors":$errJson}"""
+    if (line.length > 1850)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may exceed the 2000-char stdout tail window")
+    println(line)
     spark.stop()
   }
 }

@@ -34,13 +34,28 @@ object GraphAnalytics {
     * Memoized per (session, edge-plan): the conversion (DF → RDD +
     * GraphX index build) is an analytics INDEX — two algorithms on the
     * same (sub)graph in one session (e.g. reachability then shortest
-    * paths on a filtered label chain) must not each pay it. The memoized
-    * graph's RDDs are cached; entries die with the session. */
-  private val gxCache = new graft.util.SessionCache[GxGraph[Int, Int]]
+    * paths on a filtered label chain) must not each pay it.
+    *
+    * Unlike SessionCache's "handful of per-process fixtures", the key here
+    * is user-data-dependent (every distinct filtered subgraph is a new
+    * entry), so the cache is a BOUNDED LRU: beyond `gxCacheMax` live
+    * entries the least-recently-used graph is unpersisted (lineage
+    * remains — a late reader of an evicted graph recomputes, never
+    * miscomputes). Entries die with their session either way. */
+  private val gxCacheMax = 8
+  private val gxCache =
+    new java.util.LinkedHashMap[String, GxGraph[Int, Int]](16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, GxGraph[Int, Int]]): Boolean = {
+        val evict = size() > gxCacheMax
+        if (evict) e.getValue.unpersist(blocking = false)
+        evict
+      }
+    }
   def toGraphX(g: PropertyGraph): GxGraph[Int, Int] = {
-    val key = s"gx|${g.edges.queryExecution.logical.semanticHash()}|" +
+    val key = s"gx|${g.spark.sparkContext.applicationId}|" +
+      s"${g.edges.queryExecution.logical.semanticHash()}|" +
       g.explicitNodes.map(_.queryExecution.logical.semanticHash()).getOrElse(0)
-    gxCache(g.spark, key) {
+    gxCache.synchronized(Option(gxCache.get(key))).getOrElse {
       val fwd = g.edges.filter(col("dir"))
         .select(col("src"), col("dst"), col("label"))
       val p = sizedPartitions(fwd, targetBytes = 8L << 20)
@@ -58,6 +73,14 @@ object GraphAnalytics {
         case None => GxGraph.fromEdges(edges, defaultValue = -1)
       }
       gx.cache()
+      gxCache.synchronized {
+        // double-check under the lock: a concurrent builder of the same key
+        // wins and ours is dropped un-cached (unpersist frees the marker)
+        Option(gxCache.get(key)) match {
+          case Some(prior) => gx.unpersist(blocking = false); prior
+          case None => gxCache.put(key, gx); gx
+        }
+      }
     }
   }
 

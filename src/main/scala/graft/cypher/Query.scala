@@ -40,13 +40,15 @@ object Query {
     * reference's Nodes2..9 nesting with empty sublists retained
     * (walkPaths keeps non-matching centers with [], Cypher.hs:806-812).
     *
-    * Always evaluates LEFT-TO-RIGHT regardless of `quick`: the
+    * Always evaluates LEFT-TO-RIGHT (no strategy choice): the
     * empty-children contract needs the pre-continuation prefix snapshot of
     * each layer, which only a walk in pattern order produces — the planned
     * strategy's snapshots are projections of the final inner join, where a
-    * dried-up prefix no longer exists.
+    * dried-up prefix no longer exists. (A `quick` parameter used to be
+    * accepted and silently ignored — removed so the API doesn't advertise
+    * a choice it never honored.)
     */
-  def temp(g: PropertyGraph, pat: Pat, quick: Boolean = true): Vector[DataFrame] = {
+  def temp(g: PropertyGraph, pat: Pat): Vector[DataFrame] = {
     val res = run(g, pat, quick = true)
     if (res.failed) return Vector.empty
     (1 until res.pathsPerLayer.length).map { k =>

@@ -105,8 +105,13 @@ object Dedup {
       shingleK: Int = 5,
       numHashes: Int = 64): DataFrame = {
     graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
-    docs.select(col(idCol).as("id"),
-      call_function("graft_minhash", col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
+    // null-text docs are dropped, matching the relational form (explode over
+    // a null shingle array yields no row) — without this the native form
+    // emitted (id, null) rows that poisoned the streaming signature store
+    // and hashed all null docs into one shared LSH bucket per band
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        call_function("graft_minhash", col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
   }
 
   // ---- MinHash + LSH -------------------------------------------------------
@@ -301,7 +306,11 @@ object Dedup {
         // store: zip_with over unequal sig lengths null-pads (est-jaccard
         // silently collapses) and slice() past the end hashes empty bands
         // — a silent recall collapse, not an approximation
-        store.head(1).foreach { r =>
+        // null-safe: a store written before null-text filtering may carry
+        // (id, null) rows — they must not NPE the guard (and the bucket and
+        // estimate stages ignore them: null sigs band to no shared bucket
+        // once the batch side is null-free)
+        store.filter(col("sig").isNotNull).head(1).foreach { r =>
           val len = r.getSeq[Long](1).size
           require(len == numHashes,
             s"minHashDedupStream: signature store at $sigDir has $len hashes/doc but " +

@@ -205,6 +205,13 @@ object Loaders {
     * stable but density can gain a gap (the honest limit of
     * append-without-a-transaction-log; a table format with atomic commits
     * slots in here at production scale).
+    *
+    * SINGLE WRITER REQUIRED per `dictDir`: the id-block assignment reads
+    * max(id) then appends, so two concurrent writers (a second stream, or
+    * a batch job sharing the dictionary) can read the same max and assign
+    * overlapping blocks — silently aliasing distinct names to the same
+    * ids. Run one stream per dictionary; at production scale guard the
+    * assignment with a lock file or a table format's atomic commit.
     */
   def streamCSVEdgesNamed(
       spark: SparkSession,

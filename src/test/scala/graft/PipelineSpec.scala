@@ -34,12 +34,16 @@ class PipelineSpec extends AnyFunSuite {
       // \u0130 (LATIN CAPITAL I WITH DOT) lowercases to TWO chars \u2014 position
       // bounds must follow the ORIGINAL length like the relational
       // sequence(0, len(text)-k)
-      (8L, "\u0130stanbul \u0130\u0130"), (9L, "\u0130ab")).toDF("doc_id", "text")
+      (8L, "\u0130stanbul \u0130\u0130"), (9L, "\u0130ab"),
+      // null text: the relational form yields NO row (explode over a null
+      // array) \u2014 the native form must drop the doc too, not emit (id, null)
+      (10L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val rel = Dedup.minHashSignatures(docs, numHashes = 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val nat = Dedup.minHashSignaturesNative(docs, numHashes = 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(nat === rel)
+    assert(!nat.contains(10L), "null-text docs must be dropped, not null-signed")
     // and the native form is a narrow projection: no exchange, no aggregate
     val plan = Dedup.minHashSignaturesNative(docs, numHashes = 16)
       .queryExecution.executedPlan.toString
