@@ -46,11 +46,17 @@ object Bench {
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
 
     // VM-noise witness: a fixed single-thread CPU probe (2^22 iterations of
-    // a long mix) timed at suite start and end. Driver VMs have shown 3-12×
-    // transient load (BENCH_r02 g6, BENCH_r03 g5/g7/siw — same code measured
-    // 8-12× faster locally); build_sec alone can't witness load that arrives
-    // MID-run. cal ≈ [same, same] on a quiet VM; a skewed pair flags that
-    // per-query numbers include machine noise, not plan cost.
+    // a long mix) timed at suite start, after every calEvery-th query, and
+    // at suite end. Driver VMs have shown 3-12× transient load (BENCH_r02
+    // g6, BENCH_r03 g5/g7/siw — same code measured 8-12× faster locally);
+    // build_sec alone can't witness load that arrives MID-run, and the r4
+    // start/end pair couldn't either (a2/a3 needed a manual attribution
+    // run). cal[j] is sampled just before query index j*calEvery of the
+    // reported pass (sorted order), last sample after the final query —
+    // a slow query between two quiet samples is plan cost, between skewed
+    // ones is machine noise. ~0.01 s/sample on a quiet VM; sampled every
+    // 4 queries (not every query) to keep the JSON line inside the
+    // ~1.9k-char stdout tail window.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9E3779B97F4A7C15L; var i = 0
@@ -58,7 +64,11 @@ object Bench {
       if (x == 42) println("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
-    val calStart = calibrate()
+    calibrate() // untimed JIT warmup: the first execution compiles the loop;
+                // without it cal[0] reads [slow, fast] on a QUIET VM — the
+                // exact skew the probe exists to flag
+    val calEvery = 4
+    val calSamples = scala.collection.mutable.ArrayBuffer[Double](calibrate())
 
     val tBuild = System.nanoTime()
     if (warm) { // shared-cache warmup needs the TPC + mail inputs
@@ -68,13 +78,17 @@ object Bench {
     }
     val buildSec = (System.nanoTime() - tBuild) / 1e9
 
+    def s3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
     // per-pass error buffer: only pass 1 feeds the reported JSON — an
     // extra-pass failure must not list a query in `errors` whose reported
     // (pass-1) timing is non-null and counted in the total
-    def runPass(errors: scala.collection.mutable.ArrayBuffer[String]): Seq[(String, Option[Double])] =
+    def runPass(errors: scala.collection.mutable.ArrayBuffer[String],
+                cal: Option[scala.collection.mutable.ArrayBuffer[Double]]): Seq[(String, Option[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
-        .map { case (name, fn) =>
+        .zipWithIndex.map { case ((name, fn), i) =>
+        if (i > 0 && i % calEvery == 0) cal.foreach(_ += calibrate())
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -85,23 +99,25 @@ object Bench {
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
     val errors = scala.collection.mutable.ArrayBuffer[String]()
-    val results = runPass(errors)
+    val results = runPass(errors, Some(calSamples))
+    calSamples += calibrate()
     for (i <- 2 to repeat) {
       val extraErrors = scala.collection.mutable.ArrayBuffer[String]()
-      val extra = runPass(extraErrors).map { case (k, v) => s"$k=${v.fold("err")(t => f"$t%.3f")}" }
+      val extra = runPass(extraErrors, None).map { case (k, v) => s"$k=${v.fold("err")(s3)}" }
       System.err.println(s"[bench] pass $i: ${extra.mkString(" ")}")
     }
     // The harness reading this line keeps only the LAST 2000 chars of stdout
     // (observed: BENCH_r03 truncated a ~2.7k-char full-precision line and
     // failed to parse). 3 decimals = 1 ms precision, and the whole line must
     // stay under ~1.9k chars so it survives the window with sbt's trailer.
-    def s3(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: the f interpolator uses the JVM default locale — on a
+    // comma-decimal VM (de_DE etc.) it would emit invalid JSON.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(s3) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val calEnd = calibrate()
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","build_sec":${s3(buildSec)},"cal":[${s3(calStart)},${s3(calEnd)}],"errors":$errJson}"""
+    val calJson = calSamples.map(s3).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","build_sec":${s3(buildSec)},"cal":$calJson,"cal_every":$calEvery,"errors":$errJson}"""
     if (line.length > 1850)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may exceed the 2000-char stdout tail window")
     println(line)

@@ -22,15 +22,51 @@ object Verify {
     // entries — point it at a fresh outDir (stale full-run dumps beside a
     // subset json would silently escape the checker's iteration).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+
+    def s3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    // Same VM-noise witness as Bench (see Bench.scala): correctness runs
+    // had none, so a verify timeout/flake was unattributable. Samples land
+    // in outDir/verify_meta.json, which the driver ignores but a postmortem
+    // can read. Warmup first — the initial execution JIT-compiles the loop.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      while (i < (1 << 22)) { x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L + i; i += 1 }
+      if (x == 42) println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate()
+    val calEvery = 4
+    val cal = scala.collection.mutable.ArrayBuffer[Double](calibrate())
+
+    // shared-cache warmup, mirroring Bench (incl. its subset guard: a
+    // subset run may target a dir without the TPC tables): without it the
+    // first g-query absorbs the whole graph build and per-query times mean
+    // nothing
+    val warm = only.isEmpty || sys.env.get("SPARK_GRAFT_WARM").exists(_ == "1")
+    val tBuild = System.nanoTime()
+    if (warm) {
+      graft.gate.GateQueries.graph(spark, sfDir).edges.count()
+      val mailPath = graft.bench.MailGraph.generate("/tmp/graft_mail_data.txt")
+      graft.bench.MailGraph.miwCached(spark, mailPath).edges.count()
+    }
+    val buildSec = (System.nanoTime() - tBuild) / 1e9
+
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+      .zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % calEvery == 0) cal += calibrate()
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       }
+      name -> (System.nanoTime() - t0) / 1e9
     }
+    cal += calibrate()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,6 +83,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val meta = s"""{"build_sec":${s3(buildSec)},""" +
+      s""""cal":${cal.map(s3).mkString("[", ",", "]")},"cal_every":$calEvery,""" +
+      s""""queries":${timings.map { case (k, v) => q(k) + ":" + s3(v) }.mkString("{", ",", "}")},""" +
+      s""""failed":${failed.map(q).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
+    System.err.println(s"[verify] summary: $meta")
     spark.stop()
   }
 }

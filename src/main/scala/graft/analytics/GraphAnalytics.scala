@@ -41,18 +41,30 @@ object GraphAnalytics {
     * entry), so the cache is a BOUNDED LRU: beyond `gxCacheMax` live
     * entries the least-recently-used graph is unpersisted (lineage
     * remains — a late reader of an evicted graph recomputes, never
-    * miscomputes). Entries die with their session either way. */
+    * miscomputes).
+    *
+    * Cross-session hygiene (sequential-session test JVMs): entries from an
+    * ENDED session are not just inert — they occupy the cap and would evict
+    * live graphs, and unpersisting them from `removeEldestEntry` throws
+    * from inside a NEW session's `put`. So every insert first purges keys
+    * from other applications (no unpersist needed — their context is gone
+    * or has its own entries), and eviction-unpersist is Try-guarded against
+    * a stopped SparkContext. */
   private val gxCacheMax = 8
   private val gxCache =
     new java.util.LinkedHashMap[String, GxGraph[Int, Int]](16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(e: java.util.Map.Entry[String, GxGraph[Int, Int]]): Boolean = {
         val evict = size() > gxCacheMax
-        if (evict) e.getValue.unpersist(blocking = false)
+        if (evict) scala.util.Try {
+          val sc = e.getValue.vertices.sparkContext
+          if (!sc.isStopped) e.getValue.unpersist(blocking = false)
+        }
         evict
       }
     }
   def toGraphX(g: PropertyGraph): GxGraph[Int, Int] = {
-    val key = s"gx|${g.spark.sparkContext.applicationId}|" +
+    val appPrefix = s"gx|${g.spark.sparkContext.applicationId}|"
+    val key = appPrefix +
       s"${g.edges.queryExecution.logical.semanticHash()}|" +
       g.explicitNodes.map(_.queryExecution.logical.semanticHash()).getOrElse(0)
     gxCache.synchronized(Option(gxCache.get(key))).getOrElse {
@@ -74,6 +86,10 @@ object GraphAnalytics {
       }
       gx.cache()
       gxCache.synchronized {
+        // purge other applications' entries BEFORE put: a dead session's
+        // graphs must not hold cap slots against this session's live ones
+        val it = gxCache.keySet().iterator()
+        while (it.hasNext) if (!it.next().startsWith(appPrefix)) it.remove()
         // double-check under the lock: a concurrent builder of the same key
         // wins and ours is dropped un-cached (unpersist frees the marker)
         Option(gxCache.get(key)) match {

@@ -57,7 +57,8 @@ object MailGraph {
     * queries like [[cw]] are point/1-hop lookups — without the cache every
     * action re-parses the 367k-line text corpus, which dominates the query
     * (the ingest benchmark itself uses the uncached [[miw]]). */
-  private val cache = new graft.util.SessionCache[PropertyGraph]
+  private val cache = new graft.util.SessionCache[PropertyGraph](
+    maxEntries = 4, onEvict = _.edges.unpersist(blocking = false))
   def miwCached(spark: SparkSession, path: String): PropertyGraph =
     cache(spark, path) {
       val g = miw(spark, path)

@@ -24,26 +24,38 @@ object Dedup {
   // ---- exact ---------------------------------------------------------------
 
   /** Exact dedup: groups identical texts, keeps the smallest id.
-    * Returns (text_hash, keeper, n_copies). One shuffle. */
+    * Returns (text_hash, keeper, n_copies). One shuffle.
+    *
+    * Null-text policy (pipeline-wide contract): null text ⇒ never a dedup
+    * candidate. Without the filter, SQL GROUP BY semantics collect every
+    * null doc into one text_hash=NULL group — all null docs read as exact
+    * copies of each other. */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+    docs.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** Rows to drop under exact dedup (doc_id of every non-keeper copy). */
+  /** Rows to drop under exact dedup (doc_id of every non-keeper copy).
+    * Null-text docs are neither keepers nor drops (see [[exact]]). */
   def exactDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
-    docs.withColumn("rn", row_number().over(w)).filter(col("rn") > 1)
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") > 1)
       .select(col(idCol), col("rn"))
   }
 
   // ---- shingling / signatures (shared plumbing) ---------------------------
 
   /** Distinct character k-shingles of lowercased text as an array column —
-    * pure lambda expressions, fully codegen'd. */
+    * pure lambda expressions, fully codegen'd. Null text ⇒ null (matching
+    * the native expressions' nullSafeEval); without the guard,
+    * `greatest(length(NULL)-k, 0)` = 0 (Spark's greatest skips nulls) and
+    * a null text yields ONE null shingle — a shared sentinel that every
+    * downstream consumer would have to re-filter. */
   def charShingles(text: Column, k: Int): Column =
-    array_distinct(transform(
+    when(text.isNotNull, array_distinct(transform(
       sequence(lit(0), greatest(length(text) - k, lit(0))),
-      i => lower(text).substr(i + 1, lit(k))))
+      i => lower(text).substr(i + 1, lit(k)))))
 
   /** Distinct word n-grams (n consecutive lowercased tokens joined by
     * \\x01 — an unambiguous separator). Documents with fewer than n tokens
@@ -75,14 +87,22 @@ object Dedup {
     * reduces with H map-side-combining `min` aggregates in ONE shuffle on
     * id. This is the 10^9-document shape: no expression blowup, partial
     * aggregation shrinks the exploded rows back to |docs| before the
-    * exchange. */
+    * exchange.
+    *
+    * Null-text policy (shared with [[minHashSignaturesNative]], parity-
+    * pinned): null text ⇒ no signature ⇒ never a dedup candidate. Without
+    * the explicit filter, `charShingles` on NULL yields ONE null shingle
+    * (`greatest(length(NULL)-k, 0)` = 0 — Spark's greatest skips nulls), so
+    * every null doc would get the same seed-hash signature and all null
+    * docs would read as mutual near-duplicates. */
   def minHashSignatures(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleK: Int = 5,
       numHashes: Int = 64): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
         explode(charShingles(col(textCol), shingleK)).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("h0"))
     val mins = (0 until numHashes).map(s => min(xxhash64(col("h0"), lit(s))).as(s"h$s"))
@@ -105,10 +125,11 @@ object Dedup {
       shingleK: Int = 5,
       numHashes: Int = 64): DataFrame = {
     graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
-    // null-text docs are dropped, matching the relational form (explode over
-    // a null shingle array yields no row) — without this the native form
-    // emitted (id, null) rows that poisoned the streaming signature store
-    // and hashed all null docs into one shared LSH bucket per band
+    // null-text docs are dropped, matching the relational form's explicit
+    // filter (null text ⇒ no signature ⇒ never a dedup candidate) — without
+    // this the native form emitted (id, null) rows that poisoned the
+    // streaming signature store, and the relational form's single null
+    // shingle hashed all null docs into one shared LSH bucket per band
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         call_function("graft_minhash", col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
@@ -359,8 +380,15 @@ object Dedup {
           .partitionBy("__batch")
           .parquet(pairsDir)
         // store append LAST: a crash before this point replays cleanly
-        // (pairs partition just gets rewritten); genuinely-new ids only
-        val toAppend = newSigs.join(store.select("id"), Seq("id"), "left_anti")
+        // (pairs partition just gets rewritten); genuinely-new ids only.
+        // The anti-join ignores legacy (id, null) rows written before
+        // null-text filtering: a doc re-ingested with real text must get a
+        // real signature appended, not stay blocked forever by its null
+        // tombstone. The resulting duplicate id rows are benign — null sigs
+        // never share a bucket with the null-free batch side, and null
+        // est-jaccard rows are filtered.
+        val toAppend = newSigs.join(
+          store.filter(col("sig").isNotNull).select("id"), Seq("id"), "left_anti")
         if (!toAppend.isEmpty) toAppend.write.mode("append").parquet(sigDir)
       }
       .start()

@@ -34,7 +34,11 @@ object TextAnalysis {
     * alpha ratio, repetition (distinct/total tokens).
     * Heuristics follow the usual web-corpus filters (length bounds,
     * symbol load, repetition).
-    */
+    *
+    * Null-text policy: counts stay null, ratios default to 0.0, and
+    * quality_score is pinned to 0.0 — without the pin the repetition term
+    * alone awards a null doc 0.25, and a filter `score >= 0.25` would keep
+    * empty records. */
   def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = split(lower(trim(t)), "\\s+")
@@ -54,7 +58,8 @@ object TextAnalysis {
       .withColumn("alpha_ratio", when(nChar > 0, nAlpha / nChar).otherwise(0.0))
       .withColumn("repetition", when(nTok > 0, lit(1.0) - nDistinct / nTok).otherwise(0.0))
       .withColumn("quality_score",
-        (when(nChar.between(100, 100000), 0.25).otherwise(0.0)
+        when(t.isNull, 0.0).otherwise(
+          when(nChar.between(100, 100000), 0.25).otherwise(0.0)
           + when(col("mean_word_len").between(3.0, 12.0), 0.25).otherwise(0.0)
           + when(col("alpha_ratio") >= 0.6, 0.25).otherwise(0.0)
           + when(col("repetition") <= 0.5, 0.25).otherwise(0.0)))
@@ -89,18 +94,24 @@ object TextAnalysis {
   /** Winnowing-style document fingerprint: xxhash64 of every k-shingle,
     * keep hashes ≡ 0 (mod p) (mod-p sampling ≈ rolling-hash winnowing),
     * fingerprint = hash of the sorted sample. Near-identical documents get
-    * equal fingerprints with high probability. */
+    * equal fingerprints with high probability.
+    *
+    * Null-text policy: null in ⇒ null out. Without the guard, every null
+    * doc gets the SAME fingerprint (charShingles on NULL yields one null
+    * shingle; xxhash64 of a null element is the seed) — the fingerprint
+    * cousin of the minhash all-null-docs-are-dups bug. */
   def fingerprint(text: Column, k: Int = 8, p: Int = 4): Column = {
     val hashes = transform(Dedup.charShingles(text, k), sh => xxhash64(sh))
     val sampled = sort_array(array_distinct(filter(hashes, h => pmod(h, lit(p)) === 0)))
-    xxhash64(concat_ws(",", transform(sampled, _.cast("string"))))
+    when(text.isNotNull, xxhash64(concat_ws(",", transform(sampled, _.cast("string")))))
   }
 
   /** Rolling-hash shingle sample (the fingerprint's underlying set) for
-    * containment/overlap joins. */
+    * containment/overlap joins. Null text ⇒ null sample (see
+    * [[fingerprint]]). */
   def fingerprintShingles(text: Column, k: Int = 8, p: Int = 4): Column = {
     val hashes = transform(Dedup.charShingles(text, k), sh => xxhash64(sh))
-    sort_array(array_distinct(filter(hashes, h => pmod(h, lit(p)) === 0)))
+    when(text.isNotNull, sort_array(array_distinct(filter(hashes, h => pmod(h, lit(p)) === 0))))
   }
 
   /** Engine-portable fingerprint: the same winnowing scheme as
@@ -113,7 +124,7 @@ object TextAnalysis {
   def fingerprintMd5(text: Column, k: Int = 8): Column = {
     val hashes = transform(Dedup.charShingles(text, k), sh => md5(sh.cast("binary")))
     val sampled = array_sort(array_distinct(filter(hashes, h => h.startsWith("0"))))
-    md5(concat_ws(",", sampled).cast("binary"))
+    when(text.isNotNull, md5(concat_ws(",", sampled).cast("binary")))
   }
 
   // ---- decontamination -----------------------------------------------------

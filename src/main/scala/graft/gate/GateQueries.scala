@@ -61,7 +61,8 @@ object GateQueries {
     * step consumes the pair stage's output, it does not re-shingle the
     * corpus. Cached as a materialized DataFrame (d5's CC conversion and
     * any recount reuse it). */
-  private val pairsCache = new graft.util.SessionCache[DataFrame]
+  private val pairsCache = new graft.util.SessionCache[DataFrame](
+    maxEntries = 4, onEvict = _.unpersist(blocking = false))
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     pairsCache(spark, dir) {
       // The d1/d5 ORACLE equality (LSH+exact-verify == exact jaccard>=0.8
@@ -77,7 +78,8 @@ object GateQueries {
         .minHashDuplicates(t(spark, dir, "documents"), threshold = 0.8).cache()
     }
 
-  private val graphCache = new graft.util.SessionCache[PropertyGraph]
+  private val graphCache = new graft.util.SessionCache[PropertyGraph](
+    maxEntries = 4, onEvict = _.edges.unpersist(blocking = false))
   def graph(spark: SparkSession, dir: String): PropertyGraph =
     graphCache(spark, dir) {
       val g = buildGraph(spark, dir)
@@ -251,8 +253,10 @@ object GateQueries {
           .cast("long").as("n_tokens"))
     }),
     "t2_dedup_exact" -> ((s, d) => {
-      t(s, d, "documents").groupBy(md5(col("text").cast("binary")).as("text_hash"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      // the library operator, not an inline twin — so the gate actually
+      // exercises Dedup.exact (incl. its null-text filter; the corpus has
+      // no null texts, so the oracle's WHERE clause is a no-op there)
+      graft.functions.Dedup.exact(t(s, d, "documents"))
     }),
     "t3_doc_stats" -> ((s, d) => {
       t(s, d, "documents").groupBy(col("lang"), col("source"))
@@ -648,7 +652,7 @@ object GateQueries {
         |FROM documents""".stripMargin,
     "t2_dedup_exact" ->
       """SELECT MD5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
-        |FROM documents GROUP BY 1""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
     "t3_doc_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
         |MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars

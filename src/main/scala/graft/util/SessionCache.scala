@@ -2,15 +2,48 @@ package graft.util
 
 import org.apache.spark.sql.SparkSession
 
-/** One-per-(session, key) memoization for expensive shared artifacts (the
-  * gate graph, the parsed mail corpus, the near-dup pair set). Keyed by
-  * `applicationId` — unique per SparkContext, unlike `hashCode`, so a
+/** Bounded per-(session, key) memoization for expensive shared artifacts
+  * (the gate graph, the parsed mail corpus, the near-dup pair set). Keyed
+  * by `applicationId` — unique per SparkContext, unlike `hashCode`, so a
   * stopped context's entry can never be handed to a new context that
-  * happens to collide. Unbounded by design: keys are a handful of
-  * per-process fixtures, not user data.
+  * happens to collide.
+  *
+  * Originally unbounded ("keys are a handful of per-process fixtures"),
+  * but several users key on a data DIRECTORY — in a long-lived session
+  * touching many dirs that is user-data-dependent growth, the same
+  * unbounded-cache pattern fixed for GraphAnalytics.toGraphX. So:
+  *
+  *  - LRU-bounded at `maxEntries`; eviction calls `onEvict` (unpersist for
+  *    DataFrame/graph caches; no-op for scalar caches), Try-guarded — an
+  *    entry whose SparkContext already stopped must not throw from inside
+  *    a NEW session's insert;
+  *  - entries from OTHER applications are purged on insert (their context
+  *    is gone in sequential-session test JVMs; no unpersist needed —
+  *    dropping the reference is enough once the context died);
+  *  - eviction drops the cached handle only, never correctness: builders
+  *    are pure, a late caller just rebuilds.
   */
-final class SessionCache[T] {
-  private val map = scala.collection.concurrent.TrieMap[String, T]()
-  def apply(spark: SparkSession, key: String)(build: => T): T =
-    map.getOrElseUpdate(s"${spark.sparkContext.applicationId}|$key", build)
+final class SessionCache[T](maxEntries: Int = 16, onEvict: T => Unit = (_: T) => ()) {
+  private val map = new java.util.LinkedHashMap[String, T](16, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, T]): Boolean = {
+      val evict = size() > maxEntries
+      if (evict) scala.util.Try(onEvict(e.getValue))
+      evict
+    }
+  }
+  def apply(spark: SparkSession, key: String)(build: => T): T = {
+    val appPrefix = s"${spark.sparkContext.applicationId}|"
+    val k = appPrefix + key
+    map.synchronized(Option(map.get(k))).getOrElse {
+      val v = build // built OUTSIDE the lock: builders run Spark jobs
+      map.synchronized {
+        val it = map.keySet().iterator()
+        while (it.hasNext) if (!it.next().startsWith(appPrefix)) it.remove()
+        Option(map.get(k)) match {
+          case Some(prior) => scala.util.Try(onEvict(v)); prior // concurrent winner keeps
+          case None => map.put(k, v); v
+        }
+      }
+    }
+  }
 }

@@ -35,8 +35,9 @@ class PipelineSpec extends AnyFunSuite {
       // bounds must follow the ORIGINAL length like the relational
       // sequence(0, len(text)-k)
       (8L, "\u0130stanbul \u0130\u0130"), (9L, "\u0130ab"),
-      // null text: the relational form yields NO row (explode over a null
-      // array) \u2014 the native form must drop the doc too, not emit (id, null)
+      // null text: BOTH forms must drop the doc (explicit isNotNull filter;
+      // without it the relational charShingles yields one NULL shingle \u2014
+      // greatest(length(NULL)-k, 0) = 0 \u2014 making all null docs mutual dups)
       (10L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val rel = Dedup.minHashSignatures(docs, numHashes = 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
@@ -321,6 +322,61 @@ class PipelineSpec extends AnyFunSuite {
     val r = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l")).collect()
       .map(x => x.getLong(0) -> x.getString(1)).toMap
     assert(r(1L) === "en"); assert(r(2L) === "de"); assert(r(3L) === "es"); assert(r(4L) === "und")
+  }
+
+  // The pipeline-wide null-text contract, one operator at a time. Two
+  // classes of behavior, each pinned here and documented in scaladoc:
+  //  - DEDUP surfaces (signatures, candidates, exact): null text is DROPPED
+  //    — a null doc is never a dedup candidate. The failure mode otherwise
+  //    is systemic: all null docs hash/group/fingerprint identically and
+  //    read as mutual duplicates (found the hard way in minhash, r4).
+  //  - SCALAR analysis columns: null-safe defaults — null counts propagate
+  //    (SQL-idiomatic), ratios 0.0, quality_score pinned 0.0, langId 'und',
+  //    fingerprints null (NOT a shared sentinel value).
+  test("null-text policy sweep: every text operator drops or defaults, never groups") {
+    val docs = docsDF(1L -> base, 2L -> base, 3L -> null, 4L -> null)
+
+    // dedup surfaces: null docs dropped entirely
+    for ((name, sigs) <- Seq(
+        "minHashSignatures" -> Dedup.minHashSignatures(docs, numHashes = 8),
+        "minHashSignaturesNative" -> Dedup.minHashSignaturesNative(docs, numHashes = 8),
+        "simHash" -> Dedup.simHash(docs),
+        "simHashMd5" -> Dedup.simHashMd5(docs))) {
+      val ids = sigs.select("id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L), s"$name must drop null-text docs, got $ids")
+    }
+    val ex = Dedup.exact(docs).collect()
+    assert(ex.length === 1 && ex(0).getLong(1) === 1L && ex(0).getLong(2) === 2L,
+      "exact: null docs are not copies of each other")
+    assert(Dedup.exactDuplicates(docs).select("doc_id").as[Long].collect().toSeq === Seq(2L),
+      "exactDuplicates: null docs neither keep nor drop")
+    val mhPairs = Dedup.minHashDuplicates(docs, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mhPairs === Set((1L, 2L)), "minhash pairs: 3-4 (both null) must not pair")
+    val njPairs = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(njPairs === Set((1L, 2L)), "ngram jaccard: null docs never appear in pairs")
+
+    // scalar analysis columns: null-safe defaults, never a shared value
+    val row = docs.filter($"doc_id" === 3L).select(
+      TextAnalysis.tokenCountWs($"text").as("ws"),
+      TextAnalysis.tokenCountBpe($"text").as("bpe"),
+      TextAnalysis.tokenEstimate($"text").as("est"),
+      TextAnalysis.langId($"text").as("lang"),
+      TextAnalysis.fingerprint($"text").as("fp"),
+      TextAnalysis.fingerprintMd5($"text").as("fp_md5"),
+      TextAnalysis.fingerprintShingles($"text").as("fp_sh")).collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2), "token counts: null in, null out")
+    assert(row.getString(3) === "und", "langId: null text is 'und'")
+    assert(row.isNullAt(4) && row.isNullAt(5) && row.isNullAt(6),
+      "fingerprints: null, not a sentinel shared by all null docs")
+    val qf = TextAnalysis.qualityFeatures(docs).filter($"doc_id" === 3L).collect()(0)
+    assert(qf.getAs[Double]("quality_score") === 0.0, "null text must score 0.0")
+    assert(qf.isNullAt(qf.fieldIndex("n_tokens")), "null text has null token count")
+    // contamination scan: null text can't contain a probe
+    val probes = Seq("quick brown").toDF("probe")
+    val hits = TextAnalysis.findContamination(docs, probes).select("doc_id").as[Long].collect().toSet
+    assert(hits === Set(1L, 2L))
   }
 
   test("fingerprint: equal for identical, differs for different docs") {
