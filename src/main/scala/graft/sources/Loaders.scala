@@ -208,10 +208,14 @@ object Loaders {
     *
     * SINGLE WRITER REQUIRED per `dictDir`: the id-block assignment reads
     * max(id) then appends, so two concurrent writers (a second stream, or
-    * a batch job sharing the dictionary) can read the same max and assign
-    * overlapping blocks — silently aliasing distinct names to the same
-    * ids. Run one stream per dictionary; at production scale guard the
-    * assignment with a lock file or a table format's atomic commit.
+    * a batch job sharing the dictionary) could read the same max and
+    * assign overlapping blocks — silently aliasing distinct names to the
+    * same ids. ENFORCED by an exclusive-create lock file
+    * (`<dictDir>.lock`, [[graft.util.FsLock]]) around the
+    * read→assign→append window: a concurrent writer fails loudly instead
+    * of corrupting the dictionary. At production scale on an object store
+    * without atomic create, a table format's commit protocol replaces the
+    * lock.
     */
   def streamCSVEdgesNamed(
       spark: SparkSession,
@@ -241,10 +245,17 @@ object Loaders {
           StructType(Seq(StructField("name", StringType), StructField("id", LongType))))
         val names = pairs.select(col("sname").as("name"))
           .union(pairs.select(col("dname"))).distinct()
-        // materialize both sides of the catalog state BEFORE the append
-        // mutates what dict0 reads — dict0 itself is re-read lazily
-        val newNames = names.join(dict0, Seq("name"), "left_anti").localCheckpoint(true)
-        val dict =
+        // The whole read-catalog → assign-block → append window runs under
+        // an exclusive lock file (dictDir + ".lock"): a second writer that
+        // slipped in between the anti-join and the append would read the
+        // same max(id) and alias distinct names to one block. The lock
+        // ENFORCES the single-writer contract (it was scaladoc-only
+        // before); see FsLock for the atomicity limits per filesystem.
+        val dict = graft.util.FsLock.withLock(spark,
+            dictDir.stripSuffix("/") + ".lock", "streamCSVEdgesNamed") {
+          // materialize both sides of the catalog state BEFORE the append
+          // mutates what dict0 reads — dict0 itself is re-read lazily
+          val newNames = names.join(dict0, Seq("name"), "left_anti").localCheckpoint(true)
           if (newNames.isEmpty) dict0.localCheckpoint(true)
           else {
             val old = dict0.localCheckpoint(true)
@@ -256,6 +267,7 @@ object Loaders {
             block.write.mode("append").parquet(dictDir)
             old.unionByName(block)
           }
+        }
         fromEdgeDF(resolveNames(pairs, dict), label, mirror, Nil).edges
           .withColumn("__batch", lit(id))
           .write.mode("overwrite")

@@ -284,6 +284,25 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("FsLock: concurrent acquisition fails loudly, lock released after body and on exception") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val lock = s"$root/dict.lock"
+    // a second writer inside the critical section must fail, not corrupt
+    graft.util.FsLock.withLock(spark, lock, "outer") {
+      val e = intercept[IllegalStateException] {
+        graft.util.FsLock.withLock(spark, lock, "inner") { fail("must not enter") }
+      }
+      assert(e.getMessage.contains("already held"))
+    }
+    // released after the body: re-acquisition succeeds
+    assert(graft.util.FsLock.withLock(spark, lock, "again") { 7 } === 7)
+    // released on exception: the next writer is not blocked by a crashed body
+    intercept[RuntimeException] {
+      graft.util.FsLock.withLock(spark, lock, "boom") { throw new RuntimeException("boom") }
+    }
+    assert(graft.util.FsLock.withLock(spark, lock, "after-boom") { 8 } === 8)
+  }
+
   test("streamCSVEdgesNamed: restart from checkpoint keeps the dictionary consistent") {
     val root = java.nio.file.Files.createTempDirectory("graft_named_rs").toString
     val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
