@@ -116,8 +116,12 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val calJson = calSamples.map(s3).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","build_sec":${s3(buildSec)},"cal":$calJson,"cal_every":$calEvery,"errors":$errJson}"""
+    // cal emitted as integer MILLISECONDS ("cal_ms"): ~10 on a quiet VM,
+    // hundreds under load — ms resolution is the witness's working range,
+    // and 3-4 chars/sample (vs 5 for "0.010") buys the line-length headroom
+    // the 58-query map needs inside the ~1.9k-char window
+    val calJson = calSamples.map(s => math.round(s * 1000).toString).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","build_sec":${s3(buildSec)},"cal_ms":$calJson,"cal_every":$calEvery,"errors":$errJson}"""
     if (line.length > 1850)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may exceed the 2000-char stdout tail window")
     println(line)

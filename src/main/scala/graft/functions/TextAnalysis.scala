@@ -65,6 +65,77 @@ object TextAnalysis {
           + when(col("repetition") <= 0.5, 0.25).otherwise(0.0)))
   }
 
+  // ---- repetition filters (Gopher-style) -----------------------------------
+
+  /** Within-document repetition features, the Gopher-rule family (Rae et
+    * al. 2021 §A1.1: duplicate line / paragraph fractions, most-frequent
+    * n-gram mass): documents dominated by one repeated line, paragraph,
+    * token or bigram are boilerplate/spam and get filtered before
+    * training. Emits per doc:
+    *
+    *  - `n_lines`: non-empty line count (null text ⇒ null, like the other
+    *    count columns);
+    *  - `dup_line_frac` / `dup_para_frac`: fraction of non-empty line /
+    *    paragraph instances beyond their first occurrence (0.0 when none);
+    *  - `top_token_frac` / `top_bigram_frac`: the most frequent token's /
+    *    word-bigram's share of all token / bigram instances (0.0 when the
+    *    doc has no tokens / fewer than 2 tokens).
+    *
+    * Scale shape: line/paragraph features are pure array expressions (no
+    * shuffle, pipeline into the scan); the two top-frequency features each
+    * explode to (id, gram) and aggregate twice — partial aggregation
+    * shrinks the exploded rows to |docs|·|distinct grams per doc| before
+    * the exchange on id, the same 10^9-doc shape as minHashSignatures.
+    * Tokenization matches [[qualityFeatures]] (`split(lower(trim(text)),
+    * "\\s+")`); bigrams keep MULTIPLICITY (unlike
+    * [[graft.functions.Dedup.wordNgrams]], which is distinct-by-design
+    * for set-Jaccard) — a frequency share over distinct grams would be
+    * meaningless. */
+  def repetitionFeatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    def nonEmpty(sep: String) = filter(split(t, sep), x => length(x) > 0)
+    def dupFrac(arr: Column) =
+      when(size(arr) > 0, lit(1.0) - size(array_distinct(arr)) / size(arr)).otherwise(0.0)
+    val lineFeats = docs.select(col(idCol).as("id"),
+      size(nonEmpty("\n")).cast("long").as("n_lines"),
+      dupFrac(nonEmpty("\n")).as("dup_line_frac"),
+      dupFrac(nonEmpty("\n\n")).as("dup_para_frac"))
+    val toksArr = split(lower(trim(t)), "\\s+")
+    val bigramArr = when(size(toksArr) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toksArr) - 2),
+        i => concat_ws("", slice(toksArr, i + 1, lit(2)))))
+    def topFrac(gram: Column, name: String) =
+      docs.select(col(idCol).as("id"), explode(gram).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("id").agg((max("c") / sum("c")).as(name))
+    lineFeats
+      .join(topFrac(toksArr, "top_token_frac"), Seq("id"), "left")
+      .join(topFrac(bigramArr, "top_bigram_frac"), Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_lines"), col("dup_line_frac"),
+        col("dup_para_frac"),
+        coalesce(col("top_token_frac"), lit(0.0)).as("top_token_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  // ---- normalization --------------------------------------------------------
+
+  /** Canonical text normalization ahead of hashing/dedup: Unicode NFC
+    * (via the native codegen'd [[graft.functions.expressions.NfcNormalize]]
+    * — `é` composed and decomposed become one byte sequence), then ASCII
+    * whitespace runs collapsed to one space, then trimmed. Pure narrow
+    * column pipeline, no shuffle, no UDF. Null text ⇒ null (the null-text
+    * policy's scalar default). The whitespace class is the explicit
+    * `[ \t\n\r]` — identical in Java and RE2 regex dialects, so any
+    * engine reproduces the output byte-for-byte (gate t12 pins DuckDB's
+    * `nfc_normalize` against this). */
+  def normalizeText(docs: DataFrame, textCol: String = "text",
+      outCol: String = "text_norm"): DataFrame = {
+    graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
+    docs.withColumn(outCol,
+      trim(regexp_replace(call_function("graft_nfc", col(textCol)), "[ \\t\\n\\r]+", " ")))
+  }
+
   // ---- language identification --------------------------------------------
 
   /** Tiny stopword-profile language-ID over {en, de, fr, es, it}: the
@@ -144,6 +215,32 @@ object TextAnalysis {
     docs.crossJoin(broadcast(probes))
       .filter(contains(col(textCol), col(probeCol)))
       .drop(textCol, probeCol) // hit rows must not re-materialize the probe strings
+  }
+
+  /** N-gram-overlap decontamination — the GPT-3-style rule (Brown et al.
+    * 2020 §C: drop a training doc sharing any 13-gram with an eval set):
+    * one (doc, probe) row per pair sharing ≥1 word n-gram. Where
+    * [[findContamination]] needs the probe to appear VERBATIM as a
+    * substring, this catches partial/reformatted overlap — tokenization
+    * (`split(lower(text), "\\s+")`) absorbs case and whitespace changes.
+    *
+    * Scale shape: the probe side (eval benchmarks — small by nature)
+    * explodes to a distinct n-gram set and BROADCASTS; the corpus side is
+    * one narrow scan through the native
+    * [[graft.functions.expressions.NgramHashes]] (grams as xxhash64 longs
+    * — 8-byte join keys, no string shuffle) feeding a broadcast semi-ish
+    * join. No corpus shuffle at any size; contrast with a shuffle join on
+    * raw gram strings, which moves the whole exploded corpus. */
+  def findContaminationNgrams(docs: DataFrame, probes: DataFrame, n: Int = 13,
+      textCol: String = "text", idCol: String = "doc_id",
+      probeTextCol: String = "probe", probeIdCol: String = "probe_id"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
+    def grams(df: DataFrame, text: String, id: String) =
+      df.select(col(id), explode(call_function("graft_ngram_hashes", col(text), lit(n))).as("g"))
+    grams(docs, textCol, idCol)
+      .join(broadcast(grams(probes, probeTextCol, probeIdCol).distinct()), "g")
+      .select(col(idCol), col(probeIdCol)).distinct()
   }
 
   // ---- deterministic sampling ----------------------------------------------

@@ -83,7 +83,8 @@ object GraftFunctions {
     "graft_dot" -> (children => DotProduct(children(0), children(1))),
     "graft_minhash" -> (children => MinHashSignature.fromChildren(children)),
     "graft_shingle_hashes" -> (children => ShingleHashes.fromChildren(children)),
-    "graft_ngram_hashes" -> (children => NgramHashes.fromChildren(children)))
+    "graft_ngram_hashes" -> (children => NgramHashes.fromChildren(children)),
+    "graft_nfc" -> (children => NfcNormalize.fromChildren(children)))
 
   /** Idempotently register graft's native SQL functions on a session. */
   def init(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
@@ -114,5 +115,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ngram_hashes"),
       new ExpressionInfo(classOf[NgramHashes].getCanonicalName, "graft_ngram_hashes"),
       children => NgramHashes.fromChildren(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getCanonicalName, "graft_nfc"),
+      children => NfcNormalize.fromChildren(children)))
   }
 }

@@ -312,6 +312,28 @@ object GateQueries {
       graft.functions.TextAnalysis.findContamination(docs, probes)
         .select(col("doc_id"), col("probe_id"))
     }),
+    "t11_repetition" -> ((s, d) => {
+      // Gopher-rule repetition features; the corpus has no newlines, so
+      // the line/paragraph columns gate the null/empty edge semantics
+      // while top_token_frac / top_bigram_frac carry the real signal
+      // (measured 0.05-0.30 across the synthetic docs)
+      graft.functions.TextAnalysis.repetitionFeatures(t(s, d, "documents"))
+    }),
+    "t12_normalize" -> ((s, d) => {
+      // NFC (native graft_nfc expression) + whitespace collapse + trim;
+      // DuckDB's nfc_normalize pins TR#15 conformance engine-to-engine
+      graft.functions.TextAnalysis.normalizeText(t(s, d, "documents"))
+        .select(col("doc_id"), col("text_norm"))
+    }),
+    "t13_ngram_decontam" -> ((s, d) => {
+      // GPT-3-style n-gram decontamination; n=3 with 80-char probe slices
+      // (a token-boundary-cutting slice still shares its interior grams
+      // with the source doc, unlike the verbatim-substring t9)
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("probe_id"), substring(col("text"), 20, 80).as("probe"))
+      graft.functions.TextAnalysis.findContaminationNgrams(docs, probes, n = 3)
+    }),
     "t7_deterministic_sample" -> ((s, d) => {
       t(s, d, "documents")
         .filter(graft.functions.TextAnalysis.sampleByHash(col("doc_id"), 0.25))
@@ -938,6 +960,40 @@ object GateQueries {
         |)
         |SELECT d.doc_id, p.probe_id FROM documents d, probes p
         |WHERE contains(d.text, p.probe)""".stripMargin,
+    "t11_repetition" ->
+      """WITH arrs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS ls,
+        |    list_filter(string_split(text, chr(10)||chr(10)), p -> len(p) > 0) AS ps
+        |  FROM documents
+        |), lf AS (
+        |  SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CASE WHEN len(ls) > 0 THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) ELSE 0.0 END AS dup_line_frac,
+        |    CASE WHEN len(ps) > 0 THEN 1.0 - len(list_distinct(ps))::DOUBLE / len(ps) ELSE 0.0 END AS dup_para_frac
+        |  FROM arrs
+        |), toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS g FROM documents
+        |), tc AS (SELECT doc_id, g, count(*) AS c FROM toks GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM tc GROUP BY 1),
+        |bt0 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest([t[i] || chr(1) || t[i+1] for i in range(1, len(t))]) AS g FROM bt0),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bt AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM bc GROUP BY 1)
+        |SELECT lf.doc_id, n_lines, dup_line_frac, dup_para_frac,
+        |  COALESCE(tt.f, 0.0) AS top_token_frac, COALESCE(bt.f, 0.0) AS top_bigram_frac
+        |FROM lf LEFT JOIN tt ON tt.doc_id = lf.doc_id LEFT JOIN bt ON bt.doc_id = lf.doc_id""".stripMargin,
+    "t12_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(nfc_normalize(text), '[ \t\n\r]+', ' ', 'g')) AS text_norm
+        |FROM documents""".stripMargin,
+    "t13_ngram_decontam" ->
+      """WITH probes AS (
+        |  SELECT doc_id AS probe_id, substr(text, 20, 80) AS probe
+        |  FROM documents WHERE doc_id < 5
+        |), pt AS (SELECT probe_id, string_split_regex(lower(probe), '\s+') AS t FROM probes),
+        |pg AS (SELECT probe_id, unnest(list_distinct([t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] for i in range(1, len(t) - 1)])) AS g FROM pt),
+        |dt AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |dg AS (SELECT doc_id, unnest(list_distinct([t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] for i in range(1, len(t) - 1)])) AS g FROM dt)
+        |SELECT DISTINCT doc_id, probe_id FROM dg JOIN pg USING (g)""".stripMargin,
     "t7_deterministic_sample" ->
       """SELECT doc_id FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'""".stripMargin,

@@ -377,6 +377,79 @@ class PipelineSpec extends AnyFunSuite {
     val probes = Seq("quick brown").toDF("probe")
     val hits = TextAnalysis.findContamination(docs, probes).select("doc_id").as[Long].collect().toSet
     assert(hits === Set(1L, 2L))
+    // n-gram decontamination: null text yields no grams, never hits
+    val ngProbes = Seq((1L, base)).toDF("probe_id", "probe")
+    val ngHits = TextAnalysis.findContaminationNgrams(docs, ngProbes, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ngHits === Set(1L, 2L))
+    // repetition features: null counts, 0.0 fractions (same contract as qualityFeatures)
+    val rf = TextAnalysis.repetitionFeatures(docs).filter($"doc_id" === 3L).collect()(0)
+    assert(rf.isNullAt(rf.fieldIndex("n_lines")), "null text has null line count")
+    assert(rf.getAs[Double]("dup_line_frac") === 0.0 && rf.getAs[Double]("dup_para_frac") === 0.0)
+    assert(rf.getAs[Double]("top_token_frac") === 0.0 && rf.getAs[Double]("top_bigram_frac") === 0.0)
+    // normalization: null in, null out
+    val nt = TextAnalysis.normalizeText(docs).filter($"doc_id" === 3L).select("text_norm").collect()(0)
+    assert(nt.isNullAt(0), "normalizeText: null in, null out")
+  }
+
+  test("normalizeText: NFC composes, whitespace collapses, ASCII untouched") {
+    val docs = docsDF(
+      1L -> "café  latte",   // e + combining acute, double space
+      2L -> "café\tlatte\n",       // precomposed, tab + trailing newline
+      3L -> "plain  ascii   text",
+      4L -> null.asInstanceOf[String])
+    val out = TextAnalysis.normalizeText(docs).select("doc_id", "text_norm")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    // the decomposed and precomposed spellings converge on one byte sequence
+    assert(out(1L) === "café latte" && out(2L) === "café latte")
+    assert(out(3L) === "plain ascii text")
+    assert(out(4L) === null)
+    // narrow projection: no exchange anywhere in the normalize plan
+    val plan = TextAnalysis.normalizeText(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"normalizeText must not shuffle:\n$plan")
+    // graft_nfc alone ≡ java.text.Normalizer NFC (the conformance source)
+    graft.functions.expressions.GraftFunctions.init(spark)
+    val raw = Seq("Å", "Å", "İstanbul", "", "ascii", "ﬁ ligature ﬁ")
+    val got = raw.toDF("s").select(call_function("graft_nfc", col("s"))).as[String].collect()
+    assert(got.toSeq === raw.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC)))
+  }
+
+  test("repetitionFeatures: Gopher-rule fractions, hand-computed") {
+    val docs = docsDF(
+      1L -> "a b a b a",            // top token a: 3/5; top bigram a·b: 2/4
+      2L -> "x\ny\nx\nz",           // 4 lines, one duplicate instance
+      3L -> "p\n\np\n\nq",          // paragraphs p, p, q
+      4L -> "unique tokens only here")
+    val f = TextAnalysis.repetitionFeatures(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getAs[Double]("top_token_frac") === 3.0 / 5)
+    assert(f(1L).getAs[Double]("top_bigram_frac") === 2.0 / 4)
+    assert(f(2L).getAs[Long]("n_lines") === 4L)
+    assert(f(2L).getAs[Double]("dup_line_frac") === 1.0 - 3.0 / 4)
+    assert(f(3L).getAs[Long]("n_lines") === 3L) // blank lines don't count
+    assert(f(3L).getAs[Double]("dup_para_frac") === 1.0 - 2.0 / 3)
+    assert(f(4L).getAs[Double]("top_token_frac") === 0.25)
+    assert(f(4L).getAs[Double]("dup_line_frac") === 0.0)
+    assert(f(4L).getAs[Double]("dup_para_frac") === 0.0)
+  }
+
+  test("findContaminationNgrams: shared trigrams hit across case/spacing; substring match not required") {
+    val docs = docsDF(
+      1L -> "the quick brown fox jumps",
+      2L -> "look THE  Quick   BROWN cat", // same trigram after lower+split, NOT a substring
+      3L -> "completely unrelated words here")
+    val probes = Seq((100L, "the quick brown")).toDF("probe_id", "probe")
+    val ngramHits = TextAnalysis.findContaminationNgrams(docs, probes, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngramHits === Set((1L, 100L), (2L, 100L)))
+    // the verbatim-substring scan misses the reformatted doc 2 — the gap
+    // the n-gram rule exists to close
+    val substrHits = TextAnalysis.findContamination(docs, probes)
+      .select("doc_id").as[Long].collect().toSet
+    assert(substrHits === Set(1L))
+    // fewer tokens than n ⇒ no grams ⇒ no self-hit
+    val shortProbe = Seq((200L, "two words")).toDF("probe_id", "probe")
+    assert(TextAnalysis.findContaminationNgrams(docs, shortProbe, n = 3).isEmpty)
   }
 
   test("fingerprint: equal for identical, differs for different docs") {
