@@ -118,6 +118,38 @@ object TextAnalysis {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Corpus-level token statistics per group (source/shard/language): doc
+    * count, total and distinct token counts, hapax count and fraction
+    * (tokens seen exactly once — the classic vocabulary-health signal:
+    * boilerplate corpora have tiny hapax mass, OCR noise inflates it).
+    * The report a pipeline reads before choosing mixing weights.
+    *
+    * Scale shape: explode → two-level aggregation, both with map-side
+    * partial agg — the exploded (group, token) rows shrink to the
+    * per-group VOCABULARY before any exchange, so the shuffle is
+    * O(|vocab|), not O(|tokens|). Distinct counts are exact here (they
+    * must hash-match an oracle); at 100 TB swap the second level for
+    * `approx_count_distinct` if ±2% is acceptable — the plan shape is
+    * identical. Null text contributes no tokens; a null group key groups
+    * as SQL null (kept — dropping rows silently would misreport totals). */
+  def corpusTokenStats(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(groupCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+    val vocab = toks.groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c"))
+    val tokStats = vocab.groupBy(col(groupCol)).agg(
+      sum(col("c")).as("total_tokens"),
+      count(lit(1)).as("distinct_tokens"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax_tokens"))
+    docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .join(tokStats, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
+        coalesce(col("hapax_tokens"), lit(0L)).as("hapax_tokens"),
+        when(col("total_tokens") > 0, col("hapax_tokens") / col("total_tokens"))
+          .otherwise(0.0).as("hapax_frac"))
+  }
+
   // ---- normalization --------------------------------------------------------
 
   /** Canonical text normalization ahead of hashing/dedup: Unicode NFC

@@ -319,6 +319,11 @@ object GateQueries {
       // (measured 0.05-0.30 across the synthetic docs)
       graft.functions.TextAnalysis.repetitionFeatures(t(s, d, "documents"))
     }),
+    "t14_token_stats" -> ((s, d) => {
+      // per-source corpus report: totals, vocabulary, hapax mass — the
+      // numbers a pipeline reads before choosing mixing weights
+      graft.functions.TextAnalysis.corpusTokenStats(t(s, d, "documents"))
+    }),
     "t12_normalize" -> ((s, d) => {
       // NFC (native graft_nfc expression) + whitespace collapse + trim;
       // DuckDB's nfc_normalize pins TR#15 conformance engine-to-engine
@@ -982,6 +987,19 @@ object GateQueries {
         |SELECT lf.doc_id, n_lines, dup_line_frac, dup_para_frac,
         |  COALESCE(tt.f, 0.0) AS top_token_frac, COALESCE(bt.f, 0.0) AS top_bigram_frac
         |FROM lf LEFT JOIN tt ON tt.doc_id = lf.doc_id LEFT JOIN bt ON bt.doc_id = lf.doc_id""".stripMargin,
+    "t14_token_stats" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents
+        |), vocab AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |ts AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS total_tokens, count(*) AS distinct_tokens,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens
+        |  FROM vocab GROUP BY 1
+        |), nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT nd.source, n_docs, COALESCE(total_tokens, 0) AS total_tokens,
+        |  COALESCE(distinct_tokens, 0) AS distinct_tokens, COALESCE(hapax_tokens, 0) AS hapax_tokens,
+        |  CASE WHEN total_tokens > 0 THEN hapax_tokens::DOUBLE / total_tokens ELSE 0.0 END AS hapax_frac
+        |FROM nd LEFT JOIN ts ON ts.source = nd.source""".stripMargin,
     "t12_normalize" ->
       """SELECT doc_id, trim(regexp_replace(nfc_normalize(text), '[ \t\n\r]+', ' ', 'g')) AS text_norm
         |FROM documents""".stripMargin,

@@ -452,6 +452,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextAnalysis.findContaminationNgrams(docs, shortProbe, n = 3).isEmpty)
   }
 
+  test("corpusTokenStats: totals, vocabulary, hapax fraction per source") {
+    val docs = Seq(
+      (1L, "a b b", "s1"), (2L, "b c", "s1"),
+      (3L, "x x x x", "s2"),
+      (4L, null.asInstanceOf[String], "s3")).toDF("doc_id", "text", "source")
+    val st = TextAnalysis.corpusTokenStats(docs).collect().map(r => r.getString(0) -> r).toMap
+    // s1: tokens a b b | b c → total 5, vocab {a,b,c}, hapax {a,c}
+    assert(st("s1").getAs[Long]("n_docs") === 2L)
+    assert(st("s1").getAs[Long]("total_tokens") === 5L)
+    assert(st("s1").getAs[Long]("distinct_tokens") === 3L)
+    assert(st("s1").getAs[Long]("hapax_tokens") === 2L)
+    assert(st("s1").getAs[Double]("hapax_frac") === 2.0 / 5)
+    assert(st("s2").getAs[Long]("distinct_tokens") === 1L)
+    assert(st("s2").getAs[Long]("hapax_tokens") === 0L)
+    // null text: still a document, contributes no tokens, 0.0 ratio
+    assert(st("s3").getAs[Long]("n_docs") === 1L)
+    assert(st("s3").getAs[Long]("total_tokens") === 0L)
+    assert(st("s3").getAs[Double]("hapax_frac") === 0.0)
+  }
+
   test("fingerprint: equal for identical, differs for different docs") {
     val d = docsDF(1L -> base, 2L -> base, 3L -> unrelated)
     val f = d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")).collect()

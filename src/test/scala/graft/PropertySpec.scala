@@ -155,6 +155,29 @@ class PropertySpec extends AnyFunSuite {
     }, n = 4)
   }
 
+  test("normalizeText is idempotent and its output is whitespace-canonical") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    // include decomposed sequences (combining acute) so NFC has real work
+    val genDoc = Gen.listOf(Gen.frequency(
+      5 -> Gen.oneOf('a', 'e', 'A', 'ü', 'Σ'), 2 -> Gen.const('́'),
+      2 -> Gen.const(' '), 1 -> Gen.const('\t'), 1 -> Gen.const('\n'))).map(_.mkString)
+    check("normIdem", Prop.forAll(Gen.listOfN(8, genDoc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = TextAnalysis.normalizeText(docs).select("doc_id", "text_norm")
+        .withColumnRenamed("text_norm", "text")
+      val twice = TextAnalysis.normalizeText(once).select("doc_id", "text_norm")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val onceM = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // idempotent, and canonical: no tabs/newlines/doubled spaces, no
+      // leading/trailing space, NFC-normalized
+      onceM == twice && onceM.values.forall { s =>
+        !s.exists(c => c == '\t' || c == '\n') && !s.contains("  ") && s.trim == s &&
+          java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)
+      }
+    }, n = 5)
+  }
+
   test("asofJoin ≡ brute-force as-of semantics on random inputs") {
     import spark.implicits._
     val gen = for {
