@@ -105,4 +105,17 @@ class PlanSpec extends AnyFunSuite {
       s"range predicate missing from scan filters:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"label start should not join a frontier:\n$plan")
   }
+
+  test("n-gram decontamination broadcasts the probe side, never shuffles the corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val probes = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), substring(col("text"), 20, 80).as("probe"))
+    val out = graft.functions.TextAnalysis.findContaminationNgrams(docs, probes, n = 3)
+    val plan = planOf(out)
+    // the gram join must be broadcast (probe side is the eval set — small
+    // by nature); a SortMergeJoin here would shuffle the entire exploded
+    // corpus, the one shape that cannot survive 100 TB
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$plan")
+  }
 }
