@@ -329,6 +329,44 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("minHashDedupStream: legacy null-signature store rows heal on re-ingest") {
+    import graft.functions.Dedup
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_heal").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val sigDir = s"$root/sigs"
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    // a store written BEFORE null-text filtering: doc 7 has a null-sig
+    // tombstone. It must not block doc 7 from getting a real signature
+    // when re-ingested with text (the append anti-join ignores null rows).
+    val legacy = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(7L, null))),
+      StructType(Seq(StructField("id", LongType), StructField("sig", ArrayType(LongType)))))
+    legacy.write.parquet(sigDir)
+    Seq(7L -> text, 8L -> text).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$inDir/b1")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+    val q = Dedup.minHashDedupStream(stream, sigDir, s"$root/pairs",
+      s"$root/ckpt", threshold = 0.8)
+    try {
+      q.processAllAvailable()
+      // healed: doc 7 now has a real signature (the null tombstone remains,
+      // benign — null sigs never bucket with the null-free batch side)
+      val sigs = spark.read.parquet(sigDir).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(sigs.exists { case (id, s) => id == 7L && s.isDefined },
+        s"doc 7 never healed: $sigs")
+      assert(sigs.count(_._1 == 8L) === 1)
+      // and 7/8 pair as duplicates despite the tombstone
+      val pairs = spark.read.parquet(s"$root/pairs")
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((7L, 8L)))
+    } finally q.stop()
+  }
+
   test("minHashDedupStream: new docs near-dup'd against the accumulated corpus per batch") {
     import graft.functions.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft_neardup").toString
