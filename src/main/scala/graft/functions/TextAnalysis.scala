@@ -150,6 +150,28 @@ object TextAnalysis {
           .otherwise(0.0).as("hapax_frac"))
   }
 
+  /** Per-group document-length distribution (chars): count, min/max,
+    * exact interpolated p50/p90, mean — the length half of the
+    * mixing-weight report ([[corpusTokenStats]] is the vocabulary half).
+    * Percentiles use Spark's EXACT `percentile` aggregate (defined as
+    * linear interpolation, the same contract as SQL `quantile_cont`) so
+    * the output is oracle-checkable; at 100 TB swap to
+    * `percentile_approx` — identical plan shape, documented ±ε. Values
+    * rounded to 6 dp on both engine sides (the a5-pagerank precedent:
+    * interpolation order may differ in the last ulp). Null text is
+    * ignored by every aggregate except n_docs (SQL semantics). */
+  def corpusLengthStats(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val n = length(col(textCol)).cast("long")
+    docs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      min(n).as("min_chars"),
+      round(expr(s"percentile(length($textCol), 0.5)"), 6).as("p50_chars"),
+      round(expr(s"percentile(length($textCol), 0.9)"), 6).as("p90_chars"),
+      max(n).as("max_chars"),
+      round(avg(n), 6).as("mean_chars"))
+  }
+
   // ---- normalization --------------------------------------------------------
 
   /** Canonical text normalization ahead of hashing/dedup: Unicode NFC

@@ -324,6 +324,9 @@ object GateQueries {
       // numbers a pipeline reads before choosing mixing weights
       graft.functions.TextAnalysis.corpusTokenStats(t(s, d, "documents"))
     }),
+    "t15_length_stats" -> ((s, d) => {
+      graft.functions.TextAnalysis.corpusLengthStats(t(s, d, "documents"))
+    }),
     "t12_normalize" -> ((s, d) => {
       // NFC (native graft_nfc expression) + whitespace collapse + trim;
       // DuckDB's nfc_normalize pins TR#15 conformance engine-to-engine
@@ -1000,6 +1003,14 @@ object GateQueries {
         |  COALESCE(distinct_tokens, 0) AS distinct_tokens, COALESCE(hapax_tokens, 0) AS hapax_tokens,
         |  CASE WHEN total_tokens > 0 THEN hapax_tokens::DOUBLE / total_tokens ELSE 0.0 END AS hapax_frac
         |FROM nd LEFT JOIN ts ON ts.source = nd.source""".stripMargin,
+    "t15_length_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(min(length(text)) AS BIGINT) AS min_chars,
+        |  ROUND(quantile_cont(length(text), 0.5)::DOUBLE, 6) AS p50_chars,
+        |  ROUND(quantile_cont(length(text), 0.9)::DOUBLE, 6) AS p90_chars,
+        |  CAST(max(length(text)) AS BIGINT) AS max_chars,
+        |  ROUND(avg(length(text))::DOUBLE, 6) AS mean_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "t12_normalize" ->
       """SELECT doc_id, trim(regexp_replace(nfc_normalize(text), '[ \t\n\r]+', ' ', 'g')) AS text_norm
         |FROM documents""".stripMargin,

@@ -472,6 +472,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(st("s3").getAs[Double]("hapax_frac") === 0.0)
   }
 
+  test("corpusLengthStats: exact interpolated percentiles per source") {
+    val docs = Seq(
+      (1L, "a" * 10, "s1"), (2L, "b" * 20, "s1"), (3L, "c" * 40, "s1"),
+      (4L, null.asInstanceOf[String], "s2"), (5L, "d" * 8, "s2"))
+      .toDF("doc_id", "text", "source")
+    val st = TextAnalysis.corpusLengthStats(docs).collect().map(r => r.getString(0) -> r).toMap
+    assert(st("s1").getAs[Long]("n_docs") === 3L)
+    assert(st("s1").getAs[Long]("min_chars") === 10L && st("s1").getAs[Long]("max_chars") === 40L)
+    assert(st("s1").getAs[Double]("p50_chars") === 20.0)
+    // p90 over [10,20,40]: rank 0.9*(3-1)=1.8 → 20 + 0.8*(40-20) = 36
+    assert(st("s1").getAs[Double]("p90_chars") === 36.0)
+    // null text ignored by length aggregates, counted as a doc
+    assert(st("s2").getAs[Long]("n_docs") === 2L)
+    assert(st("s2").getAs[Long]("min_chars") === 8L && st("s2").getAs[Double]("p50_chars") === 8.0)
+  }
+
   test("fingerprint: equal for identical, differs for different docs") {
     val d = docsDF(1L -> base, 2L -> base, 3L -> unrelated)
     val f = d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")).collect()
