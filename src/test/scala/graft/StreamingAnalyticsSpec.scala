@@ -38,6 +38,33 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless text ops run unchanged on a stream (normalize + quality + langId)") {
+    import graft.functions.TextAnalysis
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    def features(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.normalizeText(TextAnalysis.qualityFeatures(df))
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .select("doc_id", "text_norm", "quality_score", "lang_pred")
+    val batch = features(spark.read.parquet(docsPath))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_textstream").toString
+    java.nio.file.Files.copy(java.nio.file.Path.of(docsPath),
+      java.nio.file.Path.of(s"$dir/documents.parquet"))
+    val schema = spark.read.parquet(docsPath).schema
+    // the same code runs batch and stream: narrow projections (incl. the
+    // native graft_nfc expression) impose no stateful operator, so append
+    // mode works with no watermark
+    val q = features(spark.readStream.schema(schema).parquet(dir))
+      .writeStream.outputMode("append").format("memory").queryName("text_norm_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("text_norm_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize: hand-built gap sessions") {
     val h = 3600L * 1000000000L // 1h in nanos
     val evs = Seq(
