@@ -166,8 +166,8 @@ object TextAnalysis {
     docs.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n_docs"),
       min(n).as("min_chars"),
-      round(expr(s"percentile(length($textCol), 0.5)"), 6).as("p50_chars"),
-      round(expr(s"percentile(length($textCol), 0.9)"), 6).as("p90_chars"),
+      round(expr(s"percentile(length(`$textCol`), 0.5)"), 6).as("p50_chars"),
+      round(expr(s"percentile(length(`$textCol`), 0.9)"), 6).as("p90_chars"),
       max(n).as("max_chars"),
       round(avg(n), 6).as("mean_chars"))
   }

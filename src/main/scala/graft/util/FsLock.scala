@@ -9,13 +9,16 @@ import org.apache.spark.sql.SparkSession
   * max(id)+append block assignment, Loaders.streamCSVEdgesNamed).
   *
   * Honest limits: `FileSystem.create(overwrite=false)` is atomic on HDFS
-  * and on local filesystems, which is exactly the test/driver environment
-  * this guards; object stores without conditional writes make it
-  * best-effort only — at production scale a table format's commit
-  * protocol replaces this. A crashed holder leaves the lock behind by
-  * design (fail loud, point at the file) rather than auto-expiring: a
-  * TTL that guesses wrong re-admits the overlapping-id-block corruption
-  * the lock exists to prevent. */
+  * (namenode-arbitrated); Hadoop's LOCAL wrapper implements it as
+  * check-then-create, so on a local filesystem two writers racing within
+  * microseconds could both pass — adequate for the single-host
+  * test/driver environment this guards, where concurrent writers are
+  * misconfiguration, not throughput. Object stores without conditional
+  * writes make it best-effort only — at production scale a table
+  * format's commit protocol replaces this. A crashed holder leaves the
+  * lock behind by design (fail loud, point at the file) rather than
+  * auto-expiring: a TTL that guesses wrong re-admits the
+  * overlapping-id-block corruption the lock exists to prevent. */
 object FsLock {
   def withLock[T](spark: SparkSession, lockPath: String, what: String)(body: => T): T = {
     val p = new Path(lockPath)
