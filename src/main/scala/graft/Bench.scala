@@ -55,8 +55,8 @@ object Bench {
     // reported pass (sorted order), last sample after the final query —
     // a slow query between two quiet samples is plan cost, between skewed
     // ones is machine noise. ~0.01 s/sample on a quiet VM; sampled every
-    // 6 queries (not every query) to keep the JSON line inside the
-    // ~1.9k-char stdout tail window (60 queries × ~28 chars + fixed keys
+    // 8 queries (not every query) to keep the JSON line inside the
+    // ~1.9k-char stdout tail window (61 queries × ~28 chars + fixed keys
     // leave ~100 chars for the cal array — re-measure when adding gates).
     def calibrate(): Double = {
       val t0 = System.nanoTime()
@@ -68,7 +68,7 @@ object Bench {
     calibrate() // untimed JIT warmup: the first execution compiles the loop;
                 // without it cal[0] reads [slow, fast] on a QUIET VM — the
                 // exact skew the probe exists to flag
-    val calEvery = 6
+    val calEvery = 8
     val calSamples = scala.collection.mutable.ArrayBuffer[Double](calibrate())
 
     val tBuild = System.nanoTime()

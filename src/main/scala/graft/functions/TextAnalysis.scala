@@ -190,6 +190,37 @@ object TextAnalysis {
       trim(regexp_replace(call_function("graft_nfc", col(textCol)), "[ \\t\\n\\r]+", " ")))
   }
 
+  // ---- PII redaction --------------------------------------------------------
+
+  /** PII patterns in the SHARED Java-regex / RE2 dialect — no lookarounds,
+    * no backreferences, ASCII `\d` — so the Spark expressions and any
+    * RE2-based engine (the DuckDB oracle, Go/Rust scanners) match the
+    * same spans byte-for-byte. (name, pattern, replacement). Deliberately
+    * conservative: high-precision surface forms, not validation (an IPv4
+    * octet range check would cost lookahead portability). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4s", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phones", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** PII detection + redaction: per-doc match counts (on the ORIGINAL
+    * text) and the text with every match replaced by its type tag,
+    * patterns applied in [[piiPatterns]] order. Pure narrow column
+    * expressions (codegen'd `regexp_replace`/`regexp_extract_all`), no
+    * shuffle — pipelines into the ingest scan like the other scalar ops.
+    * Null text ⇒ null counts and null redacted text (scalar null policy). */
+  def redactPii(docs: DataFrame, textCol: String = "text",
+      outCol: String = "text_redacted"): DataFrame = {
+    val withCounts = piiPatterns.foldLeft(docs) { case (df, (name, pat, _)) =>
+      df.withColumn(s"n_$name",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+    }
+    withCounts.withColumn(outCol,
+      piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, tag)) =>
+        regexp_replace(c, pat, tag)
+      })
+  }
+
   // ---- language identification --------------------------------------------
 
   /** Tiny stopword-profile language-ID over {en, de, fr, es, it}: the

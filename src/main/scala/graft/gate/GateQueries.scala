@@ -327,6 +327,14 @@ object GateQueries {
     "t15_length_stats" -> ((s, d) => {
       graft.functions.TextAnalysis.corpusLengthStats(t(s, d, "documents"))
     }),
+    "t16_pii" -> ((s, d) => {
+      // corpus is synthetic word soup (zero PII hits) — the gate pins the
+      // zero-count/identity-text engine parity; pattern semantics are
+      // pinned by unit tests on constructed inputs
+      graft.functions.TextAnalysis.redactPii(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4s"), col("n_phones"),
+          col("text_redacted"))
+    }),
     "t12_normalize" -> ((s, d) => {
       // NFC (native graft_nfc expression) + whitespace collapse + trim;
       // DuckDB's nfc_normalize pins TR#15 conformance engine-to-engine
@@ -1011,6 +1019,17 @@ object GateQueries {
         |  CAST(max(length(text)) AS BIGINT) AS max_chars,
         |  ROUND(avg(length(text))::DOUBLE, 6) AS mean_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    "t16_pii" -> {
+      // oracle built from the SAME pattern constants as the Spark side —
+      // the shared Java/RE2 dialect is the whole point of piiPatterns
+      val Seq(e, i, p) = graft.functions.TextAnalysis.piiPatterns.map(_._2)
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$i')) AS BIGINT) AS n_ipv4s,
+         |  CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g') AS text_redacted
+         |FROM documents""".stripMargin
+    },
     "t12_normalize" ->
       """SELECT doc_id, trim(regexp_replace(nfc_normalize(text), '[ \t\n\r]+', ' ', 'g')) AS text_norm
         |FROM documents""".stripMargin,

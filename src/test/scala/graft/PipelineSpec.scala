@@ -390,6 +390,9 @@ class PipelineSpec extends AnyFunSuite {
     // normalization: null in, null out
     val nt = TextAnalysis.normalizeText(docs).filter($"doc_id" === 3L).select("text_norm").collect()(0)
     assert(nt.isNullAt(0), "normalizeText: null in, null out")
+    // PII redaction: null counts and null redacted text
+    val pr = TextAnalysis.redactPii(docs).filter($"doc_id" === 3L).collect()(0)
+    assert(pr.isNullAt(pr.fieldIndex("n_emails")) && pr.isNullAt(pr.fieldIndex("text_redacted")))
   }
 
   test("normalizeText: NFC composes, whitespace collapses, ASCII untouched") {
@@ -486,6 +489,27 @@ class PipelineSpec extends AnyFunSuite {
     // null text ignored by length aggregates, counted as a doc
     assert(st("s2").getAs[Long]("n_docs") === 2L)
     assert(st("s2").getAs[Long]("min_chars") === 8L && st("s2").getAs[Double]("p50_chars") === 8.0)
+  }
+
+  test("redactPii: emails/IPs/phones counted on the original, tagged in the output") {
+    val docs = docsDF(
+      1L -> "mail me at jane.doe+test@example.co.uk or bob@host.org thanks",
+      2L -> "server 10.0.0.1 fell over, failover to 192.168.250.17 now",
+      3L -> "call 555-867-5309 or 555.867.5309 (never 12-34-56)",
+      4L -> "nothing sensitive here at all",
+      5L -> "mixed: a@b.io on 127.0.0.1 dialed 123-456-7890")
+    val out = TextAnalysis.redactPii(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") === 2L)
+    assert(out(1L).getAs[String]("text_redacted") === "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(out(2L).getAs[Long]("n_ipv4s") === 2L)
+    assert(out(2L).getAs[String]("text_redacted") ===
+      "server <IP> fell over, failover to <IP> now")
+    assert(out(3L).getAs[Long]("n_phones") === 2L)
+    assert(out(3L).getAs[String]("text_redacted") === "call <PHONE> or <PHONE> (never 12-34-56)")
+    assert(out(4L).getAs[Long]("n_emails") === 0L && out(4L).getAs[Long]("n_ipv4s") === 0L &&
+      out(4L).getAs[Long]("n_phones") === 0L)
+    assert(out(4L).getAs[String]("text_redacted") === "nothing sensitive here at all")
+    assert(out(5L).getAs[String]("text_redacted") === "mixed: <EMAIL> on <IP> dialed <PHONE>")
   }
 
   test("fingerprint: equal for identical, differs for different docs") {
