@@ -66,7 +66,7 @@ object Dedup {
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(toks) - n),
-        i => concat_ws("", slice(toks, i + 1, lit(n))))))
+        i => concat_ws("\u0001", slice(toks, i + 1, lit(n))))))
   }
 
   /** MinHash signature: for seed s, min over shingles of xxhash64(shingle,s).

@@ -86,9 +86,13 @@ object TextAnalysis {
     * explode to (id, gram) and aggregate twice — partial aggregation
     * shrinks the exploded rows to |docs|·|distinct grams per doc| before
     * the exchange on id, the same 10^9-doc shape as minHashSignatures.
-    * Tokenization matches [[qualityFeatures]] (`split(lower(trim(text)),
-    * "\\s+")`); bigrams keep MULTIPLICITY (unlike
-    * [[graft.functions.Dedup.wordNgrams]], which is distinct-by-design
+    * Tokenization is `split(lower(trim(text)), "\\s+")` with zero-length
+    * tokens dropped — empty (non-null) text therefore has NO tokens and
+    * scores 0.0, not a degenerate 1.0 from the single "" token `split`
+    * emits. Bigrams join their two tokens with `\u0001` (the repo-wide
+    * n-gram separator, see [[graft.functions.Dedup.wordNgrams]]) so
+    * distinct token pairs can never collide ("ab","c" vs "a","bc"); they
+    * keep MULTIPLICITY (unlike `wordNgrams`, which is distinct-by-design
     * for set-Jaccard) — a frequency share over distinct grams would be
     * meaningless. */
   def repetitionFeatures(docs: DataFrame, textCol: String = "text",
@@ -101,10 +105,10 @@ object TextAnalysis {
       size(nonEmpty("\n")).cast("long").as("n_lines"),
       dupFrac(nonEmpty("\n")).as("dup_line_frac"),
       dupFrac(nonEmpty("\n\n")).as("dup_para_frac"))
-    val toksArr = split(lower(trim(t)), "\\s+")
+    val toksArr = filter(split(lower(trim(t)), "\\s+"), x => length(x) > 0)
     val bigramArr = when(size(toksArr) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toksArr) - 2),
-        i => concat_ws("", slice(toksArr, i + 1, lit(2)))))
+        i => concat_ws("\u0001", slice(toksArr, i + 1, lit(2)))))
     def topFrac(gram: Column, name: String) =
       docs.select(col(idCol).as("id"), explode(gram).as("g"))
         .groupBy("id", "g").agg(count(lit(1)).as("c"))
@@ -130,11 +134,14 @@ object TextAnalysis {
     * O(|vocab|), not O(|tokens|). Distinct counts are exact here (they
     * must hash-match an oracle); at 100 TB swap the second level for
     * `approx_count_distinct` if ±2% is acceptable — the plan shape is
-    * identical. Null text contributes no tokens; a null group key groups
-    * as SQL null (kept — dropping rows silently would misreport totals). */
+    * identical. Null OR empty text contributes no tokens (zero-length
+    * tokens are dropped, so `split("")`'s single "" token is not counted);
+    * a null group key groups as SQL null (kept — dropping rows silently
+    * would misreport totals). */
   def corpusTokenStats(docs: DataFrame, groupCol: String = "source",
       textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(groupCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+    val toks = docs.select(col(groupCol),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"), x => length(x) > 0)).as("tok"))
     val vocab = toks.groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c"))
     val tokStats = vocab.groupBy(col(groupCol)).agg(
       sum(col("c")).as("total_tokens"),

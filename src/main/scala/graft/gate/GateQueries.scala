@@ -988,10 +988,10 @@ object GateQueries {
         |    CASE WHEN len(ps) > 0 THEN 1.0 - len(list_distinct(ps))::DOUBLE / len(ps) ELSE 0.0 END AS dup_para_frac
         |  FROM arrs
         |), toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS g FROM documents
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS g FROM documents
         |), tc AS (SELECT doc_id, g, count(*) AS c FROM toks GROUP BY 1, 2),
         |tt AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM tc GROUP BY 1),
-        |bt0 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |bt0 AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t FROM documents),
         |bg AS (SELECT doc_id, unnest([t[i] || chr(1) || t[i+1] for i in range(1, len(t))]) AS g FROM bt0),
         |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
         |bt AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM bc GROUP BY 1)
@@ -1000,7 +1000,7 @@ object GateQueries {
         |FROM lf LEFT JOIN tt ON tt.doc_id = lf.doc_id LEFT JOIN bt ON bt.doc_id = lf.doc_id""".stripMargin,
     "t14_token_stats" ->
       """WITH toks AS (
-        |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents
+        |  SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok FROM documents
         |), vocab AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
         |ts AS (
         |  SELECT source, CAST(sum(c) AS BIGINT) AS total_tokens, count(*) AS distinct_tokens,

@@ -422,7 +422,9 @@ class PipelineSpec extends AnyFunSuite {
       1L -> "a b a b a",            // top token a: 3/5; top bigram a·b: 2/4
       2L -> "x\ny\nx\nz",           // 4 lines, one duplicate instance
       3L -> "p\n\np\n\nq",          // paragraphs p, p, q
-      4L -> "unique tokens only here")
+      4L -> "unique tokens only here",
+      5L -> "",                     // empty text: no tokens, not one "" token
+      6L -> "ab c a bc")            // bigrams ab·c, c·a, a·bc — distinct only if separated
     val f = TextAnalysis.repetitionFeatures(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(f(1L).getAs[Double]("top_token_frac") === 3.0 / 5)
@@ -434,6 +436,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(f(4L).getAs[Double]("top_token_frac") === 0.25)
     assert(f(4L).getAs[Double]("dup_line_frac") === 0.0)
     assert(f(4L).getAs[Double]("dup_para_frac") === 0.0)
+    // empty (non-null) text: zero-length tokens are dropped, so both
+    // frequency shares are 0.0 — not the 1.0 a lone "" token would give
+    assert(f(5L).getAs[Double]("top_token_frac") === 0.0)
+    assert(f(5L).getAs[Double]("top_bigram_frac") === 0.0)
+    // \u0001-separated bigrams: ab·c and a·bc stay distinct (an empty
+    // separator would merge both into "abc" and report 2/3)
+    assert(f(6L).getAs[Double]("top_bigram_frac") === 1.0 / 3)
   }
 
   test("findContaminationNgrams: shared trigrams hit across case/spacing; substring match not required") {
@@ -459,7 +468,8 @@ class PipelineSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "a b b", "s1"), (2L, "b c", "s1"),
       (3L, "x x x x", "s2"),
-      (4L, null.asInstanceOf[String], "s3")).toDF("doc_id", "text", "source")
+      (4L, null.asInstanceOf[String], "s3"),
+      (5L, "", "s4")).toDF("doc_id", "text", "source")
     val st = TextAnalysis.corpusTokenStats(docs).collect().map(r => r.getString(0) -> r).toMap
     // s1: tokens a b b | b c → total 5, vocab {a,b,c}, hapax {a,c}
     assert(st("s1").getAs[Long]("n_docs") === 2L)
@@ -473,6 +483,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(st("s3").getAs[Long]("n_docs") === 1L)
     assert(st("s3").getAs[Long]("total_tokens") === 0L)
     assert(st("s3").getAs[Double]("hapax_frac") === 0.0)
+    // empty text: same — zero-length tokens dropped, no "" in the vocab
+    assert(st("s4").getAs[Long]("n_docs") === 1L)
+    assert(st("s4").getAs[Long]("total_tokens") === 0L)
+    assert(st("s4").getAs[Long]("distinct_tokens") === 0L)
   }
 
   test("corpusLengthStats: exact interpolated percentiles per source") {
