@@ -58,7 +58,13 @@ object Verify {
       .zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % calEvery == 0) cal += calibrate()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce folds the single-file
+      // constraint INTO the query plan, collapsing every upstream stage to
+      // one task — siw's 16-branch union ran its 16 text re-parses serially
+      // on one thread (24 s isolated vs 2 s under Bench's parallel count).
+      // repartition keeps upstream parallelism and only shuffles the small
+      // result to one writer.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
