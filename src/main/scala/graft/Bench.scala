@@ -109,11 +109,14 @@ object Bench {
     }
     // The harness reading this line keeps only the LAST 2000 chars of stdout
     // (observed: BENCH_r03 truncated a ~2.7k-char full-precision line and
-    // failed to parse). 3 decimals = 1 ms precision, and the whole line must
-    // stay under ~1.9k chars so it survives the window with sbt's trailer.
+    // failed to parse). Per-query values use 2 decimals (10 ms — attribution
+    // still resolves a regression; the r5 line hit 1846 chars at 3 decimals
+    // and round 6 added 4 gates), total keeps 3; the whole line must stay
+    // under ~1.9k chars so it survives the window with sbt's trailer.
     // Locale.ROOT: the f interpolator uses the JVM default locale — on a
     // comma-decimal VM (de_DE etc.) it would emit invalid JSON.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(s3) }
+    def s2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(s2) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum

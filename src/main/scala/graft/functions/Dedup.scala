@@ -238,6 +238,77 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** CROSS-CORPUS near-duplicate detection: flag documents of `docs` that
+    * are near-duplicates (shingle Jaccard ≥ threshold) of any document in
+    * `reference` — the batch "dedup the new crawl against the training
+    * set" shape (the continuous sibling is [[minHashDedupStream]]; this
+    * form is the compaction/audit job with EXACT verification). Returns
+    * (doc_id, ref_id, jaccard) — one row per (new doc, reference doc)
+    * near-dup pair; `docs.join(result, "doc_id", "left_anti")` is the
+    * decontaminated batch. Ids are corpus-local: no self-pair filtering is
+    * applied (a numeric id appearing on both sides names two different
+    * documents).
+    *
+    * Scale shape, stage by stage (the same three-tier funnel as
+    * [[minHashDuplicates]], specialized to the asymmetric join):
+    *  1. signatures: one narrow codegen'd pass per side, no shuffle;
+    *  2. candidates: banded-LSH bucket join NEW × REFERENCE only — never
+    *     new×new or ref×ref, so a small batch against a 10^9-doc reference
+    *     pays O(|batch|·bands) bucket rows plus the reference members of
+    *     TOUCHED buckets (the reference side is semi-joined to the batch's
+    *     buckets BEFORE the pair join, and reference hot buckets —
+    *     boilerplate families — are capped at maxBucketSize);
+    *  3. estimate prefilter (64 long compares/pair), then exact verify on
+    *     hashed shingles only for survivors.
+    */
+  def dedupAgainst(
+      docs: DataFrame,
+      reference: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      estimateMargin: Double = 0.15,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // cached for the duration of the returned plan: each side's signatures
+    // feed BOTH the bucket stage and the estimate stage (same
+    // no-unpersist-handle caveat as minHashDuplicates)
+    val newSigs = minHashSignaturesNative(docs, textCol, idCol, shingleK, numHashes).cache()
+    val refSigs = minHashSignaturesNative(reference, textCol, idCol, shingleK, numHashes).cache()
+    val newB = bandBuckets(newSigs, bands, rowsPerBand)
+    // reference side: only the buckets this batch touches, hot buckets capped
+    val refTouched = bandBuckets(refSigs, bands, rowsPerBand)
+      .withColumnRenamed("id", "ref_id")
+      .join(newB.select("band", "bucket").distinct(), Seq("band", "bucket"), "left_semi")
+    val refSmall = refTouched
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("n") <= maxBucketSize).drop("n")
+    val cands = newB.join(refSmall, Seq("band", "bucket"))
+      .select(col("id").as("doc_id"), col("ref_id")).distinct()
+    val estimated = cands
+      .join(newSigs.select(col("id").as("doc_id"), col("sig").as("sig_a")), "doc_id")
+      .join(refSigs.select(col("id").as("ref_id"), col("sig").as("sig_b")), "ref_id")
+      .withColumn("est", aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _) / lit(numHashes))
+      .filter(col("est") >= threshold - estimateMargin)
+      .select(col("doc_id"), col("ref_id"))
+    graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
+    val shNew = docs.select(col(idCol).as("doc_id"),
+      call_function("graft_shingle_hashes", col(textCol), lit(shingleK)).as("sh_a"))
+    val shRef = reference.select(col(idCol).as("ref_id"),
+      call_function("graft_shingle_hashes", col(textCol), lit(shingleK)).as("sh_b"))
+    estimated
+      .join(shNew, "doc_id").join(shRef, "ref_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("ref_id"), col("jaccard"))
+  }
+
   // ---- duplicate clusters --------------------------------------------------
 
   /** Group near-dup PAIRS into duplicate CLUSTERS — the step that makes

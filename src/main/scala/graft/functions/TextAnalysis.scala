@@ -357,6 +357,103 @@ object TextAnalysis {
     }
   }
 
+  /** Deterministic per-group TOKEN-BUDGET sampling — the "take B tokens
+    * from each source" step of mixture building (fraction-based
+    * [[sampleByHash]] can't hit a token quota when doc lengths vary).
+    * Within each group, documents are visited in (md5(id), id) order — a
+    * reproducible pseudo-random shuffle any engine replicates — and a
+    * document is kept iff the running token total INCLUDING it stays
+    * ≤ budgetTokens (the strict-prefix rule: one deterministic cut point
+    * per group, so the selection is a prefix of the shuffled order and
+    * re-runs/engines agree exactly; a first-fit fill would depend on
+    * float-free arithmetic only, but its output would not be a prefix and
+    * a single changed doc could reshuffle the whole selection).
+    * Returns (group, id, n_tokens, cum_tokens) for kept documents.
+    *
+    * Scale shape: ONE sort-based window per group (the [[packSequences]]
+    * shape) — no global order, groups pack in parallel. Null-token docs
+    * (null text under a space-count formula) order after every non-null
+    * cum and are dropped by the ≤ comparison (SQL null semantics). */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long, tokens: Column,
+      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col(groupCol).as("grp"), col(idCol), tokens.cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("grp").as(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Per-group ADAPTIVE length filter: keep documents whose char length
+    * lies inside the group's [lo, hi] quantile band — the outlier trim
+    * that a fixed global length bound gets wrong when sources have very
+    * different length regimes (a 200-char doc is normal in chat logs,
+    * truncation in books). Quantiles are EXACT interpolated percentiles
+    * (the [[corpusLengthStats]] contract — SQL `quantile_cont`), rounded
+    * to 6 dp before the comparison so engines agree at boundaries; at
+    * 100 TB swap in `percentile_approx` with a documented ±ε widening.
+    * Returns kept (id, group, n_chars, lo_chars, hi_chars).
+    *
+    * Scale shape: one partial-aggregating groupBy over the groups (output
+    * = |groups| rows, broadcast back), then a narrow filter on the scan —
+    * the corpus is never shuffled. Null text has null length: never kept
+    * (SQL comparison semantics), matching the dedup-surface null policy. */
+  def adaptiveLengthFilter(docs: DataFrame, lo: Double = 0.05, hi: Double = 0.95,
+      groupCol: String = "source", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"need 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    import org.apache.spark.sql.functions.broadcast
+    val bounds = docs.groupBy(col(groupCol)).agg(
+      round(expr(s"percentile(length(`$textCol`), $lo)"), 6).as("lo_chars"),
+      round(expr(s"percentile(length(`$textCol`), $hi)"), 6).as("hi_chars"))
+    val n = length(col(textCol)).cast("double")
+    docs.join(broadcast(bounds), groupCol)
+      .filter(n >= col("lo_chars") && n <= col("hi_chars"))
+      .select(col(idCol), col(groupCol), length(col(textCol)).cast("long").as("n_chars"),
+        col("lo_chars"), col("hi_chars"))
+  }
+
+  /** Corpus-LM quality proxy: mean token surprisal −ln p(token) under the
+    * corpus's OWN unigram distribution — the cheap stand-in for the
+    * perplexity-filter stage (Wenzek et al. 2020, CCNet §4.3 uses a
+    * KenLM; a unigram LM already separates word-soup/boilerplate from
+    * typical text, with no model artifact to ship). High surprisal = rare
+    * vocabulary (OCR noise, garbage); unusually low = repetitive
+    * boilerplate. Tokens follow the corpus convention (lowercased,
+    * whitespace-split, zero-length dropped — [[corpusTokenStats]]).
+    * Returns (id, n_tokens, surprisal), surprisal rounded to 6 dp
+    * (double-sum order differs between engines — the t15 precedent) and
+    * 0.0 for docs with no tokens (null/empty text).
+    *
+    * Scale shape: one explode→partial-agg for the frequency table
+    * (exchange is O(|vocab|), the [[corpusTokenStats]] shape), the scalar
+    * total folded in as a broadcast single-row join (never a driver
+    * collect), then tokens ⋈ vocab on the token key and a per-doc
+    * average. The tokens-side join shuffles O(|tokens|) rows once at the
+    * full 100 TB; if the vocabulary fits executor memory (it usually
+    * does — ~10^8 entries), Spark/AQE broadcasts `freq` and the corpus is
+    * never shuffled at all. */
+  def unigramSurprisal(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val toks = docs.select(col(idCol).as("id"),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"), x => length(x) > 0)).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("tot"))
+    val scored = toks.join(freq, "tok").crossJoin(broadcast(total))
+      .select(col("id"), (-log(col("c").cast("double") / col("tot").cast("double"))).as("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("s")), 6).as("surprisal"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
+  }
+
   // ---- source interleaving -------------------------------------------------
 
   /** Deterministic weighted interleaving of sources — the training-data

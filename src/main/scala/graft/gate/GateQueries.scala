@@ -360,6 +360,29 @@ object GateQueries {
       graft.functions.TextAnalysis.packSequences(t(s, d, "documents"), 2048,
         length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
     }),
+    "d7_dedup_against" -> ((s, d) => {
+      // cross-corpus dedup: odd doc_ids are the "new batch", even the
+      // "reference corpus" (sf-independent split). The cross-side exact
+      // ≥0.8 pair set is a subset of d1's full pair set, so the 100%-recall
+      // pinning of the LSH pipeline on this corpus carries over.
+      val docs = t(s, d, "documents")
+      graft.functions.Dedup.dedupAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), threshold = 0.8)
+    }),
+    "t17_token_budget" -> ((s, d) => {
+      // 800 tokens per source (sources carry ~1250+ at every sf, so the
+      // budget always cuts mid-group); token formula = t1's space count
+      graft.functions.TextAnalysis.tokenBudgetSample(t(s, d, "documents"), 800,
+        length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+    }),
+    "t18_length_filter" -> ((s, d) => {
+      graft.functions.TextAnalysis.adaptiveLengthFilter(
+        t(s, d, "documents"), lo = 0.05, hi = 0.95)
+    }),
+    "t19_surprisal" -> ((s, d) => {
+      graft.functions.TextAnalysis.unigramSurprisal(t(s, d, "documents"))
+    }),
     "d5_dedup_clusters" -> ((s, d) => {
       // pairs → connected-component duplicate families with a min-id keeper
       // (keep emitted as INT: both engines render 0/1 identically)
@@ -1089,6 +1112,62 @@ object GateQueries {
         |SELECT id AS doc_id, MIN(comp) AS cluster_id,
         |  CAST(id = MIN(comp) AS INT) AS keep
         |FROM reach GROUP BY id""".stripMargin,
+    // cross-corpus dedup: exact char-5-shingle jaccard between the odd
+    // ("new") and even ("reference") halves — the d1 oracle restricted to
+    // cross-parity pairs (recall pinning carries over: subset of d1's set)
+    "d7_dedup_against" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(text)-4, 1)+1),
+        |    i -> substr(lower(text), i::INT, 5)))) AS g
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_id, b.doc_id AS ref_id, count(*) AS i
+        |  FROM sh a JOIN sh b USING (g)
+        |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2
+        |)
+        |SELECT inter.doc_id AS doc_id, ref_id, i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_id JOIN sizes sb ON sb.doc_id = ref_id
+        |WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8""".stripMargin,
+    "t17_token_budget" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM tok
+        |)
+        |SELECT source, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800""".stripMargin,
+    "t18_length_filter" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    ROUND(quantile_cont(length(text), 0.05)::DOUBLE, 6) AS lo_chars,
+        |    ROUND(quantile_cont(length(text), 0.95)::DOUBLE, 6) AS hi_chars
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars, lo_chars, hi_chars
+        |FROM documents JOIN b USING (source)
+        |WHERE length(text) >= lo_chars AND length(text) <= hi_chars""".stripMargin,
+    "t19_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents
+        |), freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq),
+        |sc AS (
+        |  SELECT doc_id, -ln(CAST(c AS DOUBLE) / (SELECT t FROM tot)) AS s
+        |  FROM toks JOIN freq USING (tok)
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n, ROUND(AVG(s), 6) AS m FROM sc GROUP BY 1
+        |)
+        |SELECT d.doc_id, COALESCE(agg.n, 0) AS n_tokens, COALESCE(agg.m, 0.0) AS surprisal
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "t5_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents

@@ -533,4 +533,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(f(1L) === f(2L))
     assert(f(1L) !== f(3L))
   }
+
+  test("dedupAgainst: cross-side near-dups only, same-side dups never pair, nulls dropped") {
+    // new batch: 1 ≈ ref 10 (near-dup), 2 = 3 exact same-side dup (must NOT
+    // pair — the API reports new×reference only), 4 unrelated, 5 null text
+    val newDocs = docsDF(1L -> nearDup, 2L -> base, 3L -> base,
+      4L -> unrelated, 5L -> null.asInstanceOf[String])
+    val refDocs = docsDF(10L -> base, 11L -> unrelated.replace("formats", "formatz"),
+      12L -> null.asInstanceOf[String])
+    val out = Dedup.dedupAgainst(newDocs, refDocs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1≈10 (one token differs), 2/3 are verbatim copies of ref 10,
+    // 4≈11 (one token differs); no same-side and no null pairs
+    assert(out === Set((1L, 10L), (2L, 10L), (3L, 10L), (4L, 11L)))
+    // jaccard values must equal the exact shingle jaccard (verify tier)
+    val j = Dedup.dedupAgainst(newDocs, refDocs, threshold = 0.8)
+      .filter(col("doc_id") === 2L).head().getDouble(2)
+    assert(j === 1.0)
+  }
+
+  test("tokenBudgetSample: deterministic md5-order prefix per group") {
+    val docs = Seq(
+      ("s1", 1L, "a b c"), ("s1", 2L, "d e"), ("s1", 3L, "f g h i"), ("s1", 4L, "j k"),
+      ("s2", 5L, "k l m n o p")).toDF("source", "doc_id", "text")
+    val tokens = size(split(col("text"), " "))
+    val out = TextAnalysis.tokenBudgetSample(docs, 6, tokens)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // replicate the rule by hand: md5 order within s1, strict prefix cum<=6
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val order = Seq(1L -> 3, 2L -> 2, 3L -> 4, 4L -> 2).sortBy { case (id, _) => md5hex(id.toString) }
+    val expected = order.scanLeft(0L -> 0L) { case ((_, cum), (id, n)) => id -> (cum + n) }
+      .drop(1).takeWhile(_._2 <= 6).toMap
+    assert(out.view.filterKeys(_ != 5L).toMap === expected)
+    // s2's single 6-token doc fits its own budget exactly
+    assert(out(5L) === 6L)
+    // a budget smaller than every doc keeps nothing
+    assert(TextAnalysis.tokenBudgetSample(docs, 1, tokens).count() === 0L)
+  }
+
+  test("adaptiveLengthFilter: per-group interpolated quantile band, boundaries inclusive") {
+    val docs = Seq(
+      ("s1", 1L, "a" * 10), ("s1", 2L, "b" * 20), ("s1", 3L, "c" * 30),
+      ("s1", 4L, "d" * 40), ("s1", 5L, "e" * 1000), // outlier
+      ("s2", 6L, "f" * 5), ("s2", 7L, null.asInstanceOf[String]))
+      .toDF("source", "doc_id", "text")
+    // s1 p10 over [10,20,30,40,1000]: rank .1*4=.4 → 10+.4*10=14;
+    // p90: rank 3.6 → 40+.6*960=616 — the outlier lifts the hi bound but
+    // 1000 still falls outside; 10 falls below lo
+    val out = TextAnalysis.adaptiveLengthFilter(docs, lo = 0.10, hi = 0.90)
+    val kept = out.collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 4L, 6L)) // null text never kept; single-doc group keeps itself
+    val r = out.filter(col("doc_id") === 2L).head()
+    assert(r.getDouble(3) === 14.0 && r.getDouble(4) === 616.0)
+  }
+
+  test("unigramSurprisal: exact unigram LM on a tiny corpus, token-less docs score 0") {
+    val docs = docsDF(1L -> "a a", 2L -> "A b", 3L -> "", 4L -> null.asInstanceOf[String])
+    // corpus tokens (lowercased): a a a b → p(a)=3/4, p(b)=1/4
+    val out = TextAnalysis.unigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lnA = -math.log(3.0 / 4); val lnB = -math.log(1.0 / 4)
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    assert(out(1L)._1 === 2L && out(1L)._2 === r6(lnA))
+    assert(out(2L)._1 === 2L && out(2L)._2 === r6((lnA + lnB) / 2))
+    assert(out(3L) === (0L, 0.0))
+    assert(out(4L) === (0L, 0.0))
+  }
 }
