@@ -106,6 +106,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"label start should not join a frontier:\n$plan")
   }
 
+  test("adaptiveLengthFilter broadcasts the bounds back; corpus is never shuffled") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.functions.TextAnalysis.adaptiveLengthFilter(docs))
+    assert(plan.contains("BroadcastHashJoin"), s"bounds join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for a |groups|-row join:\n$plan")
+  }
+
+  test("tokenBudgetSample is one window exchange per group key, no joins") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tokens = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1
+    val plan = planOf(graft.functions.TextAnalysis.tokenBudgetSample(docs, 800, tokens))
+    assert(plan.contains("Window"), s"no window in:\n$plan")
+    assert(!plan.contains("Join"), s"budget sampling must not join:\n$plan")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size === 1,
+      s"more than the one partitionBy-group exchange:\n$plan")
+  }
+
+  test("unigramSurprisal: scalar total folds in as broadcast, not a driver collect") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.functions.TextAnalysis.unigramSurprisal(docs))
+    // the 1-row total joins via BroadcastNestedLoopJoin (cross of 1 row);
+    // partial aggregation must shrink the exploded tokens before exchanges
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"total not broadcast:\n$plan")
+    assert(plan.contains("partial_count"), s"no partial agg on the token explode:\n$plan")
+  }
+
   test("n-gram decontamination broadcasts the probe side, never shuffles the corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val probes = docs.filter(col("doc_id") < 5)
