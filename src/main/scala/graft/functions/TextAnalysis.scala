@@ -372,8 +372,9 @@ object TextAnalysis {
     *
     * Scale shape: ONE sort-based window per group (the [[packSequences]]
     * shape) — no global order, groups pack in parallel. Null-token docs
-    * (null text under a space-count formula) order after every non-null
-    * cum and are dropped by the ≤ comparison (SQL null semantics). */
+    * (null text under a space-count formula) are DROPPED before the
+    * window — without the filter, window SUM skips the null and the doc
+    * would silently ride along inside the prefix consuming no budget. */
   def tokenBudgetSample(docs: DataFrame, budgetTokens: Long, tokens: Column,
       groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
@@ -383,6 +384,7 @@ object TextAnalysis {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     docs.select(col(groupCol).as("grp"), col(idCol), tokens.cast("long").as("n_tokens"))
+      .filter(col("n_tokens").isNotNull)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col("grp").as(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"))
@@ -401,7 +403,10 @@ object TextAnalysis {
     * Scale shape: one partial-aggregating groupBy over the groups (output
     * = |groups| rows, broadcast back), then a narrow filter on the scan —
     * the corpus is never shuffled. Null text has null length: never kept
-    * (SQL comparison semantics), matching the dedup-surface null policy. */
+    * (SQL comparison semantics), matching the dedup-surface null policy.
+    * A null GROUP key aggregates as the SQL-null group but its docs never
+    * rejoin their bounds (equi-join null semantics) — null-source docs
+    * are dropped, identically in any SQL engine. */
   def adaptiveLengthFilter(docs: DataFrame, lo: Double = 0.05, hi: Double = 0.95,
       groupCol: String = "source", textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

@@ -552,6 +552,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(j === 1.0)
   }
 
+  test("dedupAgainst ≡ minHashDuplicates restricted to cross-side pairs") {
+    // the asymmetric pipeline must agree with the self-join pipeline on a
+    // combined corpus where sides are id-disjoint: cross pairs only, same
+    // jaccard values
+    val newDocs = docsDF(1L -> nearDup, 2L -> base, 4L -> unrelated)
+    val refDocs = docsDF(10L -> base, 11L -> unrelated)
+    val cross = Dedup.dedupAgainst(newDocs, refDocs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minHashDuplicates(newDocs.unionByName(refDocs), threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a < 10) != (b < 10) } // cross-side only
+      .map { case (a, b, j) => if (a < 10) (a, b, j) else (b, a, j) }.toSet
+    assert(cross === full)
+  }
+
+  test("tokenBudgetSample: null-token docs are dropped, not smuggled into the prefix") {
+    val docs = Seq(("s1", 1L, "a b"), ("s1", 2L, null.asInstanceOf[String]), ("s1", 3L, "c"))
+      .toDF("source", "doc_id", "text")
+    // space-count formula: null text → null tokens
+    val tokens = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1
+    val kept = TextAnalysis.tokenBudgetSample(docs, 100, tokens)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
   test("tokenBudgetSample: deterministic md5-order prefix per group") {
     val docs = Seq(
       ("s1", 1L, "a b c"), ("s1", 2L, "d e"), ("s1", 3L, "f g h i"), ("s1", 4L, "j k"),
