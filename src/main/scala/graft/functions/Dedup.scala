@@ -256,8 +256,9 @@ object Dedup {
     *     new×new or ref×ref, so a small batch against a 10^9-doc reference
     *     pays O(|batch|·bands) bucket rows plus the reference members of
     *     TOUCHED buckets (the reference side is semi-joined to the batch's
-    *     buckets BEFORE the pair join, and reference hot buckets —
-    *     boilerplate families — are capped at maxBucketSize);
+    *     buckets BEFORE the pair join, and hot buckets — boilerplate
+    *     families — are capped at maxBucketSize on COMBINED new+reference
+    *     membership, bounding the per-bucket pair product on both factors);
     *  3. estimate prefilter (64 long compares/pair), then exact verify on
     *     hashed shingles only for survivors.
     */
@@ -279,14 +280,20 @@ object Dedup {
     val newSigs = minHashSignaturesNative(docs, textCol, idCol, shingleK, numHashes).cache()
     val refSigs = minHashSignaturesNative(reference, textCol, idCol, shingleK, numHashes).cache()
     val newB = bandBuckets(newSigs, bands, rowsPerBand)
-    // reference side: only the buckets this batch touches, hot buckets capped
+    // reference side: only the buckets this batch touches
     val refTouched = bandBuckets(refSigs, bands, rowsPerBand)
       .withColumnRenamed("id", "ref_id")
       .join(newB.select("band", "bucket").distinct(), Seq("band", "bucket"), "left_semi")
-    val refSmall = refTouched
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("n") <= maxBucketSize).drop("n")
-    val cands = newB.join(refSmall, Seq("band", "bucket"))
+    // skew cap on COMBINED bucket membership (new + reference), matching
+    // the batch/streaming paths: capping one side alone leaves the pair
+    // product |new_b|·|ref_b| unbounded in the other factor when the hot
+    // boilerplate family sits in the incoming batch rather than the store
+    val smallBuckets = newB.select("band", "bucket")
+      .unionByName(refTouched.select("band", "bucket"))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucketSize).select("band", "bucket")
+    val cands = newB.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+      .join(refTouched, Seq("band", "bucket"))
       .select(col("id").as("doc_id"), col("ref_id")).distinct()
     val estimated = cands
       .join(newSigs.select(col("id").as("doc_id"), col("sig").as("sig_a")), "doc_id")
@@ -337,6 +344,24 @@ object Dedup {
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
         (col("id") === col("component")).as("keep"))
   }
+
+  /** Seed a [[minHashDedupStream]] signature store with a REFERENCE corpus
+    * so the stream deduplicates arrivals against a fixed training set from
+    * its very first batch (without seeding, the store only accumulates
+    * what the stream itself has seen). One narrow signature pass, written
+    * with the store's exact schema; parameters must match the stream's
+    * (the stream's bands×rowsPerBand guard fails fast on a mismatch).
+    * Batch sibling: [[dedupAgainst]]. */
+  def seedSignatureStore(
+      reference: DataFrame,
+      sigDir: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): Unit =
+    minHashSignaturesNative(reference, textCol, idCol, shingleK, bands * rowsPerBand)
+      .write.mode("append").parquet(sigDir)
 
   // ---- streaming near-dup --------------------------------------------------
 

@@ -222,6 +222,54 @@ object Similarity {
     assignTo(vectors, ivfCentroids(vectors, nCentroids, idCol, vecCol), idCol, vecCol)
       .select(col(idCol), col(vecCol), col("centroid_id"))
 
+  /** Persist an IVF index: Lloyd-refined centroids plus the corpus
+    * assigned and physically PARTITIONED BY centroid_id (with per-vector
+    * norms precomputed) — train once, probe many. At 100 TB the index
+    * build is the one linear pass; every later [[ivfTopKIndexed]] probe
+    * reads ONLY the probed partitions (dynamic partition pruning against
+    * the broadcast probe list — the scan never touches the other
+    * nCentroids − nProbe fractions of the corpus). */
+  def saveIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    useNative(corpus)
+    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol).cache()
+    try {
+      assignTo(corpus, cents, idCol, vecCol)
+        .select(col(idCol), col(vecCol), nnorm(col(vecCol)).as("norm"), col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/corpus")
+      cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    } finally cents.unpersist(blocking = false)
+  }
+
+  /** IVF top-k against a [[saveIvfIndex]] index: per query, pick the
+    * nProbe nearest centroids (centroid table broadcast — |nlist| rows),
+    * then score exactly ONLY inside those corpus partitions. Same output
+    * contract as [[ivfTopK]]; full-probe (nProbe = nCentroids) equals
+    * brute force, the e5 verification identity. */
+  def ivfTopKIndexed(queries: DataFrame, dir: String, k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    useNative(queries)
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val indexed = spark.read.parquet(s"$dir/corpus")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("norm").as("cn"), col("centroid_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      nnorm(col(vecCol)).as("qn"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d", -ncos(col("qv"), col("centroid")))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cid"))
+    val qprobe = probes.withColumn("rk", row_number().over(pw))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid").as("centroid_id"))
+    val scored = indexed.join(broadcast(qprobe), "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** IVF top-k: probe the nProbe nearest centroid partitions per query and
     * run exact cosine only inside them. The corpus side shuffles once on
     * centroid_id (bucketable/persistable as an index at scale); queries

@@ -552,6 +552,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(j === 1.0)
   }
 
+  test("IVF index: full-probe indexed search equals brute force; probe scan is partition-pruned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = "/tmp/graft_ivf_index_test"
+    Similarity.saveIvfIndex(emb, dir, nCentroids = 8)
+    val qs = emb.filter(col("vec_id") < 10)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // full probe ≡ brute force (the e5 identity, through the on-disk index)
+    assert(triples(Similarity.ivfTopKIndexed(qs, dir, k = 5, nProbe = 8))
+      === triples(Similarity.bruteForceTopK(qs, emb, k = 5)))
+    // partial probe: the corpus scan must carry a dynamic-pruning partition
+    // filter — only probed centroid partitions are read
+    val part = Similarity.ivfTopKIndexed(qs, dir, k = 5, nProbe = 2)
+    part.count()
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"indexed probe scan not partition-pruned:\n$plan")
+  }
+
   test("dedupAgainst ≡ minHashDuplicates restricted to cross-side pairs") {
     // the asymmetric pipeline must agree with the self-join pipeline on a
     // combined corpus where sides are id-disjoint: cross pairs only, same

@@ -202,6 +202,27 @@ class PropertySpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("tokenBudgetSample: kept set IS the longest md5-order prefix within budget") {
+    import spark.implicits._
+    val genCorpus = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, for {
+      id <- Gen.choose(0, 1000); toks <- Gen.choose(1, 50)
+    } yield (id.toLong, toks.toLong)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    check("budget-prefix", Prop.forAll(genCorpus, Gen.choose(1L, 200L)) { (rows0, budget) =>
+      val rows = rows0.distinctBy(_._1) // ids are unique by contract
+      val df = rows.map { case (id, t) => ("s", id, t) }.toDF("source", "doc_id", "toks")
+      val kept = graft.functions.TextAnalysis
+        .tokenBudgetSample(df, budget, col("toks"), groupCol = "source")
+        .collect().map(_.getLong(1)).toSet
+      // reference: walk the md5 order, cut at the first doc that overflows
+      val expected = rows.sortBy { case (id, _) => (md5hex(id.toString), id) }
+        .scanLeft(0L -> 0L) { case ((_, cum), (id, t)) => id -> (cum + t) }
+        .drop(1).takeWhile(_._2 <= budget).map(_._1).toSet
+      kept == expected
+    }, n = 8)
+  }
+
   test("saltedJoin ≡ plain equi-join incl. multiplicities, hot key spread") {
     import spark.implicits._
     // hot key 7 on the left; duplicate keys on both sides → multiplicity matters

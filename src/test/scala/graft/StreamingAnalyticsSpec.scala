@@ -429,6 +429,36 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("seedSignatureStore: stream dedups its first batch against a fixed reference corpus") {
+    import graft.functions.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_seeded").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    // reference corpus seeded BEFORE any stream batch
+    Dedup.seedSignatureStore(
+      Seq(100L -> text, 101L -> "totally unrelated reference document body here")
+        .toDF("doc_id", "text"), s"$root/sigs")
+    Seq(1L -> text).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val q = Dedup.minHashDedupStream(
+      spark.readStream.schema(schema).parquet(s"$inDir/*"),
+      s"$root/sigs", s"$root/pairs", s"$root/ckpt", threshold = 0.8)
+    try {
+      q.processAllAvailable()
+      // the very first batch pairs against the seeded reference — the
+      // fixed-training-set shape (batch sibling: dedupAgainst)
+      val pairs = spark.read.parquet(s"$root/pairs")
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 100L)))
+      // reference ids stay in the store exactly once, batch id appended
+      val ids = spark.read.parquet(s"$root/sigs").select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids === Array(1L, 100L, 101L))
+    } finally q.stop()
+  }
+
   test("minHashDedupStream: restart from checkpoint keeps pairs and store consistent") {
     import graft.functions.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft_neardup_rs").toString
