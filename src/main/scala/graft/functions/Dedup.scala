@@ -363,6 +363,18 @@ object Dedup {
     minHashSignaturesNative(reference, textCol, idCol, shingleK, bands * rowsPerBand)
       .write.mode("append").parquet(sigDir)
 
+  /** Apply a dedup decision to the corpus: drop every document a
+    * [[duplicateClusters]] run marked as a non-keeper (keep = false);
+    * documents in no cluster pass through untouched. The final step of
+    * the pairs → families → keepers pipeline, kept as one anti-join so
+    * the corpus is filtered in a single broadcastable pass (the cluster
+    * table is |dup docs| rows — small against the corpus by construction). */
+  def keepRepresentatives(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      clusters.filter(!col("keep")).select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   // ---- streaming near-dup --------------------------------------------------
 
   /** STREAMING near-duplicate detection: each micro-batch of documents is

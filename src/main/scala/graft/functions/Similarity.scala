@@ -245,7 +245,14 @@ object Similarity {
     * nProbe nearest centroids (centroid table broadcast — |nlist| rows),
     * then score exactly ONLY inside those corpus partitions. Same output
     * contract as [[ivfTopK]]; full-probe (nProbe = nCentroids) equals
-    * brute force, the e5 verification identity. */
+    * brute force, the e5 verification identity.
+    *
+    * Contract: the probe side (queries × nProbe, vectors included) is
+    * BROADCAST — that is what lets dynamic partition pruning skip the
+    * unprobed corpus partitions entirely. Size query batches so
+    * |queries|·nProbe·dim fits executor memory and split giant batches;
+    * for corpus-sized query sets use [[ivfTopK]] (shuffle join, full
+    * index scan) instead. */
   def ivfTopKIndexed(queries: DataFrame, dir: String, k: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     useNative(queries)

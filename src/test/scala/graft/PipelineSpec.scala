@@ -572,6 +572,16 @@ class PipelineSpec extends AnyFunSuite {
       s"indexed probe scan not partition-pruned:\n$plan")
   }
 
+  test("keepRepresentatives: non-keepers dropped, unclustered docs untouched") {
+    val pairs = Dedup.minHashDuplicates(corpus, threshold = 0.8)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val kept = Dedup.keepRepresentatives(corpus, clusters)
+      .collect().map(_.getLong(0)).toSet
+    // corpus: 1=2 exact, 3 near-dups 1, 5=6 exact → families {1,2,3},{5,6}
+    // keep min ids 1 and 5; 4 is unclustered and passes through
+    assert(kept === Set(1L, 4L, 5L))
+  }
+
   test("dedupAgainst ≡ minHashDuplicates restricted to cross-side pairs") {
     // the asymmetric pipeline must agree with the self-join pipeline on a
     // combined corpus where sides are id-disjoint: cross pairs only, same
