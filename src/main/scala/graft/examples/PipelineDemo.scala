@@ -1,0 +1,77 @@
+package graft.examples
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline a library user would write: the
+  * documents corpus flows normalize → quality/repetition filter →
+  * near-dup dedup (pairs → families → keepers) → decontaminate →
+  * per-source token-budget cut → pack into training chunks; embeddings
+  * flow through an on-disk IVF index probe. Each stage prints its
+  * row-count effect so the whole funnel is visible at a glance.
+  *
+  * Run: sbt "runMain graft.examples.PipelineDemo [sfDir]"
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"corpus: ${docs.count()} documents")
+
+    // 1. normalize (NFC + whitespace collapse) — feeds every hash below
+    val normed = TextAnalysis.normalizeText(docs)
+      .withColumn("text", col("text_norm")).drop("text_norm")
+
+    // 2. quality gate: composite score + Gopher repetition rules
+    val quality = TextAnalysis.qualityFeatures(normed)
+      .filter(col("quality_score") >= 0.5)
+      .select(docs.columns.toIndexedSeq.map(col): _*)
+    val rep = TextAnalysis.repetitionFeatures(normed)
+      .filter(col("top_token_frac") <= 0.2)
+      .select("doc_id")
+    val filtered = quality.join(rep, "doc_id")
+    println(s"after quality + repetition filters: ${filtered.count()}")
+
+    // 3. near-dup dedup: pairs → connected families → min-id keepers
+    val pairs = Dedup.minHashDuplicates(filtered, threshold = 0.8)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val deduped = Dedup.keepRepresentatives(filtered, clusters)
+    println(s"near-dup pairs: ${pairs.count()}, after dedup: ${deduped.count()}")
+
+    // 4. decontaminate vs a benchmark probe set (here: slices of 3 docs)
+    val probes = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("probe_id"), substring(col("text"), 20, 60).as("probe"))
+    val tainted = TextAnalysis.findContaminationNgrams(deduped, probes, n = 3)
+    val clean = deduped.join(tainted.select("doc_id"), Seq("doc_id"), "left_anti")
+    println(s"decontamination hits: ${tainted.count()}, clean corpus: ${clean.count()}")
+
+    // 5. per-source token budget, then pack into fixed-size chunks
+    val tokens = TextAnalysis.tokenCountWs(col("text"))
+    val budgeted = TextAnalysis.tokenBudgetSample(clean, 500, tokens)
+    val packed = TextAnalysis.packSequences(
+      clean.join(budgeted.select("doc_id"), "doc_id"), 2048, tokens)
+    println(s"within budget: ${budgeted.count()} docs, " +
+      s"chunks: ${packed.select("shard", "chunk_id").distinct().count()}")
+
+    // 6. embeddings: build the on-disk IVF index once, probe it
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivfDir = "/tmp/graft_pipeline_demo_ivf"
+    Similarity.saveIvfIndex(emb, ivfDir, nCentroids = 8)
+    val hits = Similarity.ivfTopKIndexed(
+      emb.filter(col("vec_id") < 5), ivfDir, k = 3, nProbe = 2)
+    println(s"ANN probe results: ${hits.count()} (5 queries × k=3)")
+    hits.show(6, truncate = false)
+
+    spark.stop()
+  }
+}
