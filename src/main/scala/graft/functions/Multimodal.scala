@@ -11,11 +11,17 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing is real — schema, partition-sized batch
   * processing through `mapPartitions` on typed Datasets (the Scala
   * equivalent of `mapInPandas` batches), narrow pipelines that never
-  * shuffle the binary payload. The codec layer is a clearly-marked STUB:
-  * this container has no image/audio libraries, so `decodeStub` derives
-  * deterministic fake pixels/samples from the bytes. Swapping in a real
-  * decoder changes only the function body — every signature, schema and
-  * batch shape stays.
+  * shuffle the binary payload.
+  *
+  * Codec status per modality:
+  *  - IMAGES are decoded for REAL via `javax.imageio` (JDK built-in:
+  *    PNG/JPEG/BMP/GIF, headless-safe) — [[decodeImages]] /
+  *    [[resizeImages]];
+  *  - audio/video have no JDK codec, so [[extractFeatures]] /
+  *    [[sampleFrames]] run over the clearly-marked `decodeStub`
+  *    (deterministic fake samples). Swapping in a real decoder (ffmpeg
+  *    bindings) changes only the function body — every signature, schema
+  *    and batch shape stays, exactly as the image pair demonstrates.
   */
 object Multimodal {
 
@@ -73,6 +79,69 @@ object Multimodal {
         while (i < decoded.length) { hist((decoded(i) & 0xff) % featureDim) += 1f; i += 1 }
         val n = decoded.length.toFloat
         MediaFeatures(row.media_id, row.media.length, hist.map(_ / n))
+      }
+    }
+  }
+
+  final case class ImageInfo(media_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double, decode_ok: Boolean)
+
+  /** REAL image decode via `javax.imageio` (JDK built-in — PNG/JPEG/BMP/
+    * GIF), batched per partition like every codec stage. Emits dimensions
+    * and per-channel means; undecodable payloads yield an explicit
+    * `decode_ok = false` row rather than null (at web scale a fraction of
+    * every crawl is corrupt — dropped rows misreport counts, null means
+    * poison averages silently). Pixels are read with one bulk `getRGB`
+    * per image, not per-pixel calls. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+          catch { case _: Exception => null }
+        if (img == null) ImageInfo(r.media_id, -1, -1, 0.0, 0.0, 0.0, decode_ok = false)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var sr = 0L; var sg = 0L; var sb = 0L; var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            i += 1
+          }
+          val n = w.toLong * h
+          ImageInfo(r.media_id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+            decode_ok = true)
+        }
+      }
+    }
+  }
+
+  /** REAL image resize: bilinear `Graphics2D` scale, re-encoded as PNG —
+    * the canonical pre-training normalization step. Undecodable payloads
+    * pass through unchanged (the [[decodeImages]] flag identifies them);
+    * decoded rows carry the new dimensions and `image/png` format. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+          catch { case _: Exception => null }
+        if (img == null) r
+        else {
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          r.copy(media = bos.toByteArray, format = "image/png", width = w, height = h)
+        }
       }
     }
   }

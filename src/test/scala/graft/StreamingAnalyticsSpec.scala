@@ -246,6 +246,44 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(frames.forall(_.frame_idx % 2 === 0))
   }
 
+  test("multimodal: REAL image decode and resize via JDK ImageIO") {
+    import graft.functions.Multimodal
+    // build real PNGs in-test: uniform colors with known dimensions
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png(16, 9, 0xFF8040), "image/png", 16, 9, 0),
+      Multimodal.MediaRow(2L, png(4, 4, 0x000000), "image/png", 4, 4, 0),
+      Multimodal.MediaRow(3L, Array[Byte](1, 2, 3), "corrupt", 0, 0, 0))
+    val media = spark.createDataset(rows)
+    val info = Multimodal.decodeImages(media).collect().map(i => i.media_id -> i).toMap
+    // uniform-color PNG round-trips exactly: dims and channel means exact
+    assert(info(1L).width === 16 && info(1L).height === 9 && info(1L).decode_ok)
+    assert(info(1L).mean_r === 0xFF.toDouble && info(1L).mean_g === 0x80.toDouble
+      && info(1L).mean_b === 0x40.toDouble)
+    assert(info(2L).mean_r === 0.0 && info(2L).decode_ok)
+    // corrupt payload: explicit decode_ok = false, never a null/dropped row
+    assert(!info(3L).decode_ok && info(3L).width === -1)
+    // real resize: output decodes to the target dims, uniform color survives
+    val resized = Multimodal.resizeImages(media, 8, 8).collect()
+      .map(r => r.media_id -> r).toMap
+    val r1 = Multimodal.decodeImages(
+      spark.createDataset(Seq(resized(1L)))).head()
+    assert(r1.width === 8 && r1.height === 8 && r1.decode_ok)
+    assert(r1.mean_r === 0xFF.toDouble && r1.mean_g === 0x80.toDouble
+      && r1.mean_b === 0x40.toDouble)
+    assert(resized(1L).format === "image/png")
+    // undecodable rows pass through resize unchanged
+    assert(resized(3L).media.toSeq === Seq[Byte](1, 2, 3) && resized(3L).format === "corrupt")
+  }
+
   test("analytics: components/pagerank/shortest on a two-island graph") {
     val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
     val g = Loaders.fromList(spark,
