@@ -72,6 +72,27 @@ object PipelineDemo {
     println(s"ANN probe results: ${hits.count()} (5 queries × k=3)")
     hits.show(6, truncate = false)
 
+    // 7. multimodal: REAL PNGs (built from doc stats), decoded + resized
+    // through the JDK ImageIO codec path
+    import graft.functions.Multimodal
+    import spark.implicits._
+    val images = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) =>
+        val w = 8 + (n % 16).toInt; val h = 8 + (n % 9).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color((n * 2654435761L).toInt & 0xFFFFFF))
+        g.fillRect(0, 0, w, h); g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Multimodal.MediaRow(id, bos.toByteArray, "image/png", w, h, 0)
+      }
+    val decoded = Multimodal.decodeImages(Multimodal.resizeImages(images, 8, 8))
+    println(s"decoded ${decoded.filter(_.decode_ok).count()} resized images:")
+    decoded.toDF().show(4, truncate = false)
+
     spark.stop()
   }
 }
