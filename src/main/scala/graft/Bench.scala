@@ -68,7 +68,9 @@ object Bench {
     calibrate() // untimed JIT warmup: the first execution compiles the loop;
                 // without it cal[0] reads [slow, fast] on a QUIET VM — the
                 // exact skew the probe exists to flag
-    val calEvery = 8
+    val calEvery = 16 // 65 queries leave ~50 chars of line headroom; 16 keeps
+                      // ~6 samples (with cpu_sec as the second witness) and
+                      // frees ~12 chars vs 8 for failed-run errors[] growth
     val calSamples = scala.collection.mutable.ArrayBuffer[Double](calibrate())
 
     val tBuild = System.nanoTime()

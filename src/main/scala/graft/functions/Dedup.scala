@@ -251,7 +251,12 @@ object Dedup {
     *
     * Scale shape, stage by stage (the same three-tier funnel as
     * [[minHashDuplicates]], specialized to the asymmetric join):
-    *  1. signatures: one narrow codegen'd pass per side, no shuffle;
+    *  1. signatures: one narrow codegen'd pass per side, no shuffle.
+    *     This IS an O(|reference|) scan per call — unavoidable when the
+    *     reference arrives as text; callers running many batches against
+    *     one reference should pay it once via [[seedSignatureStore]] +
+    *     [[minHashDedupStream]] (the streaming sibling reads stored
+    *     signatures instead of re-hashing text);
     *  2. candidates: banded-LSH bucket join NEW × REFERENCE only — never
     *     new×new or ref×ref, so a small batch against a 10^9-doc reference
     *     pays O(|batch|·bands) bucket rows plus the reference members of
@@ -295,6 +300,8 @@ object Dedup {
     val cands = newB.join(smallBuckets, Seq("band", "bucket"), "left_semi")
       .join(refTouched, Seq("band", "bucket"))
       .select(col("id").as("doc_id"), col("ref_id")).distinct()
+    // cached: the surviving pair set is read three times below (itself plus
+    // the two text-side semi-joins) — and it is small by construction
     val estimated = cands
       .join(newSigs.select(col("id").as("doc_id"), col("sig").as("sig_a")), "doc_id")
       .join(refSigs.select(col("id").as("ref_id"), col("sig").as("sig_b")), "ref_id")
@@ -302,11 +309,19 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _) / lit(numHashes))
       .filter(col("est") >= threshold - estimateMargin)
       .select(col("doc_id"), col("ref_id"))
+      .cache()
     graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
-    val shNew = docs.select(col(idCol).as("doc_id"),
-      call_function("graft_shingle_hashes", col(textCol), lit(shingleK)).as("sh_a"))
-    val shRef = reference.select(col(idCol).as("ref_id"),
-      call_function("graft_shingle_hashes", col(textCol), lit(shingleK)).as("sh_b"))
+    // exact verify hashes ONLY the estimate survivors' texts: without the
+    // semi-joins the verify stage would shingle-hash the ENTIRE reference
+    // corpus a second time for a pair set that touches a sliver of it
+    val shNew = docs
+      .join(estimated.select(col("doc_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        call_function("graft_shingle_hashes", col(textCol), lit(shingleK)).as("sh_a"))
+    val shRef = reference
+      .join(estimated.select(col("ref_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("ref_id"),
+        call_function("graft_shingle_hashes", col(textCol), lit(shingleK)).as("sh_b"))
     estimated
       .join(shNew, "doc_id").join(shRef, "ref_id")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -351,7 +366,11 @@ object Dedup {
     * what the stream itself has seen). One narrow signature pass, written
     * with the store's exact schema; parameters must match the stream's
     * (the stream's bands×rowsPerBand guard fails fast on a mismatch).
-    * Batch sibling: [[dedupAgainst]]. */
+    * IDEMPOTENT: ids already present in the store are not re-appended
+    * (the stream's own anti-join guard), so a retried seeding job cannot
+    * duplicate signatures — duplicated store ids would multiply every
+    * downstream pair row through the verdict joins. Batch sibling:
+    * [[dedupAgainst]]. */
   def seedSignatureStore(
       reference: DataFrame,
       sigDir: String,
@@ -359,9 +378,16 @@ object Dedup {
       idCol: String = "doc_id",
       shingleK: Int = 5,
       bands: Int = 16,
-      rowsPerBand: Int = 4): Unit =
-    minHashSignaturesNative(reference, textCol, idCol, shingleK, bands * rowsPerBand)
-      .write.mode("append").parquet(sigDir)
+      rowsPerBand: Int = 4): Unit = {
+    val sigs = minHashSignaturesNative(reference, textCol, idCol, shingleK, bands * rowsPerBand)
+    val existing = graft.util.ParquetIO.readOrEmpty(reference.sparkSession, sigDir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
+    val toAppend = sigs.join(existing.select("id"), Seq("id"), "left_anti")
+    if (!toAppend.isEmpty) toAppend.write.mode("append").parquet(sigDir)
+  }
 
   /** Apply a dedup decision to the corpus: drop every document a
     * [[duplicateClusters]] run marked as a non-keeper (keep = false);

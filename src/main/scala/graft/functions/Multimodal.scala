@@ -86,20 +86,48 @@ object Multimodal {
   final case class ImageInfo(media_id: Long, width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double, decode_ok: Boolean)
 
+  /** Decode an image ONLY after checking its declared dimensions from the
+    * header: a decompression bomb (a tiny payload declaring 50000×50000)
+    * would otherwise allocate a multi-GB raster and kill the task with an
+    * OutOfMemoryError — an Error, which no `catch Exception` sees and
+    * task retries repeat. Header reads cost bytes, not pixels. Returns
+    * null for undecodable OR over-limit payloads. */
+  private def readBounded(bytes: Array[Byte], maxPixels: Long): java.awt.image.BufferedImage =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (iis == null || !readers.hasNext) null
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val w = reader.getWidth(0).toLong
+          val h = reader.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > maxPixels) null
+          else reader.read(0)
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case _: Exception => null }
+
+  /** Default decode bound: 64 Mpixel ≈ 256 MB ARGB raster — far above any
+    * training image, far below a bomb's multi-GB target. */
+  val DefaultMaxPixels: Long = 64L * 1024 * 1024
+
   /** REAL image decode via `javax.imageio` (JDK built-in — PNG/JPEG/BMP/
     * GIF), batched per partition like every codec stage. Emits dimensions
-    * and per-channel means; undecodable payloads yield an explicit
+    * and per-channel means; undecodable, over-`maxPixels` (decompression
+    * bombs — see [[readBounded]]) or corrupt payloads yield an explicit
     * `decode_ok = false` row rather than null (at web scale a fraction of
     * every crawl is corrupt — dropped rows misreport counts, null means
     * poison averages silently). Pixels are read with one bulk `getRGB`
     * per image, not per-pixel calls. */
-  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageInfo] = {
+  def decodeImages(media: Dataset[MediaRow],
+      maxPixels: Long = DefaultMaxPixels): Dataset[ImageInfo] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-          catch { case _: Exception => null }
+        val img = readBounded(r.media, maxPixels)
         if (img == null) ImageInfo(r.media_id, -1, -1, 0.0, 0.0, 0.0, decode_ok = false)
         else {
           val w = img.getWidth; val h = img.getHeight
@@ -122,13 +150,13 @@ object Multimodal {
     * the canonical pre-training normalization step. Undecodable payloads
     * pass through unchanged (the [[decodeImages]] flag identifies them);
     * decoded rows carry the new dimensions and `image/png` format. */
-  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int,
+      maxPixels: Long = DefaultMaxPixels): Dataset[MediaRow] = {
+    require(w > 0 && h > 0, s"resize target must be positive, got ${w}x$h")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-          catch { case _: Exception => null }
+        val img = readBounded(r.media, maxPixels)
         if (img == null) r
         else {
           val out = new java.awt.image.BufferedImage(w, h,

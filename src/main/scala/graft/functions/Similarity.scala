@@ -183,16 +183,28 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment against a broadcast centroid table
-    * (cid, centroid). Adds `centroid_id`; distance = negative cosine. */
+    * (cid, centroid). Adds `centroid_id`; distance = negative cosine,
+    * ties broken by cid (deterministic).
+    *
+    * Shape: min_by AGGREGATION, not a window — a Window.partitionBy(id)
+    * over the ×nCentroids cross join would sort-shuffle |corpus|·nlist
+    * rows; the aggregate partial-combines map-side so the exchange moves
+    * |corpus| rows regardless of nlist (at nlist=4096 that is a 4096×
+    * smaller shuffle — the difference between "one linear pass" and not,
+    * for [[saveIvfIndex]]'s train-once contract). Non-key columns ride
+    * along via first(): every cross-join copy of a vector row carries
+    * identical values, so first() is value-deterministic. NaN distances
+    * (zero vectors) lose to any real distance in both shapes. */
   private def assignTo(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     useNative(vectors)
     val withC = vectors.crossJoin(broadcast(centroids))
       .withColumn("d", -ncos(col(vecCol), col("centroid")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("d"), col("cid"))
-    withC.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .drop("rk", "d", "centroid")
-      .withColumnRenamed("cid", "centroid_id")
+    val carried = vectors.columns.filter(_ != idCol).toSeq
+    val aggs = min_by(col("cid"), struct(col("d"), col("cid"))).as("centroid_id") +:
+      carried.map(c => first(col(c)).as(c))
+    withC.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select((idCol +: carried :+ "centroid_id").map(col): _*)
   }
 
   /** IVF coarse-quantizer centroids: deterministic hash-ordered sample of

@@ -1135,7 +1135,7 @@ object GateQueries {
       """WITH tok AS (
         |  SELECT source, doc_id,
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
-        |  FROM documents
+        |  FROM documents WHERE text IS NOT NULL
         |), c AS (
         |  SELECT source, doc_id, n_tokens,
         |    CAST(SUM(n_tokens) OVER (PARTITION BY source

@@ -472,10 +472,13 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graft_seeded").toString
     val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
     val text = "the quick brown fox jumps over the lazy dog again and again"
-    // reference corpus seeded BEFORE any stream batch
-    Dedup.seedSignatureStore(
-      Seq(100L -> text, 101L -> "totally unrelated reference document body here")
-        .toDF("doc_id", "text"), s"$root/sigs")
+    // reference corpus seeded BEFORE any stream batch; seeded TWICE —
+    // a retried seeding job must not duplicate store ids (duplicates
+    // would multiply every downstream pair through the verdict joins)
+    val ref = Seq(100L -> text, 101L -> "totally unrelated reference document body here")
+      .toDF("doc_id", "text")
+    Dedup.seedSignatureStore(ref, s"$root/sigs")
+    Dedup.seedSignatureStore(ref, s"$root/sigs")
     Seq(1L -> text).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b1")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
