@@ -101,23 +101,15 @@ object Bench {
           }
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
-    // Second noise witness: process CPU seconds over the reported pass.
-    // The single-thread cal probe witnesses per-core slowdown but NOT
-    // multi-core/IO contention (observed: a 100.7 s full-suite run with
-    // siw at 30.6 s under quiet cal [9-10 ms] — 1.7× the steady total —
-    // while isolated siw measured 2.7-3.8 s). cpu_sec ≈ stable across
-    // runs when wall varies ⇒ the plan did the same work and WAITED:
-    // machine noise, not a plan regression.
-    def processCpuSec: Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
-        case _ => -1.0
-      }
-    val cpuT0 = processCpuSec
+    // Second noise witness: process CPU seconds over the reported pass
+    // (graft.util.CpuWitness — observed: a 100.7 s full-suite run with
+    // siw at 30.6 s under quiet cal [9-10 ms] while isolated siw measured
+    // 2.7-3.8 s; only a multi-core witness can see that class of noise).
+    val cpuT0 = graft.util.CpuWitness.processCpuSec
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = runPass(errors, Some(calSamples))
     calSamples += calibrate()
-    val cpuSec = processCpuSec - cpuT0
+    val cpuSec = graft.util.CpuWitness.delta(cpuT0, graft.util.CpuWitness.processCpuSec)
     for (i <- 2 to repeat) {
       val extraErrors = scala.collection.mutable.ArrayBuffer[String]()
       val extra = runPass(extraErrors, None).map { case (k, v) => s"$k=${v.fold("err")(s3)}" }
@@ -141,7 +133,7 @@ object Bench {
     // and 3-4 chars/sample (vs 5 for "0.010") buys the line-length headroom
     // the 58-query map needs inside the ~1.9k-char window
     val calJson = calSamples.map(s => math.round(s * 1000).toString).mkString("[", ",", "]")
-    // cal cadence (every 8 queries) is documented in SCALING.md, not the
+    // cal cadence (calEvery above) is documented in SCALING.md, not the
     // line — "cpu_sec" (integer seconds) took its chars inside the window
     val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","build_sec":${s3(buildSec)},"cal_ms":$calJson,"cpu_sec":${math.round(cpuSec)},"errors":$errJson}"""
     if (line.length > 1850)

@@ -52,15 +52,8 @@ object Verify {
     }
     val buildSec = (System.nanoTime() - tBuild) / 1e9
 
-    // process-CPU witness, mirroring Bench: stable cpu_sec under varying
-    // wall ⇒ machine noise, not plan cost (the single-thread cal probe
-    // misses multi-core/IO contention)
-    def processCpuSec: Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
-        case _ => -1.0
-      }
-    val cpuT0 = processCpuSec
+    // process-CPU witness, shared with Bench (graft.util.CpuWitness)
+    val cpuT0 = graft.util.CpuWitness.processCpuSec
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val timings = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -98,7 +91,8 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val meta = s"""{"build_sec":${s3(buildSec)},"cpu_sec":${s3(processCpuSec - cpuT0)},""" +
+    val meta = s"""{"build_sec":${s3(buildSec)},"cpu_sec":${
+        s3(graft.util.CpuWitness.delta(cpuT0, graft.util.CpuWitness.processCpuSec))},""" +
       s""""cal":${cal.map(s3).mkString("[", ",", "]")},"cal_every":$calEvery,""" +
       s""""queries":${timings.map { case (k, v) => q(k) + ":" + s3(v) }.mkString("{", ",", "}")},""" +
       s""""failed":${failed.map(q).mkString("[", ",", "]")}}"""

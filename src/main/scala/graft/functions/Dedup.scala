@@ -364,8 +364,9 @@ object Dedup {
     * so the stream deduplicates arrivals against a fixed training set from
     * its very first batch (without seeding, the store only accumulates
     * what the stream itself has seen). One narrow signature pass, written
-    * with the store's exact schema; parameters must match the stream's
-    * (the stream's bands×rowsPerBand guard fails fast on a mismatch).
+    * with the store's exact schema; a bands×rowsPerBand mismatch against
+    * an existing store fails fast HERE (sampled, like the stream's own
+    * guard — a fully-mixed store cannot be cheaply full-scanned).
     * IDEMPOTENT: ids already present in the store are not re-appended
     * (the stream's own anti-join guard), so a retried seeding job cannot
     * duplicate signatures — duplicated store ids would multiply every
@@ -379,13 +380,26 @@ object Dedup {
       shingleK: Int = 5,
       bands: Int = 16,
       rowsPerBand: Int = 4): Unit = {
-    val sigs = minHashSignaturesNative(reference, textCol, idCol, shingleK, bands * rowsPerBand)
+    val numHashes = bands * rowsPerBand
+    val sigs = minHashSignaturesNative(reference, textCol, idCol, shingleK, numHashes)
     val existing = graft.util.ParquetIO.readOrEmpty(reference.sparkSession, sigDir,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("sig",
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
-    val toAppend = sigs.join(existing.select("id"), Seq("id"), "left_anti")
+    // fail fast on a bands×rowsPerBand mismatch with the existing store —
+    // the seed side of the stream's own guard: appending shorter/longer
+    // sigs makes zip_with null-pad and est-jaccard silently collapse
+    existing.filter(col("sig").isNotNull).head(1).foreach { r =>
+      val len = r.getSeq[Long](1).size
+      require(len == numHashes,
+        s"seedSignatureStore: store at $sigDir has $len hashes/doc but " +
+          s"bands*rowsPerBand = $numHashes — seed with the store's parameters")
+    }
+    // tombstone-aware idempotency, mirroring the stream's append path: a
+    // legacy (id, null) row must not block seeding that id's real signature
+    val toAppend = sigs.join(
+      existing.filter(col("sig").isNotNull).select("id"), Seq("id"), "left_anti")
     if (!toAppend.isEmpty) toAppend.write.mode("append").parquet(sigDir)
   }
 

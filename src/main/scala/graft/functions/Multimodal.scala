@@ -96,23 +96,32 @@ object Multimodal {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (iis == null || !readers.hasNext) null
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          val w = reader.getWidth(0).toLong
-          val h = reader.getHeight(0).toLong
-          if (w <= 0 || h <= 0 || w * h > maxPixels) null
-          else reader.read(0)
-        } finally { reader.dispose(); iis.close() }
-      }
+      if (iis == null) null
+      else try { // iis is temp-file/FD-backed (ImageIO cache): close on EVERY
+                 // path — the no-reader-matches case is the COMMON corrupt-
+                 // payload case, and leaking one FD per corrupt image fills
+                 // /tmp and the FD table on a long-lived executor
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val w = reader.getWidth(0).toLong
+            val h = reader.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > maxPixels) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
     } catch { case _: Exception => null }
 
-  /** Default decode bound: 64 Mpixel ≈ 256 MB ARGB raster — far above any
-    * training image, far below a bomb's multi-GB target. */
-  val DefaultMaxPixels: Long = 64L * 1024 * 1024
+  /** Default decode bound: 16 Mpixel (4096×4096). Peak live memory per
+    * decode is ~2× the raster — the BufferedImage plus the bulk-`getRGB`
+    * int[] copy — so 16 Mpixel ≈ 64 + 64 MB per task; with 32 concurrent
+    * tasks the worst-case wave stays ~4 GB, inside the default 8 g heap.
+    * Raise per job when the corpus genuinely carries larger images. */
+  val DefaultMaxPixels: Long = 16L * 1024 * 1024
 
   /** REAL image decode via `javax.imageio` (JDK built-in — PNG/JPEG/BMP/
     * GIF), batched per partition like every codec stage. Emits dimensions

@@ -65,6 +65,15 @@ object TextAnalysis {
           + when(col("repetition") <= 0.5, 0.25).otherwise(0.0)))
   }
 
+  /** THE corpus tokenization: lowercase, trim, whitespace-split,
+    * zero-length tokens dropped. Single definition shared by every
+    * corpus-statistics surface ([[repetitionFeatures]],
+    * [[corpusTokenStats]], [[unigramSurprisal]]) — the round-5
+    * "drop zero-length tokens" fix had to chase three copies of this
+    * expression; a convention change must happen exactly once. */
+  private def corpusTokens(t: Column): Column =
+    filter(split(lower(trim(t)), "\\s+"), x => length(x) > 0)
+
   // ---- repetition filters (Gopher-style) -----------------------------------
 
   /** Within-document repetition features, the Gopher-rule family (Rae et
@@ -105,7 +114,7 @@ object TextAnalysis {
       size(nonEmpty("\n")).cast("long").as("n_lines"),
       dupFrac(nonEmpty("\n")).as("dup_line_frac"),
       dupFrac(nonEmpty("\n\n")).as("dup_para_frac"))
-    val toksArr = filter(split(lower(trim(t)), "\\s+"), x => length(x) > 0)
+    val toksArr = corpusTokens(t)
     val bigramArr = when(size(toksArr) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toksArr) - 2),
         i => concat_ws("\u0001", slice(toksArr, i + 1, lit(2)))))
@@ -141,7 +150,7 @@ object TextAnalysis {
   def corpusTokenStats(docs: DataFrame, groupCol: String = "source",
       textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(groupCol),
-      explode(filter(split(lower(trim(col(textCol))), "\\s+"), x => length(x) > 0)).as("tok"))
+      explode(corpusTokens(col(textCol))).as("tok"))
     val vocab = toks.groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c"))
     val tokStats = vocab.groupBy(col(groupCol)).agg(
       sum(col("c")).as("total_tokens"),
@@ -446,7 +455,7 @@ object TextAnalysis {
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val toks = docs.select(col(idCol).as("id"),
-      explode(filter(split(lower(trim(col(textCol))), "\\s+"), x => length(x) > 0)).as("tok"))
+      explode(corpusTokens(col(textCol))).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = freq.agg(sum(col("c")).as("tot"))
     val scored = toks.join(freq, "tok").crossJoin(broadcast(total))

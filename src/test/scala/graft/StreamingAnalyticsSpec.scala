@@ -500,6 +500,28 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("seedSignatureStore: banding-mismatch fails fast; tombstones heal on re-seed") {
+    import graft.functions.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_seed_guard").toString
+    val ref = Seq(50L -> "some reference text for the guard test corpus")
+      .toDF("doc_id", "text")
+    Dedup.seedSignatureStore(ref, s"$root/sigs")
+    // a different bands×rowsPerBand against the existing store must throw
+    // BEFORE appending (shorter sigs would null-pad zip_with and collapse
+    // est-jaccard silently)
+    intercept[IllegalArgumentException] {
+      Dedup.seedSignatureStore(ref, s"$root/sigs", bands = 8, rowsPerBand = 4)
+    }
+    // legacy null-sig tombstone must not block seeding a real signature
+    Seq((60L, null.asInstanceOf[Array[Long]])).toDF("id", "sig")
+      .write.mode("append").parquet(s"$root/sigs")
+    Dedup.seedSignatureStore(
+      Seq(60L -> "now this doc has real text to sign").toDF("doc_id", "text"), s"$root/sigs")
+    val sigs60 = spark.read.parquet(s"$root/sigs")
+      .filter(col("id") === 60L && col("sig").isNotNull).count()
+    assert(sigs60 === 1L)
+  }
+
   test("minHashDedupStream: restart from checkpoint keeps pairs and store consistent") {
     import graft.functions.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft_neardup_rs").toString
