@@ -597,6 +597,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(cross === full)
   }
 
+  test("round-6 ops: empty-side edges produce empty results, not errors") {
+    val empty = docsDF()
+    // dedup against an empty reference / of an empty batch: no pairs
+    assert(Dedup.dedupAgainst(corpus, empty, threshold = 0.8).count() === 0L)
+    assert(Dedup.dedupAgainst(empty, corpus, threshold = 0.8).count() === 0L)
+    // budget/length/surprisal over an empty corpus: empty outputs
+    val docs0 = Seq.empty[(String, Long, String)].toDF("source", "doc_id", "text")
+    assert(TextAnalysis.tokenBudgetSample(docs0, 10, lit(1)).count() === 0L)
+    assert(TextAnalysis.adaptiveLengthFilter(docs0).count() === 0L)
+    assert(TextAnalysis.unigramSurprisal(docs0.drop("source")).count() === 0L)
+    // keepRepresentatives with no clusters: corpus passes through whole
+    val noClusters = Seq.empty[(Long, Long, Boolean)].toDF("doc_id", "cluster_id", "keep")
+    assert(Dedup.keepRepresentatives(corpus, noClusters).count() === corpus.count())
+  }
+
   test("tokenBudgetSample: null-token docs are dropped, not smuggled into the prefix") {
     val docs = Seq(("s1", 1L, "a b"), ("s1", 2L, null.asInstanceOf[String]), ("s1", 3L, "c"))
       .toDF("source", "doc_id", "text")
