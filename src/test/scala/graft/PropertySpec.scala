@@ -223,6 +223,31 @@ class PropertySpec extends AnyFunSuite {
     }, n = 8)
   }
 
+  test("adaptiveLengthFilter: kept set matches a reference interpolated-quantile filter") {
+    import spark.implicits._
+    val genLens = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, Gen.choose(1, 500)))
+    // reference: SQL quantile_cont / Spark percentile linear interpolation
+    def qCont(sorted: IndexedSeq[Int], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 >= sorted.length) sorted(lo).toDouble
+      else sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+    }
+    check("quantile-band", Prop.forAll(genLens) { lens =>
+      val docs = lens.zipWithIndex
+        .map { case (len, i) => ("s", i.toLong, "x" * len) }
+        .toDF("source", "doc_id", "text")
+      val kept = graft.functions.TextAnalysis.adaptiveLengthFilter(docs, 0.1, 0.9)
+        .collect().map(_.getLong(0)).toSet
+      val sorted = lens.sorted.toIndexedSeq
+      def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val lo = r6(qCont(sorted, 0.1)); val hi = r6(qCont(sorted, 0.9))
+      val expected = lens.zipWithIndex
+        .collect { case (len, i) if len >= lo && len <= hi => i.toLong }.toSet
+      kept == expected
+    }, n = 8)
+  }
+
   test("saltedJoin ≡ plain equi-join incl. multiplicities, hot key spread") {
     import spark.implicits._
     // hot key 7 on the left; duplicate keys on both sides → multiplicity matters
