@@ -558,6 +558,25 @@ object Dedup {
         when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ bitwiseOR _).as("simhash"))
   }
 
+  /** SimHash via the native codegen'd
+    * [[graft.functions.expressions.SimHash64]] expression — bit-identical
+    * to [[simHash]] (parity-pinned) with NO explode and NO shuffle: the
+    * relational form exchanges |docs|·|tokens| rows for its 64-column
+    * bit-sum aggregate; this is one narrow projection (the
+    * [[minHashSignaturesNative]] rework applied to SimHash). Null-text
+    * docs are dropped,
+    * matching the relational form (explode of a null token array emits no
+    * rows, so null docs are absent from its output too). Used by
+    * [[simHashDuplicates]]; the relational form remains as the executable
+    * specification. */
+  def simHashNative(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        call_function("graft_simhash", col(textCol)).as("simhash"))
+  }
+
   /** Engine-portable SimHash: identical to [[simHash]] but the per-token
     * hash bits come from md5's hex nibbles instead of xxhash64, so ANY
     * engine with md5 + string ops reproduces the signature bit-for-bit
@@ -591,7 +610,7 @@ object Dedup {
     // chunks at hamming 4) — fail loudly instead
     require(maxDistance >= 0 && maxDistance <= 3,
       s"simHashDuplicates: 4-chunk banding is complete only for maxDistance <= 3, got $maxDistance")
-    val sigs = simHash(docs, textCol, idCol)
+    val sigs = simHashNative(docs, textCol, idCol)
     val chunked = sigs.select(col("id"), col("simhash"), posexplode(
         array((0 until 4).map(c =>
           shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))

@@ -84,7 +84,8 @@ object GraftFunctions {
     "graft_minhash" -> (children => MinHashSignature.fromChildren(children)),
     "graft_shingle_hashes" -> (children => ShingleHashes.fromChildren(children)),
     "graft_ngram_hashes" -> (children => NgramHashes.fromChildren(children)),
-    "graft_nfc" -> (children => NfcNormalize.fromChildren(children)))
+    "graft_nfc" -> (children => NfcNormalize.fromChildren(children)),
+    "graft_simhash" -> (children => SimHash64.fromChildren(children)))
 
   /** Idempotently register graft's native SQL functions on a session. */
   def init(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
@@ -119,5 +120,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getCanonicalName, "graft_nfc"),
       children => NfcNormalize.fromChildren(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getCanonicalName, "graft_simhash"),
+      children => SimHash64.fromChildren(children)))
   }
 }

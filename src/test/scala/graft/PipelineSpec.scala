@@ -73,6 +73,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(natNg === relNg)
   }
 
+  test("graft_simhash: native signature ≡ relational simHash, bit for bit, no shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ""), (1L, "  leading and trailing  "), (2L, "one"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "ÄÖÜßéàç ünïcødé string"), (5L, "AAAAAAAAAA aaaa AAAA"),
+      (6L, "mixed CASE With Ünicode ΣΙΓΜΑ and digits 12345"),
+      (7L, "İstanbul İİ"),
+      (8L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val rel = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat = Dedup.simHashNative(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nat === rel)
+    assert(!nat.contains(8L), "null-text docs dropped on both paths")
+    val plan = Dedup.simHashNative(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("HashAggregate"),
+      s"native simhash should not shuffle/aggregate:\n$plan")
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val d = Dedup.exact(corpus).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(d === Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 2L)))
