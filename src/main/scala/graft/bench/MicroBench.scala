@@ -28,7 +28,13 @@ object MicroBench {
           .agg(sum(bit_count(col("simhash")))).head().getLong(0)),
       "simhash_native" -> (() =>
         graft.functions.Dedup.simHashNative(docs)
-          .agg(sum(bit_count(col("simhash")))).head().getLong(0)))
+          .agg(sum(bit_count(col("simhash")))).head().getLong(0)),
+      "repetition_relational" -> (() =>
+        graft.functions.TextAnalysis.repetitionFeaturesRelational(docs)
+          .agg(sum(col("top_token_frac"))).head().getDouble(0).toLong),
+      "repetition_native" -> (() =>
+        graft.functions.TextAnalysis.repetitionFeatures(docs)
+          .agg(sum(col("top_token_frac"))).head().getDouble(0).toLong))
 
     val names = if (args.nonEmpty) args.toSeq else cases.keys.toSeq.sorted
     names.foreach { n =>

@@ -90,11 +90,13 @@ object TextAnalysis {
     *    word-bigram's share of all token / bigram instances (0.0 when the
     *    doc has no tokens / fewer than 2 tokens).
     *
-    * Scale shape: line/paragraph features are pure array expressions (no
-    * shuffle, pipeline into the scan); the two top-frequency features each
-    * explode to (id, gram) and aggregate twice — partial aggregation
-    * shrinks the exploded rows to |docs|·|distinct grams per doc| before
-    * the exchange on id, the same 10^9-doc shape as minHashSignatures.
+    * Scale shape: ONE narrow projection, no shuffle — line/paragraph
+    * features are pure array expressions and the two top-frequency
+    * features come from the native codegen'd
+    * [[graft.functions.expressions.TopGramFracs]] (the relational
+    * explode + two-level aggregation remains as
+    * [[repetitionFeaturesRelational]], the parity-pinned executable spec
+    * whose exchange on id this path eliminates).
     * Tokenization is `split(lower(trim(text)), "\\s+")` with zero-length
     * tokens dropped — empty (non-null) text therefore has NO tokens and
     * scores 0.0, not a degenerate 1.0 from the single "" token `split`
@@ -106,6 +108,31 @@ object TextAnalysis {
     * meaningless. */
   def repetitionFeatures(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // top token/bigram mass via the native codegen'd
+    // [[graft.functions.expressions.TopGramFracs]] — the whole feature row
+    // is ONE narrow projection (the relational explode+agg form, kept
+    // below as the executable spec, exchanged |docs|·|grams| rows); parity
+    // is unit-pinned and the t11 oracle hash-checks this path
+    graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
+    val t = col(textCol)
+    def nonEmpty(sep: String) = filter(split(t, sep), x => length(x) > 0)
+    def dupFrac(arr: Column) =
+      when(size(arr) > 0, lit(1.0) - size(array_distinct(arr)) / size(arr)).otherwise(0.0)
+    val fr = call_function("graft_top_gram_fracs", t)
+    docs.select(col(idCol),
+      size(nonEmpty("\n")).cast("long").as("n_lines"),
+      dupFrac(nonEmpty("\n")).as("dup_line_frac"),
+      dupFrac(nonEmpty("\n\n")).as("dup_para_frac"),
+      coalesce(fr.getField("top_token_frac"), lit(0.0)).as("top_token_frac"),
+      coalesce(fr.getField("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** The relational formulation of [[repetitionFeatures]] — the executable
+    * specification the native expression is parity-pinned against
+    * (explode → two-level aggregation; an exchange on id that the native
+    * path eliminates). */
+  private[graft] def repetitionFeaturesRelational(docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
     def nonEmpty(sep: String) = filter(split(t, sep), x => length(x) > 0)
     def dupFrac(arr: Column) =

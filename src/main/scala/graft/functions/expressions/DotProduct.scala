@@ -85,7 +85,8 @@ object GraftFunctions {
     "graft_shingle_hashes" -> (children => ShingleHashes.fromChildren(children)),
     "graft_ngram_hashes" -> (children => NgramHashes.fromChildren(children)),
     "graft_nfc" -> (children => NfcNormalize.fromChildren(children)),
-    "graft_simhash" -> (children => SimHash64.fromChildren(children)))
+    "graft_simhash" -> (children => SimHash64.fromChildren(children)),
+    "graft_top_gram_fracs" -> (children => TopGramFracs.fromChildren(children)))
 
   /** Idempotently register graft's native SQL functions on a session. */
   def init(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
@@ -124,5 +125,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getCanonicalName, "graft_simhash"),
       children => SimHash64.fromChildren(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_gram_fracs"),
+      new ExpressionInfo(classOf[TopGramFracs].getCanonicalName, "graft_top_gram_fracs"),
+      children => TopGramFracs.fromChildren(children)))
   }
 }

@@ -91,6 +91,27 @@ class PipelineSpec extends AnyFunSuite {
       s"native simhash should not shuffle/aggregate:\n$plan")
   }
 
+  test("graft_top_gram_fracs: native repetition features ≡ relational, bit for bit, no shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ""), (1L, "   "), (2L, "\tword"), (3L, "a a a b"),
+      (4L, "x y x y x y"), (5L, "one two three four five"),
+      (6L, "ab c abc abc"), // separator-ambiguity corner: "ab","c" bigram vs literal
+      (7L, "CASE Case case ÜNI üni"),
+      (8L, "line1\nline1\nline2\n\npara2\n\npara2"),
+      (9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.get(1), r.get(2), r.get(3), r.get(4), r.get(5))).toMap
+    val nat = rows(TextAnalysis.repetitionFeatures(docs))
+    val rel = rows(TextAnalysis.repetitionFeaturesRelational(docs))
+    assert(nat === rel)
+    // and the native path is one narrow projection: no exchange, no agg
+    val plan = TextAnalysis.repetitionFeatures(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("HashAggregate"),
+      s"native repetition features should not shuffle/aggregate:\n$plan")
+  }
+
   test("exact dedup groups identical texts and keeps min id") {
     val d = Dedup.exact(corpus).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(d === Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 2L)))
