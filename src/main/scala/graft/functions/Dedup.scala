@@ -403,6 +403,54 @@ object Dedup {
     if (!toAppend.isEmpty) toAppend.write.mode("append").parquet(sigDir)
   }
 
+  /** CROSS-DOCUMENT line deduplication (CCNet-style, Wenzek et al. 2020
+    * §4.2): drop every line whose normalized form (lowercased, trimmed)
+    * appears in at least `minDocs` DISTINCT documents — boilerplate
+    * headers/footers/nav text repeat across a site's pages while real
+    * content doesn't. Returns (id, text_clean, n_lines_kept,
+    * n_lines_removed); a document made entirely of boilerplate keeps an
+    * empty text. Within-doc repeats of a non-boilerplate line are KEPT
+    * (the distinct-doc count, not instance count, decides — a poem's
+    * refrain is not site boilerplate). Null text passes through as null.
+    *
+    * Scale shape: explode to (id, line_idx, line) once; boilerplate
+    * detection aggregates distinct doc counts per line HASH (xxhash64 —
+    * 8-byte shuffle keys, the d3 postings trick) with map-side partial
+    * agg, so the exchange carries |distinct lines|; the drop set joins
+    * back by hash and the text rebuilds in one groupBy(id) sort_array
+    * pass. Two shuffles total, both O(lines). */
+  def dedupLines(docs: DataFrame, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+      .withColumn("lh", xxhash64(lower(trim(col("line")))))
+    val boilerplate = lines.groupBy(col("lh"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("lh")
+    val kept = lines.join(boilerplate, Seq("lh"), "left_anti")
+    val rebuilt = kept.groupBy(col("id")).agg(
+      count(lit(1)).as("n_lines_kept"),
+      concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("line_idx"), col("line")))),
+        s => s.getField("line"))).as("text_clean"))
+    val totals = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_total"))
+    docs.select(col(idCol).as("id"), col(textCol))
+      .join(totals, Seq("id"), "left")
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("text_clean"), lit(""))).as("text_clean"),
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_kept"),
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(col("n_total") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_removed"))
+  }
+
   /** Apply a dedup decision to the corpus: drop every document a
     * [[duplicateClusters]] run marked as a non-keeper (keep = false);
     * documents in no cluster pass through untouched. The final step of

@@ -611,6 +611,24 @@ class PipelineSpec extends AnyFunSuite {
       s"indexed probe scan not partition-pruned:\n$plan")
   }
 
+  test("dedupLines: cross-doc boilerplate lines dropped, within-doc repeats kept") {
+    val docs = docsDF(
+      1L -> "COOKIE BANNER\nreal content one\nreal content one\nfooter text",
+      2L -> "cookie banner\nunique middle line\nfooter text",
+      3L -> "another page entirely\nwith its own words",
+      4L -> "COOKIE BANNER\nfooter text", // all boilerplate → empty text
+      5L -> null.asInstanceOf[String])
+    val out = Dedup.dedupLines(docs, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.get(2), r.get(3))).toMap
+    // banner matches case-insensitively across docs 1/2/4; footer across 1/2/4;
+    // doc 1's repeated content line stays (1 distinct doc)
+    assert(out(1L) === (("real content one\nreal content one", 2L, 2L)))
+    assert(out(2L) === (("unique middle line", 1L, 2L)))
+    assert(out(3L) === (("another page entirely\nwith its own words", 2L, 0L)))
+    assert(out(4L) === (("", 0L, 2L)))
+    assert(out(5L) === ((null, null, null)))
+  }
+
   test("keepRepresentatives: non-keepers dropped, unclustered docs untouched") {
     val pairs = Dedup.minHashDuplicates(corpus, threshold = 0.8)
     val clusters = Dedup.duplicateClusters(pairs)
