@@ -38,7 +38,10 @@ object TextAnalysis {
     * Null-text policy: counts stay null, ratios default to 0.0, and
     * quality_score is pinned to 0.0 — without the pin the repetition term
     * alone awards a null doc 0.25, and a filter `score >= 0.25` would keep
-    * empty records. */
+    * empty records. Empty (non-null) text counts as ONE empty token
+    * (raw `split` semantics, matched by the t4 oracle) — deliberately NOT
+    * the zero-token [[corpusTokens]] convention: these are per-doc filter
+    * features where an empty doc should score degenerate, not neutral. */
   def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = split(lower(trim(t)), "\\s+")
@@ -204,13 +207,21 @@ object TextAnalysis {
     * interpolation order may differ in the last ulp). Null text is
     * ignored by every aggregate except n_docs (SQL semantics). */
   def corpusLengthStats(docs: DataFrame, groupCol: String = "source",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", approximate: Boolean = false): DataFrame = {
     val n = length(col(textCol)).cast("long")
+    // approximate = the 100 TB mode made real, not just documented:
+    // percentile_approx (t-digest sketch — mergeable partials, bounded
+    // memory per group) replaces the exact percentile's per-group value
+    // buffer; identical plan shape, ±ε on p50/p90 only (the exact mode
+    // stays the default — it is what the t15 oracle hash-checks)
+    def pct(p: Double) =
+      if (approximate) expr(s"percentile_approx(length(`$textCol`), $p, 10000)").cast("double")
+      else round(expr(s"percentile(length(`$textCol`), $p)"), 6)
     docs.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n_docs"),
       min(n).as("min_chars"),
-      round(expr(s"percentile(length(`$textCol`), 0.5)"), 6).as("p50_chars"),
-      round(expr(s"percentile(length(`$textCol`), 0.9)"), 6).as("p90_chars"),
+      pct(0.5).as("p50_chars"),
+      pct(0.9).as("p90_chars"),
       max(n).as("max_chars"),
       round(avg(n), 6).as("mean_chars"))
   }

@@ -544,6 +544,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(st("s2").getAs[Long]("min_chars") === 8L && st("s2").getAs[Double]("p50_chars") === 8.0)
   }
 
+  test("corpusLengthStats approximate mode: sketch percentiles near exact, rest identical") {
+    val docs = Seq.tabulate(200)(i => (i.toLong, "x" * (i + 1), "s1"))
+      .toDF("doc_id", "text", "source")
+    val exact = TextAnalysis.corpusLengthStats(docs).head()
+    val approx = TextAnalysis.corpusLengthStats(docs, approximate = true).head()
+    // non-percentile columns are computed identically
+    assert(approx.getAs[Long]("n_docs") === exact.getAs[Long]("n_docs"))
+    assert(approx.getAs[Long]("min_chars") === exact.getAs[Long]("min_chars"))
+    assert(approx.getAs[Long]("max_chars") === exact.getAs[Long]("max_chars"))
+    assert(approx.getAs[Double]("mean_chars") === exact.getAs[Double]("mean_chars"))
+    // sketch percentiles land within 2% of the exact interpolated values
+    assert(math.abs(approx.getAs[Double]("p50_chars") - exact.getAs[Double]("p50_chars"))
+      <= 0.02 * exact.getAs[Double]("p50_chars"))
+    assert(math.abs(approx.getAs[Double]("p90_chars") - exact.getAs[Double]("p90_chars"))
+      <= 0.02 * exact.getAs[Double]("p90_chars"))
+  }
+
   test("redactPii: emails/IPs/phones counted on the original, tagged in the output") {
     val docs = docsDF(
       1L -> "mail me at jane.doe+test@example.co.uk or bob@host.org thanks",
