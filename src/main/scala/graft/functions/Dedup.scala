@@ -411,14 +411,23 @@ object Dedup {
     * n_lines_removed); a document made entirely of boilerplate keeps an
     * empty text. Within-doc repeats of a non-boilerplate line are KEPT
     * (the distinct-doc count, not instance count, decides — a poem's
-    * refrain is not site boilerplate). Null text passes through as null.
+    * refrain is not site boilerplate). BLANK lines (empty or whitespace-
+    * only after normalization) are NEVER boilerplate: they trivially
+    * co-occur across every multi-paragraph document, and sweeping them
+    * would erase the corpus's paragraph structure (`\n\n` boundaries)
+    * the moment minDocs documents contain any blank line. Null text
+    * passes through as null.
     *
-    * Scale shape: explode to (id, line_idx, line) once; boilerplate
-    * detection aggregates distinct doc counts per line HASH (xxhash64 —
-    * 8-byte shuffle keys, the d3 postings trick) with map-side partial
-    * agg, so the exchange carries |distinct lines|; the drop set joins
-    * back by hash and the text rebuilds in one groupBy(id) sort_array
-    * pass. Two shuffles total, both O(lines). */
+    * Scale shape: boilerplate detection aggregates distinct doc counts
+    * per line HASH (xxhash64 — 8-byte shuffle keys, the d3 postings
+    * trick) with map-side partial agg, so that exchange carries
+    * |distinct lines|; the drop set joins back by hash (one O(lines)
+    * exchange) and the text rebuilds in one groupBy(id) sort_array pass.
+    * Honest scan accounting: the `lines` relation feeds the detection agg
+    * AND the anti-join, and the per-doc totals read the corpus again —
+    * three scans of the text column per call (scan-, not shuffle-bound);
+    * at 100 TB persist the source once or cache the exploded `lines` if
+    * the triple scan dominates. */
   def dedupLines(docs: DataFrame, minDocs: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
@@ -426,7 +435,9 @@ object Dedup {
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
       .withColumn("lh", xxhash64(lower(trim(col("line")))))
-    val boilerplate = lines.groupBy(col("lh"))
+    val boilerplate = lines
+      .filter(length(trim(col("line"))) > 0) // blank lines are structure, not boilerplate
+      .groupBy(col("lh"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs).select("lh")
     val kept = lines.join(boilerplate, Seq("lh"), "left_anti")

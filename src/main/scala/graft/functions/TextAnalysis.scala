@@ -77,6 +77,15 @@ object TextAnalysis {
   private def corpusTokens(t: Column): Column =
     filter(split(lower(trim(t)), "\\s+"), x => length(x) > 0)
 
+  /** Non-empty line/paragraph arrays + duplicate-instance fraction —
+    * shared by BOTH repetitionFeatures formulations (native and
+    * relational spec) so their line/paragraph semantics cannot drift
+    * apart while the parity test watches only the columns they agree on. */
+  private def nonEmptySplit(t: Column, sep: String): Column =
+    filter(split(t, sep), x => length(x) > 0)
+  private def dupInstanceFrac(arr: Column): Column =
+    when(size(arr) > 0, lit(1.0) - size(array_distinct(arr)) / size(arr)).otherwise(0.0)
+
   // ---- repetition filters (Gopher-style) -----------------------------------
 
   /** Within-document repetition features, the Gopher-rule family (Rae et
@@ -118,14 +127,11 @@ object TextAnalysis {
     // is unit-pinned and the t11 oracle hash-checks this path
     graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
     val t = col(textCol)
-    def nonEmpty(sep: String) = filter(split(t, sep), x => length(x) > 0)
-    def dupFrac(arr: Column) =
-      when(size(arr) > 0, lit(1.0) - size(array_distinct(arr)) / size(arr)).otherwise(0.0)
     val fr = call_function("graft_top_gram_fracs", t)
     docs.select(col(idCol),
-      size(nonEmpty("\n")).cast("long").as("n_lines"),
-      dupFrac(nonEmpty("\n")).as("dup_line_frac"),
-      dupFrac(nonEmpty("\n\n")).as("dup_para_frac"),
+      size(nonEmptySplit(t, "\n")).cast("long").as("n_lines"),
+      dupInstanceFrac(nonEmptySplit(t, "\n")).as("dup_line_frac"),
+      dupInstanceFrac(nonEmptySplit(t, "\n\n")).as("dup_para_frac"),
       coalesce(fr.getField("top_token_frac"), lit(0.0)).as("top_token_frac"),
       coalesce(fr.getField("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
@@ -137,13 +143,10 @@ object TextAnalysis {
   private[graft] def repetitionFeaturesRelational(docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
-    def nonEmpty(sep: String) = filter(split(t, sep), x => length(x) > 0)
-    def dupFrac(arr: Column) =
-      when(size(arr) > 0, lit(1.0) - size(array_distinct(arr)) / size(arr)).otherwise(0.0)
     val lineFeats = docs.select(col(idCol).as("id"),
-      size(nonEmpty("\n")).cast("long").as("n_lines"),
-      dupFrac(nonEmpty("\n")).as("dup_line_frac"),
-      dupFrac(nonEmpty("\n\n")).as("dup_para_frac"))
+      size(nonEmptySplit(t, "\n")).cast("long").as("n_lines"),
+      dupInstanceFrac(nonEmptySplit(t, "\n")).as("dup_line_frac"),
+      dupInstanceFrac(nonEmptySplit(t, "\n\n")).as("dup_para_frac"))
     val toksArr = corpusTokens(t)
     val bigramArr = when(size(toksArr) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toksArr) - 2),

@@ -646,6 +646,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(5L) === ((null, null, null)))
   }
 
+  test("dedupLines: blank lines are structure, never swept as boilerplate") {
+    // blank lines co-occur in both docs, but paragraph boundaries must
+    // survive — only the repeated non-blank footer is boilerplate
+    val docs = docsDF(
+      1L -> "intro one\n\nbody A\nshared footer",
+      2L -> "intro two\n\nbody B\nshared footer")
+    val out = Dedup.dedupLines(docs, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.get(3))).toMap
+    assert(out(1L) === (("intro one\n\nbody A", 1L)))
+    assert(out(2L) === (("intro two\n\nbody B", 1L)))
+  }
+
   test("keepRepresentatives: non-keepers dropped, unclustered docs untouched") {
     val pairs = Dedup.minHashDuplicates(corpus, threshold = 0.8)
     val clusters = Dedup.duplicateClusters(pairs)
