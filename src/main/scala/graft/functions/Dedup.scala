@@ -416,7 +416,9 @@ object Dedup {
     * co-occur across every multi-paragraph document, and sweeping them
     * would erase the corpus's paragraph structure (`\n\n` boundaries)
     * the moment minDocs documents contain any blank line. Null text
-    * passes through as null.
+    * passes through as null. `sep` picks the dedup unit — "\n" for lines
+    * (default), "\n\n" for paragraphs (the CCNet unit); it is a LITERAL
+    * separator (regex-quoted), rejoined verbatim on rebuild.
     *
     * Scale shape: boilerplate detection aggregates distinct doc counts
     * per line HASH (xxhash64 — 8-byte shuffle keys, the d3 postings
@@ -429,11 +431,13 @@ object Dedup {
     * at 100 TB persist the source once or cache the exploded `lines` if
     * the triple scan dominates. */
   def dedupLines(docs: DataFrame, minDocs: Int = 2,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val lines = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("line_idx", "line")))
       .withColumn("lh", xxhash64(lower(trim(col("line")))))
     val boilerplate = lines
       .filter(length(trim(col("line"))) > 0) // blank lines are structure, not boilerplate
@@ -443,12 +447,13 @@ object Dedup {
     val kept = lines.join(boilerplate, Seq("lh"), "left_anti")
     val rebuilt = kept.groupBy(col("id")).agg(
       count(lit(1)).as("n_lines_kept"),
-      concat_ws("\n", transform(
+      concat_ws(sep, transform(
         array_sort(collect_list(struct(col("line_idx"), col("line")))),
         s => s.getField("line"))).as("text_clean"))
     val totals = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
-        size(split(col(textCol), "\n")).cast("long").as("n_total"))
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .cast("long").as("n_total"))
     docs.select(col(idCol).as("id"), col(textCol))
       .join(totals, Seq("id"), "left")
       .join(rebuilt, Seq("id"), "left")

@@ -658,6 +658,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) === (("intro two\n\nbody B", 1L)))
   }
 
+  test("dedupLines at paragraph unit: repeated paragraphs dropped, lines inside kept") {
+    val docs = docsDF(
+      1L -> "unique para one\nline two\n\nSHARED DISCLAIMER\nsecond line",
+      2L -> "different para\n\nshared disclaimer\nsecond line")
+    val out = Dedup.dedupLines(docs, minDocs = 2, sep = "\n\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the two-LINE disclaimer paragraph matches across docs as one unit
+    assert(out(1L) === "unique para one\nline two")
+    assert(out(2L) === "different para")
+  }
+
+  test("graft_* functions callable through plain spark.sql") {
+    graft.functions.expressions.GraftFunctions.init(spark)
+    import spark.implicits._
+    Seq((1L, "a a b", "abcdef")).toDF("id", "text", "t2")
+      .createOrReplaceTempView("sql_fn_probe")
+    val r = spark.sql("""
+      SELECT graft_simhash(text) AS sh,
+             size(graft_minhash(text, 5, 16)) AS mh_len,
+             size(graft_shingle_hashes(t2, 5)) AS sh_len,
+             size(graft_ngram_hashes(text, 2)) AS ng_len,
+             graft_nfc(t2) AS nfc,
+             graft_top_gram_fracs(text).top_token_frac AS ttf,
+             graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot
+      FROM sql_fn_probe""").head()
+    assert(r.getAs[Int]("mh_len") === 16)
+    assert(r.getAs[Int]("sh_len") === 2) // "abcde", "bcdef"
+    assert(r.getAs[Int]("ng_len") === 2) // "aa", "ab"
+    assert(r.getAs[String]("nfc") === "abcdef")
+    assert(r.getAs[Double]("ttf") === 2.0 / 3)
+    assert(r.getAs[Double]("dot") === 11.0)
+  }
+
   test("keepRepresentatives: non-keepers dropped, unclustered docs untouched") {
     val pairs = Dedup.minHashDuplicates(corpus, threshold = 0.8)
     val clusters = Dedup.duplicateClusters(pairs)

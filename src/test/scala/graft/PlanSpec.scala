@@ -133,6 +133,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), s"no partial agg on the token explode:\n$plan")
   }
 
+  test("dedupAgainst: banded candidate generation, never a cartesian product") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.functions.Dedup.dedupAgainst(
+      docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0), 0.8))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross-corpus dedup must pair through band buckets only:\n$plan")
+  }
+
   test("n-gram decontamination broadcasts the probe side, never shuffles the corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val probes = docs.filter(col("doc_id") < 5)
