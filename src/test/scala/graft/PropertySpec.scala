@@ -248,6 +248,49 @@ class PropertySpec extends AnyFunSuite {
     }, n = 8)
   }
 
+  test("sampleByHash: engine rule reproduced exactly by an independent JVM reimplementation") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    check("hash-sample", Prop.forAll(Gen.choose(0, 500), Gen.choose(1, 99)) { (base, pct) =>
+      val ids = (base until base + 200).map(_.toLong)
+      val frac = pct / 100.0
+      val kept = ids.toDF("doc_id")
+        .filter(graft.functions.TextAnalysis.sampleByHash(col("doc_id"), frac))
+        .collect().map(_.getLong(0)).toSet
+      // the documented rule, reimplemented independently: first 8 hex chars
+      // of md5(id) below round(frac·2^32) as hex
+      val bound = math.min(math.round(frac * 4294967296.0), 0xFFFFFFFFL)
+      val threshold = f"$bound%08x"
+      val expected = ids.filter(id => md5hex(id.toString).take(8) < threshold).toSet
+      kept == expected
+    }, n = 6)
+  }
+
+  test("interleaveSources: every prefix of the merged order realizes the ratios ±1 per source") {
+    import spark.implicits._
+    // counts proportional to weights: the ±1 prefix contract holds while
+    // every source still has documents (a starved source would shift the
+    // tail's ratios toward the survivors — by design, not a bug)
+    val weights = Map("a" -> 4, "b" -> 2, "c" -> 1)
+    val docs = (Seq.fill(80)("a") ++ Seq.fill(40)("b") ++ Seq.fill(20)("c"))
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }
+      .toDF("source", "doc_id")
+    val merged = graft.functions.TextAnalysis.interleaveSources(docs, weights, scale = 4)
+      .orderBy(col("mix_key"), col("shard"), col("doc_id"))
+      .select("shard").collect().map(_.getString(0))
+    val total = weights.values.sum
+    (1 to merged.length).foreach { l =>
+      val prefix = merged.take(l)
+      weights.foreach { case (src, w) =>
+        val got = prefix.count(_ == src)
+        val ideal = l.toDouble * w / total
+        assert(math.abs(got - ideal) <= w + 1,
+          s"prefix $l: source $src got $got vs ideal $ideal (w=$w)")
+      }
+    }
+  }
+
   test("saltedJoin ≡ plain equi-join incl. multiplicities, hot key spread") {
     import spark.implicits._
     // hot key 7 on the left; duplicate keys on both sides → multiplicity matters
