@@ -383,6 +383,25 @@ object GateQueries {
     "t19_surprisal" -> ((s, d) => {
       graft.functions.TextAnalysis.unigramSurprisal(t(s, d, "documents"))
     }),
+    "t20_line_dedup" -> ((s, d) => {
+      // CCNet cross-doc line dedup needs multi-line docs with lines that
+      // repeat across docs; the corpus is single-line with unique texts,
+      // so derive both in-query: bucket 5 docs per synthetic doc, each
+      // contributing its 24-char text prefix as a line plus a blank line.
+      // Prefixes repeat across buckets on this corpus (23 boilerplate
+      // lines at sf0.01) and the blanks pin the never-boilerplate
+      // contract. Exactly expressible in DuckDB (string_agg ORDER BY).
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val synth = docs
+        .select(expr("doc_id div 5").cast("long").as("bid"), col("doc_id"),
+          concat(substring(col("text"), 1, 24), lit("\n")).as("piece"))
+        .groupBy(col("bid"))
+        .agg(concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("piece")))),
+          x => x.getField("piece"))).as("text"))
+        .select(col("bid").as("doc_id"), col("text"))
+      graft.functions.Dedup.dedupLines(synth, minDocs = 2)
+    }),
     "d5_dedup_clusters" -> ((s, d) => {
       // pairs → connected-component duplicate families with a min-id keeper
       // (keep emitted as INT: both engines render 0/1 identically)
@@ -1168,6 +1187,43 @@ object GateQueries {
         |)
         |SELECT d.doc_id, COALESCE(agg.n, 0) AS n_tokens, COALESCE(agg.m, 0.0) AS surprisal
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // CCNet line dedup over in-query synthetic multi-line docs (see the
+    // t20 Spark side): drop every non-blank normalized line appearing in
+    // >= 2 distinct docs, keep blanks and within-doc repeats, rebuild in
+    // original line order.
+    "t20_line_dedup" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) // 5 AS bid, doc_id AS did,
+        |         substr(text, 1, 24) || chr(10) AS piece
+        |  FROM documents WHERE text IS NOT NULL
+        |), synth AS (
+        |  SELECT bid AS doc_id, string_agg(piece, chr(10) ORDER BY did) AS text
+        |  FROM base GROUP BY bid
+        |), lines AS (
+        |  SELECT doc_id, u.idx AS line_idx, u.line AS line FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(l)+1),
+        |      i -> {'idx': i, 'line': l[i]})) AS u
+        |    FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM synth))
+        |), boiler AS (
+        |  SELECT lower(trim(line)) AS nl FROM lines
+        |  WHERE length(trim(line)) > 0
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |), kept AS (
+        |  SELECT l.doc_id, l.line_idx, l.line FROM lines l
+        |  LEFT JOIN boiler b ON lower(trim(l.line)) = b.nl WHERE b.nl IS NULL
+        |), reb AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+        |         string_agg(line, chr(10) ORDER BY line_idx) AS text_clean
+        |  FROM kept GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_total
+        |  FROM synth
+        |)
+        |SELECT s.doc_id AS doc_id, COALESCE(r.text_clean, '') AS text_clean,
+        |       CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+        |       CAST(t.n_total - COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_removed
+        |FROM synth s JOIN tot t ON s.doc_id = t.doc_id
+        |LEFT JOIN reb r ON s.doc_id = r.doc_id""".stripMargin,
     "t5_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
