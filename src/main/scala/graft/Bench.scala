@@ -55,9 +55,9 @@ object Bench {
     // reported pass (sorted order), last sample after the final query —
     // a slow query between two quiet samples is plan cost, between skewed
     // ones is machine noise. ~0.01 s/sample on a quiet VM; sampled every
-    // 8 queries (not every query) to keep the JSON line inside the
-    // ~1.9k-char stdout tail window (61 queries × ~28 chars + fixed keys
-    // leave ~100 chars for the cal array — re-measure when adding gates).
+    // calEvery queries (not every query) to keep the JSON line inside the
+    // ~1.9k-char stdout tail window (66 queries × ~28 chars + fixed keys
+    // leave ~50 chars for the cal array — re-measure when adding gates).
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9E3779B97F4A7C15L; var i = 0

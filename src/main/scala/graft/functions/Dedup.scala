@@ -167,6 +167,66 @@ object Dedup {
           xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
       .toDF("id", "band", "bucket")
 
+  // ---- banded signature index (streaming store acceleration) --------------
+  // The stream's per-batch corpus read must be O(touched buckets), not
+  // O(|store|): band rows live in a parquet table partitioned by
+  // __p = pmod(bucket, P), so a batch's buckets prune to ≤ |batch|·bands
+  // partitions via partition filters. Each row CARRIES its signature —
+  // candidates and their verdict sigs come out of the one pruned read
+  // (storage is bands× the flat store's sig column; if that matters at
+  // 10^9 docs, drop `sig` here and add an id-partitioned sig table).
+  // The banding config + P are STAMPED INTO THE DIR NAME: any drift
+  // (different bands/rowsPerBand/P) lands in a fresh dir whose emptiness
+  // the per-batch coverage check detects and repairs by re-banding the
+  // flat store — the index is derived state, never the source of truth.
+
+  private def sigStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+
+  private def sigIndexSchema = org.apache.spark.sql.types.StructType(
+    sigStoreSchema.fields.toSeq ++ Seq(
+      org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__p", org.apache.spark.sql.types.IntegerType)))
+
+  private def sigIndexDir(sigDir: String, bands: Int, rowsPerBand: Int, p: Int): String =
+    s"${sigDir.stripSuffix("/")}_idx_b${bands}x${rowsPerBand}_p$p"
+
+  /** Append band rows (with sigs) for `sigs` to the index, skipping ids
+    * already indexed — the caller passes `existingIds` from the reads it
+    * already paid for (pruned partitions, or the full index for repair). */
+  private def appendSigIndex(sigs: DataFrame, existingIds: DataFrame,
+      idxDir: String, bands: Int, rowsPerBand: Int, p: Int): Unit = {
+    val rows = sigs.select(col("id"), col("sig"), posexplode(
+        array((0 until bands).map(b =>
+          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
+      .toDF("id", "sig", "band", "bucket")
+      .join(existingIds.select("id"), Seq("id"), "left_anti")
+      .withColumn("__p", pmod(col("bucket"), lit(p)).cast("int"))
+    if (!rows.isEmpty)
+      rows.write.mode("append").partitionBy("__p").parquet(idxDir)
+  }
+
+  /** Bring the index up to coverage of the flat store. Triggered by a
+    * footer-count comparison (O(1) metadata when it passes): the precise
+    * anti-join repair scan runs only when the index may not cover the
+    * store — a fresh/legacy store (empty index), a config change (fresh
+    * dir), or sigs seeded out-of-band with a different config. A store
+    * carrying legacy null-sig tombstones triggers the check every batch
+    * (its row count permanently exceeds the indexable ids); compact the
+    * store to clear tombstones to restore O(1). */
+  private def repairSigIndex(store: DataFrame, idxDir: String,
+      bands: Int, rowsPerBand: Int, p: Int): Unit = {
+    val spark = store.sparkSession
+    val idx = graft.util.ParquetIO.readOrEmpty(spark, idxDir, sigIndexSchema)
+    if (idx.count() < store.count() * bands) {
+      val live = store.filter(col("sig").isNotNull)
+      appendSigIndex(live, idx.select("id").distinct(), idxDir, bands, rowsPerBand, p)
+    }
+  }
+
   /** Banded-LSH pair generation from a (id, sig) signature table: one
     * (doc_a, doc_b) row per shared band bucket (callers dedupe). */
   private def candidatesFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
@@ -379,14 +439,12 @@ object Dedup {
       idCol: String = "doc_id",
       shingleK: Int = 5,
       bands: Int = 16,
-      rowsPerBand: Int = 4): Unit = {
+      rowsPerBand: Int = 4,
+      storePartitions: Int = 1024): Unit = {
+    val spark = reference.sparkSession
     val numHashes = bands * rowsPerBand
     val sigs = minHashSignaturesNative(reference, textCol, idCol, shingleK, numHashes)
-    val existing = graft.util.ParquetIO.readOrEmpty(reference.sparkSession, sigDir,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("sig",
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
+    val existing = graft.util.ParquetIO.readOrEmpty(spark, sigDir, sigStoreSchema)
     // fail fast on a bands×rowsPerBand mismatch with the existing store —
     // the seed side of the stream's own guard: appending shorter/longer
     // sigs makes zip_with null-pad and est-jaccard silently collapse
@@ -400,7 +458,20 @@ object Dedup {
     // legacy (id, null) row must not block seeding that id's real signature
     val toAppend = sigs.join(
       existing.filter(col("sig").isNotNull).select("id"), Seq("id"), "left_anti")
-    if (!toAppend.isEmpty) toAppend.write.mode("append").parquet(sigDir)
+      .localCheckpoint(true)
+    if (!toAppend.isEmpty) {
+      // index rows FIRST, flat sigs LAST (the commit marker, matching the
+      // stream): a crash between the two replays to an anti-join no-op on
+      // the index and a clean sig append. A seed run with a different
+      // bands/rowsPerBand/storePartitions than a live stream lands in a
+      // differently-stamped dir; the stream's per-batch coverage check
+      // then repairs its own index from the flat store.
+      val idxDir = sigIndexDir(sigDir, bands, rowsPerBand, storePartitions)
+      val idx = graft.util.ParquetIO.readOrEmpty(spark, idxDir, sigIndexSchema)
+      appendSigIndex(toAppend, idx.select("id").distinct(), idxDir,
+        bands, rowsPerBand, storePartitions)
+      toAppend.write.mode("append").parquet(sigDir)
+    }
   }
 
   /** CROSS-DOCUMENT line deduplication (CCNet-style, Wenzek et al. 2020
@@ -523,18 +594,17 @@ object Dedup {
       shingleK: Int = 5,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      maxBucketSize: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxBucketSize: Int = 1000,
+      storePartitions: Int = 1024): org.apache.spark.sql.streaming.StreamingQuery = {
     val numHashes = bands * rowsPerBand
+    val idxDir = sigIndexDir(sigDir, bands, rowsPerBand, storePartitions)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.types._
         val newSigs = minHashSignaturesNative(batch.toDF(), textCol, idCol, shingleK, numHashes)
           .localCheckpoint(true)
-        val store = graft.util.ParquetIO.readOrEmpty(spark, sigDir,
-          StructType(Seq(StructField("id", LongType),
-            StructField("sig", ArrayType(LongType))))).localCheckpoint(true)
+        val store = graft.util.ParquetIO.readOrEmpty(spark, sigDir, sigStoreSchema)
         // fail fast on a bands/rowsPerBand mismatch with the existing
         // store: zip_with over unequal sig lengths null-pads (est-jaccard
         // silently collapses) and slice() past the end hashes empty bands
@@ -549,27 +619,37 @@ object Dedup {
             s"minHashDedupStream: signature store at $sigDir has $len hashes/doc but " +
               s"bands*rowsPerBand = $numHashes — restart with the store's parameters")
         }
+        // the banded index is derived state: cover any flat-store rows it
+        // is missing (legacy pre-index store, config change → fresh dir,
+        // out-of-band seeding) before reading from it. O(1) footer counts
+        // when coverage already holds — the steady-state cost.
+        repairSigIndex(store, idxDir, bands, rowsPerBand, storePartitions)
+        val idx = graft.util.ParquetIO.readOrEmpty(spark, idxDir, sigIndexSchema)
+        val newB = bandBuckets(newSigs, bands, rowsPerBand).localCheckpoint(true)
+        // Corpus side = the index PRUNED to the partitions this batch's
+        // buckets land in (≤ |batch|·bands of the storePartitions dirs —
+        // partition filters, so the store READ is O(touched), not
+        // O(|store|)), then cut to the exact touched buckets so shuffled/
+        // aggregated rows are O(touched-bucket membership). The isin list
+        // is a driver-side collect BOUNDED BY storePartitions (the param-
+        // guard class, never O(data)). Bucket-size capping still sees FULL
+        // touched-bucket membership, so maxBucketSize semantics match the
+        // batch path.
+        val touchedP = newB.select(pmod(col("bucket"), lit(storePartitions)).cast("int").as("__p"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val touched = newB.select("band", "bucket").distinct()
+        val idxPruned = (if (touchedP.isEmpty) idx.filter(lit(false))
+                         else idx.filter(col("__p").isin(touchedP: _*)))
+          .join(touched, Seq("band", "bucket"), "left_semi")
+          .localCheckpoint(true)
         // corpus side excludes this batch's own ids → replay-deterministic
         // (after a crash-after-sig-append replay, the batch's docs are in
         // the store but must pair as NEW, not as corpus)
-        val old = store.join(newSigs.select("id"), Seq("id"), "left_anti")
-        val corpus = old.unionByName(newSigs)
-        val newB = bandBuckets(newSigs, bands, rowsPerBand).localCheckpoint(true)
-        // Restrict the corpus side to buckets the BATCH touches before any
-        // aggregation or join: per-batch shuffled/aggregated rows are then
-        // O(touched-bucket membership), not O(corpus × bands) — a tiny
-        // batch against a 100M-doc store must not re-aggregate the whole
-        // store's bucket table. (The band-bucket explode itself remains a
-        // narrow scan of the store.) Bucket-size capping still sees FULL
-        // touched-bucket membership, so maxBucketSize semantics match the
-        // batch path.
-        val touched = newB.select("band", "bucket").distinct()
-        // rename by NAME before the semi-join — a join moves its keys to
-        // the front, so a positional toDF afterwards would scramble columns
-        val allB = bandBuckets(corpus, bands, rowsPerBand)
+        val oldIdx = idxPruned
           .withColumnRenamed("id", "id2")
-          .join(touched, Seq("band", "bucket"), "left_semi")
-          .localCheckpoint(true)
+          .join(newSigs.select(col("id").as("id2")), Seq("id2"), "left_anti")
+        val allB = oldIdx.select("id2", "band", "bucket")
+          .unionByName(newB.withColumnRenamed("id", "id2"))
         val smallBuckets = allB.groupBy("band", "bucket")
           .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketSize)
           .select("band", "bucket")
@@ -579,9 +659,14 @@ object Dedup {
           .select(least(col("id"), col("id2")).as("doc_a"),
             greatest(col("id"), col("id2")).as("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
+        // verdict sigs come from the SAME pruned read (index rows carry
+        // their sig) — the flat store is never joined per batch
+        val corpusSigs = oldIdx.select(col("id2").as("id"), col("sig"))
+          .dropDuplicates("id")
+          .unionByName(newSigs)
         val verdicts = pairs
-          .join(corpus.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-          .join(corpus.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+          .join(corpusSigs.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(corpusSigs.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
           .withColumn("est_jaccard", aggregate(zip_with(col("sig_a"), col("sig_b"),
               (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _) / lit(numHashes))
           .filter(col("est_jaccard") >= threshold)
@@ -591,6 +676,12 @@ object Dedup {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch")
           .parquet(pairsDir)
+        // index append BEFORE the flat-store append: the flat append is the
+        // commit marker, and a crash between the two replays to an index
+        // anti-join no-op (a replayed batch has identical text → identical
+        // buckets → its rows sit in the partitions already read)
+        appendSigIndex(newSigs, idxPruned.select("id"), idxDir,
+          bands, rowsPerBand, storePartitions)
         // store append LAST: a crash before this point replays cleanly
         // (pairs partition just gets rewritten); genuinely-new ids only.
         // The anti-join ignores legacy (id, null) rows written before
@@ -598,7 +689,9 @@ object Dedup {
         // real signature appended, not stay blocked forever by its null
         // tombstone. The resulting duplicate id rows are benign — null sigs
         // never share a bucket with the null-free batch side, and null
-        // est-jaccard rows are filtered.
+        // est-jaccard rows are filtered. This id-column anti-join is the
+        // ONE remaining O(|store|) read per batch — a narrow single-column
+        // scan (8 B/doc), 65× slimmer than the sig scans the index removed.
         val toAppend = newSigs.join(
           store.filter(col("sig").isNotNull).select("id"), Seq("id"), "left_anti")
         if (!toAppend.isEmpty) toAppend.write.mode("append").parquet(sigDir)

@@ -522,6 +522,87 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(sigs60 === 1L)
   }
 
+  test("signature index: partitioned by pmod(bucket,P), store read prunes via partition filters") {
+    import graft.functions.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val sigDir = s"$root/sigs"
+    // disjoint texts → disjoint bucket sets → multiple __p partitions
+    val ref = (0L until 8L).map(i =>
+      i -> s"reference document number $i with its own distinct content body $i $i")
+      .toDF("doc_id", "text")
+    Dedup.seedSignatureStore(ref, sigDir)
+    Seq(100L -> "a new arrival document sharing nothing with the reference set")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val q = Dedup.minHashDedupStream(
+      spark.readStream.schema(schema).parquet(s"$inDir/*"),
+      sigDir, s"$root/pairs", s"$root/ckpt", threshold = 0.8)
+    try q.processAllAvailable() finally q.stop()
+    // the index dir is stamped with banding config + P and covers the store
+    val idxDir = s"${sigDir}_idx_b16x4_p1024"
+    val idx = spark.read.parquet(idxDir)
+    assert(idx.count() === 16L * 9, "index must hold bands rows per stored doc")
+    assert(idx.columns.toSet === Set("id", "sig", "band", "bucket", "__p"))
+    // the per-batch read shape: an isin over __p must reach the scan as a
+    // PARTITION filter (pruned directory listing, O(touched) I/O), and
+    // prune to fewer partition dirs than the store holds
+    val somePs = idx.select("__p").distinct().limit(2).collect().map(_.getInt(0)).toSeq
+    val allPs = idx.select("__p").distinct().count()
+    assert(allPs > 2, s"need >2 partitions for a discriminating prune, got $allPs")
+    val pruned = spark.read.parquet(idxDir).filter(col("__p").isin(somePs: _*))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec")
+    assert(scans.head.partitionFilters.nonEmpty,
+      s"__p filter not applied as a partition filter:\n${pruned.queryExecution.executedPlan}")
+    assert(scans.head.selectedPartitions.partitionCount === somePs.length,
+      "partition pruning must list only the touched __p dirs")
+    // behavioral: pruned read returns exactly the touched partitions' rows
+    assert(pruned.select("__p").distinct().collect().map(_.getInt(0)).toSet === somePs.toSet)
+  }
+
+  test("signature index: repairs itself from a legacy flat store (no index dir)") {
+    import graft.functions.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_repair").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val sigDir = s"$root/sigs"
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    // build a store WITH an index, then delete the index — the legacy
+    // (pre-index) layout a deployed store would have
+    Dedup.seedSignatureStore(
+      Seq(100L -> text, 101L -> "totally unrelated reference body").toDF("doc_id", "text"),
+      sigDir)
+    val idxDir = s"${sigDir}_idx_b16x4_p1024"
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.foreach(rm)
+      java.nio.file.Files.delete(p)
+    }
+    rm(java.nio.file.Path.of(idxDir))
+    // a batch duplicating a reference doc must still pair against it —
+    // the stream re-bands the flat store into a fresh index before reading
+    Seq(1L -> text).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val q = Dedup.minHashDedupStream(
+      spark.readStream.schema(schema).parquet(s"$inDir/*"),
+      sigDir, s"$root/pairs", s"$root/ckpt", threshold = 0.8)
+    try {
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$root/pairs")
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 100L)))
+      // rebuilt index covers reference + batch docs
+      assert(spark.read.parquet(idxDir).select("id").distinct().count() === 3L)
+    } finally q.stop()
+  }
+
   test("minHashDedupStream: restart from checkpoint keeps pairs and store consistent") {
     import graft.functions.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft_neardup_rs").toString
