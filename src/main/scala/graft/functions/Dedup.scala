@@ -256,11 +256,19 @@ object Dedup {
     *     default margin 0.15 is ≈ 2.4σ — recall loss ≪ the LSH banding's own;
     *  3. exact verify: shingle-array intersection only on survivors.
     * Signatures are computed once (cached) and reused by stages 1–2. */
-  /* NOTE: the signature relation is .cache()'d for the duration of the
-   * returned plan (stages 1-2 both read it) and there is no handle to
-   * unpersist it — on a session calling this API per shard, cached
-   * signature relations accumulate until session end (Spark evicts LRU
-   * under pressure; MEMORY_AND_DISK, so correctness is unaffected). */
+  /* Cache lifecycle: the signature relation is materialized EAGERLY via
+   * localCheckpoint(true) (stages 1-2 both read it; recomputing the
+   * shingle→minhash pass twice is the largest cost in the call). Unlike
+   * .cache() — whose CacheManager registration pins the blocks until
+   * session end, accumulating one leaked relation per shard on a session
+   * calling this API in a loop — checkpoint blocks are released by the
+   * ContextCleaner as soon as the returned plan is dereferenced: no
+   * unpersist handle needed, no permanent residue. Tradeoff, stated
+   * plainly: the signature pass runs at CALL time (the API is eager in
+   * its first stage), and a lost executor loses its blocks (no lineage
+   * to recompute — rerun the call), vs .cache()'s lazy-but-leaky
+   * MEMORY_AND_DISK recompute. For a bounded dedup job the deterministic
+   * lifecycle wins; the streaming sibling already uses the same idiom. */
   def minHashDuplicates(
       docs: DataFrame,
       threshold: Double,
@@ -272,7 +280,8 @@ object Dedup {
       estimateMargin: Double = 0.15,
       maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = minHashSignaturesNative(docs, textCol, idCol, shingleK, numHashes).cache()
+    val sigs = minHashSignaturesNative(docs, textCol, idCol, shingleK, numHashes)
+      .localCheckpoint(true)
     val cands = candidatesFromSigs(sigs, bands, rowsPerBand, maxBucketSize).distinct()
     val estimated = cands
       .join(sigs.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -339,11 +348,13 @@ object Dedup {
       estimateMargin: Double = 0.15,
       maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // cached for the duration of the returned plan: each side's signatures
-    // feed BOTH the bucket stage and the estimate stage (same
-    // no-unpersist-handle caveat as minHashDuplicates)
-    val newSigs = minHashSignaturesNative(docs, textCol, idCol, shingleK, numHashes).cache()
-    val refSigs = minHashSignaturesNative(reference, textCol, idCol, shingleK, numHashes).cache()
+    // each side's signatures feed BOTH the bucket stage and the estimate
+    // stage: materialized eagerly, blocks released when the returned plan
+    // is dereferenced (same lifecycle rationale as minHashDuplicates)
+    val newSigs = minHashSignaturesNative(docs, textCol, idCol, shingleK, numHashes)
+      .localCheckpoint(true)
+    val refSigs = minHashSignaturesNative(reference, textCol, idCol, shingleK, numHashes)
+      .localCheckpoint(true)
     val newB = bandBuckets(newSigs, bands, rowsPerBand)
     // reference side: only the buckets this batch touches
     val refTouched = bandBuckets(refSigs, bands, rowsPerBand)
@@ -360,8 +371,8 @@ object Dedup {
     val cands = newB.join(smallBuckets, Seq("band", "bucket"), "left_semi")
       .join(refTouched, Seq("band", "bucket"))
       .select(col("id").as("doc_id"), col("ref_id")).distinct()
-    // cached: the surviving pair set is read three times below (itself plus
-    // the two text-side semi-joins) — and it is small by construction
+    // materialized: the surviving pair set is read three times below (itself
+    // plus the two text-side semi-joins) — and it is small by construction
     val estimated = cands
       .join(newSigs.select(col("id").as("doc_id"), col("sig").as("sig_a")), "doc_id")
       .join(refSigs.select(col("id").as("ref_id"), col("sig").as("sig_b")), "ref_id")
@@ -369,7 +380,7 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _) / lit(numHashes))
       .filter(col("est") >= threshold - estimateMargin)
       .select(col("doc_id"), col("ref_id"))
-      .cache()
+      .localCheckpoint(true)
     graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
     // exact verify hashes ONLY the estimate survivors' texts: without the
     // semi-joins the verify stage would shingle-hash the ENTIRE reference

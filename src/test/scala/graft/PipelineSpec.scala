@@ -701,6 +701,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept === Set(1L, 4L, 5L))
   }
 
+  test("minHashDuplicates/dedupAgainst leave no cached relations behind") {
+    // round-6 advice item: the internal signature/pair materializations
+    // must not pin blocks for the session's lifetime. localCheckpoint
+    // blocks are ContextCleaner-managed (freed when the result plan is
+    // dereferenced); the CacheManager — whose registrations ARE permanent
+    // until an explicit unpersist — must end these calls as empty as it
+    // began.
+    spark.sharedState.cacheManager.clearCache()
+    val newDocs = docsDF(1L -> nearDup, 2L -> base)
+    val refDocs = docsDF(10L -> base)
+    assert(Dedup.minHashDuplicates(newDocs, threshold = 0.8).count() >= 0L)
+    assert(Dedup.dedupAgainst(newDocs, refDocs, threshold = 0.8).count() >= 0L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedup calls registered relations in the CacheManager (session-lifetime leak)")
+  }
+
   test("dedupAgainst ≡ minHashDuplicates restricted to cross-side pairs") {
     // the asymmetric pipeline must agree with the self-join pipeline on a
     // combined corpus where sides are id-disjoint: cross pairs only, same
