@@ -93,6 +93,35 @@ object PipelineDemo {
     println(s"decoded ${decoded.filter(_.decode_ok).count()} resized images:")
     decoded.toDF().show(4, truncate = false)
 
+    // real WAV payloads (written through the same JDK path crawler audio
+    // would decode back through): per-channel RMS/peak via javax.sound
+    val audio = docs.limit(4)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) =>
+        val rate = 8000f; val len = 800
+        val amp = 0.2 + 0.15 * (n % 4)
+        val data = new Array[Byte](len * 2)
+        var i = 0
+        while (i < len) {
+          val v = (amp * math.sin(2 * math.Pi * 440 * i / rate) * 32767).round.toInt
+          data(i * 2) = (v & 0xff).toByte; data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, len)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Multimodal.MediaRow(id, bos.toByteArray, "audio/wav", 0, 0, 100)
+      }
+    val sound = Multimodal.decodeAudio(audio)
+    println(s"decoded ${sound.filter(_.decode_ok).count()} WAV clips:")
+    sound.toDF().select(col("media_id"), col("sample_rate"), col("n_frames"),
+      round(col("duration_ms"), 1).as("duration_ms"),
+      round(element_at(col("rms"), 1), 4).as("rms_ch0"),
+      round(element_at(col("peak"), 1), 4).as("peak_ch0")).show(4, truncate = false)
+
     spark.stop()
   }
 }

@@ -17,11 +17,17 @@ import org.apache.spark.sql.types._
   *  - IMAGES are decoded for REAL via `javax.imageio` (JDK built-in:
   *    PNG/JPEG/BMP/GIF, headless-safe) — [[decodeImages]] /
   *    [[resizeImages]];
-  *  - audio/video have no JDK codec, so [[extractFeatures]] /
-  *    [[sampleFrames]] run over the clearly-marked `decodeStub`
-  *    (deterministic fake samples). Swapping in a real decoder (ffmpeg
-  *    bindings) changes only the function body — every signature, schema
-  *    and batch shape stays, exactly as the image pair demonstrates.
+  *  - AUDIO is decoded for REAL via `javax.sound.sampled` (JDK built-in:
+  *    WAV/AIFF/AU, any PCM/a-law/u-law encoding the JDK converts) —
+  *    [[decodeAudio]] emits sample rate, channels, duration and
+  *    per-channel RMS/peak;
+  *  - VIDEO has no JDK codec, so [[sampleFrames]] runs over the
+  *    clearly-marked `decodeStub` (deterministic fake frames), and
+  *    [[extractFeatures]] falls back to the stub for payloads neither
+  *    codec accepts. Swapping in a real decoder (ffmpeg bindings)
+  *    changes only the function body — every signature, schema and
+  *    batch shape stays, exactly as the image and audio pairs
+  *    demonstrate.
   */
 object Multimodal {
 
@@ -49,10 +55,12 @@ object Multimodal {
         (length(col(payloadCol)) % 480).cast("int").as("height"),
         lit(0).as("duration_ms")).as("meta"))
 
-  /** STUB decoder ??? — replace with a real codec (e.g. javax.imageio /
-    * ffmpeg bindings) in production. Deterministic: "pixels" are a xor-fold
-    * of the payload so downstream stages have stable inputs to test against.
-    */
+  /** STUB decoder ??? — the remaining fake: VIDEO frames (no JDK codec;
+    * swap for ffmpeg bindings in production) and the fallback for
+    * payloads neither `javax.imageio` nor `javax.sound.sampled` accepts
+    * (images and audio decode for real — [[decodeImages]] /
+    * [[decodeAudio]]). Deterministic: "samples" are a fold of the payload
+    * so downstream stages have stable inputs to test against. */
   private def decodeStub(payload: Array[Byte], outLen: Int): Array[Byte] = {
     val out = new Array[Byte](outLen)
     var acc = 0x5a
@@ -65,19 +73,111 @@ object Multimodal {
     out
   }
 
+  /** Decode any `javax.sound.sampled`-supported payload (WAV/AIFF/AU) to
+    * normalized 16-bit signed little-endian PCM at the source rate and
+    * channel count. Returns null for undecodable payloads. The decoded
+    * array is ≤ ~2× the payload for PCM sources (bounded by the row, like
+    * the image raster path), read fully since the payload is already an
+    * in-memory row. */
+  private def readAudioPcm(bytes: Array[Byte]): (javax.sound.sampled.AudioFormat, Array[Byte]) =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val base = in.getFormat
+        if (base.getChannels <= 0 || base.getSampleRate <= 0) null
+        else {
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            base.getSampleRate, 16, base.getChannels,
+            base.getChannels * 2, base.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          try (target, pcm.readAllBytes()) finally pcm.close()
+        }
+      } finally in.close()
+    } catch { case _: Exception => null }
+
+  final case class AudioInfo(media_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, duration_ms: Double, rms: Array[Double], peak: Array[Double],
+      decode_ok: Boolean)
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK built-in — WAV/
+    * AIFF/AU containers, PCM/a-law/u-law encodings), batched per
+    * partition like every codec stage. Emits sample rate, channel count,
+    * frame count, duration and per-channel RMS + peak amplitude
+    * (normalized to [-1, 1]); undecodable or corrupt payloads yield an
+    * explicit `decode_ok = false` row rather than null — the same
+    * corrupt-fraction contract as [[decodeImages]]. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val dec = readAudioPcm(r.media)
+        if (dec == null)
+          AudioInfo(r.media_id, -1, -1, -1L, 0.0, Array.empty, Array.empty, decode_ok = false)
+        else {
+          val (fmt, data) = dec
+          val ch = fmt.getChannels
+          val frames = data.length / (ch * 2)
+          val sumSq = new Array[Double](ch)
+          val peak = new Array[Double](ch)
+          var f = 0
+          while (f < frames) {
+            var c = 0
+            while (c < ch) {
+              val i = (f * ch + c) * 2
+              val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort / 32768.0
+              sumSq(c) += s * s
+              val a = math.abs(s); if (a > peak(c)) peak(c) = a
+              c += 1
+            }
+            f += 1
+          }
+          val rms = sumSq.map(x => if (frames == 0) 0.0 else math.sqrt(x / frames))
+          AudioInfo(r.media_id, fmt.getSampleRate.toInt, ch, frames,
+            frames * 1000.0 / fmt.getSampleRate, rms, peak, decode_ok = true)
+        }
+      }
+    }
+  }
+
   /** Decode + fixed-size feature extraction, batched per partition (the
     * mapInPandas shape: one iterator in, one iterator out, no per-row
-    * overhead). Features here are a 32-dim byte-histogram projection of the
-    * decoded payload — deterministic, swap for a real model embedding. */
-  def extractFeatures(media: Dataset[MediaRow], featureDim: Int = 32): Dataset[MediaFeatures] = {
+    * overhead). Features are a `featureDim`-bin byte-histogram projection
+    * of the DECODED signal — real luma pixels for `javax.imageio` images,
+    * real 16-bit PCM bytes for `javax.sound.sampled` audio, and the
+    * clearly-marked [[decodeStub]] only for payloads neither codec
+    * accepts (the `fake/raw` synthetic tier and video). Deterministic
+    * throughout — swap the histogram for a real model embedding. */
+  def extractFeatures(media: Dataset[MediaRow], featureDim: Int = 32,
+      maxPixels: Long = DefaultMaxPixels): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { row =>
-        val decoded = decodeStub(row.media, math.max(64, row.media.length))
+        val img = readBounded(row.media, maxPixels)
+        val decoded: Array[Byte] =
+          if (img != null) {
+            // real pixels → per-pixel integer luma (BT.601 weights)
+            val w = img.getWidth; val h = img.getHeight
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            val out = new Array[Byte](px.length)
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              out(i) = ((((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+                (p & 0xff) * 114) / 1000).toByte
+              i += 1
+            }
+            out
+          } else {
+            val audio = readAudioPcm(row.media)
+            if (audio != null) audio._2
+            else decodeStub(row.media, math.max(64, row.media.length))
+          }
         val hist = new Array[Float](featureDim)
         var i = 0
         while (i < decoded.length) { hist((decoded(i) & 0xff) % featureDim) += 1f; i += 1 }
-        val n = decoded.length.toFloat
+        val n = math.max(decoded.length, 1).toFloat
         MediaFeatures(row.media_id, row.media.length, hist.map(_ / n))
       }
     }

@@ -284,6 +284,85 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(resized(3L).media.toSeq === Seq[Byte](1, 2, 3) && resized(3L).format === "corrupt")
   }
 
+  test("multimodal: REAL WAV decode via javax.sound.sampled (rate/duration/RMS/peak per channel)") {
+    import graft.functions.Multimodal
+    // build real WAV bytes in-test: 16-bit signed little-endian PCM frames
+    // written through AudioSystem (the same JDK path a crawler's payloads
+    // would decode back through)
+    def wav(rate: Float, channels: Array[Array[Double]]): Array[Byte] = {
+      val ch = channels.length; val n = channels(0).length
+      val data = new Array[Byte](n * ch * 2)
+      for (f <- 0 until n; c <- 0 until ch) {
+        val v = math.max(-32768, math.min(32767, (channels(c)(f) * 32767).round.toInt))
+        val i = (f * ch + c) * 2
+        data(i) = (v & 0xff).toByte; data(i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, ch, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val n = 2000 // 0.25 s at 8 kHz
+    val sine = (a: Double) => Array.tabulate(n)(i => a * math.sin(2 * math.Pi * 440 * i / 8000.0))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, wav(8000f, Array(sine(0.5))), "audio/wav", 0, 0, 250),
+      Multimodal.MediaRow(2L, wav(8000f, Array(sine(0.8), sine(0.2))), "audio/wav", 0, 0, 250),
+      Multimodal.MediaRow(3L, Array[Byte](9, 9, 9, 9), "corrupt", 0, 0, 0))
+    val media = spark.createDataset(rows)
+    val info = Multimodal.decodeAudio(media).collect().map(a => a.media_id -> a).toMap
+    // mono sine at amplitude 0.5: rate and frame count exact, duration
+    // derived, RMS = a/sqrt(2), peak = a (within quantization)
+    val m = info(1L)
+    assert(m.decode_ok && m.sample_rate === 8000 && m.channels === 1 && m.n_frames === n.toLong)
+    assert(math.abs(m.duration_ms - 250.0) < 1e-9)
+    assert(math.abs(m.rms(0) - 0.5 / math.sqrt(2)) < 0.005, s"mono rms ${m.rms(0)}")
+    assert(math.abs(m.peak(0) - 0.5) < 0.005, s"mono peak ${m.peak(0)}")
+    // stereo: per-channel stats must NOT blend — interleaving is honored
+    val s = info(2L)
+    assert(s.channels === 2)
+    assert(math.abs(s.rms(0) - 0.8 / math.sqrt(2)) < 0.005 &&
+      math.abs(s.rms(1) - 0.2 / math.sqrt(2)) < 0.005, s"stereo rms ${s.rms.toSeq}")
+    assert(math.abs(s.peak(0) - 0.8) < 0.005 && math.abs(s.peak(1) - 0.2) < 0.005)
+    // corrupt payload: explicit decode_ok = false row, same contract as images
+    assert(!info(3L).decode_ok && info(3L).sample_rate === -1)
+    // features route through the REAL audio decode: a silent (all-zero)
+    // signal's PCM bytes are all 0x00 → the whole histogram mass sits in
+    // bin 0 — the stub would spread a fold of the compressed payload
+    val silent = Multimodal.MediaRow(4L, wav(8000f, Array(Array.fill(n)(0.0))), "audio/wav", 0, 0, 250)
+    val feat = Multimodal.extractFeatures(spark.createDataset(Seq(silent)), featureDim = 32)
+      .head().feature
+    assert(math.abs(feat(0) - 1.0f) < 1e-6, s"silence must land in bin 0: ${feat.toSeq}")
+    assert(feat.drop(1).forall(_ === 0.0f))
+  }
+
+  test("multimodal: extractFeatures uses real decoded pixels for images, stub only for raw") {
+    import graft.functions.Multimodal
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // pure white: luma = 255 exactly → all histogram mass in bin 255 % 32 = 31
+    val white = Multimodal.MediaRow(1L, png(8, 8, 0xFFFFFF), "image/png", 8, 8, 0)
+    // raw payload: undecodable by both codecs → deterministic stub histogram
+    val raw = Multimodal.MediaRow(2L, "not an image".getBytes, "fake/raw", 0, 0, 0)
+    val feats = Multimodal.extractFeatures(spark.createDataset(Seq(white, raw)), featureDim = 32)
+      .collect().map(f => f.media_id -> f).toMap
+    val w = feats(1L).feature
+    assert(math.abs(w(31) - 1.0f) < 1e-6, s"white pixels must land in bin 31: ${w.toSeq}")
+    assert(w.take(31).forall(_ === 0.0f))
+    // the stub path still sums to 1 over min-64 decoded bytes and stays
+    // deterministic (the m1 gate's synthetic tier)
+    assert(math.abs(feats(2L).feature.sum - 1.0f) < 1e-5)
+  }
+
   test("analytics: components/pagerank/shortest on a two-island graph") {
     val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
     val g = Loaders.fromList(spark,
