@@ -75,6 +75,29 @@ object Verify {
       name -> (System.nanoTime() - t0) / 1e9
     }
     cal += calibrate()
+
+    // Recall of the approximate tier against its hash-checked exact twin
+    // (the same parquet dumps the driver compares): regressions in
+    // approximation QUALITY — not just machinery correctness — become a
+    // number visible across rounds. recall = |exact ∩ approx| / |exact|
+    // over the key columns (rank-insensitive, the standard recall@k).
+    val ranOk = timings.map(_._1).toSet -- failed
+    def recallOf(approx: String, exact: String, keys: Seq[String]): Option[(String, Double)] =
+      if (ranOk(approx) && ranOk(exact)) {
+        import org.apache.spark.sql.functions.col
+        val a = spark.read.parquet(s"$outDir/$approx").select(keys.map(col): _*)
+        val e = spark.read.parquet(s"$outDir/$exact").select(keys.map(col): _*)
+        val denom = e.count()
+        if (denom == 0) None
+        else Some(s"${approx.split('_').head}_vs_${exact.split('_').head}" ->
+          e.join(a, keys, "left_semi").count().toDouble / denom)
+      } else None
+    val recalls = Seq(
+      recallOf("e2_ann_lsh_topk", "e6_ann_lsh_exact", Seq("query_id", "neighbor_id")),
+      recallOf("e4_ann_ivf_topk", "e5_ann_ivf_exact", Seq("query_id", "neighbor_id")),
+      recallOf("d4_embedding_near_dups", "d6_embedding_dups_exact", Seq("doc_a", "doc_b"))
+    ).flatten
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -95,6 +118,7 @@ object Verify {
         s3(graft.util.CpuWitness.delta(cpuT0, graft.util.CpuWitness.processCpuSec))},""" +
       s""""cal":${cal.map(s3).mkString("[", ",", "]")},"cal_every":$calEvery,""" +
       s""""queries":${timings.map { case (k, v) => q(k) + ":" + s3(v) }.mkString("{", ",", "}")},""" +
+      s""""recall":${recalls.map { case (k, v) => q(k) + ":" + s3(v) }.mkString("{", ",", "}")},""" +
       s""""failed":${failed.map(q).mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     System.err.println(s"[verify] summary: $meta")
