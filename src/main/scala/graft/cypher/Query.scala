@@ -36,20 +36,34 @@ object Query {
 
   /** Nested view (reference `temp`, Cypher.hs:473-479): for each step k ≥ 1
     * a DataFrame (prefix n0..n{k-1}, children ARRAY<LONG>) — children of each
-    * distinct path prefix, [] when a prefix has no continuation, exactly the
-    * reference's Nodes2..9 nesting with empty sublists retained
-    * (walkPaths keeps non-matching centers with [], Cypher.hs:806-812).
+    * distinct path prefix.
     *
-    * Always evaluates LEFT-TO-RIGHT (no strategy choice): the
-    * empty-children contract needs the pre-continuation prefix snapshot of
-    * each layer, which only a walk in pattern order produces — the planned
-    * strategy's snapshots are projections of the final inner join, where a
-    * dried-up prefix no longer exists. (A `quick` parameter used to be
-    * accepted and silently ignored — removed so the API doesn't advertise
-    * a choice it never honored.)
+    * Strategy choice (the reference's own `temp` IGNORES quickStrat and
+    * always runs its planned `runOnE` — the "TODO temp graph quickstrat"
+    * at Cypher.hs:473; we honor the flag with a precise contract per
+    * strategy):
+    *  - `quick = true` (default, the walk-order view): prefixes are each
+    *    layer's PRE-continuation snapshot, so a prefix whose branch dries
+    *    up at step k is retained with children = [] — exactly the
+    *    reference's Nodes2..9 nesting with empty sublists (walkPaths
+    *    keeps non-matching centers with [], Cypher.hs:806-812).
+    *  - `quick = false` (the planned view): evaluation order comes from
+    *    real cardinalities ([[Exec.planExpansionOrder]]) and the layer
+    *    snapshots are projections of the final join, so the nesting is
+    *    restricted to FULL matches — every prefix row and every child
+    *    extends to a complete path; equivalently, the nested view OF
+    *    `paths`, order-independent. This prunes strictly more than the
+    *    quick view's empty-children rows: a child whose own continuation
+    *    dries up downstream is also absent (under quick it appears at its
+    *    layer and its prefix carries [] one layer later). The
+    *    empty-children contract is unobtainable here by construction: a
+    *    dried-up prefix no longer exists in the final join. (Patterns the
+    *    planner refuses — repetition steps, or a plan that starts at
+    *    layer 0 — fall back to the left-to-right walk, as everywhere else
+    *    in the engine.)
     */
-  def temp(g: PropertyGraph, pat: Pat): Vector[DataFrame] = {
-    val res = run(g, pat, quick = true)
+  def temp(g: PropertyGraph, pat: Pat, quick: Boolean = true): Vector[DataFrame] = {
+    val res = run(g, pat, quick)
     if (res.failed) return Vector.empty
     (1 until res.pathsPerLayer.length).map { k =>
       val prefix = res.pathsPerLayer(k - 1).columns.filter(_.startsWith("n"))

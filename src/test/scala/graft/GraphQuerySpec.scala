@@ -218,6 +218,52 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(qs.nonEmpty)
   }
 
+  test("F2 temp under the planned strategy: quick nesting minus empty-children rows") {
+    // the reference's temp always runs its planned runOnE (the quickStrat
+    // TODO at Cypher.hs:473); here both strategies are honored and their
+    // contract difference is exactly the dried-up prefixes. Graph chosen
+    // so the planner genuinely starts mid-pattern (C = 2 nodes) and some
+    // A→B prefixes dry up before C (B 106/107 have no C edge).
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)), RangeDef(100, 100, 1, Seq(1)),
+      RangeDef(200, 100, 2, Seq(1)), RangeDef(300, 100, 3, Seq(1)))
+    val edges =
+      (0 until 10).map(i => InputEdge(i, 100 + i % 8, Seq(1), addReverse = false)) ++
+      (0 until 6).map(i => InputEdge(100 + i, 200 + i % 2, Seq(1), addReverse = false)) ++
+      (0 until 50).map(i => InputEdge(200 + i % 2, 300 + i, Seq(1), addReverse = false))
+    val g = Loaders.fromList(spark, edges, ranges)
+    val pat = labels(0) --| edge(attr(1)) |--> labels(1) --| edge(attr(1)) |--> labels(2) --|
+      edge(attr(1)) |--> labels(3)
+    assert(Exec.planStart(g, pat) === 2) // genuinely planned, no LtoR fallback
+    val quick = Query.temp(g, pat, quick = true)
+    val planned = Query.temp(g, pat, quick = false)
+    assert(quick.length === planned.length)
+    // planned contract: the nested view OF the final paths — every prefix
+    // row and child extends to a complete match
+    val full = Query.paths(g, pat).select("n0", "n1", "n2", "n3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(r => r.toSeq.dropRight(1) :+ r.getSeq[Long](r.length - 1).toList).toSet
+    val expected: Vector[Set[Seq[Any]]] = Vector(
+      full.groupBy(p => Seq[Any](p._1)).view
+        .mapValues(_.map(_._2).distinct.sorted.toList).toSeq.map { case (p, c) => p :+ c }.toSet,
+      full.groupBy(p => Seq[Any](p._1, p._2)).view
+        .mapValues(_.map(_._3).distinct.sorted.toList).toSeq.map { case (p, c) => p :+ c }.toSet,
+      full.groupBy(p => Seq[Any](p._1, p._2, p._3)).view
+        .mapValues(_.map(_._4).distinct.sorted.toList).toSeq.map { case (p, c) => p :+ c }.toSet)
+    (planned zip expected).foreach { case (pl, exp) =>
+      assert(rows(pl) === exp, "planned nesting must be the nested view of full paths")
+    }
+    // concretely: quick retains the dried A→B prefixes (B 106/107) with
+    // [] one layer later and their children at layer 1; the planned view
+    // prunes both (A 6/7 gone entirely) and has no empty-children rows
+    val quickL2 = quick(1).collect().map(r => (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(quickL2(106L) === Seq() && quickL2(107L) === Seq())
+    val plannedL1Keys = planned(0).collect().map(_.getLong(0)).toSet
+    assert(!plannedL1Keys.contains(6L) && !plannedL1Keys.contains(7L))
+    assert(planned(1).filter(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("children")) === 0).isEmpty)
+  }
+
   test("F2 target label restriction: Raises targets restricted to PULL_REQUEST is empty") {
     val t = Query.tableCollected(issueGraph, nodes32(0) --| edge(attr(Raises)) |-- labels(PULL_REQUEST))
     assert(t === Vector(Seq(), Seq(), Seq()))
