@@ -98,11 +98,39 @@ object Similarity {
       when(ndot(vec, array(p.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
+  /** Margin-ordered multi-probe buckets for the QUERY side (Lv et al.,
+    * VLDB 2007): the base signature plus up to `probes` Hamming-1
+    * neighbors, flipping the bits whose hyperplane margin |dot| is
+    * smallest first — those are the bits most likely to land a true
+    * neighbor on the other side. Probing only ever widens the query's
+    * bucket list; the corpus side keeps one bucket per vector, so index
+    * size and the per-bucket join shape are unchanged and candidate
+    * volume grows by at most (1 + probes)×. */
+  private def probeBuckets(vec: Column, planes: Seq[Seq[Double]], probes: Int): Column = {
+    val base = nativeSignature(vec, planes)
+    if (planes.isEmpty || probes <= 0) array(base)
+    else {
+      val masks = array(planes.indices.map(i => lit(1L << i)): _*)
+      val margins = array(planes.zipWithIndex.map { case (p, i) =>
+        struct(abs(ndot(vec, array(p.map(lit): _*))).as("m"), lit(i).as("i")) }: _*)
+      val flips = transform(slice(sort_array(margins), 1, math.min(probes, planes.size)),
+        s => base.bitwiseXOR(element_at(masks, s.getField("i") + 1)))
+      concat(array(base), flips)
+    }
+  }
+
   /** LSH-bucketed approximate top-k: union of per-table bucket joins,
-    * exact cosine on the candidates, global top-k per query. */
+    * exact cosine on the candidates, global top-k per query. `probes` > 0
+    * adds margin-ordered Hamming-1 multi-probe on the query side (see
+    * [[probeBuckets]]) — the standard recall lever when buckets are fine
+    * relative to the corpus (recall tracking vs the exact twin showed
+    * 0.024 at bits=10/tables=4 on the isotropic gate corpus; full
+    * Hamming-1 probing lifts candidate coverage ~(1+bits)× at the same
+    * index). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       bits: Int = 12, tables: Int = 4, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probes: Int = 0): DataFrame = {
     useNative(queries)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       nnorm(col(vecCol)).as("qn"))
@@ -110,13 +138,15 @@ object Similarity {
       nnorm(col(vecCol)).as("cn"))
     val cands0 = (0 until tables).map { t =>
       val planes = hyperplanes(dim, bits, t, seed)
-      q.withColumn("bucket", nativeSignature(col("qv"), planes))
+      q.withColumn("bucket", explode(probeBuckets(col("qv"), planes, probes)))
         .join(c.withColumn("bucket", nativeSignature(col("cv"), planes)), "bucket")
         .drop("bucket")
     }.reduce(_ unionByName _)
       .filter(col("query_id") =!= col("neighbor_id"))
-    // single table → one bucket per vector → no duplicate (q,c) pairs;
-    // skip the dedup shuffle (matters for the bits=0 exhaustive config)
+    // single table → one bucket per CORPUS vector and distinct probe
+    // buckets per query (base + distinct single-bit flips) → no duplicate
+    // (q,c) pairs; skip the dedup shuffle (matters for the bits=0
+    // exhaustive config)
     val candidates = if (tables == 1) cands0
       else cands0.dropDuplicates("query_id", "neighbor_id")
     val scored = candidates.withColumn("cosine",

@@ -426,9 +426,14 @@ object GateQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
     "e2_ann_lsh_topk" -> ((s, d) => {
+      // full Hamming-1 multi-probe (probes = bits): the recall tracking
+      // added in round 8 measured 0.024 without probing on this isotropic
+      // corpus — margin-ordered probes widen query coverage ~11× at the
+      // same index and per-bucket join shape
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.lshTopK(
-        emb.filter(col("vec_id") < 50), emb, k = 10, dim = 64, bits = 10, tables = 4)
+        emb.filter(col("vec_id") < 50), emb, k = 10, dim = 64, bits = 10, tables = 4,
+        probes = 10)
     }),
     "e4_ann_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")

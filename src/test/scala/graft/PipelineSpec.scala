@@ -276,6 +276,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("multi-probe LSH: recall never drops, exact config unaffected, pairs stay deduped") {
+    val brute = Similarity.bruteForceTopK(clustered, clustered, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fine buckets (few candidates) → probing must not LOWER recall
+    def recallAt(probes: Int): Double = {
+      val got = Similarity.lshTopK(clustered, clustered, 3, dim, bits = 12, tables = 2,
+          probes = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val r0 = recallAt(0); val r12 = recallAt(12)
+    assert(r12 >= r0, s"probing lowered recall: $r0 -> $r12")
+    assert(r12 > 0.5, s"full Hamming-1 probing should recover most neighbors here, got $r12")
+    // probed results carry no duplicate (query, neighbor) rows
+    val probed = Similarity.lshTopK(clustered, clustered, 3, dim, bits = 12, tables = 2,
+      probes = 12).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(probed.length === probed.toSet.size)
+    // degenerate-exact config (bits = 0): probes have nothing to flip —
+    // identical to brute force with or without them (the e6 twin's guard)
+    val exact = Similarity.lshTopK(clustered, clustered, 3, dim, bits = 0, tables = 1,
+      probes = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === brute)
+  }
+
   test("cosineDuplicates finds same-cluster near-identical pairs only") {
     val d = Similarity.cosineDuplicates(clustered, threshold = 0.98, dim = dim, bits = 6, tables = 8)
     val rows = d.collect()
