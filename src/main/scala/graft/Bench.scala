@@ -135,7 +135,10 @@ object Bench {
     val calJson = calSamples.map(s => math.round(s * 1000).toString).mkString("[", ",", "]")
     // cal cadence (calEvery above) is documented in SCALING.md, not the
     // line — "cpu_sec" (integer seconds) took its chars inside the window
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","build_sec":${s3(buildSec)},"cal_ms":$calJson,"cpu_sec":${math.round(cpuSec)},"errors":$errJson}"""
+    // sf emitted as the basename ("sf0.1"), not the full path: the path
+    // spent 18 chars of the ~1.9k stdout window on redundant prefix
+    val sfName = sfDir.stripSuffix("/").split('/').last
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","build_sec":${s3(buildSec)},"cal_ms":$calJson,"cpu_sec":${math.round(cpuSec)},"errors":$errJson}"""
     if (line.length > 1850)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may exceed the 2000-char stdout tail window")
     println(line)
