@@ -79,8 +79,20 @@ object Multimodal {
     * array is ≤ ~2× the payload for PCM sources (bounded by the row, like
     * the image raster path), read fully since the payload is already an
     * in-memory row. */
+  /** Container magic precheck: WAV ("RIFF"), AIFF ("FORM"), AU (".snd").
+    * `AudioSystem` rejects other payloads via UnsupportedAudioFileException,
+    * which costs an exception per row — on a corpus where most payloads are
+    * NOT audio (the extractFeatures dispatch path), a 4-byte compare
+    * replaces fill-in-stack-trace as the common-case cost. */
+  private def looksLikeAudio(b: Array[Byte]): Boolean =
+    b.length >= 4 &&
+      ((b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+       (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') ||
+       (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
+
   private def readAudioPcm(bytes: Array[Byte]): (javax.sound.sampled.AudioFormat, Array[Byte]) =
-    try {
+    if (!looksLikeAudio(bytes)) null
+    else try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
