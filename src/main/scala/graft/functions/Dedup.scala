@@ -485,6 +485,36 @@ object Dedup {
     }
   }
 
+  /** Compact a [[minHashDedupStream]] signature store: drop legacy
+    * null-sig tombstones and duplicate-id rows (same-id signatures are
+    * identical by the append guards, so keep-any is keep-first), rewrite
+    * the flat store, and rebuild the banded index for the given config
+    * from scratch. This restores the O(1) footer coverage check — a
+    * tombstone-carrying store re-triggers [[repairSigIndex]]'s precise
+    * scan every batch (its row count permanently exceeds its indexable
+    * ids) — and reclaims heal-duplicate space. NOT safe concurrent with
+    * a running stream: stop the stream first (the flat rewrite is
+    * materialize-then-overwrite, but a reader could span the swap). */
+  def compactSignatureStore(
+      spark: org.apache.spark.sql.SparkSession,
+      sigDir: String,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      storePartitions: Int = 1024): Unit = {
+    val store = graft.util.ParquetIO.readOrEmpty(spark, sigDir, sigStoreSchema)
+    // materialize BEFORE overwriting: localCheckpoint severs lineage to
+    // the source files, so the overwrite cannot read-through-itself
+    val live = store.filter(col("sig").isNotNull).dropDuplicates("id")
+      .localCheckpoint(true)
+    live.write.mode("overwrite").parquet(sigDir)
+    val idxDir = sigIndexDir(sigDir, bands, rowsPerBand, storePartitions)
+    val hPath = new org.apache.hadoop.fs.Path(idxDir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hPath)) fs.delete(hPath, true)
+    appendSigIndex(live, live.select("id").limit(0), idxDir,
+      bands, rowsPerBand, storePartitions)
+  }
+
   /** CROSS-DOCUMENT line deduplication (CCNet-style, Wenzek et al. 2020
     * §4.2): drop every line whose normalized form (lowercased, trimmed)
     * appears in at least `minDocs` DISTINCT documents — boilerplate

@@ -682,6 +682,44 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("compactSignatureStore: tombstones and heal-duplicates cleared, index rebuilt, stream unaffected") {
+    import graft.functions.Dedup
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val sigDir = s"$root/sigs"
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    // legacy store: a null-sig tombstone for doc 7, then a heal (7 appended
+    // with a real sig) — the store carries 7 twice plus the tombstone
+    val legacy = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(7L, null))),
+      StructType(Seq(StructField("id", LongType), StructField("sig", ArrayType(LongType)))))
+    legacy.write.parquet(sigDir)
+    Dedup.seedSignatureStore(Seq(7L -> text, 8L -> "unrelated reference body content here")
+      .toDF("doc_id", "text"), sigDir)
+    assert(spark.read.parquet(sigDir).count() === 3L) // tombstone + 2 live
+    Dedup.compactSignatureStore(spark, sigDir)
+    val after = spark.read.parquet(sigDir)
+    assert(after.count() === 2L && after.filter(col("sig").isNull).count() === 0L)
+    // index rebuilt to exact coverage: bands rows per live id → the O(1)
+    // footer check holds again
+    val idx = spark.read.parquet(s"${sigDir}_idx_b16x4_p1024")
+    assert(idx.count() === 16L * 2)
+    // and a stream against the compacted store still pairs correctly
+    Seq(1L -> text).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b1")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = Dedup.minHashDedupStream(
+      spark.readStream.schema(schema).parquet(s"$inDir/*"),
+      sigDir, s"$root/pairs", s"$root/ckpt", threshold = 0.8)
+    try {
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$root/pairs")
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 7L)))
+    } finally q.stop()
+  }
+
   test("minHashDedupStream: restart from checkpoint keeps pairs and store consistent") {
     import graft.functions.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft_neardup_rs").toString
