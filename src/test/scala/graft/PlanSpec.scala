@@ -141,6 +141,21 @@ class PlanSpec extends AnyFunSuite {
       s"cross-corpus dedup must pair through band buckets only:\n$plan")
   }
 
+  test("dedupLines: hash-keyed shuffles only, never a cartesian or row-explosion join") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.functions.Dedup.dedupLines(docs, minDocs = 2))
+    // the boilerplate set joins back by 8-byte line hash and the rebuild
+    // is one groupBy(id) — no cross products, and no SortMergeJoin wider
+    // than the line relation (a broadcast of the boilerplate set is the
+    // expected shape on any corpus where boilerplate ≪ lines)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"line dedup must join by line hash only:\n$plan")
+    // detection aggregates partially before its exchange (map-side combine
+    // on the 8-byte hash keys — the property that bounds the shuffle at
+    // |distinct lines| instead of |lines|)
+    assert(plan.contains("HashAggregate"), s"no partial aggregation in:\n$plan")
+  }
+
   test("n-gram decontamination broadcasts the probe side, never shuffles the corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val probes = docs.filter(col("doc_id") < 5)
