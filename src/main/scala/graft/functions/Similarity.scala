@@ -212,6 +212,51 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"), col("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * CLUSTER-LOCAL exhaustive search — the published recipe for
+    * embedding-level dedup of web-scale training data, and a different
+    * candidate structure than [[cosineDuplicates]]'s hash buckets:
+    * k-means clusters follow the data's density, so near-duplicates land
+    * in the same cluster with high probability regardless of how they
+    * hash. Cluster the corpus with the IVF coarse quantizer
+    * ([[ivfCentroids]]), then keep cosine ≥ threshold pairs WITHIN each
+    * cluster. Emits (doc_a, doc_b, cosine, cluster_id), a<b — feed to
+    * [[graft.functions.Dedup.duplicateClusters]] for keeper selection
+    * exactly like the text-dedup pair stages.
+    *
+    * Scale shape: one centroid pass (linear, the [[ivfCentroids]] Lloyd
+    * step), one assignment shuffle of |corpus| rows, then a self-join ON
+    * cluster id — per-cluster pair product ≈ (n/k)², bounded overall by
+    * k·(n/k)² = n²/k, and `maxClusterSize` drops degenerate mega-clusters
+    * (the boilerplate-family analogue, same contract as the LSH
+    * maxBucketSize caps). nClusters = 1 degenerates to the exhaustive
+    * exact pair set — parity-pinned against
+    * `cosineDuplicates(exhaustive = true)` in PipelineSpec. */
+  def semanticDedup(vectors: DataFrame, threshold: Double, nClusters: Int,
+      maxClusterSize: Long = 100000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    useNative(vectors)
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    val cents = ivfCentroids(vectors, nClusters, idCol, vecCol)
+    val assigned = assignTo(vectors, cents, idCol, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        nnorm(col(vecCol)).as("n"), col("centroid_id"))
+    val small = assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).as("sz")).filter(col("sz") <= maxClusterSize)
+      .select("centroid_id")
+    val in = assigned.join(small, Seq("centroid_id"), "left_semi")
+    val a = in.select(col("centroid_id"), col("id").as("doc_a"),
+      col("v").as("av"), col("n").as("an"))
+    val b = in.select(col("centroid_id"), col("id").as("doc_b"),
+      col("v").as("bv"), col("n").as("bn"))
+    a.join(b, "centroid_id")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cosine"),
+        col("centroid_id").as("cluster_id"))
+  }
+
   /** Nearest-centroid assignment against a broadcast centroid table
     * (cid, centroid). Adds `centroid_id`; distance = negative cosine,
     * ties broken by cid (deterministic).

@@ -440,6 +440,14 @@ object GateQueries {
       graft.functions.Similarity.ivfTopK(
         emb.filter(col("vec_id") < 50), emb, k = 10, nCentroids = 16, nProbe = 4)
     }),
+    "d9_semantic_dedup" -> ((s, d) => {
+      // SemDeDup cluster-local pairs at the d4/d6 threshold: approximate
+      // by cluster boundary (rows-only gate, like e2/e4/d4); quality is
+      // tracked as recall vs the d6 exact twin in verify_meta.json
+      graft.functions.Similarity.semanticDedup(
+        t(s, d, "embeddings"), threshold = 0.35, nClusters = 8)
+        .select(col("doc_a"), col("doc_b"))
+    }),
     "d4_embedding_near_dups" -> ((s, d) => {
       // synthetic embeddings top out at pairwise cosine ~0.5, so the
       // "near-dup" bar is 0.35 here; bits = -1 → bucket width sized from

@@ -300,6 +300,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact === brute)
   }
 
+  test("semanticDedup: nClusters=1 equals exhaustive; cluster-local pairs stay true-cluster") {
+    val exhaustive = Similarity.cosineDuplicates(clustered, threshold = 0.98, dim = dim,
+        exhaustive = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // degenerate config: one cluster = the exact pair set (SemDeDup's
+    // machinery — assignment, self-join, threshold — verified end-to-end)
+    val one = Similarity.semanticDedup(clustered, threshold = 0.98, nClusters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one === exhaustive && exhaustive.nonEmpty)
+    // real config: pairs are a subset of exhaustive (cluster boundaries
+    // only ever REMOVE pairs), all within a true generator cluster, and
+    // k-means-aligned clusters keep most of them on well-separated data
+    val sem = Similarity.semanticDedup(clustered, threshold = 0.98, nClusters = 5)
+      .collect()
+    val semPairs = sem.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semPairs.subsetOf(exhaustive))
+    assert(sem.forall(r => r.getLong(0) % 5 === r.getLong(1) % 5))
+    assert(semPairs.size.toDouble / exhaustive.size >= 0.5,
+      s"cluster-local recall collapsed: ${semPairs.size}/${exhaustive.size}")
+    // maxClusterSize drops a cluster wholesale (the mega-cluster cap)
+    val capped = Similarity.semanticDedup(clustered, threshold = 0.98, nClusters = 1,
+      maxClusterSize = 10)
+    assert(capped.isEmpty)
+  }
+
   test("cosineDuplicates finds same-cluster near-identical pairs only") {
     val d = Similarity.cosineDuplicates(clustered, threshold = 0.98, dim = dim, bits = 6, tables = 8)
     val rows = d.collect()
