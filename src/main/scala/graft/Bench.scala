@@ -68,9 +68,9 @@ object Bench {
     calibrate() // untimed JIT warmup: the first execution compiles the loop;
                 // without it cal[0] reads [slow, fast] on a QUIET VM — the
                 // exact skew the probe exists to flag
-    val calEvery = 16 // 65 queries leave ~50 chars of line headroom; 16 keeps
-                      // ~6 samples (with cpu_sec as the second witness) and
-                      // frees ~12 chars vs 8 for failed-run errors[] growth
+    val calEvery = 32 // 67 queries leave ~60 chars of line headroom; 32 keeps
+                      // start/mid/end samples (cpu_sec is the second witness)
+                      // and frees chars for failed-run errors[] growth
     val calSamples = scala.collection.mutable.ArrayBuffer[Double](calibrate())
 
     val tBuild = System.nanoTime()
@@ -123,10 +123,20 @@ object Bench {
     // under ~1.9k chars so it survives the window with sbt's trailer.
     // Locale.ROOT: the f interpolator uses the JVM default locale — on a
     // comma-decimal VM (de_DE etc.) it would emit invalid JSON.
-    def s2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    // ≥ 1 s → 1 decimal (100 ms resolves any regression worth chasing at
+    // that magnitude; fine-grained analysis uses isolated REPEAT runs),
+    // < 1 s → 2 decimals (relative precision matters there). Saves ~25
+    // chars across the 67-query map.
+    def s2(d: Double): String = String.format(java.util.Locale.ROOT,
+      if (d >= 1.0) "%.1f" else "%.2f", Double.box(d))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(s2) }
       .mkString("{", ",", "}")
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // cap the error list: an N-failure round must not grow the line past
+    // the stdout tail window and truncate the WHOLE bench to unparseable —
+    // 2 names locate the breakage class, stderr has the full list
+    val errJson = (errors.take(2).map("\"" + _ + "\"") ++
+      (if (errors.size > 2) Seq("\"+" + (errors.size - 2) + " more\"") else Nil))
+      .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     // cal emitted as integer MILLISECONDS ("cal_ms"): ~10 on a quiet VM,
     // hundreds under load — ms resolution is the witness's working range,
