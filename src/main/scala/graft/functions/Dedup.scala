@@ -168,63 +168,198 @@ object Dedup {
       .toDF("id", "band", "bucket")
 
   // ---- banded signature index (streaming store acceleration) --------------
-  // The stream's per-batch corpus read must be O(touched buckets), not
-  // O(|store|): band rows live in a parquet table partitioned by
-  // __p = pmod(bucket, P), so a batch's buckets prune to ≤ |batch|·bands
-  // partitions via partition filters. Each row CARRIES its signature —
-  // candidates and their verdict sigs come out of the one pruned read
-  // (storage is bands× the flat store's sig column; if that matters at
-  // 10^9 docs, drop `sig` here and add an id-partitioned sig table).
-  // The banding config + P are STAMPED INTO THE DIR NAME: any drift
-  // (different bands/rowsPerBand/P) lands in a fresh dir whose emptiness
-  // the per-batch coverage check detects and repairs by re-banding the
-  // flat store — the index is derived state, never the source of truth.
+  // The stream's per-batch corpus read must be O(touched), not O(|store|):
+  //  - the BANDED INDEX holds (id, band, bucket) rows partitioned by
+  //    __p = pmod(bucket, P): a batch's buckets prune to ≤ |batch|·bands
+  //    partition dirs via partition filters. Index rows carry NO
+  //    signatures (the pre-v2 layout duplicated each sig bands× —
+  //    ~8 KB/doc of side index at H=64/b=16; a v2 row is ~24 B, so the
+  //    index is now ~20× slimmer than the flat store's sig column
+  //    instead of 16× fatter). The banding config + P are STAMPED INTO
+  //    THE DIR NAME (with a v2 layout tag): any drift — or a legacy fat
+  //    index — lands the reader on a fresh dir that the coverage gate
+  //    rebuilds from the flat store. The index is derived state, never
+  //    the source of truth.
+  //  - the FLAT STORE (id, sig) is partitioned by __sp = pmod(id, P):
+  //    verdict-signature fetches and the append anti-join prune to the
+  //    partitions of the ids they touch. The store's physical modulus is
+  //    recorded in `<sigDir>/_layout` (readers must prune with the
+  //    modulus the dirs were WRITTEN with, never their own parameter).
+  //    Stores written before the partitioned layout have data files at
+  //    the dir root (no __sp column): detected and read/appended in that
+  //    flat layout (full-scan fallback, identical semantics) until
+  //    [[compactSignatureStore]] migrates them.
+  //  - COVERAGE GATE: `<sigDir>/_count` (store row count, maintained by
+  //    every writer in this object) vs `<idxDir>/_coverage` (the store
+  //    count at the last verified index coverage). Steady state reads
+  //    two tiny files — no dir listing, no parquet footer counts (the
+  //    previous gate's idx.count() read every footer under P=1024
+  //    partition dirs every micro-batch). Any mismatch, or a missing
+  //    file, drops to the precise (id, band)-granular repair, which
+  //    re-syncs both watermarks. The value is a coverage VERSION stamp,
+  //    not gospel row count: a crash between a store append and its
+  //    stamp leaves both files equally stale (still consistent — the
+  //    appends themselves were index-then-store ordered), and the next
+  //    repair recounts exactly. Contract: raw out-of-band appends to the
+  //    store dir bypass `_count` and are NOT detected — append through
+  //    [[seedSignatureStore]], or delete `_count` to force a re-verify.
 
   private def sigStoreSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("sig",
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
 
-  private def sigIndexSchema = org.apache.spark.sql.types.StructType(
-    sigStoreSchema.fields.toSeq ++ Seq(
-      org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("__p", org.apache.spark.sql.types.IntegerType)))
+  private def sigIndexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("__p", org.apache.spark.sql.types.IntegerType)))
 
   private def sigIndexDir(sigDir: String, bands: Int, rowsPerBand: Int, p: Int): String =
-    s"${sigDir.stripSuffix("/")}_idx_b${bands}x${rowsPerBand}_p$p"
+    s"${sigDir.stripSuffix("/")}_idx_v2_b${bands}x${rowsPerBand}_p$p"
 
-  /** Append band rows (with sigs) for `sigs` to the index, skipping ids
-    * already indexed — the caller passes `existingIds` from the reads it
-    * already paid for (pruned partitions, or the full index for repair). */
+  private def storeCountPath(sigDir: String) = s"${sigDir.stripSuffix("/")}/_count"
+  private def storeLayoutPath(sigDir: String) = s"${sigDir.stripSuffix("/")}/_layout"
+  private def coveragePath(idxDir: String) = s"${idxDir.stripSuffix("/")}/_coverage"
+  private def compactingMarkerPath(sigDir: String) = s"${sigDir.stripSuffix("/")}.compacting"
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Read a single-long marker file (watermarks, layout modulus). Corrupt
+    * content reads as absent — every caller's absent-path is the safe
+    * re-verify path. */
+  private def readLongFile(spark: org.apache.spark.sql.SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopFs(spark, p)
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }.toOption
+  }
+
+  private def writeLongFile(spark: org.apache.spark.sql.SparkSession, path: String, v: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = hadoopFs(spark, p).create(p, /*overwrite=*/ true)
+    try out.writeBytes(s"$v\n") finally out.close()
+  }
+
+  /** Readers/writers fail fast while a compaction owns the store — the
+    * flat rewrite is materialize-then-overwrite, so a read spanning the
+    * swap would see a half-written store. A marker left by a CRASHED
+    * compaction keeps failing loud on purpose: verify the store, then
+    * delete the marker. */
+  private def failIfCompacting(spark: org.apache.spark.sql.SparkSession,
+      sigDir: String, what: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(compactingMarkerPath(sigDir))
+    if (hadoopFs(spark, p).exists(p))
+      throw new IllegalStateException(
+        s"$what: $p exists — compactSignatureStore is running against this store (or " +
+          s"crashed mid-swap; verify the store, then delete the marker)")
+  }
+
+  /** The flat store as read state: `df` always carries (id, sig, __sp) —
+    * a physical partition column when the store is id-partitioned, a
+    * computed pmod(id, storeP) on a legacy flat layout (filter-correct;
+    * prunes no I/O). `partitioned` decides the append layout. */
+  private case class SigStore(df: DataFrame, partitioned: Boolean, storeP: Int)
+
+  private def readSigStore(spark: org.apache.spark.sql.SparkSession,
+      sigDir: String, defaultP: Int): SigStore = {
+    val raw = graft.util.ParquetIO.readOrEmpty(spark, sigDir, sigStoreSchema)
+    if (raw.columns.contains("__sp")) {
+      val p = readLongFile(spark, storeLayoutPath(sigDir)).map(_.toInt).getOrElse {
+        throw new IllegalStateException(
+          s"signature store $sigDir is id-partitioned but _layout is missing — pruned " +
+            s"reads need the modulus the dirs were written with. Restore _layout (a " +
+            s"single integer) or run compactSignatureStore to rewrite the layout.")
+      }
+      SigStore(raw, partitioned = true, storeP = p)
+    } else if (raw.isEmpty) // fresh store: created id-partitioned on first append
+      SigStore(raw.withColumn("__sp", pmod(col("id"), lit(defaultP)).cast("int")),
+        partitioned = true, storeP = defaultP)
+    else // legacy flat layout: computed __sp, appended flat until compacted
+      SigStore(raw.withColumn("__sp", pmod(col("id"), lit(defaultP)).cast("int")),
+        partitioned = false, storeP = defaultP)
+  }
+
+  /** Prune the store read to the id-partitions of `ids` (≤ min(|ids|,
+    * storeP) dirs — the driver-side isin list is BOUNDED BY storeP, the
+    * param-guard class, never O(data)), then cut to exactly `ids`. On a
+    * legacy flat store the same filters apply semantically over a full
+    * scan. */
+  private def storeRowsForIds(st: SigStore, ids: DataFrame): DataFrame = {
+    val sps = ids.select(pmod(col("id"), lit(st.storeP)).cast("int").as("__sp"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    (if (sps.isEmpty) st.df.filter(lit(false)) else st.df.filter(col("__sp").isin(sps: _*)))
+      .join(ids.select("id"), Seq("id"), "left_semi")
+  }
+
+  /** Append (id, sig) rows to the flat store in its own layout. The caller
+    * has already anti-joined down to genuinely-new ids and is responsible
+    * for the watermark stamps. Returns the appended row count. */
+  private def appendSigStore(st: SigStore, rows: DataFrame, sigDir: String): Long = {
+    val spark = rows.sparkSession
+    val n = rows.count()
+    if (n > 0) {
+      if (st.partitioned) {
+        // _layout BEFORE the first partitioned data: a crash in between
+        // replays as fresh-store (no data ⇒ no __sp column ⇒ this branch
+        // rewrites _layout with the same modulus)
+        writeLongFile(spark, storeLayoutPath(sigDir), st.storeP.toLong)
+        rows.select(col("id"), col("sig"))
+          .withColumn("__sp", pmod(col("id"), lit(st.storeP)).cast("int"))
+          .repartition(col("__sp")) // one file per touched partition, not per task×key
+          .write.mode("append").partitionBy("__sp").parquet(sigDir)
+      } else rows.select("id", "sig").write.mode("append").parquet(sigDir)
+    }
+    n
+  }
+
+  /** Append band rows for `sigs` to the index, skipping ids already
+    * indexed — the caller passes `existingIds` from reads it already paid
+    * for. Id-level (not (id,band)-level) on purpose: an id with ANY index
+    * presence keeps its existing banding (see the re-ingest note in
+    * [[minHashDedupStream]]); only the repair path fills partial ids. */
   private def appendSigIndex(sigs: DataFrame, existingIds: DataFrame,
       idxDir: String, bands: Int, rowsPerBand: Int, p: Int): Unit = {
-    val rows = sigs.select(col("id"), col("sig"), posexplode(
-        array((0 until bands).map(b =>
-          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
-      .toDF("id", "sig", "band", "bucket")
+    val rows = bandBuckets(sigs, bands, rowsPerBand)
       .join(existingIds.select("id"), Seq("id"), "left_anti")
       .withColumn("__p", pmod(col("bucket"), lit(p)).cast("int"))
     if (!rows.isEmpty)
-      rows.write.mode("append").partitionBy("__p").parquet(idxDir)
+      rows.repartition(col("__p")).write.mode("append").partitionBy("__p").parquet(idxDir)
   }
 
-  /** Bring the index up to coverage of the flat store. Triggered by a
-    * footer-count comparison (O(1) metadata when it passes): the precise
-    * anti-join repair scan runs only when the index may not cover the
-    * store — a fresh/legacy store (empty index), a config change (fresh
-    * dir), or sigs seeded out-of-band with a different config. A store
-    * carrying legacy null-sig tombstones triggers the check every batch
-    * (its row count permanently exceeds the indexable ids); compact the
-    * store to clear tombstones to restore O(1). */
-  private def repairSigIndex(store: DataFrame, idxDir: String,
-      bands: Int, rowsPerBand: Int, p: Int): Unit = {
-    val spark = store.sparkSession
+  /** The coverage gate: make sure the banded index covers the flat store,
+    * and return the store row count the watermarks now reflect (the base
+    * the caller's own append stamps build on). Steady state is two
+    * tiny-file reads and NOTHING else — no store/index listing, no footer
+    * reads. On mismatch (fresh store, fresh config dir, out-of-band seed,
+    * crash between append and stamp) the repair is (id, band)-granular:
+    * it appends exactly the band rows missing from the index, so an id
+    * whose index append was half-committed by a crash is completed rather
+    * than skipped forever (an id-level anti-join would see it as present
+    * and leave its missing band buckets silently candidate-blind). */
+  private[graft] def ensureSigIndexCoverage(spark: org.apache.spark.sql.SparkSession,
+      sigDir: String, idxDir: String, bands: Int, rowsPerBand: Int, p: Int,
+      defaultStoreP: Int): Long = {
+    val cnt = readLongFile(spark, storeCountPath(sigDir))
+    val cov = readLongFile(spark, coveragePath(idxDir))
+    if (cnt.isDefined && cnt == cov) return cnt.get // steady state: zero listings
+    val st = readSigStore(spark, sigDir, defaultStoreP)
     val idx = graft.util.ParquetIO.readOrEmpty(spark, idxDir, sigIndexSchema)
-    if (idx.count() < store.count() * bands) {
-      val live = store.filter(col("sig").isNotNull)
-      appendSigIndex(live, idx.select("id").distinct(), idxDir, bands, rowsPerBand, p)
-    }
+    val live = st.df.filter(col("sig").isNotNull).dropDuplicates("id")
+    val missing = bandBuckets(live, bands, rowsPerBand)
+      .join(idx.select("id", "band"), Seq("id", "band"), "left_anti")
+      .withColumn("__p", pmod(col("bucket"), lit(p)).cast("int"))
+    if (!missing.isEmpty)
+      missing.repartition(col("__p")).write.mode("append").partitionBy("__p").parquet(idxDir)
+    val n = st.df.count()
+    writeLongFile(spark, coveragePath(idxDir), n)
+    writeLongFile(spark, storeCountPath(sigDir), n)
+    n
   }
 
   /** Banded-LSH pair generation from a (id, sig) signature table: one
@@ -453,13 +588,14 @@ object Dedup {
       rowsPerBand: Int = 4,
       storePartitions: Int = 1024): Unit = {
     val spark = reference.sparkSession
+    failIfCompacting(spark, sigDir, "seedSignatureStore")
     val numHashes = bands * rowsPerBand
     val sigs = minHashSignaturesNative(reference, textCol, idCol, shingleK, numHashes)
-    val existing = graft.util.ParquetIO.readOrEmpty(spark, sigDir, sigStoreSchema)
+    val st = readSigStore(spark, sigDir, storePartitions)
     // fail fast on a bands×rowsPerBand mismatch with the existing store —
     // the seed side of the stream's own guard: appending shorter/longer
     // sigs makes zip_with null-pad and est-jaccard silently collapse
-    existing.filter(col("sig").isNotNull).head(1).foreach { r =>
+    st.df.filter(col("sig").isNotNull).head(1).foreach { r =>
       val len = r.getSeq[Long](1).size
       require(len == numHashes,
         s"seedSignatureStore: store at $sigDir has $len hashes/doc but " +
@@ -468,51 +604,100 @@ object Dedup {
     // tombstone-aware idempotency, mirroring the stream's append path: a
     // legacy (id, null) row must not block seeding that id's real signature
     val toAppend = sigs.join(
-      existing.filter(col("sig").isNotNull).select("id"), Seq("id"), "left_anti")
+      st.df.filter(col("sig").isNotNull).select("id"), Seq("id"), "left_anti")
       .localCheckpoint(true)
     if (!toAppend.isEmpty) {
       // index rows FIRST, flat sigs LAST (the commit marker, matching the
       // stream): a crash between the two replays to an anti-join no-op on
       // the index and a clean sig append. A seed run with a different
       // bands/rowsPerBand/storePartitions than a live stream lands in a
-      // differently-stamped dir; the stream's per-batch coverage check
-      // then repairs its own index from the flat store.
+      // differently-stamped dir; the stream's coverage gate then repairs
+      // its own index from the flat store (the seed bumps `_count`, so a
+      // cross-config append is DETECTED by every other config's gate).
       val idxDir = sigIndexDir(sigDir, bands, rowsPerBand, storePartitions)
+      // establish verified coverage of the PRE-SEED store first (one-time
+      // precise scan on a store this config never indexed; two tiny file
+      // reads thereafter) so the post-append stamps below are truthful
+      val base = ensureSigIndexCoverage(spark, sigDir, idxDir,
+        bands, rowsPerBand, storePartitions, storePartitions)
       val idx = graft.util.ParquetIO.readOrEmpty(spark, idxDir, sigIndexSchema)
       appendSigIndex(toAppend, idx.select("id").distinct(), idxDir,
         bands, rowsPerBand, storePartitions)
-      toAppend.write.mode("append").parquet(sigDir)
+      val k = appendSigStore(st, toAppend, sigDir)
+      writeLongFile(spark, storeCountPath(sigDir), base + k)
+      writeLongFile(spark, coveragePath(idxDir), base + k)
     }
   }
 
   /** Compact a [[minHashDedupStream]] signature store: drop legacy
     * null-sig tombstones and duplicate-id rows (same-id signatures are
     * identical by the append guards, so keep-any is keep-first), rewrite
-    * the flat store, and rebuild the banded index for the given config
-    * from scratch. This restores the O(1) footer coverage check — a
-    * tombstone-carrying store re-triggers [[repairSigIndex]]'s precise
-    * scan every batch (its row count permanently exceeds its indexable
-    * ids) — and reclaims heal-duplicate space. NOT safe concurrent with
-    * a running stream: stop the stream first (the flat rewrite is
-    * materialize-then-overwrite, but a reader could span the swap). */
+    * the flat store in the id-partitioned layout (this is also the
+    * MIGRATION path for a legacy flat store, and the only way to change
+    * the store's partition modulus), rebuild the banded index for the
+    * given config from scratch, and re-stamp the watermarks — restoring
+    * the two-tiny-file steady-state coverage gate for a store whose
+    * tombstones/heal-duplicates predate it.
+    *
+    * Concurrency: takes an exclusive `<sigDir>.compacting` marker for the
+    * duration; a running stream batch or seed fails fast on it (and a
+    * second compaction cannot start). The marker is deleted ONLY on
+    * success — a compaction that crashed mid-swap leaves readers failing
+    * loud instead of reading a half-swapped store; verify the store, then
+    * delete the marker by hand. A stream batch already IN FLIGHT when the
+    * marker appears can still span the swap — stop the stream first; the
+    * marker converts the silent half-swap read into a loud failure for
+    * every batch that STARTS during compaction.
+    *
+    * Fails fast when bands×rowsPerBand disagrees with the stored sig
+    * length: rebuilding the index from mis-sliced signatures (slice past
+    * the sig end hashes empty bands) would stamp a wrong-config dir that
+    * silently misses candidates. */
   def compactSignatureStore(
       spark: org.apache.spark.sql.SparkSession,
       sigDir: String,
       bands: Int = 16,
       rowsPerBand: Int = 4,
       storePartitions: Int = 1024): Unit = {
+    // pre-swap validation BEFORE the marker: a mere wrong-parameter call
+    // must fail clean, not leave the store bricked behind a stale marker
+    failIfCompacting(spark, sigDir, "compactSignatureStore")
     val store = graft.util.ParquetIO.readOrEmpty(spark, sigDir, sigStoreSchema)
+    store.filter(col("sig").isNotNull).head(1).foreach { r =>
+      val len = r.getSeq[Long](1).size
+      require(len == bands * rowsPerBand,
+        s"compactSignatureStore: store at $sigDir has $len hashes/doc but " +
+          s"bands*rowsPerBand = ${bands * rowsPerBand} — compact with the store's parameters")
+    }
+    val marker = new org.apache.hadoop.fs.Path(compactingMarkerPath(sigDir))
+    val fs = hadoopFs(spark, marker)
+    val out =
+      try fs.create(marker, /*overwrite=*/ false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"compactSignatureStore: $marker already exists — another compaction is " +
+              s"running (or crashed mid-swap; verify the store, then delete the marker)", e)
+      }
+    out.writeBytes(s"pid=${ProcessHandle.current().pid()} epochMs=${System.currentTimeMillis()}\n")
+    out.close()
     // materialize BEFORE overwriting: localCheckpoint severs lineage to
     // the source files, so the overwrite cannot read-through-itself
     val live = store.filter(col("sig").isNotNull).dropDuplicates("id")
-      .localCheckpoint(true)
-    live.write.mode("overwrite").parquet(sigDir)
+      .select("id", "sig").localCheckpoint(true)
+    val n = live.count()
+    live.withColumn("__sp", pmod(col("id"), lit(storePartitions)).cast("int"))
+      .repartition(col("__sp"))
+      .write.mode("overwrite").partitionBy("__sp").parquet(sigDir)
+    writeLongFile(spark, storeLayoutPath(sigDir), storePartitions.toLong)
     val idxDir = sigIndexDir(sigDir, bands, rowsPerBand, storePartitions)
     val hPath = new org.apache.hadoop.fs.Path(idxDir)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(hPath)) fs.delete(hPath, true)
     appendSigIndex(live, live.select("id").limit(0), idxDir,
       bands, rowsPerBand, storePartitions)
+    writeLongFile(spark, storeCountPath(sigDir), n)
+    writeLongFile(spark, coveragePath(idxDir), n)
+    fs.delete(marker, false) // success ONLY — see scaladoc
   }
 
   /** CROSS-DOCUMENT line deduplication (CCNet-style, Wenzek et al. 2020
@@ -599,13 +784,16 @@ object Dedup {
     * runs continuously, where re-running batch [[minHashDuplicates]] over
     * the whole corpus per arrival would be O(corpus) per batch.
     *
-    * State = an append-only parquet signature store (id, sig). Per batch:
+    * State = an append-only parquet signature store (id, sig), partitioned
+    * by pmod(id, storePartitions), plus a derived (id, band, bucket) index
+    * partitioned by pmod(bucket, storePartitions). Per batch:
     *  1. signatures for the batch's docs (one pass, as in the batch path);
     *  2. banded-LSH bucket join of the NEW signatures against old ∪ new,
-    *     with the corpus side semi-joined down to the buckets the batch
-    *     touches BEFORE any aggregation — per-batch shuffle cost is
-    *     O(touched-bucket membership), never O(corpus²) and not even
-    *     O(corpus × bands) (the store contributes one narrow scan);
+    *     with the corpus side partition-pruned to the buckets the batch
+    *     touches BEFORE any aggregation — per-batch I/O and shuffle cost
+    *     are O(touched-bucket membership) + O(pair-participant ids),
+    *     never O(corpus²) and not even O(corpus) (every store/index read
+    *     is partition-pruned);
     *     corpus-side hot buckets (boilerplate) are dropped above
     *     `maxBucketSize`, the same skew bound as the batch path;
     *  3. signature-estimate verdict: est-Jaccard ≥ threshold. The
@@ -643,9 +831,10 @@ object Dedup {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
+        failIfCompacting(spark, sigDir, "minHashDedupStream")
         val newSigs = minHashSignaturesNative(batch.toDF(), textCol, idCol, shingleK, numHashes)
           .localCheckpoint(true)
-        val store = graft.util.ParquetIO.readOrEmpty(spark, sigDir, sigStoreSchema)
+        val st = readSigStore(spark, sigDir, storePartitions)
         // fail fast on a bands/rowsPerBand mismatch with the existing
         // store: zip_with over unequal sig lengths null-pads (est-jaccard
         // silently collapses) and slice() past the end hashes empty bands
@@ -654,7 +843,7 @@ object Dedup {
         // (id, null) rows — they must not NPE the guard (and the bucket and
         // estimate stages ignore them: null sigs band to no shared bucket
         // once the batch side is null-free)
-        store.filter(col("sig").isNotNull).head(1).foreach { r =>
+        st.df.filter(col("sig").isNotNull).head(1).foreach { r =>
           val len = r.getSeq[Long](1).size
           require(len == numHashes,
             s"minHashDedupStream: signature store at $sigDir has $len hashes/doc but " +
@@ -662,14 +851,15 @@ object Dedup {
         }
         // the banded index is derived state: cover any flat-store rows it
         // is missing (legacy pre-index store, config change → fresh dir,
-        // out-of-band seeding) before reading from it. O(1) footer counts
+        // out-of-band seeding) before reading from it. Two tiny-file reads
         // when coverage already holds — the steady-state cost.
-        repairSigIndex(store, idxDir, bands, rowsPerBand, storePartitions)
+        val base = ensureSigIndexCoverage(spark, sigDir, idxDir,
+          bands, rowsPerBand, storePartitions, storePartitions)
         val idx = graft.util.ParquetIO.readOrEmpty(spark, idxDir, sigIndexSchema)
         val newB = bandBuckets(newSigs, bands, rowsPerBand).localCheckpoint(true)
         // Corpus side = the index PRUNED to the partitions this batch's
         // buckets land in (≤ |batch|·bands of the storePartitions dirs —
-        // partition filters, so the store READ is O(touched), not
+        // partition filters, so the index READ is O(touched), not
         // O(|store|)), then cut to the exact touched buckets so shuffled/
         // aggregated rows are O(touched-bucket membership). The isin list
         // is a driver-side collect BOUNDED BY storePartitions (the param-
@@ -700,10 +890,23 @@ object Dedup {
           .select(least(col("id"), col("id2")).as("doc_a"),
             greatest(col("id"), col("id2")).as("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
-        // verdict sigs come from the SAME pruned read (index rows carry
-        // their sig) — the flat store is never joined per batch
-        val corpusSigs = oldIdx.select(col("id2").as("id"), col("sig"))
-          .dropDuplicates("id")
+          .localCheckpoint(true) // read by the corpus-id fetch AND the verdict joins
+        // verdict sigs for the corpus-side pair participants come from the
+        // id-partitioned FLAT STORE, pruned to the partitions of exactly
+        // those ids (the index carries no signatures — see the layout
+        // note). An id present in the index but absent from the store (a
+        // crashed out-of-band seed; impossible for the stream's own
+        // appends, whose failed batch replays first) contributes no sig
+        // and pairs only after that seed is re-run — the store is the
+        // source of truth. dropDuplicates: a tombstone-healed id may hold
+        // two live-ish rows only in the legacy layout; same-id sigs are
+        // identical by the append guards.
+        val corpusIds = pairs
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("id")).distinct()
+          .join(newSigs.select("id"), Seq("id"), "left_anti")
+        val corpusSigs = storeRowsForIds(st, corpusIds)
+          .filter(col("sig").isNotNull)
+          .select("id", "sig").dropDuplicates("id")
           .unionByName(newSigs)
         val verdicts = pairs
           .join(corpusSigs.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -717,25 +920,41 @@ object Dedup {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch")
           .parquet(pairsDir)
+        // live store ids in the batch's OWN id-partitions (pruned read —
+        // for the batch's ids this is equivalent to the full id column):
+        // shared by the index-append guard and the store-append anti-join
+        val storeIdsForBatch = storeRowsForIds(st, newSigs.select("id"))
+          .filter(col("sig").isNotNull).select("id").localCheckpoint(true)
         // index append BEFORE the flat-store append: the flat append is the
-        // commit marker, and a crash between the two replays to an index
-        // anti-join no-op (a replayed batch has identical text → identical
-        // buckets → its rows sit in the partitions already read)
-        appendSigIndex(newSigs, idxPruned.select("id"), idxDir,
+        // commit marker. The skip set is store-live-ids ∪ pruned-index-ids:
+        //  - store ids catch a doc RE-INGESTED WITH DIFFERENT TEXT, whose
+        //    new sig hashes to buckets outside the pruned read — appending
+        //    its new band rows would diverge the index from the store's
+        //    (kept) original signature and nondeterministically flip its
+        //    verdict sig; the store's first signature wins everywhere;
+        //  - pruned-index ids catch crash-replay (id indexed, store append
+        //    not yet committed: identical text → identical buckets → its
+        //    rows sit in the partitions already read).
+        appendSigIndex(newSigs,
+          storeIdsForBatch.unionByName(idxPruned.select("id")), idxDir,
           bands, rowsPerBand, storePartitions)
         // store append LAST: a crash before this point replays cleanly
         // (pairs partition just gets rewritten); genuinely-new ids only.
         // The anti-join ignores legacy (id, null) rows written before
         // null-text filtering: a doc re-ingested with real text must get a
         // real signature appended, not stay blocked forever by its null
-        // tombstone. The resulting duplicate id rows are benign — null sigs
-        // never share a bucket with the null-free batch side, and null
-        // est-jaccard rows are filtered. This id-column anti-join is the
-        // ONE remaining O(|store|) read per batch — a narrow single-column
-        // scan (8 B/doc), 65× slimmer than the sig scans the index removed.
-        val toAppend = newSigs.join(
-          store.filter(col("sig").isNotNull).select("id"), Seq("id"), "left_anti")
-        if (!toAppend.isEmpty) toAppend.write.mode("append").parquet(sigDir)
+        // tombstone. With the id-partitioned layout nothing in the batch
+        // reads O(|store|) anymore — even this anti-join is pruned to the
+        // batch ids' partitions.
+        val toAppend = newSigs.join(storeIdsForBatch, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        val k = appendSigStore(st, toAppend, sigDir)
+        if (k > 0) {
+          // stamp AFTER both appends; a crash between the two stamps (or
+          // before them) reads as a mismatch → next batch re-verifies
+          writeLongFile(spark, storeCountPath(sigDir), base + k)
+          writeLongFile(spark, coveragePath(idxDir), base + k)
+        }
       }
       .start()
   }

@@ -621,10 +621,12 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       sigDir, s"$root/pairs", s"$root/ckpt", threshold = 0.8)
     try q.processAllAvailable() finally q.stop()
     // the index dir is stamped with banding config + P and covers the store
-    val idxDir = s"${sigDir}_idx_b16x4_p1024"
+    val idxDir = s"${sigDir}_idx_v2_b16x4_p1024"
     val idx = spark.read.parquet(idxDir)
     assert(idx.count() === 16L * 9, "index must hold bands rows per stored doc")
-    assert(idx.columns.toSet === Set("id", "sig", "band", "bucket", "__p"))
+    // v2 slim layout: NO sig column — index rows are (id, band, bucket)
+    // only (the fat layout duplicated each signature bands×)
+    assert(idx.columns.toSet === Set("id", "band", "bucket", "__p"))
     // the per-batch read shape: an isin over __p must reach the scan as a
     // PARTITION filter (pruned directory listing, O(touched) I/O), and
     // prune to fewer partition dirs than the store holds
@@ -655,7 +657,7 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     Dedup.seedSignatureStore(
       Seq(100L -> text, 101L -> "totally unrelated reference body").toDF("doc_id", "text"),
       sigDir)
-    val idxDir = s"${sigDir}_idx_b16x4_p1024"
+    val idxDir = s"${sigDir}_idx_v2_b16x4_p1024"
     def rm(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       if (java.nio.file.Files.isDirectory(p))
@@ -703,7 +705,7 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(after.count() === 2L && after.filter(col("sig").isNull).count() === 0L)
     // index rebuilt to exact coverage: bands rows per live id → the O(1)
     // footer check holds again
-    val idx = spark.read.parquet(s"${sigDir}_idx_b16x4_p1024")
+    val idx = spark.read.parquet(s"${sigDir}_idx_v2_b16x4_p1024")
     assert(idx.count() === 16L * 2)
     // and a stream against the compacted store still pairs correctly
     Seq(1L -> text).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b1")
@@ -718,6 +720,205 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
         .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(pairs === Set((1L, 7L)))
     } finally q.stop()
+  }
+
+  test("minHashDedupStream: re-ingested id with different text keeps index consistent with store") {
+    import graft.functions.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_reingest").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val sigDir = s"$root/sigs"
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "an entirely different body of words sharing no shingles with the first"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val q = Dedup.minHashDedupStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(s"$inDir/*"),
+      sigDir, s"$root/pairs", s"$root/ckpt", threshold = 0.8)
+    try {
+      Seq(5L -> textA).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b1")
+      q.processAllAvailable()
+      // doc 5 RE-INGESTED with different text: its new sig hashes to
+      // different buckets, which the old id-level-vs-pruned-read guard
+      // missed — conflicting band rows accumulated and the index diverged
+      // from the store. The store's first signature must win everywhere.
+      Seq(5L -> textB).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b2")
+      q.processAllAvailable()
+      val store = spark.read.parquet(sigDir)
+      assert(store.filter(col("id") === 5L && col("sig").isNotNull).count() === 1L,
+        "re-ingest must not append a second signature")
+      val idx = spark.read.parquet(s"${sigDir}_idx_v2_b16x4_p1024").filter(col("id") === 5L)
+      assert(idx.count() === 16L, "re-ingest must not append conflicting band rows")
+      assert(idx.select("band").distinct().count() === 16L)
+      // behavioral: the index still matches the STORED (textA) signature —
+      // a new doc with textA pairs with 5, a new doc with textB does not
+      Seq(6L -> textA).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b3")
+      Seq(7L -> textB).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b4")
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$root/pairs")
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((5L, 6L)))
+    } finally q.stop()
+  }
+
+  test("signature index: half-committed append heals id-granularly (missing band rows re-created)") {
+    import graft.functions.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_partial").toString
+    val sigDir = s"$root/sigs"
+    Dedup.seedSignatureStore(
+      Seq(100L -> "the quick brown fox jumps over the lazy dog again and again",
+        101L -> "totally unrelated reference body content goes right here")
+        .toDF("doc_id", "text"), sigDir)
+    val idxDir = s"${sigDir}_idx_v2_b16x4_p1024"
+    // simulate a crash mid-append: id 100 keeps only bands 0-7 in the
+    // index. An id-level repair would see 100 as "present" and leave its
+    // missing band buckets candidate-blind forever.
+    val kept = spark.read.parquet(idxDir)
+      .filter(!(col("id") === 100L && col("band") >= 8)).localCheckpoint(true)
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.foreach(rm)
+      java.nio.file.Files.delete(p)
+    }
+    rm(java.nio.file.Path.of(idxDir)) // also removes _coverage → gate mismatch
+    kept.repartition(col("__p")).write.partitionBy("__p").parquet(idxDir)
+    Dedup.ensureSigIndexCoverage(spark, sigDir, idxDir, 16, 4, 1024, 1024)
+    val after = spark.read.parquet(idxDir).filter(col("id") === 100L)
+    assert(after.count() === 16L, "repair must re-create exactly the missing band rows")
+    assert(after.groupBy("band").count().filter(col("count") > 1).count() === 0L,
+      "repair must not duplicate the surviving band rows")
+  }
+
+  test("coverage gate: steady state reads only the watermark files, no index or store data") {
+    import graft.functions.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    val sigDir = s"$root/sigs"
+    Dedup.seedSignatureStore(
+      Seq(1L -> "first document body with some words in it",
+        2L -> "second document body with different words entirely")
+        .toDF("doc_id", "text"), sigDir)
+    val idxDir = s"${sigDir}_idx_v2_b16x4_p1024"
+    def content(p: String) =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Path.of(p))).trim
+    assert(content(s"$sigDir/_count") === "2" && content(s"$idxDir/_coverage") === "2")
+    // delete every DATA file, keeping only the underscore markers: if the
+    // gate listed dirs or read footers it would now repair (recreating
+    // rows) or fail — the steady path must notice nothing
+    def purgeData(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.list(p).iterator().asScala.toList.foreach(purgeData)
+        if (!java.nio.file.Files.list(p).iterator().hasNext) java.nio.file.Files.delete(p)
+      } else if (!p.getFileName.toString.startsWith("_")) java.nio.file.Files.delete(p)
+    }
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Path.of(idxDir)).iterator().asScala.toList.foreach(purgeData)
+    java.nio.file.Files.list(java.nio.file.Path.of(sigDir)).iterator().asScala.toList.foreach(purgeData)
+    val base = Dedup.ensureSigIndexCoverage(spark, sigDir, idxDir, 16, 4, 1024, 1024)
+    assert(base === 2L)
+    val recreated = java.nio.file.Files.walk(java.nio.file.Path.of(idxDir)).iterator().asScala
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
+    assert(recreated === 0, "steady-state gate must not touch (or repair) index data")
+  }
+
+  test("signature store: id-partitioned layout, _layout records the modulus, reads prune") {
+    import graft.functions.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_storelayout").toString
+    val sigDir = s"$root/sigs"
+    Dedup.seedSignatureStore(
+      (0L until 8L).map(i => i -> s"document number $i with its own distinct content body $i")
+        .toDF("doc_id", "text"), sigDir)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Path.of(s"$sigDir/_layout"))).trim === "1024")
+    val store = spark.read.parquet(sigDir)
+    assert(store.columns.toSet === Set("id", "sig", "__sp"))
+    assert(store.select("__sp").distinct().count() === 8L) // pmod(0..7, 1024)
+    val pruned = spark.read.parquet(sigDir).filter(col("__sp").isin(0, 1))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+      s"__sp filter not applied as a partition filter:\n${pruned.queryExecution.executedPlan}")
+    assert(scans.head.selectedPartitions.partitionCount === 2,
+      "partition pruning must list only the touched __sp dirs")
+  }
+
+  test("compaction guard: marker excludes stream batches, seeds and second compactions") {
+    import graft.functions.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val sigDir = s"$root/sigs"
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val ref = Seq(100L -> text).toDF("doc_id", "text")
+    Dedup.seedSignatureStore(ref, sigDir)
+    val marker = java.nio.file.Path.of(s"$sigDir.compacting")
+    java.nio.file.Files.writeString(marker, "pid=test\n")
+    intercept[IllegalStateException] { Dedup.seedSignatureStore(ref, sigDir) }
+    intercept[IllegalStateException] { Dedup.compactSignatureStore(spark, sigDir) }
+    // a stream batch STARTING during compaction fails fast instead of
+    // reading a half-swapped store
+    Seq(1L -> text).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val q = Dedup.minHashDedupStream(
+      spark.readStream.schema(schema).parquet(s"$inDir/*"),
+      sigDir, s"$root/pairs", s"$root/ckpt", threshold = 0.8)
+    try {
+      scala.util.Try(q.processAllAvailable())
+      assert(q.exception.isDefined, "stream batch must fail fast on the compaction marker")
+    } finally q.stop()
+    java.nio.file.Files.delete(marker)
+    Dedup.compactSignatureStore(spark, sigDir) // now runs, and cleans its marker up
+    assert(!java.nio.file.Files.exists(marker))
+  }
+
+  test("compactSignatureStore: banding-config mismatch fails fast, leaving no marker") {
+    import graft.functions.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_cfg").toString
+    val sigDir = s"$root/sigs"
+    Dedup.seedSignatureStore(
+      Seq(50L -> "some reference text for the config guard").toDF("doc_id", "text"), sigDir)
+    // compacting a 16x4 store as 8x4 would rebuild a wrongly-stamped index
+    // from mis-sliced signatures — must throw before touching anything
+    intercept[IllegalArgumentException] {
+      Dedup.compactSignatureStore(spark, sigDir, bands = 8, rowsPerBand = 4)
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(s"$sigDir.compacting")),
+      "a pre-swap validation failure must not leave the store bricked")
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(s"${sigDir}_idx_v2_b8x4_p1024")))
+  }
+
+  test("legacy flat store: appended flat until compactSignatureStore migrates the layout") {
+    import graft.functions.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_legacy").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val sigDir = s"$root/sigs"
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    // a store written by the pre-partitioned layout: (id, sig) files at the
+    // dir root
+    graft.functions.Dedup.minHashSignaturesNative(
+      Seq(100L -> text).toDF("doc_id", "text")).write.parquet(sigDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    Seq(1L -> text).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b1")
+    val q = Dedup.minHashDedupStream(
+      spark.readStream.schema(schema).parquet(s"$inDir/*"),
+      sigDir, s"$root/pairs", s"$root/ckpt", threshold = 0.8)
+    try {
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$root/pairs")
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 100L)))
+      // the append respected the legacy layout: no partition dirs yet
+      assert(!spark.read.parquet(sigDir).columns.contains("__sp"))
+    } finally q.stop()
+    Dedup.compactSignatureStore(spark, sigDir)
+    assert(spark.read.parquet(sigDir).columns.contains("__sp"), "compact migrates the layout")
+    assert(java.nio.file.Files.exists(java.nio.file.Path.of(s"$sigDir/_layout")))
+    assert(spark.read.parquet(sigDir).count() === 2L)
   }
 
   test("minHashDedupStream: restart from checkpoint keeps pairs and store consistent") {
