@@ -21,13 +21,14 @@ import org.apache.spark.sql.types._
   *    WAV/AIFF/AU, any PCM/a-law/u-law encoding the JDK converts) —
   *    [[decodeAudio]] emits sample rate, channels, duration and
   *    per-channel RMS/peak;
-  *  - VIDEO has no JDK codec, so [[sampleFrames]] runs over the
-  *    clearly-marked `decodeStub` (deterministic fake frames), and
-  *    [[extractFeatures]] falls back to the stub for payloads neither
-  *    codec accepts. Swapping in a real decoder (ffmpeg bindings)
-  *    changes only the function body — every signature, schema and
-  *    batch shape stays, exactly as the image and audio pairs
-  *    demonstrate.
+  *  - VIDEO is parsed for REAL at the container level: [[sampleFrames]]
+  *    walks RIFF-AVI 'movi' chunks (pure JDK index arithmetic) and
+  *    emits the video-stream chunks as frames — for MJPEG each frame is
+  *    a complete JPEG the image stages then decode with `javax.imageio`.
+  *    Non-AVI codecs (H.264 etc.) have no JDK decoder; those payloads
+  *    fall back to the clearly-marked `decodeStub`, and every
+  *    [[extractFeatures]] row carries a `source` flag naming the path
+  *    it took, so stub-derived features are identifiable downstream.
   */
 object Multimodal {
 
@@ -42,7 +43,15 @@ object Multimodal {
 
   final case class MediaRow(media_id: Long, media: Array[Byte], format: String,
       width: Int, height: Int, duration_ms: Int)
-  final case class MediaFeatures(media_id: Long, n_bytes: Int, feature: Array[Float])
+  /** `source` names the decode path the feature came from — "image"
+    * (real luma pixels), "audio" (real PCM bytes), "video" (real pixels
+    * of the first decodable AVI frame) or "stub" (the deterministic
+    * fallback). Downstream filters on it to keep model-bound features
+    * honest: an image payload exceeding `maxPixels` (the decompression-
+    * bomb bound) is REJECTED by the bounded decoder and lands here as
+    * "stub", the same payload [[decodeImages]] flags decode_ok = false. */
+  final case class MediaFeatures(media_id: Long, n_bytes: Int, feature: Array[Float],
+      source: String)
   final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Synthesize a media table from any binary-able column — used by tests
@@ -55,12 +64,15 @@ object Multimodal {
         (length(col(payloadCol)) % 480).cast("int").as("height"),
         lit(0).as("duration_ms")).as("meta"))
 
-  /** STUB decoder ??? — the remaining fake: VIDEO frames (no JDK codec;
-    * swap for ffmpeg bindings in production) and the fallback for
-    * payloads neither `javax.imageio` nor `javax.sound.sampled` accepts
-    * (images and audio decode for real — [[decodeImages]] /
-    * [[decodeAudio]]). Deterministic: "samples" are a fold of the payload
-    * so downstream stages have stable inputs to test against. */
+  /** STUB decoder ??? — the deterministic fallback for payloads NO real
+    * decode path accepts: not `javax.imageio` images, not
+    * `javax.sound.sampled` audio, not RIFF-AVI video (whose MJPEG frames
+    * decode for real — [[sampleFrames]] / [[aviVideoChunks]]). Also the
+    * landing spot for payloads a real codec REJECTED on purpose (the
+    * `maxPixels` decompression-bomb bound) — [[MediaFeatures.source]]
+    * flags every stub-derived feature. Deterministic: "samples" are a
+    * fold of the payload so downstream stages have stable inputs to test
+    * against. */
   private def decodeStub(payload: Array[Byte], outLen: Int): Array[Byte] = {
     val out = new Array[Byte](outLen)
     var acc = 0x5a
@@ -108,6 +120,70 @@ object Multimodal {
         }
       } finally in.close()
     } catch { case _: Exception => null }
+
+  // ---- video: RIFF-AVI container (real, JDK-only) --------------------------
+
+  /** RIFF-AVI container magic: "RIFF" <size:u32le> "AVI ". */
+  private def looksLikeAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Byte ranges (offset, length) of the video-stream data chunks
+    * ('NNdc' compressed / 'NNdb' uncompressed, NN = stream number
+    * digits) inside 'movi' lists, in container order — for MJPEG (the
+    * AVI flavor a JDK can actually decode) each range is one complete
+    * JPEG image. The walk is pure index arithmetic over the RIFF tree
+    * (LIST recursion, word-aligned chunk advance); a truncated or
+    * size-corrupt chunk ENDS the walk with the frames found so far —
+    * the corrupt-payload contract is partial data, never an exception. */
+  private def aviVideoChunks(b: Array[Byte]): Vector[(Int, Int)] = {
+    val out = Vector.newBuilder[(Int, Int)]
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def isVideoData(id: String): Boolean =
+      id(0).isDigit && id(1).isDigit && id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val id = fourcc(off)
+        val size = u32(off + 4)
+        val body = off + 8
+        val truncated = size > end - off - 8 // declared size overruns the buffer
+        if (id == "LIST" && size >= 4 && body + 4 <= end)
+          // recurse into a LIST even when truncated — the frames BEFORE
+          // the damage are still intact inside it
+          walk(body + 4, math.min(body + size, end.toLong).toInt,
+            inMovi || fourcc(body) == "movi")
+        else if (!truncated && inMovi && isVideoData(id) && size > 0)
+          out += ((body, size.toInt))
+        if (truncated) ok = false // a cut data chunk ends the walk
+        else off = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, math.min(b.length.toLong, 8L + u32(4)).toInt, inMovi = false)
+    out.result()
+  }
+
+  /** Per-pixel integer luma (BT.601 weights) of a decoded raster — the
+    * shared "real pixels" byte stream behind image and video features. */
+  private def lumaBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Byte](px.length)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      out(i) = ((((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+        (p & 0xff) * 114) / 1000).toByte
+      i += 1
+    }
+    out
+  }
 
   final case class AudioInfo(media_id: Long, sample_rate: Int, channels: Int,
       n_frames: Long, duration_ms: Double, rms: Array[Double], peak: Array[Double],
@@ -157,40 +233,44 @@ object Multimodal {
     * mapInPandas shape: one iterator in, one iterator out, no per-row
     * overhead). Features are a `featureDim`-bin byte-histogram projection
     * of the DECODED signal — real luma pixels for `javax.imageio` images,
-    * real 16-bit PCM bytes for `javax.sound.sampled` audio, and the
-    * clearly-marked [[decodeStub]] only for payloads neither codec
-    * accepts (the `fake/raw` synthetic tier and video). Deterministic
-    * throughout — swap the histogram for a real model embedding. */
+    * real 16-bit PCM bytes for `javax.sound.sampled` audio, real
+    * first-decodable-frame pixels for RIFF-AVI video (MJPEG), and the
+    * clearly-marked [[decodeStub]] only for payloads no decode path
+    * accepts — INCLUDING images the `maxPixels` decompression-bomb bound
+    * rejected. Every row carries [[MediaFeatures.source]] naming its
+    * path, so stub-derived features are always identifiable downstream.
+    * Deterministic throughout — swap the histogram for a real model
+    * embedding. */
   def extractFeatures(media: Dataset[MediaRow], featureDim: Int = 32,
       maxPixels: Long = DefaultMaxPixels): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { row =>
         val img = readBounded(row.media, maxPixels)
-        val decoded: Array[Byte] =
-          if (img != null) {
-            // real pixels → per-pixel integer luma (BT.601 weights)
-            val w = img.getWidth; val h = img.getHeight
-            val px = img.getRGB(0, 0, w, h, null, 0, w)
-            val out = new Array[Byte](px.length)
-            var i = 0
-            while (i < px.length) {
-              val p = px(i)
-              out(i) = ((((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
-                (p & 0xff) * 114) / 1000).toByte
-              i += 1
-            }
-            out
-          } else {
+        val (decoded, source): (Array[Byte], String) =
+          if (img != null) (lumaBytes(img), "image")
+          else {
             val audio = readAudioPcm(row.media)
-            if (audio != null) audio._2
-            else decodeStub(row.media, math.max(64, row.media.length))
+            if (audio != null) (audio._2, "audio")
+            else {
+              // video: the first decodable sampled frame stands in for
+              // the clip (same bounded decode as the image path)
+              val frame =
+                if (!looksLikeAvi(row.media)) None
+                else aviVideoChunks(row.media).iterator.map { case (off, len) =>
+                  readBounded(java.util.Arrays.copyOfRange(row.media, off, off + len), maxPixels)
+                }.find(_ != null)
+              frame match {
+                case Some(f) => (lumaBytes(f), "video")
+                case None => (decodeStub(row.media, math.max(64, row.media.length)), "stub")
+              }
+            }
           }
         val hist = new Array[Float](featureDim)
         var i = 0
         while (i < decoded.length) { hist((decoded(i) & 0xff) % featureDim) += 1f; i += 1 }
         val n = math.max(decoded.length, 1).toFloat
-        MediaFeatures(row.media_id, row.media.length, hist.map(_ / n))
+        MediaFeatures(row.media_id, row.media.length, hist.map(_ / n), source)
       }
     }
   }
@@ -302,11 +382,26 @@ object Multimodal {
       r.copy(media = decodeStub(r.media, w * h), width = w, height = h)))
   }
 
-  /** Frame sampling for video-shaped payloads: every `stride`-th chunk. */
+  /** Frame sampling: every `stride`-th video frame.
+    *
+    * REAL for RIFF-AVI payloads (JDK-only container parse, no new deps):
+    * the 'movi' list's video-stream chunks ARE the frames, so for MJPEG
+    * each emitted `frame` is a complete JPEG image that the REAL image
+    * stages decode downstream ([[decodeImages]] / [[extractFeatures]] /
+    * [[resizeImages]] over a frames-as-media view). Truncated or
+    * size-corrupt containers yield the frames before the damage — never
+    * an exception. Non-AVI payloads keep the previous deterministic
+    * every-`frameBytes`-chunk stub shape (`frameBytes` applies only
+    * there). Narrow flatMap either way: the payload never shuffles. */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      r.media.grouped(frameBytes).zipWithIndex
+      if (looksLikeAvi(r.media))
+        aviVideoChunks(r.media).zipWithIndex.collect {
+          case ((off, len), i) if i % stride == 0 =>
+            Frame(r.media_id, i, java.util.Arrays.copyOfRange(r.media, off, off + len))
+        }
+      else r.media.grouped(frameBytes).zipWithIndex
         .collect { case (chunk, i) if i % stride == 0 => Frame(r.media_id, i, chunk) }
     }
   }

@@ -338,6 +338,84 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(feat.drop(1).forall(_ === 0.0f))
   }
 
+  test("multimodal: REAL AVI/MJPEG frame sampling via RIFF parse + ImageIO decode") {
+    import graft.functions.Multimodal
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // minimal AVI built by hand: RIFF("AVI " LIST(hdrl avih) LIST(movi 00dc*))
+    def u32le(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ u32le(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, parts: Array[Byte]*): Array[Byte] =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ parts.flatten)
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val body = "AVI ".getBytes("ISO-8859-1") ++
+        list("hdrl", chunk("avih", new Array[Byte](56))) ++
+        list("movi", frames.map(f => chunk("00dc", f)): _*)
+      "RIFF".getBytes("ISO-8859-1") ++ u32le(body.length) ++ body
+    }
+    // white, red, green, blue, black — 5 MJPEG frames
+    val colors = Seq(0xFFFFFF, 0xFF0000, 0x00FF00, 0x0000FF, 0x000000)
+    val payload = avi(colors.map(c => jpeg(8, 8, c)))
+    val row = Multimodal.MediaRow(1L, payload, "video/avi", 8, 8, 200)
+    val frames = Multimodal.sampleFrames(spark.createDataset(Seq(row)), frameBytes = 4, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4), "every stride-th movi chunk")
+    // each sampled frame is a complete JPEG the REAL image stage decodes
+    val asMedia = frames.map(f =>
+      Multimodal.MediaRow(f.frame_idx.toLong, f.frame, "image/jpeg", 8, 8, 0)).toSeq
+    val dec = Multimodal.decodeImages(spark.createDataset(asMedia))
+      .collect().map(i => i.media_id -> i).toMap
+    assert(dec.values.forall(i => i.decode_ok && i.width === 8 && i.height === 8))
+    assert(dec(0L).mean_r > 240 && dec(0L).mean_g > 240) // white
+    assert(dec(2L).mean_g > 200 && dec(2L).mean_r < 120) // green (JPEG chroma tolerance)
+    assert(dec(4L).mean_r < 15 && dec(4L).mean_b < 15)   // black
+    // truncated container: the frames before the damage, never an exception
+    val cut = Multimodal.MediaRow(2L, payload.take(payload.length - 40), "video/avi", 8, 8, 200)
+    val cutFrames = Multimodal.sampleFrames(spark.createDataset(Seq(cut)), 4, 1).collect()
+    assert(cutFrames.nonEmpty && cutFrames.length < colors.length)
+    // extractFeatures routes the clip through REAL first-frame pixels:
+    // a solid-white first frame is luma 255 → histogram mass at bin 31
+    val feat = Multimodal.extractFeatures(spark.createDataset(Seq(row)), featureDim = 32).head()
+    assert(feat.source === "video")
+    assert(feat.feature.slice(30, 32).sum > 0.99f, s"white frame luma: ${feat.feature.toSeq}")
+  }
+
+  test("multimodal: extractFeatures source flag separates real decodes from stub fallbacks") {
+    import graft.functions.Multimodal
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val good = Multimodal.MediaRow(1L, png(8, 8, 0x336699), "image/png", 8, 8, 0)
+    val raw = Multimodal.MediaRow(2L, "opaque payload".getBytes, "fake/raw", 0, 0, 0)
+    val byId = Multimodal.extractFeatures(spark.createDataset(Seq(good, raw)))
+      .collect().map(f => f.media_id -> f.source).toMap
+    assert(byId === Map(1L -> "image", 2L -> "stub"))
+    // the decompression-bomb bound: the SAME image over maxPixels is
+    // rejected by the bounded decoder and must be FLAGGED as stub-derived
+    // (decodeImages flags it decode_ok=false; features say source=stub)
+    val bounded = Multimodal.extractFeatures(
+      spark.createDataset(Seq(good)), maxPixels = 4).head()
+    assert(bounded.source === "stub",
+      "an over-bound image must not masquerade as a real-pixel feature")
+  }
+
   test("multimodal: extractFeatures uses real decoded pixels for images, stub only for raw") {
     import graft.functions.Multimodal
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
