@@ -283,23 +283,54 @@ object Similarity {
   }
 
   /** IVF coarse-quantizer centroids: deterministic hash-ordered sample of
-    * nCentroids vectors, refined by one Lloyd step (assign all vectors,
-    * recompute element-wise means). Returns (cid, centroid). The Lloyd
-    * pass explodes |corpus|×dim rows once at index-build time — a linear,
-    * shuffle-partitioned pass, amortized over every later probe. */
+    * nCentroids vectors, refined by `lloydIters` Lloyd steps (assign all
+    * vectors, recompute element-wise means). Returns (cid, centroid).
+    * Each Lloyd pass explodes |corpus|×dim rows once at INDEX-BUILD time —
+    * linear, shuffle-partitioned, amortized over every later probe; extra
+    * iterations tighten clusters (better recall at the SAME nProbe cost)
+    * without touching the probe path. Intermediate centroid tables are
+    * materialized eagerly (localCheckpoint — the deterministic-lifecycle
+    * idiom) so the plan does not nest one crossJoin+agg per iteration.
+    * A cluster that loses every member simply drops out of the table
+    * (standard Lloyd-on-sample behavior; k is an upper bound). */
   def ivfCentroids(vectors: DataFrame, nCentroids: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydIters: Int = 1): DataFrame = {
     val seeds = vectors
       .withColumn("h", pmod(xxhash64(col(idCol)), lit(1000000)))
       .orderBy(col("h"), col(idCol)).limit(nCentroids) // id tie-break: hash collisions must not make the seed set run-dependent
       .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
-    val assigned = assignTo(vectors, seeds, idCol, vecCol)
-    assigned
-      .select(col("centroid_id").as("cid"), posexplode(col(vecCol)))
-      .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
-      .groupBy(col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid"))
+    // Multi-iteration refinement trains on a deterministic hash-sample
+    // capped at 256·nCentroids vectors (the standard points-per-centroid
+    // budget): quantizer quality needs a REPRESENTATIVE sample, not the
+    // corpus — at 100 TB the full-corpus pass happens once (assignment by
+    // the caller), never per Lloyd iteration. The single-iteration
+    // default keeps the original full-corpus step (byte-compatible with
+    // every existing index).
+    val iters = math.max(lloydIters, 1)
+    val train =
+      if (iters == 1) vectors
+      else {
+        val cap = 256L * nCentroids
+        val n = corpusCount(vectors)
+        if (n <= cap) vectors
+        else vectors.filter(
+          pmod(xxhash64(col(idCol), lit(777)), lit(1000000)) <
+            lit((1000000L * cap / n).toInt))
+      }
+    var cents = seeds
+    var i = 0
+    while (i < iters) {
+      cents = assignTo(train, cents, idCol, vecCol)
+        .select(col("centroid_id").as("cid"), posexplode(col(vecCol)))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+      i += 1
+      if (i < iters) cents = cents.localCheckpoint(true)
+    }
+    cents
   }
 
   /** IVF-style coarse quantization: each vector labeled with its nearest
@@ -371,10 +402,17 @@ object Similarity {
     * instead of |q|·|corpus|. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int, nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // cached: referenced by BOTH the corpus assignment and the query probe
-    // subtrees — without it the whole Lloyd index-build pass runs twice
-    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol).cache()
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydIters: Int = 1): DataFrame = {
+    // materialized EAGERLY: referenced by BOTH the corpus assignment and
+    // the query probe subtrees — without it the whole Lloyd index-build
+    // pass runs twice. localCheckpoint, not .cache(): the CacheManager
+    // registration would pin the centroid blocks until session end (one
+    // leaked relation per call in a session looping this API); checkpoint
+    // blocks are freed when the returned plan is dereferenced — the same
+    // deterministic-lifecycle trade as minHashDuplicates, stated there. */
+    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters)
+      .localCheckpoint(true)
     val assigned = assignTo(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"),
         nnorm(col(vecCol)).as("cn"))

@@ -436,9 +436,15 @@ object GateQueries {
         probes = 10)
     }),
     "e4_ann_ivf_topk" -> ((s, d) => {
+      // lloydIters=3: extra Lloyd refinement is INDEX-BUILD cost only
+      // (probe cost unchanged) and lifts e4-vs-e5 recall 0.514 → 0.548 on
+      // this isotropic corpus; measured plateau at ~0.550 by 5 iters
+      // (SCALING.md round-9) — the residual is the corpus's own isotropy,
+      // not probe ordering (probes are already centroid-distance-ranked)
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.ivfTopK(
-        emb.filter(col("vec_id") < 50), emb, k = 10, nCentroids = 16, nProbe = 4)
+        emb.filter(col("vec_id") < 50), emb, k = 10, nCentroids = 16, nProbe = 4,
+        lloydIters = 3)
     }),
     "d9_semantic_dedup" -> ((s, d) => {
       // SemDeDup cluster-local pairs at the d4/d6 threshold: approximate

@@ -373,6 +373,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("ivfTopK: Lloyd refinement never lowers recall; full probe stays exact at any iters") {
+    val brute = Similarity.bruteForceTopK(clustered, clustered, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // headroom config: more centroids than true clusters + narrow probe,
+    // so seed placement matters and refinement has something to fix
+    def recallAt(iters: Int): Double = {
+      val got = Similarity.ivfTopK(clustered, clustered, 3, nCentroids = 8, nProbe = 2,
+          lloydIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val r1 = recallAt(1); val r3 = recallAt(3)
+    assert(r3 >= r1, s"Lloyd refinement lowered recall: $r1 -> $r3")
+    // the e5 identity is iteration-independent: probing every partition is
+    // exhaustive regardless of where refinement moved the centroids
+    val full = Similarity.ivfTopK(clustered, clustered, 3, nCentroids = 5, nProbe = 5,
+        lloydIters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === brute)
+  }
+
   test("embeddings.parquet end-to-end: brute-force top-3 on real table") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
