@@ -231,13 +231,23 @@ object Similarity {
     * (the boilerplate-family analogue, same contract as the LSH
     * maxBucketSize caps). nClusters = 1 degenerates to the exhaustive
     * exact pair set — parity-pinned against
-    * `cosineDuplicates(exhaustive = true)` in PipelineSpec. */
+    * `cosineDuplicates(exhaustive = true)` in PipelineSpec.
+    *
+    * nClusters <= 0 sizes k FROM THE CORPUS: k = ceil(n/256), holding
+    * expected cluster size (and so per-cluster pair work) constant as
+    * the corpus grows — total candidate volume n²/k ≈ 256·n, linear in
+    * n. The scale-correct default, same lesson as [[cosineDuplicates]]'s
+    * adaptive bits (a fixed k at 16× data means 256× pairs); SemDeDup
+    * itself grows k with the corpus. n comes from the session-memoized
+    * count (one sizing job per corpus plan). */
   def semanticDedup(vectors: DataFrame, threshold: Double, nClusters: Int,
       maxClusterSize: Long = 100000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     useNative(vectors)
-    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
-    val cents = ivfCentroids(vectors, nClusters, idCol, vecCol)
+    val k =
+      if (nClusters >= 1) nClusters
+      else math.max(1, math.ceil(corpusCount(vectors) / 256.0).toInt)
+    val cents = ivfCentroids(vectors, k, idCol, vecCol)
     val assigned = assignTo(vectors, cents, idCol, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         nnorm(col(vecCol)).as("n"), col("centroid_id"))

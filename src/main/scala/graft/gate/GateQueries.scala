@@ -449,9 +449,14 @@ object GateQueries {
     "d9_semantic_dedup" -> ((s, d) => {
       // SemDeDup cluster-local pairs at the d4/d6 threshold: approximate
       // by cluster boundary (rows-only gate, like e2/e4/d4); quality is
-      // tracked as recall vs the d6 exact twin in verify_meta.json
+      // tracked as recall vs the d6 exact twin in verify_meta.json.
+      // nClusters = -1 → k = ceil(n/256), the constant-cluster-size
+      // default: at the sf0.1 bench scale (2,000 vectors) that is the
+      // same k=8 as round 8; at sf0.01 (500 vectors) it coarsens to k=2
+      // (recall vs d6 rises 0.354 → 0.657); at 16× data it keeps
+      // per-cluster pair work constant instead of 256×
       graft.functions.Similarity.semanticDedup(
-        t(s, d, "embeddings"), threshold = 0.35, nClusters = 8)
+        t(s, d, "embeddings"), threshold = 0.35, nClusters = -1)
         .select(col("doc_a"), col("doc_b"))
     }),
     "d4_embedding_near_dups" -> ((s, d) => {
