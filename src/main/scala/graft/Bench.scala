@@ -148,7 +148,45 @@ object Bench {
     // sf emitted as the basename ("sf0.1"), not the full path: the path
     // spent 18 chars of the ~1.9k stdout window on redundant prefix
     val sfName = sfDir.stripSuffix("/").split('/').last
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","build_sec":${s3(buildSec)},"cal_ms":$calJson,"cpu_sec":${math.round(cpuSec)},"errors":$errJson}"""
+    // Approximation-quality rider: recall@k of each approximate tier vs
+    // its exact twin — the same rank-insensitive key-set recall Verify
+    // emits in verify_meta.json — recomputed UNTIMED after the measured
+    // pass (short keys; ~56 chars for the 4 pairs). Quality then rides
+    // the same cross-round artifact as performance. Char budget rule: the
+    // block is DROPPED first if the line would leave the ~1.9k window
+    // (timings out-rank recall), so a failure-heavy round still parses.
+    val recallPairs = Seq(
+      ("e2", "e2_ann_lsh_topk", "e6_ann_lsh_exact", Seq("query_id", "neighbor_id")),
+      ("e4", "e4_ann_ivf_topk", "e5_ann_ivf_exact", Seq("query_id", "neighbor_id")),
+      ("d4", "d4_embedding_near_dups", "d6_embedding_dups_exact", Seq("doc_a", "doc_b")),
+      ("d9", "d9_semantic_dedup", "d6_embedding_dups_exact", Seq("doc_a", "doc_b")))
+    def keySet(name: String, keys: Seq[String]): Option[Set[String]] =
+      try Some(SparkEntry.queries(name)(spark, sfDir)
+        .select(keys.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.mkString("|")).toSet)
+      catch { case _: Throwable => None } // a failed twin just drops its pair
+    val recalls = recallPairs.flatMap { case (short, approx, exact, keys) =>
+      if (!only.forall(o => o.contains(approx) && o.contains(exact))) None
+      else for { a <- keySet(approx, keys); e <- keySet(exact, keys) if e.nonEmpty }
+        yield short -> (a & e).size.toDouble / e.size
+    }
+    // Budget reality at 67 queries: the base line measures ~1875 chars, so
+    // the ~52-char rider exceeds the ~1925 safety ceiling on FULL runs and
+    // auto-drops (it emits on ONLY-mode attribution subsets, where the
+    // query map is small). stderr always carries the numbers, and
+    // verify_meta.json stays the canonical cross-round recall artifact.
+    if (recalls.nonEmpty)
+      System.err.println(s"[bench] recall: ${recalls.map { case (k, v) => s"$k=${s3(v)}" }.mkString(" ")}")
+    val recallJson =
+      if (recalls.isEmpty) ""
+      else s""","recall":${recalls.map { case (k, v) => "\"" + k + "\":" + s3(v) }
+        .mkString("{", ",", "}")}"""
+    def assemble(rider: String): String =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","build_sec":${s3(buildSec)},"cal_ms":$calJson,"cpu_sec":${math.round(cpuSec)}$rider,"errors":$errJson}"""
+    val line = {
+      val withRecall = assemble(recallJson)
+      if (recallJson.nonEmpty && withRecall.length <= 1900) withRecall else assemble("")
+    }
     if (line.length > 1850)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may exceed the 2000-char stdout tail window")
     println(line)
