@@ -346,8 +346,10 @@ object Similarity {
   /** IVF-style coarse quantization: each vector labeled with its nearest
     * Lloyd-refined centroid — the partition key for pruned ANN search. */
   def ivfAssign(vectors: DataFrame, nCentroids: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    assignTo(vectors, ivfCentroids(vectors, nCentroids, idCol, vecCol), idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydIters: Int = 1): DataFrame =
+    assignTo(vectors, ivfCentroids(vectors, nCentroids, idCol, vecCol, lloydIters),
+        idCol, vecCol)
       .select(col(idCol), col(vecCol), col("centroid_id"))
 
   /** Persist an IVF index: Lloyd-refined centroids plus the corpus
@@ -358,9 +360,10 @@ object Similarity {
     * the broadcast probe list — the scan never touches the other
     * nCentroids − nProbe fractions of the corpus). */
   def saveIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydIters: Int = 1): Unit = {
     useNative(corpus)
-    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol).cache()
+    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters).cache()
     try {
       assignTo(corpus, cents, idCol, vecCol)
         .select(col(idCol), col(vecCol), nnorm(col(vecCol)).as("norm"), col("centroid_id"))

@@ -922,6 +922,28 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       "partition pruning must list only the touched __sp dirs")
   }
 
+  test("signature store: missing _layout on a partitioned store fails fast (no silent mis-prune)") {
+    import graft.functions.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_layoutguard").toString
+    val sigDir = s"$root/sigs"
+    val ref = Seq(50L -> "reference body for the layout guard test").toDF("doc_id", "text")
+    Dedup.seedSignatureStore(ref, sigDir)
+    java.nio.file.Files.delete(java.nio.file.Path.of(s"$sigDir/_layout"))
+    // pruned reads would filter __sp with a GUESSED modulus and silently
+    // miss rows — the reader must refuse instead
+    val e = intercept[IllegalStateException] {
+      Dedup.seedSignatureStore(
+        Seq(51L -> "another doc that would need a pruned anti-join").toDF("doc_id", "text"),
+        sigDir)
+    }
+    assert(e.getMessage.contains("_layout"))
+    // restoring the modulus (a single integer) heals without a rewrite
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$sigDir/_layout"), "1024\n")
+    Dedup.seedSignatureStore(
+      Seq(51L -> "another doc that would need a pruned anti-join").toDF("doc_id", "text"), sigDir)
+    assert(spark.read.parquet(sigDir).count() === 2L)
+  }
+
   test("compaction guard: marker excludes stream batches, seeds and second compactions") {
     import graft.functions.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft_guard").toString
