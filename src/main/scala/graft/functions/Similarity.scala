@@ -100,22 +100,44 @@ object Similarity {
 
   /** Margin-ordered multi-probe buckets for the QUERY side (Lv et al.,
     * VLDB 2007): the base signature plus up to `probes` Hamming-1
-    * neighbors, flipping the bits whose hyperplane margin |dot| is
-    * smallest first — those are the bits most likely to land a true
-    * neighbor on the other side. Probing only ever widens the query's
-    * bucket list; the corpus side keeps one bucket per vector, so index
-    * size and the per-bucket join shape are unchanged and candidate
-    * volume grows by at most (1 + probes)×. */
-  private def probeBuckets(vec: Column, planes: Seq[Seq[Double]], probes: Int): Column = {
+    * neighbors — flipping the bits whose hyperplane margin |dot| is
+    * smallest first, those being the bits most likely to land a true
+    * neighbor on the other side — plus up to `probes2` Hamming-2
+    * neighbors (PAIRS of the lowest-margin bits, ordered by combined
+    * margin: the perturbation-sequence idea from the paper truncated at
+    * weight 2). Probing only ever widens the query's bucket list; the
+    * corpus side keeps one bucket per vector, so index size and the
+    * per-bucket join shape are unchanged and candidate volume grows by
+    * at most (1 + probes + probes2)×. Every emitted bucket is distinct
+    * by construction (weight-0/1/2 flips of distinct bit sets differ). */
+  private def probeBuckets(vec: Column, planes: Seq[Seq[Double]], probes: Int,
+      probes2: Int = 0): Column = {
     val base = nativeSignature(vec, planes)
-    if (planes.isEmpty || probes <= 0) array(base)
+    if (planes.isEmpty || (probes <= 0 && probes2 <= 0)) array(base)
     else {
       val masks = array(planes.indices.map(i => lit(1L << i)): _*)
       val margins = array(planes.zipWithIndex.map { case (p, i) =>
         struct(abs(ndot(vec, array(p.map(lit): _*))).as("m"), lit(i).as("i")) }: _*)
-      val flips = transform(slice(sort_array(margins), 1, math.min(probes, planes.size)),
-        s => base.bitwiseXOR(element_at(masks, s.getField("i") + 1)))
-      concat(array(base), flips)
+      val sorted = sort_array(margins)
+      val flips1 =
+        if (probes <= 0) array().cast("array<long>")
+        else transform(slice(sorted, 1, math.min(probes, planes.size)),
+          s => base.bitwiseXOR(element_at(masks, s.getField("i") + 1)))
+      val flips2 =
+        if (probes2 <= 0) array().cast("array<long>")
+        else {
+          // pair pool: the max(probes, 2) lowest-margin bits (the same
+          // window the 1-bit probes draw from), every 2-subset scored by
+          // summed margin, globally re-sorted, truncated at probes2
+          val top = slice(sorted, 1, math.min(math.max(probes, 2), planes.size))
+          val pairs = flatten(transform(top, (s1, i1) =>
+            transform(slice(top, i1 + 2, size(top)), s2 =>
+              struct((s1.getField("m") + s2.getField("m")).as("mm"),
+                base.bitwiseXOR(element_at(masks, s1.getField("i") + 1))
+                  .bitwiseXOR(element_at(masks, s2.getField("i") + 1)).as("b")))))
+          transform(slice(sort_array(pairs), 1, probes2), p => p.getField("b"))
+        }
+      concat(array(base), flips1, flips2)
     }
   }
 
@@ -130,7 +152,7 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       bits: Int = 12, tables: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      probes: Int = 0): DataFrame = {
+      probes: Int = 0, probes2: Int = 0): DataFrame = {
     useNative(queries)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       nnorm(col(vecCol)).as("qn"))
@@ -138,13 +160,13 @@ object Similarity {
       nnorm(col(vecCol)).as("cn"))
     val cands0 = (0 until tables).map { t =>
       val planes = hyperplanes(dim, bits, t, seed)
-      q.withColumn("bucket", explode(probeBuckets(col("qv"), planes, probes)))
+      q.withColumn("bucket", explode(probeBuckets(col("qv"), planes, probes, probes2)))
         .join(c.withColumn("bucket", nativeSignature(col("cv"), planes)), "bucket")
         .drop("bucket")
     }.reduce(_ unionByName _)
       .filter(col("query_id") =!= col("neighbor_id"))
     // single table → one bucket per CORPUS vector and distinct probe
-    // buckets per query (base + distinct single-bit flips) → no duplicate
+    // buckets per query (base + distinct weight-1/2 flips) → no duplicate
     // (q,c) pairs; skip the dedup shuffle (matters for the bits=0
     // exhaustive config)
     val candidates = if (tables == 1) cands0

@@ -426,14 +426,15 @@ object GateQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
     "e2_ann_lsh_topk" -> ((s, d) => {
-      // full Hamming-1 multi-probe (probes = bits): the recall tracking
-      // added in round 8 measured 0.024 without probing on this isotropic
-      // corpus — margin-ordered probes widen query coverage ~11× at the
-      // same index and per-bucket join shape
+      // full Hamming-1 + Hamming-2 multi-probe: recall on this isotropic
+      // corpus measured 0.024 unprobed (round 8), 0.202 with the 10
+      // one-bit probes, 0.514 with the 45 margin-ordered two-bit probes
+      // added (round 9, ~+15% wall) — all query-side widening at the
+      // same index and per-bucket join shape (56 buckets/query/table)
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.lshTopK(
         emb.filter(col("vec_id") < 50), emb, k = 10, dim = 64, bits = 10, tables = 4,
-        probes = 10)
+        probes = 10, probes2 = 45)
     }),
     "e4_ann_ivf_topk" -> ((s, d) => {
       // lloydIters=3: extra Lloyd refinement is INDEX-BUILD cost only

@@ -289,14 +289,23 @@ class PipelineSpec extends AnyFunSuite {
     val r0 = recallAt(0); val r12 = recallAt(12)
     assert(r12 >= r0, s"probing lowered recall: $r0 -> $r12")
     assert(r12 > 0.5, s"full Hamming-1 probing should recover most neighbors here, got $r12")
-    // probed results carry no duplicate (query, neighbor) rows
+    // Hamming-2 probing only ever widens coverage further
+    val r2bit = {
+      val got = Similarity.lshTopK(clustered, clustered, 3, dim, bits = 12, tables = 2,
+          probes = 12, probes2 = 45)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    assert(r2bit >= r12, s"2-bit probing lowered recall: $r12 -> $r2bit")
+    // probed results carry no duplicate (query, neighbor) rows — weight-
+    // 0/1/2 flips of distinct bit sets are distinct buckets per table
     val probed = Similarity.lshTopK(clustered, clustered, 3, dim, bits = 12, tables = 2,
-      probes = 12).collect().map(r => (r.getLong(0), r.getLong(1)))
+      probes = 12, probes2 = 45).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(probed.length === probed.toSet.size)
     // degenerate-exact config (bits = 0): probes have nothing to flip —
     // identical to brute force with or without them (the e6 twin's guard)
     val exact = Similarity.lshTopK(clustered, clustered, 3, dim, bits = 0, tables = 1,
-      probes = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      probes = 10, probes2 = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact === brute)
   }
 
