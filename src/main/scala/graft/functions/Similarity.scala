@@ -188,7 +188,8 @@ object Similarity {
   def cosineDuplicates(vectors: DataFrame, threshold: Double, dim: Int,
       bits: Int = 12, tables: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      exhaustive: Boolean = false): DataFrame = {
+      exhaustive: Boolean = false,
+      probes: Int = 0, probes2: Int = 0): DataFrame = {
     useNative(vectors)
     // Fixed bits do NOT survive corpus growth: per-bucket pair count grows
     // with (n/2^bits)², so 4× data at constant bits ≈ 16× candidate pairs
@@ -218,17 +219,40 @@ object Similarity {
       nnorm(col(vecCol)).as("an"))
     val b = vectors.select(col(idCol).as("doc_b"), col(vecCol).as("bv"),
       nnorm(col(vecCol)).as("bn"))
-    val cands = (0 until nTables).map { t =>
+    // multi-probe (Hamming-1/2, margin-ordered — see [[probeBuckets]])
+    // widens ONE side of the self-join: the probed side's bucket LIST
+    // joins the other side's single base bucket, so index shape and the
+    // per-bucket join are unchanged and candidates grow at most
+    // (1 + probes + probes2)×. Both orientations of a pair are distinct
+    // probe events (a's flips reaching b's bucket ≠ b's flips reaching
+    // a's), so the probed path canonicalizes with least/greatest to keep
+    // BOTH and dedups; the unprobed path keeps the a<b filter, which
+    // needs no dedup shuffle at one table (the exhaustive tier must stay
+    // scan-shaped: a quadratic candidate set streams through codegen,
+    // never a hash exchange).
+    // probes < 0 → full Hamming-1 at the RESOLVED bit width (the adaptive
+    // `bits <= 0` sizing is only known here, so a caller can't spell
+    // "probe every bit" as a literal)
+    val p1 = if (probes < 0) nBits else probes
+    val probed = p1 > 0 || probes2 > 0
+    val raw = (0 until nTables).map { t =>
       val planes = hyperplanes(dim, nBits, t, seed)
-      a.withColumn("bucket", nativeSignature(col("av"), planes))
-        .join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")
+      val aB =
+        if (!probed) a.withColumn("bucket", nativeSignature(col("av"), planes))
+        else a.withColumn("bucket", explode(probeBuckets(col("av"), planes, p1, probes2)))
+      aB.join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")
         .drop("bucket")
     }.reduce(_ unionByName _)
-      .filter(col("doc_a") < col("doc_b"))
-    // one table = one bucket per vector = no duplicate pairs: skip the
-    // dedup shuffle so the exhaustive tier stays scan-shaped (a quadratic
-    // candidate set must stream through codegen, not hash-exchange)
-    val uniq = if (nTables == 1) cands else cands.dropDuplicates("doc_a", "doc_b")
+    val uniq =
+      if (!probed) {
+        val c = raw.filter(col("doc_a") < col("doc_b"))
+        if (nTables == 1) c else c.dropDuplicates("doc_a", "doc_b")
+      } else // cosine is symmetric: ids canonicalize, vectors need no swap
+        raw.filter(col("doc_a") =!= col("doc_b"))
+          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+            col("av"), col("an"), col("bv"), col("bn"))
+          .dropDuplicates("doc_a", "doc_b")
     uniq.withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))

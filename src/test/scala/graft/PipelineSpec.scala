@@ -346,6 +346,19 @@ class PipelineSpec extends AnyFunSuite {
       bits = -1, tables = 8).collect()
     assert(auto.map(r => (r.getLong(0), r.getLong(1))).toSet ===
       rows.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // multi-probe (probes = -1 → full Hamming-1 at the resolved width):
+    // only ever ADDS true pairs — a superset of the unprobed set, still a
+    // subset of the exhaustive exact set, no duplicate rows
+    val exact = Similarity.cosineDuplicates(clustered, threshold = 0.98, dim = dim,
+      exhaustive = true).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probedRows = Similarity.cosineDuplicates(clustered, threshold = 0.98, dim = dim,
+      bits = 6, tables = 8, probes = -1, probes2 = 10).collect()
+    val probedPairs = probedRows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(probedPairs.length === probedPairs.toSet.size, "probed pairs must be deduped")
+    val base = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.subsetOf(probedPairs.toSet), "probing lost pairs the base config found")
+    assert(probedPairs.toSet.subsetOf(exact), "probing can never emit a non-pair")
+    assert(probedPairs.forall(p => p._1 < p._2), "canonical a<b ordering preserved")
   }
 
   test("ivfAssign: one centroid per vector, same-cluster vectors co-assigned") {
