@@ -229,22 +229,11 @@ object Dedup {
   /** Read a single-long marker file (watermarks, layout modulus). Corrupt
     * content reads as absent — every caller's absent-path is the safe
     * re-verify path. */
-  private def readLongFile(spark: org.apache.spark.sql.SparkSession, path: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = hadoopFs(spark, p)
-    if (!fs.exists(p)) None
-    else scala.util.Try {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }.toOption
-  }
+  private def readLongFile(spark: org.apache.spark.sql.SparkSession, path: String): Option[Long] =
+    graft.util.MetaFiles.readLong(spark, path)
 
-  private def writeLongFile(spark: org.apache.spark.sql.SparkSession, path: String, v: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val out = hadoopFs(spark, p).create(p, /*overwrite=*/ true)
-    try out.writeBytes(s"$v\n") finally out.close()
-  }
+  private def writeLongFile(spark: org.apache.spark.sql.SparkSession, path: String, v: Long): Unit =
+    graft.util.MetaFiles.writeLong(spark, path, v)
 
   /** Readers/writers fail fast while a compaction owns the store — the
     * flat rewrite is materialize-then-overwrite, so a read spanning the

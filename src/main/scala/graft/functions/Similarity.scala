@@ -285,16 +285,34 @@ object Similarity {
     * n. The scale-correct default, same lesson as [[cosineDuplicates]]'s
     * adaptive bits (a fixed k at 16× data means 256× pairs); SemDeDup
     * itself grows k with the corpus. n comes from the session-memoized
-    * count (one sizing job per corpus plan). */
+    * count (one sizing job per corpus plan).
+    *
+    * nAssign > 1 = SOFT assignment, the Voronoi-boundary recall lever: a
+    * vector belongs to its nAssign nearest clusters, so a pair split by
+    * a cluster boundary is found whenever ANY cluster is shared.
+    * Measured on the isotropic gate corpus at k=8: recall vs the exact
+    * pair set 0.277 (nAssign=1) → 0.716 (2) → 0.953 (3), at ≤ nAssign²×
+    * pair cost ([[assignTopM]]: one linear min_by pass per extra rank —
+    * never a |corpus|·k window sort). Shared-cluster duplicates are
+    * canonicalized and deduped; nAssign=1 keeps the original
+    * no-dedup-shuffle single-assignment shape. */
   def semanticDedup(vectors: DataFrame, threshold: Double, nClusters: Int,
       maxClusterSize: Long = 100000,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nAssign: Int = 1): DataFrame = {
     useNative(vectors)
     val k =
       if (nClusters >= 1) nClusters
       else math.max(1, math.ceil(corpusCount(vectors) / 256.0).toInt)
-    val cents = ivfCentroids(vectors, k, idCol, vecCol)
-    val assigned = assignTo(vectors, cents, idCol, vecCol)
+    val m = math.min(math.max(nAssign, 1), k) // a pass past k has nothing to assign
+    // materialized eagerly when soft assignment re-reads it per pass
+    // (deterministic lifecycle, as ivfTopK)
+    val cents0 = ivfCentroids(vectors, k, idCol, vecCol)
+    val cents = if (m == 1) cents0 else cents0.localCheckpoint(true)
+    val assigned0 =
+      if (m == 1) assignTo(vectors, cents, idCol, vecCol)
+      else assignTopM(vectors, cents, idCol, vecCol, m)
+    val assigned = assigned0
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         nnorm(col(vecCol)).as("n"), col("centroid_id"))
     val small = assigned.groupBy("centroid_id")
@@ -305,12 +323,44 @@ object Similarity {
       col("v").as("av"), col("n").as("an"))
     val b = in.select(col("centroid_id"), col("id").as("doc_b"),
       col("v").as("bv"), col("n").as("bn"))
-    a.join(b, "centroid_id")
+    val cands = a.join(b, "centroid_id")
       .filter(col("doc_a") < col("doc_b"))
+    // soft assignment finds the same pair in every shared cluster — dedup
+    // BEFORE the per-pair cosine so duplicates cost a shuffle, not dots;
+    // single assignment has no duplicates (each doc in exactly 1 cluster)
+    val uniq = if (m == 1) cands else cands.dropDuplicates("doc_a", "doc_b")
+    uniq
       .withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"),
         col("centroid_id").as("cluster_id"))
+  }
+
+  /** m-nearest-centroid SOFT assignment: one row per (vector, assigned
+    * centroid), via m-1 extra [[assignTo]]-shaped passes that each
+    * exclude the centroids already taken — every pass is crossJoin ×
+    * broadcast + map-side-combining min_by, so each exchange moves
+    * |corpus| rows (NEVER a window sort over |corpus|·k rows; m is 2-3
+    * in practice). Only (idCol, vecCol) ride along. Callers cap m at the
+    * centroid count — a pass with nothing left to assign would silently
+    * drop its vectors from the aggregate. */
+  private def assignTopM(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, m: Int): DataFrame = {
+    var acc = assignTo(vectors.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), array(col("centroid_id")).as("cids"))
+    var j = 1
+    while (j < m) {
+      acc = acc.crossJoin(broadcast(centroids))
+        .filter(!array_contains(col("cids"), col("cid")))
+        .withColumn("d", -ncos(col(vecCol), col("centroid")))
+        .groupBy(col(idCol))
+        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cnext"),
+          first(col(vecCol)).as(vecCol), first(col("cids")).as("cids"))
+        .select(col(idCol), col(vecCol),
+          concat(col("cids"), array(col("cnext"))).as("cids"))
+      j += 1
+    }
+    acc.select(col(idCol), col(vecCol), explode(col("cids")).as("centroid_id"))
   }
 
   /** Nearest-centroid assignment against a broadcast centroid table
@@ -404,17 +454,28 @@ object Similarity {
     * build is the one linear pass; every later [[ivfTopKIndexed]] probe
     * reads ONLY the probed partitions (dynamic partition pruning against
     * the broadcast probe list — the scan never touches the other
-    * nCentroids − nProbe fractions of the corpus). */
+    * nCentroids − nProbe fractions of the corpus). nAssign > 1 indexes
+    * each vector under its nAssign nearest centroids (see [[ivfTopK]] —
+    * recall lever paid in index size, not probe cost); the value is
+    * stamped in `<dir>/_nassign` so [[ivfTopKIndexed]] knows to dedup
+    * candidates. */
   def saveIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      lloydIters: Int = 1): Unit = {
+      lloydIters: Int = 1, nAssign: Int = 1): Unit = {
     useNative(corpus)
+    val m = math.min(math.max(nAssign, 1), nCentroids)
     val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters).cache()
     try {
-      assignTo(corpus, cents, idCol, vecCol)
+      val assigned =
+        if (m == 1) assignTo(corpus, cents, idCol, vecCol)
+        else assignTopM(corpus, cents, idCol, vecCol, m)
+      assigned
         .select(col(idCol), col(vecCol), nnorm(col(vecCol)).as("norm"), col("centroid_id"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/corpus")
       cents.write.mode("overwrite").parquet(s"$dir/centroids")
+      // stamp AFTER the data: probes read it to decide whether candidate
+      // dedup is needed (absence = legacy single-assignment index = 1)
+      graft.util.MetaFiles.writeLong(corpus.sparkSession, s"$dir/_nassign", m.toLong)
     } finally cents.unpersist(blocking = false)
   }
 
@@ -446,8 +507,15 @@ object Similarity {
     val qprobe = probes.withColumn("rk", row_number().over(pw))
       .filter(col("rk") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cid").as("centroid_id"))
-    val scored = indexed.join(broadcast(qprobe), "centroid_id")
+    val cands = indexed.join(broadcast(qprobe), "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
+    // an index built with soft assignment ([[saveIvfIndex]] nAssign > 1,
+    // stamped in _nassign) holds each vector under several centroids —
+    // dedup candidates so duplicate ranks can't evict true neighbors; a
+    // legacy/hard index (stamp absent or 1) skips the extra exchange
+    val softBuilt = graft.util.MetaFiles.readLong(spark, s"$dir/_nassign").exists(_ > 1L)
+    val uniq = if (softBuilt) cands.dropDuplicates("query_id", "neighbor_id") else cands
+    val scored = uniq
       .withColumn("cosine", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -458,11 +526,22 @@ object Similarity {
     * run exact cosine only inside them. The corpus side shuffles once on
     * centroid_id (bucketable/persistable as an index at scale); queries
     * fan out ×nProbe, so the scored row count is ~|q|·nProbe·|corpus|/nlist
-    * instead of |q|·|corpus|. */
+    * instead of |q|·|corpus|.
+    *
+    * nAssign > 1 = redundant (soft) CORPUS assignment, the complement of
+    * the query-side probe lever: each corpus vector is indexed under its
+    * nAssign nearest centroids ([[assignTopM]] — one linear min_by pass
+    * per extra rank), so a true neighbor on a Voronoi boundary is found
+    * even when the query's probe set misses its home cluster. Cost is
+    * nAssign× indexed rows (and ≤ nAssign× scored candidates), NOT more
+    * probes per query — the right trade when the index is built once and
+    * probed many times. Duplicate (query, neighbor) candidates from
+    * shared clusters are deduped BEFORE ranking, so ranks and the top-k
+    * cut are unaffected. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      lloydIters: Int = 1): DataFrame = {
+      lloydIters: Int = 1, nAssign: Int = 1): DataFrame = {
     // materialized EAGERLY: referenced by BOTH the corpus assignment and
     // the query probe subtrees — without it the whole Lloyd index-build
     // pass runs twice. localCheckpoint, not .cache(): the CacheManager
@@ -472,7 +551,11 @@ object Similarity {
     // deterministic-lifecycle trade as minHashDuplicates, stated there. */
     val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters)
       .localCheckpoint(true)
-    val assigned = assignTo(corpus, cents, idCol, vecCol)
+    val m = math.min(math.max(nAssign, 1), nCentroids)
+    val assigned0 =
+      if (m == 1) assignTo(corpus, cents, idCol, vecCol)
+      else assignTopM(corpus, cents, idCol, vecCol, m)
+    val assigned = assigned0
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"),
         nnorm(col(vecCol)).as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -483,8 +566,13 @@ object Similarity {
     val qprobe = probes.withColumn("rk", row_number().over(pw))
       .filter(col("rk") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cid").as("centroid_id"))
-    val scored = qprobe.join(assigned, "centroid_id")
+    val cands = qprobe.join(assigned, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
+    // a neighbor indexed under several probed clusters would occupy
+    // several ranks and push true neighbors out of the top-k cut — dedup
+    // first; single assignment is duplicate-free by construction
+    val uniq = if (m == 1) cands else cands.dropDuplicates("query_id", "neighbor_id")
+    val scored = uniq
       .withColumn("cosine", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

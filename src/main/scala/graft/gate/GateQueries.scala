@@ -438,14 +438,17 @@ object GateQueries {
     }),
     "e4_ann_ivf_topk" -> ((s, d) => {
       // lloydIters=3: extra Lloyd refinement is INDEX-BUILD cost only
-      // (probe cost unchanged) and lifts e4-vs-e5 recall 0.514 → 0.548 on
-      // this isotropic corpus; measured plateau at ~0.550 by 5 iters
-      // (SCALING.md round-9) — the residual is the corpus's own isotropy,
-      // not probe ordering (probes are already centroid-distance-ranked)
+      // (probe cost unchanged), recall 0.514 → 0.548; plateau ~0.550 by 5
+      // iters — the residual was CORPUS-side: boundary vectors indexed in
+      // one cluster the query's probe set misses. nAssign=2 (redundant
+      // corpus assignment, 2× indexed rows — the standard spill-tree
+      // redundancy factor, honest at 100 TB where nAssign multiplies the
+      // index size) recovers them: recall 0.548 → 0.764 at sf0.01 / 0.782
+      // at sf0.1 (0.874/0.884 at nAssign=3 — the knob, not the default)
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.ivfTopK(
         emb.filter(col("vec_id") < 50), emb, k = 10, nCentroids = 16, nProbe = 4,
-        lloydIters = 3)
+        lloydIters = 3, nAssign = 2)
     }),
     "d9_semantic_dedup" -> ((s, d) => {
       // SemDeDup cluster-local pairs at the d4/d6 threshold: approximate
@@ -453,11 +456,13 @@ object GateQueries {
       // tracked as recall vs the d6 exact twin in verify_meta.json.
       // nClusters = -1 → k = ceil(n/256), the constant-cluster-size
       // default: at the sf0.1 bench scale (2,000 vectors) that is the
-      // same k=8 as round 8; at sf0.01 (500 vectors) it coarsens to k=2
-      // (recall vs d6 rises 0.354 → 0.657); at 16× data it keeps
-      // per-cluster pair work constant instead of 256×
+      // same k=8 as round 8; at sf0.01 (500 vectors) it coarsens to k=2;
+      // at 16× data it keeps per-cluster pair work constant instead of
+      // 256×. nAssign = 2 → soft assignment (each vector in its 2
+      // nearest clusters): boundary pairs recovered, recall vs d6
+      // measured 0.277 → 0.716 at k=8 for ≤4× bounded pair cost
       graft.functions.Similarity.semanticDedup(
-        t(s, d, "embeddings"), threshold = 0.35, nClusters = -1)
+        t(s, d, "embeddings"), threshold = 0.35, nClusters = -1, nAssign = 2)
         .select(col("doc_a"), col("doc_b"))
     }),
     "d4_embedding_near_dups" -> ((s, d) => {

@@ -16,9 +16,9 @@ object IvfRecallProbe {
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 50)
-    def topkSet(nProbe: Int, iters: Int): Set[(Long, Long)] =
+    def topkSet(nProbe: Int, iters: Int, nAssign: Int = 1): Set[(Long, Long)] =
       graft.functions.Similarity.ivfTopK(q, emb, k = 10, nCentroids = 16,
-          nProbe = nProbe, lloydIters = iters)
+          nProbe = nProbe, lloydIters = iters, nAssign = nAssign)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = topkSet(16, 1) // full probe = brute force, iters-independent
@@ -26,6 +26,12 @@ object IvfRecallProbe {
       val approx = topkSet(np, iters)
       val rec = (approx & exact).size.toDouble / exact.size
       println(f"RESULT iters=$iters nProbe=$np recall=$rec%.3f")
+    }
+    for (na <- Seq(1, 2, 3); np <- Seq(4)) {
+      val t0 = System.nanoTime()
+      val approx = topkSet(np, iters = 3, nAssign = na)
+      val rec = (approx & exact).size.toDouble / exact.size
+      println(f"RESULT iters=3 nProbe=$np nAssign=$na recall=$rec%.3f wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

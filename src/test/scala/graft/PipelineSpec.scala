@@ -332,6 +332,19 @@ class PipelineSpec extends AnyFunSuite {
     val capped = Similarity.semanticDedup(clustered, threshold = 0.98, nClusters = 1,
       maxClusterSize = 10)
     assert(capped.isEmpty)
+    // soft assignment (nAssign=2): recovers boundary pairs — a superset
+    // of single assignment, a subset of the exact set, deduped, and the
+    // nAssign > k cap degenerates to every-cluster membership safely
+    val hard = Similarity.semanticDedup(clustered, threshold = 0.98, nClusters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val soft = Similarity.semanticDedup(clustered, threshold = 0.98, nClusters = 5,
+      nAssign = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(soft.length === soft.toSet.size, "soft-assignment pairs must be deduped")
+    assert(hard.toSet.subsetOf(soft.toSet), "soft assignment lost single-assignment pairs")
+    assert(soft.toSet.subsetOf(exhaustive), "soft assignment can never emit a non-pair")
+    val everywhere = Similarity.semanticDedup(clustered, threshold = 0.98, nClusters = 2,
+      nAssign = 99).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(everywhere === exhaustive, "nAssign >= k must equal the exhaustive set")
   }
 
   test("cosineDuplicates finds same-cluster near-identical pairs only") {
@@ -414,6 +427,27 @@ class PipelineSpec extends AnyFunSuite {
         lloydIters = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full === brute)
+  }
+
+  test("ivfTopK: soft corpus assignment is deduped, never lowers recall, exhaustive at nAssign=k") {
+    val brute = Similarity.bruteForceTopK(clustered, clustered, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same headroom config as the Lloyd test: narrow probe, surplus centroids
+    def at(nAssign: Int) = Similarity.ivfTopK(clustered, clustered, 3,
+        nCentroids = 8, nProbe = 2, nAssign = nAssign)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hard = at(1); val soft = at(2)
+    assert(soft.length === soft.toSet.size, "soft-assignment top-k must be duplicate-free")
+    // candidates(nAssign=2) ⊇ candidates(nAssign=1) and ranking is true
+    // cosine, so recall vs brute force is monotone in nAssign
+    def recall(s: Set[(Long, Long)]) = (brute intersect s).size.toDouble / brute.size
+    assert(recall(soft.toSet) >= recall(hard.toSet),
+      s"soft assignment lowered recall: ${recall(hard.toSet)} -> ${recall(soft.toSet)}")
+    // every vector in every cluster → ONE probe is already exhaustive
+    val every = Similarity.ivfTopK(clustered, clustered, 3, nCentroids = 5, nProbe = 1,
+        nAssign = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(every === brute)
   }
 
   test("embeddings.parquet end-to-end: brute-force top-3 on real table") {
@@ -718,6 +752,17 @@ class PipelineSpec extends AnyFunSuite {
     val plan = part.queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"indexed probe scan not partition-pruned:\n$plan")
+    // soft-built index: _nassign stamped, probes dedup transparently —
+    // the full-probe ≡ brute identity must survive the redundant rows
+    val softDir = "/tmp/graft_ivf_index_soft_test"
+    Similarity.saveIvfIndex(emb, softDir, nCentroids = 8, nAssign = 2)
+    assert(graft.util.MetaFiles.readLong(spark, s"$softDir/_nassign") === Some(2L))
+    val softFull = Similarity.ivfTopKIndexed(qs, softDir, k = 5, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(softFull.length === softFull.toSet.size, "soft index leaked duplicate neighbors")
+    assert(triples(Similarity.ivfTopKIndexed(qs, softDir, k = 5, nProbe = 8))
+      === triples(Similarity.bruteForceTopK(qs, emb, k = 5)))
   }
 
   test("dedupLines: cross-doc boilerplate lines dropped, within-doc repeats kept") {
