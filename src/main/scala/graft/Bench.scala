@@ -170,24 +170,30 @@ object Bench {
       else for { a <- keySet(approx, keys); e <- keySet(exact, keys) if e.nonEmpty }
         yield short -> (a & e).size.toDouble / e.size
     }
-    // Budget reality at 67 queries: the base line measures ~1875 chars, so
-    // the ~52-char rider exceeds the ~1925 safety ceiling on FULL runs and
-    // auto-drops (it emits on ONLY-mode attribution subsets, where the
-    // query map is small). stderr always carries the numbers, and
-    // verify_meta.json stays the canonical cross-round recall artifact.
+    // Budget reality at 67 queries: base line ~1862 chars with the empty
+    // errors field omitted, so the ~50-char 2-decimal rider fits FULL runs
+    // (~1912 ≤ 1920 cutoff); a failure-heavy round re-grows the line and
+    // the rider auto-drops first. stderr always carries 3-decimal numbers,
+    // and verify_meta.json stays the canonical cross-round recall artifact.
     if (recalls.nonEmpty)
       System.err.println(s"[bench] recall: ${recalls.map { case (k, v) => s"$k=${s3(v)}" }.mkString(" ")}")
+    // in-line recall at 2 decimals (stderr above keeps 3): with the empty
+    // errors field omitted this fits the FULL 67-query run in the window
+    // (measured 1862 + 50-char rider = 1912 ≤ 1920)
     val recallJson =
       if (recalls.isEmpty) ""
-      else s""","recall":${recalls.map { case (k, v) => "\"" + k + "\":" + s3(v) }
+      else s""","recall":${recalls.map { case (k, v) => "\"" + k + "\":" + s2(v) }
         .mkString("{", ",", "}")}"""
+    // errors only when there ARE errors — the empty list spent 12 chars of
+    // the window documenting nothing, and absence parses the same
+    val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""
     def assemble(rider: String): String =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","build_sec":${s3(buildSec)},"cal_ms":$calJson,"cpu_sec":${math.round(cpuSec)}$rider,"errors":$errJson}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","build_sec":${s3(buildSec)},"cal_ms":$calJson,"cpu_sec":${math.round(cpuSec)}$rider$errField}"""
     val line = {
       val withRecall = assemble(recallJson)
-      if (recallJson.nonEmpty && withRecall.length <= 1900) withRecall else assemble("")
+      if (recallJson.nonEmpty && withRecall.length <= 1920) withRecall else assemble("")
     }
-    if (line.length > 1850)
+    if (line.length > 1950)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may exceed the 2000-char stdout tail window")
     println(line)
     spark.stop()
