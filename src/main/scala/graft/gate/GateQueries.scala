@@ -419,6 +419,13 @@ object GateQueries {
       // bigrams on this corpus, and 3-grams are the standard near-dup unit
       graft.functions.Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3, threshold = 0.3)
     }),
+    "d10_dup_ngrams" -> ((s, d) => {
+      // per-doc corpus-duplication report (Lee et al. exact-substring
+      // dedup at word granularity): 5-grams, the paper's reporting unit
+      // order of magnitude; d3's pair tier answers "which docs match",
+      // this answers "how much of EACH doc is duplicated anywhere"
+      graft.functions.Dedup.crossDocNgramStats(t(s, d, "documents"), n = 5)
+    }),
     "e1_ann_bruteforce_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.bruteForceTopK(
@@ -788,6 +795,22 @@ object GateQueries {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3""".stripMargin,
+    // same gram identity as d3 (lowercase, \s+ split, \x01-joined,
+    // per-doc distinct); df aggregated per gram, never self-joined
+    "d10_dup_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] || chr(1) || t[i+3] || chr(1) || t[i+4]
+        |     for i in range(1, len(t) - 3)])) AS gram
+        |  FROM toks
+        |), dfreq AS (SELECT gram, count(*) AS dfc FROM grams GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_ngrams,
+        |  CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams,
+        |  ROUND(CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS dup_ngram_frac
+        |FROM grams JOIN dfreq USING (gram) GROUP BY doc_id""".stripMargin,
     "e1_ann_bruteforce_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

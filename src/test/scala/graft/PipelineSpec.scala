@@ -208,6 +208,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.head.getDouble(2) === 0.5) // {ab,bc} of {ab,bc,cd,ce}
   }
 
+  test("crossDocNgramStats: per-doc duplicated-gram counts, hand-computed") {
+    // bigrams: doc 10 {a_b, b_c, c_d}, doc 11 {a_b, b_x, x_y} (A B lowers
+    // to a b), doc 12 {zz_ww} unique, doc 13 one token -> no row, doc 14
+    // repeats c d -> distinct grams {c_d, d_c}, c_d shared with doc 10
+    val d = Seq(
+      (10L, "a b c d"), (11L, "A B x y"), (12L, "zz ww"),
+      (13L, "solo"), (14L, "c d c d")).toDF("doc_id", "text")
+    val out = Dedup.crossDocNgramStats(d, n = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L, 14L)) // <n tokens -> absent
+    assert(out(10L) === ((3L, 2L, 0.666667))) // a_b (doc 11), c_d (doc 14)
+    assert(out(11L) === ((3L, 1L, 0.333333)))
+    assert(out(12L) === ((1L, 0L, 0.0)))
+    assert(out(14L) === ((2L, 1L, 0.5))) // within-doc repeat counted once
+  }
+
   test("prefix filtering is exact: t=0.4 equals unfiltered join cut at 0.4") {
     // at threshold 0 the prefix is the whole doc → plain postings join
     val full = Dedup.ngramJaccardPairs(corpus, 2, 0.0)
