@@ -68,7 +68,7 @@ object Bench {
     calibrate() // untimed JIT warmup: the first execution compiles the loop;
                 // without it cal[0] reads [slow, fast] on a QUIET VM — the
                 // exact skew the probe exists to flag
-    val calEvery = 32 // 68 queries leave ~40 chars of line headroom; 32 keeps
+    val calEvery = 32 // 69 queries leave little line headroom; 32 keeps
                       // start/mid/end samples (cpu_sec is the second witness)
                       // and frees chars for failed-run errors[] growth
     val calSamples = scala.collection.mutable.ArrayBuffer[Double](calibrate())
@@ -176,10 +176,10 @@ object Bench {
     // stay inside the ~1.9k stdout tail window (1920 cutoff vs the hard
     // 2000); instead of all-or-nothing, shed rider entries one at a time —
     // highest recall first, the tier already closest to its exact twin
-    // carries the least cross-round signal — until the line fits. At 68
-    // queries the base line is ~1883 chars, so 2-3 of the 4 entries ride
-    // a FULL run; verify_meta.json stays the canonical full-precision
-    // recall artifact and a failure-heavy round sheds the rider entirely.
+    // carries the least cross-round signal — until the line fits. At 69
+    // queries the base line is ~1915 chars, so a FULL run usually sheds
+    // the rider entirely (stderr + verify_meta.json stay the canonical
+    // full-precision recall artifacts); subset runs keep all entries.
     def riderOf(rs: Seq[(String, Double)]): String =
       if (rs.isEmpty) ""
       else s""","recall":${rs.map { case (k, v) => "\"" + k + "\":" + s2(v) }

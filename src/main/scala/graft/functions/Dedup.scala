@@ -1115,4 +1115,67 @@ object Dedup {
       .withColumn("dup_ngram_frac",
         round(col("n_dup_ngrams") / col("n_ngrams"), 6))
   }
+
+  /** Exact-substring dedup, the REMOVAL action behind
+    * [[crossDocNgramStats]]'s report (Lee et al. 2021, arXiv:2107.06499,
+    * at word granularity): rewrite every document dropping each token
+    * covered by a word n-gram that also occurs in at least one OTHER
+    * document. Case/whitespace-insensitive gram identity (same
+    * convention as [[ngramJaccardPairs]]: lowercase, split on \s+ with
+    * empties kept, \x01-joined, xxhash64 — a hash stands in for the gram
+    * with collision odds ~|grams|²/2⁶⁴); the OUTPUT keeps each surviving
+    * token's original case, rejoined with single spaces (whitespace runs
+    * are not preserved — this op tokenizes, so its output is
+    * token-normalized by construction).
+    *
+    * Emits (idCol, text_dedup, n_tokens, n_dropped) for EVERY input row
+    * (null text → 0 tokens, empty rewrite). A gram repeated only within
+    * one document is not "duplicated" (document frequency counts
+    * distinct docs), matching the report's df ≥ 2 semantics.
+    *
+    * Shape at scale — everything is linear in token count, no pair join
+    * anywhere: positions explode → df per gram via one countDistinct
+    * aggregation (two-phase, partial map-side) → dup-gram set joined
+    * back on the 8-byte gram key (each occurrence matches ≤1 flag row)
+    * → covered positions (≤ n× dup occurrences) → anti-join on (id,
+    * pos) → one groupBy(id) rebuild. A stopword mega-gram costs its
+    * occurrence rows, never a df² product, so no cap is needed — the
+    * property that lets this run uncapped where d3 needs maxPostings. */
+  def dropDuplicatedNgrams(
+      docs: DataFrame,
+      n: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"dropDuplicatedNgrams: n must be >= 1, got $n")
+    val toksArr = docs.select(col(idCol),
+      coalesce(split(col(textCol), "\\s+"), array().cast("array<string>")).as("t"))
+    // gram occurrences with start position (0-based). sequence() is
+    // guarded: Spark's sequence(0, -1) DESCENDS instead of emitting
+    // empty, so short docs must short-circuit to array()
+    val occ = toksArr.select(col(idCol),
+      posexplode(
+        when(size(col("t")) >= n,
+          transform(sequence(lit(0), size(col("t")) - n),
+            i => xxhash64(lower(array_join(slice(col("t"), i + lit(1), lit(n)), "")))))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "gram")))
+    val dupGrams = occ.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= 2)
+      .select("gram")
+    val covered = occ.join(dupGrams, "gram")
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = toksArr.select(col(idCol), posexplode(col("t")).as(Seq("pos", "tok")))
+    val rebuilt = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_dedup"))
+    toksArr.select(col(idCol), size(col("t")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

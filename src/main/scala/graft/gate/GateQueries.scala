@@ -426,6 +426,12 @@ object GateQueries {
       // this answers "how much of EACH doc is duplicated anywhere"
       graft.functions.Dedup.crossDocNgramStats(t(s, d, "documents"), n = 5)
     }),
+    "d11_dup_ngram_removal" -> ((s, d) => {
+      // the removal action behind d10's report: rewrite docs dropping
+      // every token covered by a cross-doc-duplicated 5-gram (Lee et
+      // al. exact-substring dedup, word granularity)
+      graft.functions.Dedup.dropDuplicatedNgrams(t(s, d, "documents"), n = 5)
+    }),
     "e1_ann_bruteforce_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.bruteForceTopK(
@@ -811,6 +817,39 @@ object GateQueries {
         |  ROUND(CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
         |    AS dup_ngram_frac
         |FROM grams JOIN dfreq USING (gram) GROUP BY doc_id""".stripMargin,
+    // same tokenization as d10 (\s+ split, empties kept, lowercased gram
+    // identity); positions 0-based; output rejoins surviving original-case
+    // tokens with single spaces
+    "d11_dup_ngram_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, coalesce(string_split_regex(text, '\s+'), []) AS t FROM documents
+        |), occ AS (
+        |  SELECT doc_id, unnest([{'pos': i-1, 'gram': lower(
+        |    t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] || chr(1) || t[i+3] || chr(1) || t[i+4])}
+        |    for i in range(1, len(t)-3)], recursive := true)
+        |  FROM toks
+        |), dupg AS (
+        |  SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM occ GROUP BY 1)
+        |  WHERE df >= 2
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, cpos FROM (
+        |    SELECT o.doc_id, unnest(range(o.pos, o.pos+5)) AS cpos
+        |    FROM occ o JOIN dupg USING (gram))
+        |), toku AS (
+        |  SELECT doc_id, unnest([{'pos': i-1, 'tok': t[i]} for i in range(1, len(t)+1)],
+        |    recursive := true) FROM toks
+        |), kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok FROM toku k
+        |  ANTI JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.cpos
+        |), reb AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+        |  FROM kept GROUP BY 1
+        |)
+        |SELECT s.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+        |       CAST(len(s.t) AS BIGINT) AS n_tokens,
+        |       CAST(len(s.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM toks s LEFT JOIN reb r USING (doc_id)""".stripMargin,
     "e1_ann_bruteforce_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

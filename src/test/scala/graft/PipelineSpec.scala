@@ -224,6 +224,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(14L) === ((2L, 1L, 0.5))) // within-doc repeat counted once
   }
 
+  test("dropDuplicatedNgrams: covered tokens removed, case kept, every row present") {
+    // the DuckDB-prototyped fixture: docs 10/11 share the 5-gram
+    // "quick brown fox jumps over" (case-insensitive); 12 unique; 13
+    // too short for any gram; 14 null text
+    val d = Seq(
+      (10L, "The quick brown fox jumps over the lazy dog today"),
+      (11L, "a quick brown fox jumps over me and you my friend"),
+      (12L, "totally unique text with no shared spans at all here"),
+      (13L, "short doc"), (14L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicatedNgrams(d, n = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L, 13L, 14L)) // no row lost
+    assert(out(10L) === (("The the lazy dog today", 10L, 5L))) // original case out
+    assert(out(11L) === (("a me and you my friend", 11L, 5L)))
+    assert(out(12L) === (("totally unique text with no shared spans at all here", 10L, 0L)))
+    assert(out(13L) === (("short doc", 2L, 0L)))  // < n tokens: kept verbatim
+    assert(out(14L) === (("", 0L, 0L)))           // null text: empty rewrite
+    // overlapping dup spans union their covered positions (one gram at
+    // pos 0 and one at pos 2 cover 0..6 of the 8-token doc)
+    val d2 = Seq((1L, "p q r s t u v w"), (2L, "p q r s t"), (3L, "r s t u v"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.dropDuplicatedNgrams(d2, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(1L) === "w")
+    assert(out2(2L) === "" && out2(3L) === "")
+  }
+
   test("prefix filtering is exact: t=0.4 equals unfiltered join cut at 0.4") {
     // at threshold 0 the prefix is the whole doc → plain postings join
     val full = Dedup.ngramJaccardPairs(corpus, 2, 0.0)

@@ -156,6 +156,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"no partial aggregation in:\n$plan")
   }
 
+  test("dropDuplicatedNgrams: linear gram-keyed joins, df aggregated map-side, no pair join") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.functions.Dedup.dropDuplicatedNgrams(docs, n = 5))
+    // every join keys on the 8-byte gram hash or (id, pos) — the shape
+    // that stays linear in token count at any skew. A cross product or
+    // nested-loop join here would be the Σdf² pair blowup this op exists
+    // to avoid (df is aggregated, never self-joined)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"dup-span removal must stay gram/position-keyed:\n$plan")
+    // the df count partial-aggregates before its exchange (map-side
+    // combine bounds the shuffle at |distinct grams|, not |occurrences|)
+    assert(plan.contains("HashAggregate"), s"no partial aggregation in:\n$plan")
+  }
+
   test("n-gram decontamination broadcasts the probe side, never shuffles the corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val probes = docs.filter(col("doc_id") < 5)
