@@ -68,7 +68,7 @@ object Bench {
     calibrate() // untimed JIT warmup: the first execution compiles the loop;
                 // without it cal[0] reads [slow, fast] on a QUIET VM — the
                 // exact skew the probe exists to flag
-    val calEvery = 32 // 69 queries leave little line headroom; 32 keeps
+    val calEvery = 36 // 70 queries leave little line headroom; 36 keeps
                       // start/mid/end samples (cpu_sec is the second witness)
                       // and frees chars for failed-run errors[] growth
     val calSamples = scala.collection.mutable.ArrayBuffer[Double](calibrate())
@@ -125,10 +125,15 @@ object Bench {
     // comma-decimal VM (de_DE etc.) it would emit invalid JSON.
     // ≥ 1 s → 1 decimal (100 ms resolves any regression worth chasing at
     // that magnitude; fine-grained analysis uses isolated REPEAT runs),
-    // < 1 s → 2 decimals (relative precision matters there). Saves ~25
-    // chars across the 67-query map.
-    def s2(d: Double): String = String.format(java.util.Locale.ROOT,
-      if (d >= 1.0) "%.1f" else "%.2f", Double.box(d))
+    // < 1 s → 2 decimals (relative precision matters there); trailing
+    // zeros stripped ("0.60"→"0.6", "3.0"→"3" — same precision, ~7-11
+    // chars back across the 70-query map).
+    def s2(d: Double): String = {
+      val s = String.format(java.util.Locale.ROOT,
+        if (d >= 1.0) "%.1f" else "%.2f", Double.box(d))
+      if (s.contains('.')) { val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t } else s
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(s2) }
       .mkString("{", ",", "}")
     // cap the error list: an N-failure round must not grow the line past
@@ -188,7 +193,7 @@ object Bench {
     // the window documenting nothing, and absence parses the same
     val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""
     def assemble(rider: String): String =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","build_sec":${s3(buildSec)},"cal_ms":$calJson,"cpu_sec":${math.round(cpuSec)}$rider$errField}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","build_sec":${s2(buildSec)},"cal_ms":$calJson,"cpu_sec":${math.round(cpuSec)}$rider$errField}"""
     val line = {
       var keep = recalls
       while (keep.nonEmpty && assemble(riderOf(keep)).length > 1920)

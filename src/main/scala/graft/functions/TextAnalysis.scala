@@ -509,6 +509,47 @@ object TextAnalysis {
         coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
   }
 
+  /** Hashed-free TF-IDF term weights per document — the corpus feature
+    * extraction behind quality classifiers, topic clustering, and
+    * importance sampling over training corpora. Token identity is
+    * [[unigramSurprisal]]'s (lowercase, trim, \s+ split, empties
+    * dropped — shared `corpusTokens` helper, so the two features cannot
+    * drift apart); weight is the smooth-idf formulation
+    * `tf · (ln((N+1)/(df+1)) + 1)` (never negative, never
+    * divide-by-zero), emitted rounded 6dp alongside raw `tf`/`df`.
+    *
+    * `topM > 0` keeps only each document's m heaviest terms (ranked on
+    * the UNROUNDED weight, ties broken by term — deterministic), the
+    * usual sparse-feature truncation; `topM <= 0` emits the full sparse
+    * matrix. Docs with no tokens emit no rows.
+    *
+    * Scale shape: groupBy(id, term) with map-side combine bounds the
+    * first shuffle at |distinct (doc, term)|; df reuses that relation
+    * (one groupBy(term) — never a distinct over raw tokens); N folds in
+    * as a broadcast scalar, not a driver collect; the optional top-m is
+    * a per-doc window on the already-aggregated rows. Three linear
+    * shuffles total, no joins wider than |tf rows|. */
+  def tfidfTerms(docs: DataFrame, topM: Int = 0, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val toks = docs.select(col(idCol),
+      explode(corpusTokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfr, "term").crossJoin(broadcast(nDocs))
+      .withColumn("w",
+        col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+    val cut =
+      if (topM <= 0) scored
+      else scored.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol)).orderBy(desc("w"), col("term"))))
+        .filter(col("rank") <= topM).drop("rank")
+    cut.select(col(idCol), col("term"), col("tf"), col("df"),
+      round(col("w"), 6).as("tfidf"))
+  }
+
   // ---- source interleaving -------------------------------------------------
 
   /** Deterministic weighted interleaving of sources — the training-data

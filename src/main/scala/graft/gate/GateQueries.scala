@@ -383,6 +383,12 @@ object GateQueries {
     "t19_surprisal" -> ((s, d) => {
       graft.functions.TextAnalysis.unigramSurprisal(t(s, d, "documents"))
     }),
+    "t21_tfidf" -> ((s, d) => {
+      // top-10 exercises the rank window (the usual sparse truncation);
+      // ranking is on the unrounded weight with term tiebreak, so the
+      // cut is deterministic on both engines
+      graft.functions.TextAnalysis.tfidfTerms(t(s, d, "documents"), topM = 10)
+    }),
     "t20_line_dedup" -> ((s, d) => {
       // CCNet cross-doc line dedup needs multi-line docs with lines that
       // repeat across docs; the corpus is single-line with unique texts,
@@ -1283,6 +1289,24 @@ object GateQueries {
         |)
         |SELECT d.doc_id, COALESCE(agg.n, 0) AS n_tokens, COALESCE(agg.m, 0.0) AS surprisal
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // token identity shared with t19 (lowercase, trim, \s+, empties
+    // dropped); smooth idf = ln((N+1)/(df+1)) + 1; rank on the UNROUNDED
+    // weight with term tiebreak, round 6dp only in the output
+    "t21_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents
+        |), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term, tf, df,
+        |         tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rk FROM sc
+        |)
+        |SELECT doc_id, term, tf, df, ROUND(w, 6) AS tfidf FROM ranked WHERE rk <= 10""".stripMargin,
     // CCNet line dedup over in-query synthetic multi-line docs (see the
     // t20 Spark side): drop every non-blank normalized line appearing in
     // >= 2 distinct docs, keep blanks and within-doc repeats, rebuild in

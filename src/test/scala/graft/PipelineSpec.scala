@@ -251,6 +251,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out2(2L) === "" && out2(3L) === "")
   }
 
+  test("report/removal coherence: d10 zero-dup docs survive d11 verbatim (modulo whitespace)") {
+    // the two ops share gram identity, so a doc the REPORT calls clean
+    // (n_dup_ngrams = 0) must be untouched by the REMOVAL, and every
+    // doc the report flags must lose at least one token
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stats = Dedup.crossDocNgramStats(docs, n = 5)
+      .select(col("doc_id"), col("n_dup_ngrams")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val removed = Dedup.dropDuplicatedNgrams(docs, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val flagged = stats.filter(_._2 > 0).keySet
+    val touched = removed.filter(_._2 > 0).keySet
+    assert(touched === flagged, s"removal touched ${touched.diff(flagged)} unflagged / " +
+      s"missed ${flagged.diff(touched)} flagged docs")
+    assert(flagged.nonEmpty, "fixture corpus must contain duplicated spans")
+  }
+
   test("prefix filtering is exact: t=0.4 equals unfiltered join cut at 0.4") {
     // at threshold 0 the prefix is the whole doc → plain postings join
     val full = Dedup.ngramJaccardPairs(corpus, 2, 0.0)
@@ -984,5 +1001,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L)._1 === 2L && out(2L)._2 === r6((lnA + lnB) / 2))
     assert(out(3L) === (0L, 0.0))
     assert(out(4L) === (0L, 0.0))
+  }
+
+  test("tfidfTerms: hand-computed smooth-idf weights, topM cut with term tiebreak") {
+    // N=4 docs; df: a→2 (docs 1,2 — case-folded), b→1, c→1; doc 3 empty
+    val docs = docsDF(1L -> "a a b", 2L -> "A c", 3L -> "",
+      4L -> "x y z")
+    def w(tf: Long, df: Long) = tf * (math.log(5.0 / (df + 1)) + 1.0)
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    val full = TextAnalysis.tfidfTerms(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(full((1L, "a")) === ((2L, 2L, r6(w(2, 2)))))
+    assert(full((1L, "b")) === ((1L, 1L, r6(w(1, 1)))))
+    assert(full((2L, "a")) === ((1L, 2L, r6(w(1, 2)))))
+    assert(full((2L, "c")) === ((1L, 1L, r6(w(1, 1)))))
+    assert(!full.keySet.exists(_._1 == 3L)) // token-less doc: no rows
+    // topM=1: doc 1 keeps "a" (w(2,2) ≈ 3.02 > w(1,1) ≈ 1.92); doc 4's
+    // three terms tie exactly (same tf, df) → term order keeps "x"
+    val top1 = TextAnalysis.tfidfTerms(docs, topM = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1(1L) === "a" && top1(2L) === "c" && top1(4L) === "x")
   }
 }

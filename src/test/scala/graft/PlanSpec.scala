@@ -133,6 +133,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), s"no partial agg on the token explode:\n$plan")
   }
 
+  test("tfidfTerms: partial-aggregated tf, broadcast N, term-keyed df join") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.functions.TextAnalysis.tfidfTerms(docs, topM = 10))
+    // tf partial-aggregates the token explode before its exchange
+    // (bounds the shuffle at |distinct (doc, term)|, not |tokens|);
+    // the 1-row N folds in broadcast; df joins back on term only
+    assert(plan.contains("partial_count"), s"no partial agg on the token explode:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"doc count not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
   test("dedupAgainst: banded candidate generation, never a cartesian product") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = planOf(graft.functions.Dedup.dedupAgainst(
