@@ -147,7 +147,8 @@ object Bench {
     // hundreds under load — ms resolution is the witness's working range,
     // and 3-4 chars/sample (vs 5 for "0.010") buys the line-length headroom
     // the 58-query map needs inside the ~1.9k-char window
-    val calJson = calSamples.map(s => math.round(s * 1000).toString).mkString("[", ",", "]")
+    def calJsonOf(xs: Seq[Double]): String =
+      xs.map(s => math.round(s * 1000).toString).mkString("[", ",", "]")
     // cal cadence (calEvery above) is documented in SCALING.md, not the
     // line — "cpu_sec" (integer seconds) took its chars inside the window
     // sf emitted as the basename ("sf0.1"), not the full path: the path
@@ -192,13 +193,20 @@ object Bench {
     // errors only when there ARE errors — the empty list spent 12 chars of
     // the window documenting nothing, and absence parses the same
     val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""
-    def assemble(rider: String): String =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","build_sec":${s2(buildSec)},"cal_ms":$calJson,"cpu_sec":${math.round(cpuSec)}$rider$errField}"""
+    def assemble(rider: String, cal: Seq[Double]): String =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","build_sec":${s2(buildSec)},"cal_ms":${calJsonOf(cal)},"cpu_sec":${math.round(cpuSec)}$rider$errField}"""
     val line = {
       var keep = recalls
-      while (keep.nonEmpty && assemble(riderOf(keep)).length > 1920)
+      while (keep.nonEmpty && assemble(riderOf(keep), calSamples.toSeq).length > 1920)
         keep = keep.patch(keep.indexOf(keep.maxBy(_._2)), Nil, 1)
-      assemble(riderOf(keep))
+      val withCal = assemble(riderOf(keep), calSamples.toSeq)
+      // second-stage shed for failure rounds: errors[] plus "null" timings
+      // re-grow the line after the rider is gone — drop the cal MIDPOINTS
+      // (the start/end witnesses still bracket the run; stderr-less, but a
+      // failing round's forensics run isolated anyway) before risking the
+      // ~1945-char point where the window truncates the line's head
+      if (withCal.length <= 1920 || calSamples.length <= 2) withCal
+      else assemble(riderOf(keep), Seq(calSamples.head, calSamples.last))
     }
     if (line.length > 1950)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may exceed the 2000-char stdout tail window")
