@@ -123,16 +123,15 @@ object Bench {
     // under ~1.9k chars so it survives the window with sbt's trailer.
     // Locale.ROOT: the f interpolator uses the JVM default locale — on a
     // comma-decimal VM (de_DE etc.) it would emit invalid JSON.
-    // ≥ 1 s → 1 decimal (100 ms resolves any regression worth chasing at
-    // that magnitude; fine-grained analysis uses isolated REPEAT runs),
-    // < 1 s → 2 decimals (relative precision matters there); trailing
-    // zeros stripped ("0.60"→"0.6", "3.0"→"3" — same precision, ~7-11
-    // chars back across the 70-query map).
+    // 1 decimal, trailing zeros stripped ("0.60"→"0.6", "3.0"→"3"):
+    // 100 ms resolves any regression worth chasing from this line —
+    // fine-grained attribution uses isolated REPEAT runs (the documented
+    // protocol since round 6). The second decimal on sub-second values
+    // spent ~45 chars of the window at 70 queries; that headroom is what
+    // lets a new gate land without re-engineering the line every round.
     def s2(d: Double): String = {
-      val s = String.format(java.util.Locale.ROOT,
-        if (d >= 1.0) "%.1f" else "%.2f", Double.box(d))
-      if (s.contains('.')) { val t = s.reverse.dropWhile(_ == '0').reverse
-        if (t.endsWith(".")) t.dropRight(1) else t } else s
+      val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+      if (s.endsWith(".0")) s.dropRight(2) else s
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(s2) }
       .mkString("{", ",", "}")
@@ -188,7 +187,8 @@ object Bench {
     // full-precision recall artifacts); subset runs keep all entries.
     def riderOf(rs: Seq[(String, Double)]): String =
       if (rs.isEmpty) ""
-      else s""","recall":${rs.map { case (k, v) => "\"" + k + "\":" + s2(v) }
+      else s""","recall":${rs.map { case (k, v) => "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
         .mkString("{", ",", "}")}"""
     // errors only when there ARE errors — the empty list spent 12 chars of
     // the window documenting nothing, and absence parses the same

@@ -550,6 +550,48 @@ object TextAnalysis {
       round(col("w"), 6).as("tfidf"))
   }
 
+  /** Okapi BM25 term weights per document — [[tfidfTerms]]'s
+    * retrieval-grade sibling (the scorer behind retrieval-based
+    * decontamination and quality ranking): tf saturates at k1 and is
+    * normalized by document length against the corpus mean
+    * (`b` = how much), idf is the non-negative "Lucene" form
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))`. Same token identity and
+    * `topM` contract as [[tfidfTerms]]; emits
+    * (idCol, term, tf, df, dl, bm25) with `dl` the doc's token count.
+    *
+    * Scale shape = tfidf's plus one extra LINEAR join: doc length
+    * derives from the tf relation (one groupBy(id) over already-
+    * aggregated rows, joined back on id), and the two corpus scalars
+    * (N, mean dl) fold in as one broadcast row — computed as
+    * exact-integer sum/count so the oracle reproduces the double
+    * bit-for-bit. */
+  def bm25Terms(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+      topM: Int = 0, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val toks = docs.select(col(idCol),
+      explode(corpusTokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val scalars = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avg_dl")))
+    val scored = tf.join(dfr, "term").join(dl, idCol)
+      .crossJoin(broadcast(scalars))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avg_dl"))))
+    val cut =
+      if (topM <= 0) scored
+      else scored.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol)).orderBy(desc("w"), col("term"))))
+        .filter(col("rank") <= topM).drop("rank")
+    cut.select(col(idCol), col("term"), col("tf"), col("df"), col("dl"),
+      round(col("w"), 6).as("bm25"))
+  }
+
   // ---- source interleaving -------------------------------------------------
 
   /** Deterministic weighted interleaving of sources — the training-data

@@ -389,6 +389,10 @@ object GateQueries {
       // cut is deterministic on both engines
       graft.functions.TextAnalysis.tfidfTerms(t(s, d, "documents"), topM = 10)
     }),
+    "t22_bm25" -> ((s, d) => {
+      // default k1=1.2, b=0.75 (the standard Okapi operating point)
+      graft.functions.TextAnalysis.bm25Terms(t(s, d, "documents"), topM = 10)
+    }),
     "t20_line_dedup" -> ((s, d) => {
       // CCNet cross-doc line dedup needs multi-line docs with lines that
       // repeat across docs; the corpus is single-line with unique texts,
@@ -1307,6 +1311,28 @@ object GateQueries {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rk FROM sc
         |)
         |SELECT doc_id, term, tf, df, ROUND(w, 6) AS tfidf FROM ranked WHERE rk <= 10""".stripMargin,
+    // BM25 (Okapi, Lucene non-negative idf), k1=1.2 b=0.75; identical
+    // expression STRUCTURE to the Spark side so the double is
+    // reproduced bit-for-bit (integer-exact sum/count for avg_dl, same
+    // operator grouping); rank on unrounded w, term tiebreak
+    "t22_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents
+        |), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dls AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avg_dl FROM dls),
+        |sc AS (
+        |  SELECT doc_id, term, tf, df, dl,
+        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |           / (tf + 1.2 * (0.25 + 0.75 * dl / avg_dl)) AS w
+        |  FROM tf JOIN dfq USING (term) JOIN dls USING (doc_id) CROSS JOIN n CROSS JOIN ad
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rk FROM sc
+        |)
+        |SELECT doc_id, term, tf, df, dl, ROUND(w, 6) AS bm25 FROM ranked WHERE rk <= 10""".stripMargin,
     // CCNet line dedup over in-query synthetic multi-line docs (see the
     // t20 Spark side): drop every non-blank normalized line appearing in
     // >= 2 distinct docs, keep blanks and within-doc repeats, rebuild in

@@ -1023,4 +1023,30 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(top1(1L) === "a" && top1(2L) === "c" && top1(4L) === "x")
   }
+
+  test("bm25Terms: hand-computed Okapi weights with length normalization") {
+    // N=3; corpus: doc 1 "a a b" (dl 3), doc 2 "a c" (dl 2), doc 3 "c c c c c" (dl 5)
+    // avg_dl = 10/3; df: a→2, b→1, c→2
+    val docs = docsDF(1L -> "a a b", 2L -> "a c", 3L -> "c c c c c")
+    def w(tf: Long, df: Long, dl: Long) = {
+      val idf = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+      val avg = 10.0 / 3
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
+    }
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    val out = TextAnalysis.bm25Terms(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out((1L, "a")) === ((2L, 2L, 3L, r6(w(2, 2, 3)))))
+    assert(out((1L, "b")) === ((1L, 1L, 3L, r6(w(1, 1, 3)))))
+    assert(out((2L, "c")) === ((1L, 2L, 2L, r6(w(1, 2, 2)))))
+    assert(out((3L, "c")) === ((5L, 2L, 5L, r6(w(5, 2, 5)))))
+    // saturation: tf 5 in a LONG doc must score under 5x the tf-1 weight
+    // in a short one (that's the k1/b point of BM25 vs raw tf)
+    assert(out((3L, "c"))._4 < 5 * out((2L, "c"))._4)
+    // rarer term outranks commoner at equal tf/dl: doc 1 top-1 is "b"
+    val top1 = TextAnalysis.bm25Terms(docs, topM = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1(1L) === "b")
+  }
 }
