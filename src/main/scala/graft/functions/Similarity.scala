@@ -479,6 +479,72 @@ object Similarity {
     } finally cents.unpersist(blocking = false)
   }
 
+  /** Append one (micro-)batch of vectors to a [[saveIvfIndex]] index:
+    * assign against the FROZEN quantizer (the on-disk centroid table —
+    * streaming ingest never re-trains; re-train by rebuilding the index,
+    * the compaction analogue), honoring the index's stamped nAssign, and
+    * append into the centroid-partitioned corpus. Crash contract is
+    * at-least-once: the per-batch `_batches/b<id>` marker skips clean
+    * replays, and a crash between data append and marker can only
+    * duplicate rows — which probes collapse deterministically once the
+    * `_streamed` stamp (written BEFORE the first appended row becomes
+    * visible) switches [[ivfTopKIndexed]] to max-cosine-per-neighbor
+    * candidate dedup. Net: at-least-once appends, exactly-once query
+    * semantics, no store-wide anti-join in the batch path. */
+  private[graft] def appendToIvfIndex(batch: DataFrame, dir: String,
+      batchId: Long, idCol: String, vecCol: String): Unit = {
+    useNative(batch)
+    val spark = batch.sparkSession
+    val marker = s"$dir/_batches/b$batchId"
+    if (graft.util.MetaFiles.readLong(spark, marker).nonEmpty) return
+    val cents = spark.read.parquet(s"$dir/centroids")
+    // fail fast on a dimension mismatch with the index (ncos over unequal
+    // lengths zip-truncates — a silent recall collapse, not an error)
+    val batchDim = batch.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+      .limit(1).collect().headOption.map(_.getInt(0))
+    val centDim = cents.select(size(col("centroid")).as("d"))
+      .limit(1).collect().headOption.map(_.getInt(0))
+    (batchDim, centDim) match {
+      case (Some(b), Some(c)) if b != c => throw new IllegalStateException(
+        s"appendToIvfIndex: batch vectors are $b-dimensional but the index at " +
+          s"$dir was built on $c-dimensional vectors")
+      case _ => ()
+    }
+    val m = graft.util.MetaFiles.readLong(spark, s"$dir/_nassign").getOrElse(1L).toInt
+    val vecs = batch.select(col(idCol), col(vecCol))
+    val assigned =
+      if (m <= 1) assignTo(vecs, cents, idCol, vecCol)
+      else assignTopM(vecs, cents, idCol, vecCol, m)
+    graft.util.MetaFiles.writeLong(spark, s"$dir/_streamed", 1L)
+    assigned
+      .select(col(idCol), col(vecCol), nnorm(col(vecCol)).as("norm"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(s"$dir/corpus")
+    graft.util.MetaFiles.writeLong(spark, marker, 1L)
+  }
+
+  /** Structured-Streaming maintenance of a [[saveIvfIndex]] index: each
+    * micro-batch of arriving vectors is quantized against the frozen
+    * centroids and appended to the probed-partition layout, so
+    * [[ivfTopKIndexed]] sees new vectors as soon as their batch commits —
+    * similarity search over a corpus that never stops growing, the same
+    * ingest shape as [[graft.functions.Dedup.minHashDedupStream]].
+    *
+    * Per-batch cost is O(|batch| · nlist) assignment work and one
+    * partitioned append — nothing reads O(|corpus|). Quantizer drift is
+    * the documented trade (new vectors far from every trained centroid
+    * crowd the nearest partition); rebuild the index periodically with
+    * [[saveIvfIndex]] over the accumulated corpus — that rewrite is the
+    * compaction step, and the `_batches` markers plus checkpoint dir
+    * should be cleared with it. */
+  def ivfIndexStream(vectors: DataFrame, dir: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendToIvfIndex(batch.toDF(), dir, batchId, idCol, vecCol)
+      }.start()
+
   /** IVF top-k against a [[saveIvfIndex]] index: per query, pick the
     * nProbe nearest centroids (centroid table broadcast — |nlist| rows),
     * then score exactly ONLY inside those corpus partitions. Same output
@@ -512,11 +578,22 @@ object Similarity {
     // an index built with soft assignment ([[saveIvfIndex]] nAssign > 1,
     // stamped in _nassign) holds each vector under several centroids —
     // dedup candidates so duplicate ranks can't evict true neighbors; a
-    // legacy/hard index (stamp absent or 1) skips the extra exchange
+    // legacy/hard index (stamp absent or 1) skips the extra exchange.
+    // A STREAM-MAINTAINED index (_streamed stamp, [[ivfIndexStream]])
+    // may additionally hold several VERSIONS of an id (at-least-once
+    // appends, re-ingest with a changed vector) whose cosines differ, so
+    // the value-blind dropDuplicates would pick nondeterministically —
+    // collapse AFTER scoring to max cosine per (query, neighbor) instead
+    // (deterministic, and a stale version can never outrank the best one)
     val softBuilt = graft.util.MetaFiles.readLong(spark, s"$dir/_nassign").exists(_ > 1L)
-    val uniq = if (softBuilt) cands.dropDuplicates("query_id", "neighbor_id") else cands
-    val scored = uniq
+    val streamed = graft.util.MetaFiles.readLong(spark, s"$dir/_streamed").nonEmpty
+    val uniq = if (softBuilt && !streamed)
+      cands.dropDuplicates("query_id", "neighbor_id") else cands
+    val scored0 = uniq
       .withColumn("cosine", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val scored = if (!streamed) scored0
+      else scored0.groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))

@@ -1101,6 +1101,54 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(oneHop.nonEmpty && oneHop.forall(d => fs(d) === 1L))
   }
 
+  test("ivfIndexStream: streamed vectors are probe-visible; full-probe stays exact; replay is harmless") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    val dir = s"$base/index"; val in = s"$base/in"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(in))
+    val seed = emb.filter(col("vec_id") % 2 === 0)
+    val late = emb.filter(col("vec_id") % 2 === 1)
+    graft.functions.Similarity.saveIvfIndex(seed, dir, nCentroids = 8)
+    // stream the other half in two file-source micro-batches
+    late.filter(col("vec_id") < 250).write.parquet(s"$in/b0")
+    val src = spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", "64")
+      .parquet(s"$in/*")
+    val q = graft.functions.Similarity.ivfIndexStream(src, dir, ckpt)
+    try {
+      q.processAllAvailable()
+      late.filter(col("vec_id") >= 250).write.parquet(s"$in/b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.util.MetaFiles.readLong(spark, s"$dir/_streamed") === Some(1L))
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val qs = emb.filter(col("vec_id") < 10)
+    // full probe through the grown index ≡ brute force over the UNION
+    // corpus — streamed rows are first-class index citizens
+    assert(triples(graft.functions.Similarity.ivfTopKIndexed(qs, dir, k = 5, nProbe = 8))
+      === triples(graft.functions.Similarity.bruteForceTopK(qs, emb, k = 5)))
+    // a replayed batch id is skipped outright (marker), so the corpus
+    // does not grow
+    val before = spark.read.parquet(s"$dir/corpus").count()
+    graft.functions.Similarity.appendToIvfIndex(
+      late.filter(col("vec_id") >= 250), dir, batchId = 1L, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$dir/corpus").count() === before)
+    // a crash-style duplicate (same rows, NEW batch id — marker never
+    // written) grows the corpus but not the answer: max-cosine collapse
+    // keeps query semantics exactly-once
+    graft.functions.Similarity.appendToIvfIndex(
+      late.filter(col("vec_id") >= 250), dir, batchId = 99L, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$dir/corpus").count() > before)
+    assert(triples(graft.functions.Similarity.ivfTopKIndexed(qs, dir, k = 5, nProbe = 8))
+      === triples(graft.functions.Similarity.bruteForceTopK(qs, emb, k = 5)))
+    // dimension mismatch fails fast instead of silently zip-truncating
+    val wrong = Seq((90001L, Array.fill(3)(0.5f))).toDF("vec_id", "embedding")
+    intercept[IllegalStateException] {
+      graft.functions.Similarity.appendToIvfIndex(wrong, dir, batchId = 100L, "vec_id", "embedding")
+    }
+  }
+
   test("MIW/CW: deterministic mail graph, ingest count and 1-hop shape") {
     val path = MailGraph.generate("/tmp/graft_mail_test.txt", edges = 10000, nodes = 1000)
     val g = MailGraph.miw(spark, path)
