@@ -214,4 +214,51 @@ object GraphAnalytics {
   def degreeHistogram(g: PropertyGraph): DataFrame =
     g.edges.filter(col("dir")).groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+
+  /** Per-node triangle counts over an UNDIRECTED edge list — the
+    * clustering/cohesion primitive behind community detection and
+    * spam-graph features. Input rows are (uCol, vCol) pairs in any
+    * orientation, self-loops and duplicates tolerated (canonicalized
+    * and distinct'ed first). Emits (node, n_triangles) for every node
+    * in at least one triangle.
+    *
+    * Scale shape — the degree-ordered orientation (Chiba–Nishizeki /
+    * "node-iterator++", the standard distributed formulation): every
+    * edge points from its (degree, id)-smaller endpoint to the larger,
+    * so each triangle {x ≺ y ≺ z} is found exactly once as a wedge at
+    * x closed by the oriented edge y→z. The wedge self-join fans out
+    * Σ outdeg² rows, and orientation bounds every outdeg at O(√m) —
+    * a celebrity node RECEIVES its million edges instead of emitting a
+    * million-squared wedge set; that bound is the whole trick and is
+    * what makes this runnable on a 100 TB co-occurrence graph. Wedges
+    * then semi-join the oriented edges on (y, z): three hash shuffles
+    * (degree agg, wedge join, closing join), no cartesian anywhere. */
+  def triangleCounts(edges: DataFrame, uCol: String = "u", vCol: String = "v"): DataFrame = {
+    val e = edges
+      .select(least(col(uCol), col(vCol)).as("a"), greatest(col(uCol), col(vCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // total order ≺ = (degree, id), carried as a comparable struct so no
+    // global rank window is ever needed
+    val keyed = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"),
+        struct(col("da").as("d"), col("a").as("i")).as("ka"),
+        struct(col("db").as("d"), col("b").as("i")).as("kb"))
+    val oriented = keyed.select(
+      when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+      when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+      when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst"))
+    val wedges = oriented.select(col("src"), col("dst").as("y"), col("kdst").as("ky"))
+      .join(oriented.select(col("src"), col("dst").as("z"), col("kdst").as("kz")), "src")
+      .filter(col("ky") < col("kz"))
+      .select(col("src").as("x"), col("y"), col("z"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"), "left_semi")
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

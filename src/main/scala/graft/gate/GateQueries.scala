@@ -620,6 +620,23 @@ object GateQueries {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
 
+    "a6_triangles" -> ((s, d) => {
+      // per-part triangle counts over the co-purchase graph (parts
+      // sharing an order) — the clustering-coefficient primitive, via
+      // the degree-ordered orientation (outdeg ≤ O(√m) per wedge source).
+      // Gate input = every 4th order: the FULL sf0.1 co-purchase graph
+      // is 1.2M edges at mean degree 120 (~70M wedges, ~23 s) — correct
+      // but out of scale with the rest of the bench; the quarter keeps
+      // the same code path at ~(1/16)× wedge volume, and the oracle
+      // applies the identical cut
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.toDF("ok", "u"); val b = li.toDF("ok", "v")
+      val e = a.join(b, "ok").filter(col("u") < col("v")).select("u", "v")
+      graft.analytics.GraphAnalytics.triangleCounts(e)
+    }),
+
     // ---- multimodal plumbing (stubbed codec, real batch pipeline) ---------
     "m1_media_features" -> ((s, d) => {
       val media = graft.functions.Multimodal.synthesize(
@@ -696,6 +713,23 @@ object GateQueries {
 
   val oracles: Map[String, String] = Map(
     "a5_pagerank" -> pageRankOracleSql(5),
+    // canonical a<b edges; each triangle x<y<z found once as
+    // e(x,y)+e(y,z)+e(x,z); per-node counts via 3-way unpivot
+    "a6_triangles" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+        |), e AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+        |GROUP BY node""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order,
         |SUM(l_quantity) AS sum_qty,

@@ -1051,6 +1051,22 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("triangleCounts: hand-computed triangles; duplicates, reversals and self-loops tolerated") {
+    // triangles {1,2,3} and {3,4,5}; (5,6) dangles; (2,1) re-states an
+    // edge reversed, (3,3) is a self-loop — both must be inert
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (5L, 6L), (2L, 1L), (3L, 3L)).toDF("u", "v")
+    val out = GraphAnalytics.triangleCounts(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+    // K4 = 4 triangles, 3 per node — the wedge/orientation bookkeeping
+    // must not double- or under-count when every wedge closes
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)).toDF("u", "v")
+    val k4out = GraphAnalytics.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k4out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("pageRankStatic matches a hand-rolled power iteration + rank-sum normalization") {
     // star + chain: 0→1, 0→2, 2→3 (ranges irrelevant to rank)
     val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
