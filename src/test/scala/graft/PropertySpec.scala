@@ -306,4 +306,27 @@ class PropertySpec extends AnyFunSuite {
     assert(salted === plain)
     assert(plain.size === 1002) // 500×2 hot-key combos + 2×1 for key 1
   }
+
+  test("triangleCounts ≡ brute-force 3-way enumeration on random graphs") {
+    import spark.implicits._
+    val genEdges: Gen[List[(Long, Long)]] =
+      Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 11L); v <- Gen.choose(0L, 11L)
+      } yield (u, v)))
+    check("triangles", Prop.forAll(genEdges) { raw =>
+      // brute truth: canonical undirected edge set, enumerate x<y<z
+      val es = raw.collect { case (u, v) if u != v =>
+        (math.min(u, v), math.max(u, v)) }.toSet
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val truth = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for {
+        x <- nodes; y <- nodes if x < y && es((x, y))
+        z <- nodes if y < z && es((y, z)) && es((x, z))
+      } { truth(x) += 1; truth(y) += 1; truth(z) += 1 }
+      val got = graft.analytics.GraphAnalytics.triangleCounts(
+          raw.toDF("u", "v")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == truth.toMap
+    })
+  }
 }
