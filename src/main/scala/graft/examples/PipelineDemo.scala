@@ -45,8 +45,18 @@ object PipelineDemo {
     // 3. near-dup dedup: pairs → connected families → min-id keepers
     val pairs = Dedup.minHashDuplicates(filtered, threshold = 0.8)
     val clusters = Dedup.duplicateClusters(pairs)
-    val deduped = Dedup.keepRepresentatives(filtered, clusters)
-    println(s"near-dup pairs: ${pairs.count()}, after dedup: ${deduped.count()}")
+    val deduped0 = Dedup.keepRepresentatives(filtered, clusters)
+    println(s"near-dup pairs: ${pairs.count()}, after dedup: ${deduped0.count()}")
+
+    // 3b. exact-substring pass (Lee et al.): drop spans duplicated across
+    // the surviving docs — catches boilerplate assembly that pairwise
+    // dedup can't see
+    val scrubbed = Dedup.dropDuplicatedNgrams(deduped0, n = 5)
+    val nDropped = scrubbed.agg(sum("n_dropped")).head().getLong(0)
+    val deduped = deduped0.drop("text")
+      .join(scrubbed.select(col("doc_id"), col("text_dedup").as("text")), "doc_id")
+    println(s"duplicated-span scrub: $nDropped tokens dropped across " +
+      s"${scrubbed.filter(col("n_dropped") > 0).count()} docs")
 
     // 4. decontaminate vs a benchmark probe set (here: slices of 3 docs)
     val probes = docs.filter(col("doc_id") < 3)
@@ -63,13 +73,24 @@ object PipelineDemo {
     println(s"within budget: ${budgeted.count()} docs, " +
       s"chunks: ${packed.select("shard", "chunk_id").distinct().count()}")
 
-    // 6. embeddings: build the on-disk IVF index once, probe it
+    // 5b. retrieval-grade term weights on the final corpus (the features
+    // a quality classifier or topic sampler consumes)
+    val terms = TextAnalysis.bm25Terms(clean, topM = 3)
+    println(s"bm25 top-3 terms: ${terms.count()} rows; heaviest overall:")
+    terms.orderBy(desc("bm25")).show(3, truncate = false)
+
+    // 6. embeddings: build the on-disk IVF index once, probe it; then
+    // grow it with a "late-arriving" batch the way ivfIndexStream's
+    // micro-batches do — the new vectors are probe-visible immediately
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val ivfDir = "/tmp/graft_pipeline_demo_ivf"
-    Similarity.saveIvfIndex(emb, ivfDir, nCentroids = 8)
+    val seed = emb.filter(col("vec_id") % 2 === 0)
+    Similarity.saveIvfIndex(seed, ivfDir, nCentroids = 8)
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") % 2 === 1), ivfDir, batchId = 0L, "vec_id", "embedding")
     val hits = Similarity.ivfTopKIndexed(
       emb.filter(col("vec_id") < 5), ivfDir, k = 3, nProbe = 2)
-    println(s"ANN probe results: ${hits.count()} (5 queries × k=3)")
+    println(s"ANN probe results over the streamed-into index: ${hits.count()} (5 queries × k=3)")
     hits.show(6, truncate = false)
 
     // 7. multimodal: REAL PNGs (built from doc stats), decoded + resized
