@@ -68,7 +68,7 @@ object Bench {
     calibrate() // untimed JIT warmup: the first execution compiles the loop;
                 // without it cal[0] reads [slow, fast] on a QUIET VM — the
                 // exact skew the probe exists to flag
-    val calEvery = 36 // 70 queries leave little line headroom; 36 keeps
+    val calEvery = 36 // 72 queries leave little line headroom; 36 keeps
                       // start/mid/end samples (cpu_sec is the second witness)
                       // and frees chars for failed-run errors[] growth
     val calSamples = scala.collection.mutable.ArrayBuffer[Double](calibrate())
@@ -127,7 +127,7 @@ object Bench {
     // 100 ms resolves any regression worth chasing from this line —
     // fine-grained attribution uses isolated REPEAT runs (the documented
     // protocol since round 6). The second decimal on sub-second values
-    // spent ~45 chars of the window at 70 queries; that headroom is what
+    // spent ~45 chars of the window at 70+ queries; that headroom is what
     // lets a new gate land without re-engineering the line every round.
     def s2(d: Double): String = {
       val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
@@ -181,10 +181,10 @@ object Bench {
     // stay inside the ~1.9k stdout tail window (1920 cutoff vs the hard
     // 2000); instead of all-or-nothing, shed rider entries one at a time —
     // highest recall first, the tier already closest to its exact twin
-    // carries the least cross-round signal — until the line fits. At 69
-    // queries the base line is ~1915 chars, so a FULL run usually sheds
-    // the rider entirely (stderr + verify_meta.json stay the canonical
-    // full-precision recall artifacts); subset runs keep all entries.
+    // carries the least cross-round signal — until the line fits. At 72
+    // queries with 1-decimal timings the base line is ~1900 chars, so a
+    // FULL run keeps 0-1 of the 4 entries (stderr + verify_meta.json stay
+    // the canonical full-precision artifacts); subset runs keep all.
     def riderOf(rs: Seq[(String, Double)]): String =
       if (rs.isEmpty) ""
       else s""","recall":${rs.map { case (k, v) => "\"" + k + "\":" +
