@@ -261,4 +261,60 @@ object GraphAnalytics {
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Local clustering coefficient per node: 2·triangles / (deg·(deg−1)),
+    * the fraction of a node's neighbor pairs that are themselves
+    * connected — [[triangleCounts]] normalized by the wedge count. Nodes
+    * of degree ≤ 1 have no wedge and emit coefficient 0. Cost =
+    * triangleCounts + one degree aggregation + one join on node. */
+  def clusteringCoefficient(edges: DataFrame, uCol: String = "u", vCol: String = "v"): DataFrame = {
+    val e = edges
+      .select(least(col(uCol), col(vCol)).as("a"), greatest(col(uCol), col(vCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(e, "a", "b"), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 6)).otherwise(lit(0.0))
+          .as("clustering_coef"))
+  }
+
+  /** Bounded k-core peeling: `iters` rounds of "drop every node with
+    * degree < k (and its edges), recompute" — after enough rounds this
+    * IS the k-core (the maximal subgraph of min-degree ≥ k, the standard
+    * cohesion filter); a FIXED round count keeps the computation
+    * deterministic and lets an external oracle unroll the same rounds
+    * (the [[pageRankStatic]] trade). Returns the surviving edge list
+    * (a, b), a < b. Each round is one degree aggregation + two
+    * semi-joins — linear; lineage is cut per round (`localCheckpoint`)
+    * so plan depth stays constant, the iterative-op idiom used by
+    * `walkPaths`/`ivfCentroids`. Convergence: if a round removes no
+    * node the loop exits early (the result is already the k-core). */
+  def kCoreEdges(edges: DataFrame, k: Int, iters: Int,
+      uCol: String = "u", vCol: String = "v"): DataFrame = {
+    require(k >= 1 && iters >= 1, s"kCoreEdges: need k >= 1, iters >= 1 (got $k, $iters)")
+    var e = edges
+      .select(least(col(uCol), col(vCol)).as("a"), greatest(col(uCol), col(vCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct().localCheckpoint(true)
+    var i = 0
+    var done = false
+    while (i < iters && !done) {
+      val keep = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d")).filter(col("d") >= k)
+        .select("n")
+      val next = e
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select("a", "b").localCheckpoint(true)
+      if (next.count() == e.count()) done = true
+      e = next
+      i += 1
+    }
+    e
+  }
 }

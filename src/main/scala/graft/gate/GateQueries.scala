@@ -637,6 +637,18 @@ object GateQueries {
       graft.analytics.GraphAnalytics.triangleCounts(e)
     }),
 
+    "a7_kcore" -> ((s, d) => {
+      // surviving co-purchase edges after 6 rounds of k=16 peeling (the
+      // fixpoint on this graph — measured stable from round 6); same
+      // quarter-of-orders cut as a6, identical in the oracle
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.toDF("ok", "u"); val b = li.toDF("ok", "v")
+      val e = a.join(b, "ok").filter(col("u") < col("v")).select("u", "v")
+      graft.analytics.GraphAnalytics.kCoreEdges(e, k = 16, iters = 6)
+    }),
+
     // ---- multimodal plumbing (stubbed codec, real batch pipeline) ---------
     "m1_media_features" -> ((s, d) => {
       val media = graft.functions.Multimodal.synthesize(
@@ -711,8 +723,39 @@ object GateQueries {
        |FROM pr$numIter""".stripMargin
   }
 
+  // bounded k-core peeling, unrolled like the pagerank power iteration:
+  // each round keeps nodes of degree >= k in the CURRENT edge set
+  private def kCoreOracleSql(k: Int, iters: Int): String = {
+    // every CTE is MATERIALIZED: the default inlining re-evaluates the
+    // whole peeling prefix at EVERY reference (each round references its
+    // predecessor 3x), which is exponential in rounds — measured as a
+    // "too many open files" parquet-reopen storm at 6 rounds; with
+    // materialization the oracle runs in ~0.1 s
+    val rounds = (1 to iters).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT n FROM (
+         |    SELECT n, count(*) AS d FROM (
+         |      SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) u
+         |    GROUP BY 1) dd WHERE d >= $k
+         |), e$i AS MATERIALIZED (
+         |  SELECT t.a, t.b FROM e${i - 1} t
+         |  SEMI JOIN k$i x ON t.a = x.n SEMI JOIN k$i y ON t.b = y.n
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+       |), e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey
+       |),
+       |$rounds
+       |SELECT a, b FROM e$iters""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "a5_pagerank" -> pageRankOracleSql(5),
+    "a7_kcore" -> kCoreOracleSql(16, 6),
     // canonical a<b edges; each triangle x<y<z found once as
     // e(x,y)+e(y,z)+e(x,z); per-node counts via 3-way unpivot
     "a6_triangles" ->

@@ -1067,6 +1067,32 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(k4out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("clusteringCoefficient: triangle closure fraction, degree-1 and tree nodes score 0") {
+    // K3 plus a pendant: 1-2-3 triangle, 4 hangs off 3
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    val out = GraphAnalytics.clusteringCoefficient(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 1.0)))        // both neighbor pairs... 1 wedge, closed
+    assert(out(2L) === ((2L, 1L, 1.0)))
+    assert(out(3L) === ((3L, 1L, 0.333333)))   // 3 wedges, 1 closed
+    assert(out(4L) === ((1L, 0L, 0.0)))        // degree 1: no wedge
+  }
+
+  test("kCoreEdges: peeling cascade matches hand computation; fixpoint early-exit") {
+    // path 1-2-3-4 plus triangle 5-6-7: 2-core = the triangle only, and
+    // reaching it needs TWO peels (the path erodes from both ends)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L)).toDF("u", "v")
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tri = Set((5L, 6L), (5L, 7L), (6L, 7L))
+    assert(edgeSet(GraphAnalytics.kCoreEdges(e, k = 2, iters = 1))
+      === tri ++ Set((2L, 3L)))                 // first peel drops only 1 and 4
+    assert(edgeSet(GraphAnalytics.kCoreEdges(e, k = 2, iters = 2)) === tri)
+    assert(edgeSet(GraphAnalytics.kCoreEdges(e, k = 2, iters = 50)) === tri) // early exit
+    assert(GraphAnalytics.kCoreEdges(e, k = 4, iters = 5).count() === 0L)
+  }
+
   test("pageRankStatic matches a hand-rolled power iteration + rank-sum normalization") {
     // star + chain: 0→1, 0→2, 2→3 (ranges irrelevant to rank)
     val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
