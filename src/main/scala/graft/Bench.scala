@@ -56,8 +56,8 @@ object Bench {
     // a slow query between two quiet samples is plan cost, between skewed
     // ones is machine noise. ~0.01 s/sample on a quiet VM; sampled every
     // calEvery queries (not every query) to keep the JSON line inside the
-    // ~1.9k-char stdout tail window (66 queries × ~28 chars + fixed keys
-    // leave ~50 chars for the cal array — re-measure when adding gates).
+    // ~1.9k-char stdout tail window (short-keyed queries map since round 9
+    // — re-measure line_chars on stderr when adding gates).
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9E3779B97F4A7C15L; var i = 0
@@ -68,9 +68,9 @@ object Bench {
     calibrate() // untimed JIT warmup: the first execution compiles the loop;
                 // without it cal[0] reads [slow, fast] on a QUIET VM — the
                 // exact skew the probe exists to flag
-    val calEvery = 37 // 73 queries leave little line headroom; 37 keeps
-                      // start/mid/end samples (cpu_sec is the second witness)
-                      // and frees chars for failed-run errors[] growth
+    val calEvery = 18 // short-key queries map (round 9) freed ~1.1k chars of
+                      // the stdout tail window — the cadence can afford
+                      // start/end plus a sample every 18 queries again
     val calSamples = scala.collection.mutable.ArrayBuffer[Double](calibrate())
 
     val tBuild = System.nanoTime()
@@ -117,24 +117,36 @@ object Bench {
     }
     // The harness reading this line keeps only the LAST 2000 chars of stdout
     // (observed: BENCH_r03 truncated a ~2.7k-char full-precision line and
-    // failed to parse). Per-query values use 2 decimals (10 ms — attribution
-    // still resolves a regression; the r5 line hit 1846 chars at 3 decimals
-    // and round 6 added 4 gates), total keeps 3; the whole line must stay
-    // under ~1.9k chars so it survives the window with sbt's trailer.
+    // failed to parse). Four rounds of budget engineering (decimals, cal
+    // cadence, rider shedding) fought the same root cause: 73 full query
+    // names cost ~1.5k chars. Round 9 fix: the queries map is keyed by each
+    // name's first '_'-segment ("g1_building_customer_orders" → "g1") —
+    // unique across the suite (asserted below, full name kept on collision),
+    // and the exact shorthand VERDICT/SCALING already use. Full names stay
+    // canonical in CORRECTNESS_r*.json and the stderr line below; the rule
+    // is one takeWhile. This frees ~1.1k chars: timings return to 2 decimals
+    // (10 ms — resolves any regression worth chasing from this line;
+    // finer attribution uses isolated REPEAT runs, the documented protocol
+    // since round 6), the recall rider fits whole, and a new gate costs
+    // ~10 chars instead of ~28.
     // Locale.ROOT: the f interpolator uses the JVM default locale — on a
     // comma-decimal VM (de_DE etc.) it would emit invalid JSON.
-    // 1 decimal, trailing zeros stripped ("0.60"→"0.6", "3.0"→"3"):
-    // 100 ms resolves any regression worth chasing from this line —
-    // fine-grained attribution uses isolated REPEAT runs (the documented
-    // protocol since round 6). The second decimal on sub-second values
-    // spent ~45 chars of the window at 70+ queries; that headroom is what
-    // lets a new gate land without re-engineering the line every round.
     def s2(d: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
-      if (s.endsWith(".0")) s.dropRight(2) else s
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+      if (s.endsWith(".00")) s.dropRight(3) else s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(s2) }
+    val shortOf: Map[String, String] = {
+      val names = results.map(_._1)
+      val byPrefix = names.groupBy(_.takeWhile(_ != '_'))
+      names.map(n => n -> {
+        val p = n.takeWhile(_ != '_')
+        if (byPrefix(p).size == 1) p else n // collision → keep full name
+      }).toMap
+    }
+    val qs = results.map { case (k, v) => "\"" + shortOf(k) + "\":" + v.fold("null")(s2) }
       .mkString("{", ",", "}")
+    // full names at full precision for forensics (stderr is not tail-capped)
+    System.err.println(s"[bench] pass 1: ${results.map { case (k, v) => s"$k=${v.fold("err")(s3)}" }.mkString(" ")}")
     // cap the error list: an N-failure round must not grow the line past
     // the stdout tail window and truncate the WHOLE bench to unparseable —
     // 2 names locate the breakage class, stderr has the full list
@@ -181,10 +193,10 @@ object Bench {
     // stay inside the ~1.9k stdout tail window (1920 cutoff vs the hard
     // 2000); instead of all-or-nothing, shed rider entries one at a time —
     // highest recall first, the tier already closest to its exact twin
-    // carries the least cross-round signal — until the line fits. At 73
-    // queries with 1-decimal timings the base line is ~1900 chars, so a
-    // FULL run keeps 0-1 of the 4 entries (stderr + verify_meta.json stay
-    // the canonical full-precision artifacts); subset runs keep all.
+    // carries the least cross-round signal — until the line fits. With
+    // short keys (round 9) the base line is ~800 chars, so a full run
+    // keeps all 4 entries; the shed ladder stays as the failure-round
+    // safety net (errors[] + "null" timings regrow the line).
     def riderOf(rs: Seq[(String, Double)]): String =
       if (rs.isEmpty) ""
       else s""","recall":${rs.map { case (k, v) => "\"" + k + "\":" +
@@ -211,10 +223,9 @@ object Bench {
         if (withCal.length <= 1920 || calSamples.length <= 2) withCal
         else assemble(riderOf(keep), Seq(calSamples.head, calSamples.last), build = true)
       // third stage: drop build_sec (~15 chars — a warmup diagnostic;
-      // cal_ms + cpu_sec remain the noise witnesses). At 73 queries the
-      // fully-shed sf0.001 line measured 1921 chars — every query that
-      // crosses 10 s at sf0.1 adds a digit, so without this stage a noisy
-      // driver run overruns the ~1925-char stdout tail budget
+      // cal_ms + cpu_sec remain the noise witnesses). Pre-short-key this
+      // stage was load-bearing (the 73-full-name line measured 1921 chars
+      // fully shed); it stays as the last rung of the failure-round ladder
       if (calShed.length <= 1920) calShed
       else assemble(riderOf(keep), Seq(calSamples.head, calSamples.last), build = false)
     }
