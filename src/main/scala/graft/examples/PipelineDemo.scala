@@ -58,6 +58,22 @@ object PipelineDemo {
     println(s"duplicated-span scrub: $nDropped tokens dropped across " +
       s"${scrubbed.filter(col("n_dropped") > 0).count()} docs")
 
+    // 3c. leakage-safe held-out split: a near-dup family never straddles
+    // the boundary (reusing the pair tier's output, like clustering does)
+    val split = Dedup.leakageSafeSplit(docs, pairs, testFrac = 0.1)
+    val bySide = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"leakage-safe split: ${bySide.getOrElse("test", 0L)} test / " +
+      s"${bySide.getOrElse("train", 0L)} train (family-atomic)")
+
+    // 3d. DSIR importance weights vs a quality-sample target: the score a
+    // resampling step would select on (target = top-quality docs)
+    val tgtIds = quality.orderBy(desc("quality_score"), col("doc_id"))
+      .limit(50).select("doc_id")
+    val dsir = TextAnalysis.dsirWeights(deduped0, deduped0.join(tgtIds, "doc_id"))
+    println(s"DSIR weights: ${dsir.count()} docs scored; top-weight docs:")
+    dsir.orderBy(desc("dsir_logweight")).show(3, truncate = false)
+
     // 4. decontaminate vs a benchmark probe set (here: slices of 3 docs)
     val probes = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("probe_id"), substring(col("text"), 20, 60).as("probe"))

@@ -555,6 +555,39 @@ object Dedup {
         (col("id") === col("component")).as("keep"))
   }
 
+  /** Leakage-safe train/test split: every near-duplicate FAMILY lands
+    * wholly on one side, so a held-out document can never have a
+    * near-copy in the training side — the contamination mode a per-
+    * document hash split cannot prevent (two near-copies hash
+    * independently and straddle the boundary).
+    *
+    * `pairs` is any near-dup pair set ((aCol, bCol) ids) — the
+    * [[minHashDuplicates]] / [[ngramJaccardPairs]] / [[Similarity]]
+    * tiers all qualify. Families are their connected components
+    * ([[duplicateClusters]]); a doc in no pair is its own singleton
+    * family. The side is [[TextAnalysis.sampleByHash]] on the FAMILY id
+    * (md5-hex threshold — any engine replicates the exact split), so
+    * assignment is reproducible and stable under corpus growth that
+    * does not change a family's minimum id.
+    *
+    * Returns (idCol, cluster_id, split ∈ {test, train}) for every doc.
+    *
+    * Scale shape: the family relation is bounded by |pairs| ≪ corpus
+    * (only docs appearing in some pair); it joins back on the id key —
+    * one id-keyed shuffle on top of the CC cost the clustering tier
+    * already pays; the hash split itself is a narrow projection. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, testFrac: Double,
+      idCol: String = "doc_id", aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    require(testFrac >= 0.0 && testFrac <= 1.0, s"testFrac $testFrac not in [0,1]")
+    val fams = duplicateClusters(pairs, aCol, bCol)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    docs.select(col(idCol)).join(fams, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("split",
+        when(TextAnalysis.sampleByHash(col("cluster_id"), testFrac), lit("test"))
+          .otherwise(lit("train")))
+  }
+
   /** Seed a [[minHashDedupStream]] signature store with a REFERENCE corpus
     * so the stream deduplicates arrivals against a fixed training set from
     * its very first batch (without seeding, the store only accumulates

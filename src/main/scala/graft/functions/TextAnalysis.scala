@@ -592,6 +592,59 @@ object TextAnalysis {
       round(col("w"), 6).as("bm25"))
   }
 
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023, arXiv:2302.03169):
+    * score each raw document by how much more likely its hashed-unigram
+    * bag is under a TARGET corpus' bucket distribution than under the
+    * raw corpus' own — log w(d) = Σ_b n_b(d)·(ln p̂_tgt(b) − ln p̂_raw(b))
+    * with add-one smoothing over the B buckets. Selection then keeps the
+    * top-weight (or Gumbel-resampled) documents; the weight is the
+    * reusable artifact.
+    *
+    * Buckets are the first two hex chars of md5(token) (B = 256): the
+    * hashed feature space is what makes the estimator O(B) memory,
+    * vocabulary-independent, and portable — any engine with md5 computes
+    * identical buckets (the [[sampleByHash]] portability argument).
+    * Token identity is [[corpusTokens]]' (shared with tfidf/BM25/
+    * surprisal, so the features cannot drift apart). Docs with no
+    * tokens emit no rows (the tfidf convention).
+    *
+    * Returns (idCol, n_tokens, dsir_logweight rounded 6dp).
+    *
+    * Scale shape: per-doc bucket counts are a groupBy(id, bucket) with
+    * map-side combine, ≤ 256 rows/doc; the raw-corpus bucket table
+    * REUSES that relation (one further groupBy — raw tokens are never
+    * re-scanned); the target corpus (typically small: a quality sample)
+    * pays one linear aggregation; the 256-row log-ratio table folds in
+    * as a BROADCAST join, so the corpus is never shuffled by anything
+    * except its own id key. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val nB = 256.0
+    def buckets(df: DataFrame) = df
+      .select(col(idCol).as("id"), explode(corpusTokens(col(textCol))).as("tok"))
+      .select(col("id"), substring(md5(col("tok").cast("binary")), 1, 2).as("b"))
+    val docB = buckets(raw).groupBy(col("id"), col("b")).agg(count(lit(1)).as("n"))
+    val rawB = docB.groupBy(col("b")).agg(sum(col("n")).as("c_raw"))
+    val tgtB = buckets(target).groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+    val nRaw = rawB.agg(sum(col("c_raw")).as("n_raw"))
+    val nTgt = tgtB.agg(coalesce(sum(col("c_tgt")), lit(0L)).as("n_tgt"))
+    // expression STRUCTURE mirrors the DuckDB oracle (same grouping, same
+    // +1.0/+256.0 placement) so the doubles agree to well inside the 6dp
+    // round; ln itself may differ by an ulp between libms, absorbed by it
+    val ratio = rawB.join(tgtB, Seq("b"), "left")
+      .crossJoin(nRaw).crossJoin(nTgt)
+      .select(col("b"),
+        (log((coalesce(col("c_tgt"), lit(0L)) + lit(1.0)) / (col("n_tgt") + lit(nB))) -
+         log((col("c_raw") + lit(1.0)) / (col("n_raw") + lit(nB)))).as("lr"))
+    docB.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        round(sum(col("n") * col("lr")), 6).as("dsir_logweight"))
+      .select(col("id").as(idCol), col("n_tokens"), col("dsir_logweight"))
+  }
+
   // ---- source interleaving -------------------------------------------------
 
   /** Deterministic weighted interleaving of sources — the training-data

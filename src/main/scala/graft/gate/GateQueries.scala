@@ -393,6 +393,14 @@ object GateQueries {
       // default k1=1.2, b=0.75 (the standard Okapi operating point)
       graft.functions.TextAnalysis.bm25Terms(t(s, d, "documents"), topM = 10)
     }),
+    "t23_dsir_weights" -> ((s, d) => {
+      // DSIR importance weights against an in-corpus stand-in target
+      // (docs with doc_id % 3 = 0 — deterministic, any engine agrees);
+      // in production the target is the small high-quality corpus
+      val docs = t(s, d, "documents")
+      graft.functions.TextAnalysis.dsirWeights(docs,
+        docs.filter(col("doc_id") % 3 === 0))
+    }),
     "t20_line_dedup" -> ((s, d) => {
       // CCNet cross-doc line dedup needs multi-line docs with lines that
       // repeat across docs; the corpus is single-line with unique texts,
@@ -441,6 +449,14 @@ object GateQueries {
       // every token covered by a cross-doc-duplicated 5-gram (Lee et
       // al. exact-substring dedup, word granularity)
       graft.functions.Dedup.dropDuplicatedNgrams(t(s, d, "documents"), n = 5)
+    }),
+    "d12_leakage_split" -> ((s, d) => {
+      // train/test split where a near-dup family never straddles the
+      // boundary: d5's families + t7's portable md5-hex rule applied to
+      // the FAMILY id — decontamination by construction (a per-document
+      // hash split lets two near-copies land on opposite sides)
+      graft.functions.Dedup.leakageSafeSplit(
+        t(s, d, "documents"), minhashPairs(s, d), testFrac = 0.25)
     }),
     "e1_ann_bruteforce_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1314,6 +1330,41 @@ object GateQueries {
         |SELECT id AS doc_id, MIN(comp) AS cluster_id,
         |  CAST(id = MIN(comp) AS INT) AS keep
         |FROM reach GROUP BY id""".stripMargin,
+    // leakage-safe split: d5's family computation (same pair set, same
+    // min-label CC), singletons defaulting to their own id, then the t7
+    // md5-hex threshold applied to the FAMILY id (testFrac 0.25 →
+    // round(0.25·2³²) = 0x40000000, strict <)
+    "d12_leakage_split" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(text)-4, 1)+1),
+        |    i -> substr(lower(text), i::INT, 5)))) AS g
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |), p AS (
+        |  SELECT CAST(doc_a AS BIGINT) AS a, CAST(doc_b AS BIGINT) AS b
+        |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8
+        |), e AS (
+        |  SELECT a, b FROM p UNION SELECT b, a FROM p
+        |), verts AS (
+        |  SELECT DISTINCT a AS id FROM e
+        |), reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN e ON e.a = r.id WHERE r.comp < e.b
+        |), fam AS (
+        |  SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(f.cluster_id, d.doc_id) AS cluster_id,
+        |  CASE WHEN substr(md5(CAST(COALESCE(f.cluster_id, d.doc_id) AS VARCHAR)), 1, 8) < '40000000'
+        |       THEN 'test' ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN fam f ON f.doc_id = d.doc_id""".stripMargin,
     // cross-corpus dedup: exact char-5-shingle jaccard between the odd
     // ("new") and even ("reference") halves — the d1 oracle restricted to
     // cross-parity pairs (recall pinning carries over: subset of d1's set)
@@ -1410,6 +1461,28 @@ object GateQueries {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rk FROM sc
         |)
         |SELECT doc_id, term, tf, df, dl, ROUND(w, 6) AS bm25 FROM ranked WHERE rk <= 10""".stripMargin,
+    // DSIR hashed-unigram importance weights: t21's tokenization, buckets
+    // = first 2 hex chars of md5(token), add-one smoothing over 256
+    // buckets; expression STRUCTURE mirrors the Spark side (same +1.0 /
+    // +256.0 placement) so doubles agree well inside ROUND 6
+    "t23_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents
+        |), tb AS (SELECT doc_id, substr(md5(tok), 1, 2) AS b FROM toks),
+        |docb AS (SELECT doc_id, b, count(*) AS n FROM tb GROUP BY 1, 2),
+        |rawb AS (SELECT b, CAST(sum(n) AS BIGINT) AS c_raw FROM docb GROUP BY 1),
+        |tgtb AS (SELECT b, count(*) AS c_tgt FROM tb WHERE doc_id % 3 = 0 GROUP BY 1),
+        |nr AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw FROM rawb),
+        |nt AS (SELECT COALESCE(CAST(sum(c_tgt) AS BIGINT), 0) AS n_tgt FROM tgtb),
+        |ratio AS (
+        |  SELECT b, ln((COALESCE(c_tgt, 0) + 1.0) / (n_tgt + 256.0))
+        |          - ln((c_raw + 1.0) / (n_raw + 256.0)) AS lr
+        |  FROM rawb LEFT JOIN tgtb USING (b) CROSS JOIN nr CROSS JOIN nt
+        |)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  ROUND(sum(n * lr), 6) AS dsir_logweight
+        |FROM docb JOIN ratio USING (b) GROUP BY 1""".stripMargin,
     // CCNet line dedup over in-query synthetic multi-line docs (see the
     // t20 Spark side): drop every non-blank normalized line appearing in
     // >= 2 distinct docs, keep blanks and within-doc repeats, rebuild in

@@ -1049,4 +1049,56 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(top1(1L) === "b")
   }
+
+  test("leakageSafeSplit: a near-dup family never straddles the split") {
+    // pairs chain 1-2-3 into one family; 4/5/6 are singletons
+    val docs = docsDF(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e", 6L -> "f")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.leakageSafeSplit(docs, pairs, testFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L), "every doc gets a side")
+    // the family shares cluster_id = min member AND side
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct === Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct.size === 1)
+    // singletons cluster as themselves
+    assert(out(4L)._1 === 4L && out(5L)._1 === 5L)
+    // the rule is sampleByHash on the family id — reproduce it directly
+    val expected = docs.select(col("doc_id"),
+        when(TextAnalysis.sampleByHash(col("doc_id"), 0.5), "test").otherwise("train").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L)._2 === expected(1L), "family side = hash of min member id")
+    assert(out(2L)._2 === expected(1L) && out(3L)._2 === expected(1L))
+    assert(out(4L)._2 === expected(4L) && out(6L)._2 === expected(6L))
+    // degenerate fractions: 0 → all train, 1 → all test
+    assert(Dedup.leakageSafeSplit(docs, pairs, 0.0)
+      .filter(col("split") === "test").count() === 0)
+    assert(Dedup.leakageSafeSplit(docs, pairs, 1.0)
+      .filter(col("split") === "train").count() === 0)
+  }
+
+  test("dsirWeights: target-like docs score higher; ratio table broadcasts") {
+    // target = docs about "alpha"; raw corpus mixes alpha- and beta-docs.
+    // A doc of target-frequent tokens must outweigh a beta doc, and a
+    // mixed doc must land between them.
+    val raw = docsDF(
+      1L -> "alpha alpha alpha alpha", 2L -> "beta beta beta beta",
+      3L -> "alpha alpha beta beta", 4L -> "alpha alpha alpha alpha",
+      5L -> (null: String), 6L -> "")
+    val target = docsDF(100L -> "alpha alpha alpha alpha alpha alpha")
+    val out = TextAnalysis.dsirWeights(raw, target)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(5L) && !out.contains(6L), "no-token docs emit no rows")
+    assert(out(1L)._1 === 4L, "n_tokens counts the doc's tokens")
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2,
+      s"alpha > mixed > beta expected, got $out")
+    assert(out(1L) === out(4L), "identical text → identical weight")
+    // equal-mixture sanity: with target ≡ raw distribution, weights ≈ 0
+    val self = TextAnalysis.dsirWeights(raw, raw)
+      .collect().map(_.getDouble(2))
+    assert(self.forall(w => math.abs(w) < 1e-9), s"self-target weights ~0, got ${self.toSeq}")
+    // scale shape: the 256-row ratio table folds in as a broadcast join
+    val plan = TextAnalysis.dsirWeights(raw, target).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ratio join should broadcast, not shuffle the corpus:\n$plan")
+  }
 }
