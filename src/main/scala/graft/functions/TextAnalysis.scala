@@ -407,6 +407,42 @@ object TextAnalysis {
     }
   }
 
+  /** Per-stratum deterministic sampling — the mixture re-weighting step
+    * ("keep 50% of web, 12.5% of crawl dumps"): each stratum gets its own
+    * [[sampleByHash]] fraction, strata not in the map fall back to
+    * `default`. Same portability contract as sampleByHash (the kept set
+    * is a pure function of (key, stratum) any engine reproduces), and a
+    * doc's membership never changes when OTHER strata's fractions move —
+    * the property that lets mixture ratios be retuned without churning
+    * the rest of the corpus. Pure narrow expression; no shuffle. */
+  def stratifiedSampleByHash(key: Column, stratum: Column,
+      fractions: Map[String, Double], default: Double = 0.0): Column = {
+    require((default +: fractions.values.toSeq).forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1]: $fractions default=$default")
+    fractions.toSeq.sortBy(_._1).foldRight(sampleByHash(key, default): Column) {
+      case ((s, f), els) => when(stratum === lit(s), sampleByHash(key, f)).otherwise(els)
+    }
+  }
+
+  /** Weight-proportional acceptance sampling — the soft quality filter
+    * ("keep a doc with probability = its quality score") used instead of
+    * a hard threshold when discarding mid-quality data outright would
+    * waste tokens. Deterministic: doc kept iff the md5-hex fraction of
+    * its key is below its OWN weight (clamped to [0,1]), so the kept set
+    * is reproducible and monotone in the weight — raising a doc's score
+    * can only add it, never evict another. The per-row threshold is the
+    * weight rendered as an 8-char lowercase hex string (2³²−1 scale —
+    * the 1-ulp downward bias keeps weight-1.0 rows inside 8 chars, and
+    * `<=` makes weight=1.0 keep EVERY key, 'ffffffff' included); the
+    * comparison stays on hex STRINGS like [[sampleByHash]], so any
+    * engine with md5/floor/hex reproduces the identical sample. Pure
+    * narrow expression; no shuffle, no UDF. */
+  def weightedSampleByHash(key: Column, weight: Column): Column = {
+    val clamped = greatest(least(weight.cast("double"), lit(1.0)), lit(0.0))
+    val threshold = lpad(lower(hex(floor(clamped * lit(4294967295.0)).cast("long"))), 8, "0")
+    substring(md5(key.cast("string").cast("binary")), 1, 8) <= threshold
+  }
+
   /** Deterministic per-group TOKEN-BUDGET sampling — the "take B tokens
     * from each source" step of mixture building (fraction-based
     * [[sampleByHash]] can't hit a token quota when doc lengths vary).

@@ -401,6 +401,32 @@ object GateQueries {
       graft.functions.TextAnalysis.dsirWeights(docs,
         docs.filter(col("doc_id") % 3 === 0))
     }),
+    "t24_stratified_sample" -> ((s, d) => {
+      // mixture re-weighting: named strata get their own keep rate, the
+      // remaining 17 sources ride the default; a doc's membership is a
+      // pure (doc_id, source) function, unchanged when OTHER strata's
+      // rates are retuned
+      t(s, d, "documents")
+        .filter(graft.functions.TextAnalysis.stratifiedSampleByHash(
+          col("doc_id"), col("source"),
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125), default = 0.25))
+        .select(col("doc_id"), col("source"))
+    }),
+    "t25_weighted_sample" -> ((s, d) => {
+      // weight-proportional acceptance: keep-probability ∝ token count
+      // (t1's exact space-count formula — portable in any engine; the
+      // t4 quality score is deliberately NOT used here: its regex
+      // features are engine-specific, which is why t4 itself is a
+      // rows-only gate), capped at 1. In production the weight column
+      // is a quality or classifier score.
+      val w = least(lit(1.0),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("double") / 128.0)
+      t(s, d, "documents")
+        .select(col("doc_id"), w.as("keep_weight"))
+        .filter(graft.functions.TextAnalysis.weightedSampleByHash(
+          col("doc_id"), col("keep_weight")))
+    }),
     "t20_line_dedup" -> ((s, d) => {
       // CCNet cross-doc line dedup needs multi-line docs with lines that
       // repeat across docs; the corpus is single-line with unique texts,
@@ -1483,6 +1509,27 @@ object GateQueries {
         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
         |  ROUND(sum(n * lr), 6) AS dsir_logweight
         |FROM docb JOIN ratio USING (b) GROUP BY 1""".stripMargin,
+    // per-stratum t7 rule: 0.5/0.25/0.125 → round(f·2³²) as 8-hex-char
+    // thresholds, strict <; the 17 unnamed strata ride the 0.25 default
+    "t24_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '40000000'
+        |              WHEN 'src2' THEN '20000000' ELSE '40000000' END""".stripMargin,
+    // weight-proportional acceptance: per-row threshold = weight·(2³²−1)
+    // floored, 8-char lowercase hex, <= (weight 1.0 keeps every key incl.
+    // 'ffffffff'). Weight = min(1, tokens/128) with t1's exact space-count
+    // tokens; n/128 and ·4294967295 stay inside 53 mantissa bits, so the
+    // doubles are EXACT in both engines
+    "t25_weighted_sample" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    least(1.0, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 128.0) AS keep_weight
+        |  FROM documents
+        |)
+        |SELECT doc_id, keep_weight FROM q
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |  <= lpad(lower(to_hex(CAST(floor(keep_weight * 4294967295.0) AS BIGINT))), 8, '0')""".stripMargin,
     // CCNet line dedup over in-query synthetic multi-line docs (see the
     // t20 Spark side): drop every non-blank normalized line appearing in
     // >= 2 distinct docs, keep blanks and within-doc repeats, rebuild in

@@ -1076,6 +1076,39 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("split") === "train").count() === 0)
   }
 
+  test("stratified + weighted hash sampling: portable rules, monotone, no shuffle") {
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    val fr = Map("a" -> 0.5, "b" -> 0.125)
+    val kept = docs.filter(TextAnalysis.stratifiedSampleByHash(col("id"), col("src"), fr))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // per-stratum membership is exactly sampleByHash at that stratum's rate
+    val a = docs.filter(col("src") === "a").filter(TextAnalysis.sampleByHash(col("id"), 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = docs.filter(col("src") === "b").filter(TextAnalysis.sampleByHash(col("id"), 0.125))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept === (a ++ b) && a.nonEmpty && b.nonEmpty)
+    // unknown strata fall to default (0 → drop; 1 → keep)
+    val extra = Seq((1000L, "zzz")).toDF("id", "src")
+    assert(extra.filter(TextAnalysis.stratifiedSampleByHash(col("id"), col("src"), fr)).count() === 0)
+    assert(extra.filter(TextAnalysis.stratifiedSampleByHash(col("id"), col("src"), fr,
+      default = 1.0)).count() === 1)
+    // weighted: 1 keeps all, kept set is monotone in weight, extremes clamp
+    val w = docs.select(col("id"))
+    assert(w.filter(TextAnalysis.weightedSampleByHash(col("id"), lit(1.0))).count() === 400)
+    val k3 = w.filter(TextAnalysis.weightedSampleByHash(col("id"), lit(0.3)))
+      .collect().map(_.getLong(0)).toSet
+    val k6 = w.filter(TextAnalysis.weightedSampleByHash(col("id"), lit(0.6)))
+      .collect().map(_.getLong(0)).toSet
+    assert(k3.subsetOf(k6) && k3.size < k6.size && k6.size < 400)
+    assert(w.filter(TextAnalysis.weightedSampleByHash(col("id"), lit(7.5))).count() === 400)
+    assert(w.filter(TextAnalysis.weightedSampleByHash(col("id"), lit(-3.0))).count() === 0)
+    // pure narrow expressions: no exchange in either filter's plan
+    val plan = docs.filter(TextAnalysis.stratifiedSampleByHash(col("id"), col("src"), fr))
+      .filter(TextAnalysis.weightedSampleByHash(col("id"), lit(0.5)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
   test("dsirWeights: target-like docs score higher; ratio table broadcasts") {
     // target = docs about "alpha"; raw corpus mixes alpha- and beta-docs.
     // A doc of target-frequent tokens must outweigh a beta doc, and a
