@@ -14,12 +14,13 @@ import org.apache.spark.sql.SparkSession
   * must never read as a fast run.
   *
   * Deliberate exception to the warmup policy: the shared minhash pair set
-  * (GateQueries.minhashPairs) is NOT pre-built — building it IS d1's
-  * workload (shingle → signature → band → verify), so d1 owns that cost by
-  * design and d5 (clustering the pair set) reuses the cache for free,
-  * mirroring a real pipeline where clustering consumes the pair stage's
-  * output. The graph/mail warmup is different: those caches are INPUTS to
-  * many queries, owned by none.
+  * (GateQueries.minhashPairs) is NOT pre-built — building it (shingle →
+  * signature → band → verify) IS the pair-tier workload, so whichever of
+  * its consumers runs first in sorted order owns that cost (d12 since
+  * round 9 — string sort puts d10-d12 before d1) and the others (d1, d5)
+  * reuse the cache for free, mirroring a real pipeline where clustering
+  * and splitting consume the pair stage's output. The graph/mail warmup
+  * is different: those caches are INPUTS to many queries, owned by none.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
