@@ -130,6 +130,48 @@ object GraphAnalytics {
       .map { case (v, r) => (v, r) }.toDF("id", "rank")
   }
 
+  /** Personalized PageRank, deterministic fixed-iteration power form —
+    * the "related to THIS node" ranking behind recommendation and
+    * account-centric fraud queries: rank mass teleports back to `source`
+    * instead of uniformly, so scores measure proximity to the seed.
+    *
+    *   pr_0(v)  = [v = source]
+    *   pr_i(v)  = reset·[v = source] + (1−reset)·Σ_{(u,v)∈E} pr_{i−1}(u)/outdeg(u)
+    *
+    * Expressed as a DataFrame power iteration rather than GraphX: the
+    * formula IS the spec, so an external engine replicates it exactly
+    * (mod double-summation order, absorbed by the gate's 6-dp round) —
+    * the same oracle-ability argument as the unrolled static-PageRank
+    * oracle (a5). Lineage is cut per iteration (`localCheckpoint`, the
+    * [[kCoreEdges]] idiom) so plan depth stays constant at any iteration
+    * count.
+    *
+    * Scale shape: outdeg once; per iteration ONE src-keyed join (ranks →
+    * edge contributions) + ONE dst-keyed aggregation — the canonical
+    * distributed PR step, shuffles bounded by |E| and |V| per round. */
+  def personalizedPageRank(g: PropertyGraph, source: Long, numIter: Int,
+      resetProb: Double = 0.15): DataFrame = {
+    require(numIter >= 1, s"personalizedPageRank: numIter must be >= 1, got $numIter")
+    val fwd = g.edges.filter(col("dir")).select(col("src"), col("dst"))
+    val verts = fwd.select(col("src").as("id")).unionAll(fwd.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val outdeg = fwd.groupBy(col("src")).agg(count(lit(1)).as("d")).localCheckpoint(true)
+    def reset = when(col("id") === source, lit(1.0)).otherwise(lit(0.0))
+    var pr = verts.select(col("id"), reset.as("rank")).localCheckpoint(true)
+    for (_ <- 1 to numIter) {
+      val contrib = pr.join(fwd, pr("id") === fwd("src"))
+        .join(outdeg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("d")).as("s"))
+        .withColumnRenamed("dst", "id")
+      pr = verts.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(resetProb) * reset + lit(1.0 - resetProb) * coalesce(col("s"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+
   /** Unweighted single-source shortest hop counts via Pregel → (id, dist). */
   def shortestPaths(g: PropertyGraph, source: Long): DataFrame = {
     val spark = g.spark

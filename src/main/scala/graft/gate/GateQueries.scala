@@ -662,6 +662,17 @@ object GateQueries {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
 
+    "a8_ppr" -> ((s, d) => {
+      // personalized PageRank seeded at customer 1 on the a5 subgraph —
+      // "orders/accounts related to THIS customer"; deterministic power
+      // form, so the oracle unrolls the identical iteration (6-dp round
+      // absorbs double-summation order, the a5 precedent)
+      val g = graph(s, d)
+      val sub = g.copy(edges = g.edges.filter(col("label").isin(Placed, NextOrder)))
+      graft.analytics.GraphAnalytics.personalizedPageRank(sub, source = 1L, numIter = 5)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+
     "a6_triangles" -> ((s, d) => {
       // per-part triangle counts over the co-purchase graph (parts
       // sharing an order) — the clustering-coefficient primitive, via
@@ -765,6 +776,37 @@ object GateQueries {
        |FROM pr$numIter""".stripMargin
   }
 
+  // personalized variant of the a5 unroll: pr0 concentrates all mass on
+  // the seed and the reset term teleports back to it (no final
+  // normalization — the formula is the spec)
+  private def pprOracleSql(source: Long, numIter: Int): String = {
+    val iters = (1 to numIter).map { i =>
+      s"""pr$i AS (
+         |  SELECT v.id,
+         |    0.15 * CASE WHEN v.id = $source THEN 1.0 ELSE 0.0 END
+         |      + 0.85 * COALESCE(m.s, 0.0) AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.rank / od.d) AS s
+         |    FROM pr${i - 1} p JOIN edges e ON e.src = p.id
+         |    JOIN outdeg od ON od.src = p.id
+         |    GROUP BY 1) m ON m.id = v.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |edges AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS src, CAST(o_orderkey + 10000000 AS BIGINT) AS dst FROM orders
+       |  UNION ALL
+       |  SELECT CAST(o_orderkey + 10000000 AS BIGINT), CAST(nxt + 10000000 AS BIGINT) FROM (
+       |    SELECT o_orderkey, LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+       |    FROM orders) t WHERE nxt IS NOT NULL
+       |),
+       |verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges) u),
+       |outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+       |pr0 AS (SELECT id, CASE WHEN id = $source THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank FROM verts),
+       |$iters
+       |SELECT id, ROUND(rank, 6) AS rank FROM pr$numIter""".stripMargin
+  }
+
   // bounded k-core peeling, unrolled like the pagerank power iteration:
   // each round keeps nodes of degree >= k in the CURRENT edge set
   private def kCoreOracleSql(k: Int, iters: Int): String = {
@@ -797,6 +839,7 @@ object GateQueries {
 
   val oracles: Map[String, String] = Map(
     "a5_pagerank" -> pageRankOracleSql(5),
+    "a8_ppr" -> pprOracleSql(1L, 5),
     "a7_kcore" -> kCoreOracleSql(16, 6),
     // canonical a<b edges; each triangle x<y<z found once as
     // e(x,y)+e(y,z)+e(x,z); per-node counts via 3-way unpivot

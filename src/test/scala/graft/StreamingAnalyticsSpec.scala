@@ -1117,6 +1117,38 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("personalizedPageRank matches a hand-rolled seeded power iteration") {
+    // star + chain: 0→1, 0→2, 2→3, seeded at 0 — mass flows down the
+    // chain but the reset term only refills the SEED
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
+    val g = Loaders.fromList(spark,
+      Seq(InputEdge(0, 1, Seq(1), addReverse = false),
+        InputEdge(0, 2, Seq(1), addReverse = false),
+        InputEdge(2, 3, Seq(1), addReverse = false)), ranges)
+    val edges = Seq(0L -> 1L, 0L -> 2L, 2L -> 3L)
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val iters = 4
+    var r = Seq(0L, 1L, 2L, 3L).map(v => v -> (if (v == 0L) 1.0 else 0.0)).toMap
+    for (_ <- 1 to iters) {
+      val msg = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
+      r = r.keys.map(v =>
+        v -> (0.15 * (if (v == 0L) 1.0 else 0.0) + 0.85 * msg.getOrElse(v, 0.0))).toMap
+    }
+    val want = r.view.mapValues(x => math.rint(x * 1e6) / 1e6).toMap
+    val got = GraphAnalytics.personalizedPageRank(g, source = 0L, numIter = iters).collect()
+      .map(x => x.getLong(0) -> math.rint(x.getDouble(1) * 1e6) / 1e6).toMap
+    assert(got === want)
+    // proximity semantics: the seed outranks its children, children
+    // outrank the grandchild; total mass never exceeds the injected 1
+    assert(got(0L) > got(2L) && got(2L) > got(3L))
+    assert(got.values.sum <= 1.0 + 1e-9)
+    // a seed with no edges: everything 0 except the seed's reset mass
+    val lone = GraphAnalytics.personalizedPageRank(g, source = 3L, numIter = 2).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(lone(3L) === 0.15 && lone(0L) === 0.0)
+  }
+
   test("SIW/QW workloads: incremental ≡ bulk; FN/FA/FS shapes on the mail graph") {
     val path = MailGraph.generate("/tmp/graft_mail_test.txt", edges = 10000, nodes = 1000)
     val bulk = MailGraph.miw(spark, path)
