@@ -594,6 +594,14 @@ object GateQueries {
           expr("end_ts DIV 1000").as("end_us"), col("n_events"), col("n_purchases"))
     }),
 
+    "s4_event_pairs" -> ((s, d) => {
+      // 30-minute co-occurrence pairs per user via the bucketed range
+      // self-join (time banded at Δ, probe bucket+bucket+1 — an equi
+      // join; the naive inequality formulation plans as a per-key-
+      // quadratic broadcast nested loop)
+      graft.streaming.EventStreams.pairsWithin(events(s, d),
+        withinUs = 1800000000L)
+    }),
     "s3_asof_join" -> ((s, d) => {
       // each view event enriched with the user's latest purchase at-or-
       // before it; purchases pre-aggregated to unique (user, ts) so the
@@ -1096,6 +1104,16 @@ object GateQueries {
         |  SELECT user_id, s1 - 1800 AS win_s FROM grid
         |) GROUP BY 1, 2""".stripMargin,
     // native ASOF JOIN — DuckDB's own operator is the oracle for ours
+    // the reference inequality join the bucketed form must reproduce
+    // exactly (µs-truncated comparisons on both sides)
+    "s4_event_pairs" ->
+      """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND (epoch_us(b.ts) > epoch_us(a.ts)
+        |      OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id > a.event_id))
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= CAST(1800000000 AS BIGINT)""".stripMargin,
     "s3_asof_join" ->
       """WITH purchases AS (
         |  SELECT user_id, ts, MAX(value) AS p_value FROM events

@@ -202,4 +202,46 @@ object EventStreams {
       .filter(col("__is_l") === 1)
       .drop("__rrow", "__asof", "__t", "__is_l")
   }
+
+  /** Bounded-interval self-join: every ORDERED pair of events sharing
+    * `keyCol` at most `withinUs` microseconds apart — burst detection,
+    * co-occurrence mining, session-free "what happened together"
+    * queries. Ordering is (time, event_id), so each unordered pair
+    * emits exactly once and self-pairs never do.
+    *
+    * Spark-first shape: the naive `a.ts <= b.ts AND b.ts <= a.ts + Δ`
+    * formulation has no equi-key, so Catalyst plans a broadcast-
+    * nested-loop join — per-key quadratic and driver-bound. Instead
+    * both sides bucket time at Δ (`t DIV Δ`): a qualifying pair spans
+    * at most ADJACENT buckets, so probing (bucket, bucket+1) — a
+    * 2× explode of the left side only — covers every candidate with a
+    * plain hash equi-join on (key, bucket), then the exact time window
+    * filters locally. Work = 2·|events| shuffle rows + per-(key,
+    * bucket-pair) products: bounded by burst density at Δ, never by a
+    * key's full history (the LSH banding argument applied to time).
+    *
+    * All comparisons run on µs-truncated LONGs (`ts DIV 1000`): the
+    * parquet nanos survive only inside ts itself, so engines that read
+    * TIMESTAMP at µs precision (DuckDB) reproduce the pair set and
+    * gaps exactly.
+    *
+    * Returns (keyCol, event_a, event_b, gap_us), gap_us = b − a in µs.
+    */
+  def pairsWithin(events: DataFrame, withinUs: Long,
+      keyCol: String = "user_id"): DataFrame = {
+    require(withinUs > 0, s"pairsWithin: withinUs must be positive, got $withinUs")
+    val base = events.select(col(keyCol), col("event_id"),
+      expr("ts DIV 1000").as("t_us"), expr(s"(ts DIV 1000) DIV $withinUs").as("bkt"))
+    val left = base.select(col(keyCol), col("event_id").as("event_a"),
+        col("t_us").as("a_us"),
+        explode(array(col("bkt"), col("bkt") + 1)).as("jb"))
+    val right = base.select(col(keyCol), col("event_id").as("event_b"),
+      col("t_us").as("b_us"), col("bkt").as("jb"))
+    left.join(right, Seq(keyCol, "jb"))
+      .filter((col("b_us") > col("a_us")) ||
+        (col("b_us") === col("a_us") && col("event_b") > col("event_a")))
+      .filter(col("b_us") - col("a_us") <= withinUs)
+      .select(col(keyCol), col("event_a"), col("event_b"),
+        (col("b_us") - col("a_us")).as("gap_us"))
+  }
 }

@@ -146,6 +146,33 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cartesianproduct"))
   }
 
+  test("pairsWithin: bucketed range join ≡ naive inequality join; equi-join plan") {
+    // ts in NANOS (the events-table shape); Δ = 10 µs = 10,000 ns.
+    // Crafted to cross bucket boundaries: 9→11 µs spans buckets 0/1;
+    // 11→21 spans 1/2; 9→21 (12 µs apart) must NOT pair; the t=30
+    // duplicate pair orders by event_id.
+    val ev = Seq((1L, 9000L, 5L), (2L, 11000L, 5L), (3L, 21000L, 5L),
+        (4L, 30000L, 5L), (5L, 30000L, 5L), (6L, 9500L, 6L), (7L, 500000L, 6L))
+      .toDF("event_id", "ts", "user_id")
+    val got = EventStreams.pairsWithin(ev, withinUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // naive reference: every ordered pair within Δ on µs-truncated time
+    val rows = Seq((1L, 9L, 5L), (2L, 11L, 5L), (3L, 21L, 5L),
+      (4L, 30L, 5L), (5L, 30L, 5L), (6L, 9L, 6L), (7L, 500L, 6L))
+    val want = (for {
+      (ia, ta, ka) <- rows; (ib, tb, kb) <- rows
+      if ka == kb && (tb > ta || (tb == ta && ib > ia)) && tb - ta <= 10
+    } yield (ka, ia, ib, tb - ta)).toSet
+    assert(got === want)
+    assert(got.contains((5L, 1L, 2L, 2L)) && got.contains((5L, 2L, 3L, 10L)) &&
+      got.contains((5L, 4L, 5L, 0L)) && !got.exists(p => p._2 == 1L && p._3 == 3L))
+    // the whole point: an EQUI join on (key, bucket) — never a nested loop
+    val plan = EventStreams.pairsWithin(ev, withinUs = 10L)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("broadcastnestedloop") && !plan.contains("cartesianproduct"),
+      s"range join must bucket into an equi join:\n$plan")
+  }
+
   test("asofJoin: null right values stay atomic; null keys never match") {
     val left = Seq((1L, java.lang.Long.valueOf(7L), 3L), (2L, null.asInstanceOf[java.lang.Long], 5L))
       .toDF("lid", "k", "t")
