@@ -545,6 +545,46 @@ object TextAnalysis {
         coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
   }
 
+  /** Bigram surprisal — [[unigramSurprisal]] one conditioning level up:
+    * mean −ln p(wᵢ | wᵢ₋₁) under the corpus's own bigram model, with
+    * p(w|u) = c(u,w) / Σ_x c(u,x) (no smoothing needed: the corpus
+    * scores itself, so every bigram scored is observed). This is the
+    * perplexity-filter proxy one step closer to the CCNet LM filter:
+    * unigram surprisal flags rare WORDS, bigram surprisal flags rare
+    * TRANSITIONS (word salad scores high even when every word is
+    * common). Token identity is [[corpusTokens]]'; docs with < 2 tokens
+    * score 0 over 0 bigrams (the t19 empty-doc convention).
+    *
+    * Returns (idCol, n_bigrams, bigram_surprisal rounded 6dp).
+    *
+    * Scale shape: bigram counts are one groupBy over exploded bigrams
+    * (map-side combined); context totals REUSE that relation (a groupBy
+    * of the count table — raw bigrams are never re-aggregated); scoring
+    * joins on the bigram key. All shuffles O(|bigrams|) — the t19 shape
+    * with a 2-token key. */
+  def bigramSurprisal(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = corpusTokens(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws("\u0001", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val bg = docs.select(col(idCol).as("id"), explode(bigrams).as("b"))
+    val freq = bg.groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val ctx = freq.groupBy(substring_index(col("b"), "\u0001", 1).as("u"))
+      .agg(sum(col("c")).as("cc"))
+    val scored = bg.join(freq, "b")
+      .withColumn("u", substring_index(col("b"), "\u0001", 1))
+      .join(ctx, "u")
+      .select(col("id"), (-log(col("c").cast("double") / col("cc").cast("double"))).as("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("s")), 6).as("bigram_surprisal"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bigram_surprisal"), lit(0.0)).as("bigram_surprisal"))
+  }
+
   /** Hashed-free TF-IDF term weights per document — the corpus feature
     * extraction behind quality classifiers, topic clustering, and
     * importance sampling over training corpora. Token identity is

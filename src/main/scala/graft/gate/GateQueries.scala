@@ -401,6 +401,11 @@ object GateQueries {
       graft.functions.TextAnalysis.dsirWeights(docs,
         docs.filter(col("doc_id") % 3 === 0))
     }),
+    "t26_bigram_surprisal" -> ((s, d) => {
+      // perplexity proxy one conditioning level above t19: rare
+      // TRANSITIONS score high even when every word is common
+      graft.functions.TextAnalysis.bigramSurprisal(t(s, d, "documents"))
+    }),
     "t24_stratified_sample" -> ((s, d) => {
       // mixture re-weighting: named strata get their own keep rate, the
       // remaining 17 sources ride the default; a doc's membership is a
@@ -1570,6 +1575,23 @@ object GateQueries {
         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
         |  ROUND(sum(n * lr), 6) AS dsir_logweight
         |FROM docb JOIN ratio USING (b) GROUP BY 1""".stripMargin,
+    // t19's shape with a 2-token key: p(w|u) = c(u,w)/Σ_x c(u,x), no
+    // smoothing (the corpus scores itself); chr(1) is the repo-wide
+    // n-gram separator, split_part recovers the context
+    "t26_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest([t[i] || chr(1) || t[i+1] for i in range(1, len(t))]) AS b FROM toks
+        |), freq AS (SELECT b, count(*) AS c FROM bg GROUP BY 1),
+        |ctx AS (SELECT split_part(b, chr(1), 1) AS u, CAST(sum(c) AS BIGINT) AS cc FROM freq GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, -ln(CAST(c AS DOUBLE) / CAST(cc AS DOUBLE)) AS s
+        |  FROM bg JOIN freq USING (b) JOIN ctx ON ctx.u = split_part(b, chr(1), 1)
+        |), agg AS (SELECT doc_id, COUNT(*) AS n, ROUND(AVG(s), 6) AS m FROM sc GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(agg.n, 0) AS n_bigrams, COALESCE(agg.m, 0.0) AS bigram_surprisal
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     // per-stratum t7 rule: 0.5/0.25/0.125 → round(f·2³²) as 8-hex-char
     // thresholds, strict <; the 17 unnamed strata ride the 0.25 default
     "t24_stratified_sample" ->

@@ -1076,6 +1076,29 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("split") === "train").count() === 0)
   }
 
+  test("bigramSurprisal: hand-computed conditional model; short docs score 0/0") {
+    // corpus bigrams: doc1 (a,b)(b,a)(a,b), doc2 (a,a) →
+    // c(a·)=3, c(b·)=1; p(b|a)=2/3, p(a|b)=1, p(a|a)=1/3
+    val docs = docsDF(1L -> "a b a b", 2L -> "a a", 3L -> "x", 4L -> "",
+      5L -> (null: String))
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    val out = TextAnalysis.bigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((3L, r6((2 * -math.log(2.0 / 3) + 0.0) / 3))))
+    assert(out(2L) === ((1L, r6(-math.log(1.0 / 3)))))
+    assert(out(3L) === ((0L, 0.0)), "1-token doc: no bigrams, t19 convention")
+    assert(out(4L) === ((0L, 0.0)) && out(5L) === ((0L, 0.0)))
+    // word salad vs natural order: same unigram bag, scrambled transitions
+    // score strictly higher (the signal unigram surprisal cannot see)
+    val pair = docsDF(
+      10L -> "the cat sat on the mat the cat sat on the mat",
+      11L -> "mat the on sat cat the mat the on sat cat the",
+      12L -> "the cat sat on the mat the cat sat on the mat")
+    val s2 = TextAnalysis.bigramSurprisal(pair)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s2(11L) > s2(10L), s"scrambled ${s2(11L)} should out-score natural ${s2(10L)}")
+  }
+
   test("stratified + weighted hash sampling: portable rules, monotone, no shuffle") {
     val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
     val fr = Map("a" -> 0.5, "b" -> 0.125)
