@@ -111,6 +111,10 @@ object Bench {
     val results = runPass(errors, Some(calSamples))
     calSamples += calibrate()
     val cpuSec = graft.util.CpuWitness.delta(cpuT0, graft.util.CpuWitness.processCpuSec)
+    // full names at full precision for forensics (stderr is not tail-
+    // capped) — printed BEFORE the extra passes so stderr reads in run
+    // order (pass 1, 2, 3), not with the cold pass trailing the steady ones
+    System.err.println(s"[bench] pass 1: ${results.map { case (k, v) => s"$k=${v.fold("err")(s3)}" }.mkString(" ")}")
     for (i <- 2 to repeat) {
       val extraErrors = scala.collection.mutable.ArrayBuffer[String]()
       val extra = runPass(extraErrors, None).map { case (k, v) => s"$k=${v.fold("err")(s3)}" }
@@ -122,8 +126,9 @@ object Bench {
     // cadence, rider shedding) fought the same root cause: 73 full query
     // names cost ~1.5k chars. Round 9 fix: the queries map is keyed by each
     // name's first '_'-segment ("g1_building_customer_orders" → "g1") —
-    // unique across the suite (asserted below, full name kept on collision),
-    // and the exact shorthand VERDICT/SCALING already use. Full names stay
+    // unique across the suite (a collision falls back to the full name
+    // for BOTH parties and warns on stderr, so the budget regression is
+    // visible), and the exact shorthand VERDICT/SCALING already use. Full names stay
     // canonical in CORRECTNESS_r*.json and the stderr line below; the rule
     // is one takeWhile. This frees ~1.1k chars: timings return to 2 decimals
     // (10 ms — resolves any regression worth chasing from this line;
@@ -139,6 +144,10 @@ object Bench {
     val shortOf: Map[String, String] = {
       val names = results.map(_._1)
       val byPrefix = names.groupBy(_.takeWhile(_ != '_'))
+      byPrefix.filter(_._2.size > 1).foreach { case (p, ns) =>
+        System.err.println(s"[bench] WARNING: short-key collision on '$p' " +
+          s"(${ns.mkString(", ")}) — emitting full names, line budget shrinks")
+      }
       names.map(n => n -> {
         val p = n.takeWhile(_ != '_')
         if (byPrefix(p).size == 1) p else n // collision → keep full name
@@ -146,8 +155,6 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + shortOf(k) + "\":" + v.fold("null")(s2) }
       .mkString("{", ",", "}")
-    // full names at full precision for forensics (stderr is not tail-capped)
-    System.err.println(s"[bench] pass 1: ${results.map { case (k, v) => s"$k=${v.fold("err")(s3)}" }.mkString(" ")}")
     // cap the error list: an N-failure round must not grow the line past
     // the stdout tail window and truncate the WHOLE bench to unparseable —
     // 2 names locate the breakage class, stderr has the full list

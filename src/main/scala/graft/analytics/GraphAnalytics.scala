@@ -161,8 +161,18 @@ object GraphAnalytics {
   def personalizedPageRank(g: PropertyGraph, source: Long, numIter: Int,
       resetProb: Double = 0.15, broadcastMaxVerts: Long = 1000000L): DataFrame = {
     require(numIter >= 1, s"personalizedPageRank: numIter must be >= 1, got $numIter")
+    val spark = g.spark
+    import spark.implicits._
     val fwd = g.edges.filter(col("dir")).select(col("src"), col("dst"))
+    // vertex set = edge endpoints ∪ explicitNodes (the toGraphX invariant:
+    // isolated nodes must appear as ranked vertices — pageRankStatic
+    // honors it via GraphX, this path must too) ∪ the seed itself, so a
+    // seed with no edges still gets its resetProb row instead of a
+    // silent all-zero vector
     val verts = fwd.select(col("src").as("id")).unionAll(fwd.select(col("dst").as("id")))
+      .unionAll(g.explicitNodes.map(_.select(col("id")))
+        .getOrElse(Seq.empty[Long].toDF("id")))
+      .unionAll(Seq(source).toDF("id"))
       .distinct().localCheckpoint(true)
     // (src, dst, d): source out-degree attached once, not once per round
     val fwdD = fwd.join(fwd.groupBy(col("src")).agg(count(lit(1)).as("d")), "src")

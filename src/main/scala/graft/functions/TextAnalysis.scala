@@ -438,7 +438,14 @@ object TextAnalysis {
     * engine with md5/floor/hex reproduces the identical sample. Pure
     * narrow expression; no shuffle, no UDF. */
   def weightedSampleByHash(key: Column, weight: Column): Column = {
-    val clamped = greatest(least(weight.cast("double"), lit(1.0)), lit(0.0))
+    // NULL/NaN weights must DROP, not keep: Spark's least/greatest skip
+    // nulls, so an unguarded clamp turns a missing classifier score into
+    // greatest(least(NULL,1),0) = 1.0 — certain keep for exactly the
+    // unscored rows. The guard keeps the expression null, and a null
+    // predicate filters false.
+    val wd = weight.cast("double")
+    val clamped = when(wd.isNotNull && !isnan(wd),
+      greatest(least(wd, lit(1.0)), lit(0.0)))
     val threshold = lpad(lower(hex(floor(clamped * lit(4294967295.0)).cast("long"))), 8, "0")
     substring(md5(key.cast("string").cast("binary")), 1, 8) <= threshold
   }
@@ -565,16 +572,21 @@ object TextAnalysis {
   def bigramSurprisal(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val toks = corpusTokens(col(textCol))
+    // the context token rides ALONGSIDE the joined key instead of being
+    // recovered by re-splitting it, so a token that itself contains the
+    // \u0001 separator can never mis-assign a context (the key string
+    // keeps the repo-wide wordNgrams convention and with it the
+    // documented count-collision caveat for such tokens)
     val bigrams = when(size(toks) >= 2,
         transform(sequence(lit(0), size(toks) - 2),
-          i => concat_ws("\u0001", element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    val bg = docs.select(col(idCol).as("id"), explode(bigrams).as("b"))
+          i => struct(element_at(toks, i + 1).as("u"),
+            concat_ws("\u0001", element_at(toks, i + 1), element_at(toks, i + 2)).as("b"))))
+      .otherwise(array().cast("array<struct<u:string,b:string>>"))
+    val bg = docs.select(col(idCol).as("id"), explode(bigrams).as("g"))
+      .select(col("id"), col("g.u").as("u"), col("g.b").as("b"))
     val freq = bg.groupBy(col("b")).agg(count(lit(1)).as("c"))
-    val ctx = freq.groupBy(substring_index(col("b"), "\u0001", 1).as("u"))
-      .agg(sum(col("c")).as("cc"))
+    val ctx = bg.groupBy(col("u")).agg(count(lit(1)).as("cc"))
     val scored = bg.join(freq, "b")
-      .withColumn("u", substring_index(col("b"), "\u0001", 1))
       .join(ctx, "u")
       .select(col("id"), (-log(col("c").cast("double") / col("cc").cast("double"))).as("s"))
       .groupBy(col("id"))

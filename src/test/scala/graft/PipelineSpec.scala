@@ -1125,6 +1125,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(k3.subsetOf(k6) && k3.size < k6.size && k6.size < 400)
     assert(w.filter(TextAnalysis.weightedSampleByHash(col("id"), lit(7.5))).count() === 400)
     assert(w.filter(TextAnalysis.weightedSampleByHash(col("id"), lit(-3.0))).count() === 0)
+    // NULL/NaN weights DROP (a missing classifier score must not read as
+    // keep-probability 1 — least/greatest would silently skip the null)
+    assert(w.filter(TextAnalysis.weightedSampleByHash(col("id"),
+      lit(null).cast("double"))).count() === 0)
+    assert(w.filter(TextAnalysis.weightedSampleByHash(col("id"),
+      lit(Double.NaN))).count() === 0)
     // pure narrow expressions: no exchange in either filter's plan
     val plan = docs.filter(TextAnalysis.stratifiedSampleByHash(col("id"), col("src"), fr))
       .filter(TextAnalysis.weightedSampleByHash(col("id"), lit(0.5)))
