@@ -329,4 +329,52 @@ class PropertySpec extends AnyFunSuite {
       got == truth.toMap
     })
   }
+
+  test("pairsWithin ≡ naive inequality join on random event sets") {
+    import spark.implicits._
+    // ts drawn in ns around bucket boundaries of Δ = 7 µs so pairs cross
+    // buckets both ways; several keys, duplicate timestamps included
+    val genEvents: Gen[List[(Long, Long, Long)]] =
+      Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 40L)
+      } yield (k, t * 3500L))).map(_.zipWithIndex.map {
+        case ((k, tns), i) => (i.toLong, tns, k) })
+    check("pairsWithin", Prop.forAll(genEvents) { raw =>
+      val got = graft.streaming.EventStreams.pairsWithin(
+          raw.toDF("event_id", "ts", "user_id"), withinUs = 7L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val rows = raw.map { case (id, tns, k) => (id, tns / 1000, k) }
+      val want = (for {
+        (ia, ta, ka) <- rows; (ib, tb, kb) <- rows
+        if ka == kb && (tb > ta || (tb == ta && ib > ia)) && tb - ta <= 7
+      } yield (ka, ia, ib, tb - ta)).toSet
+      got == want
+    })
+  }
+
+  test("leakageSafeSplit: family atomicity + hash rule on random pair graphs") {
+    import spark.implicits._
+    val genPairs: Gen[List[(Long, Long)]] =
+      Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L) if a != b
+      } yield (a, b)))
+    val docs = (0L to 9L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    check("leakageSafeSplit", Prop.forAll(genPairs) { pairs =>
+      val out = graft.functions.Dedup.leakageSafeSplit(docs,
+          pairs.toDF("doc_a", "doc_b"), testFrac = 0.5)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      // union-find truth for family ids
+      val parent = scala.collection.mutable.Map((0L to 9L).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id within each component, iterated to the fixpoint
+      val comp = (0L to 9L).map(i => i -> find(i)).toMap
+      out.size == 10 &&
+        (0L to 9L).forall(i => out(i)._1 == comp(i)) &&                // min-label family
+        (0L to 9L).forall(i => out(i)._2 == out(comp(i))._2)           // family-atomic side
+    }, n = 5)
+  }
 }
