@@ -225,13 +225,27 @@ object EventStreams {
     * TIMESTAMP at µs precision (DuckDB) reproduce the pair set and
     * gaps exactly.
     *
+    * The pair OUTPUT is inherently quadratic in a key's burst density
+    * (k events inside one Δ window ARE k²/2 pairs) — `maxPerKeyBucket`
+    * > 0 drops (key, bucket) groups larger than the cap from both sides
+    * (the [[graft.functions.Dedup.minHashCandidates]] maxBucketSize
+    * convention: a bot key firing 10⁶ events in one window stops being
+    * a job-killer, and the capped semantics are explicit rather than an
+    * OOM). 0 = uncapped exact semantics (the gate/oracle setting).
+    *
     * Returns (keyCol, event_a, event_b, gap_us), gap_us = b − a in µs.
     */
   def pairsWithin(events: DataFrame, withinUs: Long,
-      keyCol: String = "user_id"): DataFrame = {
+      keyCol: String = "user_id", maxPerKeyBucket: Int = 0): DataFrame = {
     require(withinUs > 0, s"pairsWithin: withinUs must be positive, got $withinUs")
-    val base = events.select(col(keyCol), col("event_id"),
+    val raw = events.select(col(keyCol), col("event_id"),
       expr("ts DIV 1000").as("t_us"), expr(s"(ts DIV 1000) DIV $withinUs").as("bkt"))
+    val base =
+      if (maxPerKeyBucket <= 0) raw
+      else raw.join(
+        raw.groupBy(col(keyCol), col("bkt")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxPerKeyBucket).select(col(keyCol), col("bkt")),
+        Seq(keyCol, "bkt"), "left_anti")
     val left = base.select(col(keyCol), col("event_id").as("event_a"),
         col("t_us").as("a_us"),
         explode(array(col("bkt"), col("bkt") + 1)).as("jb"))

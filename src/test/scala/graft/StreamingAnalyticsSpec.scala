@@ -171,6 +171,13 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.toLowerCase
     assert(!plan.contains("broadcastnestedloop") && !plan.contains("cartesianproduct"),
       s"range join must bucket into an equi join:\n$plan")
+    // burst cap: user 5 has a 3-event bucket (t=9,11 in bkt 0/1… use a
+    // dense fixture) — events 4,5 share (user 5, bkt 3); capping at 1
+    // drops that bucket's pairs from both sides, everything else survives
+    val capped = EventStreams.pairsWithin(ev, withinUs = 10L, maxPerKeyBucket = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(!capped.contains((5L, 4L, 5L, 0L)), "over-cap bucket pairs dropped")
+    assert(capped.subsetOf(got), "capping only removes pairs, never invents them")
   }
 
   test("asofJoin: null right values stay atomic; null keys never match") {
