@@ -309,13 +309,20 @@ object Dedup {
 
   /** Append band rows for `sigs` to the index, skipping ids already
     * indexed — the caller passes `existingIds` from reads it already paid
-    * for. Id-level (not (id,band)-level) on purpose: an id with ANY index
-    * presence keeps its existing banding (see the re-ingest note in
-    * [[minHashDedupStream]]); only the repair path fills partial ids. */
+    * for. Id-level skipping is the RE-INGEST guard (an id live in the
+    * store keeps its existing banding — see [[minHashDedupStream]]);
+    * `existingBands`, when given, additionally skips at (id, band)
+    * granularity — the CRASH-REPLAY guard, which must complete a
+    * half-committed append (same granularity as the
+    * [[ensureSigIndexCoverage]] repair) instead of seeing the id as
+    * present and leaving its missing bands candidate-blind forever. */
   private def appendSigIndex(sigs: DataFrame, existingIds: DataFrame,
-      idxDir: String, bands: Int, rowsPerBand: Int, p: Int): Unit = {
-    val rows = bandBuckets(sigs, bands, rowsPerBand)
+      idxDir: String, bands: Int, rowsPerBand: Int, p: Int,
+      existingBands: Option[DataFrame] = None): Unit = {
+    val base = bandBuckets(sigs, bands, rowsPerBand)
       .join(existingIds.select("id"), Seq("id"), "left_anti")
+    val rows = existingBands.fold(base)(eb =>
+        base.join(eb.select("id", "band"), Seq("id", "band"), "left_anti"))
       .withColumn("__p", pmod(col("bucket"), lit(p)).cast("int"))
     if (!rows.isEmpty)
       rows.repartition(col("__p")).write.mode("append").partitionBy("__p").parquet(idxDir)
@@ -948,18 +955,24 @@ object Dedup {
         val storeIdsForBatch = storeRowsForIds(st, newSigs.select("id"))
           .filter(col("sig").isNotNull).select("id").localCheckpoint(true)
         // index append BEFORE the flat-store append: the flat append is the
-        // commit marker. The skip set is store-live-ids ∪ pruned-index-ids:
-        //  - store ids catch a doc RE-INGESTED WITH DIFFERENT TEXT, whose
-        //    new sig hashes to buckets outside the pruned read — appending
-        //    its new band rows would diverge the index from the store's
-        //    (kept) original signature and nondeterministically flip its
-        //    verdict sig; the store's first signature wins everywhere;
-        //  - pruned-index ids catch crash-replay (id indexed, store append
-        //    not yet committed: identical text → identical buckets → its
-        //    rows sit in the partitions already read).
-        appendSigIndex(newSigs,
-          storeIdsForBatch.unionByName(idxPruned.select("id")), idxDir,
-          bands, rowsPerBand, storePartitions)
+        // commit marker. Two skip guards at DIFFERENT granularities:
+        //  - store-live ids skip at ID level: a doc RE-INGESTED WITH
+        //    DIFFERENT TEXT hashes to buckets outside the pruned read —
+        //    appending its new band rows would diverge the index from the
+        //    store's (kept) original signature and nondeterministically
+        //    flip its verdict sig; the store's first signature wins;
+        //  - pruned-index rows skip at (ID, BAND) level: crash-replay (id
+        //    indexed, store append not yet committed — identical text →
+        //    identical buckets → its committed rows sit in the partitions
+        //    already read). Band-granular on purpose: a crash DURING the
+        //    index append's job commit can leave a PARTIAL band set
+        //    visible with the stamps still equal (stale-but-matching →
+        //    the coverage gate's steady path never re-verifies), so the
+        //    replay itself must complete the missing bands — an id-level
+        //    skip would leave them candidate-blind forever.
+        appendSigIndex(newSigs, storeIdsForBatch, idxDir,
+          bands, rowsPerBand, storePartitions,
+          existingBands = Some(idxPruned))
         // store append LAST: a crash before this point replays cleanly
         // (pairs partition just gets rewritten); genuinely-new ids only.
         // The anti-join ignores legacy (id, null) rows written before
@@ -1189,7 +1202,7 @@ object Dedup {
       posexplode(
         when(size(col("t")) >= n,
           transform(sequence(lit(0), size(col("t")) - n),
-            i => xxhash64(lower(array_join(slice(col("t"), i + lit(1), lit(n)), "")))))
+            i => xxhash64(lower(array_join(slice(col("t"), i + lit(1), lit(n)), "\u0001")))))
           .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "gram")))
     val dupGrams = occ.groupBy("gram")
       .agg(countDistinct(col(idCol)).as("df"))

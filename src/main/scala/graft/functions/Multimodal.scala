@@ -392,7 +392,11 @@ object Multimodal {
     * size-corrupt containers yield the frames before the damage — never
     * an exception. Non-AVI payloads keep the previous deterministic
     * every-`frameBytes`-chunk stub shape (`frameBytes` applies only
-    * there). Narrow flatMap either way: the payload never shuffles. */
+    * there; `frameBytes <= 0` — the AVI-only calling convention — emits
+    * NO frames for a non-AVI payload instead of crashing the job on
+    * `grouped(0)`, so a mixed media table degrades per row, the
+    * decode-stage contract). Narrow flatMap either way: the payload
+    * never shuffles. */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
@@ -401,6 +405,7 @@ object Multimodal {
           case ((off, len), i) if i % stride == 0 =>
             Frame(r.media_id, i, java.util.Arrays.copyOfRange(r.media, off, off + len))
         }
+      else if (frameBytes <= 0) Iterator.empty
       else r.media.grouped(frameBytes).zipWithIndex
         .collect { case (chunk, i) if i % stride == 0 => Frame(r.media_id, i, chunk) }
     }

@@ -327,8 +327,16 @@ object Similarity {
       .filter(col("doc_a") < col("doc_b"))
     // soft assignment finds the same pair in every shared cluster — dedup
     // BEFORE the per-pair cosine so duplicates cost a shuffle, not dots;
-    // single assignment has no duplicates (each doc in exactly 1 cluster)
-    val uniq = if (m == 1) cands else cands.dropDuplicates("doc_a", "doc_b")
+    // single assignment has no duplicates (each doc in exactly 1 cluster).
+    // min(centroid_id), not dropDuplicates: the kept cluster_id is part
+    // of the public output and must not depend on partition ordering
+    // (av/an/bv/bn are identical across a pair's duplicate rows, so
+    // first() on them is value-deterministic)
+    val uniq = if (m == 1) cands
+      else cands.groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("centroid_id")).as("centroid_id"),
+          first(col("av")).as("av"), first(col("an")).as("an"),
+          first(col("bv")).as("bv"), first(col("bn")).as("bn"))
     uniq
       .withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cosine") >= threshold)
@@ -346,10 +354,17 @@ object Similarity {
     * drop its vectors from the aggregate. */
   private def assignTopM(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, m: Int): DataFrame = {
+    // clamp to the ACTUAL centroid count: callers cap m at the REQUESTED
+    // k, but Lloyd refinement can collapse clusters (a centroid that
+    // loses every member drops out) — a pass with no unassigned centroid
+    // left would filter EVERY vector out of the aggregate and silently
+    // return an empty assignment. centroids is the small broadcast side;
+    // the count is cheap.
+    val mEff = math.min(m.toLong, centroids.count()).toInt
     var acc = assignTo(vectors.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
       .select(col(idCol), col(vecCol), array(col("centroid_id")).as("cids"))
     var j = 1
-    while (j < m) {
+    while (j < mEff) {
       acc = acc.crossJoin(broadcast(centroids))
         .filter(!array_contains(col("cids"), col("cid")))
         .withColumn("d", -ncos(col(vecCol), col("centroid")))
@@ -420,9 +435,14 @@ object Similarity {
         val cap = 256L * nCentroids
         val n = corpusCount(vectors)
         if (n <= cap) vectors
+        // floor at 1: past n > 10⁶·cap the integer fraction rounds to 0
+        // and the train set would be EMPTY (empty centroid table, empty
+        // index, silent empty output downstream); the 1-in-10⁶ floor
+        // over-samples the cap (expected n/10⁶ rows) but stays bounded
+        // and linear — correct, just a larger-than-budget sample
         else vectors.filter(
           pmod(xxhash64(col(idCol), lit(777)), lit(1000000)) <
-            lit((1000000L * cap / n).toInt))
+            lit(math.max(1L, 1000000L * cap / n)))
       }
     var cents = seeds
     var i = 0

@@ -902,6 +902,45 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       "repair must not duplicate the surviving band rows")
   }
 
+  test("minHashDedupStream: half-committed index append with MATCHING watermarks completes on replay") {
+    import graft.functions.Dedup
+    // the nastier crash window than the test above: the index append's
+    // job commit half-lands (bands 0-7 visible), the store append and
+    // stamps never ran — so the watermarks are stale-but-EQUAL and the
+    // coverage gate's steady path never re-verifies. The REPLAY itself
+    // must complete the missing bands: an id-level skip set would see id
+    // 200 as indexed and leave bands 8-15 candidate-blind forever.
+    val root = java.nio.file.Files.createTempDirectory("graft_halfidx").toString
+    val inDir = s"$root/in"; new java.io.File(inDir).mkdirs()
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    Dedup.seedSignatureStore(
+      Seq(100L -> "totally unrelated reference document body here").toDF("doc_id", "text"),
+      s"$root/sigs")
+    val idxDir = s"$root/sigs_idx_v2_b16x4_p1024"
+    // source doc 200's exact band rows from a scratch store seeded with
+    // the same text (signatures are deterministic), keep only bands 0-7
+    Dedup.seedSignatureStore(Seq(200L -> text).toDF("doc_id", "text"), s"$root/scratch")
+    spark.read.parquet(s"$root/scratch_idx_v2_b16x4_p1024")
+      .filter(col("id") === 200L && col("band") < 8).localCheckpoint(true)
+      .repartition(col("__p")).write.mode("append").partitionBy("__p").parquet(idxDir)
+    Seq(200L -> text).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/b1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val q = Dedup.minHashDedupStream(
+      spark.readStream.schema(schema).parquet(s"$inDir/*"),
+      s"$root/sigs", s"$root/pairs", s"$root/ckpt", threshold = 0.8)
+    try {
+      q.processAllAvailable()
+      val rows200 = spark.read.parquet(idxDir).filter(col("id") === 200L)
+      assert(rows200.select("band").distinct().count() === 16L,
+        "replay must complete the half-committed band set")
+      assert(rows200.groupBy("band").count().filter(col("count") > 1).count() === 0L,
+        "completing the append must not duplicate the surviving band rows")
+      assert(spark.read.parquet(s"$root/sigs").filter(col("id") === 200L).count() === 1L)
+    } finally q.stop()
+  }
+
   test("coverage gate: steady state reads only the watermark files, no index or store data") {
     import graft.functions.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft_gate").toString
