@@ -369,6 +369,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact === brute)
   }
 
+  test("semanticDedup: centroid collapse under soft assignment must not empty the output") {
+    // all-identical vectors: both k-means seeds coincide, Lloyd leaves a
+    // SINGLE centroid, and a soft-assignment pass with no unassigned
+    // centroid left used to filter every vector out of the aggregate —
+    // silently returning zero pairs (and an empty saveIvfIndex corpus)
+    val same = (1L to 6L).map(i => (i, Seq.fill(dim)(0.5f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDedup(same, threshold = 0.9, nClusters = 2, nAssign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size === 15, s"expected all C(6,2) pairs, got ${pairs.size}")
+    // and the kept cluster_id is deterministic (min over shared clusters)
+    val cids = Similarity.semanticDedup(same, threshold = 0.9, nClusters = 2, nAssign = 2)
+      .select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq
+    assert(cids.size === 1)
+  }
+
   test("semanticDedup: nClusters=1 equals exhaustive; cluster-local pairs stay true-cluster") {
     val exhaustive = Similarity.cosineDuplicates(clustered, threshold = 0.98, dim = dim,
         exhaustive = true)
