@@ -27,11 +27,24 @@ object GateQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    * LONG via spark.sql.legacy.parquet.nanosAsLong (DuckDB reads it as
-    * TIMESTAMP_NS natively) — queries must treat ts as nanos-since-epoch. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+  /** The events table with `ts` NORMALIZED to nanos-since-epoch LONG —
+    * the contract every downstream query and [[graft.streaming.EventStreams]]
+    * op assumes. The driver has generated this column under two physical
+    * types across rounds: TIMESTAMP(NANOS), which Spark reads as LONG via
+    * spark.sql.legacy.parquet.nanosAsLong (passes through unchanged), and
+    * TIMESTAMP(MICROS), which reads as TIMESTAMP/TIMESTAMP_NTZ and is
+    * converted here. An NTZ wall time is interpreted in the SESSION time
+    * zone — every graft entry point (Bench, Verify, the specs) pins it to
+    * UTC, matching DuckDB's epoch_ns/epoch_us(naive) = treat-wall-as-UTC
+    * oracle semantics. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => // TIMESTAMP or TIMESTAMP_NTZ (micros precision)
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
 
   // ---- graph model over the TPC-H-ish tables ------------------------------
   // Node id layout: customers [0, 1e7), orders [1e7, 2e7), parts [2e7, 3e7),
