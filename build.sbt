@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default on the 128 GiB box: the 80-query suite accumulates
+  // localCheckpoint blocks + the shared gate caches; at 8g the old gen
+  // fills mid-suite and late queries pay GC (measured: d9 in-suite 22.3 s
+  // at 8g vs 6.7 s at 24g, same isolated steady). SPARK_DRIVER_MEM overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -37,14 +37,8 @@ object GateQueries {
     * zone — every graft entry point (Bench, Verify, the specs) pins it to
     * UTC, matching DuckDB's epoch_ns/epoch_us(naive) = treat-wall-as-UTC
     * oracle semantics. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = t(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw
-      case _ => // TIMESTAMP or TIMESTAMP_NTZ (micros precision)
-        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
-    }
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.normalizeTs(t(spark, dir, "events"))
 
   // ---- graph model over the TPC-H-ish tables ------------------------------
   // Node id layout: customers [0, 1e7), orders [1e7, 2e7), parts [2e7, 3e7),

@@ -23,9 +23,24 @@ object EventStreams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** `ts` → nanos-since-epoch LONG regardless of the column's physical
+    * type — the shape every op in this object (and the gate queries)
+    * assumes. The driver's events table has shipped as both
+    * TIMESTAMP(NANOS) (reads as LONG under nanosAsLong — passes through)
+    * and TIMESTAMP(MICROS) (reads as TIMESTAMP/TIMESTAMP_NTZ — converted
+    * here; an NTZ wall time resolves in the session tz, which every graft
+    * entry point pins to UTC). Works identically on batch and streaming
+    * DataFrames (a narrow projection — no state, no barrier). */
+  def normalizeTs(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case LongType => events
+      case _ => events.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+
   /** Nanos-long ts → proper event-time timestamp column. */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(events).withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
 
   /** Tumbling-window counts per event type with a watermark — works on
     * both batch and streaming inputs. */
@@ -46,9 +61,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("win_start"), col("user_id"), col("n_events"))
 
-  /** Open a streaming read over a parquet directory with the events schema. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(dir)
+  /** Open a streaming read over a parquet directory with the events schema,
+    * ts normalized to nanos-long. The schema comes from a one-time batch
+    * footer peek (streaming sources need an explicit schema, and pinning
+    * [[eventSchema]] breaks when the dir was written with a timestamp-typed
+    * ts); files appended later must match the schema of the first peek. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch { case _: Exception => eventSchema } // empty dir: the documented shape
+    normalizeTs(spark.readStream.schema(schema).parquet(dir))
+  }
 
   /** Streaming exact dedup on a key column: duplicates arriving within the
     * watermark horizon are dropped; state for a key is reclaimed once the
