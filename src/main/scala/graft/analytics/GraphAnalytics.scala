@@ -384,4 +384,58 @@ object GraphAnalytics {
     }
     e
   }
+
+  /** Synchronous label-propagation communities → (id, label): labels
+    * start as vertex ids; each round every vertex adopts the PLURALITY
+    * label among its undirected neighbors, ties broken by the SMALLEST
+    * label. The deterministic variant on purpose: GraphX's LPA breaks
+    * ties by hash-map iteration order, which no external engine can
+    * replicate — with min-label ties and a FIXED round count the whole
+    * computation unrolls as plain SQL (the [[pageRankStatic]] /
+    * [[personalizedPageRank]] oracle-ability trade). Isolated vertices
+    * (and vertices whose neighbors all tie away) keep their previous
+    * label via the carried left join. Parallel edges vote once (the
+    * mirrored edge set is deduped); self-loops are dropped (a vertex
+    * does not vote for itself).
+    *
+    * Scale shape, per round: one |E|-row hash join fetching neighbor
+    * labels, one (v, label)-keyed count with map-side partial
+    * aggregation (the exchange carries |distinct (v, label)| ≤ |E|
+    * rows, not |E|), one plurality min_by aggregation, one |V| left
+    * join carrying labels forward. The |V|-sized label vector rides
+    * BROADCAST joins under `broadcastMaxVerts` (the [[personalizedPageRank]]
+    * lever) so the mirrored edge relation never re-shuffles; past the
+    * threshold both joins fall back to the canonical |E|/|V|-bounded
+    * hash shuffles. Lineage cut stride-2 (the PPR idiom) keeps plan
+    * depth constant at any round count. */
+  def labelPropagation(g: PropertyGraph, numIter: Int,
+      broadcastMaxVerts: Long = 1000000L): DataFrame = {
+    require(numIter >= 1, s"labelPropagation: numIter must be >= 1, got $numIter")
+    val spark = g.spark
+    import spark.implicits._
+    val fwd = g.edges.filter(col("dir")).select(col("src"), col("dst"))
+    val und = fwd.unionAll(fwd.select(col("dst"), col("src")))
+      .toDF("v", "w")
+      .filter(col("v") =!= col("w")).distinct()
+      .localCheckpoint(true)
+    val verts = und.select(col("v").as("id"))
+      .unionAll(g.explicitNodes.map(_.select(col("id")))
+        .getOrElse(Seq.empty[Long].toDF("id")))
+      .distinct().localCheckpoint(true)
+    val bcast = verts.count() <= broadcastMaxVerts
+    def side(df: DataFrame) = if (bcast) broadcast(df) else df
+    var lbl = verts.select(col("id"), col("id").as("label"))
+    for (i <- 1 to numIter) {
+      val lblS = side(lbl)
+      val pick = und.join(lblS, und("w") === lblS("id"))
+        .groupBy(und("v").as("vid"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("vid"))
+        .agg(min_by(col("label"), struct((-col("c")).as("nc"), col("label"))).as("nl"))
+      lbl = lbl.join(side(pick), lbl("id") === pick("vid"), "left")
+        .select(lbl("id"), coalesce(col("nl"), col("label")).as("label"))
+      if (i % 2 == 0 || i == numIter) lbl = lbl.localCheckpoint(true)
+    }
+    lbl
+  }
 }

@@ -693,6 +693,19 @@ object GateQueries {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
 
+    "a9_label_propagation" -> ((s, d) => {
+      // plurality-label communities on the a3/a5 subgraph (Placed stars +
+      // NextOrder chains): 4 synchronous rounds, min-label tie-break —
+      // the deterministic LPA variant, so the DuckDB oracle unrolls the
+      // identical vote (GraphX's hash-order ties would not be
+      // replicable). 4 rounds reaches label stability on this graph's
+      // star-plus-chain structure (customer hubs win their stars by
+      // round 2; chain interiors settle by 4).
+      val g = graph(s, d)
+      val sub = g.copy(edges = g.edges.filter(col("label").isin(Placed, NextOrder)))
+      graft.analytics.GraphAnalytics.labelPropagation(sub, numIter = 4)
+    }),
+
     "a6_triangles" -> ((s, d) => {
       // per-part triangle counts over the co-purchase graph (parts
       // sharing an order) — the clustering-coefficient primitive, via
@@ -857,7 +870,43 @@ object GateQueries {
        |SELECT a, b FROM e$iters""".stripMargin
   }
 
+  // deterministic LPA unrolled: per round, each vertex takes the
+  // plurality label among its undirected neighbors (ties → smallest
+  // label), keeping its previous label when it has no neighbors. Every
+  // CTE is MATERIALIZED (the kCore lesson: default inlining re-evaluates
+  // the whole prefix per reference — exponential in rounds).
+  private def lpaOracleSql(numIter: Int): String = {
+    val iters = (1 to numIter).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT p.id, COALESCE(w.nl, p.label) AS label
+         |  FROM l${i - 1} p LEFT JOIN (
+         |    SELECT v AS id, label AS nl FROM (
+         |      SELECT u.v, l.label, COUNT(*) AS c,
+         |        ROW_NUMBER() OVER (PARTITION BY u.v ORDER BY COUNT(*) DESC, l.label) AS rn
+         |      FROM und u JOIN l${i - 1} l ON u.w = l.id GROUP BY u.v, l.label) t
+         |    WHERE rn = 1) w ON w.id = p.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |edges AS MATERIALIZED (
+       |  SELECT CAST(o_custkey AS BIGINT) AS src, CAST(o_orderkey + 10000000 AS BIGINT) AS dst FROM orders
+       |  UNION ALL
+       |  SELECT CAST(o_orderkey + 10000000 AS BIGINT), CAST(nxt + 10000000 AS BIGINT) FROM (
+       |    SELECT o_orderkey, LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+       |    FROM orders) t WHERE nxt IS NOT NULL
+       |),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT v, w FROM (
+       |    SELECT src AS v, dst AS w FROM edges UNION ALL SELECT dst, src FROM edges) u
+       |  WHERE v <> w
+       |),
+       |l0 AS (SELECT DISTINCT v AS id, v AS label FROM und),
+       |$iters
+       |SELECT id, label FROM l$numIter""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "a9_label_propagation" -> lpaOracleSql(4),
     "a5_pagerank" -> pageRankOracleSql(5),
     "a8_ppr" -> pprOracleSql(1L, 5),
     "a7_kcore" -> kCoreOracleSql(16, 6),

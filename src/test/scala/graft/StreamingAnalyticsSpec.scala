@@ -1227,6 +1227,48 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(shuffled === got)
   }
 
+  test("labelPropagation matches a hand-rolled synchronous plurality vote") {
+    // two triangles bridged at 3-5: labels must converge to one community
+    // per triangle, with every round's plurality/min-label tie-break
+    // reproduced exactly by the reference simulation
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
+    val rawEdges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (5L, 6L), (6L, 7L), (5L, 7L), (3L, 5L))
+    val g = Loaders.fromList(spark,
+      rawEdges.map { case (a, b) => InputEdge(a, b, Seq(1), addReverse = false) }, ranges)
+    val und = (rawEdges ++ rawEdges.map(_.swap)).distinct
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def simulate(iters: Int): Map[Long, Long] = {
+      var l = nbrs.keys.map(v => v -> v).toMap
+      for (_ <- 1 to iters) {
+        l = l.map { case (v, cur) =>
+          val counts = nbrs(v).groupBy(l).view.mapValues(_.size).toMap
+          if (counts.isEmpty) v -> cur
+          else v -> counts.toSeq.minBy { case (lbl, c) => (-c, lbl) }._1
+        }
+      }
+      l
+    }
+    for (iters <- Seq(1, 2, 4)) {
+      val got = GraphAnalytics.labelPropagation(g, numIter = iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === simulate(iters), s"at iters=$iters")
+    }
+    // converged communities = one label per triangle (bridge endpoints
+    // stay with their own triangle: each has 2 in-triangle neighbors
+    // vs 1 across the bridge)
+    val fin = GraphAnalytics.labelPropagation(g, numIter = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(fin(1L), fin(2L), fin(3L)).size === 1)
+    assert(Set(fin(5L), fin(6L), fin(7L)).size === 1)
+    assert(fin(1L) !== fin(5L))
+    // the past-threshold shuffle fallback computes the identical labels
+    val shuffled = GraphAnalytics.labelPropagation(g, numIter = 4,
+        broadcastMaxVerts = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled === fin)
+  }
+
   test("SIW/QW workloads: incremental ≡ bulk; FN/FA/FS shapes on the mail graph") {
     val path = MailGraph.generate("/tmp/graft_mail_test.txt", edges = 10000, nodes = 1000)
     val bulk = MailGraph.miw(spark, path)
