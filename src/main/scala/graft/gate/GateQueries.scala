@@ -633,6 +633,16 @@ object GateQueries {
           col("asof_p_value").as("p_value"))
     }),
 
+    "s5_event_funnel" -> ((s, d) => {
+      // view → click → purchase conversion per user, earliest-path
+      // matching, 1-day span on the greedy path (see EventStreams.funnel
+      // scaladoc for the windowed-conversion caveat). converted is 0/1
+      // LONG for cross-engine hashing.
+      graft.streaming.EventStreams.funnel(events(s, d),
+        Seq("view", "click", "purchase"),
+        maxSpanNanos = Some(86400L * 1000000000L))
+    }),
+
     // ---- whole-graph analytics (GraphX/Pregel) ----------------------------
     "a1_reachable_orders" -> ((s, d) => {
       // all orders transitively after customer 1's first order (NextOrder***)
@@ -1175,6 +1185,31 @@ object GateQueries {
         | AND (epoch_us(b.ts) > epoch_us(a.ts)
         |      OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id > a.event_id))
         | AND epoch_us(b.ts) - epoch_us(a.ts) <= CAST(1800000000 AS BIGINT)""".stripMargin,
+    "s5_event_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(CAST(epoch_ns(ts) AS BIGINT)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT s1.user_id, s1.t1,
+        |    MIN(CASE WHEN CAST(epoch_ns(e.ts) AS BIGINT) > s1.t1
+        |        THEN CAST(epoch_ns(e.ts) AS BIGINT) END) AS t2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |  GROUP BY 1, 2
+        |), s3 AS (
+        |  SELECT s2.user_id, s2.t1, s2.t2,
+        |    MIN(CASE WHEN CAST(epoch_ns(e.ts) AS BIGINT) > s2.t2
+        |        THEN CAST(epoch_ns(e.ts) AS BIGINT) END) AS t3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, t1, t2, t3,
+        |  CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_steps,
+        |  CAST(CASE WHEN t3 IS NOT NULL AND t3 - t1 <= 86400000000000
+        |       THEN 1 ELSE 0 END AS BIGINT) AS converted
+        |FROM s3""".stripMargin,
     "s3_asof_join" ->
       """WITH purchases AS (
         |  SELECT user_id, ts, MAX(value) AS p_value FROM events

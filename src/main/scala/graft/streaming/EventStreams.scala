@@ -31,11 +31,11 @@ object EventStreams {
     * here; an NTZ wall time resolves in the session tz, which every graft
     * entry point pins to UTC). Works identically on batch and streaming
     * DataFrames (a narrow projection — no state, no barrier). */
-  def normalizeTs(events: DataFrame): DataFrame =
-    events.schema("ts").dataType match {
+  def normalizeTs(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events.schema(tsCol).dataType match {
       case LongType => events
-      case _ => events.withColumn("ts",
-        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case _ => events.withColumn(tsCol,
+        unix_micros(col(tsCol).cast("timestamp")) * lit(1000L))
     }
 
   /** Nanos-long ts → proper event-time timestamp column. */
@@ -174,6 +174,56 @@ object EventStreams {
           closed.iterator
         }
     }
+  }
+
+  /** Ordered-step FUNNEL: per user, the earliest completion of `steps` in
+    * order — step k's event must be STRICTLY LATER than the matched step
+    * k−1 event. Greedy earliest-per-step matching: if any in-order
+    * completion exists, taking the earliest valid event at each step
+    * finds one (the standard subsequence-matching argument), so
+    * "completed" is exact; the reported timestamps are the earliest
+    * completion path. Returns one row per user who reached step 1:
+    * (user, t1..tn, n_steps, converted) where n_steps counts the reached
+    * prefix (tk is NULL beyond it) and converted = 1 iff all steps
+    * completed — within `maxSpanNanos` of t1 when given, measured ON THE
+    * EARLIEST PATH (a later, tighter completion does not resurrect a
+    * span-failed funnel; exact windowed conversion would need per-window
+    * re-matching — document the difference before comparing to such
+    * tools). converted is LONG 0/1, not boolean, for cross-engine
+    * comparability.
+    *
+    * Scale shape: steps.size−1 user-keyed left-join + aggregation
+    * rounds. Round k joins the (user, t1..tk−1) accumulator — ≤ one row
+    * per user — with only the step-k events (filter pushed to the scan),
+    * so shuffled rows are |step-k events| + |users| per round and
+    * per-user fan-out is bounded by that user's step-k event count. No
+    * windows, no driver-side state; each round's aggregate re-keys by
+    * user with map-side combine. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      maxSpanNanos: Option[Long] = None,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps must be non-empty")
+    val ev = normalizeTs(events, tsCol)
+    var acc = ev.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    for (k <- 2 to steps.size) {
+      val stepEv = ev.filter(col(typeCol) === steps(k - 1))
+        .select(col(userCol), col(tsCol).as("__ts"))
+      val carried = (1 until k).map(i => s"t$i")
+      acc = acc.join(stepEv, Seq(userCol), "left")
+        .groupBy((userCol +: carried).map(col): _*)
+        .agg(min(when(col("__ts") > col(s"t${k - 1}"), col("__ts"))).as(s"t$k"))
+    }
+    val n = steps.size
+    val nSteps = (2 to n).map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    val completed = col(s"t$n").isNotNull
+    val converted = maxSpanNanos.fold(completed)(s =>
+      completed && col(s"t$n") - col("t1") <= s)
+    acc.withColumn("n_steps", nSteps.cast("long"))
+      .withColumn("converted",
+        coalesce(when(converted, 1L).otherwise(0L), lit(0L)))
   }
 
   /** As-of join: attach to each left row the latest right row of the same

@@ -146,6 +146,39 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cartesianproduct"))
   }
 
+  test("funnel: ordered-step matching, strict ordering, span bound, prefix property") {
+    // user 1: full in-order funnel view(10) → click(20) → purchase(30)
+    // user 2: click BEFORE view — step 2 must not match (strictly later
+    //         than t1 required), later click(40) does; no purchase
+    // user 3: view and click at the SAME ts — strict > rejects it
+    // user 4: full funnel but purchase beyond the span bound
+    // user 5: purchase only — no view ⇒ no funnel row at all
+    val ev = Seq(
+      (1L, 10L, 1L, "view"), (2L, 20L, 1L, "click"), (3L, 30L, 1L, "purchase"),
+      (4L, 5L, 2L, "click"), (5L, 10L, 2L, "view"), (6L, 40L, 2L, "click"),
+      (7L, 10L, 3L, "view"), (8L, 10L, 3L, "click"),
+      (9L, 10L, 4L, "view"), (10L, 20L, 4L, "click"), (11L, 500L, 4L, "purchase"),
+      (12L, 10L, 5L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventStreams.funnel(ev, Seq("view", "click", "purchase"),
+        maxSpanNanos = Some(100L)).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L) === ((Some(10L), Some(20L), Some(30L), 3L, 1L)))
+    assert(out(2L) === ((Some(10L), Some(40L), None, 2L, 0L)))    // pre-view click skipped
+    assert(out(3L) === ((Some(10L), None, None, 1L, 0L)))         // same-ts not strictly later
+    assert(out(4L) === ((Some(10L), Some(20L), Some(500L), 3L, 0L))) // completed, span-failed
+    // without a span bound user 4 converts
+    val noSpan = EventStreams.funnel(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(noSpan(4L) === 1L)
+    // single-step funnel: every user with that event, n_steps = converted = 1
+    val one = EventStreams.funnel(ev, Seq("purchase")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(one === Set((1L, 1L, 1L), (4L, 1L, 1L), (5L, 1L, 1L)))
+  }
+
   test("pairsWithin: bucketed range join ≡ naive inequality join; equi-join plan") {
     // ts in NANOS (the events-table shape); Δ = 10 µs = 10,000 ns.
     // Crafted to cross bucket boundaries: 9→11 µs spans buckets 0/1;
