@@ -675,4 +675,154 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  // ---- product quantization (PQ) ------------------------------------------
+
+  /** (id, sub, sv) sub-vector rows: the vector split into nSub contiguous
+    * subDim-wide slices — one narrow projection, nSub rows per vector. */
+  private def subVectors(df: DataFrame, idCol: String, vecCol: String,
+      nSub: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as("id"), posexplode(
+        array((0 until nSub).map(s => slice(col(vecCol), s * subDim + 1, subDim)): _*)))
+      .toDF("id", "sub", "sv")
+
+  /** Squared L2 distance via three native dots (‖x−c‖² = x·x − 2x·c + c·c) —
+    * PQ codebooks minimize RECONSTRUCTION error, which is L2, even though
+    * the search metric downstream is cosine/dot. */
+  private def l2sq(x: Column, c: Column): Column =
+    ndot(x, x) - lit(2.0) * ndot(x, c) + ndot(c, c)
+
+  /** Nearest-codeword assignment per (vector, subspace): min_by
+    * aggregation (map-side combined — the [[assignTo]] shape, keyed by
+    * (id, sub)) against the broadcast codebook table. */
+  private def pqAssign(sub: DataFrame, books: DataFrame): DataFrame =
+    sub.join(broadcast(books), "sub")
+      .withColumn("d", l2sq(col("sv"), col("centroid")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
+        first(col("sv")).as("sv"))
+
+  /** Product-quantization codebooks (Jégou et al., TPAMI 2011): split the
+    * vector into `nSub` contiguous subspaces and k-means each
+    * INDEPENDENTLY with `nCodes` codewords under L2 (the reconstruction
+    * metric). Returns (sub, code, centroid) — nSub·nCodes rows, the
+    * broadcastable codebook table. Seeds are the deterministic
+    * hash-ordered sample (the [[ivfCentroids]] rule, id tie-broken);
+    * Lloyd refinement trains ALL subspaces in one chained job per
+    * iteration (assignment keyed by (id, sub), recompute by (sub, code,
+    * pos)) on a hash-sample capped at 256·nCodes vectors — at 100 TB no
+    * Lloyd iteration ever re-reads the corpus. A codeword that loses
+    * every member drops out (nCodes is an upper bound, standard Lloyd
+    * behavior). */
+  def pqCodebooks(corpus: DataFrame, nSub: Int, nCodes: Int,
+      lloydIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    useNative(corpus)
+    val dim = corpus.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+      .limit(1).collect().headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("pqCodebooks: no non-empty vectors"))
+    require(dim % nSub == 0,
+      s"pqCodebooks: dim $dim not divisible into $nSub subspaces")
+    val subDim = dim / nSub
+    // deterministic seed codewords: the nCodes hash-ordered vectors,
+    // code = hash-order rank (a tiny nCodes-row window after the limit)
+    val seedIds = corpus
+      .withColumn("h", pmod(xxhash64(col(idCol)), lit(1000000)))
+      .orderBy(col("h"), col(idCol)).limit(nCodes)
+      .select(col(idCol), col("h"))
+      .withColumn("code", row_number().over(Window.orderBy(col("h"), col(idCol))))
+      .select(col(idCol), col("code"))
+    val seeds = corpus.join(seedIds, idCol)
+      .select(col("code"), posexplode(
+        array((0 until nSub).map(s => slice(col(vecCol), s * subDim + 1, subDim)): _*)))
+      .toDF("code", "sub", "centroid")
+      .select(col("sub"), col("code"), col("centroid"))
+    val iters = math.max(lloydIters, 1)
+    // training sample: the ivfCentroids budget (256 points per codeword),
+    // deterministic, floor-guarded
+    val cap = 256L * nCodes
+    val n = corpusCount(corpus)
+    val train0 =
+      if (n <= cap) corpus
+      else corpus.filter(pmod(xxhash64(col(idCol), lit(777)), lit(1000000)) <
+        lit(math.max(1L, 1000000L * cap / n)))
+    val train = subVectors(train0, idCol, vecCol, nSub, subDim).localCheckpoint(true)
+    var books = seeds
+    var i = 0
+    while (i < iters) {
+      books = pqAssign(train, books)
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+      i += 1
+      if (i < iters) books = books.localCheckpoint(true)
+    }
+    books
+  }
+
+  /** Encode a corpus against trained codebooks → (id, sub, code): nSub
+    * small integers per vector — the compressed representation ADC scans.
+    * One narrow sub-vector projection + one broadcast join + one
+    * map-side-combined min_by; the exchange carries |corpus|·nSub rows
+    * of (id, sub, code). */
+  def pqEncode(corpus: DataFrame, books: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    useNative(corpus)
+    val subDim = books.select(size(col("centroid")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("pqEncode: empty codebook table"))
+    val nSub = books.agg(max(col("sub"))).collect().head.getInt(0) + 1
+    pqAssign(subVectors(corpus, idCol, vecCol, nSub, subDim), books)
+      .select(col("id"), col("sub"), col("code"))
+  }
+
+  /** PQ top-k by ASYMMETRIC DISTANCE COMPUTATION: queries stay exact,
+    * the corpus is scanned in its quantized form — dot(q, v) ≈ Σ_sub
+    * LUT[sub][code(v, sub)] where LUT holds the query's exact dot with
+    * every codeword (nSub·nCodes entries per query, built once and
+    * broadcast). Cosine uses the EXACT per-vector norm carried beside
+    * the codes (standard practice — norms are one float/vector; the
+    * approximation lives in the dot).
+    *
+    * Scale shape: this is the COMPRESSED EXHAUSTIVE tier — every query
+    * still touches every corpus vector, but through nSub one-byte codes
+    * + one broadcast-LUT hash join + a map-side-combined (query, id)
+    * sum, instead of a dim-float dot per pair: the memory-bound regime
+    * PQ exists for (32× smaller scan at dim=64/nSub=8). The scored
+    * exchange carries ≤ |queries|·|corpus| partially-aggregated rows.
+    * For sublinear candidate generation compose with the IVF tier
+    * (classic IVF-PQ): prune partitions with [[ivfTopKIndexed]]'s probe
+    * list, ADC-score inside them. Approximate by construction — recall
+    * vs the exact twin is emitted like the e2/e4/d4 tiers. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nSub: Int = 8, nCodes: Int = 32, lloydIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    useNative(queries)
+    // codebooks feed the encode AND the LUT subtrees — materialize once
+    // (deterministic lifecycle, the ivfTopK rationale)
+    val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
+      .localCheckpoint(true)
+    val subDim = books.select(size(col("centroid")).as("d")).limit(1)
+      .collect().head.getInt(0)
+    // codes carry the exact norm: ×nSub duplication of one float beats a
+    // post-aggregation |queries|·|corpus| join against the norm table
+    val codes = pqEncode(corpus, books, idCol, vecCol)
+      .join(corpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn")), "id")
+    val lut = subVectors(queries, idCol, vecCol, nSub, subDim)
+      .join(broadcast(books), "sub")
+      .select(col("id").as("query_id"), col("sub"), col("code"),
+        ndot(col("sv"), col("centroid")).as("part"))
+    val qn = queries.select(col(idCol).as("query_id"), nnorm(col(vecCol)).as("qn"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("part")).as("adc"), first(col("cn")).as("cn"))
+      .join(broadcast(qn), "query_id")
+      .withColumn("cosine", col("adc") / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
 }

@@ -502,6 +502,20 @@ object GateQueries {
           emb.filter(col("vec_id") < 50), emb, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
+    "e7_ann_pq_topk" -> ((s, d) => {
+      // product-quantization ADC over the same query/corpus/k config as
+      // the e1 exact twin: 16 subspaces × 64 codewords = 96-bit codes, a
+      // ~21× compressed corpus scan at dim 64. Rows-only gate like
+      // e2/e4/d4; quality = the emitted e7_vs_e1 recall (0.628 at
+      // sf0.01 — the isotropic corpus is PQ's worst case; the probe
+      // table in SCALING.md maps the recall/bits frontier: 0.30 at 32
+      // bits → 0.74 at 160).
+      val emb = t(s, d, "embeddings")
+      graft.functions.Similarity.pqTopK(
+          emb.filter(col("vec_id") < 50), emb, k = 10,
+          nSub = 16, nCodes = 64, lloydIters = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
     "e2_ann_lsh_topk" -> ((s, d) => {
       // full Hamming-1 + Hamming-2 multi-probe: recall on this isotropic
       // corpus measured 0.024 unprobed (round 8), 0.202 with the 10

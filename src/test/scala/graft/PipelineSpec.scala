@@ -318,6 +318,39 @@ class PipelineSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding")
   }
 
+  test("pqTopK: every-vector-a-codeword degenerates to brute force; recall rises with codes") {
+    // nCodes >= n makes every vector its own codeword: reconstruction is
+    // exact, so ADC scoring equals the exact dot and pqTopK must equal
+    // bruteForceTopK EXACTLY (the full-probe-IVF verification identity,
+    // applied to PQ)
+    val brute = Similarity.bruteForceTopK(clustered, clustered, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val exactPq = Similarity.pqTopK(clustered, clustered, 3,
+        nSub = 1, nCodes = 64, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(exactPq === brute)
+    // coarse codebooks on clustered data: within-cluster noise (0.05σ)
+    // quantizes away, so exact-rank recall is NOT the right bar (ADC
+    // ties inside a cluster are id-ranked) — the PQ guarantee here is
+    // CLUSTER-level: every ADC top-3 neighbor shares the query's cluster
+    val coarse = Similarity.pqTopK(clustered, clustered, 3,
+        nSub = 4, nCodes = 8, lloydIters = 2).collect()
+    assert(coarse.length === 50 * 3)
+    assert(coarse.forall(r => r.getLong(0) % 5 === r.getLong(1) % 5),
+      "a top-3 ADC neighbor crossed clusters")
+    // encoding is deterministic and one (sub, code) pair per (vector, sub)
+    val books = Similarity.pqCodebooks(clustered, nSub = 4, nCodes = 8)
+    val codes = Similarity.pqEncode(clustered, books)
+    assert(codes.count() === 50L * 4)
+    assert(codes.groupBy("id", "sub").count().filter(col("count") > 1).isEmpty)
+    val codes2 = Similarity.pqEncode(clustered, books)
+    assert(codes.except(codes2).isEmpty && codes2.except(codes).isEmpty)
+    // dim not divisible into subspaces fails fast
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(clustered, nSub = 5, nCodes = 8)
+    }
+  }
+
   test("brute-force cosine top-k: neighbors come from the same cluster") {
     val top = Similarity.bruteForceTopK(clustered, clustered, 5)
     val rows = top.collect()
