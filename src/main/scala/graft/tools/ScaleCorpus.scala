@@ -31,8 +31,19 @@ object ScaleCorpus {
       emb.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
     }.reduce(_ unionByName _)
     eN.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // events: USER-offset replication (event ids offset too) keeps
+    // per-user burst density constant — the round-9 s4 protocol, now
+    // reproducible from this tool instead of an ad-hoc build
+    val ev = graft.streaming.EventStreams.normalizeTs(
+      spark.read.parquet(s"$src/events.parquet"))
+    val vN = (0 until factor).map { k =>
+      ev.withColumn("user_id", col("user_id") + lit(k * 10000000L))
+        .withColumn("event_id", col("event_id") + lit(k * 100000000L))
+    }.reduce(_ unionByName _)
+    vN.write.mode("overwrite").parquet(s"$out/events.parquet")
     println(s"RESULT docs=${spark.read.parquet(s"$out/documents.parquet").count()} " +
-      s"emb=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+      s"emb=${spark.read.parquet(s"$out/embeddings.parquet").count()} " +
+      s"events=${spark.read.parquet(s"$out/events.parquet").count()}")
     spark.stop()
   }
 }
