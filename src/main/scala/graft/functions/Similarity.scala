@@ -825,4 +825,82 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** IVF-PQ: the classic composition (Jégou et al. TPAMI 2011 §V) and the
+    * genuine 100 TB ANN shape — IVF's coarse quantizer makes the
+    * candidate set SUBLINEAR (only nProbe of nCentroids partitions are
+    * touched per query) while PQ makes each candidate CHEAP (ADC over
+    * nSub small codes instead of a dim-float dot). Both recall levers
+    * compose: `nProbe`/`nAssign` controls partition coverage (the e4
+    * knobs), `nSub`·log₂(nCodes) the code budget (the e7 knob); compound
+    * recall is roughly their product — measure, don't assume (the e8
+    * gate emits recall vs the e1 exact twin like every approximate
+    * tier).
+    *
+    * This variant quantizes RAW vectors against one shared codebook set
+    * (residual-per-centroid encoding — PQ over v − centroid(v) with a
+    * per-(query, probed-centroid) LUT — is the known accuracy upgrade at
+    * nProbe× LUT cost; the raw form keeps the LUT per-query only).
+    * Exact norms ride the index as in [[pqTopK]].
+    *
+    * Scale shape: index side = one coarse assignment (+ nAssign−1 linear
+    * passes), one PQ encode — all map-side-combined aggregations over
+    * |corpus|·nSub narrow rows; probe side = broadcast probe list +
+    * broadcast LUT, candidate rows |corpus|·nSub·(nProbe/nCentroids)
+    * per query partially aggregated before the one (query, id) exchange.
+    * Persisted composition: partition the coded corpus by centroid_id
+    * exactly as [[saveIvfIndex]] does and the probed scan
+    * partition-prunes the same way. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int = 2, nSub: Int = 8, nCodes: Int = 32,
+      lloydIters: Int = 1, nAssign: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    useNative(queries)
+    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters)
+      .localCheckpoint(true)
+    val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
+      .localCheckpoint(true)
+    val subDim = books.select(size(col("centroid")).as("d")).limit(1)
+      .collect().head.getInt(0)
+    val m = math.min(math.max(nAssign, 1), nCentroids)
+    val assigned =
+      (if (m == 1) assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
+       else assignTopM(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol, m))
+        .select(col(idCol).as("id"), col("centroid_id"))
+    val codes = pqAssign(subVectors(corpus, idCol, vecCol, nSub, subDim), books)
+      .select(col("id"), col("sub"), col("code"))
+      .join(corpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn")), "id")
+      .join(assigned, "id") // ×nAssign copies of each code row, one per home centroid
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      nnorm(col(vecCol)).as("qn"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d", -ncos(col("qv"), col("centroid")))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cid"))
+    val qprobe = probes.withColumn("rk", row_number().over(pw))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("cid").as("centroid_id"))
+    val lut = subVectors(queries, idCol, vecCol, nSub, subDim)
+      .join(broadcast(books), "sub")
+      .select(col("id").as("query_id"), col("sub"), col("code"),
+        ndot(col("sv"), col("centroid")).as("part"))
+    val cands = codes.join(broadcast(qprobe), "centroid_id")
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .filter(col("query_id") =!= col("id"))
+    // soft assignment duplicates a candidate's code rows once per shared
+    // probed centroid — summing them would double-count the ADC dot.
+    // Dedup at (query, id, sub) with first() (part is value-identical
+    // across duplicates) BEFORE the sum; hard assignment needs no dedup.
+    val scored0 =
+      if (m == 1) cands
+      else cands.groupBy(col("query_id"), col("id"), col("sub"))
+        .agg(first(col("part")).as("part"), first(col("cn")).as("cn"))
+    val scored = scored0
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("part")).as("adc"), first(col("cn")).as("cn"))
+      .join(broadcast(q.select(col("query_id"), col("qn"))), "query_id")
+      .withColumn("cosine", col("adc") / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
 }

@@ -516,6 +516,18 @@ object GateQueries {
           nSub = 16, nCodes = 64, lloydIters = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
+    "e8_ann_ivfpq_topk" -> ((s, d) => {
+      // the IVF-PQ composition at e4's partition coverage (16 centroids,
+      // 4 probes, soft nAssign=2) and e7's code budget (16×64 = 96-bit
+      // codes): sublinear candidates AND compressed scoring — the
+      // compound approximate tier; quality = the emitted e8_vs_e1 recall
+      val emb = t(s, d, "embeddings")
+      graft.functions.Similarity.ivfPqTopK(
+          emb.filter(col("vec_id") < 50), emb, k = 10,
+          nCentroids = 16, nProbe = 4, nSub = 16, nCodes = 64,
+          lloydIters = 2, nAssign = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
     "e2_ann_lsh_topk" -> ((s, d) => {
       // full Hamming-1 + Hamming-2 multi-probe: recall on this isotropic
       // corpus measured 0.024 unprobed (round 8), 0.202 with the 10

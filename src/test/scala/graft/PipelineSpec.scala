@@ -351,6 +351,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: full probe + exact codebook degenerates to brute force; soft dedup never double-counts") {
+    val brute = Similarity.bruteForceTopK(clustered, clustered, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // full probe (nProbe = nCentroids) removes the IVF approximation;
+    // nCodes >= n removes the PQ approximation — together ≡ brute force
+    val exact = Similarity.ivfPqTopK(clustered, clustered, 3,
+        nCentroids = 4, nProbe = 4, nSub = 1, nCodes = 64, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(exact === brute)
+    // soft assignment (nAssign > 1) must dedup shared-centroid code rows,
+    // not sum them twice: full probe + exact codes stays ≡ brute force
+    val soft = Similarity.ivfPqTopK(clustered, clustered, 3,
+        nCentroids = 4, nProbe = 4, nSub = 1, nCodes = 64, lloydIters = 1,
+        nAssign = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(soft === brute)
+    // the pruned+coded tier keeps candidates inside the query's cluster
+    val pruned = Similarity.ivfPqTopK(clustered, clustered, 3,
+        nCentroids = 5, nProbe = 2, nSub = 4, nCodes = 8, lloydIters = 2,
+        nAssign = 2).collect()
+    assert(pruned.forall(r => r.getLong(0) % 5 === r.getLong(1) % 5),
+      "an IVF-PQ top-3 neighbor crossed clusters")
+  }
+
   test("brute-force cosine top-k: neighbors come from the same cluster") {
     val top = Similarity.bruteForceTopK(clustered, clustered, 5)
     val rows = top.collect()
