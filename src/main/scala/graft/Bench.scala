@@ -187,11 +187,16 @@ object Bench {
       ("e8", "e8_ann_ivfpq_topk", "e1_ann_bruteforce_topk", Seq("query_id", "neighbor_id")),
       ("d4", "d4_embedding_near_dups", "d6_embedding_dups_exact", Seq("doc_a", "doc_b")),
       ("d9", "d9_semantic_dedup", "d6_embedding_dups_exact", Seq("doc_a", "doc_b")))
+    // memoized per query name: e1 is the exact twin of BOTH e7 and e8 —
+    // without the memo its full brute-force cross join would run twice
+    // in the untimed rider
+    val keySetMemo = scala.collection.mutable.Map[String, Option[Set[String]]]()
     def keySet(name: String, keys: Seq[String]): Option[Set[String]] =
-      try Some(SparkEntry.queries(name)(spark, sfDir)
-        .select(keys.map(org.apache.spark.sql.functions.col): _*)
-        .collect().map(_.mkString("|")).toSet)
-      catch { case _: Throwable => None } // a failed twin just drops its pair
+      keySetMemo.getOrElseUpdate(name,
+        try Some(SparkEntry.queries(name)(spark, sfDir)
+          .select(keys.map(org.apache.spark.sql.functions.col): _*)
+          .collect().map(_.mkString("|")).toSet)
+        catch { case _: Throwable => None }) // a failed twin just drops its pair
     val recalls = recallPairs.flatMap { case (short, approx, exact, keys) =>
       if (!only.forall(o => o.contains(approx) && o.contains(exact))) None
       else for { a <- keySet(approx, keys); e <- keySet(exact, keys) if e.nonEmpty }

@@ -686,21 +686,31 @@ object Similarity {
         array((0 until nSub).map(s => slice(col(vecCol), s * subDim + 1, subDim)): _*)))
       .toDF("id", "sub", "sv")
 
-  /** Squared L2 distance via three native dots (‖x−c‖² = x·x − 2x·c + c·c) —
-    * PQ codebooks minimize RECONSTRUCTION error, which is L2, even though
-    * the search metric downstream is cosine/dot. */
-  private def l2sq(x: Column, c: Column): Column =
-    ndot(x, x) - lit(2.0) * ndot(x, c) + ndot(c, c)
-
-  /** Nearest-codeword assignment per (vector, subspace): min_by
-    * aggregation (map-side combined — the [[assignTo]] shape, keyed by
-    * (id, sub)) against the broadcast codebook table. */
-  private def pqAssign(sub: DataFrame, books: DataFrame): DataFrame =
-    sub.join(broadcast(books), "sub")
-      .withColumn("d", l2sq(col("sv"), col("centroid")))
+  /** Nearest-codeword assignment per (vector, subspace) under L2 — PQ
+    * codebooks minimize RECONSTRUCTION error even though the search
+    * metric downstream is cosine/dot. min_by aggregation (map-side
+    * combined — the [[assignTo]] shape, keyed by (id, sub)) against the
+    * broadcast codebook table. argmin_c ‖x−c‖² = argmin_c (c·c − 2x·c):
+    * the x·x term is constant per (id, sub) group and dropped, and c·c
+    * is computed once per codeword row BEFORE the broadcast
+    * ([[bruteForceTopK]]'s per-side-norm idiom) — each pair costs ONE
+    * subDim-width dot instead of three. */
+  private def pqAssign(sub: DataFrame, books: DataFrame): DataFrame = {
+    val b = books.withColumn("__cc", ndot(col("centroid"), col("centroid")))
+    sub.join(broadcast(b), "sub")
+      .withColumn("d", col("__cc") - lit(2.0) * ndot(col("sv"), col("centroid")))
       .groupBy(col("id"), col("sub"))
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
         first(col("sv")).as("sv"))
+  }
+
+  /** The shared encode pipeline behind [[pqEncode]]/[[pqTopK]]/
+    * [[ivfPqTopK]] — one body so tie-break or dropped-codeword fixes
+    * cannot drift between the public op and the composed tiers. */
+  private def encodeAgainst(corpus: DataFrame, books: DataFrame,
+      nSub: Int, subDim: Int, idCol: String, vecCol: String): DataFrame =
+    pqAssign(subVectors(corpus, idCol, vecCol, nSub, subDim), books)
+      .select(col("id"), col("sub"), col("code"))
 
   /** Product-quantization codebooks (Jégou et al., TPAMI 2011): split the
     * vector into `nSub` contiguous subspaces and k-means each
@@ -774,8 +784,7 @@ object Similarity {
       .collect().headOption.map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException("pqEncode: empty codebook table"))
     val nSub = books.agg(max(col("sub"))).collect().head.getInt(0) + 1
-    pqAssign(subVectors(corpus, idCol, vecCol, nSub, subDim), books)
-      .select(col("id"), col("sub"), col("code"))
+    encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
   }
 
   /** PQ top-k by ASYMMETRIC DISTANCE COMPUTATION: queries stay exact,
@@ -808,7 +817,7 @@ object Similarity {
       .collect().head.getInt(0)
     // codes carry the exact norm: ×nSub duplication of one float beats a
     // post-aggregation |queries|·|corpus| join against the norm table
-    val codes = pqEncode(corpus, books, idCol, vecCol)
+    val codes = encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
       .join(corpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn")), "id")
     val lut = subVectors(queries, idCol, vecCol, nSub, subDim)
       .join(broadcast(books), "sub")
@@ -867,8 +876,7 @@ object Similarity {
       (if (m == 1) assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
        else assignTopM(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol, m))
         .select(col(idCol).as("id"), col("centroid_id"))
-    val codes = pqAssign(subVectors(corpus, idCol, vecCol, nSub, subDim), books)
-      .select(col("id"), col("sub"), col("code"))
+    val codes = encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
       .join(corpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn")), "id")
       .join(assigned, "id") // ×nAssign copies of each code row, one per home centroid
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),

@@ -13,8 +13,9 @@ import org.apache.spark.sql.types._
   * (insertCSVEdgeStream, FastAccess.hs:323-341); real event-time semantics
   * (watermarks, windows, stateful sessions) are part of this engine's
   * beyond-reference surface. Every transform below is identical for batch
-  * and streaming DataFrames, so correctness is testable by running the same
-  * query both ways.
+  * and streaming DataFrames unless its doc says otherwise ([[funnel]] is
+  * batch-only), so correctness is testable by running the same query both
+  * ways.
   */
 object EventStreams {
 
@@ -69,7 +70,13 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema =
       try spark.read.parquet(dir).schema
-      catch { case _: Exception => eventSchema } // empty dir: the documented shape
+      catch {
+        // ONLY the empty/missing-dir case falls back to the documented
+        // shape (schema inference needs >= 1 footer); a corrupt footer,
+        // FS error etc. must stay loud, not surface later as a
+        // schema-mismatch far from the root cause
+        case _: org.apache.spark.sql.AnalysisException => eventSchema
+      }
     normalizeTs(spark.readStream.schema(schema).parquet(dir))
   }
 
@@ -192,6 +199,13 @@ object EventStreams {
     * tools). converted is LONG 0/1, not boolean, for cross-engine
     * comparability.
     *
+    * BATCH-ONLY — the exception to this object's batch/streaming parity
+    * rule: the step chain is stream-stream self-joins plus repeated
+    * aggregations, which Structured Streaming rejects at query start. A
+    * streaming funnel needs per-user ordered state
+    * (flatMapGroupsWithState, the [[sessionizeStream]] shape) — run this
+    * op over the accumulated batch table instead.
+    *
     * Scale shape: steps.size−1 user-keyed left-join + aggregation
     * rounds. Round k joins the (user, t1..tk−1) accumulator — ≤ one row
     * per user — with only the step-k events (filter pushed to the scan),
@@ -222,8 +236,7 @@ object EventStreams {
     val converted = maxSpanNanos.fold(completed)(s =>
       completed && col(s"t$n") - col("t1") <= s)
     acc.withColumn("n_steps", nSteps.cast("long"))
-      .withColumn("converted",
-        coalesce(when(converted, 1L).otherwise(0L), lit(0L)))
+      .withColumn("converted", when(converted, 1L).otherwise(0L))
   }
 
   /** As-of join: attach to each left row the latest right row of the same

@@ -15,6 +15,9 @@ object ScaleCorpus {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // both events.ts generations must be readable here (normalizeTs's
+      // LONG pass-through arm needs nanos read AS long, like Bench/Verify)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .appName("scale-corpus")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
