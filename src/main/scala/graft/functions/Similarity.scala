@@ -846,10 +846,12 @@ object Similarity {
     * gate emits recall vs the e1 exact twin like every approximate
     * tier).
     *
-    * This variant quantizes RAW vectors against one shared codebook set
-    * (residual-per-centroid encoding — PQ over v − centroid(v) with a
-    * per-(query, probed-centroid) LUT — is the known accuracy upgrade at
-    * nProbe× LUT cost; the raw form keeps the LUT per-query only).
+    * `residual = false` quantizes RAW vectors against one shared
+    * codebook set; `residual = true` is Jégou §V's accuracy upgrade —
+    * PQ over v − centroid(v) per home centroid, scored as q·c_home +
+    * the residual ADC sum (the LUT stays per-query; only the scalar
+    * base term is per-(query, probe)). Residuals are smaller than raw
+    * vectors, so the same code budget reconstructs them tighter.
     * Exact norms ride the index as in [[pqTopK]].
     *
     * Scale shape: index side = one coarse assignment (+ nAssign−1 linear
@@ -862,49 +864,94 @@ object Similarity {
     * partition-prunes the same way. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int, nProbe: Int = 2, nSub: Int = 8, nCodes: Int = 32,
-      lloydIters: Int = 1, nAssign: Int = 1,
+      lloydIters: Int = 1, nAssign: Int = 1, residual: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     useNative(queries)
     val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters)
       .localCheckpoint(true)
-    val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
-      .localCheckpoint(true)
-    val subDim = books.select(size(col("centroid")).as("d")).limit(1)
-      .collect().head.getInt(0)
     val m = math.min(math.max(nAssign, 1), nCentroids)
     val assigned =
-      (if (m == 1) assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
-       else assignTopM(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol, m))
-        .select(col(idCol).as("id"), col("centroid_id"))
-    val codes = encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
-      .join(corpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn")), "id")
-      .join(assigned, "id") // ×nAssign copies of each code row, one per home centroid
+      if (m == 1) assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
+      else assignTopM(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol, m)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       nnorm(col(vecCol)).as("qn"))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("d", -ncos(col("qv"), col("centroid")))
     val pw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cid"))
-    val qprobe = probes.withColumn("rk", row_number().over(pw))
+    val probeRows = probes.withColumn("rk", row_number().over(pw))
       .filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("cid").as("centroid_id"))
-    val lut = subVectors(queries, idCol, vecCol, nSub, subDim)
-      .join(broadcast(books), "sub")
-      .select(col("id").as("query_id"), col("sub"), col("code"),
-        ndot(col("sv"), col("centroid")).as("part"))
-    val cands = codes.join(broadcast(qprobe), "centroid_id")
-      .join(broadcast(lut), Seq("query_id", "sub", "code"))
-      .filter(col("query_id") =!= col("id"))
-    // soft assignment duplicates a candidate's code rows once per shared
-    // probed centroid — summing them would double-count the ADC dot.
-    // Dedup at (query, id, sub) with first() (part is value-identical
-    // across duplicates) BEFORE the sum; hard assignment needs no dedup.
+    val norms = corpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn"))
     val scored0 =
-      if (m == 1) cands
-      else cands.groupBy(col("query_id"), col("id"), col("sub"))
-        .agg(first(col("part")).as("part"), first(col("cn")).as("cn"))
+      if (!residual) {
+        val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
+          .localCheckpoint(true)
+        val subDim = books.select(size(col("centroid")).as("d")).limit(1)
+          .collect().head.getInt(0)
+        val codes = encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
+          .join(norms, "id")
+          .join(assigned.select(col(idCol).as("id"), col("centroid_id")), "id")
+        val qprobe = probeRows.select(col("query_id"), col("cid").as("centroid_id"))
+        val lut = subVectors(queries, idCol, vecCol, nSub, subDim)
+          .join(broadcast(books), "sub")
+          .select(col("id").as("query_id"), col("sub"), col("code"),
+            ndot(col("sv"), col("centroid")).as("part"))
+        val cands = codes.join(broadcast(qprobe), "centroid_id")
+          .join(broadcast(lut), Seq("query_id", "sub", "code"))
+          .filter(col("query_id") =!= col("id"))
+        // soft assignment duplicates a candidate's code rows once per
+        // shared probed centroid — summing them would double-count the
+        // ADC dot. Dedup at (query, id, sub) with first() (part is
+        // value-identical across duplicates) BEFORE the sum; hard
+        // assignment needs no dedup.
+        val uniq =
+          if (m == 1) cands
+          else cands.groupBy(col("query_id"), col("id"), col("sub"))
+            .agg(first(col("part")).as("part"), first(col("cn")).as("cn"))
+        uniq.groupBy(col("query_id"), col("id").as("neighbor_id"))
+          .agg(sum(col("part")).as("adc"), first(col("cn")).as("cn"))
+      } else {
+        // RESIDUAL encoding (Jégou §V's refinement): PQ codes v − c(v)
+        // per HOME centroid; adc(q, v) = q·c_home + Σ_s q_s·codeword_s.
+        // Codebooks train on the FULL home-residual table — exactly the
+        // distribution that gets encoded (under soft assignment a
+        // vector carries a DIFFERENT code set per home; training only
+        // on primary residuals would fit codebooks to a distribution
+        // the non-primary homes don't follow). The composite
+        // (id, home) struct is the training key — every pqCodebooks
+        // stage (hash sample, seeds, assignment) is key-type-agnostic.
+        // Per-home scores differ; the best home wins (max adc), which
+        // also makes the soft duplicates deterministic.
+        val centsB = broadcast(cents)
+        val res = (x: Column, c: Column) => zip_with(x, c, (a, b) => a - b)
+        val homes = assigned.join(centsB, col("centroid_id") === col("cid"))
+          .select(struct(col(idCol).as("i"), col("centroid_id").as("c")).as("__rid"),
+            res(col(vecCol), col("centroid")).as("__res"))
+          .localCheckpoint(true) // read by training AND encoding below
+        val books = pqCodebooks(homes, nSub, nCodes, lloydIters, "__rid", "__res")
+          .localCheckpoint(true)
+        val subDim = books.select(size(col("centroid")).as("d")).limit(1)
+          .collect().head.getInt(0)
+        val codes = encodeAgainst(homes, books, nSub, subDim, "__rid", "__res")
+          .select(col("id.i").as("nid"), col("id.c").as("centroid_id"),
+            col("sub"), col("code"))
+          .join(norms.withColumnRenamed("id", "nid"), "nid")
+        val qprobe = probeRows.select(col("query_id"),
+          col("cid").as("centroid_id"), ndot(col("qv"), col("centroid")).as("base"))
+        val lut = subVectors(queries, idCol, vecCol, nSub, subDim)
+          .join(broadcast(books), "sub")
+          .select(col("id").as("query_id"), col("sub"), col("code"),
+            ndot(col("sv"), col("centroid")).as("part"))
+        codes.join(broadcast(qprobe), "centroid_id")
+          .join(broadcast(lut), Seq("query_id", "sub", "code"))
+          .filter(col("query_id") =!= col("nid"))
+          .groupBy(col("query_id"), col("nid"), col("centroid_id"))
+          .agg(sum(col("part")).as("rsum"), first(col("base")).as("base"),
+            first(col("cn")).as("cn"))
+          .withColumn("adcHome", col("base") + col("rsum"))
+          .groupBy(col("query_id"), col("nid").as("neighbor_id"))
+          .agg(max(col("adcHome")).as("adc"), first(col("cn")).as("cn"))
+      }
     val scored = scored0
-      .groupBy(col("query_id"), col("id").as("neighbor_id"))
-      .agg(sum(col("part")).as("adc"), first(col("cn")).as("cn"))
       .join(broadcast(q.select(col("query_id"), col("qn"))), "query_id")
       .withColumn("cosine", col("adc") / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))

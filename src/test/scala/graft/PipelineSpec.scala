@@ -373,6 +373,17 @@ class PipelineSpec extends AnyFunSuite {
         nAssign = 2).collect()
     assert(pruned.forall(r => r.getLong(0) % 5 === r.getLong(1) % 5),
       "an IVF-PQ top-3 neighbor crossed clusters")
+    // RESIDUAL encoding: when every HOME residual is its own codeword
+    // (codebooks train on the full home-residual table, so nCodes must
+    // cover n·nAssign rows), adc = q·c + q·(v−c) = q·v exactly — full
+    // probe ≡ brute force again, at nAssign 1 and 3
+    for ((na, nc) <- Seq((1, 64), (3, 256))) {
+      val rexact = Similarity.ivfPqTopK(clustered, clustered, 3,
+          nCentroids = 4, nProbe = 4, nSub = 1, nCodes = nc, lloydIters = 1,
+          nAssign = na, residual = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(rexact === brute, s"residual parity failed at nAssign=$na")
+    }
   }
 
   test("brute-force cosine top-k: neighbors come from the same cluster") {
