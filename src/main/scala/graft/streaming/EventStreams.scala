@@ -201,10 +201,9 @@ object EventStreams {
     *
     * BATCH-ONLY — the exception to this object's batch/streaming parity
     * rule: the step chain is stream-stream self-joins plus repeated
-    * aggregations, which Structured Streaming rejects at query start. A
-    * streaming funnel needs per-user ordered state
-    * (flatMapGroupsWithState, the [[sessionizeStream]] shape) — run this
-    * op over the accumulated batch table instead.
+    * aggregations, which Structured Streaming rejects at query start.
+    * The streaming sibling is [[funnelStream]] (per-user ordered state,
+    * emits the CONVERSION stream — the rows this op marks converted=1).
     *
     * Scale shape: steps.size−1 user-keyed left-join + aggregation
     * rounds. Round k joins the (user, t1..tk−1) accumulator — ≤ one row
@@ -237,6 +236,79 @@ object EventStreams {
       completed && col(s"t$n") - col("t1") <= s)
     acc.withColumn("n_steps", nSteps.cast("long"))
       .withColumn("converted", when(converted, 1L).otherwise(0L))
+  }
+
+  // public: the streaming state store codegens these constructors
+  case class FunnelPrefix(ts: Seq[Long])
+  case class FunnelConversion(user_id: Long, step_ts: Seq[Long])
+
+  /** STREAMING funnel: emits one row per user the moment their ordered
+    * step sequence completes (within `maxSpanNanos` of step 1 when set) —
+    * the conversion stream, i.e. exactly the rows [[funnel]] marks
+    * converted = 1. Per-user state is the greedy matched-prefix
+    * timestamps (≤ steps.size longs — constant-size, unlike a buffered
+    * event list); with a span bound, state for a user who can no longer
+    * convert is reclaimed by an event-time timeout at t1 + span, so
+    * state is bounded for unbounded streams (without a span bound an
+    * unconverted user's prefix lives forever — set one in production).
+    *
+    * Within each micro-batch events process in (ts, event_id) order, so
+    * in-order streams reproduce [[funnel]]'s greedy path exactly under
+    * ANY batch slicing (parity-tested). Known limit, the
+    * [[sessionizeStream]] class of trade: a CROSS-batch late event that
+    * lands before the already-matched prefix end cannot retroactively
+    * rebuild a better path — batch replay (the [[funnel]] op) is the
+    * compaction/audit step, same contract as the dedup stream's exact
+    * batch sibling. */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+      maxSpanNanos: Option[Long] = None,
+      watermarkDelay: String = "1 hour"): Dataset[FunnelConversion] = {
+    require(steps.nonEmpty, "funnelStream: steps must be non-empty")
+    import events.sparkSession.implicits._
+    val withTime = withEventTime(events.toDF())
+      .withWatermark("event_time", watermarkDelay)
+      .as[Event]
+    withTime.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelPrefix, FunnelConversion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[FunnelPrefix]) =>
+          if (state.hasTimedOut) {
+            // watermark passed t1 + span: every remaining event either
+            // precedes the watermark (cannot arrive) or lands past the
+            // span — the funnel can never convert; reclaim the state
+            state.remove()
+            Iterator.empty
+          } else {
+            var prefix = state.getOption.map(_.ts).getOrElse(Seq.empty[Long])
+            var done = false
+            val out = scala.collection.mutable.ArrayBuffer[FunnelConversion]()
+            for (e <- it.toSeq.sortBy(e => (e.ts, e.event_id)) if !done) {
+              val need = prefix.length
+              if (need < steps.size && e.event_type == steps(need) &&
+                  (need == 0 || e.ts > prefix.last)) {
+                prefix = prefix :+ e.ts
+                if (prefix.length == steps.size) {
+                  // completed: emit iff within span (the batch op's
+                  // converted=1 condition); either way the greedy path
+                  // is final — matching [[funnel]], a span-failed
+                  // completion is not retried with a later start
+                  if (maxSpanNanos.forall(s => prefix.last - prefix.head <= s))
+                    out += FunnelConversion(user, prefix)
+                  state.remove()
+                  done = true
+                }
+              }
+            }
+            if (!done && prefix.nonEmpty) {
+              state.update(FunnelPrefix(prefix))
+              // span bound → event-time timeout once conversion is
+              // impossible; ms resolution (the state-store unit)
+              maxSpanNanos.foreach(s =>
+                state.setTimeoutTimestamp(prefix.head / 1000000L + s / 1000000L))
+            }
+            out.iterator
+          }
+      }
   }
 
   /** As-of join: attach to each left row the latest right row of the same

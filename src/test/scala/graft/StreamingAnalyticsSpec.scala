@@ -126,6 +126,40 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream: conversions across micro-batches == batch funnel's converted rows") {
+    val h = 3600L * 1000000000L
+    val steps = Seq("view", "click", "purchase")
+    // user 7 completes across THREE batches; user 8 completes but past
+    // the span bound (must emit nothing); user 9 never completes
+    val b1 = Seq(Event(1, h, 7L, "view", 0.0), Event(2, h, 8L, "view", 0.0),
+      Event(3, h, 9L, "view", 0.0))
+    val b2 = Seq(Event(4, 2 * h, 7L, "click", 0.0), Event(5, 2 * h, 8L, "click", 0.0))
+    val b3 = Seq(Event(6, 3 * h, 7L, "purchase", 0.0), Event(7, 50 * h, 8L, "purchase", 0.0))
+    val span = Some(10L * h)
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_stream").toString
+    def push(evs: Seq[Event]): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(dir)
+    push(b1)
+    val src = EventStreams.readEventStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = EventStreams.funnelStream(src, steps, span)
+      .writeStream.outputMode("append").format("memory").queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      push(b2); q.processAllAvailable()
+      push(b3); q.processAllAvailable()
+      val streamed = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      // batch reference over the union: exactly the converted=1 rows
+      val batch = EventStreams.funnel((b1 ++ b2 ++ b3).toDF().drop("value"), steps, span)
+        .filter(col("converted") === 1).collect()
+        .map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3)))).toSet
+      assert(streamed === batch)
+      assert(streamed === Set((7L, Seq(h, 2 * h, 3 * h)))) // 8 span-failed, 9 incomplete
+    } finally q.stop()
+  }
+
   test("asofJoin: latest right row at-or-before each left row, per key") {
     val trades = Seq((1L, 7L, 100L), (2L, 7L, 200L), (3L, 8L, 150L))
       .toDF("trade_id", "sym", "t")
