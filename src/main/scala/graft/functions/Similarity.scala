@@ -712,6 +712,23 @@ object Similarity {
     pqAssign(subVectors(corpus, idCol, vecCol, nSub, subDim), books)
       .select(col("id"), col("sub"), col("code"))
 
+  /** Codeword width of a trained codebook table (one tiny job). */
+  private def subDimOf(books: DataFrame): Int =
+    books.select(size(col("centroid")).as("d")).limit(1)
+      .collect().head.getInt(0)
+
+  /** The per-query ADC lookup table: (query_id, sub, code, part) with
+    * part = the query sub-vector's EXACT dot with that codeword —
+    * nSub·nCodes rows per query, built once and broadcast by callers.
+    * Shared by [[pqTopK]] and both [[ivfPqTopK]] branches (one body, as
+    * [[encodeAgainst]]). */
+  private def adcLut(queries: DataFrame, books: DataFrame,
+      nSub: Int, subDim: Int, idCol: String, vecCol: String): DataFrame =
+    subVectors(queries, idCol, vecCol, nSub, subDim)
+      .join(broadcast(books), "sub")
+      .select(col("id").as("query_id"), col("sub"), col("code"),
+        ndot(col("sv"), col("centroid")).as("part"))
+
   /** Product-quantization codebooks (Jégou et al., TPAMI 2011): split the
     * vector into `nSub` contiguous subspaces and k-means each
     * INDEPENDENTLY with `nCodes` codewords under L2 (the reconstruction
@@ -780,9 +797,10 @@ object Similarity {
   def pqEncode(corpus: DataFrame, books: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     useNative(corpus)
-    val subDim = books.select(size(col("centroid")).as("d")).limit(1)
-      .collect().headOption.map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException("pqEncode: empty codebook table"))
+    val subDim =
+      try subDimOf(books)
+      catch { case _: NoSuchElementException =>
+        throw new IllegalArgumentException("pqEncode: empty codebook table") }
     val nSub = books.agg(max(col("sub"))).collect().head.getInt(0) + 1
     encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
   }
@@ -813,16 +831,12 @@ object Similarity {
     // (deterministic lifecycle, the ivfTopK rationale)
     val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
       .localCheckpoint(true)
-    val subDim = books.select(size(col("centroid")).as("d")).limit(1)
-      .collect().head.getInt(0)
+    val subDim = subDimOf(books)
     // codes carry the exact norm: ×nSub duplication of one float beats a
     // post-aggregation |queries|·|corpus| join against the norm table
     val codes = encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
       .join(corpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn")), "id")
-    val lut = subVectors(queries, idCol, vecCol, nSub, subDim)
-      .join(broadcast(books), "sub")
-      .select(col("id").as("query_id"), col("sub"), col("code"),
-        ndot(col("sv"), col("centroid")).as("part"))
+    val lut = adcLut(queries, books, nSub, subDim, idCol, vecCol)
     val qn = queries.select(col(idCol).as("query_id"), nnorm(col(vecCol)).as("qn"))
     val scored = codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("query_id") =!= col("id"))
@@ -885,16 +899,12 @@ object Similarity {
       if (!residual) {
         val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
           .localCheckpoint(true)
-        val subDim = books.select(size(col("centroid")).as("d")).limit(1)
-          .collect().head.getInt(0)
+        val subDim = subDimOf(books)
         val codes = encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
           .join(norms, "id")
           .join(assigned.select(col(idCol).as("id"), col("centroid_id")), "id")
         val qprobe = probeRows.select(col("query_id"), col("cid").as("centroid_id"))
-        val lut = subVectors(queries, idCol, vecCol, nSub, subDim)
-          .join(broadcast(books), "sub")
-          .select(col("id").as("query_id"), col("sub"), col("code"),
-            ndot(col("sv"), col("centroid")).as("part"))
+        val lut = adcLut(queries, books, nSub, subDim, idCol, vecCol)
         val cands = codes.join(broadcast(qprobe), "centroid_id")
           .join(broadcast(lut), Seq("query_id", "sub", "code"))
           .filter(col("query_id") =!= col("id"))
@@ -929,18 +939,14 @@ object Similarity {
           .localCheckpoint(true) // read by training AND encoding below
         val books = pqCodebooks(homes, nSub, nCodes, lloydIters, "__rid", "__res")
           .localCheckpoint(true)
-        val subDim = books.select(size(col("centroid")).as("d")).limit(1)
-          .collect().head.getInt(0)
+        val subDim = subDimOf(books)
         val codes = encodeAgainst(homes, books, nSub, subDim, "__rid", "__res")
           .select(col("id.i").as("nid"), col("id.c").as("centroid_id"),
             col("sub"), col("code"))
           .join(norms.withColumnRenamed("id", "nid"), "nid")
         val qprobe = probeRows.select(col("query_id"),
           col("cid").as("centroid_id"), ndot(col("qv"), col("centroid")).as("base"))
-        val lut = subVectors(queries, idCol, vecCol, nSub, subDim)
-          .join(broadcast(books), "sub")
-          .select(col("id").as("query_id"), col("sub"), col("code"),
-            ndot(col("sv"), col("centroid")).as("part"))
+        val lut = adcLut(queries, books, nSub, subDim, idCol, vecCol)
         codes.join(broadcast(qprobe), "centroid_id")
           .join(broadcast(lut), Seq("query_id", "sub", "code"))
           .filter(col("query_id") =!= col("nid"))

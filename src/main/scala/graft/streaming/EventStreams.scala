@@ -238,8 +238,11 @@ object EventStreams {
       .withColumn("converted", when(converted, 1L).otherwise(0L))
   }
 
-  // public: the streaming state store codegens these constructors
-  case class FunnelPrefix(ts: Seq[Long])
+  // public: the streaming state store codegens these constructors.
+  // `done` is the TERMINAL marker: completion or span-expiry is final —
+  // without it a later event batch would restart the funnel with a
+  // fresh t1 and emit a conversion the batch op never marks.
+  case class FunnelPrefix(ts: Seq[Long], done: Boolean)
   case class FunnelConversion(user_id: Long, step_ts: Seq[Long])
 
   /** STREAMING funnel: emits one row per user the moment their ordered
@@ -247,10 +250,16 @@ object EventStreams {
     * the conversion stream, i.e. exactly the rows [[funnel]] marks
     * converted = 1. Per-user state is the greedy matched-prefix
     * timestamps (≤ steps.size longs — constant-size, unlike a buffered
-    * event list); with a span bound, state for a user who can no longer
-    * convert is reclaimed by an event-time timeout at t1 + span, so
-    * state is bounded for unbounded streams (without a span bound an
-    * unconverted user's prefix lives forever — set one in production).
+    * event list). A user's outcome is FINAL on completion or span
+    * expiry: the state collapses to a terminal marker (one boolean per
+    * decided user) rather than being removed — removal would let later
+    * events restart the funnel with a fresh t1 and emit a second
+    * conversion the batch op never marks, and a stale re-armed timeout
+    * below the advancing watermark would crash the query. The terminal
+    * marker (and, without a span bound, an unconverted user's prefix)
+    * lives for the stream's lifetime — the memory cost of exactly-once
+    * per-user conversion semantics; batch replay is the compaction
+    * path.
     *
     * Within each micro-batch events process in (ts, event_id) order, so
     * in-order streams reproduce [[funnel]]'s greedy path exactly under
@@ -275,9 +284,12 @@ object EventStreams {
           if (state.hasTimedOut) {
             // watermark passed t1 + span: every remaining event either
             // precedes the watermark (cannot arrive) or lands past the
-            // span — the funnel can never convert; reclaim the state
-            state.remove()
+            // span — the funnel can never convert. TERMINAL, not
+            // removed (see the state-machine note in the scaladoc).
+            state.update(FunnelPrefix(Seq.empty, done = true))
             Iterator.empty
+          } else if (state.getOption.exists(_.done)) {
+            Iterator.empty // decided user: later events change nothing
           } else {
             var prefix = state.getOption.map(_.ts).getOrElse(Seq.empty[Long])
             var done = false
@@ -294,17 +306,25 @@ object EventStreams {
                   // completion is not retried with a later start
                   if (maxSpanNanos.forall(s => prefix.last - prefix.head <= s))
                     out += FunnelConversion(user, prefix)
-                  state.remove()
                   done = true
                 }
               }
             }
-            if (!done && prefix.nonEmpty) {
-              state.update(FunnelPrefix(prefix))
-              // span bound → event-time timeout once conversion is
-              // impossible; ms resolution (the state-store unit)
-              maxSpanNanos.foreach(s =>
-                state.setTimeoutTimestamp(prefix.head / 1000000L + s / 1000000L))
+            if (done) state.update(FunnelPrefix(Seq.empty, done = true))
+            else if (prefix.nonEmpty) {
+              // ms deadline CEILED: flooring t1 and span separately can
+              // land up to 2 ms early and reap state while an on-time
+              // final step (ts == t1 + span exactly) is still possible
+              val deadlineMs = maxSpanNanos.map(s => (prefix.head + s + 999999L) / 1000000L)
+              // a deadline already behind the watermark must NOT be
+              // re-armed (Spark rejects it and fails the query — the
+              // no-data-for-this-key case, where the timeout never got
+              // a firing batch of its own); the funnel is span-expired
+              val expired = deadlineMs.exists(_ <= state.getCurrentWatermarkMs())
+              state.update(
+                if (expired) FunnelPrefix(Seq.empty, done = true)
+                else FunnelPrefix(prefix, done = false))
+              if (!expired) deadlineMs.foreach(state.setTimeoutTimestamp)
             }
             out.iterator
           }

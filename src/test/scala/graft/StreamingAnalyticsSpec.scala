@@ -157,6 +157,17 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3)))).toSet
       assert(streamed === batch)
       assert(streamed === Set((7L, Seq(h, 2 * h, 3 * h)))) // 8 span-failed, 9 incomplete
+      // decided users are TERMINAL: a fresh full funnel for user 7 (a
+      // second conversion the batch op would never emit) and new events
+      // for user 9 (whose prefix deadline t1+span=11h is far below the
+      // 50h watermark — a naive timeout re-arm would crash the query)
+      // must both emit nothing and not fail
+      push(Seq(Event(8, 60 * h, 7L, "view", 0.0), Event(9, 61 * h, 7L, "click", 0.0),
+        Event(10, 62 * h, 7L, "purchase", 0.0), Event(11, 63 * h, 9L, "click", 0.0)))
+      q.processAllAvailable()
+      val after = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      assert(after === streamed, "a decided user restarted or a stale timeout re-armed")
     } finally q.stop()
   }
 
