@@ -159,6 +159,21 @@ object PipelineDemo {
       round(element_at(col("rms"), 1), 4).as("rms_ch0"),
       round(element_at(col("peak"), 1), 4).as("peak_ch0")).show(4, truncate = false)
 
+    // 8. event analytics: view→click→purchase conversion funnel over the
+    // events table (greedy earliest-path matching, 1-day span)
+    val funnel = graft.streaming.EventStreams.funnel(
+      graft.gate.GateQueries.events(spark, sfDir),
+      Seq("view", "click", "purchase"),
+      maxSpanNanos = Some(86400L * 1000000000L))
+    println(s"funnel: ${funnel.count()} users reached step 1, " +
+      s"${funnel.filter(col("converted") === 1).count()} converted within a day")
+
+    // 9. compressed ANN: product-quantization ADC over the embeddings
+    // (16 subspaces × 16 codewords — the memory-bound exhaustive tier)
+    val pq = Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb, k = 3,
+      nSub = 16, nCodes = 16, lloydIters = 2)
+    println(s"PQ ADC probe: ${pq.count()} rows (5 queries × k=3, 64-bit codes)")
+
     spark.stop()
   }
 }
