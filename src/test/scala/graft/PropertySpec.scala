@@ -352,6 +352,45 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("funnel ≡ greedy reference on random event streams") {
+    import spark.implicits._
+    val steps = Seq("a", "b", "c")
+    // few users/types/timestamps → dense collisions (same-ts events,
+    // pre-step-1 later steps, multi-completion users all occur)
+    val genEvents: Gen[List[(Long, Long, Long, String)]] =
+      Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 2L); t <- Gen.choose(0L, 12L)
+        ty <- Gen.oneOf("a", "b", "c", "x")
+      } yield (u, t, ty))).map(_.zipWithIndex.map {
+        case ((u, t, ty), i) => (i.toLong, t, u, ty) })
+    check("funnel", Prop.forAll(genEvents, Gen.choose(1L, 8L)) { (raw, span) =>
+      val got = graft.streaming.EventStreams.funnel(
+          raw.toDF("event_id", "ts", "user_id", "event_type"), steps,
+          maxSpanNanos = Some(span))
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+            r.getLong(4), r.getLong(5)))).toMap
+      // reference: greedy earliest-per-step over the ts-sorted events
+      val want = raw.groupBy(_._3).flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._2, e._1))
+        var prefix = List.empty[Long]
+        for (e <- sorted)
+          if (prefix.length < steps.size && e._4 == steps(prefix.length) &&
+              (prefix.isEmpty || e._2 > prefix.last))
+            prefix = prefix :+ e._2
+        if (prefix.isEmpty) None
+        else {
+          val ts = prefix.padTo(3, -1L).map(t => if (t >= 0) Some(t) else None)
+          val conv = if (prefix.length == 3 && prefix.last - prefix.head <= span) 1L else 0L
+          Some(u -> ((ts(0), ts(1), ts(2), prefix.length.toLong, conv)))
+        }
+      }
+      got.map { case (u, (t1, t2, t3, n, c)) =>
+        u -> ((t1.map(_.asInstanceOf[Long]), t2.map(_.asInstanceOf[Long]),
+          t3.map(_.asInstanceOf[Long]), n, c)) } == want
+    }, n = 6)
+  }
+
   test("leakageSafeSplit: family atomicity + hash rule on random pair graphs") {
     import spark.implicits._
     val genPairs: Gen[List[(Long, Long)]] =
