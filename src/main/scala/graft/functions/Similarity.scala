@@ -964,4 +964,80 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** Persist an IVF-PQ index: Lloyd centroids + PQ codebooks + the coded
+    * corpus physically PARTITIONED BY centroid_id — the [[saveIvfIndex]]
+    * layout with 8-ish-byte code rows instead of dim-float vectors,
+    * which is what makes a 100 TB corpus probe-able from a ~1 TB index.
+    * Each corpus row is (id, sub, code, norm, centroid_id); probes read
+    * ONLY probed partitions (dynamic partition pruning, same plan shape
+    * as the IVF index — plan-pinned in the spec). Raw-vector encoding
+    * (the residual upgrade is an [[ivfPqTopK]] knob; measured no-gain on
+    * isotropic corpora — SCALING.md). nAssign stamped as `_nassign` so
+    * probes know to dedup. */
+  def saveIvfPqIndex(corpus: DataFrame, dir: String, nCentroids: Int,
+      nSub: Int = 8, nCodes: Int = 32, lloydIters: Int = 1, nAssign: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    useNative(corpus)
+    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters)
+      .localCheckpoint(true)
+    val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
+      .localCheckpoint(true)
+    val subDim = subDimOf(books)
+    val m = math.min(math.max(nAssign, 1), nCentroids)
+    val assigned =
+      (if (m == 1) assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
+       else assignTopM(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol, m))
+        .select(col(idCol).as("id"), col("centroid_id"))
+    encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
+      .join(corpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("norm")), "id")
+      .join(assigned, "id")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/corpus")
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    books.write.mode("overwrite").parquet(s"$dir/codebooks")
+    graft.util.MetaFiles.writeLong(corpus.sparkSession, s"$dir/_nassign", m.toLong)
+  }
+
+  /** ADC top-k against a [[saveIvfPqIndex]] index: per query the nProbe
+    * nearest centroids (broadcast centroid table), LUT of exact codeword
+    * dots (broadcast), then the probed CODE partitions scanned and
+    * summed — never a stored vector, never an unprobed partition. Same
+    * output contract as [[ivfPqTopK]]; the probe side must stay
+    * broadcast-sized (the [[ivfTopKIndexed]] contract). */
+  def ivfPqTopKIndexed(queries: DataFrame, dir: String, k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    useNative(queries)
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val books = spark.read.parquet(s"$dir/codebooks")
+    val nSub = books.agg(max(col("sub"))).collect().head.getInt(0) + 1
+    val subDim = subDimOf(books)
+    val codes = spark.read.parquet(s"$dir/corpus")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      nnorm(col(vecCol)).as("qn"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d", -ncos(col("qv"), col("centroid")))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cid"))
+    val qprobe = probes.withColumn("rk", row_number().over(pw))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("cid").as("centroid_id"))
+    val lut = adcLut(queries, books, nSub, subDim, idCol, vecCol)
+    val cands = codes.join(broadcast(qprobe), "centroid_id")
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .filter(col("query_id") =!= col("id"))
+    // soft-built index (stamped _nassign > 1): dedup shared-probed-home
+    // duplicates before the sum, the ivfPqTopK rule
+    val soft = graft.util.MetaFiles.readLong(spark, s"$dir/_nassign").exists(_ > 1L)
+    val uniq =
+      if (!soft) cands
+      else cands.groupBy(col("query_id"), col("id"), col("sub"))
+        .agg(first(col("part")).as("part"), first(col("norm")).as("norm"))
+    val scored = uniq.groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("part")).as("adc"), first(col("norm")).as("cn"))
+      .join(broadcast(q.select(col("query_id"), col("qn"))), "query_id")
+      .withColumn("cosine", col("adc") / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
 }

@@ -908,6 +908,36 @@ class PipelineSpec extends AnyFunSuite {
       === triples(Similarity.bruteForceTopK(qs, emb, k = 5)))
   }
 
+  test("IVF-PQ index: exact-codebook full probe equals brute force; probe scan is partition-pruned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = "/tmp/graft_ivfpq_index_test"
+    // nCodes >= corpus: every vector its own codeword → ADC is exact,
+    // so full probe through the ON-DISK index must equal brute force
+    Similarity.saveIvfPqIndex(emb, dir, nCentroids = 8, nSub = 1, nCodes = 600)
+    val qs = emb.filter(col("vec_id") < 10)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(triples(Similarity.ivfPqTopKIndexed(qs, dir, k = 5, nProbe = 8))
+      === triples(Similarity.bruteForceTopK(qs, emb, k = 5)))
+    // partial probe: the CODE scan must be dynamically partition-pruned
+    val part = Similarity.ivfPqTopKIndexed(qs, dir, k = 5, nProbe = 2)
+    part.count()
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"indexed ADC probe scan not partition-pruned:\n$plan")
+    // soft-built index: stamped, deduped, identity preserved
+    val softDir = "/tmp/graft_ivfpq_index_soft_test"
+    Similarity.saveIvfPqIndex(emb, softDir, nCentroids = 8, nSub = 1, nCodes = 600,
+      nAssign = 2)
+    assert(graft.util.MetaFiles.readLong(spark, s"$softDir/_nassign") === Some(2L))
+    val softFull = Similarity.ivfPqTopKIndexed(qs, softDir, k = 5, nProbe = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(softFull.length === softFull.toSet.size, "soft PQ index leaked duplicate neighbors")
+    assert(triples(Similarity.ivfPqTopKIndexed(qs, softDir, k = 5, nProbe = 8))
+      === triples(Similarity.bruteForceTopK(qs, emb, k = 5)))
+  }
+
   test("dedupLines: cross-doc boilerplate lines dropped, within-doc repeats kept") {
     val docs = docsDF(
       1L -> "COOKIE BANNER\nreal content one\nreal content one\nfooter text",
