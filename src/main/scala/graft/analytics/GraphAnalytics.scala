@@ -329,6 +329,50 @@ object GraphAnalytics {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Triangle SUPPORT per edge — |N(a) ∩ N(b)| for each undirected edge
+    * (a, b), a < b: the truss-decomposition primitive and the standard
+    * tie-strength feature (an edge inside a community closes many
+    * triangles; a bridge closes none). Same degree-ordered orientation
+    * as [[triangleCounts]] — each triangle is detected exactly once from
+    * its ≺-smallest vertex (wedge volume O(Σ outdeg²), celebrity-safe)
+    * and credits its THREE edges; edges in no triangle emit support 0
+    * via the trailing left join. Canonicalization (dedup, self-loop
+    * drop) matches triangleCounts, so `support` here sums to 3× its
+    * per-node triangle total. */
+  def edgeSupport(edges: DataFrame, uCol: String = "u", vCol: String = "v"): DataFrame = {
+    val e = edges
+      .select(least(col(uCol), col(vCol)).as("a"), greatest(col(uCol), col(vCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val keyed = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"),
+        struct(col("da").as("d"), col("a").as("i")).as("ka"),
+        struct(col("db").as("d"), col("b").as("i")).as("kb"))
+    val oriented = keyed.select(
+      when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+      when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+      when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst"))
+    val wedges = oriented.select(col("src"), col("dst").as("y"), col("kdst").as("ky"))
+      .join(oriented.select(col("src"), col("dst").as("z"), col("kdst").as("kz")), "src")
+      .filter(col("ky") < col("kz"))
+      .select(col("src").as("x"), col("y"), col("z"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"), "left_semi")
+    // credit each triangle's three edges, re-canonicalized a < b
+    val credits = tris.select(explode(array(
+        struct(col("x").as("p"), col("y").as("q")),
+        struct(col("x").as("p"), col("z").as("q")),
+        struct(col("y").as("p"), col("z").as("q")))).as("e"))
+      .select(least(col("e.p"), col("e.q")).as("a"), greatest(col("e.p"), col("e.q")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    e.join(credits, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Local clustering coefficient per node: 2·triangles / (deg·(deg−1)),
     * the fraction of a node's neighbor pairs that are themselves
     * connected — [[triangleCounts]] normalized by the wedge count. Nodes

@@ -759,6 +759,18 @@ object GateQueries {
       graft.analytics.GraphAnalytics.triangleCounts(e)
     }),
 
+    "a10_edge_support" -> ((s, d) => {
+      // triangle support per co-purchase edge (the truss primitive /
+      // tie-strength feature) — same quarter-of-orders cut as a6/a7,
+      // identical in the oracle
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.toDF("ok", "u"); val b = li.toDF("ok", "v")
+      val e = a.join(b, "ok").filter(col("u") < col("v")).select("u", "v")
+      graft.analytics.GraphAnalytics.edgeSupport(e)
+    }),
+
     "a7_kcore" -> ((s, d) => {
       // surviving co-purchase edges after 6 rounds of k=16 peeling (the
       // fixpoint on this graph — measured stable from round 6); same
@@ -942,6 +954,24 @@ object GateQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "a10_edge_support" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), und AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+        |), sup AS (
+        |  SELECT t.a, t.b, COUNT(*) AS s FROM (
+        |    SELECT e.a, e.b, n1.v FROM e
+        |    JOIN und n1 ON n1.u = e.a
+        |    JOIN und n2 ON n2.u = e.b AND n2.v = n1.v) t
+        |  GROUP BY 1, 2
+        |)
+        |SELECT e.a, e.b, CAST(COALESCE(sup.s, 0) AS BIGINT) AS support
+        |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b""".stripMargin,
     "a9_label_propagation" -> lpaOracleSql(4),
     "a5_pagerank" -> pageRankOracleSql(5),
     "a8_ppr" -> pprOracleSql(1L, 5),

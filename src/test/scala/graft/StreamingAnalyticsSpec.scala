@@ -1229,6 +1229,27 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(out(4L) === ((1L, 0L, 0.0)))        // degree 1: no wedge
   }
 
+  test("edgeSupport: per-edge triangle counts; bridges 0; sum = 3x triangles") {
+    // K4 on 1-4 (every edge closes 2 triangles), a bridge 4-5 (support
+    // 0), and triangle 5-6-7 (each edge 1); duplicate/reversed edges
+    // and self-loops tolerated like triangleCounts
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (5L, 7L), (7L, 5L), (6L, 6L)).toDF("u", "v")
+    val sup = GraphAnalytics.edgeSupport(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sup.size === 10) // 6 K4 + bridge + 3 triangle edges, deduped
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .foreach(k => assert(sup(k) === 2L, s"K4 edge $k"))
+    assert(sup((4L, 5L)) === 0L) // the bridge
+    Seq((5L, 6L), (6L, 7L), (5L, 7L)).foreach(k => assert(sup(k) === 1L))
+    // global invariant: Σ support = 3 × Σ per-node triangles / 3·... =
+    // 3 × total triangles (K4 has 4, the triangle 1)
+    assert(sup.values.sum === 3L * 5)
+    val triTotal = GraphAnalytics.triangleCounts(e).agg(sum("n_triangles"))
+      .collect().head.getLong(0)
+    assert(sup.values.sum === triTotal) // Σ node-credits == Σ edge-credits
+  }
+
   test("kCoreEdges: peeling cascade matches hand computation; fixpoint early-exit") {
     // path 1-2-3-4 plus triangle 5-6-7: 2-core = the triangle only, and
     // reaching it needs TWO peels (the path erodes from both ends)
