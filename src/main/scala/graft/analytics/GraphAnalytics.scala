@@ -300,15 +300,28 @@ object GraphAnalytics {
     * what makes this runnable on a 100 TB co-occurrence graph. Wedges
     * then semi-join the oriented edges on (y, z): three hash shuffles
     * (degree agg, wedge join, closing join), no cartesian anywhere. */
-  def triangleCounts(edges: DataFrame, uCol: String = "u", vCol: String = "v"): DataFrame = {
-    val e = edges
+  def triangleCounts(edges: DataFrame, uCol: String = "u", vCol: String = "v"): DataFrame =
+    orientedTriangles(canonicalEdges(edges, uCol, vCol))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+
+  /** Undirected edge list canonicalized (a < b, self-loops dropped,
+    * parallel edges deduped) — the shared front of every triangle op. */
+  private def canonicalEdges(edges: DataFrame, uCol: String, vCol: String): DataFrame =
+    edges
       .select(least(col(uCol), col(vCol)).as("a"), greatest(col(uCol), col(vCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
+
+  /** Every triangle of a canonical edge list, exactly once, as (x, y, z)
+    * rows in ≺-order — ONE body behind [[triangleCounts]] and
+    * [[edgeSupport]] so an orientation or tie-break fix cannot drift
+    * between them. Total order ≺ = (degree, id), carried as a comparable
+    * struct so no global rank window is ever needed; each wedge source's
+    * out-degree is O(√m), the celebrity-node bound. */
+  private def orientedTriangles(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    // total order ≺ = (degree, id), carried as a comparable struct so no
-    // global rank window is ever needed
     val keyed = e
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
@@ -323,10 +336,8 @@ object GraphAnalytics {
       .join(oriented.select(col("src"), col("dst").as("z"), col("kdst").as("kz")), "src")
       .filter(col("ky") < col("kz"))
       .select(col("src").as("x"), col("y"), col("z"))
-    val tris = wedges.join(
+    wedges.join(
       oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"), "left_semi")
-    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
   /** Triangle SUPPORT per edge — |N(a) ∩ N(b)| for each undirected edge
@@ -340,30 +351,9 @@ object GraphAnalytics {
     * drop) matches triangleCounts, so `support` here sums to 3× its
     * per-node triangle total. */
   def edgeSupport(edges: DataFrame, uCol: String = "u", vCol: String = "v"): DataFrame = {
-    val e = edges
-      .select(least(col(uCol), col(vCol)).as("a"), greatest(col(uCol), col(vCol)).as("b"))
-      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct()
-    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    val keyed = e
-      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
-      .select(col("a"), col("b"),
-        struct(col("da").as("d"), col("a").as("i")).as("ka"),
-        struct(col("db").as("d"), col("b").as("i")).as("kb"))
-    val oriented = keyed.select(
-      when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
-      when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
-      when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst"))
-    val wedges = oriented.select(col("src"), col("dst").as("y"), col("kdst").as("ky"))
-      .join(oriented.select(col("src"), col("dst").as("z"), col("kdst").as("kz")), "src")
-      .filter(col("ky") < col("kz"))
-      .select(col("src").as("x"), col("y"), col("z"))
-    val tris = wedges.join(
-      oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"), "left_semi")
+    val e = canonicalEdges(edges, uCol, vCol)
     // credit each triangle's three edges, re-canonicalized a < b
-    val credits = tris.select(explode(array(
+    val credits = orientedTriangles(e).select(explode(array(
         struct(col("x").as("p"), col("y").as("q")),
         struct(col("x").as("p"), col("z").as("q")),
         struct(col("y").as("p"), col("z").as("q")))).as("e"))

@@ -165,8 +165,9 @@ object PipelineDemo {
       graft.gate.GateQueries.events(spark, sfDir),
       Seq("view", "click", "purchase"),
       maxSpanNanos = Some(86400L * 1000000000L))
-    println(s"funnel: ${funnel.count()} users reached step 1, " +
-      s"${funnel.filter(col("converted") === 1).count()} converted within a day")
+    val fstats = funnel.agg(count(lit(1)), sum(col("converted"))).head()
+    println(s"funnel: ${fstats.getLong(0)} users reached step 1, " +
+      s"${fstats.getLong(1)} converted within a day")
 
     // 9. compressed ANN: product-quantization ADC over the embeddings
     // (16 subspaces × 16 codewords — the memory-bound exhaustive tier)

@@ -587,11 +587,7 @@ object Similarity {
         col("norm").as("cn"), col("centroid_id"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       nnorm(col(vecCol)).as("qn"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("d", -ncos(col("qv"), col("centroid")))
-    val pw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cid"))
-    val qprobe = probes.withColumn("rk", row_number().over(pw))
-      .filter(col("rk") <= nProbe)
+    val qprobe = probeCentroids(q, cents, nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cid").as("centroid_id"))
     val cands = indexed.join(broadcast(qprobe), "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -657,11 +653,7 @@ object Similarity {
         nnorm(col(vecCol)).as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       nnorm(col(vecCol)).as("qn"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("d", -ncos(col("qv"), col("centroid")))
-    val pw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cid"))
-    val qprobe = probes.withColumn("rk", row_number().over(pw))
-      .filter(col("rk") <= nProbe)
+    val qprobe = probeCentroids(q, cents, nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cid").as("centroid_id"))
     val cands = qprobe.join(assigned, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -716,6 +708,20 @@ object Similarity {
   private def subDimOf(books: DataFrame): Int =
     books.select(size(col("centroid")).as("d")).limit(1)
       .collect().head.getInt(0)
+
+  /** The per-query nProbe nearest centroids — the shared probe-selection
+    * block of every IVF tier (in-memory, indexed, and both PQ
+    * compositions): rank against the BROADCAST centroid table, keep rank
+    * ≤ nProbe. Input must carry (query_id, qv, ...); output keeps the
+    * probe row's columns plus `cid`/`centroid`/`d`/`rk` for the caller's
+    * projection. ONE body so a probe tie-break change cannot drift
+    * between tiers. */
+  private def probeCentroids(q: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d", -ncos(col("qv"), col("centroid")))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cid"))
+    probes.withColumn("rk", row_number().over(pw)).filter(col("rk") <= nProbe)
+  }
 
   /** The per-query ADC lookup table: (query_id, sub, code, part) with
     * part = the query sub-vector's EXACT dot with that codeword —
@@ -884,25 +890,17 @@ object Similarity {
     val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters)
       .localCheckpoint(true)
     val m = math.min(math.max(nAssign, 1), nCentroids)
-    val assigned =
-      if (m == 1) assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
-      else assignTopM(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol, m)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       nnorm(col(vecCol)).as("qn"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("d", -ncos(col("qv"), col("centroid")))
-    val pw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cid"))
-    val probeRows = probes.withColumn("rk", row_number().over(pw))
-      .filter(col("rk") <= nProbe)
+    val probeRows = probeCentroids(q, cents, nProbe)
     val norms = corpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn"))
     val scored0 =
       if (!residual) {
         val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
           .localCheckpoint(true)
         val subDim = subDimOf(books)
-        val codes = encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
-          .join(norms, "id")
-          .join(assigned.select(col(idCol).as("id"), col("centroid_id")), "id")
+        val codes = pqCodedCorpus(corpus, cents, books, nSub, subDim, m,
+          idCol, vecCol, normName = "cn")
         val qprobe = probeRows.select(col("query_id"), col("cid").as("centroid_id"))
         val lut = adcLut(queries, books, nSub, subDim, idCol, vecCol)
         val cands = codes.join(broadcast(qprobe), "centroid_id")
@@ -933,6 +931,9 @@ object Similarity {
         // also makes the soft duplicates deterministic.
         val centsB = broadcast(cents)
         val res = (x: Column, c: Column) => zip_with(x, c, (a, b) => a - b)
+        val assigned =
+          if (m == 1) assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
+          else assignTopM(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol, m)
         val homes = assigned.join(centsB, col("centroid_id") === col("cid"))
           .select(struct(col(idCol).as("i"), col("centroid_id").as("c")).as("__rid"),
             res(col(vecCol), col("centroid")).as("__res"))
@@ -965,6 +966,22 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** The coded corpus of the raw IVF-PQ tiers: (id, sub, code, <norm>,
+    * centroid_id) — ONE body behind [[ivfPqTopK]]'s in-memory raw branch
+    * and [[saveIvfPqIndex]]'s persisted layout, so the two stay
+    * byte-compatible by construction. */
+  private def pqCodedCorpus(corpus: DataFrame, cents: DataFrame, books: DataFrame,
+      nSub: Int, subDim: Int, m: Int, idCol: String, vecCol: String,
+      normName: String): DataFrame = {
+    val assigned =
+      (if (m == 1) assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
+       else assignTopM(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol, m))
+        .select(col(idCol).as("id"), col("centroid_id"))
+    encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
+      .join(corpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as(normName)), "id")
+      .join(assigned, "id") // ×nAssign copies of each code row, one per home centroid
+  }
+
   /** Persist an IVF-PQ index: Lloyd centroids + PQ codebooks + the coded
     * corpus physically PARTITIONED BY centroid_id — the [[saveIvfIndex]]
     * layout with 8-ish-byte code rows instead of dim-float vectors,
@@ -985,13 +1002,7 @@ object Similarity {
       .localCheckpoint(true)
     val subDim = subDimOf(books)
     val m = math.min(math.max(nAssign, 1), nCentroids)
-    val assigned =
-      (if (m == 1) assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
-       else assignTopM(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol, m))
-        .select(col(idCol).as("id"), col("centroid_id"))
-    encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
-      .join(corpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("norm")), "id")
-      .join(assigned, "id")
+    pqCodedCorpus(corpus, cents, books, nSub, subDim, m, idCol, vecCol, normName = "norm")
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/corpus")
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     books.write.mode("overwrite").parquet(s"$dir/codebooks")
@@ -1012,14 +1023,20 @@ object Similarity {
     val books = spark.read.parquet(s"$dir/codebooks")
     val nSub = books.agg(max(col("sub"))).collect().head.getInt(0) + 1
     val subDim = subDimOf(books)
+    // fail fast on a dimension mismatch with the index: subVectors would
+    // slice only the first nSub·subDim query elements and ncos would
+    // zip-truncate — plausible-looking but wrong top-k, not an error
+    // (the appendToIvfIndex guard, applied to the PQ probe)
+    queries.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+      .limit(1).collect().headOption.map(_.getInt(0)).foreach { d =>
+        if (d != nSub * subDim) throw new IllegalStateException(
+          s"ivfPqTopKIndexed: query vectors are $d-dimensional but the index at " +
+            s"$dir was built on ${nSub * subDim}-dimensional vectors")
+      }
     val codes = spark.read.parquet(s"$dir/corpus")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       nnorm(col(vecCol)).as("qn"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("d", -ncos(col("qv"), col("centroid")))
-    val pw = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cid"))
-    val qprobe = probes.withColumn("rk", row_number().over(pw))
-      .filter(col("rk") <= nProbe)
+    val qprobe = probeCentroids(q, cents, nProbe)
       .select(col("query_id"), col("cid").as("centroid_id"))
     val lut = adcLut(queries, books, nSub, subDim, idCol, vecCol)
     val cands = codes.join(broadcast(qprobe), "centroid_id")

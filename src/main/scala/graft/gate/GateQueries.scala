@@ -40,6 +40,18 @@ object GateQueries {
   def events(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStreams.normalizeTs(t(spark, dir, "events"))
 
+  /** The a6/a7/a10 co-purchase graph: parts sharing an order, QUARTER cut
+    * (every 4th order — the full sf0.1 graph is 1.2M edges at mean degree
+    * 120, out of scale with the bench; the oracles apply the identical
+    * cut). ONE body so the three gates and their oracles cannot drift. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val a = li.toDF("ok", "u"); val b = li.toDF("ok", "v")
+    a.join(b, "ok").filter(col("u") < col("v")).select("u", "v")
+  }
+
   // ---- graph model over the TPC-H-ish tables ------------------------------
   // Node id layout: customers [0, 1e7), orders [1e7, 2e7), parts [2e7, 3e7),
   // suppliers [3e7, 4e7). Dense ranges → labels (SURVEY §1.3).
@@ -751,36 +763,21 @@ object GateQueries {
       // but out of scale with the rest of the bench; the quarter keeps
       // the same code path at ~(1/16)× wedge volume, and the oracle
       // applies the identical cut
-      val li = t(s, d, "lineitem")
-        .filter(col("l_orderkey") % 4 === 0)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val a = li.toDF("ok", "u"); val b = li.toDF("ok", "v")
-      val e = a.join(b, "ok").filter(col("u") < col("v")).select("u", "v")
-      graft.analytics.GraphAnalytics.triangleCounts(e)
+      graft.analytics.GraphAnalytics.triangleCounts(coPurchaseEdges(s, d))
     }),
 
     "a10_edge_support" -> ((s, d) => {
       // triangle support per co-purchase edge (the truss primitive /
       // tie-strength feature) — same quarter-of-orders cut as a6/a7,
       // identical in the oracle
-      val li = t(s, d, "lineitem")
-        .filter(col("l_orderkey") % 4 === 0)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val a = li.toDF("ok", "u"); val b = li.toDF("ok", "v")
-      val e = a.join(b, "ok").filter(col("u") < col("v")).select("u", "v")
-      graft.analytics.GraphAnalytics.edgeSupport(e)
+      graft.analytics.GraphAnalytics.edgeSupport(coPurchaseEdges(s, d))
     }),
 
     "a7_kcore" -> ((s, d) => {
       // surviving co-purchase edges after 6 rounds of k=16 peeling (the
       // fixpoint on this graph — measured stable from round 6); same
       // quarter-of-orders cut as a6, identical in the oracle
-      val li = t(s, d, "lineitem")
-        .filter(col("l_orderkey") % 4 === 0)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val a = li.toDF("ok", "u"); val b = li.toDF("ok", "v")
-      val e = a.join(b, "ok").filter(col("u") < col("v")).select("u", "v")
-      graft.analytics.GraphAnalytics.kCoreEdges(e, k = 16, iters = 6)
+      graft.analytics.GraphAnalytics.kCoreEdges(coPurchaseEdges(s, d), k = 16, iters = 6)
     }),
 
     // ---- multimodal plumbing (stubbed codec, real batch pipeline) ---------
