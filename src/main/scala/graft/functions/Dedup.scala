@@ -1094,7 +1094,18 @@ object Dedup {
       threshold: Double,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxPostings: Int = 10000): DataFrame = {
+      maxPostings: Int = 10000): DataFrame =
+    gramPairSizes(docs, n, textCol, idCol, maxPostings)
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Shared postings front of the exact n-gram pair tiers — (doc_a,
+    * doc_b, inter, sz_a, sz_b) rows, a < b: ONE body behind
+    * [[ngramJaccardPairs]] and [[ngramContainmentPairs]] so the gram
+    * identity, df cap and intersection semantics cannot drift. */
+  private def gramPairSizes(docs: DataFrame, n: Int,
+      textCol: String, idCol: String, maxPostings: Int): DataFrame = {
     // grams carried as xxhash64 longs: equality-preserving (collision odds
     // ~|grams|²/2^64) and the join/shuffle run on 8-byte keys, not strings.
     // Native one-pass gram build (parity-pinned vs the transform/wordNgrams
@@ -1118,9 +1129,32 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Asymmetric near-SUBSET detection (Broder's containment measure):
+    * C(A in B) = |A∩B| / |A| over distinct word n-grams — a short quote
+    * or excerpt inside a long document scores ~1 while its JACCARD stays
+    * tiny (the union is dominated by the long side), the partial-copy
+    * class every symmetric tier structurally misses. Emits one ORDERED
+    * row (doc_id, other_id, containment) per direction that clears the
+    * threshold; doc_id is the (near-)contained side — the row to drop or
+    * attribute in a dedup pass. Same gram identity, df cap and scale
+    * shape as [[ngramJaccardPairs]] (one shared postings body): the join
+    * distributes on gram, Σdf² bounded by maxPostings, the direction
+    * split is a narrow projection of the same pair relation. */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxPostings: Int = 10000): DataFrame = {
+    val sized = gramPairSizes(docs, n, textCol, idCol, maxPostings)
+    sized.select(col("doc_a").as("doc_id"), col("doc_b").as("other_id"),
+        (col("inter") / col("sz_a").cast("double")).as("containment"))
+      .unionByName(sized.select(col("doc_b").as("doc_id"), col("doc_a").as("other_id"),
+        (col("inter") / col("sz_b").cast("double")).as("containment")))
+      .filter(col("containment") >= threshold)
   }
 
   /** Cross-doc duplicated-n-gram statistics — the corpus-duplication

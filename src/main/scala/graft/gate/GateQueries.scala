@@ -487,6 +487,14 @@ object GateQueries {
       // bigrams on this corpus, and 3-grams are the standard near-dup unit
       graft.functions.Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3, threshold = 0.3)
     }),
+    "d13_containment_pairs" -> ((s, d) => {
+      // asymmetric near-subset pairs: same trigram identity as d3, but
+      // containment |A∩B|/|A| — catches the quote/excerpt class whose
+      // Jaccard stays under d3's bar (the union is dominated by the
+      // longer side)
+      graft.functions.Dedup.ngramContainmentPairs(
+        t(s, d, "documents"), n = 3, threshold = 0.5)
+    }),
     "d10_dup_ngrams" -> ((s, d) => {
       // per-doc corpus-duplication report (Lee et al. exact-substring
       // dedup at word granularity): 5-grams, the paper's reporting unit
@@ -1105,6 +1113,27 @@ object GateQueries {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3""".stripMargin,
+    // d3's CTEs with the containment math: one ordered row per direction
+    "d13_containment_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct([t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] for i in range(1, len(t) - 1)])) AS gram
+        |  FROM toks
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), sized AS (
+        |  SELECT doc_a, doc_b, i, sa.sz AS sz_a, sb.sz AS sz_b
+        |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |)
+        |SELECT doc_id, other_id, containment FROM (
+        |  SELECT doc_a AS doc_id, doc_b AS other_id, CAST(i AS DOUBLE) / sz_a AS containment FROM sized
+        |  UNION ALL
+        |  SELECT doc_b, doc_a, CAST(i AS DOUBLE) / sz_b FROM sized
+        |) WHERE containment >= 0.5""".stripMargin,
     // same gram identity as d3 (lowercase, \s+ split, \x01-joined,
     // per-doc distinct); df aggregated per gram, never self-joined
     "d10_dup_ngrams" ->

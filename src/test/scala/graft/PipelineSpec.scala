@@ -318,6 +318,26 @@ class PipelineSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding")
   }
 
+  test("ngramContainmentPairs: a quote inside a long doc scores ~1 one way, low the other") {
+    // doc 2 = a 6-token excerpt of doc 1 (40 tokens): containment of 2 in
+    // 1 is 1.0 (every trigram of 2 appears in 1) while 1-in-2 and the
+    // Jaccard are both small — the asymmetric class d3 cannot flag
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 15).map(i => s"w$i").mkString(" ")
+    val docs = docsDF(1L -> long, 2L -> quote, 3L -> "completely different words here")
+    val out = Dedup.ngramContainmentPairs(docs, n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set((2L, 1L)))        // only the contained direction
+    assert(out((2L, 1L)) === 1.0)
+    // the symmetric tier misses it at any threshold above its tiny jaccard
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3).count()
+    assert(jac === 0L)
+    // and below the bar both directions appear, with the asymmetry visible
+    val both = Dedup.ngramContainmentPairs(docs, n = 3, threshold = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(both((2L, 1L)) === 1.0 && both((1L, 2L)) < 0.2)
+  }
+
   test("pqTopK: every-vector-a-codeword degenerates to brute force; recall rises with codes") {
     // nCodes >= n makes every vector its own codeword: reconstruction is
     // exact, so ADC scoring equals the exact dot and pqTopK must equal
