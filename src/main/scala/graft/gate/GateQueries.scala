@@ -689,6 +689,13 @@ object GateQueries {
         maxSpanNanos = Some(86400L * 1000000000L))
     }),
 
+    "s6_retention_cohorts" -> ((s, d) => {
+      // weekly retention triangle: users cohorted by first-event week,
+      // distinct-active counts per (cohort, offset); offset-0 row = the
+      // cohort size
+      graft.streaming.EventStreams.retentionCohorts(events(s, d))
+    }),
+
     // ---- whole-graph analytics (GraphX/Pregel) ----------------------------
     "a1_reachable_orders" -> ((s, d) => {
       // all orders transitively after customer 1's first order (NextOrder***)
@@ -1267,6 +1274,13 @@ object GateQueries {
         | AND (epoch_us(b.ts) > epoch_us(a.ts)
         |      OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id > a.event_id))
         | AND epoch_us(b.ts) - epoch_us(a.ts) <= CAST(1800000000 AS BIGINT)""".stripMargin,
+    "s6_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) // 604800000000000 AS b FROM events
+        |), f AS (SELECT user_id, MIN(b) AS cohort FROM ev GROUP BY 1)
+        |SELECT f.cohort, ev.b - f.cohort AS week_offset,
+        |  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
     "s5_event_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, MIN(CAST(epoch_ns(ts) AS BIGINT)) AS t1

@@ -238,6 +238,35 @@ object EventStreams {
       .withColumn("converted", when(converted, 1L).otherwise(0L))
   }
 
+  /** Cohort RETENTION: bucket time at `bucketNanos` (weeks by default),
+    * cohort each user by the bucket of their FIRST event, and count
+    * distinct active users per (cohort, bucket-offset) — the classic
+    * retention triangle behind "what fraction of week-N signups were
+    * still active k weeks later". Offset 0 is the cohort's own bucket,
+    * so n_users at offset 0 is the cohort size. Emits (cohort,
+    * week_offset, n_users); divide by the offset-0 row for rates.
+    *
+    * Scale shape: one min-aggregation per user (map-side combined), one
+    * user-keyed join of events to their cohort, one
+    * (cohort, offset)-keyed countDistinct — the distinct expands to
+    * (cohort, offset, user) partial-agg rows, bounded by
+    * |users|·buckets-active. Linear, no windows, no skew joints beyond
+    * the user key itself. */
+  def retentionCohorts(events: DataFrame,
+      bucketNanos: Long = 7L * 24 * 3600 * 1000000000L,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(bucketNanos > 0, s"retentionCohorts: bucketNanos must be > 0")
+    // integer DIV, not `/`: long / long is DOUBLE in Spark, and nanos
+    // epochs (~1.7e18) exceed the 2^53 mantissa — the rounded quotient
+    // could land events one bucket off
+    val ev = normalizeTs(events, tsCol)
+      .select(col(userCol), expr(s"$tsCol DIV ${bucketNanos}L").as("b"))
+    val first = ev.groupBy(col(userCol)).agg(min(col("b")).as("cohort"))
+    ev.join(first, userCol)
+      .groupBy(col("cohort"), (col("b") - col("cohort")).as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   // public: the streaming state store codegens these constructors.
   // `done` is the TERMINAL marker: completion or span-expiry is final —
   // without it a later event batch would restart the funnel with a

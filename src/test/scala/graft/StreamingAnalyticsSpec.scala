@@ -126,6 +126,28 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("retentionCohorts: first-event cohorting, decay, returning users, offset-0 size") {
+    val w = 7L * 24 * 3600 * 1000000000L
+    // cohort week 0: users 1 (active weeks 0,1,2), 2 (0,1), 3 (0 only —
+    // churned), user 3 has TWO events in week 0 (distinct must collapse);
+    // cohort week 1: user 4 (1, then SKIPS 2, returns week 3)
+    val ev = Seq(
+      (1L, 0L, 1L), (2L, w + 1, 1L), (3L, 2 * w + 5, 1L),
+      (4L, 10L, 2L), (5L, w + 9, 2L),
+      (6L, 20L, 3L), (7L, 30L, 3L),
+      (8L, w + 2, 4L), (9L, 3 * w + 7, 4L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = EventStreams.retentionCohorts(ev, bucketNanos = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (0L, 0L) -> 3L, // cohort size: users 1,2,3 (user 3's two events count once)
+      (0L, 1L) -> 2L, // users 1,2 retained
+      (0L, 2L) -> 1L, // only user 1
+      (1L, 0L) -> 1L, // cohort 1 = user 4
+      (1L, 2L) -> 1L  // user 4 returns at offset 2 (no offset-1 row: gap weeks emit nothing)
+    ))
+  }
+
   test("funnelStream: conversions across micro-batches == batch funnel's converted rows") {
     val h = 3600L * 1000000000L
     val steps = Seq("view", "click", "purchase")
