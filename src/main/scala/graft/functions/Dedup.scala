@@ -1149,11 +1149,18 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxPostings: Int = 10000): DataFrame = {
-    val sized = gramPairSizes(docs, n, textCol, idCol, maxPostings)
-    sized.select(col("doc_a").as("doc_id"), col("doc_b").as("other_id"),
-        (col("inter") / col("sz_a").cast("double")).as("containment"))
-      .unionByName(sized.select(col("doc_b").as("doc_id"), col("doc_a").as("other_id"),
-        (col("inter") / col("sz_b").cast("double")).as("containment")))
+    // both directions in ONE pass over the pair relation: a unionByName
+    // of two selects re-executes the postings-join aggregation (the
+    // heaviest stage) once per branch — Spark reuses the exchange, not
+    // the post-shuffle aggregate
+    gramPairSizes(docs, n, textCol, idCol, maxPostings)
+      .select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("doc_b").as("other_id"),
+          (col("inter") / col("sz_a").cast("double")).as("containment")),
+        struct(col("doc_b").as("doc_id"), col("doc_a").as("other_id"),
+          (col("inter") / col("sz_b").cast("double")).as("containment")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.other_id").as("other_id"),
+        col("r.containment").as("containment"))
       .filter(col("containment") >= threshold)
   }
 

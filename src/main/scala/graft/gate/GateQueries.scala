@@ -1109,10 +1109,13 @@ object GateQueries {
         |), grams AS (
         |  SELECT doc_id, unnest(list_distinct([t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] for i in range(1, len(t) - 1)])) AS gram
         |  FROM toks
-        |), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |), pruned AS (
+        |  SELECT doc_id, gram FROM grams
+        |  WHERE gram IN (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 10000)
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+        |  FROM pruned a JOIN pruned b USING (gram) WHERE a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
@@ -1127,10 +1130,13 @@ object GateQueries {
         |), grams AS (
         |  SELECT doc_id, unnest(list_distinct([t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] for i in range(1, len(t) - 1)])) AS gram
         |  FROM toks
-        |), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |), pruned AS (
+        |  SELECT doc_id, gram FROM grams
+        |  WHERE gram IN (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 10000)
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+        |  FROM pruned a JOIN pruned b USING (gram) WHERE a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |), sized AS (
         |  SELECT doc_a, doc_b, i, sa.sz AS sz_a, sb.sz AS sz_b

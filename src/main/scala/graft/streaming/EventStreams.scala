@@ -260,7 +260,7 @@ object EventStreams {
     // epochs (~1.7e18) exceed the 2^53 mantissa — the rounded quotient
     // could land events one bucket off
     val ev = normalizeTs(events, tsCol)
-      .select(col(userCol), expr(s"$tsCol DIV ${bucketNanos}L").as("b"))
+      .select(col(userCol), expr(s"`$tsCol` DIV ${bucketNanos}L").as("b"))
     val first = ev.groupBy(col(userCol)).agg(min(col("b")).as("cohort"))
     ev.join(first, userCol)
       .groupBy(col("cohort"), (col("b") - col("cohort")).as("week_offset"))
