@@ -689,6 +689,11 @@ object GateQueries {
         maxSpanNanos = Some(86400L * 1000000000L))
     }),
 
+    "s7_type_transitions" -> ((s, d) => {
+      // corpus-wide first-order event-type Markov counts over per-user
+      // timelines, (ts, event_id)-ordered for tie determinism
+      graft.streaming.EventStreams.typeTransitions(events(s, d))
+    }),
     "s6_retention_cohorts" -> ((s, d) => {
       // weekly retention triangle: users cohorted by first-event week,
       // distinct-active counts per (cohort, offset); offset-0 row = the
@@ -1280,6 +1285,14 @@ object GateQueries {
         | AND (epoch_us(b.ts) > epoch_us(a.ts)
         |      OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id > a.event_id))
         | AND epoch_us(b.ts) - epoch_us(a.ts) <= CAST(1800000000 AS BIGINT)""".stripMargin,
+    "s7_type_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |)
+        |SELECT from_type, to_type, COUNT(*) AS n FROM seq
+        |WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "s6_retention_cohorts" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) // 604800000000000 AS b FROM events

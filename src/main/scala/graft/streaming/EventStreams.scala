@@ -267,6 +267,26 @@ object EventStreams {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** First-order event-type TRANSITION counts: for every consecutive
+    * event pair in each user's (ts, order-col) timeline, count
+    * (from_type, to_type) over the whole corpus — the Markov-chain
+    * behavior model behind "what follows a view", anomaly scoring and
+    * session simulation. Deterministic under ts ties via `orderCol`.
+    * Scale shape: ONE sort-based window exchange on the user key (the
+    * [[sessionize]] argument: a skewed user streams through the window
+    * operator, never a group buffer) + one map-side-combined count over
+    * ≤ |event types|² keys. */
+  def typeTransitions(events: DataFrame,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", orderCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(orderCol))
+    normalizeTs(events, tsCol)
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   // public: the streaming state store codegens these constructors.
   // `done` is the TERMINAL marker: completion or span-expiry is final —
   // without it a later event batch would restart the funnel with a

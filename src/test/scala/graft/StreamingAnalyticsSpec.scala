@@ -148,6 +148,18 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     ))
   }
 
+  test("typeTransitions: per-user chains, ts ties broken by event_id, cross-user isolation") {
+    // user 1: a→b→a (ties at ts=5 ordered by event_id: 2 before 3);
+    // user 2: single event — no transition; chains never cross users
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (2L, 5L, 1L, "b"), (3L, 5L, 1L, "a"),
+      (4L, 9L, 2L, "c")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventStreams.typeTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("a", "b") -> 1L, ("b", "a") -> 1L))
+  }
+
   test("funnelStream: conversions across micro-batches == batch funnel's converted rows") {
     val h = 3600L * 1000000000L
     val steps = Seq("view", "click", "purchase")
