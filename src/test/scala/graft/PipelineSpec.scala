@@ -406,6 +406,65 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("rerank: full-corpus shortlist restores brute-force ranking over coarse codes") {
+    // rerank·k >= corpus: the ADC shortlist covers EVERY candidate, so
+    // the exact re-rank pass must reproduce brute force exactly — even
+    // over codebooks too coarse to rank anything (nSub=4, nCodes=8 on
+    // 50 vectors). This pins that the re-rank scores with the TRUE dot
+    // (ids joined back to full vectors), not the ADC approximation.
+    val brute = Similarity.bruteForceTopK(clustered, clustered, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val rr = Similarity.pqTopK(clustered, clustered, 3,
+        nSub = 4, nCodes = 8, lloydIters = 2, rerank = 17)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rr === brute) // cosines equal too: re-rank emits EXACT scores
+    // same identity through the IVF-PQ composition at full probe
+    val rr8 = Similarity.ivfPqTopK(clustered, clustered, 3,
+        nCentroids = 4, nProbe = 4, nSub = 4, nCodes = 8, lloydIters = 2,
+        nAssign = 2, rerank = 17)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rr8 === brute)
+    // a bounded shortlist still returns exactly k ranked rows per query
+    val bounded = Similarity.pqTopK(clustered, clustered, 3,
+      nSub = 4, nCodes = 8, lloydIters = 2, rerank = 2).collect()
+    assert(bounded.length === 50 * 3)
+    assert(bounded.map(_.getInt(3)).groupBy(identity).view.mapValues(_.length).toMap
+      === Map(1 -> 50, 2 -> 50, 3 -> 50))
+  }
+
+  test("IVF-PQ index rerank: vector store fetch is exact and fail-fast without the store") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 10)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // an index WITHOUT the vector store refuses rerank instead of
+    // silently skipping the refinement
+    val bare = "/tmp/graft_ivfpq_rr_bare"
+    Similarity.saveIvfPqIndex(emb, bare, nCentroids = 8, nSub = 4, nCodes = 8)
+    val ex = intercept[IllegalStateException] {
+      Similarity.ivfPqTopKIndexed(qs, bare, k = 5, nProbe = 8, rerank = 4).count()
+    }
+    assert(ex.getMessage.contains("storeVectors"))
+    // storeVectors + full probe + full-corpus shortlist ≡ brute force,
+    // over codebooks far too coarse for ADC alone (the rerankExact
+    // identity through the ON-DISK refinement store); soft nAssign=2
+    // additionally pins that duplicate vector-store rows (one per home)
+    // collapse instead of occupying two ranks
+    val dir = "/tmp/graft_ivfpq_rr_test"
+    Similarity.saveIvfPqIndex(emb, dir, nCentroids = 8, nSub = 4, nCodes = 8,
+      nAssign = 2, storeVectors = true)
+    assert(graft.util.MetaFiles.readLong(spark, s"$dir/_vectors") === Some(1L))
+    val full = Similarity.ivfPqTopKIndexed(qs, dir, k = 5, nProbe = 8, rerank = 120)
+    assert(triples(full) === triples(Similarity.bruteForceTopK(qs, emb, k = 5)))
+    // bounded rerank at a partial probe: k rows per query, no duplicates
+    val part = Similarity.ivfPqTopKIndexed(qs, dir, k = 5, nProbe = 3, rerank = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(part.length === part.toSet.size)
+    assert(part.groupBy(_._1).values.forall(_.length == 5))
+  }
+
   test("brute-force cosine top-k: neighbors come from the same cluster") {
     val top = Similarity.bruteForceTopK(clustered, clustered, 5)
     val rows = top.collect()
