@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall FLOORS for the six approximate tiers (d4, d9, e2, e4, e7, e8):
+  * every config runs at its gate settings on the sf0.01 testdata and must
+  * stay above a pinned floor against its exact twin — the quality
+  * regression gate the rows-only correctness checks cannot provide (an
+  * approximate tier whose recall collapses still returns the right ROW
+  * COUNT; only this spec makes that break `sbt test`).
+  *
+  * All tiers are fully seeded (hash-ordered centroid seeds, seeded
+  * hyperplanes, deterministic Lloyd), so recall on fixed testdata is a
+  * deterministic number, not a distribution — floors sit a few points
+  * under the measured value to absorb testdata regeneration, not noise.
+  * Measured at sf0.01 (round 11): d4 1.000, d9 1.000, e2 0.514,
+  * e4 0.764, e7 0.948 (rerank=4), e8 0.850 (nProbe=6, rerank=4).
+  */
+class RecallSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.01"
+
+  // each gate runs once; exact twins are shared across pairs (e1 anchors
+  // both e7 and e8) — memoize the key sets like Bench's recall rider
+  private val memo = scala.collection.mutable.Map[String, Set[String]]()
+  private def keySet(name: String, keys: Seq[String]): Set[String] =
+    memo.getOrElseUpdate(name,
+      SparkEntry.queries(name)(spark, sfDir)
+        .select(keys.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.mkString("|")).toSet)
+
+  private def recall(approx: String, exact: String, keys: Seq[String]): Double = {
+    val e = keySet(exact, keys)
+    assert(e.nonEmpty, s"exact twin $exact returned no rows")
+    (keySet(approx, keys) & e).size.toDouble / e.size
+  }
+
+  private val annKeys = Seq("query_id", "neighbor_id")
+  private val pairKeys = Seq("doc_a", "doc_b")
+
+  test("d4 embedding near-dup recall >= 0.90 vs d6 exact") {
+    assert(recall("d4_embedding_near_dups", "d6_embedding_dups_exact", pairKeys) >= 0.90)
+  }
+  test("d9 semantic dedup recall >= 0.90 vs d6 exact") {
+    assert(recall("d9_semantic_dedup", "d6_embedding_dups_exact", pairKeys) >= 0.90)
+  }
+  test("e2 LSH top-k recall >= 0.45 vs e6 exact") {
+    assert(recall("e2_ann_lsh_topk", "e6_ann_lsh_exact", annKeys) >= 0.45)
+  }
+  test("e4 IVF top-k recall >= 0.65 vs e5 exact") {
+    assert(recall("e4_ann_ivf_topk", "e5_ann_ivf_exact", annKeys) >= 0.65)
+  }
+  test("e7 PQ+rerank top-k recall >= 0.90 vs e1 brute force") {
+    assert(recall("e7_ann_pq_topk", "e1_ann_bruteforce_topk", annKeys) >= 0.90)
+  }
+  test("e8 IVF-PQ+rerank top-k recall >= 0.80 vs e1 brute force") {
+    assert(recall("e8_ann_ivfpq_topk", "e1_ann_bruteforce_topk", annKeys) >= 0.80)
+  }
+}
