@@ -1094,18 +1094,77 @@ object Dedup {
       threshold: Double,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxPostings: Int = 10000): DataFrame =
-    gramPairSizes(docs, n, textCol, idCol, maxPostings)
+      maxPostings: Int = 10000,
+      pairBudget: Long = 2000000000L): DataFrame =
+    gramPairSizes(docs, n, textCol, idCol, maxPostings, pairBudget,
+        caller = "ngramJaccardPairs")
       .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** The BANDED route for exact-semantics n-gram Jaccard — what the
+    * [[ngramJaccardPairs]] Σdf² guard points at: minhash-LSH candidate
+    * generation over the SAME df-capped `graft_ngram_hashes` gram
+    * identity, then exact gram-set verification of just the candidates.
+    * Same output contract as the exact tier ((doc_a, doc_b, jaccard),
+    * a < b, Jaccard over grams with df ≤ maxPostings); the difference is
+    * recall — a pair is found only if it shares ≥1 of `bands` band
+    * buckets, P = 1 − (1 − t^rowsPerBand)^bands. For LOW thresholds use
+    * shallow bands: at t = 0.3, (bands=16, rows=4) finds ~12% of pairs
+    * while (bands=64, rows=1) misses ~(0.7)^64 ≈ 1e-10 of them —
+    * equality-pinned against the exact tier at that config in the spec.
+    *
+    * Scale shape: one df-cap window pass (linear), one 64-min-agg
+    * signature shuffle of |docs| rows, band bucketing with the
+    * maxBucketSize boilerplate cap, exact verify only on candidates —
+    * never Σdf² join rows. The clone-corpus case that blows the exact
+    * tier up costs candidates ∝ actual duplicate mass here. */
+  def ngramJaccardPairsBanded(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxPostings: Int = 10000,
+      bands: Int = 64,
+      rowsPerBand: Int = 1,
+      maxBucketSize: Int = 1000): DataFrame = {
+    graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
+    val numHashes = bands * rowsPerBand
+    val grams = docs.select(col(idCol).as("id"),
+      explode(call_function("graft_ngram_hashes", col(textCol), lit(n))).as("gram"))
+    // the same single-pass df cap as the exact tier: the semantics are
+    // "Jaccard over grams with df <= cap" on BOTH routes by construction
+    val pruned = grams.withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("df") <= maxPostings).drop("df")
+    // minhash over the gram-hash SET: sig[h] = min_g xxhash64(h, g) — the
+    // permutation-hash construction, as one map-side-combined aggregation
+    // with numHashes min() columns (grams are already distinct per doc)
+    val minCols = (0 until numHashes).map(h =>
+      min(xxhash64(lit(h), col("gram"))).as(s"m$h"))
+    val gramSets = pruned.groupBy(col("id"))
+      .agg(minCols.head, (minCols.tail :+ collect_list(col("gram")).as("gs")): _*)
+      .localCheckpoint(true) // feeds banding AND both verify sides
+    val sigs = gramSets.select(col("id"),
+      array((0 until numHashes).map(h => col(s"m$h")): _*).as("sig"))
+    val cands = candidatesFromSigs(sigs, bands, rowsPerBand, maxBucketSize).distinct()
+    cands
+      .join(gramSets.select(col("id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
+      .join(gramSets.select(col("id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("gs_a")) + size(col("gs_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   /** Shared postings front of the exact n-gram pair tiers — (doc_a,
     * doc_b, inter, sz_a, sz_b) rows, a < b: ONE body behind
     * [[ngramJaccardPairs]] and [[ngramContainmentPairs]] so the gram
     * identity, df cap and intersection semantics cannot drift. */
   private def gramPairSizes(docs: DataFrame, n: Int,
-      textCol: String, idCol: String, maxPostings: Int): DataFrame = {
+      textCol: String, idCol: String, maxPostings: Int,
+      pairBudget: Long, caller: String): DataFrame = {
     // grams carried as xxhash64 longs: equality-preserving (collision odds
     // ~|grams|²/2^64) and the join/shuffle run on 8-byte keys, not strings.
     // Native one-pass gram build (parity-pinned vs the transform/wordNgrams
@@ -1114,6 +1173,29 @@ object Dedup {
     graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
     val grams = docs.select(col(idCol).as("id"),
       explode(call_function("graft_ngram_hashes", col(textCol), lit(n))).as("gram"))
+    // Σdf² BUDGET GUARD: the self-join below produces exactly
+    // Σ_gram df·(df−1)/2 ordered pairs-with-multiplicity — superlinear on
+    // clone-heavy corpora (measured 16× rows → ~28× cost, SCALING.md),
+    // and the df cap bounds boilerplate GRAMS, not the everything-is-a-
+    // clone case where every gram's df grows with the corpus. One cheap
+    // df-histogram aggregation (linear, runs before any pair is
+    // produced) estimates the join size; above budget this fails fast
+    // naming the banded route instead of launching a runaway join.
+    // pairBudget <= 0 disables (the caller accepts unbounded pair work).
+    if (pairBudget > 0) {
+      val est = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxPostings)
+        .agg(sum(col("df") * col("df")).as("s"))
+        .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+        .getOrElse(0L)
+      if (est > pairBudget) throw new IllegalStateException(
+        s"$caller: estimated postings self-join size (Sigma df^2 = $est over " +
+          s"df <= $maxPostings grams) exceeds pairBudget = $pairBudget — the " +
+          "exact tier is superlinear on duplicate-heavy corpora. Use " +
+          "ngramJaccardPairsBanded (banded minhash over the same gram " +
+          "identity, linear in duplicate mass) or raise pairBudget if the " +
+          "join size is genuinely acceptable.")
+    }
     // df cap as a one-pass window: the postings relation feeds BOTH sides of
     // the self-join below, so a groupBy+broadcast-anti-join cap (measured)
     // re-derives the exploded postings once per side and runs 3× slower —
@@ -1148,12 +1230,14 @@ object Dedup {
       threshold: Double,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxPostings: Int = 10000): DataFrame = {
+      maxPostings: Int = 10000,
+      pairBudget: Long = 2000000000L): DataFrame = {
     // both directions in ONE pass over the pair relation: a unionByName
     // of two selects re-executes the postings-join aggregation (the
     // heaviest stage) once per branch — Spark reuses the exchange, not
     // the post-shuffle aggregate
-    gramPairSizes(docs, n, textCol, idCol, maxPostings)
+    gramPairSizes(docs, n, textCol, idCol, maxPostings, pairBudget,
+        caller = "ngramContainmentPairs")
       .select(explode(array(
         struct(col("doc_a").as("doc_id"), col("doc_b").as("other_id"),
           (col("inter") / col("sz_a").cast("double")).as("containment")),

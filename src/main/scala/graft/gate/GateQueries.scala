@@ -487,6 +487,16 @@ object GateQueries {
       // bigrams on this corpus, and 3-grams are the standard near-dup unit
       graft.functions.Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3, threshold = 0.3)
     }),
+    "d14_ngram_jaccard_banded" -> ((s, d) => {
+      // the SCALE route the d3 guard recommends — banded minhash over the
+      // same df-capped trigram identity, exact gram-set verify on
+      // candidates only. At (bands=64, rows=1) the per-pair miss odds at
+      // threshold 0.3 are (0.7)^64 ≈ 1e-10, so it shares d3's EXACT
+      // oracle (hash-green, not rows-only) while its join volume scales
+      // with duplicate mass, never Σdf² — the clone-corpus-safe tier.
+      graft.functions.Dedup.ngramJaccardPairsBanded(
+        t(s, d, "documents"), n = 3, threshold = 0.3, maxBucketSize = 100000)
+    }),
     "d13_containment_pairs" -> ((s, d) => {
       // asymmetric near-subset pairs: same trigram identity as d3, but
       // containment |A∩B|/|A| — catches the quote/excerpt class whose
@@ -1115,6 +1125,29 @@ object GateQueries {
         |MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "d3_ngram_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct([t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] for i in range(1, len(t) - 1)])) AS gram
+        |  FROM toks
+        |), pruned AS (
+        |  SELECT doc_id, gram FROM grams
+        |  WHERE gram IN (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 10000)
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM pruned a JOIN pruned b USING (gram) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3""".stripMargin,
+    // d14 shares d3's oracle verbatim: the banded route reproduces the
+    // exact tier bit-for-bit at its gate config (equality-pinned in
+    // PipelineSpec; miss odds ~1e-10/pair at threshold 0.3, bands=64/r=1)
+    "d14_ngram_jaccard_banded" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
         |), grams AS (

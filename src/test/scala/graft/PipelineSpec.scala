@@ -406,6 +406,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Sigma-df^2 budget guard: clone corpus trips it, banded route does not") {
+    // 40 clones: every gram's df = 40, so the postings self-join is
+    // Sigma df^2 = |grams|·1600 rows from 40 docs — the clone-corpus
+    // blowup the guard exists for. Pair work here is ~21k join rows;
+    // with a 10k budget the estimate must fail FAST (before the join).
+    val clones = docsDF((1L to 40L).map(i => i -> base): _*)
+    val ex = intercept[IllegalStateException] {
+      Dedup.ngramJaccardPairs(clones, n = 3, threshold = 0.8, pairBudget = 10000)
+    }
+    assert(ex.getMessage.contains("ngramJaccardPairsBanded"))
+    intercept[IllegalStateException] {
+      Dedup.ngramContainmentPairs(clones, n = 3, threshold = 0.8, pairBudget = 10000)
+    }
+    // the recommended route handles the same corpus within budget-free
+    // linear stages and finds all 40·39/2 clone pairs at jaccard 1.0
+    val banded = Dedup.ngramJaccardPairsBanded(clones, n = 3, threshold = 0.8)
+    assert(banded.count() === 40L * 39 / 2)
+    assert(banded.filter(col("jaccard") < 1.0).isEmpty)
+    // pairBudget <= 0 disables the guard explicitly
+    assert(Dedup.ngramJaccardPairs(clones, n = 3, threshold = 0.8,
+      pairBudget = 0).count() === 40L * 39 / 2)
+  }
+
+  test("banded n-gram route ≡ exact postings tier on sf0.01 at the d3 config") {
+    // the equality pin behind the guard's recommendation: at
+    // (bands=64, rows=1) the banding miss probability for a
+    // threshold-0.3 pair is (1-0.3)^64 ≈ 1e-10, so on real data the
+    // banded tier must reproduce the exact tier's pair set AND values
+    // bit-for-bit (same gram identity, same df cap, exact verify)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = keyed(Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3))
+    val banded = keyed(Dedup.ngramJaccardPairsBanded(docs, n = 3, threshold = 0.3,
+      maxBucketSize = 100000))
+    assert(exact.nonEmpty)
+    assert(banded === exact)
+  }
+
   test("rerank: full-corpus shortlist restores brute-force ranking over coarse codes") {
     // rerank·k >= corpus: the ADC shortlist covers EVERY candidate, so
     // the exact re-rank pass must reproduce brute force exactly — even
