@@ -671,12 +671,23 @@ object Similarity {
   // ---- product quantization (PQ) ------------------------------------------
 
   /** (id, sub, sv) sub-vector rows: the vector split into nSub contiguous
-    * subDim-wide slices — one narrow projection, nSub rows per vector. */
+    * subDim-wide slices — one narrow projection, nSub rows per vector.
+    * Every row's dimension is CHECKED against nSub·subDim in the same
+    * codegen'd pass (one integer compare per vector): pqCodebooks infers
+    * dim from ONE sample vector, and a ragged corpus would otherwise
+    * silently slice short and zip-truncate into plausible-but-wrong
+    * codes — a recall collapse, not an error. */
   private def subVectors(df: DataFrame, idCol: String, vecCol: String,
-      nSub: Int, subDim: Int): DataFrame =
+      nSub: Int, subDim: Int): DataFrame = {
+    val dim = nSub * subDim
+    val checked = when(size(col(vecCol)) === dim, col(vecCol)).otherwise(
+      raise_error(concat(
+        lit(s"graft PQ: expected $dim-dimensional vectors, found dimension "),
+        size(col(vecCol)).cast("string"))))
     df.select(col(idCol).as("id"), posexplode(
-        array((0 until nSub).map(s => slice(col(vecCol), s * subDim + 1, subDim)): _*)))
+        array((0 until nSub).map(s => slice(checked, s * subDim + 1, subDim)): _*)))
       .toDF("id", "sub", "sv")
+  }
 
   /** Nearest-codeword assignment per (vector, subspace) under L2 — PQ
     * codebooks minimize RECONSTRUCTION error even though the search

@@ -72,10 +72,15 @@ object EventStreams {
       try spark.read.parquet(dir).schema
       catch {
         // ONLY the empty/missing-dir case falls back to the documented
-        // shape (schema inference needs >= 1 footer); a corrupt footer,
-        // FS error etc. must stay loud, not surface later as a
-        // schema-mismatch far from the root cause
-        case _: org.apache.spark.sql.AnalysisException => eventSchema
+        // shape (schema inference needs >= 1 footer); any OTHER
+        // AnalysisException (corrupt footer, datetime-rebase,
+        // schema-merge conflict, access error) rethrows — falling back
+        // would resurface later as a confusing schema mismatch far from
+        // the root cause
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.contains("UNABLE_TO_INFER_SCHEMA") || c.contains("PATH_NOT_FOUND")) =>
+          eventSchema
       }
     normalizeTs(spark.readStream.schema(schema).parquet(dir))
   }
@@ -258,9 +263,15 @@ object EventStreams {
     require(bucketNanos > 0, s"retentionCohorts: bucketNanos must be > 0")
     // integer DIV, not `/`: long / long is DOUBLE in Spark, and nanos
     // epochs (~1.7e18) exceed the 2^53 mantissa — the rounded quotient
-    // could land events one bucket off
+    // could land events one bucket off. FLOOR semantics, not DIV's
+    // truncate-toward-zero: a pre-1970 ts (negative nanos) must land in
+    // the bucket BELOW zero like DuckDB's `//` — bucketNanos > 0 is
+    // required above, so the remainder is negative exactly when the
+    // truncated quotient sits one above the floor.
     val ev = normalizeTs(events, tsCol)
-      .select(col(userCol), expr(s"`$tsCol` DIV ${bucketNanos}L").as("b"))
+      .select(col(userCol), expr(
+        s"(`$tsCol` DIV ${bucketNanos}L) - " +
+          s"(CASE WHEN `$tsCol` % ${bucketNanos}L < 0 THEN 1 ELSE 0 END)").as("b"))
     val first = ev.groupBy(col(userCol)).agg(min(col("b")).as("cohort"))
     ev.join(first, userCol)
       .groupBy(col("cohort"), (col("b") - col("cohort")).as("week_offset"))

@@ -36,9 +36,16 @@ object ScaleCorpus {
     eN.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // events: USER-offset replication (event ids offset too) keeps
     // per-user burst density constant — the round-9 s4 protocol, now
-    // reproducible from this tool instead of an ad-hoc build
-    val ev = graft.streaming.EventStreams.normalizeTs(
-      spark.read.parquet(s"$src/events.parquet"))
+    // reproducible from this tool instead of an ad-hoc build.
+    // ts passes through VERBATIM (no normalizeTs before the write): a
+    // micros/timestamp-typed source keeps its physical type, so DuckDB
+    // oracles (epoch_us(ts) etc.) still run against the scaled dir —
+    // Verify works there, not just Bench. Caveat that remains: a
+    // NANOS-typed source arrives as BIGINT via the nanosAsLong read
+    // config (Spark cannot write TIMESTAMP(NANOS) back), and a scaled
+    // copy of THAT generation stays bench-only; every gate query
+    // normalizes either shape itself.
+    val ev = spark.read.parquet(s"$src/events.parquet")
     val vN = (0 until factor).map { k =>
       ev.withColumn("user_id", col("user_id") + lit(k * 10000000L))
         .withColumn("event_id", col("event_id") + lit(k * 100000000L))

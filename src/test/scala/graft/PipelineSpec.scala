@@ -471,6 +471,24 @@ class PipelineSpec extends AnyFunSuite {
       === Map(1 -> 50, 2 -> 50, 3 -> 50))
   }
 
+  test("PQ encode path fails loudly on a ragged corpus instead of zip-truncating") {
+    // pqCodebooks infers dim from ONE vector; a shorter vector elsewhere
+    // must raise in the encode pass, not silently slice to fewer
+    // elements and produce plausible-but-wrong codes
+    val ragged = Seq(
+      (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.25f)),
+      (3L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      val books = Similarity.pqCodebooks(ragged, nSub = 2, nCodes = 2)
+      Similarity.pqEncode(ragged, books).count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).flatMap(c => Option(c.getMessage)).exists(_.contains("graft PQ")),
+      s"expected the graft PQ dimension error, got: $ex")
+  }
+
   test("IVF-PQ index rerank: vector store fetch is exact and fail-fast without the store") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < 10)

@@ -148,6 +148,41 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     ))
   }
 
+  test("readEventStream: empty dir falls back to the pinned schema, bad path stays loud") {
+    // the narrowed catch must still serve the original purpose (schema
+    // inference needs >= 1 footer; an empty landing dir is the normal
+    // stream-start state) ...
+    val empty = java.nio.file.Files.createTempDirectory("graft_empty_stream").toString
+    val src = EventStreams.readEventStream(spark, empty)
+    assert(src.isStreaming && src.schema.fieldNames.contains("ts"))
+    // ... while anything that is NOT the missing-footer case (here: a
+    // readable dir whose parquet footer is garbage) surfaces at the
+    // call, not later as a schema mismatch deep in a query
+    val bad = java.nio.file.Files.createTempDirectory("graft_bad_stream").toString
+    java.nio.file.Files.write(java.nio.file.Path.of(s"$bad/junk.parquet"),
+      "not a parquet file".getBytes)
+    intercept[Exception] { EventStreams.readEventStream(spark, bad) }
+  }
+
+  test("retentionCohorts: pre-1970 ts buckets with FLOOR semantics (DuckDB // parity)") {
+    val w = 7L * 24 * 3600 * 1000000000L
+    // user 1's first event is half a week BEFORE the epoch: floor lands
+    // it in bucket -1 (DuckDB's `//`), truncate-toward-zero (DIV) would
+    // land it in bucket 0 and silently merge the cohorts. User 1 returns
+    // in bucket 0 → offset 1; an exactly-divisible negative ts (user 2,
+    // -w) floors to -1 with no correction.
+    val ev = Seq(
+      (1L, -w / 2, 1L), (2L, 5L, 1L),
+      (3L, -w, 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = EventStreams.retentionCohorts(ev, bucketNanos = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (-1L, 0L) -> 2L, // users 1 and 2 both cohort at bucket -1
+      (-1L, 1L) -> 1L  // user 1 returns in bucket 0 = offset 1
+    ))
+  }
+
   test("typeTransitions: per-user chains, ts ties broken by event_id, cross-user isolation") {
     // user 1: a→b→a (ties at ts=5 ordered by event_id: 2 before 3);
     // user 2: single event — no transition; chains never cross users
