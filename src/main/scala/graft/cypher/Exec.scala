@@ -345,6 +345,37 @@ object Exec {
     case AllNodes => g.labelCounts.values.sum max 1L
   }
 
+  /** The label set a spec can match, None = unknown/all (AllNodes, DfSel).
+    * Explicit ids resolve through the driver-side range arithmetic. */
+  private def specLabels(g: PropertyGraph, n: NodeSpec): Option[Set[Int]] = n.sel match {
+    case LabelSel(ls) => Some(ls.toSet)
+    case IdSel(ids) => Some(ids.map(g.labelOfId).toSet)
+    case _ => None
+  }
+
+  /** DEGREE-AWARE step cost (the reference's own TODO — "use counter of
+    * edge-attr", Cypher.hs:574): the estimated edge-row count of
+    * expanding across one step, from [[PropertyGraph.labelEdgeStats]].
+    * Node cardinalities alone miss fan-out skew — a 5-node layer whose
+    * nodes each carry 100 edges is a worse expansion than a 10-node
+    * layer with 1 edge each, and the join's cost IS the edge rows. The
+    * estimate sums stat entries whose edge label is allowed by the step
+    * spec (empty attrs = any) and whose endpoint labels match the two
+    * layer specs in EITHER orientation (auto-reverse graphs materialize
+    * both row orientations, and direction-flipped steps walk the stored
+    * rows from the dst side — an orientation-agnostic adjacency sum is
+    * the consistent proxy for both). A wildcard side (AllNodes/DfSel)
+    * matches every label; each stat entry counts at most once. */
+  private def stepCost(g: PropertyGraph, a: NodeSpec, e: EdgeSpec, b: NodeSpec): Long = {
+    val aL = specLabels(g, a)
+    val bL = specLabels(g, b)
+    val eL = if (e.attrs.isEmpty) None else Some(e.attrs.toSet)
+    g.labelEdgeStats.iterator.collect { case ((sl, dl, el), n)
+        if eL.forall(_.contains(el)) &&
+          ((aL.forall(_.contains(sl)) && bL.forall(_.contains(dl))) ||
+           (aL.forall(_.contains(dl)) && bL.forall(_.contains(sl)))) => n }.sum
+  }
+
   /** The planned strategy's expansion order (exposed for tests): node-layer
     * indices in the order their column joins the walk. Starts at
     * [[planStart]]; after EVERY expansion the two frontier-adjacent layers
@@ -357,6 +388,7 @@ object Exec {
     * right regardless of this order (see the guard in [[runOnE]]). */
   def planExpansionOrder(g: PropertyGraph, pat: Pat): Vector[Int] = {
     val nodeSpecs = pat.comps.collect { case CompN(n) => n }
+    val edgeSpecs = pairsOf(pat.comps).map(_._1).toVector
     val last = nodeSpecs.size - 1
     val start = planStart(g, pat)
     var lo = start; var hi = start
@@ -365,7 +397,14 @@ object Exec {
       val goRight =
         if (lo == 0) true
         else if (hi == last) false
-        else specCost(g, nodeSpecs(hi + 1)) <= specCost(g, nodeSpecs(lo - 1))
+        else
+          // DEGREE-aware side choice (round 11): compare the estimated
+          // EDGE rows each expansion would join — [[stepCost]] over the
+          // per-(label, label, edge-attr) stats — not just the target
+          // layer's node count. Ties (uniform-degree graphs, where both
+          // estimates reduce to edge totals) expand right, as before.
+          stepCost(g, nodeSpecs(hi), edgeSpecs(hi), nodeSpecs(hi + 1)) <=
+            stepCost(g, nodeSpecs(lo - 1), edgeSpecs(lo - 1), nodeSpecs(lo))
       if (goRight) { hi += 1; order = order :+ hi }
       else { lo -= 1; order = order :+ lo }
     }

@@ -129,12 +129,36 @@ final case class PropertyGraph(
     * counter slots (FastAccess.hs:296-305) as a relation. */
   def degrees: DataFrame =
     edges.groupBy(col("src"), col("label")).agg(count(lit(1)).as("degree"))
+
+  /** Per-(src-label, dst-label, edge-label) edge counts — the planner's
+    * DEGREE statistics, finishing the reference's own TODO ("use counter
+    * of edge-attr", Cypher.hs:574): node cardinalities alone cannot see
+    * that one side of a pattern fans out 100× wider than the other. One
+    * aggregation over the edge relation (same memoization contract and
+    * staleness caveat as [[labelCounts]]); the driver-side result is
+    * ≤ |labels|²·|edge labels| rows — tiny. */
+  lazy val labelEdgeStats: Map[(Int, Int, Int), Long] = {
+    val key = s"deg|${edges.queryExecution.logical.semanticHash()}|${ranges.hashCode}"
+    PropertyGraph.labelEdgeStatCache(spark, key) {
+      edges.groupBy(labelOf(col("src")).as("sl"), labelOf(col("dst")).as("dl"),
+          col("label").as("el"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    }
+  }
+
+  /** Driver-side range→label lookup (the CASE WHEN chain of [[labelOf]]
+    * as arithmetic): later ranges shadow earlier ones, unmatched = -1. */
+  def labelOfId(id: Long): Int =
+    ranges.findLast(r => id >= r.start && id < r.start + r.len)
+      .map(_.nodeLabel).getOrElse(-1)
 }
 
 object PropertyGraph {
   import org.apache.spark.sql.Column
 
   private[model] val labelCountCache = new graft.util.SessionCache[Map[Int, Long]]
+  private[model] val labelEdgeStatCache = new graft.util.SessionCache[Map[(Int, Int, Int), Long]]
 
   /** CASE WHEN chain for range→label (reference nodeLabel, FastAccess.hs:654-667). */
   def labelForId(id: Column, ranges: Seq[RangeDef]): Column =

@@ -426,6 +426,31 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(p === q && q.nonEmpty)
   }
 
+  test("degree skew flips the expansion direction node counts alone would pick") {
+    // X=5, Y=4, Z=10 nodes; start at Y (min count). Node-cardinality
+    // costing expands LEFT first (X=5 < Z=10) — but X→Y is a complete
+    // bipartite fan (5·4 = 20 edges) while Y→Z carries one edge per Z
+    // (10). The join pays EDGE rows, so the degree-aware planner goes
+    // RIGHT first: order (1, 2, 0), not (1, 0, 2).
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)), RangeDef(100, 100, 1, Seq(1)),
+      RangeDef(200, 100, 2, Seq(1)))
+    val edges =
+      (for (x <- 0 until 5; y <- 0 until 4) yield InputEdge(x, 100 + y, Seq(1), addReverse = false)) ++
+      (0 until 10).map(i => InputEdge(100 + i % 4, 200 + i, Seq(1), addReverse = false))
+    val g = Loaders.fromList(spark, edges, ranges)
+    val pat = labels(0) --| edge(attr(1)) |--> labels(1) --| edge(attr(1)) |--> labels(2)
+    assert(Exec.planStart(g, pat) === 1)
+    assert(Exec.planExpansionOrder(g, pat) === Vector(1, 2, 0))
+    // the stats themselves: 20 X→Y rows vs 10 Y→Z rows, one agg, memoized
+    assert(g.labelEdgeStats((0, 1, 1)) === 20L && g.labelEdgeStats((1, 2, 1)) === 10L)
+    // and the reordered walk still produces exactly the quick result
+    val q = Query.paths(g, pat, quick = true).select("n0", "n1", "n2")
+      .collect().map(_.toSeq).toSet
+    val p = Query.paths(g, pat, quick = false).select("n0", "n1", "n2")
+      .collect().map(_.toSeq).toSet
+    assert(p === q && q.size === 50)
+  }
+
   test("fromTemp: composing query 2 from query 1's temp output matches one-shot") {
     val q1 = Query.temp(issueGraph, nodes32(0) --| edge(attr(Raises)) |-- labels(ISSUE))
     val start = Query.fromTemp(q1.last)
