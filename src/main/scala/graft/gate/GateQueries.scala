@@ -597,11 +597,14 @@ object GateQueries {
       // default: at the sf0.1 bench scale (2,000 vectors) that is the
       // same k=8 as round 8; at sf0.01 (500 vectors) it coarsens to k=2;
       // at 16× data it keeps per-cluster pair work constant instead of
-      // 256×. nAssign = 2 → soft assignment (each vector in its 2
+      // 256×. nAssign = 3 → soft assignment (each vector in its 3
       // nearest clusters): boundary pairs recovered, recall vs d6
-      // measured 0.277 → 0.716 at k=8 for ≤4× bounded pair cost
+      // measured 0.277 (hard) → 0.716 (2) → 0.953 (3) at k=8, wall flat
+      // (7-9 s either way at sf0.1, D9Probe round 11), pair cost bounded
+      // by nAssign²/k — the documented sweet spot before the 0.997 of
+      // nAssign=4 stops paying for its bound
       graft.functions.Similarity.semanticDedup(
-        t(s, d, "embeddings"), threshold = 0.35, nClusters = -1, nAssign = 2)
+        t(s, d, "embeddings"), threshold = 0.35, nClusters = -1, nAssign = 3)
         .select(col("doc_a"), col("doc_b"))
     }),
     "d4_embedding_near_dups" -> ((s, d) => {
