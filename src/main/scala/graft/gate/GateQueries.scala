@@ -583,10 +583,14 @@ object GateQueries {
       // corpus assignment, 2× indexed rows — the standard spill-tree
       // redundancy factor, honest at 100 TB where nAssign multiplies the
       // index size) recovers them: recall 0.548 → 0.764 at sf0.01 / 0.782
-      // at sf0.1 (0.874/0.884 at nAssign=3 — the knob, not the default)
+      // at sf0.1 (0.874/0.884 at nAssign=3 — the knob, not the default).
+      // nProbe=6 (round 11, E4Probe): query-side coverage is the cheap
+      // lever — 6/16 partitions still sublinear, index size UNCHANGED,
+      // recall 0.782 → 0.904 at sf0.1 with wall flat (candidate volume
+      // 1.5×, still bounded by nProbe/nCentroids of the corpus)
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.ivfTopK(
-        emb.filter(col("vec_id") < 50), emb, k = 10, nCentroids = 16, nProbe = 4,
+        emb.filter(col("vec_id") < 50), emb, k = 10, nCentroids = 16, nProbe = 6,
         lloydIters = 3, nAssign = 2)
     }),
     "d9_semantic_dedup" -> ((s, d) => {
