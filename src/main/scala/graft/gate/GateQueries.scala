@@ -565,15 +565,20 @@ object GateQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
     "e2_ann_lsh_topk" -> ((s, d) => {
-      // full Hamming-1 + Hamming-2 multi-probe: recall on this isotropic
-      // corpus measured 0.024 unprobed (round 8), 0.202 with the 10
-      // one-bit probes, 0.514 with the 45 margin-ordered two-bit probes
-      // added (round 9, ~+15% wall) — all query-side widening at the
-      // same index and per-bucket join shape (56 buckets/query/table)
+      // full Hamming-1 + Hamming-2 multi-probe at COARSER buckets
+      // (round-11 E2Probe sweep): on this isotropic corpus a 10-bit
+      // signature spreads true neighbors past even full H2 probing
+      // (0.600 at bits=10/tables=4; MORE bits made it worse, 0.588 at
+      // 12), while 8 bits × 8 tables with the full 37-bucket probe set
+      // measures 0.960 at the SAME wall — probing covers Hamming ≤ 2 of
+      // 8 bits, a much larger fraction of signature space. Per-bucket
+      // join shape unchanged; candidates still bucket-bounded.
+      // History: 0.024 unprobed (r8) → 0.202 H1 → 0.514 H1+H2 (r9) →
+      // 0.960 (r11).
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.lshTopK(
-        emb.filter(col("vec_id") < 50), emb, k = 10, dim = 64, bits = 10, tables = 4,
-        probes = 10, probes2 = 45)
+        emb.filter(col("vec_id") < 50), emb, k = 10, dim = 64, bits = 8, tables = 8,
+        probes = 8, probes2 = 28)
     }),
     "e4_ann_ivf_topk" -> ((s, d) => {
       // lloydIters=3: extra Lloyd refinement is INDEX-BUILD cost only

@@ -13,9 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * hyperplanes, deterministic Lloyd), so recall on fixed testdata is a
   * deterministic number, not a distribution — floors sit a few points
   * under the measured value to absorb testdata regeneration, not noise.
-  * Measured at sf0.01 (round 11): d4 1.000, d9 1.000, e2 0.514,
-  * e4 0.888 (nProbe=6), e7 0.948 (rerank=4), e8 0.850 (nProbe=6,
-  * rerank=4).
+  * Measured at sf0.01 (round 11): d4 1.000, d9 1.000, e2 0.950
+  * (bits=8, tables=8, full H1+H2), e4 0.888 (nProbe=6), e7 0.948
+  * (rerank=4), e8 0.850 (nProbe=6, rerank=4).
   */
 class RecallSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -45,8 +45,8 @@ class RecallSpec extends AnyFunSuite {
   test("d9 semantic dedup recall >= 0.90 vs d6 exact") {
     assert(recall("d9_semantic_dedup", "d6_embedding_dups_exact", pairKeys) >= 0.90)
   }
-  test("e2 LSH top-k recall >= 0.45 vs e6 exact") {
-    assert(recall("e2_ann_lsh_topk", "e6_ann_lsh_exact", annKeys) >= 0.45)
+  test("e2 LSH top-k recall >= 0.85 vs e6 exact") {
+    assert(recall("e2_ann_lsh_topk", "e6_ann_lsh_exact", annKeys) >= 0.85)
   }
   test("e4 IVF top-k recall >= 0.80 vs e5 exact") {
     assert(recall("e4_ann_ivf_topk", "e5_ann_ivf_exact", annKeys) >= 0.80)
