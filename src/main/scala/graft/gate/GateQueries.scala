@@ -536,16 +536,17 @@ object GateQueries {
       // product-quantization ADC over the same query/corpus/k config as
       // the e1 exact twin: 16 subspaces × 64 codewords = 96-bit codes, a
       // ~21× compressed corpus scan at dim 64, then the IVFADC+R exact
-      // re-rank (ADC top-40 shortlist → full-vector exact dot → top-10).
+      // re-rank (ADC top-80 shortlist → full-vector exact dot → top-10).
       // Rows-only gate like e2/e4/d4; quality = the emitted e7_vs_e1
-      // recall: 0.628 pure-ADC → 0.948 with rerank=4 at sf0.01 (the
+      // recall: 0.628 pure-ADC → 0.998 with rerank=8 at sf0.01, 0.972
+      // at sf0.1 — wall FLAT-to-lower with the larger shortlist (the
       // shortlist only has to rank true neighbors in the top 4k, which
       // quantization error rarely breaks; SCALING.md has the
       // rerank-sweep table).
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.pqTopK(
           emb.filter(col("vec_id") < 50), emb, k = 10,
-          nSub = 16, nCodes = 64, lloydIters = 2, rerank = 4)
+          nSub = 16, nCodes = 64, lloydIters = 2, rerank = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
     "e8_ann_ivfpq_topk" -> ((s, d) => {
@@ -555,13 +556,14 @@ object GateQueries {
       // is coverage-capped (~0.73 at the old nProbe=4 no matter the
       // rerank — a neighbor in an unprobed partition never reaches the
       // shortlist), so the knobs split the work: nProbe/nAssign buy
-      // coverage, rerank fixes ADC mis-ordering inside it. 0.548 → 0.850
-      // at sf0.01; quality = the emitted e8_vs_e1 recall.
+      // coverage, rerank fixes ADC mis-ordering inside it. 0.548 →
+      // 0.874 at sf0.1 (rerank=8; the ~0.89 plateau is nProbe=6
+      // coverage); quality = the emitted e8_vs_e1 recall.
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.ivfPqTopK(
           emb.filter(col("vec_id") < 50), emb, k = 10,
           nCentroids = 16, nProbe = 6, nSub = 16, nCodes = 64,
-          lloydIters = 2, nAssign = 2, rerank = 4)
+          lloydIters = 2, nAssign = 2, rerank = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
     "e2_ann_lsh_topk" -> ((s, d) => {
