@@ -182,6 +182,46 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"no partial aggregation in:\n$plan")
   }
 
+  test("PQ rerank: the shortlist joins the corpus BROADCAST — no corpus shuffle, no cartesian") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val plan = planOf(graft.functions.Similarity.pqTopK(q, emb, k = 3,
+      nSub = 4, nCodes = 8, rerank = 4))
+    // the refinement fetch must be shortlist-broadcast into one corpus
+    // pass: a SortMergeJoin against the full-vector relation would
+    // re-shuffle the corpus per query batch — the shape that cannot
+    // survive 100 TB. (The ADC LUT + qn joins are broadcast by
+    // construction; this pins the re-rank join added in round 11.)
+    assert(plan.contains("BroadcastHashJoin"), s"rerank fetch not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"rerank must join by neighbor id:\n$plan")
+  }
+
+  test("banded n-gram route: signature aggregation is partial, pairing is bucket-keyed only") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.functions.Dedup.ngramJaccardPairsBanded(docs, n = 3,
+      threshold = 0.3))
+    // candidates come from band-bucket grouping and the verify joins key
+    // on doc ids — a cartesian/nested-loop anywhere here would be the
+    // Σdf² (or worse, all-pairs) blowup this route exists to avoid
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded route must pair through band buckets only:\n$plan")
+    // the signature stage itself sits BEHIND the eager localCheckpoint
+    // (materialized at call time, so the returned plan starts from the
+    // checkpointed relation) — pin its map-side-combine property on the
+    // same aggregation shape directly: numHashes min() columns over the
+    // exploded gram relation must partial-aggregate before the exchange,
+    // bounding the shuffle at |docs| signature rows, not |occurrences|
+    graft.functions.expressions.GraftFunctions.init(spark)
+    val sigShape = docs.select(col("doc_id").as("id"),
+        explode(call_function("graft_ngram_hashes", col("text"), lit(3))).as("gram"))
+      .groupBy(col("id"))
+      .agg(min(xxhash64(lit(0), col("gram"))).as("m0"),
+        min(xxhash64(lit(1), col("gram"))).as("m1"))
+    assert(planOf(sigShape).contains("partial_min"),
+      s"signature agg not map-side combined:\n${planOf(sigShape)}")
+  }
+
   test("n-gram decontamination broadcasts the probe side, never shuffles the corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val probes = docs.filter(col("doc_id") < 5)
