@@ -369,7 +369,10 @@ object Exec {
   private def stepCost(g: PropertyGraph, a: NodeSpec, e: EdgeSpec, b: NodeSpec): Long = {
     val aL = specLabels(g, a)
     val bL = specLabels(g, b)
-    val eL = if (e.attrs.isEmpty) None else Some(e.attrs.toSet)
+    // an orth overlay widens the match beyond the attr label list (the
+    // edge predicate is label-IN-attrs OR mask-overlap) — restricting the
+    // stats to attrs would undercount that side; treat it as any-label
+    val eL = if (e.attrs.isEmpty || e.orths.nonEmpty) None else Some(e.attrs.toSet)
     g.labelEdgeStats.iterator.collect { case ((sl, dl, el), n)
         if eL.forall(_.contains(el)) &&
           ((aL.forall(_.contains(sl)) && bL.forall(_.contains(dl))) ||

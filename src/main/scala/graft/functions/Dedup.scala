@@ -1115,10 +1115,19 @@ object Dedup {
     * equality-pinned against the exact tier at that config in the spec.
     *
     * Scale shape: one df-cap window pass (linear), one 64-min-agg
-    * signature shuffle of |docs| rows, band bucketing with the
-    * maxBucketSize boilerplate cap, exact verify only on candidates —
-    * never Σdf² join rows. The clone-corpus case that blows the exact
-    * tier up costs candidates ∝ actual duplicate mass here. */
+    * signature shuffle of |docs| rows, band bucketing, exact verify only
+    * on candidates — never Σdf² join rows. The clone-corpus case that
+    * blows the exact tier up costs candidates ∝ actual duplicate mass
+    * here — which for a clone FAMILY is its size², the true pair count
+    * the caller asked for.
+    *
+    * maxBucketSize is an OPT-IN skew valve and defaults to UNCAPPED: a
+    * clone family larger than the cap would have every band bucket
+    * dropped and return ZERO of its (all true, jaccard-1.0) pairs — a
+    * silent hole on exactly the duplicate-heavy corpus the Σdf² guard
+    * steers here. Cap only when truncating mega-families is the intent
+    * (the d1 boilerplate contract), and know that capped families
+    * disappear from the output entirely. */
   def ngramJaccardPairsBanded(
       docs: DataFrame,
       n: Int,
@@ -1128,15 +1137,10 @@ object Dedup {
       maxPostings: Int = 10000,
       bands: Int = 64,
       rowsPerBand: Int = 1,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
     val numHashes = bands * rowsPerBand
-    val grams = docs.select(col(idCol).as("id"),
-      explode(call_function("graft_ngram_hashes", col(textCol), lit(n))).as("gram"))
-    // the same single-pass df cap as the exact tier: the semantics are
-    // "Jaccard over grams with df <= cap" on BOTH routes by construction
-    val pruned = grams.withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
-      .filter(col("df") <= maxPostings).drop("df")
+    val pruned = prunedGramPostings(docs, n, textCol, idCol, maxPostings)
     // minhash over the gram-hash SET: sig[h] = min_g xxhash64(h, g) — the
     // permutation-hash construction, as one map-side-combined aggregation
     // with numHashes min() columns (grams are already distinct per doc)
@@ -1158,6 +1162,25 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** The df-capped (id, gram) postings relation — the gram identity AND
+    * the cap semantics in ONE body behind every n-gram pair tier (exact
+    * d3/d13 via [[gramPairSizes]], banded d14): grams as xxhash64 longs
+    * (equality-preserving, 8-byte join keys; native one-pass build,
+    * parity-pinned vs the lambda chain), df as a one-pass count window —
+    * the postings feed BOTH sides of the exact tier's self-join, and a
+    * groupBy+anti-join cap (measured) re-derives the explode once per
+    * side, 3× slower. A drift between the exact and banded gram fronts
+    * would silently break the d14 ≡ d3 equality pin — that is why this
+    * body exists. */
+  private def prunedGramPostings(docs: DataFrame, n: Int,
+      textCol: String, idCol: String, maxPostings: Int): DataFrame = {
+    graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+        explode(call_function("graft_ngram_hashes", col(textCol), lit(n))).as("gram"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("df") <= maxPostings).drop("df")
+  }
+
   /** Shared postings front of the exact n-gram pair tiers — (doc_a,
     * doc_b, inter, sz_a, sz_b) rows, a < b: ONE body behind
     * [[ngramJaccardPairs]] and [[ngramContainmentPairs]] so the gram
@@ -1165,11 +1188,6 @@ object Dedup {
   private def gramPairSizes(docs: DataFrame, n: Int,
       textCol: String, idCol: String, maxPostings: Int,
       pairBudget: Long, caller: String): DataFrame = {
-    // grams carried as xxhash64 longs: equality-preserving (collision odds
-    // ~|grams|²/2^64) and the join/shuffle run on 8-byte keys, not strings.
-    // Native one-pass gram build (parity-pinned vs the transform/wordNgrams
-    // lambda chain) — the interpreted HOFs were pure per-doc overhead ahead
-    // of the postings join.
     graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
     val grams = docs.select(col(idCol).as("id"),
       explode(call_function("graft_ngram_hashes", col(textCol), lit(n))).as("gram"))
@@ -1196,13 +1214,7 @@ object Dedup {
           "identity, linear in duplicate mass) or raise pairBudget if the " +
           "join size is genuinely acceptable.")
     }
-    // df cap as a one-pass window: the postings relation feeds BOTH sides of
-    // the self-join below, so a groupBy+broadcast-anti-join cap (measured)
-    // re-derives the exploded postings once per side and runs 3× slower —
-    // the sort-based window computes df in the single pass Catalyst already
-    // shares between the two join sides.
-    val pruned = grams.withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
-      .filter(col("df") <= maxPostings).drop("df")
+    val pruned = prunedGramPostings(docs, n, textCol, idCol, maxPostings)
     val sizes = pruned.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = pruned.select(col("gram"), col("id").as("doc_a"))
       .join(pruned.select(col("gram"), col("id").as("doc_b")), "gram")

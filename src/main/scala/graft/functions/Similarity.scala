@@ -680,10 +680,13 @@ object Similarity {
   private def subVectors(df: DataFrame, idCol: String, vecCol: String,
       nSub: Int, subDim: Int): DataFrame = {
     val dim = nSub * subDim
+    // coalesce keeps the diagnostic for NULL vectors too — size(null) is
+    // NULL, and concat with a NULL fragment would raise a MESSAGE-LESS
+    // error, defeating the fail-loudly purpose for exactly that input
     val checked = when(size(col(vecCol)) === dim, col(vecCol)).otherwise(
       raise_error(concat(
-        lit(s"graft PQ: expected $dim-dimensional vectors, found dimension "),
-        size(col(vecCol)).cast("string"))))
+        lit(s"graft PQ: expected $dim-dimensional vectors, found "),
+        coalesce(size(col(vecCol)).cast("string"), lit("NULL vector")))))
     df.select(col(idCol).as("id"), posexplode(
         array((0 until nSub).map(s => slice(checked, s * subDim + 1, subDim)): _*)))
       .toDF("id", "sub", "sv")
@@ -1096,8 +1099,12 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     books.write.mode("overwrite").parquet(s"$dir/codebooks")
     graft.util.MetaFiles.writeLong(corpus.sparkSession, s"$dir/_nassign", m.toLong)
-    if (storeVectors)
-      graft.util.MetaFiles.writeLong(corpus.sparkSession, s"$dir/_vectors", 1L)
+    // ALWAYS written (1 or 0): a rebuild with storeVectors = false over a
+    // dir that previously had the store must INVALIDATE it — a stale
+    // marker would let rerank probes silently join the new shortlist
+    // against the old corpus's vectors (wrong homes, missing ids)
+    graft.util.MetaFiles.writeLong(corpus.sparkSession, s"$dir/_vectors",
+      if (storeVectors) 1L else 0L)
   }
 
   /** ADC top-k against a [[saveIvfPqIndex]] index: per query the nProbe
@@ -1159,7 +1166,10 @@ object Similarity {
     if (rerank <= 0)
       ranked.select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
     else {
-      if (graft.util.MetaFiles.readLong(spark, s"$dir/_vectors").isEmpty)
+      // marker must be PRESENT and 1: absent = pre-store legacy index,
+      // 0 = the store was invalidated by a later storeVectors=false
+      // rebuild (stale vectors may still sit on disk — do not use them)
+      if (!graft.util.MetaFiles.readLong(spark, s"$dir/_vectors").contains(1L))
         throw new IllegalStateException(
           s"ivfPqTopKIndexed: rerank=$rerank needs the full-vector store; " +
             s"rebuild the index at $dir with saveIvfPqIndex(storeVectors = true)")

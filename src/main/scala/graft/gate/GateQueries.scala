@@ -495,7 +495,7 @@ object GateQueries {
       // oracle (hash-green, not rows-only) while its join volume scales
       // with duplicate mass, never Σdf² — the clone-corpus-safe tier.
       graft.functions.Dedup.ngramJaccardPairsBanded(
-        t(s, d, "documents"), n = 3, threshold = 0.3, maxBucketSize = 100000)
+        t(s, d, "documents"), n = 3, threshold = 0.3)
     }),
     "d13_containment_pairs" -> ((s, d) => {
       // asymmetric near-subset pairs: same trigram identity as d3, but

@@ -420,10 +420,18 @@ class PipelineSpec extends AnyFunSuite {
       Dedup.ngramContainmentPairs(clones, n = 3, threshold = 0.8, pairBudget = 10000)
     }
     // the recommended route handles the same corpus within budget-free
-    // linear stages and finds all 40·39/2 clone pairs at jaccard 1.0
+    // linear stages and finds all 40·39/2 clone pairs at jaccard 1.0 —
+    // UNCAPPED by default: every band bucket holds the whole 40-clone
+    // family, and a default cap below that would have dropped every
+    // bucket and returned zero pairs on exactly the corpus the guard
+    // steers here
     val banded = Dedup.ngramJaccardPairsBanded(clones, n = 3, threshold = 0.8)
     assert(banded.count() === 40L * 39 / 2)
     assert(banded.filter(col("jaccard") < 1.0).isEmpty)
+    // the opt-in skew valve drops capped families ENTIRELY (the
+    // documented truncation contract — families, not samples)
+    assert(Dedup.ngramJaccardPairsBanded(clones, n = 3, threshold = 0.8,
+      maxBucketSize = 10).count() === 0L)
     // pairBudget <= 0 disables the guard explicitly
     assert(Dedup.ngramJaccardPairs(clones, n = 3, threshold = 0.8,
       pairBudget = 0).count() === 40L * 39 / 2)
@@ -520,6 +528,13 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(part.length === part.toSet.size)
     assert(part.groupBy(_._1).values.forall(_.length == 5))
+    // a REBUILD without storeVectors must INVALIDATE the old store —
+    // rerank against stale vectors (wrong homes, missing ids) would be
+    // silently wrong, so the marker flips to 0 and the probe refuses
+    Similarity.saveIvfPqIndex(emb, dir, nCentroids = 8, nSub = 4, nCodes = 8)
+    intercept[IllegalStateException] {
+      Similarity.ivfPqTopKIndexed(qs, dir, k = 5, nProbe = 8, rerank = 4).count()
+    }
   }
 
   test("brute-force cosine top-k: neighbors come from the same cluster") {
