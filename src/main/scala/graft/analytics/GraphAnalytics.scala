@@ -472,4 +472,69 @@ object GraphAnalytics {
     }
     lbl
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999), deterministic fixed-iteration
+    * form with L1 normalization → (id, auth, hub).
+    *
+    *   auth_i(v) = Σ_{(u,v)∈E} hub_{i−1}(u)   , then auth_i /= Σ_v auth_i(v)
+    *   hub_i(u)  = Σ_{(u,v)∈E} auth_i(v)      , then hub_i  /= Σ_u hub_i(u)
+    *
+    * L1 (not the textbook L2) because the oracle-replication contract
+    * (the a5/a8 precedent) wants both engines to compute bit-comparable
+    * doubles mod summation order: a plain SUM divides out exactly the
+    * same way in DuckDB, while sqrt would compound rounding differently
+    * per engine. Rankings are identical under any positive scaling.
+    *
+    * Scale shape: per iteration one dst-keyed and one src-keyed
+    * aggregation over |E| (the two shuffles HITS is), each normalization
+    * total attached as a broadcast 1-row join (never a driver collect);
+    * the |V|-sized score vectors ride broadcast joins under
+    * `broadcastMaxVerts` (the [[personalizedPageRank]] lever) and fall
+    * back to |V|-bounded hash shuffles past it. Stride-2 lineage cuts
+    * keep plan depth constant at any iteration count.
+    *
+    * Graphs with NO edges have undefined normalized scores; auth/hub
+    * come back 0.0 for isolated vertices of a non-empty edge set (the
+    * iteration never reaches them and the L1 total is positive). */
+  def hits(g: PropertyGraph, numIter: Int,
+      broadcastMaxVerts: Long = 1000000L): DataFrame = {
+    require(numIter >= 1, s"hits: numIter must be >= 1, got $numIter")
+    val spark = g.spark
+    import spark.implicits._
+    val fwd = g.edges.filter(col("dir")).select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    val verts = fwd.select(col("src").as("id"))
+      .unionAll(fwd.select(col("dst").as("id")))
+      .unionAll(g.explicitNodes.map(_.select(col("id")))
+        .getOrElse(Seq.empty[Long].toDF("id")))
+      .distinct().localCheckpoint(true)
+    val bcast = verts.count() <= broadcastMaxVerts
+    def side(df: DataFrame) = if (bcast) broadcast(df) else df
+    // one normalized update: raw = neighbor-sum of `scores` through the
+    // edge keyed on `from`→grouped on `to`; out = raw / Σraw over verts
+    // (absent vertices contribute 0, so Σ over raw IS the L1 total)
+    def step(scores: DataFrame, valCol: String, from: String, to: String,
+        outCol: String): DataFrame = {
+      val s = side(scores)
+      val raw = fwd.join(s, fwd(from) === s("id"))
+        .groupBy(fwd(to).as("id")).agg(sum(col(valCol)).as("s"))
+      val tot = raw.agg(sum(col("s")).as("tot"))
+      verts.join(side(raw), Seq("id"), "left").crossJoin(broadcast(tot))
+        .select(col("id"),
+          // tot NULL/0 (edge-less graph, or an all-sink frontier) → all-0
+          // scores rather than NULL poison
+          when(col("tot") > 0, coalesce(col("s"), lit(0.0)) / col("tot"))
+            .otherwise(lit(0.0)).as(outCol))
+    }
+    var hub = verts.select(col("id"), lit(1.0).as("hub"))
+    var auth = verts.select(col("id"), lit(0.0).as("auth"))
+    for (i <- 1 to numIter) {
+      auth = step(hub, "hub", "src", "dst", "auth")
+      hub = step(auth, "auth", "dst", "src", "hub")
+      if (i % 2 == 0 || i == numIter) {
+        auth = auth.localCheckpoint(true); hub = hub.localCheckpoint(true)
+      }
+    }
+    auth.join(hub, Seq("id"))
+  }
 }

@@ -830,6 +830,20 @@ object GateQueries {
       graft.analytics.GraphAnalytics.kCoreEdges(coPurchaseEdges(s, d), k = 16, iters = 6)
     }),
 
+    "a11_hits" -> ((s, d) => {
+      // HITS hubs & authorities on the a5 subgraph (Placed stars +
+      // NextOrder chains): customers are pure hubs (no in-edges), orders
+      // split between authority (customer-pointed) and hub (NextOrder
+      // source) roles. 5 iterations, L1-normalized — deterministic, so
+      // the DuckDB oracle unrolls the identical mutual recursion; 6-dp
+      // round absorbs double-summation order (the a5/a8 precedent).
+      val g = graph(s, d)
+      val sub = g.copy(edges = g.edges.filter(col("label").isin(Placed, NextOrder)))
+      graft.analytics.GraphAnalytics.hits(sub, numIter = 5)
+        .select(col("id"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub"))
+    }),
+
     // ---- multimodal plumbing (stubbed codec, real batch pipeline) ---------
     "m1_media_features" -> ((s, d) => {
       val media = graft.functions.Multimodal.synthesize(
@@ -1000,7 +1014,46 @@ object GateQueries {
        |SELECT id, label FROM l$numIter""".stripMargin
   }
 
+  /** a11 oracle: HITS unrolled as the same mutual recursion the engine
+    * runs — per iteration a raw in-sum of hubs (ar), its L1-normalized
+    * authority vector (a), a raw out-sum of authorities (hr), and the
+    * normalized hub vector (h). MATERIALIZED throughout (the kCore
+    * lesson: inlined CTEs re-evaluate the prefix per reference —
+    * exponential in iterations). Vertices never reached by the sums
+    * COALESCE to 0, matching the engine's left-join + 0-fill. */
+  private def hitsOracleSql(numIter: Int): String = {
+    val iters = (1 to numIter).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS id, SUM(h.hub) AS s
+         |  FROM h${i - 1} h JOIN edges e ON e.src = h.id GROUP BY 1
+         |), a$i AS MATERIALIZED (
+         |  SELECT v.id, COALESCE(m.s, 0.0) / (SELECT SUM(s) FROM ar$i) AS auth
+         |  FROM verts v LEFT JOIN ar$i m ON m.id = v.id
+         |), hr$i AS MATERIALIZED (
+         |  SELECT e.src AS id, SUM(a.auth) AS s
+         |  FROM a$i a JOIN edges e ON e.dst = a.id GROUP BY 1
+         |), h$i AS MATERIALIZED (
+         |  SELECT v.id, COALESCE(m.s, 0.0) / (SELECT SUM(s) FROM hr$i) AS hub
+         |  FROM verts v LEFT JOIN hr$i m ON m.id = v.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |edges AS MATERIALIZED (
+       |  SELECT CAST(o_custkey AS BIGINT) AS src, CAST(o_orderkey + 10000000 AS BIGINT) AS dst FROM orders
+       |  UNION ALL
+       |  SELECT CAST(o_orderkey + 10000000 AS BIGINT), CAST(nxt + 10000000 AS BIGINT) FROM (
+       |    SELECT o_orderkey, LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+       |    FROM orders) t WHERE nxt IS NOT NULL
+       |),
+       |verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges) u),
+       |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM verts),
+       |$iters
+       |SELECT a.id, ROUND(a.auth, 6) AS auth, ROUND(h.hub, 6) AS hub
+       |FROM a$numIter a JOIN h$numIter h ON a.id = h.id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "a11_hits" -> hitsOracleSql(5),
     "a10_edge_support" ->
       """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0

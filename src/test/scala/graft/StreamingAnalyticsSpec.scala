@@ -1395,6 +1395,44 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(shuffled === got)
   }
 
+  test("hits matches a hand-rolled L1-normalized mutual recursion") {
+    // star + chain: 0→1, 0→2, 2→3 — 0 is a pure hub (no in-edges),
+    // 1/3 are pure authorities (no out-edges), 2 is both
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
+    val g = Loaders.fromList(spark,
+      Seq(InputEdge(0, 1, Seq(1), addReverse = false),
+        InputEdge(0, 2, Seq(1), addReverse = false),
+        InputEdge(2, 3, Seq(1), addReverse = false)), ranges)
+    val edges = Seq(0L -> 1L, 0L -> 2L, 2L -> 3L)
+    val verts = Seq(0L, 1L, 2L, 3L)
+    val iters = 3
+    var hub = verts.map(_ -> 1.0).toMap
+    var auth = verts.map(_ -> 0.0).toMap
+    for (_ <- 1 to iters) {
+      val ra = edges.groupBy(_._2).view.mapValues(_.map(e => hub(e._1)).sum).toMap
+      val ta = ra.values.sum
+      auth = verts.map(v => v -> ra.getOrElse(v, 0.0) / ta).toMap
+      val rh = edges.groupBy(_._1).view.mapValues(_.map(e => auth(e._2)).sum).toMap
+      val th = rh.values.sum
+      hub = verts.map(v => v -> rh.getOrElse(v, 0.0) / th).toMap
+    }
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = GraphAnalytics.hits(g, iters).collect()
+      .map(x => x.getLong(0) -> (r6(x.getDouble(1)), r6(x.getDouble(2)))).toMap
+    assert(got === verts.map(v => v -> (r6(auth(v)), r6(hub(v)))).toMap)
+    // role semantics: 0 is the dominant hub and has zero authority;
+    // 1/3 have zero hub score; each vector sums to 1 (L1)
+    assert(got(0L)._1 === 0.0 && got(0L)._2 > got(2L)._2)
+    assert(got(1L)._2 === 0.0 && got(3L)._2 === 0.0)
+    // sums of 6-dp-rounded entries: tolerance is rounding granularity × |V|
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 4e-6)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 4e-6)
+    // the past-threshold shuffle fallback computes the identical vectors
+    val shuffled = GraphAnalytics.hits(g, iters, broadcastMaxVerts = 0L).collect()
+      .map(x => x.getLong(0) -> (r6(x.getDouble(1)), r6(x.getDouble(2)))).toMap
+    assert(shuffled === got)
+  }
+
   test("labelPropagation matches a hand-rolled synchronous plurality vote") {
     // two triangles bridged at 3-5: labels must converge to one community
     // per triangle, with every round's plurality/min-label tie-break
