@@ -916,6 +916,95 @@ object Similarity {
     else rerankExact(ranked, queries, corpus, k, idCol, vecCol)
   }
 
+  /** Per-dimension affine SQ8 bounds trained over the corpus → (mins,
+    * scales), scale_d = (max_d − min_d)/255 (0 for constant dimensions —
+    * their codes collapse to −128 and decode back to min_d exactly).
+    * One posexplode + map-side-combined min/max agg (exchange O(dim ·
+    * parallelism), never O(corpus)); the result is 2·dim doubles of
+    * driver-held model state — the [[hyperplanes]] precedent. */
+  private def sq8Bounds(corpus: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val rows = corpus.select(posexplode(col(vecCol)))
+      .toDF("pos", "x")
+      .groupBy(col("pos"))
+      .agg(min(col("x")).cast("double").as("lo"), max(col("x")).cast("double").as("hi"))
+      .orderBy(col("pos")).collect()
+    require(rows.nonEmpty, "sq8TopK: empty corpus")
+    val mins = rows.map(_.getDouble(1)).toSeq
+    val scales = rows.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
+    (mins, scales)
+  }
+
+  /** Scalar-quantization (SQ8) top-k: each corpus dimension uniformly
+    * quantized to ONE BYTE between its corpus-wide min and max (the
+    * classic 8-bit scalar quantizer tier, cf. FAISS `SQ8` — public
+    * knowledge), scored asymmetrically like [[pqTopK]]'s ADC: the query
+    * stays exact and the compressed corpus decodes inside the dot —
+    *
+    *   dot(q, v̂) = Σ_d q_d·min_d + Σ_d (q_d·scale_d)·u_d
+    *             = base(q) + dot(sq(q), codes(v))
+    *
+    * with u_d = code_d + 128 (codes are stored −128-offset so they fit a
+    * signed TINYINT — genuinely 1 byte/dim in Tungsten, a 4× smaller
+    * corpus scan than float at ~0.2% reconstruction error/dim). Cosine
+    * uses the exact per-vector norm carried beside the codes (the PQ
+    * rule: norms are one float/vector, the approximation lives in the
+    * dot).
+    *
+    * Scale shape: compressed EXHAUSTIVE tier — every query touches every
+    * corpus vector, through 1-byte codes; both per-query terms (base,
+    * scaled query) are narrow projections, the pair scan is one
+    * broadcast-queries cross join + per-pair fused multiply-add over the
+    * byte array, and the top-k window is the [[bruteForceTopK]] shape.
+    * SQ8 sits between brute force (4× cheaper scan, ~no recall loss)
+    * and PQ (which compresses 21× but needs re-ranking); compose with
+    * IVF partition pruning for sublinearity exactly as PQ does.
+    *
+    * `rerank` > 0 adds the [[rerankExact]] stage (shortlist top
+    * rerank·k by SQ8 score, exact dot decides) — with rerank·k ≥ |corpus|
+    * this tier equals brute force EXACTLY (the unit pin). */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rerank: Int = 0): DataFrame = {
+    useNative(queries)
+    val (mins, scales) = sq8Bounds(corpus, vecCol)
+    val minsArr = array(mins.map(lit): _*)
+    val scalesArr = array(scales.map(lit): _*)
+    val dim = mins.size
+    // the subVectors rule: a ragged vector must raise, not zip-truncate
+    // into a plausible-but-wrong score
+    def checked(vc: Column): Column = when(size(vc) === dim, vc).otherwise(
+      raise_error(concat(
+        lit(s"graft SQ8: expected $dim-dimensional vectors, found "),
+        coalesce(size(vc).cast("string"), lit("NULL vector")))))
+    val codesExpr = transform(checked(col(vecCol)), (x, i) => {
+      val s = element_at(scalesArr, i + 1)
+      when(s > 0,
+        least(lit(255), greatest(lit(0),
+          round((x.cast("double") - element_at(minsArr, i + 1)) / s).cast("int"))) - 128)
+        .otherwise(lit(-128)).cast("tinyint")
+    })
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      codesExpr.as("codes"), nnorm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(checked(col(vecCol)), (x, i) =>
+        x.cast("double") * element_at(scalesArr, i + 1)).as("sq"),
+      aggregate(zip_with(col(vecCol), minsArr, (x, m) => x.cast("double") * m),
+        lit(0.0), (acc, x) => acc + x).as("base"),
+      nnorm(col(vecCol)).as("qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        (col("base") + aggregate(zip_with(col("sq"), col("codes"),
+          (a, cc) => a * (cc.cast("double") + lit(128.0))), lit(0.0), (acc, x) => acc + x))
+          / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    val cut = if (rerank > 0) k * rerank else k
+    val ranked = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= cut)
+    if (rerank <= 0)
+      ranked.select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    else rerankExact(ranked, queries, corpus, k, idCol, vecCol)
+  }
+
   /** IVF-PQ: the classic composition (Jégou et al. TPAMI 2011 §V) and the
     * genuine 100 TB ANN shape — IVF's coarse quantizer makes the
     * candidate set SUBLINEAR (only nProbe of nCentroids partitions are

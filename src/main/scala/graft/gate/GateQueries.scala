@@ -566,6 +566,20 @@ object GateQueries {
           lloydIters = 2, nAssign = 2, rerank = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
+    "e9_ann_sq8_topk" -> ((s, d) => {
+      // scalar-quantization tier between brute force and PQ: every dim
+      // squeezed to ONE BYTE between its corpus min/max, asymmetric
+      // scoring (query exact, corpus decoded inside the dot), exact
+      // norms beside the codes — a 4× smaller exhaustive scan whose
+      // ~0.2%/dim reconstruction error barely moves top-k. PURE SQ8
+      // (rerank=0): the gate measures the tier's own ordering quality
+      // (recall e9_vs_e1 in the bench rider); the rerank knob exists
+      // and is pinned exact in PipelineSpec. Rows-only like e2/e4/e7.
+      val emb = t(s, d, "embeddings")
+      graft.functions.Similarity.sq8TopK(
+          emb.filter(col("vec_id") < 50), emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
     "e2_ann_lsh_topk" -> ((s, d) => {
       // full Hamming-1 + Hamming-2 multi-probe at COARSER buckets
       // (round-11 E2Probe sweep): on this isotropic corpus a 10-bit

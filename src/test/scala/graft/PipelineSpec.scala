@@ -371,6 +371,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sq8TopK: rerank over the whole corpus equals brute force; pure SQ8 stays in-cluster") {
+    val brute = Similarity.bruteForceTopK(clustered, clustered, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // rerank·k >= |corpus| re-scores every candidate exactly — the SQ8
+    // ordering only has to ADMIT candidates, so the tier must equal
+    // brute force EXACTLY (the rerank identity pqTopK pins)
+    val full = Similarity.sq8TopK(clustered, clustered, 3, rerank = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full === brute)
+    // pure SQ8 (no rerank): 8-bit per-dim error is ~0.2% of the corpus
+    // range — top-3 neighbors never cross the well-separated clusters
+    val pure = Similarity.sq8TopK(clustered, clustered, 3).collect()
+    assert(pure.length === 50 * 3)
+    assert(pure.forall(r => r.getLong(0) % 5 === r.getLong(1) % 5),
+      "an SQ8 top-3 neighbor crossed clusters")
+    // deterministic: two runs produce identical rows
+    val pure2 = Similarity.sq8TopK(clustered, clustered, 3).collect()
+    assert(pure.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      === pure2.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
+    // a constant dimension (scale 0) must decode to its min, not NaN:
+    // append a constant-padded copy of the corpus and re-run
+    val padded = clustered.select(col("vec_id"),
+      concat(col("embedding"), array(lit(1.0f))).as("embedding"))
+    val paddedTop = Similarity.sq8TopK(padded, padded, 3).collect()
+    assert(paddedTop.length === 50 * 3 && paddedTop.forall(!_.getDouble(2).isNaN))
+    // ragged vectors raise instead of zip-truncating into wrong scores
+    val ragged = clustered.unionAll(Seq((999L, Seq.fill(dim / 2)(0.5f)))
+      .toDF("vec_id", "embedding"))
+    val ex = intercept[Exception] {
+      Similarity.sq8TopK(ragged, ragged, 3).count()
+    }
+    assert(ex.getMessage.contains("SQ8") || ex.getCause != null)
+  }
+
   test("ivfPqTopK: full probe + exact codebook degenerates to brute force; soft dedup never double-counts") {
     val brute = Similarity.bruteForceTopK(clustered, clustered, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
