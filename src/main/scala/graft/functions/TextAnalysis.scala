@@ -778,6 +778,75 @@ object TextAnalysis {
     * required — a Window.orderBy without partitioning would serialize the
     * whole corpus through one task. Integer arithmetic only, so any SQL
     * engine replicates it bit-for-bit. */
+  /** Exact corpus-wide heavy hitters: every token whose count is ≥
+    * `phi`·N (N = total token count, [[corpusTokens]] identity) →
+    * (tok, cnt, frac), frac = cnt/N. One exploded groupBy(token)
+    * (map-side combined — the exchange is O(vocab), not O(tokens)) with
+    * the corpus total attached as a broadcast 1-row join (the
+    * [[unigramSurprisal]] scalar idiom, never a driver collect).
+    *
+    * The exchange being O(vocab) is exactly what breaks at 100 TB when
+    * the vocabulary itself is huge (URLs, hashes, typo-space):
+    * [[heavyHittersSketch]] is the bounded-memory route with the SAME
+    * output contract. */
+  def heavyHitters(docs: DataFrame, phi: Double,
+      textCol: String = "text"): DataFrame = {
+    require(phi > 0 && phi <= 1, s"heavyHitters: phi must be in (0,1], got $phi")
+    val toks = docs.select(explode(corpusTokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("tot"))
+    freq.crossJoin(broadcast(total))
+      .filter(col("cnt") >= col("tot") * phi)
+      .select(col("tok"), col("cnt"), (col("cnt") / col("tot")).as("frac"))
+  }
+
+  /** Heavy hitters via two-pass Misra–Gries (Misra & Gries 1982; the
+    * distributed form of Agarwal et al.'s mergeable-summaries result):
+    * pass 1 runs an independent k-counter MG summary INSIDE each
+    * partition (bounded memory k entries, zero shuffle) and unions the
+    * surviving candidate tokens; pass 2 recounts ONLY the candidates
+    * (broadcast semi-join — the shuffle is O(candidates) ≤
+    * O(partitions·k), never O(vocab)) and applies the exact φ·N filter.
+    *
+    * Guarantee: a token with global count > N/(k+1) exceeds n_p/(k+1)
+    * in at least one partition (averaging argument) and so survives
+    * that partition's summary. With the default k = ⌈2/φ⌉ every true
+    * φ-heavy hitter is a candidate, and since pass 2 recounts exactly,
+    * the output EQUALS [[heavyHitters]] on any corpus — pinned by unit
+    * test on a skewed large-vocab fixture. The sketch trades one extra
+    * corpus scan for never shuffling the vocabulary. */
+  def heavyHittersSketch(docs: DataFrame, phi: Double,
+      textCol: String = "text", sketchSize: Int = 0): DataFrame = {
+    require(phi > 0 && phi <= 1, s"heavyHittersSketch: phi must be in (0,1], got $phi")
+    val k = if (sketchSize > 0) sketchSize else math.max(8, math.ceil(2.0 / phi).toInt)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(corpusTokens(col(textCol))).as("tok"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < k => counters.update(t, 1L)
+          case None =>
+            // decrement-all step: snapshot first — mutating a mutable
+            // map mid-iteration is undefined behavior in Scala
+            counters.toList.foreach { case (key, c) =>
+              if (c == 1) counters.remove(key) else counters.update(key, c - 1)
+            }
+        }
+      }
+      counters.keysIterator
+    }.toDF("tok").distinct()
+    val freq = toks.join(broadcast(candidates), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // N is the FULL token count (not the candidates'): one count agg
+    val total = toks.agg(count(lit(1)).as("tot"))
+    freq.crossJoin(broadcast(total))
+      .filter(col("cnt") >= col("tot") * phi)
+      .select(col("tok"), col("cnt"), (col("cnt") / col("tot")).as("frac"))
+  }
+
   def packSequences(docs: DataFrame, budgetTokens: Long, tokens: Column,
       shardCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")

@@ -425,6 +425,14 @@ object GateQueries {
       // TRANSITIONS score high even when every word is common
       graft.functions.TextAnalysis.bigramSurprisal(t(s, d, "documents"))
     }),
+    "t27_heavy_hitters" -> ((s, d) => {
+      // corpus-wide frequent tokens at φ = 0.2% — the boilerplate/
+      // stop-token report behind dedup-threshold and vocab decisions.
+      // Exact tier (O(vocab) exchange) is the oracle-able gate; the
+      // bounded-memory Misra–Gries route is equality-pinned in
+      // PipelineSpec for the huge-vocab regime.
+      graft.functions.TextAnalysis.heavyHitters(t(s, d, "documents"), phi = 0.002)
+    }),
     "t24_stratified_sample" -> ((s, d) => {
       // mixture re-weighting: named strata get their own keep rate, the
       // remaining 17 sources ride the default; a doc's membership is a
@@ -1657,6 +1665,13 @@ object GateQueries {
         |SELECT lf.doc_id, n_lines, dup_line_frac, dup_para_frac,
         |  COALESCE(tt.f, 0.0) AS top_token_frac, COALESCE(bt.f, 0.0) AS top_bigram_frac
         |FROM lf LEFT JOIN tt ON tt.doc_id = lf.doc_id LEFT JOIN bt ON bt.doc_id = lf.doc_id""".stripMargin,
+    "t27_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok FROM documents
+        |), f AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM f)
+        |SELECT tok, cnt, cnt::DOUBLE / tot AS frac
+        |FROM f, tot WHERE cnt >= tot * 0.002""".stripMargin,
     "t14_token_stats" ->
       """WITH toks AS (
         |  SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok FROM documents

@@ -184,6 +184,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(mixed.take(9).count(_ == "a") === 6)
   }
 
+  test("heavyHitters: sketch tier equals exact tier on a skewed large-vocab corpus") {
+    // 3 true heavy tokens over a 3000-singleton tail — vocab (3003) far
+    // exceeds the MG counter budget (k = ceil(2/phi) = 200), so pass 1
+    // must genuinely evict; the presence guarantee + exact recount must
+    // still reproduce the exact tier bit-for-bit
+    val words = new scala.util.Random(42).shuffle(
+      (Seq.fill(300)("alpha") ++ Seq.fill(150)("beta") ++ Seq.fill(60)("gamma")
+        ++ (0 until 3000).map(i => s"tail$i")).toVector)
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val phi = 0.01 // threshold 35.1 of 3510 tokens: alpha/beta/gamma only
+    val exact = TextAnalysis.heavyHitters(docs, phi)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.map(_._1) === Set("alpha", "beta", "gamma"))
+    assert(exact.find(_._1 == "alpha").get._2 === 300L)
+    val sketch = TextAnalysis.heavyHittersSketch(docs, phi)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sketch === exact)
+    // a generous explicit sketchSize also reproduces it; null/empty docs ignored
+    val sketch2 = TextAnalysis.heavyHittersSketch(
+        docs.unionAll(docsDF(9999L -> null, 9998L -> "   ")), phi, sketchSize = 500)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sketch2 === exact)
+  }
+
   test("packSequences: start-offset chunking per shard, integer exact") {
     import spark.implicits._
     val docs = Seq(
