@@ -778,6 +778,48 @@ object TextAnalysis {
     * required — a Window.orderBy without partitioning would serialize the
     * whole corpus through one task. Integer arithmetic only, so any SQL
     * engine replicates it bit-for-bit. */
+  /** C4-style heuristic cleaning verdicts (Raffel et al. 2020, §2.2 —
+    * public knowledge): line-level rules keep only lines that end in a
+    * terminal punctuation mark (`. ! ? "`), carry at least
+    * `minWordsPerLine` words, and do not mention "javascript"
+    * (case-insensitive); page-level rules drop any document containing
+    * "lorem ipsum" or a `{` (the code heuristic) or whose KEPT text has
+    * fewer than `minSentences` sentences (terminal-mark occurrences).
+    *
+    * Returns (idCol, n_lines, n_kept_lines, n_sentences, has_lorem,
+    * has_brace, keep, kept_text) — the verdict AND the rebuilt text, so
+    * the filter composes with the rest of the pipeline either as a
+    * `filter(keep)` or as a line-scrubber. Null text follows the
+    * pipeline null contract: counts 0, flags false, keep false,
+    * kept_text null.
+    *
+    * Scale shape: every column is a narrow per-row expression (split +
+    * lambda filters) — no shuffle, no UDF; the corpus never moves. */
+  def c4Filters(docs: DataFrame, minWordsPerLine: Int = 3,
+      minSentences: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val lines = filter(transform(split(t, "\n"), x => trim(x)), x => length(x) > 0)
+    def keepLine(l: Column): Column =
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minWordsPerLine &&
+        !contains(lower(l), lit("javascript"))
+    val keptLines = filter(lines, keepLine(_))
+    val keptText = array_join(keptLines, "\n")
+    val nSent = (length(keptText) - length(regexp_replace(keptText, "[.!?]", ""))).cast("long")
+    val hasLorem = contains(lower(t), lit("lorem ipsum"))
+    val hasBrace = contains(t, lit("{"))
+    docs.select(col(idCol),
+      when(t.isNull, 0L).otherwise(size(lines).cast("long")).as("n_lines"),
+      when(t.isNull, 0L).otherwise(size(keptLines).cast("long")).as("n_kept_lines"),
+      when(t.isNull, 0L).otherwise(nSent).as("n_sentences"),
+      when(t.isNull, false).otherwise(hasLorem).as("has_lorem"),
+      when(t.isNull, false).otherwise(hasBrace).as("has_brace"),
+      when(t.isNull, false)
+        .otherwise(nSent >= minSentences && !hasLorem && !hasBrace).as("keep"),
+      when(t.isNull, lit(null).cast("string")).otherwise(keptText).as("kept_text"))
+  }
+
   /** Exact corpus-wide heavy hitters: every token whose count is ≥
     * `phi`·N (N = total token count, [[corpusTokens]] identity) →
     * (tok, cnt, frac), frac = cnt/N. One exploded groupBy(token)

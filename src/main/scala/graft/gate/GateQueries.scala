@@ -433,6 +433,27 @@ object GateQueries {
       // PipelineSpec for the huge-vocab regime.
       graft.functions.TextAnalysis.heavyHitters(t(s, d, "documents"), phi = 0.002)
     }),
+    "t28_c4_filters" -> ((s, d) => {
+      // C4 cleaning rules need line/punctuation structure the synthetic
+      // single-line corpus lacks — derive it IN-QUERY (the t20 idiom):
+      // six deterministic lines per doc (punctuated slices, a too-short
+      // line, and doc_id-keyed javascript / lorem-ipsum / brace
+      // injections), oracle replicates the derivation byte-for-byte.
+      // minSentences=3 so the javascript-line docs (2 kept sentences)
+      // fail the page rule, not just the line rule.
+      val derived = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(substring(col("text"), 1, 40), lit(".")),
+          substring(col("text"), 41, 20),
+          lit("short one."),
+          when(col("doc_id") % 7 === 0, lit("enable javascript to view."))
+            .otherwise(concat(substring(col("text"), 61, 30), lit("?"))),
+          when(col("doc_id") % 11 === 0, lit("lorem ipsum dolor sit amet."))
+            .otherwise(concat(substring(col("text"), 91, 25), lit("!"))),
+          when(col("doc_id") % 13 === 0, lit("function f() { return 1; }"))
+            .otherwise(lit(""))).as("text"))
+      graft.functions.TextAnalysis.c4Filters(derived, minSentences = 3)
+    }),
     "t24_stratified_sample" -> ((s, d) => {
       // mixture re-weighting: named strata get their own keep rate, the
       // remaining 17 sources ride the default; a doc's membership is a
@@ -1665,6 +1686,41 @@ object GateQueries {
         |SELECT lf.doc_id, n_lines, dup_line_frac, dup_para_frac,
         |  COALESCE(tt.f, 0.0) AS top_token_frac, COALESCE(bt.f, 0.0) AS top_bigram_frac
         |FROM lf LEFT JOIN tt ON tt.doc_id = lf.doc_id LEFT JOIN bt ON bt.doc_id = lf.doc_id""".stripMargin,
+    "t28_c4_filters" ->
+      """WITH derived AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    substr(text, 1, 40) || '.',
+        |    substr(text, 41, 20),
+        |    'short one.',
+        |    CASE WHEN doc_id % 7 = 0 THEN 'enable javascript to view.' ELSE substr(text, 61, 30) || '?' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.' ELSE substr(text, 91, 25) || '!' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'function f() { return 1; }' ELSE '' END) AS text
+        |  FROM documents
+        |), ls AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> len(x) > 0) AS lines
+        |  FROM derived
+        |), kl AS (
+        |  SELECT doc_id, text, lines,
+        |    list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+        |      AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM ls
+        |), agg AS (
+        |  SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |    array_to_string(kept, chr(10)) AS kept_text,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    contains(text, '{') AS has_brace
+        |  FROM kl
+        |)
+        |SELECT doc_id, n_lines, n_kept_lines,
+        |  CAST(len(kept_text) - len(regexp_replace(kept_text, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+        |  has_lorem, has_brace,
+        |  (len(kept_text) - len(regexp_replace(kept_text, '[.!?]', '', 'g')) >= 3
+        |    AND NOT has_lorem AND NOT has_brace) AS keep,
+        |  kept_text
+        |FROM agg""".stripMargin,
     "t27_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok FROM documents

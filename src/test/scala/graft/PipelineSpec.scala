@@ -184,6 +184,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(mixed.take(9).count(_ == "a") === 6)
   }
 
+  test("c4Filters: line and page rules match the hand computation") {
+    val docs = docsDF(
+      // 3 kept lines (terminal punct, >=3 words), one dropped fragment
+      1L -> "the first good sentence here.\nno terminal punct fragment\nis this a question?\nyes it truly is!",
+      // javascript line dropped; only 1 kept sentence -> page fails at minSentences=2
+      2L -> "please enable javascript to view.\nanother good line here.",
+      // lorem ipsum page: lines keepable but page flagged
+      3L -> "lorem ipsum dolor sit amet.\nsome other fine sentence.",
+      // brace page: code heuristic
+      4L -> "function f() { return 1; }\na perfectly good sentence.",
+      // too-few words per line
+      5L -> "short one.\ntiny line.",
+      6L -> null)
+    val out = graft.functions.TextAnalysis.c4Filters(docs, minSentences = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 4 && out(1L).getLong(2) === 3)   // lines, kept
+    assert(out(1L).getLong(3) === 3 && out(1L).getBoolean(6))      // sentences, keep
+    assert(out(1L).getString(7) ===
+      "the first good sentence here.\nis this a question?\nyes it truly is!")
+    assert(out(2L).getLong(2) === 1 && !out(2L).getBoolean(6))     // js line dropped
+    assert(out(3L).getBoolean(4) && !out(3L).getBoolean(6))        // lorem flag
+    assert(out(4L).getBoolean(5) && !out(4L).getBoolean(6))        // brace flag
+    assert(out(5L).getLong(2) === 0 && !out(5L).getBoolean(6))     // min words
+    assert(out(6L).getLong(1) === 0 && !out(6L).getBoolean(6)
+      && out(6L).isNullAt(7))                                      // null contract
+  }
+
   test("heavyHitters: sketch tier equals exact tier on a skewed large-vocab corpus") {
     // 3 true heavy tokens over a 3000-singleton tail — vocab (3003) far
     // exceeds the MG counter budget (k = ceil(2/phi) = 200), so pass 1
