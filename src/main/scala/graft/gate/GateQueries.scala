@@ -767,6 +767,13 @@ object GateQueries {
       // timelines, (ts, event_id)-ordered for tie determinism
       graft.streaming.EventStreams.typeTransitions(events(s, d))
     }),
+    "s8_window_anomalies" -> ((s, d) => {
+      // hourly per-type count series z-scored against the trailing 6
+      // observed buckets — z ≥ 2 flags the spike; 6-dp round on z (the
+      // a5 precedent: window-frame double summation order)
+      graft.streaming.EventStreams.windowAnomalies(events(s, d),
+        bucketNanos = 3600L * 1000000000L, trailing = 6, zThreshold = 2.0)
+    }),
     "s6_retention_cohorts" -> ((s, d) => {
       // weekly retention triangle: users cohorted by first-event week,
       // distinct-active counts per (cohort, offset); offset-0 row = the
@@ -1442,6 +1449,23 @@ object GateQueries {
         |)
         |SELECT from_type, to_type, COUNT(*) AS n FROM seq
         |WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "s8_window_anomalies" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(epoch_ns(ts) AS BIGINT) // 3600000000000 AS bucket FROM events
+        |), c AS (SELECT event_type, bucket, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, bucket, cnt,
+        |    avg(cnt) OVER win AS mu,
+        |    stddev_samp(cnt) OVER win AS sd,
+        |    count(*) OVER win AS np
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, bucket, cnt,
+        |  ROUND(CASE WHEN np >= 2 AND sd > 0 THEN (cnt - mu) / sd END, 6) AS zscore,
+        |  COALESCE((CASE WHEN np >= 2 AND sd > 0 THEN (cnt - mu) / sd END) >= 2.0, FALSE) AS anomaly
+        |FROM w""".stripMargin,
     "s6_retention_cohorts" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) // 604800000000000 AS b FROM events

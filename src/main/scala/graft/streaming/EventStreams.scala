@@ -496,4 +496,46 @@ object EventStreams {
       .select(col(keyCol), col("event_a"), col("event_b"),
         (col("b_us") - col("a_us")).as("gap_us"))
   }
+
+  /** Per-type windowed-count anomaly scores: events bucketed into
+    * tumbling `bucketNanos` windows, each (event_type, bucket) count
+    * z-scored against its own TRAILING history — mean/stddev over the
+    * previous `trailing` observed buckets (ROWS BETWEEN trailing
+    * PRECEDING AND 1 PRECEDING — the current bucket never scores
+    * itself) — and flagged when z ≥ `zThreshold`. The spike-detection
+    * monitoring primitive for event pipelines.
+    *
+    * Returns (event_type, bucket, cnt, zscore rounded 6 dp, anomaly).
+    * zscore is NULL (anomaly false) until the trailing frame holds ≥ 2
+    * buckets with positive stddev — sample stddev of a single bucket is
+    * NaN in Spark but NULL in DuckDB, so the guard is also what makes
+    * the op oracle-replicable. Buckets are FLOOR-divided (the
+    * [[retentionCohorts]] negative-ts rule). Observed buckets only: a
+    * silent bucket is absent, not zero — catching gone-QUIET anomalies
+    * needs a calendar spine join (at scale: a broadcast range of
+    * buckets), deliberately out of this op's scope.
+    *
+    * Scale shape: one map-side-combined count to ≤ |types|·|buckets|
+    * rows, then one sort window partitioned by type — the exchange is
+    * the aggregated series, never the raw events. */
+  def windowAnomalies(events: DataFrame,
+      bucketNanos: Long = 3600L * 1000000000L, trailing: Int = 6,
+      zThreshold: Double = 3.0,
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(bucketNanos > 0, "windowAnomalies: bucketNanos must be > 0")
+    require(trailing >= 2, s"windowAnomalies: trailing must be >= 2, got $trailing")
+    val ev = normalizeTs(events, tsCol).select(col(typeCol).as("event_type"),
+      expr(s"(`$tsCol` DIV ${bucketNanos}L) - " +
+        s"(CASE WHEN `$tsCol` % ${bucketNanos}L < 0 THEN 1 ELSE 0 END)").as("bucket"))
+    val counts = ev.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-trailing, -1)
+    val z = (col("cnt") - avg(col("cnt")).over(w)) / stddev_samp(col("cnt")).over(w)
+    val zGuarded = when(count(lit(1)).over(w) >= 2 &&
+      stddev_samp(col("cnt")).over(w) > 0, z)
+    counts.select(col("event_type"), col("bucket"), col("cnt"),
+      round(zGuarded, 6).as("zscore"),
+      coalesce(zGuarded >= zThreshold, lit(false)).as("anomaly"))
+  }
 }

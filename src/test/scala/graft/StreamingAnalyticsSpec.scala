@@ -195,6 +195,48 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(out === Map(("a", "b") -> 1L, ("b", "a") -> 1L))
   }
 
+  test("windowAnomalies: trailing z-score flags the spike, warmup buckets stay null") {
+    val h = 3600L * 1000000000L
+    // type "a": counts 2,2,2,2,10 over buckets 0..4 — bucket 4 spikes;
+    // type "b": constant 3s — stddev 0, never scores
+    def burst(tpe: String, bucket: Long, n: Int, base: Long) =
+      (0 until n).map(i => (base + i, bucket * h + i * 1000L, 1L, tpe))
+    val rows = burst("a", 0, 2, 100) ++ burst("a", 1, 2, 200) ++
+      burst("a", 2, 2, 300) ++ burst("a", 3, 2, 400) ++ burst("a", 4, 10, 500) ++
+      (0L to 2L).flatMap(b => burst("b", b, 3, 900 + b * 10))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventStreams.windowAnomalies(ev, bucketNanos = h,
+        trailing = 3, zThreshold = 2.0).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(4))).toMap
+    // bucket 0 has no history, bucket 1 has one prior bucket → null z;
+    // buckets 2-3: constant history → sd = 0 → null z
+    assert(out(("a", 0L)) === ((2L, None, false)))
+    assert(out(("a", 1L)) === ((2L, None, false)))
+    assert(out(("a", 2L)) === ((2L, None, false)))
+    assert(out(("a", 3L)) === ((2L, None, false)))
+    // bucket 4 vs history {2,2,2}: sd = 0 → still null — so shift: make
+    // bucket 3's count differ to give positive sd
+    val rows2 = burst("a", 0, 2, 100) ++ burst("a", 1, 2, 200) ++
+      burst("a", 2, 4, 300) ++ burst("a", 3, 2, 400) ++ burst("a", 4, 10, 500)
+    val out2 = EventStreams.windowAnomalies(rows2.toDF("event_id", "ts", "user_id", "event_type"),
+        bucketNanos = h, trailing = 3, zThreshold = 2.0).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(4))).toMap
+    // bucket 4: history {2,4,2} → mu = 8/3, sd = sqrt(4/3);
+    // z = (10 − 8/3)/sqrt(4/3) ≈ 6.3509 → anomaly
+    val expZ = (10.0 - 8.0 / 3) / math.sqrt(4.0 / 3)
+    assert(out2(("a", 4L))._2.exists(z => math.abs(z - expZ) < 1e-5))
+    assert(out2(("a", 4L))._3)
+    // bucket 3: history {2,2,4} → z = (2 − 8/3)/sqrt(4/3) < 0 → no flag
+    assert(out2(("a", 3L))._2.exists(_ < 0) && !out2(("a", 3L))._3)
+    // constant type "b" never scores
+    assert(out.collect { case ((t, _), v) if t == "b" => v }
+      .forall(v => v._2.isEmpty && !v._3))
+  }
+
   test("funnelStream: conversions across micro-batches == batch funnel's converted rows") {
     val h = 3600L * 1000000000L
     val steps = Seq("view", "click", "purchase")
