@@ -363,6 +363,75 @@ object GraphAnalytics {
       .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** Newman modularity of a community assignment (Newman & Girvan 2004)
+    * over the canonical undirected edge set, reported PER COMMUNITY:
+    * q_c = e_c/m − (d_c/2m)² with e_c = intra-community edges, d_c =
+    * total degree of c's members, m = |edges|; Σ q_c is the global Q.
+    * The quality score for [[labelPropagation]]'s output (or any
+    * (id, label) assignment) — per-community rows expose WHICH
+    * communities carry the structure, not just the scalar.
+    *
+    * Returns (label, n_nodes, intra_edges, total_degree, q rounded 6 dp).
+    * Nodes missing from `labels` contribute degree to no community
+    * (their incident edges still count in m). Every labeled node emits —
+    * an edge-less community reports q = 0.
+    *
+    * Scale shape: two |E| label-attach joins + one groupBy(label) for
+    * e_c, one |V| join + groupBy for d_c, m as a broadcast 1-row scalar
+    * — all map-side combinable, nothing quadratic. */
+  def modularity(edges: DataFrame, labels: DataFrame,
+      uCol: String = "u", vCol: String = "v",
+      idCol: String = "id", labelCol: String = "label"): DataFrame = {
+    val e = canonicalEdges(edges, uCol, vCol)
+    val mDF = e.agg(count(lit(1)).cast("double").as("m"))
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val lab = labels.select(col(idCol).as("n"), col(labelCol).as("label"))
+    val intra = e
+      .join(lab.select(col("n").as("a"), col("label").as("la")), "a")
+      .join(lab.select(col("n").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra_edges"))
+    val degC = lab.join(deg, Seq("n"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(coalesce(col("d"), lit(0L))).as("total_degree"))
+    degC.join(intra, Seq("label"), "left").crossJoin(broadcast(mDF))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("total_degree"),
+        round(coalesce(col("intra_edges"), lit(0L)) / col("m")
+          - pow(col("total_degree") / (lit(2.0) * col("m")), 2), 6).as("q"))
+  }
+
+  /** Adamic–Adar index per undirected edge (Adamic & Adar 2003): Σ over
+    * common neighbors w of 1/ln(deg(w)) — the classic link-strength /
+    * link-prediction feature where well-connected witnesses count less
+    * than rare ones. Computed from [[orientedTriangles]] exactly like
+    * [[edgeSupport]] (each triangle contributes its THIRD vertex as a
+    * witness to each of its three edges), so the wedge volume keeps the
+    * degree-ordered O(Σ outdeg²) bound and no cartesian appears. A
+    * common neighbor is adjacent to both endpoints, so deg(w) ≥ 2 and
+    * ln never hits zero. Edges with no common neighbor emit 0 via the
+    * trailing left join. Returns (a, b, support, aa rounded 6 dp). */
+  def adamicAdar(edges: DataFrame, uCol: String = "u", vCol: String = "v"): DataFrame = {
+    val e = canonicalEdges(edges, uCol, vCol)
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val witnessed = orientedTriangles(e).select(explode(array(
+        struct(col("x").as("p"), col("y").as("q"), col("z").as("w")),
+        struct(col("x").as("p"), col("z").as("q"), col("y").as("w")),
+        struct(col("y").as("p"), col("z").as("q"), col("x").as("w")))).as("t"))
+      .select(least(col("t.p"), col("t.q")).as("a"),
+        greatest(col("t.p"), col("t.q")).as("b"), col("t.w").as("n"))
+      .join(deg, "n")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("support"), sum(lit(1.0) / log(col("d"))).as("aa"))
+    e.join(witnessed, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        round(coalesce(col("aa"), lit(0.0)), 6).as("aa"))
+  }
+
   /** Local clustering coefficient per node: 2·triangles / (deg·(deg−1)),
     * the fraction of a node's neighbor pairs that are themselves
     * connected — [[triangleCounts]] normalized by the wedge count. Nodes

@@ -880,6 +880,26 @@ object GateQueries {
       graft.analytics.GraphAnalytics.kCoreEdges(coPurchaseEdges(s, d), k = 16, iters = 6)
     }),
 
+    "a12_modularity" -> ((s, d) => {
+      // Newman modularity of the a9 LPA communities on the a5 subgraph —
+      // the quality score for the community detection the suite already
+      // runs; per-community rows (which communities carry structure).
+      // Oracle shares the a9 CTE prefix so the assignment cannot drift.
+      val g = graph(s, d)
+      val sub = g.copy(edges = g.edges.filter(col("label").isin(Placed, NextOrder)))
+      val labels = graft.analytics.GraphAnalytics.labelPropagation(sub, numIter = 4)
+      val fwd = sub.edges.filter(col("dir"))
+        .select(col("src").as("u"), col("dst").as("v"))
+      graft.analytics.GraphAnalytics.modularity(fwd, labels)
+    }),
+
+    "a13_adamic_adar" -> ((s, d) => {
+      // Adamic–Adar link strength per co-purchase edge — the a10 triangle
+      // machinery with 1/ln(witness degree) weighting; same quarter cut,
+      // identical in the oracle
+      graft.analytics.GraphAnalytics.adamicAdar(coPurchaseEdges(s, d))
+    }),
+
     "a11_hits" -> ((s, d) => {
       // HITS hubs & authorities on the a5 subgraph (Placed stars +
       // NextOrder chains): customers are pure hubs (no in-edges), orders
@@ -1034,7 +1054,10 @@ object GateQueries {
   // label), keeping its previous label when it has no neighbors. Every
   // CTE is MATERIALIZED (the kCore lesson: default inlining re-evaluates
   // the whole prefix per reference — exponential in rounds).
-  private def lpaOracleSql(numIter: Int): String = {
+  /** The LPA oracle's CTE prefix (edges → und → l0..lN) — shared by the
+    * a9 gate and the a12 modularity oracle so the community assignment
+    * being scored cannot drift from the one being checked. */
+  private def lpaCtes(numIter: Int): String = {
     val iters = (1 to numIter).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT p.id, COALESCE(w.nl, p.label) AS label
@@ -1046,8 +1069,7 @@ object GateQueries {
          |    WHERE rn = 1) w ON w.id = p.id
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH
-       |edges AS MATERIALIZED (
+    s"""edges AS MATERIALIZED (
        |  SELECT CAST(o_custkey AS BIGINT) AS src, CAST(o_orderkey + 10000000 AS BIGINT) AS dst FROM orders
        |  UNION ALL
        |  SELECT CAST(o_orderkey + 10000000 AS BIGINT), CAST(nxt + 10000000 AS BIGINT) FROM (
@@ -1060,9 +1082,35 @@ object GateQueries {
        |  WHERE v <> w
        |),
        |l0 AS (SELECT DISTINCT v AS id, v AS label FROM und),
-       |$iters
-       |SELECT id, label FROM l$numIter""".stripMargin
+       |$iters""".stripMargin
   }
+
+  private def lpaOracleSql(numIter: Int): String =
+    s"""WITH
+       |${lpaCtes(numIter)}
+       |SELECT id, label FROM l$numIter""".stripMargin
+
+  /** a12 oracle: Newman modularity of the a9 LPA communities — canonical
+    * a<b edges from the same und, q_c = e_c/m − (d_c/2m)², BIGINT-cast
+    * count sums (the t14 rule: DuckDB SUM(BIGINT) is HUGEINT). */
+  private def modularityOracleSql(numIter: Int): String =
+    s"""WITH
+       |${lpaCtes(numIter)},
+       |cane AS MATERIALIZED (SELECT DISTINCT v AS a, w AS b FROM und WHERE v < w),
+       |mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM cane),
+       |degs AS (SELECT n, count(*) AS d FROM (
+       |  SELECT a AS n FROM cane UNION ALL SELECT b FROM cane) u GROUP BY 1),
+       |intra AS (
+       |  SELECT la.label, count(*) AS intra_edges
+       |  FROM cane e JOIN l$numIter la ON la.id = e.a JOIN l$numIter lb ON lb.id = e.b
+       |  WHERE la.label = lb.label GROUP BY 1),
+       |degc AS (
+       |  SELECT l.label, count(*) AS n_nodes, CAST(SUM(COALESCE(d.d, 0)) AS BIGINT) AS total_degree
+       |  FROM l$numIter l LEFT JOIN degs d ON d.n = l.id GROUP BY 1)
+       |SELECT dc.label, n_nodes,
+       |  CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges, total_degree,
+       |  ROUND(COALESCE(i.intra_edges, 0) / mm.m - POW(total_degree / (2 * mm.m), 2), 6) AS q
+       |FROM degc dc LEFT JOIN intra i ON i.label = dc.label, mm""".stripMargin
 
   /** a11 oracle: HITS unrolled as the same mutual recursion the engine
     * runs — per iteration a raw in-sum of hubs (ar), its L1-normalized
@@ -1104,6 +1152,29 @@ object GateQueries {
 
   val oracles: Map[String, String] = Map(
     "a11_hits" -> hitsOracleSql(5),
+    "a12_modularity" -> modularityOracleSql(4),
+    "a13_adamic_adar" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), und AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+        |), degs AS (
+        |  SELECT u AS n, count(*) AS d FROM und GROUP BY 1
+        |), sup AS (
+        |  SELECT t.a, t.b, COUNT(*) AS s, ROUND(SUM(1.0 / LN(dg.d)), 6) AS aa FROM (
+        |    SELECT e.a, e.b, n1.v FROM e
+        |    JOIN und n1 ON n1.u = e.a
+        |    JOIN und n2 ON n2.u = e.b AND n2.v = n1.v) t
+        |  JOIN degs dg ON dg.n = t.v
+        |  GROUP BY 1, 2
+        |)
+        |SELECT e.a, e.b, CAST(COALESCE(sup.s, 0) AS BIGINT) AS support,
+        |  COALESCE(sup.aa, 0.0) AS aa
+        |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b""".stripMargin,
     "a10_edge_support" ->
       """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0

@@ -1361,6 +1361,52 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(sup.values.sum === triTotal) // Σ node-credits == Σ edge-credits
   }
 
+  test("adamicAdar: witness degrees weight the support; bridges 0") {
+    // K4 on 1-4 + bridge 4-5 + triangle 5-6-7 (the edgeSupport fixture).
+    // Degrees: 1,2,3 → 3; 4 → 4; 5 → 3; 6,7 → 2.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (5L, 7L)).toDF("u", "v")
+    val out = GraphAnalytics.adamicAdar(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // edge (1,2): witnesses 3 (deg 3) and 4 (deg 4)
+    assert(out((1L, 2L)) === ((2L, r6(1 / math.log(3) + 1 / math.log(4)))))
+    // edge (3,4): witnesses 1, 2 (both deg 3)
+    assert(out((3L, 4L)) === ((2L, r6(2 / math.log(3)))))
+    // triangle edge (6,7): witness 5 (deg 3)
+    assert(out((6L, 7L)) === ((1L, r6(1 / math.log(3)))))
+    // the bridge closes nothing
+    assert(out((4L, 5L)) === ((0L, 0.0)))
+    // support column agrees with edgeSupport everywhere
+    val sup = GraphAnalytics.edgeSupport(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.view.mapValues(_._1).toMap === sup)
+  }
+
+  test("modularity: per-community q matches the hand computation") {
+    // two triangles bridged at 3-5 (the LPA fixture) with the perfect
+    // assignment: m = 7, each community e_c = 3, d_c = 7 →
+    // q_c = 3/7 − (7/14)² = 0.178571 each, Q = 0.357142
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (5L, 6L), (6L, 7L), (5L, 7L), (3L, 5L)).toDF("u", "v")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (5L, 20L), (6L, 20L), (7L, 20L)).toDF("id", "label")
+    val out = GraphAnalytics.modularity(e, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val qc = math.rint((3.0 / 7 - math.pow(7.0 / 14, 2)) * 1e6) / 1e6
+    assert(out === Map(10L -> ((3L, 3L, 7L, qc)), 20L -> ((3L, 3L, 7L, qc))))
+    // the all-one-community assignment scores 0 (e_c = m, d_c = 2m)
+    val one = GraphAnalytics.modularity(e,
+        Seq(1L, 2L, 3L, 5L, 6L, 7L).map(_ -> 1L).toDF("id", "label")).collect()
+    assert(one.length === 1 && one.head.getDouble(4) === 0.0)
+    // a labeled node with no edges: counted in n_nodes, degree 0
+    val extra = GraphAnalytics.modularity(e,
+      labels.unionAll(Seq((99L, 10L)).toDF("id", "label"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(extra(10L) === 4L)
+  }
+
   test("kCoreEdges: peeling cascade matches hand computation; fixpoint early-exit") {
     // path 1-2-3-4 plus triangle 5-6-7: 2-core = the triangle only, and
     // reaching it needs TWO peels (the path erodes from both ends)
