@@ -538,4 +538,85 @@ object EventStreams {
       round(zGuarded, 6).as("zscore"),
       coalesce(zGuarded >= zThreshold, lit(false)).as("anomaly"))
   }
+
+  case class WindowAnomaly(event_type: String, bucket: Long, cnt: Long,
+    zscore: Option[Double], anomaly: Boolean)
+  case class BucketCount(bucket: Long, cnt: Long)
+  case class AnomalyState(open: Seq[BucketCount], hist: Seq[Long])
+
+  /** Streaming twin of [[windowAnomalies]]: one stateful operator keyed
+    * by event type — state is the OPEN bucket counts plus the trailing
+    * `trailing` CLOSED counts; a bucket closes (scores, emits, joins the
+    * history) when the watermark passes its end, driven by an event-time
+    * timeout armed at the earliest open bucket's end (the ceil-ms rule
+    * [[funnelStream]] uses). Scoring matches the batch op exactly:
+    * sample stddev over the previous closed buckets, NULL until ≥ 2
+    * history entries with positive σ, 6-dp HALF_UP round — parity is
+    * test-pinned against [[windowAnomalies]] on the same events.
+    *
+    * State per type is ≤ (open buckets within the watermark delay +
+    * `trailing`) longs — bounded by wall-clock, not data volume. Events
+    * later than an already-closed bucket are DROPPED (their bucket has
+    * emitted; the watermark is the contract) — count-parity with batch
+    * holds for buckets whose events all precede the watermark, the
+    * standard streaming-vs-batch caveat. One framework boundary: an
+    * event whose event-time EQUALS the current watermark (including
+    * ts = 0 against the initial 0 watermark) is late by Spark's
+    * strictly-greater predicate and never reaches the operator. */
+  def windowAnomaliesStream(events: Dataset[Event],
+      bucketNanos: Long = 3600L * 1000000000L, trailing: Int = 6,
+      zThreshold: Double = 3.0,
+      watermarkDelay: String = "1 hour"): Dataset[WindowAnomaly] = {
+    require(bucketNanos > 0, "windowAnomaliesStream: bucketNanos must be > 0")
+    require(trailing >= 2, s"windowAnomaliesStream: trailing must be >= 2, got $trailing")
+    import events.sparkSession.implicits._
+    def bucketOf(ts: Long): Long = // floor division (the retentionCohorts rule)
+      ts / bucketNanos - (if (ts % bucketNanos < 0) 1 else 0)
+    def endMs(bucket: Long): Long = ((bucket + 1) * bucketNanos + 999999L) / 1000000L
+    def zOf(cnt: Long, hist: Seq[Long]): Option[Double] =
+      if (hist.size < 2) None
+      else {
+        val mu = hist.sum.toDouble / hist.size
+        val sd = math.sqrt(hist.map(x => (x - mu) * (x - mu)).sum / (hist.size - 1))
+        if (sd > 0)
+          Some(BigDecimal((cnt - mu) / sd)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+      }
+    val withTime = withEventTime(events.toDF())
+      .withWatermark("event_time", watermarkDelay)
+      .as[Event]
+    withTime.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, WindowAnomaly](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (tpe: String, it: Iterator[Event], state: GroupState[AnomalyState]) =>
+          val st = state.getOption.getOrElse(AnomalyState(Seq.empty, Seq.empty))
+          val open = scala.collection.mutable.Map(
+            st.open.map(b => b.bucket -> b.cnt): _*)
+          val wm = state.getCurrentWatermarkMs()
+          for (e <- it) {
+            val b = bucketOf(e.ts)
+            // a bucket whose end is at or behind the watermark has either
+            // emitted already or can never score consistently — drop
+            if (endMs(b) > wm) open(b) = open.getOrElse(b, 0L) + 1
+          }
+          // close every open bucket the watermark has passed, in order
+          val (closing, staying) = open.toSeq.sortBy(_._1).partition {
+            case (b, _) => endMs(b) <= wm
+          }
+          var hist = st.hist
+          val out = closing.map { case (b, cnt) =>
+            val z = zOf(cnt, hist)
+            hist = (hist :+ cnt).takeRight(trailing)
+            WindowAnomaly(tpe, b, cnt, z, z.exists(_ >= zThreshold))
+          }
+          state.update(AnomalyState(
+            staying.map { case (b, c) => BucketCount(b, c) }, hist))
+          // re-arm at the earliest still-open bucket end (> wm by the
+          // partition above); with no open bucket the history just waits
+          staying.headOption.foreach { case (b, _) =>
+            state.setTimeoutTimestamp(endMs(b)) }
+          out.iterator
+      }
+  }
 }

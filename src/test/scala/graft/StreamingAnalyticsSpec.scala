@@ -237,6 +237,56 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       .forall(v => v._2.isEmpty && !v._3))
   }
 
+  test("windowAnomaliesStream: closed buckets match the batch op across micro-batches") {
+    val h = 3600L * 1000000000L
+    // (i+1): an event at ts = 0 EXACTLY is dropped by Spark's late-row
+    // filter (strictly-greater-than-watermark predicate, initial
+    // watermark 0) before it reaches the stateful operator — a
+    // framework boundary, noted in the op's scaladoc
+    def burst(bucket: Long, n: Int, base: Long): Seq[Event] =
+      (0 until n).map(i => Event(base + i, bucket * h + (i + 1) * 1000L, 1L, "a", 0.0))
+    // the batch test's discriminating series: 2,2,4,2,10 over buckets 0-4
+    val b1 = burst(0, 2, 100) ++ burst(1, 2, 200)
+    val b2 = burst(2, 4, 300) ++ burst(3, 2, 400)
+    val b3 = burst(4, 10, 500)
+    // flush far ahead so the watermark passes bucket 4's end (5h + 1h delay)
+    val flush = Seq(Event(999, 10 * h, 9L, "zz", 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom_stream").toString
+    def push(evs: Seq[Event]): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(dir)
+    push(b1)
+    val src = EventStreams.readEventStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = EventStreams.windowAnomaliesStream(src, bucketNanos = h,
+        trailing = 3, zThreshold = 2.0)
+      .writeStream.outputMode("append").format("memory").queryName("anom_out").start()
+    try {
+      q.processAllAvailable()
+      push(b2); q.processAllAvailable()
+      push(b3); q.processAllAvailable()
+      push(flush); q.processAllAvailable()
+      val streamed = spark.table("anom_out").collect()
+        .filter(_.getString(0) == "a")
+        .map(r => r.getLong(1) -> (r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4))).toMap
+      val batch = EventStreams.windowAnomalies((b1 ++ b2 ++ b3).toDF(),
+          bucketNanos = h, trailing = 3, zThreshold = 2.0).collect()
+        .map(r => r.getLong(1) -> (r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4))).toMap
+      assert(streamed.keySet === batch.keySet) // all 5 buckets closed
+      for ((b, (cnt, z, an)) <- batch) {
+        assert(streamed(b)._1 === cnt, s"bucket $b count")
+        assert(streamed(b)._3 === an, s"bucket $b flag")
+        (streamed(b)._2, z) match {
+          case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-6, s"bucket $b z")
+          case (a, b2) => assert(a === b2, s"bucket $b z nullness")
+        }
+      }
+      assert(streamed(4L)._3, "the spike bucket must flag")
+    } finally q.stop()
+  }
+
   test("funnelStream: conversions across micro-batches == batch funnel's converted rows") {
     val h = 3600L * 1000000000L
     val steps = Seq("view", "click", "purchase")
