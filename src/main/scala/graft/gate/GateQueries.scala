@@ -97,6 +97,18 @@ object GateQueries {
         .minHashDuplicates(t(spark, dir, "documents"), threshold = 0.8).cache()
     }
 
+  /** The a9/a12 LPA community assignment (4 rounds on the Placed +
+    * NextOrder subgraph), computed once per (session, dir): a9 emits it
+    * and a12 scores it — one body, one bench cost, no drift. */
+  private val lpaCache = new graft.util.SessionCache[DataFrame](
+    maxEntries = 4, onEvict = _.unpersist(blocking = false))
+  private def lpaLabels(spark: SparkSession, dir: String): DataFrame =
+    lpaCache(spark, dir) {
+      val g = graph(spark, dir)
+      val sub = g.copy(edges = g.edges.filter(col("label").isin(Placed, NextOrder)))
+      graft.analytics.GraphAnalytics.labelPropagation(sub, numIter = 4).cache()
+    }
+
   private val graphCache = new graft.util.SessionCache[PropertyGraph](
     maxEntries = 4, onEvict = _.edges.unpersist(blocking = false))
   def graph(spark: SparkSession, dir: String): PropertyGraph =
@@ -848,10 +860,9 @@ object GateQueries {
       // identical vote (GraphX's hash-order ties would not be
       // replicable). 4 rounds reaches label stability on this graph's
       // star-plus-chain structure (customer hubs win their stars by
-      // round 2; chain interiors settle by 4).
-      val g = graph(s, d)
-      val sub = g.copy(edges = g.edges.filter(col("label").isin(Placed, NextOrder)))
-      graft.analytics.GraphAnalytics.labelPropagation(sub, numIter = 4)
+      // round 2; chain interiors settle by 4). Assignment computed once
+      // per (session, dir) — a12 scores the SAME cached labels.
+      lpaLabels(s, d)
     }),
 
     "a6_triangles" -> ((s, d) => {
@@ -887,10 +898,9 @@ object GateQueries {
       // Oracle shares the a9 CTE prefix so the assignment cannot drift.
       val g = graph(s, d)
       val sub = g.copy(edges = g.edges.filter(col("label").isin(Placed, NextOrder)))
-      val labels = graft.analytics.GraphAnalytics.labelPropagation(sub, numIter = 4)
       val fwd = sub.edges.filter(col("dir"))
         .select(col("src").as("u"), col("dst").as("v"))
-      graft.analytics.GraphAnalytics.modularity(fwd, labels)
+      graft.analytics.GraphAnalytics.modularity(fwd, lpaLabels(s, d))
     }),
 
     "a13_adamic_adar" -> ((s, d) => {
