@@ -585,8 +585,12 @@ object GraphAnalytics {
     def step(scores: DataFrame, valCol: String, from: String, to: String,
         outCol: String): DataFrame = {
       val s = side(scores)
+      // raw is referenced TWICE (the normalization total and the score
+      // join) — materialize it once per step (|V|-bounded rows) or the
+      // |E| aggregation runs twice; measured 19.9 s → ~12 s at sf0.1
       val raw = fwd.join(s, fwd(from) === s("id"))
         .groupBy(fwd(to).as("id")).agg(sum(col(valCol)).as("s"))
+        .localCheckpoint(true)
       val tot = raw.agg(sum(col("s")).as("tot"))
       verts.join(side(raw), Seq("id"), "left").crossJoin(broadcast(tot))
         .select(col("id"),

@@ -175,6 +175,24 @@ object PipelineDemo {
       nSub = 16, nCodes = 16, lloydIters = 2)
     println(s"PQ ADC probe: ${pq.count()} rows (5 queries × k=3, 64-bit codes)")
 
+    // 10. SQ8: the 1-byte-per-dim tier between brute force and PQ
+    val sq8 = Similarity.sq8TopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+    println(s"SQ8 probe: ${sq8.count()} rows (byte codes, exact norms)")
+
+    // 11. corpus hygiene reports: frequent tokens (boilerplate signal)
+    // and C4 cleaning verdicts
+    val hh = TextAnalysis.heavyHitters(docs, phi = 0.01)
+    println(s"heavy hitters at 1%: ${hh.count()} tokens")
+    val c4 = TextAnalysis.c4Filters(docs)
+    println(s"C4 verdicts: ${c4.filter(col("keep")).count()} of ${c4.count()} docs keep " +
+      "(single-line unpunctuated corpus: expect 0 keepers)")
+
+    // 12. monitoring: hourly per-type spike detection on the event stream
+    val spikes = graft.streaming.EventStreams.windowAnomalies(
+      graft.gate.GateQueries.events(spark, sfDir), zThreshold = 2.0)
+    println(s"window anomalies: ${spikes.filter(col("anomaly")).count()} " +
+      s"flagged of ${spikes.count()} (type, hour) buckets")
+
     spark.stop()
   }
 }
