@@ -234,4 +234,55 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$plan")
   }
+
+  test("sq8TopK: queries broadcast into the compressed scan; corpus never shuffles") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = planOf(graft.functions.Similarity.sq8TopK(
+      emb.filter(col("vec_id") < 5), emb, k = 3))
+    // the pair scan is an explicit cross join with the QUERY side
+    // broadcast — the corpus streams through once; a shuffle of the
+    // coded corpus per query batch is the anti-shape
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"queries not broadcast into the scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$plan")
+  }
+
+  test("heavyHitters: token counts partial-aggregate; the corpus total folds in broadcast") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.functions.TextAnalysis.heavyHitters(docs, phi = 0.01))
+    // map-side combine bounds the exchange at O(vocab), not O(tokens)
+    assert(plan.contains("partial_count"), s"token count not map-side combined:\n$plan")
+    // the total-token scalar joins back broadcast (the t19 idiom) —
+    // never a driver collect, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"total not broadcast:\n$plan")
+  }
+
+  test("windowAnomalies: one aggregation of the raw events, window over the series only") {
+    val ev = GateQueries.events(spark, sfDir)
+    val plan = planOf(graft.streaming.EventStreams.windowAnomalies(ev))
+    // the count partial-aggregates before its exchange and the sort
+    // window runs over the aggregated (type, bucket) series — the raw
+    // event relation must never reach the window operator
+    assert(plan.contains("partial_count"), s"bucket count not map-side combined:\n$plan")
+    assert(plan.contains("Window"), s"no window stage:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("modularity: label joins hash by id, the m scalar folds in broadcast") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") % 4 === 0).select(col("l_orderkey"), col("l_partkey"))
+    val e = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+      .filter(col("u") < col("v")).select("u", "v")
+    val labels = e.select(col("u").as("id")).distinct()
+      .withColumn("label", pmod(col("id"), lit(7)))
+    val plan = planOf(graft.analytics.GraphAnalytics.modularity(e, labels))
+    // exactly one nested-loop shape is allowed: the broadcast 1-row m
+    // scalar; everything else must be keyed hash joins. Count the
+    // formatted-mode DETAIL headers — the tree section repeats each
+    // operator once more
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"more than the scalar cross join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
 }
