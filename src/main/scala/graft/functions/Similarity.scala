@@ -962,41 +962,98 @@ object Similarity {
     * `rerank` > 0 adds the [[rerankExact]] stage (shortlist top
     * rerank·k by SQ8 score, exact dot decides) — with rerank·k ≥ |corpus|
     * this tier equals brute force EXACTLY (the unit pin). */
-  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      rerank: Int = 0): DataFrame = {
-    useNative(queries)
-    val (mins, scales) = sq8Bounds(corpus, vecCol)
-    val minsArr = array(mins.map(lit): _*)
-    val scalesArr = array(scales.map(lit): _*)
-    val dim = mins.size
+  /** The SQ8 expression bundle — ONE body behind [[sq8TopK]] and
+    * [[ivfSq8TopK]] so the quantize/score math cannot drift between the
+    * exhaustive and the IVF-pruned tier. */
+  private case class Sq8Model(mins: Seq[Double], scales: Seq[Double]) {
+    val dim: Int = mins.size
+    private val minsArr = array(mins.map(lit): _*)
+    private val scalesArr = array(scales.map(lit): _*)
     // the subVectors rule: a ragged vector must raise, not zip-truncate
     // into a plausible-but-wrong score
-    def checked(vc: Column): Column = when(size(vc) === dim, vc).otherwise(
+    private def checked(vc: Column): Column = when(size(vc) === dim, vc).otherwise(
       raise_error(concat(
         lit(s"graft SQ8: expected $dim-dimensional vectors, found "),
         coalesce(size(vc).cast("string"), lit("NULL vector")))))
-    val codesExpr = transform(checked(col(vecCol)), (x, i) => {
+    def codes(vc: Column): Column = transform(checked(vc), (x, i) => {
       val s = element_at(scalesArr, i + 1)
       when(s > 0,
         least(lit(255), greatest(lit(0),
           round((x.cast("double") - element_at(minsArr, i + 1)) / s).cast("int"))) - 128)
         .otherwise(lit(-128)).cast("tinyint")
     })
+    def scaledQuery(vc: Column): Column =
+      transform(checked(vc), (x, i) => x.cast("double") * element_at(scalesArr, i + 1))
+    def base(vc: Column): Column =
+      aggregate(zip_with(vc, minsArr, (x, m) => x.cast("double") * m),
+        lit(0.0), (acc, x) => acc + x)
+    /** approximate cosine of a (query, coded-corpus) pair row */
+    def pairCosine: Column =
+      (col("base") + aggregate(zip_with(col("sq"), col("codes"),
+        (a, cc) => a * (cc.cast("double") + lit(128.0))), lit(0.0), (acc, x) => acc + x)) /
+        (col("qn") * col("cn"))
+  }
+
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rerank: Int = 0): DataFrame = {
+    useNative(queries)
+    val model = { val (mn, sc) = sq8Bounds(corpus, vecCol); Sq8Model(mn, sc) }
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      codesExpr.as("codes"), nnorm(col(vecCol)).as("cn"))
+      model.codes(col(vecCol)).as("codes"), nnorm(col(vecCol)).as("cn"))
     val q = queries.select(col(idCol).as("query_id"),
-      transform(checked(col(vecCol)), (x, i) =>
-        x.cast("double") * element_at(scalesArr, i + 1)).as("sq"),
-      aggregate(zip_with(col(vecCol), minsArr, (x, m) => x.cast("double") * m),
-        lit(0.0), (acc, x) => acc + x).as("base"),
+      model.scaledQuery(col(vecCol)).as("sq"),
+      model.base(col(vecCol)).as("base"),
       nnorm(col(vecCol)).as("qn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        (col("base") + aggregate(zip_with(col("sq"), col("codes"),
-          (a, cc) => a * (cc.cast("double") + lit(128.0))), lit(0.0), (acc, x) => acc + x))
-          / (col("qn") * col("cn")))
+      .withColumn("cosine", model.pairCosine)
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    val cut = if (rerank > 0) k * rerank else k
+    val ranked = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= cut)
+    if (rerank <= 0)
+      ranked.select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    else rerankExact(ranked, queries, corpus, k, idCol, vecCol)
+  }
+
+  /** IVF-SQ8: coarse-quantizer partition pruning ([[ivfTopK]]'s probe
+    * body — nProbe of nCentroids clusters per query, soft `nAssign`
+    * corpus assignment) composed with [[sq8TopK]]'s byte-coded
+    * asymmetric scoring — the "IVF,SQ8" index of the public FAISS
+    * taxonomy: SUBLINEAR candidates and a 4×-compressed scan of them,
+    * the middle ground between IVF-flat (exact scoring of candidates)
+    * and IVF-PQ (stronger compression, needs re-rank). Bounds train on
+    * the FULL corpus (global, probe-independent). Soft-assignment
+    * duplicates are deduped at (query, neighbor) before ranking (codes
+    * of a duplicated vector are identical — the ivfTopK argument).
+    * `rerank` > 0 adds the exact [[rerankExact]] stage; with full probe
+    * and rerank·k ≥ |corpus| the tier equals brute force exactly (the
+    * unit pin). */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int = 2, nAssign: Int = 1, lloydIters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rerank: Int = 0): DataFrame = {
+    useNative(queries)
+    val model = { val (mn, sc) = sq8Bounds(corpus, vecCol); Sq8Model(mn, sc) }
+    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters)
+      .localCheckpoint(true)
+    val m = math.min(math.max(nAssign, 1), nCentroids)
+    val assigned0 =
+      if (m == 1) assignTo(corpus, cents, idCol, vecCol)
+      else assignTopM(corpus, cents, idCol, vecCol, m)
+    val coded = assigned0.select(col(idCol).as("neighbor_id"), col("centroid_id"),
+      model.codes(col(vecCol)).as("codes"), nnorm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      model.scaledQuery(col(vecCol)).as("sq"),
+      model.base(col(vecCol)).as("base"),
+      nnorm(col(vecCol)).as("qn"))
+    val qprobe = probeCentroids(q, cents, nProbe)
+      .select(col("query_id"), col("sq"), col("base"), col("qn"),
+        col("cid").as("centroid_id"))
+    val cands = qprobe.join(coded, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val uniq = if (m == 1) cands else cands.dropDuplicates("query_id", "neighbor_id")
+    val scored = uniq.withColumn("cosine", model.pairCosine)
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     val cut = if (rerank > 0) k * rerank else k
     val ranked = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= cut)

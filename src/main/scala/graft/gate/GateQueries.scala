@@ -621,6 +621,18 @@ object GateQueries {
           emb.filter(col("vec_id") < 50), emb, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
+    "e10_ann_ivfsq8_topk" -> ((s, d) => {
+      // IVF-SQ8 (FAISS "IVF,SQ8"): the e4 coarse quantizer (16 cells,
+      // probe 6, soft nAssign=2) scanning byte codes instead of floats —
+      // sublinear candidates AND a 4× compressed scan, no rerank so the
+      // recall rider measures the composed tier itself (≈ e4 coverage ×
+      // e9 quality). Rows-only like e2/e4/e9.
+      val emb = t(s, d, "embeddings")
+      graft.functions.Similarity.ivfSq8TopK(
+          emb.filter(col("vec_id") < 50), emb, k = 10,
+          nCentroids = 16, nProbe = 6, nAssign = 2, lloydIters = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
     "e2_ann_lsh_topk" -> ((s, d) => {
       // full Hamming-1 + Hamming-2 multi-probe at COARSER buckets
       // (round-11 E2Probe sweep): on this isotropic corpus a 10-bit

@@ -457,6 +457,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("SQ8") || ex.getCause != null)
   }
 
+  test("ivfSq8TopK: full probe matches the exhaustive SQ8 tier; rerank recovers brute force") {
+    // full probe removes the IVF approximation → identical row set to
+    // the exhaustive SQ8 scan (same model, same scoring body)
+    val sq8 = Similarity.sq8TopK(clustered, clustered, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val fullProbe = Similarity.ivfSq8TopK(clustered, clustered, 3,
+        nCentroids = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(fullProbe === sq8)
+    // + rerank over everything → brute force exactly, also under soft
+    // assignment (duplicates deduped, never double-ranked)
+    val brute = Similarity.bruteForceTopK(clustered, clustered, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    for (na <- Seq(1, 3)) {
+      val rr = Similarity.ivfSq8TopK(clustered, clustered, 3,
+          nCentroids = 4, nProbe = 4, nAssign = na, rerank = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(rr === brute, s"rerank parity failed at nAssign=$na")
+    }
+    // the pruned tier keeps candidates inside the query's cluster
+    val pruned = Similarity.ivfSq8TopK(clustered, clustered, 3,
+      nCentroids = 5, nProbe = 2, nAssign = 2, lloydIters = 2).collect()
+    assert(pruned.forall(r => r.getLong(0) % 5 === r.getLong(1) % 5),
+      "an IVF-SQ8 top-3 neighbor crossed clusters")
+  }
+
   test("ivfPqTopK: full probe + exact codebook degenerates to brute force; soft dedup never double-counts") {
     val brute = Similarity.bruteForceTopK(clustered, clustered, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet

@@ -57,6 +57,10 @@ class RecallSpec extends AnyFunSuite {
   test("e8 IVF-PQ+rerank top-k recall >= 0.80 vs e1 brute force") {
     assert(recall("e8_ann_ivfpq_topk", "e1_ann_bruteforce_topk", annKeys) >= 0.80)
   }
+  test("e10 IVF-SQ8 top-k recall >= 0.75 vs e1 brute force") {
+    // composed tier ≈ e4 coverage × e9 quality, no rerank
+    assert(recall("e10_ann_ivfsq8_topk", "e1_ann_bruteforce_topk", annKeys) >= 0.75)
+  }
   test("e9 SQ8 top-k recall >= 0.95 vs e1 brute force") {
     // pure SQ8 (no rerank): 8-bit per-dim quantization should barely
     // perturb top-10 ordering on this corpus
