@@ -778,6 +778,40 @@ object TextAnalysis {
     * required — a Window.orderBy without partitioning would serialize the
     * whole corpus through one task. Integer arithmetic only, so any SQL
     * engine replicates it bit-for-bit. */
+  /** Per-group unigram entropy of the token distribution: H = −Σ p·ln p
+    * over the group's vocabulary (p = token count / group total), plus
+    * the normalized form H/ln(vocab) ∈ [0,1] — the corpus-diversity
+    * report behind mixture decisions (a source whose entropy collapses
+    * is boilerplate- or template-dominated; normalized entropy compares
+    * sources with different vocabulary sizes). Token identity is
+    * [[corpusTokens]]'.
+    *
+    * Returns (groupCol, total_tokens, distinct_tokens, entropy,
+    * norm_entropy), entropies rounded 6 dp (Σ of per-term doubles —
+    * summation order differs per engine, the a5 rule). Groups with ≤ 1
+    * distinct token report norm_entropy 0.
+    *
+    * Scale shape: the [[corpusTokenStats]] shape — one exploded
+    * groupBy(group, token) with map-side combine (exchange O(vocab)),
+    * one group-level agg; the corpus shuffles nothing else. */
+  def corpusEntropy(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(groupCol),
+      explode(corpusTokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = vocab.groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val p = col("c").cast("double") / col("n")
+    vocab.join(tot, groupCol)
+      .groupBy(col(groupCol), col("n"), col("v"))
+      .agg((-sum(p * log(p))).as("h"))
+      .select(col(groupCol), col("n").as("total_tokens"),
+        col("v").as("distinct_tokens"),
+        round(col("h"), 6).as("entropy"),
+        when(col("v") > 1, round(col("h") / log(col("v").cast("double")), 6))
+          .otherwise(0.0).as("norm_entropy"))
+  }
+
   /** C4-style heuristic cleaning verdicts (Raffel et al. 2020, §2.2 —
     * public knowledge): line-level rules keep only lines that end in a
     * terminal punctuation mark (`. ! ? "`), carry at least

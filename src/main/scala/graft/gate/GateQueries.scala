@@ -466,6 +466,11 @@ object GateQueries {
             .otherwise(lit(""))).as("text"))
       graft.functions.TextAnalysis.c4Filters(derived, minSentences = 3)
     }),
+    "t29_corpus_entropy" -> ((s, d) => {
+      // per-source token-distribution entropy + normalized form — the
+      // diversity half of the t14/t15 mixing-weight report
+      graft.functions.TextAnalysis.corpusEntropy(t(s, d, "documents"))
+    }),
     "t24_stratified_sample" -> ((s, d) => {
       // mixture re-weighting: named strata get their own keep rate, the
       // remaining 17 sources ride the default; a doc's membership is a
@@ -1838,6 +1843,18 @@ object GateQueries {
         |    AND NOT has_lorem AND NOT has_brace) AS keep,
         |  kept_text
         |FROM agg""".stripMargin,
+    "t29_corpus_entropy" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok FROM documents
+        |), vocab AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM vocab GROUP BY 1)
+        |SELECT t.source, t.n AS total_tokens, t.v AS distinct_tokens,
+        |  ROUND(-SUM((c::DOUBLE / n) * LN(c::DOUBLE / n)), 6) AS entropy,
+        |  CASE WHEN t.v > 1
+        |    THEN ROUND(-SUM((c::DOUBLE / n) * LN(c::DOUBLE / n)) / LN(t.v::DOUBLE), 6)
+        |    ELSE 0.0 END AS norm_entropy
+        |FROM vocab JOIN tot t USING (source)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "t27_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok FROM documents

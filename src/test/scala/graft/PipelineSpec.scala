@@ -211,6 +211,24 @@ class PipelineSpec extends AnyFunSuite {
       && out(6L).isNullAt(7))                                      // null contract
   }
 
+  test("corpusEntropy: hand-computed H per source, degenerate single-token source") {
+    val docs = Seq(
+      ("A", "x x y y"),          // uniform over 2: H = ln 2, norm 1
+      ("B", "z z z"),            // single token: H = 0, norm 0 (v = 1)
+      ("C", "a b c d"),          // uniform over 4: H = ln 4, norm 1
+      ("D", "w w w p")           // p(w)=3/4, p(p)=1/4
+    ).toDF("source", "text")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val out = graft.functions.TextAnalysis.corpusEntropy(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("A") === ((4L, 2L, r6(math.log(2)), 1.0)))
+    assert(out("B") === ((3L, 1L, 0.0, 0.0)))
+    assert(out("C") === ((4L, 4L, r6(math.log(4)), 1.0)))
+    val hD = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(out("D")._3 === r6(hD) && out("D")._4 === r6(hD / math.log(2)))
+  }
+
   test("heavyHitters: sketch tier equals exact tier on a skewed large-vocab corpus") {
     // 3 true heavy tokens over a 3000-singleton tail — vocab (3003) far
     // exceeds the MG counter budget (k = ceil(2/phi) = 200), so pass 1

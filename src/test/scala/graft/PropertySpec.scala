@@ -416,4 +416,30 @@ class PropertySpec extends AnyFunSuite {
         (0L to 9L).forall(i => out(i)._2 == out(comp(i))._2)           // family-atomic side
     }, n = 5)
   }
+
+  test("heavyHittersSketch == exact heavyHitters on random skewed corpora") {
+    import spark.implicits._
+    // random mixtures of a few hot tokens and a long singleton tail,
+    // random phi — the two-pass Misra–Gries guarantee says the sketch
+    // output EQUALS the exact tier for any k >= ceil(2/phi) (default)
+    val genCorpus: Gen[(List[String], Double)] = for {
+      nHot <- Gen.choose(1, 4)
+      hotCounts <- Gen.listOfN(nHot, Gen.choose(20, 80))
+      tailN <- Gen.choose(50, 400)
+      phi <- Gen.oneOf(0.02, 0.05, 0.1)
+      seed <- Gen.choose(0L, 1000L)
+    } yield {
+      val hot = hotCounts.zipWithIndex.flatMap { case (c, i) => List.fill(c)(s"hot$i") }
+      val tail = (0 until tailN).map(i => s"t$i")
+      (new scala.util.Random(seed).shuffle(hot ++ tail).toList, phi)
+    }
+    check("heavyHittersSketch", Prop.forAll(genCorpus) { case (words, phi) =>
+      val docs = words.grouped(17).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+      val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      key(graft.functions.TextAnalysis.heavyHittersSketch(docs, phi)) ==
+        key(graft.functions.TextAnalysis.heavyHitters(docs, phi))
+    }, n = 6)
+  }
 }
