@@ -522,6 +522,15 @@ object GateQueries {
       graft.functions.Dedup.duplicateClusters(minhashPairs(s, d))
         .select(col("doc_id"), col("cluster_id"), col("keep").cast("int").as("keep"))
     }),
+    "d8_dedup_keepers" -> ((s, d) => {
+      // the APPLY step of pairs → families → keepers: corpus anti-joined
+      // against d5's non-keepers — the deduplicated corpus itself (ids
+      // only; the text column would bloat the dump). Completes the d1 →
+      // d5 → d8 pipeline as oracle gates.
+      graft.functions.Dedup.keepRepresentatives(t(s, d, "documents"),
+        graft.functions.Dedup.duplicateClusters(minhashPairs(s, d)))
+        .select(col("doc_id"))
+    }),
     "d2_simhash_signatures" -> ((s, d) => {
       // md5-nibble variant: bit-identical in any engine with md5 + string
       // ops, so the signature itself is oracle-checked (the xxhash64 form
@@ -1953,6 +1962,36 @@ object GateQueries {
         |SELECT id AS doc_id, MIN(comp) AS cluster_id,
         |  CAST(id = MIN(comp) AS INT) AS keep
         |FROM reach GROUP BY id""".stripMargin,
+    // d8: d5's family computation, then keep = min-id representative
+    // (docs in no family pass through)
+    "d8_dedup_keepers" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(text)-4, 1)+1),
+        |    i -> substr(lower(text), i::INT, 5)))) AS g
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |), p AS (
+        |  SELECT CAST(doc_a AS BIGINT) AS a, CAST(doc_b AS BIGINT) AS b
+        |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8
+        |), e AS (
+        |  SELECT a, b FROM p UNION SELECT b, a FROM p
+        |), verts AS (
+        |  SELECT DISTINCT a AS id FROM e
+        |), reach(id, comp) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN e ON e.a = r.id WHERE r.comp < e.b
+        |), fam AS (
+        |  SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id FROM documents d LEFT JOIN fam f ON f.doc_id = d.doc_id
+        |WHERE f.doc_id IS NULL OR f.cluster_id = d.doc_id""".stripMargin,
     // leakage-safe split: d5's family computation (same pair set, same
     // min-label CC), singletons defaulting to their own id, then the t7
     // md5-hex threshold applied to the FAMILY id (testFrac 0.25 →
