@@ -805,6 +805,12 @@ object GateQueries {
       // timelines, (ts, event_id)-ordered for tie determinism
       graft.streaming.EventStreams.typeTransitions(events(s, d))
     }),
+    "s9_active_users" -> ((s, d) => {
+      // daily active users + event volume per day bucket — the DAU
+      // primitive; exact countDistinct is the oracle anchor, the
+      // approx_count_distinct tier is unit-pinned within rsd
+      graft.streaming.EventStreams.activeUsers(events(s, d))
+    }),
     "s8_window_anomalies" -> ((s, d) => {
       // hourly per-type count series z-scored against the trailing 6
       // observed buckets — z ≥ 2 flags the spike; 6-dp round on z (the
@@ -1556,6 +1562,10 @@ object GateQueries {
         |)
         |SELECT from_type, to_type, COUNT(*) AS n FROM seq
         |WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "s9_active_users" ->
+      """SELECT CAST(epoch_ns(ts) AS BIGINT) // 86400000000000 AS bucket,
+        |  count(DISTINCT user_id) AS active_users, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
     "s8_window_anomalies" ->
       """WITH e AS (
         |  SELECT event_type, CAST(epoch_ns(ts) AS BIGINT) // 3600000000000 AS bucket FROM events

@@ -539,6 +539,28 @@ object EventStreams {
       coalesce(zGuarded >= zThreshold, lit(false)).as("anomaly"))
   }
 
+  /** Active-user counts per tumbling bucket — the DAU/WAU primitive:
+    * (bucket, active_users, n_events), FLOOR-bucketed (the
+    * [[retentionCohorts]] rule). One map-side-combined aggregation;
+    * `approximate = true` swaps countDistinct for HyperLogLog++
+    * `approx_count_distinct` (±rsd) — the 100 TB tier where the
+    * per-bucket distinct-user set no longer fits a shuffle: identical
+    * plan shape, documented error, exact tier stays the oracle anchor
+    * (the t14/t15 convention). */
+  def activeUsers(events: DataFrame,
+      bucketNanos: Long = 24L * 3600 * 1000000000L,
+      approximate: Boolean = false, rsd: Double = 0.05,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(bucketNanos > 0, "activeUsers: bucketNanos must be > 0")
+    val ev = normalizeTs(events, tsCol).select(col(userCol).as("u"),
+      expr(s"(`$tsCol` DIV ${bucketNanos}L) - " +
+        s"(CASE WHEN `$tsCol` % ${bucketNanos}L < 0 THEN 1 ELSE 0 END)").as("bucket"))
+    val distinctAgg =
+      if (approximate) approx_count_distinct(col("u"), rsd) else countDistinct(col("u"))
+    ev.groupBy(col("bucket"))
+      .agg(distinctAgg.as("active_users"), count(lit(1)).as("n_events"))
+  }
+
   case class WindowAnomaly(event_type: String, bucket: Long, cnt: Long,
     zscore: Option[Double], anomaly: Boolean)
   case class BucketCount(bucket: Long, cnt: Long)

@@ -195,6 +195,24 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(out === Map(("a", "b") -> 1L, ("b", "a") -> 1L))
   }
 
+  test("activeUsers: distinct per bucket, floor semantics, approx tier within rsd") {
+    val day = 24L * 3600 * 1000000000L
+    // day 0: users 1,1,2 (2 distinct, 3 events); day 1: user 3;
+    // day -1 (negative ts, floor): user 9
+    val ev = Seq((1L, 1000L, 1L), (2L, 2000L, 1L), (3L, 3000L, 2L),
+      (4L, day + 5L, 3L), (5L, -day / 2, 9L))
+      .toDF("event_id", "ts", "user_id")
+    val out = EventStreams.activeUsers(ev, bucketNanos = day).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(0L -> ((2L, 3L)), 1L -> ((1L, 1L)), -1L -> ((1L, 1L))))
+    // the HLL++ tier: same schema, counts within the configured rsd on
+    // this tiny fixture (exact at these cardinalities in practice)
+    val approx = EventStreams.activeUsers(ev, bucketNanos = day, approximate = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((b, (exact, _)) <- out)
+      assert(math.abs(approx(b) - exact) <= math.max(1L, (exact * 0.15).toLong))
+  }
+
   test("windowAnomalies: trailing z-score flags the spike, warmup buckets stay null") {
     val h = 3600L * 1000000000L
     // type "a": counts 2,2,2,2,10 over buckets 0..4 — bucket 4 spikes;
