@@ -602,11 +602,11 @@ object GraphAnalytics {
     var hub = verts.select(col("id"), lit(1.0).as("hub"))
     var auth = verts.select(col("id"), lit(0.0).as("auth"))
     for (i <- 1 to numIter) {
+      // no separate auth/hub lineage cuts: each step's raw checkpoint
+      // already bounds plan depth at one join+projection per vector —
+      // the extra stride-2 materializations measured pure overhead
       auth = step(hub, "hub", "src", "dst", "auth")
       hub = step(auth, "auth", "dst", "src", "hub")
-      if (i % 2 == 0 || i == numIter) {
-        auth = auth.localCheckpoint(true); hub = hub.localCheckpoint(true)
-      }
     }
     auth.join(hub, Seq("id"))
   }
