@@ -414,6 +414,24 @@ object Similarity {
     * idiom) so the plan does not nest one crossJoin+agg per iteration.
     * A cluster that loses every member simply drops out of the table
     * (standard Lloyd-on-sample behavior; k is an upper bound). */
+  /** Checkpointed [[ivfCentroids]], memoized per (session, corpus plan,
+    * config) — training is deterministic, so every tier probing the same
+    * corpus at the same quantizer config (e.g. IVF-flat and IVF-SQ8 side
+    * by side, or a query loop) shares ONE Lloyd run. Materialized
+    * eagerly because the result is referenced by both the corpus
+    * assignment and the query probe subtrees — without the checkpoint
+    * the whole index-build pass runs twice. localCheckpoint, not
+    * .cache(): checkpoint blocks are freed when the plan is
+    * dereferenced (the minHashDuplicates lifecycle trade). Staleness
+    * caveat as [[corpusCount]]: a path-backed corpus overwritten
+    * in-session keeps its first centroids. */
+  private val centsCache = new graft.util.SessionCache[DataFrame](maxEntries = 8)
+  private def centroidsCached(corpus: DataFrame, nCentroids: Int,
+      idCol: String, vecCol: String, lloydIters: Int): DataFrame =
+    centsCache(corpus.sparkSession,
+      s"ivf|${corpus.queryExecution.logical.semanticHash()}|$idCol|$vecCol|$nCentroids|$lloydIters")(
+      ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters).localCheckpoint(true))
+
   def ivfCentroids(vectors: DataFrame, nCentroids: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       lloydIters: Int = 1): DataFrame = {
@@ -635,15 +653,7 @@ object Similarity {
       nCentroids: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       lloydIters: Int = 1, nAssign: Int = 1): DataFrame = {
-    // materialized EAGERLY: referenced by BOTH the corpus assignment and
-    // the query probe subtrees — without it the whole Lloyd index-build
-    // pass runs twice. localCheckpoint, not .cache(): the CacheManager
-    // registration would pin the centroid blocks until session end (one
-    // leaked relation per call in a session looping this API); checkpoint
-    // blocks are freed when the returned plan is dereferenced — the same
-    // deterministic-lifecycle trade as minHashDuplicates, stated there. */
-    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters)
-      .localCheckpoint(true)
+    val cents = centroidsCached(corpus, nCentroids, idCol, vecCol, lloydIters)
     val m = math.min(math.max(nAssign, 1), nCentroids)
     val assigned0 =
       if (m == 1) assignTo(corpus, cents, idCol, vecCol)
@@ -1035,8 +1045,7 @@ object Similarity {
       rerank: Int = 0): DataFrame = {
     useNative(queries)
     val model = { val (mn, sc) = sq8Bounds(corpus, vecCol); Sq8Model(mn, sc) }
-    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters)
-      .localCheckpoint(true)
+    val cents = centroidsCached(corpus, nCentroids, idCol, vecCol, lloydIters)
     val m = math.min(math.max(nAssign, 1), nCentroids)
     val assigned0 =
       if (m == 1) assignTo(corpus, cents, idCol, vecCol)
@@ -1095,8 +1104,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       rerank: Int = 0): DataFrame = {
     useNative(queries)
-    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters)
-      .localCheckpoint(true)
+    val cents = centroidsCached(corpus, nCentroids, idCol, vecCol, lloydIters)
     val m = math.min(math.max(nAssign, 1), nCentroids)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       nnorm(col(vecCol)).as("qn"))
