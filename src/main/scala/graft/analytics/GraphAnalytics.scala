@@ -432,6 +432,40 @@ object GraphAnalytics {
         round(coalesce(col("aa"), lit(0.0)), 6).as("aa"))
   }
 
+  /** Jaccard link coefficient per undirected edge (Liben-Nowell &
+    * Kleinberg 2003's common link-prediction baseline): |N(a)∩N(b)| /
+    * |N(a)∪N(b)| over OPEN neighborhoods with the opposite endpoint
+    * excluded — the intersection is exactly [[edgeSupport]]'s common
+    * neighbors, and the union is (deg(a)−1) + (deg(b)−1) − support
+    * (each endpoint's neighborhood contains the other, which is never a
+    * common witness of its own edge). Same degree-ordered
+    * [[orientedTriangles]] wedge volume as a10/a13 — no cartesian, one
+    * extra pair of degree attach joins. A degree-1↔degree-1 bridge edge
+    * has an empty union and emits 0. Returns (a, b, support, jaccard
+    * rounded 6 dp) — with [[edgeSupport]]/[[adamicAdar]] this completes
+    * the standard link-prediction feature trio on one shared body. */
+  def jaccardLinks(edges: DataFrame, uCol: String = "u", vCol: String = "v"): DataFrame = {
+    val e = canonicalEdges(edges, uCol, vCol)
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val credits = orientedTriangles(e).select(explode(array(
+        struct(col("x").as("p"), col("y").as("q")),
+        struct(col("x").as("p"), col("z").as("q")),
+        struct(col("y").as("p"), col("z").as("q")))).as("t"))
+      .select(least(col("t.p"), col("t.q")).as("a"),
+        greatest(col("t.p"), col("t.q")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    val sup = e.join(credits, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+    val union = col("da") + col("db") - lit(2L) - col("support")
+    sup
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("support"),
+        when(union > 0, round(col("support").cast("double") / union, 6))
+          .otherwise(lit(0.0)).as("jaccard"))
+  }
+
   /** Local clustering coefficient per node: 2·triangles / (deg·(deg−1)),
     * the fraction of a node's neighbor pairs that are themselves
     * connected — [[triangleCounts]] normalized by the wedge count. Nodes

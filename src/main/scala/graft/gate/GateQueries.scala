@@ -941,6 +941,12 @@ object GateQueries {
       // identical in the oracle
       graft.analytics.GraphAnalytics.adamicAdar(coPurchaseEdges(s, d))
     }),
+    "a14_jaccard_links" -> ((s, d) => {
+      // Jaccard link coefficient per co-purchase edge — support over the
+      // excluded-endpoint neighborhood union; completes the a10/a13/a14
+      // link-prediction trio on the shared oriented-triangle body
+      graft.analytics.GraphAnalytics.jaccardLinks(coPurchaseEdges(s, d))
+    }),
 
     "a11_hits" -> ((s, d) => {
       // HITS hubs & authorities on the a5 subgraph (Placed stars +
@@ -1217,6 +1223,31 @@ object GateQueries {
         |SELECT e.a, e.b, CAST(COALESCE(sup.s, 0) AS BIGINT) AS support,
         |  COALESCE(sup.aa, 0.0) AS aa
         |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b""".stripMargin,
+    "a14_jaccard_links" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), und AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+        |), degs AS (
+        |  SELECT u AS n, count(*) AS d FROM und GROUP BY 1
+        |), sup AS (
+        |  SELECT t.a, t.b, COUNT(*) AS s FROM (
+        |    SELECT e.a, e.b, n1.v FROM e
+        |    JOIN und n1 ON n1.u = e.a
+        |    JOIN und n2 ON n2.u = e.b AND n2.v = n1.v) t
+        |  GROUP BY 1, 2
+        |)
+        |SELECT e.a, e.b, CAST(COALESCE(sup.s, 0) AS BIGINT) AS support,
+        |  CASE WHEN da.d + db.d - 2 - COALESCE(sup.s, 0) > 0
+        |    THEN ROUND(CAST(COALESCE(sup.s, 0) AS DOUBLE)
+        |      / (da.d + db.d - 2 - COALESCE(sup.s, 0)), 6)
+        |    ELSE 0.0 END AS jaccard
+        |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b
+        |JOIN degs da ON da.n = e.a JOIN degs db ON db.n = e.b""".stripMargin,
     "a10_edge_support" ->
       """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0

@@ -1451,6 +1451,31 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(out.view.mapValues(_._1).toMap === sup)
   }
 
+  test("jaccardLinks: support over excluded-endpoint union; bridge 0") {
+    // the edgeSupport fixture: K4 on 1-4 + bridge 4-5 + triangle 5-6-7.
+    // Degrees: 1,2,3 → 3; 4 → 4; 5 → 3; 6,7 → 2.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (5L, 7L)).toDF("u", "v")
+    val out = GraphAnalytics.jaccardLinks(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // edge (1,2): support 2, union = (3−1)+(3−1)−2 = 2 → 1.0
+    assert(out((1L, 2L)) === ((2L, 1.0)))
+    // edge (1,4): support 2, union = (3−1)+(4−1)−2 = 3 → 0.666667
+    assert(out((1L, 4L)) === ((2L, 0.666667)))
+    // triangle edge (6,7): support 1, union = (2−1)+(2−1)−1 = 1 → 1.0
+    assert(out((6L, 7L)) === ((1L, 1.0)))
+    // the bridge (4,5): support 0, union = 3+2−0 = 5 → 0.0
+    assert(out((4L, 5L)) === ((0L, 0.0)))
+    // support column agrees with edgeSupport everywhere
+    val sup = GraphAnalytics.edgeSupport(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.view.mapValues(_._1).toMap === sup)
+    // a degree-1↔degree-1 bridge (empty union) emits 0, not NaN
+    val lone = GraphAnalytics.jaccardLinks(Seq((8L, 9L)).toDF("u", "v")).collect()
+    assert(lone.length === 1 && lone.head.getLong(2) === 0L
+      && lone.head.getDouble(3) === 0.0)
+  }
+
   test("modularity: per-community q matches the hand computation") {
     // two triangles bridged at 3-5 (the LPA fixture) with the perfect
     // assignment: m = 7, each community e_c = 3, d_c = 7 →
