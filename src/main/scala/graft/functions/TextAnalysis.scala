@@ -854,6 +854,71 @@ object TextAnalysis {
       when(t.isNull, lit(null).cast("string")).otherwise(keptText).as("kept_text"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    * public knowledge): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (`#` and `...` load), fraction of words with
+    * at least one alphabetic character, fraction of lines starting with
+    * a bullet / ending with an ellipsis, and a required-stopword count
+    * (≥ `minStopHits` DISTINCT members of the canonical eight-word list
+    * must appear as whole lowercased words). The complement of
+    * [[c4Filters]]: C4 cleans LINES, Gopher rejects DOCUMENTS.
+    *
+    * Returns (idCol, n_words, mean_word_len, symbol_ratio,
+    * alpha_word_frac, bullet_frac, ellipsis_frac, stop_hits, keep) —
+    * every rule's feature is emitted beside the verdict so thresholds
+    * can be re-tuned downstream without recomputing the corpus. Ratios
+    * round 6 dp (the cross-engine double-division convention). Null
+    * text: counts 0, ratios 0.0, keep false (the pipeline null
+    * contract).
+    *
+    * Scale shape: narrow per-row expressions only (split + higher-order
+    * array functions, all codegen'd) — no shuffle, no UDF; like
+    * [[c4Filters]] the corpus never moves. */
+  def gopherFilters(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaWordFrac: Double = 0.8,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minStopHits: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val t = col(textCol)
+    val words = filter(split(trim(t), "\\s+"), w => length(w) > 0)
+    val nW = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    // '#' and literal '...' counts via length-diff over non-overlapping
+    // left-to-right replace — the one string-count idiom DuckDB and
+    // Spark define identically (regex counts differ on overlap rules)
+    val nHash = length(t) - length(expr(s"replace(`$textCol`, '#', '')"))
+    val nEll = ((length(t) - length(expr(s"replace(`$textCol`, '...', '')"))) / 3).cast("long")
+    val nAlphaW = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val lines = filter(transform(split(t, "\n"), x => trim(x)), x => length(x) > 0)
+    val nL = size(lines)
+    val nBullet = size(filter(lines, l => l.rlike("^[-*]")))
+    val nEllLine = size(filter(lines, l => l.rlike("\\.\\.\\.$")))
+    val lowWords = transform(words, w => lower(w))
+    val stopHits = size(filter(array(required.map(lit): _*),
+      s => array_contains(lowWords, s))).cast("long")
+    val meanLen = when(nW > 0, round(sumLen.cast("double") / nW, 6)).otherwise(0.0)
+    val symRatio = when(nW > 0, round((nHash + nEll).cast("double") / nW, 6)).otherwise(0.0)
+    val alphaFrac = when(nW > 0, round(nAlphaW.cast("double") / nW, 6)).otherwise(0.0)
+    val bulletFrac = when(nL > 0, round(nBullet.cast("double") / nL, 6)).otherwise(0.0)
+    val ellipsisFrac = when(nL > 0, round(nEllLine.cast("double") / nL, 6)).otherwise(0.0)
+    docs.select(col(idCol),
+      when(t.isNull, 0L).otherwise(nW).as("n_words"),
+      when(t.isNull, 0.0).otherwise(meanLen).as("mean_word_len"),
+      when(t.isNull, 0.0).otherwise(symRatio).as("symbol_ratio"),
+      when(t.isNull, 0.0).otherwise(alphaFrac).as("alpha_word_frac"),
+      when(t.isNull, 0.0).otherwise(bulletFrac).as("bullet_frac"),
+      when(t.isNull, 0.0).otherwise(ellipsisFrac).as("ellipsis_frac"),
+      when(t.isNull, 0L).otherwise(stopHits).as("stop_hits"),
+      when(t.isNull, false).otherwise(
+        nW >= minWords && nW <= maxWords &&
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+        symRatio <= maxSymbolRatio && alphaFrac >= minAlphaWordFrac &&
+        bulletFrac <= maxBulletFrac && ellipsisFrac <= maxEllipsisFrac &&
+        stopHits >= minStopHits).as("keep"))
+  }
+
   /** Exact corpus-wide heavy hitters: every token whose count is ≥
     * `phi`·N (N = total token count, [[corpusTokens]] identity) →
     * (tok, cnt, frac), frac = cnt/N. One exploded groupBy(token)

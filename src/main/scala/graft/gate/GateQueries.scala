@@ -466,6 +466,31 @@ object GateQueries {
             .otherwise(lit(""))).as("text"))
       graft.functions.TextAnalysis.c4Filters(derived, minSentences = 3)
     }),
+    "t30_gopher_filters" -> ((s, d) => {
+      // Gopher document-quality rules over a t28-style derived corpus
+      // (the single-line synthetic docs lack bullets/ellipses/symbol
+      // spam): doc_id-keyed injections exercise every rule — %7 docs
+      // get two bullet lines (trip bulletMax=0.4), %11 an ellipsis line
+      // (1 of 4 non-empty lines = 0.25 trips ellipsisMax=0.2), %13 a
+      // '#'-spam line (trips symbol ratio 0.1), %5 lose the stopword
+      // sentence (trip minStopHits=2 — the corpus vocabulary holds only
+      // 'the'/'a' of the required eight), and short docs fail
+      // minWords=25. Oracle replicates the derivation byte-for-byte.
+      val derived = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          when(col("doc_id") % 7 === 0, concat(lit("- "), substring(col("text"), 1, 60)))
+            .otherwise(substring(col("text"), 1, 60)),
+          when(col("doc_id") % 7 === 0, concat(lit("- "), substring(col("text"), 61, 30)))
+            .otherwise(substring(col("text"), 61, 30)),
+          when(col("doc_id") % 11 === 0, concat(substring(col("text"), 91, 20), lit("...")))
+            .otherwise(substring(col("text"), 91, 20)),
+          when(col("doc_id") % 5 === 0, lit("big data scan merge sort"))
+            .otherwise(lit("it was the best of times and that i have been with you to see more")),
+          when(col("doc_id") % 13 === 0, lit("# # # # # # # # # # # #"))
+            .otherwise(lit(""))).as("text"))
+      graft.functions.TextAnalysis.gopherFilters(derived, minWords = 25,
+        maxBulletFrac = 0.4, maxEllipsisFrac = 0.2)
+    }),
     "t29_corpus_entropy" -> ((s, d) => {
       // per-source token-distribution entropy + normalized form — the
       // diversity half of the t14/t15 mixing-weight report
@@ -1893,6 +1918,50 @@ object GateQueries {
         |    AND NOT has_lorem AND NOT has_brace) AS keep,
         |  kept_text
         |FROM agg""".stripMargin,
+    "t30_gopher_filters" ->
+      """WITH derived AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 7 = 0 THEN '- ' || substr(text, 1, 60) ELSE substr(text, 1, 60) END,
+        |    CASE WHEN doc_id % 7 = 0 THEN '- ' || substr(text, 61, 30) ELSE substr(text, 61, 30) END,
+        |    CASE WHEN doc_id % 11 = 0 THEN substr(text, 91, 20) || '...' ELSE substr(text, 91, 20) END,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'big data scan merge sort' ELSE 'it was the best of times and that i have been with you to see more' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN '# # # # # # # # # # # #' ELSE '' END) AS text
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS words,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> len(x) > 0) AS lines
+        |  FROM derived
+        |), f AS (
+        |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+        |    CASE WHEN len(words) > 0
+        |      THEN ROUND(list_sum(list_transform(words, x -> len(x)))::DOUBLE / len(words), 6)
+        |      ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN len(words) > 0
+        |      THEN ROUND((len(text) - len(replace(text, '#', ''))
+        |        + (len(text) - len(replace(text, '...', ''))) // 3)::DOUBLE / len(words), 6)
+        |      ELSE 0.0 END AS symbol_ratio,
+        |    CASE WHEN len(words) > 0
+        |      THEN ROUND(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words), 6)
+        |      ELSE 0.0 END AS alpha_word_frac,
+        |    CASE WHEN len(lines) > 0
+        |      THEN ROUND(len(list_filter(lines, l -> regexp_matches(l, '^[-*]')))::DOUBLE / len(lines), 6)
+        |      ELSE 0.0 END AS bullet_frac,
+        |    CASE WHEN len(lines) > 0
+        |      THEN ROUND(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))::DOUBLE / len(lines), 6)
+        |      ELSE 0.0 END AS ellipsis_frac,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(list_transform(words, x -> lower(x)), s))) AS BIGINT) AS stop_hits
+        |  FROM w
+        |)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+        |  bullet_frac, ellipsis_frac, stop_hits,
+        |  (n_words >= 25 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+        |   AND bullet_frac <= 0.4 AND ellipsis_frac <= 0.2
+        |   AND stop_hits >= 2) AS keep
+        |FROM f""".stripMargin,
     "t29_corpus_entropy" ->
       """WITH toks AS (
         |  SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok FROM documents

@@ -211,6 +211,41 @@ class PipelineSpec extends AnyFunSuite {
       && out(6L).isNullAt(7))                                      // null contract
   }
 
+  test("gopherFilters: per-rule features and verdicts match the hand computation") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val docs = docsDF(
+      // clean doc: 12 words, all alphabetic, stop hits {the, and, of} = 3
+      1L -> "the quick brown fox and the lazy dog speak of nothing important",
+      // bullet-heavy: 2 of 2 lines bulleted
+      2L -> "- the first of the bullet points here\n- and the second one too",
+      // ellipsis-heavy + symbol spam: '...' counted as symbol AND line-ender
+      3L -> "the trailing thought of mine goes on and on...\n# # # #",
+      // stopword-free: zero of the required eight
+      4L -> "big data scan merge sort join group window filter batch",
+      5L -> null)
+    val out = graft.functions.TextAnalysis.gopherFilters(docs, minWords = 5,
+        maxBulletFrac = 0.5, maxEllipsisFrac = 0.3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 12 words, 52 chars across words, ratios clean, keeps
+    assert(out(1L).getLong(1) === 12L)
+    assert(out(1L).getDouble(2) === r6(52.0 / 12))   // mean word len
+    assert(out(1L).getDouble(3) === 0.0)             // symbol ratio
+    assert(out(1L).getDouble(4) === 1.0)             // alpha frac
+    assert(out(1L).getLong(7) === 3L && out(1L).getBoolean(8))
+    // doc 2: both lines bulleted -> 1.0 > 0.5, rejected; '-' words not alphabetic
+    assert(out(2L).getDouble(5) === 1.0 && !out(2L).getBoolean(8))
+    assert(out(2L).getDouble(4) === r6(12.0 / 14))   // two '-' words of 14
+    // doc 3: 1 of 2 lines ends '...' -> 0.5 > 0.3; 4 '#' + 1 '...' over 13 words
+    assert(out(3L).getDouble(6) === 0.5)
+    assert(out(3L).getDouble(3) === r6(5.0 / 13))
+    assert(!out(3L).getBoolean(8))
+    // doc 4: zero required stopwords -> stop rule rejects
+    assert(out(4L).getLong(7) === 0L && !out(4L).getBoolean(8))
+    // null contract
+    assert(out(5L).getLong(1) === 0L && out(5L).getDouble(2) === 0.0
+      && !out(5L).getBoolean(8))
+  }
+
   test("corpusEntropy: hand-computed H per source, degenerate single-token source") {
     val docs = Seq(
       ("A", "x x y y"),          // uniform over 2: H = ln 2, norm 1
