@@ -836,6 +836,14 @@ object GateQueries {
       // approx_count_distinct tier is unit-pinned within rsd
       graft.streaming.EventStreams.activeUsers(events(s, d))
     }),
+    "s10_attribution" -> ((s, d) => {
+      // last-touch click → purchase attribution within a 6-hour horizon
+      // — one union + carry-forward window, never a per-user join; the
+      // oracle replicates via the bounded join + ROW_NUMBER (exact at
+      // sf0.01, where per-user candidate sets are small)
+      graft.streaming.EventStreams.attributeLastTouch(
+        events(s, d), "click", "purchase", 21600000000000L)
+    }),
     "s8_window_anomalies" -> ((s, d) => {
       // hourly per-type count series z-scored against the trailing 6
       // observed buckets — z ≥ 2 flags the spike; 6-dp round on z (the
@@ -1618,6 +1626,24 @@ object GateQueries {
         |)
         |SELECT from_type, to_type, COUNT(*) AS n FROM seq
         |WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "s10_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(epoch_ns(ts) AS BIGINT) AS t, event_type FROM events
+        |), tgt AS (
+        |  SELECT event_id, user_id, t FROM e WHERE event_type = 'purchase'
+        |), src AS (
+        |  SELECT event_id, user_id, t FROM e WHERE event_type = 'click'
+        |), best AS (
+        |  SELECT t.event_id AS tid, s.event_id AS sid, s.t AS st,
+        |    ROW_NUMBER() OVER (PARTITION BY t.event_id ORDER BY s.t DESC, s.event_id DESC) AS rn
+        |  FROM tgt t JOIN src s ON s.user_id = t.user_id
+        |    AND s.t < t.t AND s.t >= t.t - 21600000000000
+        |)
+        |SELECT tgt.event_id, tgt.user_id, tgt.t AS ts,
+        |  b.sid AS source_event_id, b.st AS source_ts,
+        |  CASE WHEN b.sid IS NULL THEN NULL ELSE tgt.t - b.st END AS lag_ns,
+        |  b.sid IS NOT NULL AS attributed
+        |FROM tgt LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.tid = tgt.event_id""".stripMargin,
     "s9_active_users" ->
       """SELECT CAST(epoch_ns(ts) AS BIGINT) // 86400000000000 AS bucket,
         |  count(DISTINCT user_id) AS active_users, count(*) AS n_events

@@ -441,6 +441,133 @@ object EventStreams {
       .drop("__rrow", "__asof", "__t", "__is_l")
   }
 
+  /** Last-touch attribution: for every `targetType` event, the MOST
+    * RECENT strictly-earlier `sourceType` event by the same user within
+    * `withinNanos` — the marketing-attribution primitive (click →
+    * purchase), and the "which upstream action explains this outcome"
+    * query in general. STRICT precedence: a source at exactly the
+    * target's timestamp does not attribute (ties sort targets first in
+    * the carry-forward window); among same-timestamp sources the
+    * highest event_id wins (the (ts, event_id) determinism rule all
+    * event ops share).
+    *
+    * Spark-first shape: the [[asofJoin]] union + one-window
+    * carry-forward — one hash exchange on user_id + one sort, linear in
+    * |sources|+|targets|, never the |targets|×|sources| per-user join
+    * the naive formulation plans. The horizon bound is a post-window
+    * filter (the carried source is the globally latest one; if IT is
+    * out of horizon, every earlier one is too).
+    *
+    * Returns one row per target event: (event_id, user_id, ts,
+    * source_event_id, source_ts, lag_ns, attributed) — source fields
+    * null and attributed = false when no in-horizon source precedes. */
+  def attributeLastTouch(events: DataFrame, sourceType: String,
+      targetType: String, withinNanos: Long,
+      typeCol: String = "event_type", userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(withinNanos > 0, s"attributeLastTouch: withinNanos must be positive, got $withinNanos")
+    val e = normalizeTs(events, tsCol)
+      .select(col(idCol).as("event_id"), col(userCol).as("user_id"),
+        col(tsCol).as("ts"), col(typeCol).as("__type"))
+    // __flag: targets 0, sources 1 — at equal ts the target sorts FIRST,
+    // so the running last(source) never sees a same-instant source
+    val src = e.filter(col("__type") === sourceType)
+      .select(col("user_id"), col("ts"), lit(1).as("__flag"),
+        struct(col("event_id"), col("ts")).as("__src"),
+        lit(null).cast("long").as("event_id"))
+    val tgt = e.filter(col("__type") === targetType)
+      .select(col("user_id"), col("ts"), lit(0).as("__flag"),
+        lit(null).cast("struct<event_id:bigint,ts:bigint>").as("__src"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("__flag"), col("__src.event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inHorizon = col("__last").isNotNull &&
+      col("__last.ts") >= col("ts") - withinNanos
+    tgt.unionByName(src)
+      .withColumn("__last", last(col("__src"), ignoreNulls = true).over(w))
+      .filter(col("__flag") === 0)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(inHorizon, col("__last.event_id")).as("source_event_id"),
+        when(inHorizon, col("__last.ts")).as("source_ts"),
+        when(inHorizon, col("ts") - col("__last.ts")).as("lag_ns"),
+        inHorizon.as("attributed"))
+  }
+
+  // public: the streaming state store codegens these constructors
+  case class LastSource(src_id: Long, src_ts: Long)
+  case class Attribution(event_id: Long, user_id: Long, ts: Long,
+      source_event_id: Option[Long], source_ts: Option[Long],
+      lag_ns: Option[Long], attributed: Boolean)
+
+  /** STREAMING last-touch attribution: one row per `targetType` event as
+    * it arrives, attributed to the latest strictly-earlier `sourceType`
+    * event by the same user within `withinNanos` — the streaming twin of
+    * [[attributeLastTouch]] (parity-tested under micro-batch slicing).
+    * Per-user state is ONE (source_id, source_ts) pair — constant-size —
+    * reclaimed by event-time timeout once the watermark passes
+    * source_ts + horizon (no future target can attribute to it), so
+    * state is bounded by the users active inside one horizon, not the
+    * stream's lifetime.
+    *
+    * Within a micro-batch events process in (ts, target-before-source,
+    * event_id) order, reproducing the batch op's strict-precedence and
+    * same-ts tie rules under any batch slicing of an in-order stream.
+    * Known limit (the [[funnelStream]] class of trade): a CROSS-batch
+    * late source older than an already-emitted target cannot
+    * retroactively attribute it — batch replay is the audit path. */
+  def attributeLastTouchStream(events: Dataset[Event], sourceType: String,
+      targetType: String, withinNanos: Long,
+      watermarkDelay: String = "1 hour"): Dataset[Attribution] = {
+    require(withinNanos > 0,
+      s"attributeLastTouchStream: withinNanos must be positive, got $withinNanos")
+    import events.sparkSession.implicits._
+    val withTime = withEventTime(events.toDF())
+      .filter(col("event_type").isin(sourceType, targetType))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Event]
+    withTime.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSource, Attribution](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[LastSource]) =>
+          if (state.hasTimedOut) {
+            // watermark passed src_ts + horizon: no on-time target can
+            // attribute to the stored source — reclaim
+            state.remove()
+            Iterator.empty
+          } else {
+            var src = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer[Attribution]()
+            // targets before sources at equal ts = the batch op's strict
+            // precedence (a same-instant source never attributes)
+            val ordered = it.toSeq.sortBy(e =>
+              (e.ts, if (e.event_type == targetType) 0 else 1, e.event_id))
+            for (e <- ordered) {
+              if (e.event_type == targetType) {
+                val hit = src.filter(s => s.src_ts < e.ts && s.src_ts >= e.ts - withinNanos)
+                out += Attribution(e.event_id, user, e.ts,
+                  hit.map(_.src_id), hit.map(_.src_ts),
+                  hit.map(s => e.ts - s.src_ts), hit.isDefined)
+              } else if (src.forall(s =>
+                  e.ts > s.src_ts || (e.ts == s.src_ts && e.event_id > s.src_id))) {
+                src = Some(LastSource(e.event_id, e.ts))
+              }
+            }
+            src match {
+              case Some(s) =>
+                // ms deadline CEILED (the funnelStream rule); a deadline
+                // already behind the watermark cannot be re-armed —
+                // the source is unreachable, reclaim now
+                val deadlineMs = (s.src_ts + withinNanos + 999999L) / 1000000L
+                if (deadlineMs <= state.getCurrentWatermarkMs()) state.remove()
+                else { state.update(s); state.setTimeoutTimestamp(deadlineMs) }
+              case None => state.remove()
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Bounded-interval self-join: every ORDERED pair of events sharing
     * `keyCol` at most `withinUs` microseconds apart — burst detection,
     * co-occurrence mining, session-free "what happened together"

@@ -350,6 +350,77 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributeLastTouch: strict precedence, horizon bound, same-ts ties, per-user isolation") {
+    val ev = Seq(
+      // user 1: two clicks then purchase — latest click attributes
+      Event(1, 10L, 1L, "click", 0.0), Event(2, 20L, 1L, "click", 0.0),
+      Event(3, 25L, 1L, "purchase", 0.0),
+      // user 1: later purchase outside the 50ns horizon of click 20
+      Event(4, 100L, 1L, "purchase", 0.0),
+      // user 2: click at the SAME ts as the purchase — strict < rejects
+      Event(5, 30L, 2L, "click", 0.0), Event(6, 30L, 2L, "purchase", 0.0),
+      // user 2: two same-ts clicks — the higher event_id wins
+      Event(7, 40L, 2L, "click", 0.0), Event(8, 40L, 2L, "click", 0.0),
+      Event(9, 45L, 2L, "purchase", 0.0),
+      // user 3: purchase with no clicks at all (user 1's must not leak)
+      Event(10, 15L, 3L, "purchase", 0.0))
+    val out = EventStreams.attributeLastTouch(ev.toDF(), "click", "purchase", 50L)
+      .collect().map(r => r.getLong(0) -> ((
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]), r.getBoolean(6)))).toMap
+    assert(out.keySet === Set(3L, 4L, 6L, 9L, 10L)) // one row per purchase
+    assert(out(3L) === ((Some(2L), Some(5L), true)))   // latest click, lag 5
+    assert(out(4L) === ((None, None, false)))          // 80ns > horizon
+    assert(out(6L) === ((None, None, false)))          // same-ts click rejected
+    assert(out(9L) === ((Some(8L), Some(5L), true)))   // same-ts tie: max id
+    assert(out(10L) === ((None, None, false)))         // cross-user isolation
+    // one window over one exchange, no per-user join explosion
+    val plan = EventStreams.attributeLastTouch(ev.toDF(), "click", "purchase", 50L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"))
+    assert(!plan.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("attributeLastTouchStream: micro-batch parity with the batch op") {
+    val h = 3600L * 1000000000L
+    // user 1 click + purchase across batches (attributes), then a second
+    // purchase beyond the horizon; user 2 same-ts click/purchase split
+    // across batches (strict < must reject); user 3 same-batch pair
+    val b1 = Seq(Event(1, h, 1L, "click", 0.0), Event(2, 2 * h, 2L, "click", 0.0))
+    val b2 = Seq(Event(3, 2 * h + 1, 1L, "purchase", 0.0),
+      Event(4, 2 * h, 2L, "purchase", 0.0))
+    val b3 = Seq(Event(5, 20 * h, 1L, "purchase", 0.0),
+      Event(6, 10 * h, 3L, "click", 0.0), Event(7, 10 * h + 5, 3L, "purchase", 0.0))
+    val within = 5L * h
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_stream").toString
+    def push(evs: Seq[Event]): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(dir)
+    push(b1)
+    val src = EventStreams.readEventStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = EventStreams.attributeLastTouchStream(src, "click", "purchase", within)
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      push(b2); q.processAllAvailable()
+      push(b3); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]), r.getBoolean(6))
+      val streamed = spark.table("attr_out").collect().map(key).toSet
+      val batch = EventStreams.attributeLastTouch(
+        (b1 ++ b2 ++ b3).toDF(), "click", "purchase", within).collect().map(key).toSet
+      assert(streamed === batch)
+      assert(streamed === Set(
+        (3L, 1L, 2 * h + 1, Some(1L), Some(h), Some(h + 1), true),
+        (4L, 2L, 2 * h, None, None, None, false),       // same-ts, strict
+        (5L, 1L, 20 * h, None, None, None, false),      // beyond horizon
+        (7L, 3L, 10 * h + 5, Some(6L), Some(10 * h), Some(5L), true)))
+    } finally q.stop()
+  }
+
   test("asofJoin: latest right row at-or-before each left row, per key") {
     val trades = Seq((1L, 7L, 100L), (2L, 7L, 200L), (3L, 8L, 150L))
       .toDF("trade_id", "sym", "t")
