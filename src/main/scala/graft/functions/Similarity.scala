@@ -507,9 +507,16 @@ object Similarity {
       val assigned =
         if (m == 1) assignTo(corpus, cents, idCol, vecCol)
         else assignTopM(corpus, cents, idCol, vecCol, m)
-      assigned
+      val stored = assigned
         .select(col(idCol), col(vecCol), nnorm(col(vecCol)).as("norm"), col("centroid_id"))
-        .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/corpus")
+      // metadata columns ride IN the index (one build-time join), so
+      // filtered search ([[ivfTopKIndexed]] corpusFilter) can push its
+      // predicate into the partitioned corpus scan at probe time
+      val metaCols = corpus.columns.filterNot(c => c == idCol || c == vecCol)
+      val withMeta =
+        if (metaCols.isEmpty) stored
+        else stored.join(corpus.drop(vecCol), Seq(idCol))
+      withMeta.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/corpus")
       cents.write.mode("overwrite").parquet(s"$dir/centroids")
       // stamp AFTER the data: probes read it to decide whether candidate
       // dedup is needed (absence = legacy single-assignment index = 1)
@@ -554,9 +561,16 @@ object Similarity {
       if (m <= 1) assignTo(vecs, cents, idCol, vecCol)
       else assignTopM(vecs, cents, idCol, vecCol, m)
     graft.util.MetaFiles.writeLong(spark, s"$dir/_streamed", 1L)
-    assigned
+    // metadata columns appended like [[saveIvfIndex]] stores them (the
+    // batch schema must match the build corpus — parquet appends are
+    // schema-positional); mergeSchema on read surfaces drift as nulls
+    val stored = assigned
       .select(col(idCol), col(vecCol), nnorm(col(vecCol)).as("norm"), col("centroid_id"))
-      .write.mode("append").partitionBy("centroid_id").parquet(s"$dir/corpus")
+    val metaCols = batch.columns.filterNot(c => c == idCol || c == vecCol)
+    val withMeta =
+      if (metaCols.isEmpty) stored
+      else stored.join(batch.drop(vecCol), Seq(idCol))
+    withMeta.write.mode("append").partitionBy("centroid_id").parquet(s"$dir/corpus")
     graft.util.MetaFiles.writeLong(spark, marker, 1L)
   }
 
@@ -596,11 +610,17 @@ object Similarity {
     * for corpus-sized query sets use [[ivfTopK]] (shuffle join, full
     * index scan) instead. */
   def ivfTopKIndexed(queries: DataFrame, dir: String, k: Int, nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusFilter: Option[Column] = None): DataFrame = {
     useNative(queries)
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$dir/centroids")
-    val indexed = spark.read.parquet(s"$dir/corpus")
+    // corpusFilter = filtered search against the stored metadata columns
+    // ([[saveIvfIndex]] keeps them beside the codes): applied to the RAW
+    // index read so Catalyst pushes the predicate into the parquet scan
+    // (PushedFilters), composing with the partition pruning below
+    val raw = spark.read.parquet(s"$dir/corpus")
+    val indexed = corpusFilter.map(raw.filter).getOrElse(raw)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col("norm").as("cn"), col("centroid_id"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -648,16 +668,28 @@ object Similarity {
     * probes per query — the right trade when the index is built once and
     * probed many times. Duplicate (query, neighbor) candidates from
     * shared clusters are deduped BEFORE ranking, so ranks and the top-k
-    * cut are unaffected. */
+    * cut are unaffected.
+    *
+    * `corpusFilter` = FILTERED vector search (the metadata-predicate
+    * ANN every retrieval stack needs): centroids stay trained on the
+    * FULL corpus — the index is built once, the predicate changes per
+    * query batch — and the filter applies to the corpus before
+    * assignment/scan, so Catalyst pushes it into the corpus scan and
+    * only matching vectors are assigned and scored. At full probe the
+    * result is EXACTLY filtered brute force (the e5 identity, gate
+    * e11); pruned, recall behaves like the unfiltered tier over the
+    * surviving subset. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      lloydIters: Int = 1, nAssign: Int = 1): DataFrame = {
+      lloydIters: Int = 1, nAssign: Int = 1,
+      corpusFilter: Option[Column] = None): DataFrame = {
     val cents = centroidsCached(corpus, nCentroids, idCol, vecCol, lloydIters)
     val m = math.min(math.max(nAssign, 1), nCentroids)
+    val searchCorpus = corpusFilter.map(corpus.filter).getOrElse(corpus)
     val assigned0 =
-      if (m == 1) assignTo(corpus, cents, idCol, vecCol)
-      else assignTopM(corpus, cents, idCol, vecCol, m)
+      if (m == 1) assignTo(searchCorpus, cents, idCol, vecCol)
+      else assignTopM(searchCorpus, cents, idCol, vecCol, m)
     val assigned = assigned0
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"),
         nnorm(col(vecCol)).as("cn"))

@@ -606,6 +606,19 @@ object GateQueries {
       graft.functions.Dedup.leakageSafeSplit(
         t(s, d, "documents"), minhashPairs(s, d), testFrac = 0.25)
     }),
+    "e11_ann_filtered_topk" -> ((s, d) => {
+      // FILTERED vector search: top-k restricted to a metadata predicate
+      // (label even), centroids trained on the full corpus, predicate
+      // pushed into the corpus scan. Full probe makes the tier exactly
+      // filtered brute force (the e5 identity) — hash-green, not
+      // rows-only; the pruned/indexed variants are unit-pinned.
+      val emb = t(s, d, "embeddings")
+      graft.functions.Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 50), emb, k = 10,
+          nCentroids = 16, nProbe = 16, lloydIters = 2,
+          corpusFilter = Some(col("label") % 2 === 0))
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
     "e1_ann_bruteforce_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.bruteForceTopK(
@@ -1543,6 +1556,13 @@ object GateQueries {
         |WHERE q.vec_id < 50) t WHERE rank <= 10""".stripMargin,
     "e3_embedding_cluster_stats" ->
       "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1",
+    "e11_ann_filtered_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |WHERE q.vec_id < 50 AND c.label % 2 = 0) t WHERE rank <= 10""".stripMargin,
     // exact-equivalence gates: full-probe IVF and single-bucket LSH must
     // equal brute-force top-k (same oracle as e1)
     "e5_ann_ivf_exact" ->

