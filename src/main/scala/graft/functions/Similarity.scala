@@ -710,6 +710,59 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** ORACLE-REPLICABLE k-means clustering: `iters` Lloyd rounds from a
+    * deterministic seed set (the k vectors with the smallest
+    * md5(id-as-string), hex-ordered — the hash-sample idiom every
+    * deterministic op here uses), cluster ids = seed vector ids,
+    * CENTROIDS ROUNDED TO 6 DP at every update boundary. The rounding is
+    * the cross-engine parity contract: both engines then carry
+    * bit-identical centroid values into the next assignment, so the only
+    * FP divergence left is the distance accumulation itself (~1e-13 —
+    * far from any argmin boundary on real data). Assignment = argmin L2
+    * via the c·c − 2·x·c expansion (x·x constant per vector), ties to
+    * the smaller cluster id; a cluster that loses every member drops out
+    * (its id simply stops appearing). This is the first-class clustering
+    * surface — [[ivfCentroids]] remains the unrounded internal trainer
+    * for the ANN tiers.
+    *
+    * Returns (vec_id, cluster) for every corpus row with a non-null
+    * vector. Scale shape per round: one broadcast cross join folded into
+    * a map-side-combined min_by aggregation (the [[assignTo]] exchange:
+    * |corpus| rows moved regardless of k) + one posexplode groupBy
+    * (k·dim result rows) — linear, no |corpus|² anywhere. */
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"kmeansAssign: k must be >= 1, got $k")
+    require(iters >= 0, s"kmeansAssign: iters must be >= 0, got $iters")
+    useNative(corpus)
+    val emb = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    // TakeOrderedAndProject, not a global window: distributed top-k
+    var cents = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    def assign(cs: DataFrame): DataFrame = {
+      val b = cs.withColumn("__cc", ndot(col("c"), col("c")))
+      emb.crossJoin(broadcast(b))
+        .withColumn("d", col("__cc") - lit(2.0) * ndot(col("v"), col("c")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cluster"))
+    }
+    var i = 0
+    while (i < iters) {
+      val a = assign(cents)
+      cents = emb.join(a, "vec_id")
+        .select(col("cluster").as("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+      i += 1
+    }
+    assign(cents)
+  }
+
   // ---- product quantization (PQ) ------------------------------------------
 
   /** (id, sub, sv) sub-vector rows: the vector split into nSub contiguous

@@ -606,6 +606,16 @@ object GateQueries {
       graft.functions.Dedup.leakageSafeSplit(
         t(s, d, "documents"), minhashPairs(s, d), testFrac = 0.25)
     }),
+    "e12_kmeans_clusters" -> ((s, d) => {
+      // k-means as a first-class pipeline op (corpus bucketing /
+      // curriculum binning / SemDeDup's substrate): 2 deterministic
+      // Lloyd rounds from md5-ordered seeds, centroid values rounded
+      // 6 dp at every boundary so the DuckDB oracle replays the
+      // identical trajectory — a HASH-green clustering gate, not a
+      // rows-only one
+      graft.functions.Similarity.kmeansAssign(
+        t(s, d, "embeddings"), k = 8, iters = 2)
+    }),
     "e11_ann_filtered_topk" -> ((s, d) => {
       // FILTERED vector search: top-k restricted to a metadata predicate
       // (label even), centroids trained on the full corpus, predicate
@@ -1184,6 +1194,44 @@ object GateQueries {
        |${lpaCtes(numIter)}
        |SELECT id, label FROM l$numIter""".stripMargin
 
+  /** e12 oracle: the [[graft.functions.Similarity.kmeansAssign]] parity
+    * contract unrolled — md5-ordered seed pick, argmin of the
+    * c·c − 2·x·c expansion with cid tie-break, per-dim AVG centroids
+    * ROUNDED 6 DP at every boundary (the rounding is what makes the two
+    * engines carry bit-identical centroids between rounds; dim is
+    * unrolled as 64 ROUND(AVG(v[i])) columns). */
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
+    val centroid = (1 to dim).map(i => s"ROUND(AVG(v[$i]), 6)")
+      .mkString("list_value(", ", ", ")")
+    def assignCte(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT e.vec_id, s.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(s.c, s.c) - 2 * list_dot_product(e.v, s.c), s.cid) AS rn
+         |    FROM emb e CROSS JOIN $cents s) WHERE rn = 1
+         |)""".stripMargin
+    def updateCte(name: String, asg: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT cluster AS cid, $centroid AS c
+         |  FROM $asg JOIN emb USING (vec_id) GROUP BY 1
+         |)""".stripMargin
+    val rounds = (1 to iters).flatMap { i =>
+      Seq(assignCte(s"a$i", if (i == 1) "seeds" else s"c${i - 1}"),
+        updateCte(s"c$i", s"a$i"))
+    }.mkString(",\n")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL
+       |), seeds AS (
+       |  SELECT vec_id AS cid, v AS c FROM emb
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k
+       |),
+       |$rounds,
+       |${assignCte("afinal", s"c$iters")}
+       |SELECT vec_id, cluster FROM afinal""".stripMargin
+  }
+
   /** a12 oracle: Newman modularity of the a9 LPA communities — canonical
     * a<b edges from the same und, q_c = e_c/m − (d_c/2m)², BIGINT-cast
     * count sums (the t14 rule: DuckDB SUM(BIGINT) is HUGEINT). */
@@ -1556,6 +1604,7 @@ object GateQueries {
         |WHERE q.vec_id < 50) t WHERE rank <= 10""".stripMargin,
     "e3_embedding_cluster_stats" ->
       "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1",
+    "e12_kmeans_clusters" -> kmeansOracleSql(8, 2, 64),
     "e11_ann_filtered_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

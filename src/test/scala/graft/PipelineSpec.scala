@@ -1224,6 +1224,26 @@ class PipelineSpec extends AnyFunSuite {
       === triples(Similarity.bruteForceTopK(qs, emb, k = 5)))
   }
 
+  test("kmeansAssign: separated blobs recover their groups; iters=0 is nearest-seed; null vectors drop") {
+    import spark.implicits._
+    // two tight blobs far apart: any 2-means run must split them cleanly
+    val blobA = (0L to 4L).map(i => (i, Array(10.0f + i * 0.01f, 10.0f, 0.0f, 0.0f)))
+    val blobB = (10L to 14L).map(i => (i, Array(-10.0f, -10.0f + i * 0.01f, 0.0f, 0.0f)))
+    val emb = (blobA ++ blobB :+ (99L -> null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(emb, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 10) // null vector dropped
+    assert(out.filterKeys(_ < 5L).values.toSet.size === 1, "blob A split")
+    assert(out.filterKeys(_ >= 10L).values.toSet.size === 1, "blob B split")
+    assert(out(0L) !== out(10L), "blobs merged")
+    // iters=0: plain nearest-seed assignment — every seed owns itself
+    val zero = Similarity.kmeansAssign(emb, k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeds = zero.values.toSet
+    seeds.foreach(s => assert(zero(s) === s, s"seed $s not in its own cluster"))
+  }
+
   test("filtered ANN: full-probe filtered IVF equals filtered brute force, in memory and through the index") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < 10)
