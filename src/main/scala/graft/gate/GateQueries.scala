@@ -859,6 +859,12 @@ object GateQueries {
       // approx_count_distinct tier is unit-pinned within rsd
       graft.streaming.EventStreams.activeUsers(events(s, d))
     }),
+    "s11_trending_types" -> ((s, d) => {
+      // top-3 event types per 6-hour bucket with per-bucket share —
+      // rank over the aggregated series only (the s8 window rule)
+      graft.streaming.EventStreams.trendingTypes(
+        events(s, d), k = 3, bucketNanos = 21600L * 1000000000L)
+    }),
     "s10_attribution" -> ((s, d) => {
       // last-touch click → purchase attribution within a 6-hour horizon
       // — one union + carry-forward window, never a per-user join; the
@@ -1695,6 +1701,17 @@ object GateQueries {
         |)
         |SELECT from_type, to_type, COUNT(*) AS n FROM seq
         |WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "s11_trending_types" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(epoch_ns(ts) AS BIGINT) // 21600000000000 AS bucket FROM events
+        |), c AS (
+        |  SELECT bucket, event_type, count(*) AS cnt FROM e GROUP BY 1, 2
+        |)
+        |SELECT bucket, rank, event_type, cnt, share FROM (
+        |  SELECT bucket, event_type, cnt,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY cnt DESC, event_type) AS BIGINT) AS rank,
+        |    ROUND(cnt::DOUBLE / SUM(cnt) OVER (PARTITION BY bucket), 6) AS share
+        |  FROM c) t WHERE rank <= 3""".stripMargin,
     "s10_attribution" ->
       """WITH e AS (
         |  SELECT event_id, user_id, CAST(epoch_ns(ts) AS BIGINT) AS t, event_type FROM events

@@ -666,6 +666,35 @@ object EventStreams {
       coalesce(zGuarded >= zThreshold, lit(false)).as("anomaly"))
   }
 
+  /** Top-k trending event types per tumbling bucket: per-bucket type
+    * counts ranked (count desc, type asc — deterministic), cut at `k`,
+    * with each type's share of the bucket's events. The "what's hot
+    * right now" report over any categorical column.
+    *
+    * Scale shape: one map-side-combined (bucket, type) aggregation, a
+    * bucket-total window over the AGGREGATED series only (≤ buckets ×
+    * |types| rows — the [[windowAnomalies]] rule: windows never touch
+    * raw events), rank cut on the same window exchange. */
+  def trendingTypes(events: DataFrame, k: Int,
+      bucketNanos: Long = 3600L * 1000000000L,
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(k >= 1, s"trendingTypes: k must be >= 1, got $k")
+    require(bucketNanos > 0, "trendingTypes: bucketNanos must be > 0")
+    val ev = normalizeTs(events, tsCol).select(col(typeCol).as("event_type"),
+      expr(s"(`$tsCol` DIV ${bucketNanos}L) - " +
+        s"(CASE WHEN `$tsCol` % ${bucketNanos}L < 0 THEN 1 ELSE 0 END)").as("bucket"))
+    val counts = ev.groupBy(col("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy(col("bucket"))
+    val wr = wb.orderBy(desc("cnt"), col("event_type"))
+    counts
+      .withColumn("rank", row_number().over(wr))
+      .withColumn("share", round(col("cnt") / sum(col("cnt")).over(wb), 6))
+      .filter(col("rank") <= k)
+      .select(col("bucket"), col("rank").cast("long").as("rank"),
+        col("event_type"), col("cnt"), col("share"))
+  }
+
   /** Active-user counts per tumbling bucket — the DAU/WAU primitive:
     * (bucket, active_users, n_events), FLOOR-bucketed (the
     * [[retentionCohorts]] rule). One map-side-combined aggregation;

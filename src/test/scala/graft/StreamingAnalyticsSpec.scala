@@ -350,6 +350,23 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trendingTypes: per-bucket rank, deterministic ties, share sums to 1, k cut") {
+    // bucket 0: a×3, b×2, c×1 (share 0.5/0.333333/0.166667); bucket 1:
+    // x and y tied at 2 — type asc breaks the tie
+    val ev = Seq((1L, 1L, "a"), (2L, 2L, "a"), (3L, 3L, "a"), (4L, 4L, "b"),
+      (5L, 5L, "b"), (6L, 6L, "c"),
+      (7L, 15L, "y"), (8L, 16L, "y"), (9L, 17L, "x"), (10L, 18L, "x"))
+      .toDF("event_id", "ts", "event_type").withColumn("user_id", lit(1L))
+    val out = EventStreams.trendingTypes(ev, k = 2, bucketNanos = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.size === 4) // k=2 cut: c (rank 3) never emits
+    assert(out((0L, 1L)) === (("a", 3L, 0.5)))
+    assert(out((0L, 2L)) === (("b", 2L, 0.333333)))
+    assert(out((1L, 1L)) === (("x", 2L, 0.5)))  // tie: x before y
+    assert(out((1L, 2L)) === (("y", 2L, 0.5)))
+  }
+
   test("attributeLastTouch: strict precedence, horizon bound, same-ts ties, per-user isolation") {
     val ev = Seq(
       // user 1: two clicks then purchase — latest click attributes
