@@ -710,6 +710,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** The deterministic projection matrix behind [[randomProject]] —
+    * PUBLIC so an external oracle can embed the identical literals
+    * (one generator, two engines, zero drift). outDim rows of dim
+    * uniform [-1, 1) doubles from the seeded [[hyperplanes]] stream. */
+  def projectionPlanes(dim: Int, outDim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    hyperplanes(dim, outDim, 0, seed)
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003's
+    * database-friendly form: dense uniform entries): proj_j = v ·
+    * P_j / √outDim against the seeded deterministic matrix — the
+    * dimensionality-reduction step that makes downstream ANN/dedup
+    * cheaper at 100 TB (distances preserved within (1±ε) w.h.p.).
+    * Narrow per-row expressions against broadcast literal planes: no
+    * shuffle, no UDF, the corpus never moves. Null vectors pass
+    * through with a null projection (the pipeline null contract);
+    * dimension mismatches fail fast (ndot zip-truncation would
+    * silently corrupt every distance downstream).
+    *
+    * Returns (idCol, proj: array<double> of outDim entries). */
+  def randomProject(corpus: DataFrame, outDim: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1, s"randomProject: outDim must be >= 1, got $outDim")
+    useNative(corpus)
+    val dim = corpus.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+      .limit(1).collect().headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "randomProject: corpus has no non-empty vector to infer dim from"))
+    val checked = when(col(vecCol).isNull, col(vecCol))
+      .when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"graft randomProject: expected $dim-dimensional vectors, found "),
+        size(col(vecCol)).cast("string"))))
+    val planes = projectionPlanes(dim, outDim, seed)
+    val scale = math.sqrt(outDim.toDouble)
+    val proj = array(planes.map(p =>
+      ndot(checked, array(p.map(lit): _*)) / lit(scale)): _*)
+    corpus.select(col(idCol),
+      when(col(vecCol).isNull, lit(null).cast("array<double>"))
+        .otherwise(proj).as("proj"))
+  }
+
   /** ORACLE-REPLICABLE k-means clustering: `iters` Lloyd rounds from a
     * deterministic seed set (the k vectors with the smallest
     * md5(id-as-string), hex-ordered — the hash-sample idiom every

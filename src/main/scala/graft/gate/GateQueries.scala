@@ -606,6 +606,15 @@ object GateQueries {
       graft.functions.Dedup.leakageSafeSplit(
         t(s, d, "documents"), minhashPairs(s, d), testFrac = 0.25)
     }),
+    "e13_random_projection" -> ((s, d) => {
+      // JL dimensionality reduction 64 → 16 against the seeded
+      // deterministic matrix; the oracle embeds the IDENTICAL literal
+      // planes (one generator, projectionPlanes, builds both sides).
+      // 6-dp round on the projections is the gate's cross-engine
+      // FP-accumulation absorber (the a5/a11 convention).
+      graft.functions.Similarity.randomProject(t(s, d, "embeddings"), outDim = 16)
+        .select(col("vec_id"), transform(col("proj"), x => round(x, 6)).as("proj"))
+    }),
     "e12_kmeans_clusters" -> ((s, d) => {
       // k-means as a first-class pipeline op (corpus bucketing /
       // curriculum binning / SemDeDup's substrate): 2 deterministic
@@ -1200,6 +1209,22 @@ object GateQueries {
        |${lpaCtes(numIter)}
        |SELECT id, label FROM l$numIter""".stripMargin
 
+  /** e13 oracle: the [[graft.functions.Similarity.randomProject]] parity
+    * contract — the SAME projectionPlanes call that the engine uses
+    * emits the matrix as SQL double literals (Double.toString
+    * round-trips, so both engines hold bit-identical planes); 6-dp
+    * round absorbs dot-accumulation order. */
+  private def randomProjectOracleSql(dim: Int, outDim: Int, seed: Long): String = {
+    val planes = graft.functions.Similarity.projectionPlanes(dim, outDim, seed)
+    val entries = planes.map { p =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"ROUND(list_dot_product(v, $lits) / sqrt($outDim.0), 6)"
+    }.mkString("list_value(", ", ", ")")
+    s"""SELECT vec_id,
+       |  CASE WHEN embedding IS NULL THEN NULL ELSE $entries END AS proj
+       |FROM (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
+  }
+
   /** e12 oracle: the [[graft.functions.Similarity.kmeansAssign]] parity
     * contract unrolled — md5-ordered seed pick, argmin of the
     * c·c − 2·x·c expansion with cid tie-break, per-dim AVG centroids
@@ -1611,6 +1636,7 @@ object GateQueries {
     "e3_embedding_cluster_stats" ->
       "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1",
     "e12_kmeans_clusters" -> kmeansOracleSql(8, 2, 64),
+    "e13_random_projection" -> randomProjectOracleSql(64, 16, 42L),
     "e11_ann_filtered_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

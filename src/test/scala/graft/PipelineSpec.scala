@@ -1224,6 +1224,41 @@ class PipelineSpec extends AnyFunSuite {
       === triples(Similarity.bruteForceTopK(qs, emb, k = 5)))
   }
 
+  test("randomProject: deterministic, JL-orders a far pair above a near pair, null/ragged contracts, no shuffle") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p1 = Similarity.randomProject(emb, outDim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p2 = Similarity.randomProject(emb, outDim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1 === p2) // seeded determinism
+    assert(p1.values.forall(_.length === 16))
+    // JL sanity: the projected distance of a FAR original pair exceeds a
+    // NEAR one's (pick extremes from the exact pair table so the margin
+    // is wide enough that a 4× reduction cannot plausibly flip it)
+    val vecs = emb.limit(40).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val pairs = vecs.keys.toSeq.combinations(2).map { case Seq(a, b) =>
+      (a, b, d2(vecs(a), vecs(b))) }.toSeq
+    val near = pairs.minBy(_._3); val far = pairs.maxBy(_._3)
+    assert(d2(p1(far._1), p1(far._2)) > d2(p1(near._1), p1(near._2)),
+      "projection inverted the extreme distance pair")
+    // nulls pass through null; ragged dims fail fast
+    import spark.implicits._
+    val withNull = Seq((1L, Array(1.0f, 2.0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val np = Similarity.randomProject(withNull, outDim = 4)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(np(1L).isDefined && np(2L).isEmpty)
+    val ragged = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[Exception] { Similarity.randomProject(ragged, outDim = 4).collect() }
+    // narrow per-row projection: nothing shuffles
+    val plan = Similarity.randomProject(emb, outDim = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"randomProject shuffled:\n$plan")
+  }
+
   test("kmeansAssign: separated blobs recover their groups; iters=0 is nearest-seed; null vectors drop") {
     import spark.implicits._
     // two tight blobs far apart: any 2-means run must split them cleanly
