@@ -466,6 +466,49 @@ object GraphAnalytics {
           .otherwise(lit(0.0)).as("jaccard"))
   }
 
+  /** Sampled harmonic closeness centrality (Eppstein & Wang 2001's
+    * pivot-sampling estimator with the harmonic variant — robust to
+    * disconnection): multi-source BFS from the `nSeeds` deterministically
+    * chosen pivot vertices (smallest md5(id-as-string), the engine-wide
+    * hash-sample idiom) bounded at `maxDepth` hops, then per vertex
+    * harmonic = Σ_{seeds s at 0 < dist ≤ maxDepth} 1/dist(s, v). The
+    * per-seed BFS trees ride ONE frontier table keyed (seed, id), so the
+    * whole computation is maxDepth rounds of [join ∪ carry → min-dist
+    * groupBy] — each round one |frontier|-row hash join against the
+    * undirected edge list + one map-side-combined min agg, lineage cut
+    * per round (the iterative-op idiom). Cost per round ≤ |E|·nSeeds /
+    * |V| expected frontier expansion — linear in seeds, never all-pairs.
+    *
+    * Returns (id, n_reached, harmonic rounded 6 dp) for every vertex
+    * some seed reaches within maxDepth (including the seeds themselves;
+    * a vertex reached by no seed does not appear — on a sampled
+    * estimator absence means "no evidence", not zero). */
+  def harmonicCloseness(edges: DataFrame, nSeeds: Int, maxDepth: Int,
+      uCol: String = "u", vCol: String = "v"): DataFrame = {
+    require(nSeeds >= 1, s"harmonicCloseness: nSeeds must be >= 1, got $nSeeds")
+    require(maxDepth >= 1, s"harmonicCloseness: maxDepth must be >= 1, got $maxDepth")
+    val e = canonicalEdges(edges, uCol, vCol)
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+    val verts = und.select(col("x").as("id")).distinct()
+    val seeds = verts.orderBy(md5(col("id").cast("string")), col("id")).limit(nSeeds)
+    var d = seeds.select(col("id").as("seed"), col("id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var k = 0
+    while (k < maxDepth) {
+      d = d.unionAll(
+          d.join(und, d("id") === und("x"))
+            .select(col("seed"), col("y").as("id"), (col("dist") + 1L).as("dist")))
+        .groupBy(col("seed"), col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      k += 1
+    }
+    d.groupBy(col("id"))
+      .agg(count(when(col("dist") > 0, 1)).as("n_reached"),
+        round(coalesce(sum(when(col("dist") > 0, lit(1.0) / col("dist"))), lit(0.0)), 6)
+          .as("harmonic"))
+  }
+
   /** Local clustering coefficient per node: 2·triangles / (deg·(deg−1)),
     * the fraction of a node's neighbor pairs that are themselves
     * connected — [[triangleCounts]] normalized by the wedge count. Nodes

@@ -1012,6 +1012,13 @@ object GateQueries {
       // identical in the oracle
       graft.analytics.GraphAnalytics.adamicAdar(coPurchaseEdges(s, d))
     }),
+    "a15_harmonic_closeness" -> ((s, d) => {
+      // sampled harmonic closeness on the co-purchase graph: 8
+      // md5-pivot seeds, BFS bounded at 4 hops — the oracle unrolls the
+      // identical min-dist rounds as MATERIALIZED CTEs
+      graft.analytics.GraphAnalytics.harmonicCloseness(
+        coPurchaseEdges(s, d), nSeeds = 8, maxDepth = 4)
+    }),
     "a14_jaccard_links" -> ((s, d) => {
       // Jaccard link coefficient per co-purchase edge — support over the
       // excluded-endpoint neighborhood union; completes the a10/a13/a14
@@ -1209,6 +1216,41 @@ object GateQueries {
        |${lpaCtes(numIter)}
        |SELECT id, label FROM l$numIter""".stripMargin
 
+  /** a15 oracle: the [[graft.analytics.GraphAnalytics.harmonicCloseness]]
+    * rounds unrolled — md5-pivot seeds over the co-purchase vertex set,
+    * maxDepth min-dist BFS rounds (carry ∪ expand → MIN), harmonic sum
+    * over dist > 0 rounded 6 dp. */
+  private def harmonicClosenessOracleSql(nSeeds: Int, maxDepth: Int): String = {
+    val rounds = (1 to maxDepth).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT seed, id, MIN(dist) AS dist FROM (
+         |    SELECT seed, id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT p.seed, und.y AS id, p.dist + 1 FROM d${i - 1} p
+         |    JOIN und ON und.x = p.id) t
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+       |), e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey
+       |), und AS MATERIALIZED (
+       |  SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e
+       |), seeds AS (
+       |  SELECT id FROM (SELECT DISTINCT x AS id FROM und)
+       |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nSeeds
+       |), d0 AS (
+       |  SELECT id AS seed, id, CAST(0 AS BIGINT) AS dist FROM seeds
+       |),
+       |$rounds
+       |SELECT id, CAST(COUNT(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached,
+       |  ROUND(COALESCE(SUM(CASE WHEN dist > 0 THEN 1.0::DOUBLE / dist END), 0.0::DOUBLE), 6) AS harmonic
+       |FROM d$maxDepth GROUP BY id""".stripMargin
+  }
+
   /** e13 oracle: the [[graft.functions.Similarity.randomProject]] parity
     * contract — the SAME projectionPlanes call that the engine uses
     * emits the matrix as SQL double literals (Double.toString
@@ -1348,6 +1390,7 @@ object GateQueries {
         |SELECT e.a, e.b, CAST(COALESCE(sup.s, 0) AS BIGINT) AS support,
         |  COALESCE(sup.aa, 0.0) AS aa
         |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b""".stripMargin,
+    "a15_harmonic_closeness" -> harmonicClosenessOracleSql(8, 4),
     "a14_jaccard_links" ->
       """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0

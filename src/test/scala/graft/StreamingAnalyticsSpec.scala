@@ -1539,6 +1539,28 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(out.view.mapValues(_._1).toMap === sup)
   }
 
+  test("harmonicCloseness: exact harmonic on a path when all vertices seed; depth bound; component isolation") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // path 1-2-3-4-5 plus the isolated pair 8-9
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L)).toDF("u", "v")
+    // nSeeds >= |V|: every vertex is a pivot -> exact bounded harmonic
+    val out = GraphAnalytics.harmonicCloseness(e, nSeeds = 10, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 8L, 9L))
+    assert(out(1L) === ((4L, r6(1 + 0.5 + 1.0 / 3 + 0.25))))
+    assert(out(2L) === ((4L, r6(1 + 1 + 0.5 + 1.0 / 3))))
+    assert(out(3L) === ((4L, 3.0)))                  // 2×1 + 2×0.5
+    assert(out(8L) === ((1L, 1.0)))                  // isolated pair
+    // depth bound: at maxDepth=2 node 1 only reaches 2 and 3
+    val bounded = GraphAnalytics.harmonicCloseness(e, nSeeds = 10, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(bounded(1L) === ((2L, 1.5)))
+    // fewer seeds than vertices: output stays a subset of the full sums
+    val sampled = GraphAnalytics.harmonicCloseness(e, nSeeds = 3, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    sampled.foreach { case (id, h) => assert(h <= out(id)._2 + 1e-9, s"node $id oversum") }
+  }
+
   test("jaccardLinks: support over excluded-endpoint union; bridge 0") {
     // the edgeSupport fixture: K4 on 1-4 + bridge 4-5 + triangle 5-6-7.
     // Degrees: 1,2,3 → 3; 4 → 4; 5 → 3; 6,7 → 2.
