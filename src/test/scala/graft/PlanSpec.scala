@@ -269,6 +269,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
 
+  test("gopherFilters: narrow per-row rules, the corpus never shuffles") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.functions.TextAnalysis.gopherFilters(docs))
+    assert(!plan.contains("Exchange"), s"gopherFilters shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"gopherFilters joined:\n$plan")
+  }
+
+  test("attributeLastTouch: one carry-forward window, never a per-user join") {
+    val ev = GateQueries.events(spark, sfDir)
+    val plan = planOf(graft.streaming.EventStreams.attributeLastTouch(
+      ev, "click", "purchase", 3600L * 1000000000L))
+    assert(plan.contains("Window"), s"no window stage:\n$plan")
+    // the whole op is union + window: ANY join operator means the
+    // linear asof shape regressed to a per-user join
+    assert(!plan.contains("Join"), s"attribution planned a join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("trendingTypes: rank windows the aggregated series, counts partial-aggregate") {
+    val ev = GateQueries.events(spark, sfDir)
+    val plan = planOf(graft.streaming.EventStreams.trendingTypes(ev, k = 3))
+    assert(plan.contains("partial_count"), s"bucket count not map-side combined:\n$plan")
+    assert(plan.contains("Window"), s"no window stage:\n$plan")
+    assert(!plan.contains("Join"), s"trendingTypes joined:\n$plan")
+  }
+
+  test("kmeansAssign: broadcast centroids, map-side-combined update means, no cartesian") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = planOf(graft.functions.Similarity.kmeansAssign(emb, k = 4, iters = 1))
+    // centroid updates partial-aggregate (k·dim result rows cross the
+    // exchange, not |corpus|·dim), assignment min_by partial-combines
+    assert(plan.contains("partial_avg") || plan.contains("partial_min_by")
+      || plan.contains("partial_"), s"kmeans aggregations not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
   test("modularity: label joins hash by id, the m scalar folds in broadcast") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .filter(col("l_orderkey") % 4 === 0).select(col("l_orderkey"), col("l_partkey"))
