@@ -488,19 +488,34 @@ object GraphAnalytics {
     require(nSeeds >= 1, s"harmonicCloseness: nSeeds must be >= 1, got $nSeeds")
     require(maxDepth >= 1, s"harmonicCloseness: maxDepth must be >= 1, got $maxDepth")
     val e = canonicalEdges(edges, uCol, vCol)
+    // materialize the undirected edge list ONCE: it is joined every
+    // round, and an expensive upstream (e.g. the co-purchase self-join)
+    // would otherwise re-execute maxDepth times
     val und = e.select(col("a").as("x"), col("b").as("y"))
       .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true)
     val verts = und.select(col("x").as("id")).distinct()
     val seeds = verts.orderBy(md5(col("id").cast("string")), col("id")).limit(nSeeds)
     var d = seeds.select(col("id").as("seed"), col("id"), lit(0L).as("dist"))
       .localCheckpoint(true)
+    // frontier-delta expansion: unweighted BFS reaches every (seed, id)
+    // at its FINAL distance on first discovery, so each round expands
+    // ONLY last round's discoveries (anti-joined against the reached
+    // set) instead of the whole dist table — the reached set is carried,
+    // never re-expanded. Equivalent to the oracle's carry ∪ expand → MIN
+    // formulation, at frontier (not cumulative) join cost per round.
+    var frontier = d
     var k = 0
     while (k < maxDepth) {
-      d = d.unionAll(
-          d.join(und, d("id") === und("x"))
-            .select(col("seed"), col("y").as("id"), (col("dist") + 1L).as("dist")))
-        .groupBy(col("seed"), col("id")).agg(min(col("dist")).as("dist"))
+      val discovered = frontier.join(und, frontier("id") === und("x"))
+        .select(col("seed"), col("y").as("id"), (col("dist") + 1L).as("dist"))
+        .join(d, Seq("seed", "id"), "left_anti")
+        .dropDuplicates("seed", "id")
         .localCheckpoint(true)
+      // no checkpoint on d: it is a union of already-materialized rounds
+      // (lineage depth stays one union node per round, not a plan tree)
+      d = d.unionAll(discovered)
+      frontier = discovered
       k += 1
     }
     d.groupBy(col("id"))
