@@ -854,6 +854,44 @@ object TextAnalysis {
       when(t.isNull, lit(null).cast("string")).otherwise(keptText).as("kept_text"))
   }
 
+  /** PMI collocation extraction (Church & Hanks 1990): adjacent token
+    * pairs scored by pointwise mutual information — ln(p(w1,w2) /
+    * (p(w1)·p(w2))) with pair probability over the corpus bigram total
+    * and unigram probabilities over the corpus token total (the
+    * [[corpusTokens]] identity, so collocations/tf-idf/surprisal share
+    * one tokenizer). The classic phrase-mining / tokenizer-merge-rule
+    * signal; `minCount` floors the pair count (PMI is noise-dominated
+    * on rare pairs). Returns (w1, w2, c12, pmi rounded 6 dp).
+    *
+    * Scale shape: one exploded groupBy per vocabulary (unigram and
+    * bigram — both O(vocab) exchanges, map-side combined), totals as
+    * broadcast 1-row joins, the two unigram attaches keyed by word.
+    * Nothing touches |corpus|² and the raw corpus shuffles only its
+    * exploded tokens. */
+  def collocations(docs: DataFrame, minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"collocations: minCount must be >= 1, got $minCount")
+    val toks = corpusTokens(col(textCol))
+    val pairs = when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"), element_at(toks, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bg = docs.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("nt"))
+    val pairFreq = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val nPair = pairFreq.agg(sum(col("c12")).as("np"))
+    pairFreq.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") / col("np")) /
+          ((col("c1").cast("double") / col("nt")) *
+            (col("c2").cast("double") / col("nt")))), 6).as("pmi"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
     * public knowledge): word-count bounds, mean-word-length bounds,
     * symbol-to-word ratio (`#` and `...` load), fraction of words with

@@ -466,6 +466,12 @@ object GateQueries {
             .otherwise(lit(""))).as("text"))
       graft.functions.TextAnalysis.c4Filters(derived, minSentences = 3)
     }),
+    "t31_collocations" -> ((s, d) => {
+      // PMI collocations at minCount=5 over the documents corpus — the
+      // oracle replicates the chr(1)-joined bigram idiom (t26's, with
+      // its documented separator-collision caveat) and both totals
+      graft.functions.TextAnalysis.collocations(t(s, d, "documents"))
+    }),
     "t30_gopher_filters" -> ((s, d) => {
       // Gopher document-quality rules over a t28-style derived corpus
       // (the single-line synthetic docs lack bullets/ellipses/symbol
@@ -2099,6 +2105,24 @@ object GateQueries {
         |    AND NOT has_lorem AND NOT has_brace) AS keep,
         |  kept_text
         |FROM agg""".stripMargin,
+    "t31_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), uc AS (
+        |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+        |), nt AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uc),
+        |pf AS (
+        |  SELECT b, count(*) AS c12 FROM (
+        |    SELECT unnest([t[i] || chr(1) || t[i+1] for i in range(1, len(t))]) AS b FROM toks)
+        |  GROUP BY 1
+        |), np AS (SELECT CAST(sum(c12) AS BIGINT) AS np FROM pf)
+        |SELECT split_part(b, chr(1), 1) AS w1, split_part(b, chr(1), 2) AS w2, c12,
+        |  ROUND(LN((c12::DOUBLE / np) / ((u1.c::DOUBLE / nt) * (u2.c::DOUBLE / nt))), 6) AS pmi
+        |FROM pf CROSS JOIN nt CROSS JOIN np
+        |JOIN uc u1 ON u1.w = split_part(b, chr(1), 1)
+        |JOIN uc u2 ON u2.w = split_part(b, chr(1), 2)
+        |WHERE c12 >= 5""".stripMargin,
     "t30_gopher_filters" ->
       """WITH derived AS (
         |  SELECT doc_id, concat_ws(chr(10),

@@ -211,6 +211,23 @@ class PipelineSpec extends AnyFunSuite {
       && out(6L).isNullAt(7))                                      // null contract
   }
 
+  test("collocations: hand-computed PMI, minCount floor") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // tokens a,b,a,b,a,c (N_t=6: a=3 b=2 c=1); bigrams (a,b)x2 (b,a) (a,c) (N_p=4)
+    val docs = docsDF(1L -> "a b a b", 2L -> "a c")
+    val out = graft.functions.TextAnalysis.collocations(docs, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size === 3)
+    assert(out(("a", "b")) === ((2L, r6(math.log(3.0)))))    // (2/4)/((3/6)(2/6))
+    assert(out(("b", "a")) === ((1L, r6(math.log(1.5)))))    // (1/4)/((2/6)(3/6))
+    assert(out(("a", "c")) === ((1L, r6(math.log(3.0)))))    // (1/4)/((3/6)(1/6))
+    // the count floor drops singletons
+    val floored = graft.functions.TextAnalysis.collocations(docs, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(floored === Set(("a", "b")))
+  }
+
   test("gopherFilters: per-rule features and verdicts match the hand computation") {
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
     val docs = docsDF(
