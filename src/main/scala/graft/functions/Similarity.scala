@@ -931,10 +931,25 @@ object Similarity {
     * pos)) on a hash-sample capped at 256·nCodes vectors — at 100 TB no
     * Lloyd iteration ever re-reads the corpus. A codeword that loses
     * every member drops out (nCodes is an upper bound, standard Lloyd
-    * behavior). */
+    * behavior).
+    *
+    * Memoized per (session, corpus plan, config) like [[centroidsCached]]
+    * — training is deterministic, so PQ and IVF-PQ probing the same
+    * corpus at the same codebook config share ONE training run (the
+    * e7/e8 gate pair reuses it; same staleness caveat). The returned
+    * table is checkpointed — call sites need no extra materialization. */
+  private val booksCache = new graft.util.SessionCache[DataFrame](maxEntries = 8)
   def pqCodebooks(corpus: DataFrame, nSub: Int, nCodes: Int,
       lloydIters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    booksCache(corpus.sparkSession,
+      s"pq|${corpus.queryExecution.logical.semanticHash()}|$idCol|$vecCol|$nSub|$nCodes|$lloydIters")(
+      pqCodebooksUncached(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
+        .localCheckpoint(true))
+
+  private def pqCodebooksUncached(corpus: DataFrame, nSub: Int, nCodes: Int,
+      lloydIters: Int,
+      idCol: String, vecCol: String): DataFrame = {
     useNative(corpus)
     val dim = corpus.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
       .limit(1).collect().headOption.map(_.getInt(0))
@@ -1026,10 +1041,9 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       rerank: Int = 0): DataFrame = {
     useNative(queries)
-    // codebooks feed the encode AND the LUT subtrees — materialize once
-    // (deterministic lifecycle, the ivfTopK rationale)
+    // codebooks feed the encode AND the LUT subtrees — the memoized
+    // pqCodebooks table arrives checkpointed (deterministic lifecycle)
     val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
-      .localCheckpoint(true)
     val subDim = subDimOf(books)
     // codes carry the exact norm: ×nSub duplication of one float beats a
     // post-aggregation |queries|·|corpus| join against the norm table
@@ -1239,7 +1253,6 @@ object Similarity {
     val scored0 =
       if (!residual) {
         val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
-          .localCheckpoint(true)
         val subDim = subDimOf(books)
         val codes = pqCodedCorpus(corpus,
           coarseAssigned(corpus, cents, m, idCol, vecCol), books, nSub, subDim,
@@ -1282,7 +1295,6 @@ object Similarity {
             res(col(vecCol), col("centroid")).as("__res"))
           .localCheckpoint(true) // read by training AND encoding below
         val books = pqCodebooks(homes, nSub, nCodes, lloydIters, "__rid", "__res")
-          .localCheckpoint(true)
         val subDim = subDimOf(books)
         val codes = encodeAgainst(homes, books, nSub, subDim, "__rid", "__res")
           .select(col("id.i").as("nid"), col("id.c").as("centroid_id"),
@@ -1362,7 +1374,6 @@ object Similarity {
     val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters)
       .localCheckpoint(true)
     val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
-      .localCheckpoint(true)
     val subDim = subDimOf(books)
     val m = math.min(math.max(nAssign, 1), nCentroids)
     // the assignment feeds the coded corpus AND (optionally) the vector
