@@ -854,6 +854,75 @@ object TextAnalysis {
       when(t.isNull, lit(null).cast("string")).otherwise(keptText).as("kept_text"))
   }
 
+  /** BPE merge-rule learning (Sennrich et al. 2016) — the
+    * tokenizer-training primitive: start from character symbols per
+    * word (no cross-word merges, no end-of-word marker — documented
+    * simplification), repeat `nMerges` times: count adjacent symbol
+    * pairs across the corpus weighted by word frequency, take the most
+    * frequent pair (ties → lexicographically smallest), fuse it
+    * everywhere left-to-right non-overlapping. Returns the learned
+    * merge table (rank, left, right, pair_count) — rank 1 = first
+    * merge. Stops early when no pair remains.
+    *
+    * Cross-engine parity contract (the e12/e13 discipline): a word's
+    * symbol state is a STRING of \u0002…\u0003-wrapped symbols, and a
+    * merge applies as replace(state, wrap(x)+wrap(y) -> wrap(xy)) — plain
+    * non-overlapping left-to-right string replace, which both engines
+    * define identically and which IS the BPE greedy fuse (the wrappers
+    * make symbol boundaries unambiguous, so "xa"+"b" can never false-
+    * match "a"+"b", and adjacent fused runs re-merge exactly as BPE
+    * does). Corpus tokens must not contain the two control chars.
+    *
+    * Scale shape: learning runs on the DISTINCT-WORD frequency table
+    * (O(vocab) rows — the classic formulation), never the corpus; each
+    * round is one exploded pair count (map-side combined, O(pair-vocab)
+    * exchange), one 1-row argmax broadcast back, one narrow replace.
+    * The driver holds nMerges rows total (the merge table — the
+    * bounded-collect contract). */
+  def bpeMerges(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1, s"bpeMerges: nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val S = "\u0002"; val E = "\u0003"
+    val words0 = docs.select(explode(corpusTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var words = words0.withColumn("repr",
+        concat_ws("", transform(sequence(lit(1), length(col("w"))),
+          i => concat(lit(S), substring(col("w"), i, lit(1)), lit(E)))))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var rank = 1L
+    var done = false
+    while (rank <= nMerges && !done) {
+      // symbols between the wrappers; pairs via the t26 index transform
+      val syms = split(expr("substring(repr, 2, length(repr) - 2)"), E + S)
+      val pairs = when(size(syms) >= 2, transform(sequence(lit(0), size(syms) - 2),
+          i => struct(element_at(syms, i + 1).as("x"), element_at(syms, i + 2).as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))
+      val best = words.select(col("freq"), explode(pairs).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(desc("c"), col("x"), col("y")).limit(1)
+        .collect().headOption
+      best match {
+        case None => done = true
+        case Some(r) =>
+          val (x, y, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += ((rank, x, y, c))
+          words = words.withColumn("repr",
+              expr(s"replace(repr, ${sqlLit(S + x + E + S + y + E)}, ${sqlLit(S + x + y + E)})"))
+            .localCheckpoint(true)
+          rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Single-quoted SQL string literal with quote doubling (symbols are
+    * corpus-derived — an apostrophe token must not break the expr). */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** PMI collocation extraction (Church & Hanks 1990): adjacent token
     * pairs scored by pointwise mutual information — ln(p(w1,w2) /
     * (p(w1)·p(w2))) with pair probability over the corpus bigram total

@@ -466,6 +466,12 @@ object GateQueries {
             .otherwise(lit(""))).as("text"))
       graft.functions.TextAnalysis.c4Filters(derived, minSentences = 3)
     }),
+    "t32_bpe_merges" -> ((s, d) => {
+      // BPE merge-rule learning, 12 ranks over the documents corpus —
+      // the oracle unrolls the identical count → argmax → greedy-fuse
+      // rounds (the replace-based fuse is the cross-engine contract)
+      graft.functions.TextAnalysis.bpeMerges(t(s, d, "documents"), nMerges = 12)
+    }),
     "t31_collocations" -> ((s, d) => {
       // PMI collocations at minCount=5 over the documents corpus — the
       // oracle replicates the chr(1)-joined bigram idiom (t26's, with
@@ -1255,6 +1261,47 @@ object GateQueries {
        |SELECT id, CAST(COUNT(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached,
        |  ROUND(COALESCE(SUM(CASE WHEN dist > 0 THEN 1.0::DOUBLE / dist END), 0.0::DOUBLE), 6) AS harmonic
        |FROM d$maxDepth GROUP BY id""".stripMargin
+  }
+
+  /** t32 oracle: [[graft.functions.TextAnalysis.bpeMerges]] unrolled —
+    * word-frequency table, chr(2)/chr(3)-wrapped symbol strings, each
+    * round one pair count (chr(1)-joined, split back for the (c desc,
+    * x, y) argmax), one LEFT JOIN ON TRUE apply (an empty argmax —
+    * nothing left to merge — passes states through and emits no row,
+    * matching the engine's early stop). */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT split_part(pr, chr(1), 1) AS x, split_part(pr, chr(1), 2) AS y,
+         |    CAST(SUM(freq) AS BIGINT) AS c
+         |  FROM (
+         |    SELECT freq, unnest([s[j] || chr(1) || s[j+1] for j in range(1, len(s))]) AS pr
+         |    FROM (SELECT freq, string_split(substr(repr, 2, len(repr) - 2), chr(3) || chr(2)) AS s
+         |          FROM w${i - 1})
+         |  ) GROUP BY 1, 2
+         |), b$i AS (SELECT x, y, c FROM p$i ORDER BY c DESC, x, y LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    CASE WHEN b.x IS NULL THEN repr
+         |      ELSE replace(repr, chr(2) || b.x || chr(3) || chr(2) || b.y || chr(3),
+         |        chr(2) || b.x || b.y || chr(3)) END AS repr
+         |  FROM w${i - 1} LEFT JOIN b$i b ON TRUE
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, x AS \"left\", y AS \"right\", c AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT w AS word, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS w
+       |    FROM documents) GROUP BY 1
+       |), w0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    array_to_string([chr(2) || word[i] || chr(3) for i in range(1, len(word) + 1)], '') AS repr
+       |  FROM wf
+       |),
+       |$rounds
+       |$union""".stripMargin
   }
 
   /** e13 oracle: the [[graft.functions.Similarity.randomProject]] parity
@@ -2105,6 +2152,7 @@ object GateQueries {
         |    AND NOT has_lorem AND NOT has_brace) AS keep,
         |  kept_text
         |FROM agg""".stripMargin,
+    "t32_bpe_merges" -> bpeOracleSql(12),
     "t31_collocations" ->
       """WITH toks AS (
         |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t

@@ -211,6 +211,22 @@ class PipelineSpec extends AnyFunSuite {
       && out(6L).isNullAt(7))                                      // null contract
   }
 
+  test("bpeMerges: hand-computed merge sequence, tie rule, early stop") {
+    // low×3, lower×2, newest×1 — the Sennrich toy corpus shape
+    val docs = docsDF(1L -> "low low low", 2L -> "lower lower", 3L -> "newest")
+    val out = graft.functions.TextAnalysis.bpeMerges(docs, nMerges = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "l", "o", 5L),     // (l,o)=(o,w)=5 tie → lexicographic
+      (2L, "lo", "w", 5L),    // fused symbol re-pairs
+      (3L, "e", "r", 2L),     // (low,e)=(e,r)=2 tie → "e" < "low"
+      (4L, "low", "er", 2L),  // merged units compose
+      (5L, "e", "s", 1L)))    // all-1 tail: smallest (x, y)
+    // single-char words have no pairs: learning stops with an empty table
+    val none = graft.functions.TextAnalysis.bpeMerges(docsDF(1L -> "a b"), nMerges = 3)
+    assert(none.count() === 0L)
+  }
+
   test("collocations: hand-computed PMI, minCount floor") {
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
     // tokens a,b,a,b,a,c (N_t=6: a=3 b=2 c=1); bigrams (a,b)x2 (b,a) (a,c) (N_p=4)
