@@ -923,6 +923,40 @@ object TextAnalysis {
     * corpus-derived — an apostrophe token must not break the expr). */
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** Apply a learned [[bpeMerges]] table and count REAL BPE tokens per
+    * document — the honest token budgeter (vs [[tokenCountBpe]]'s
+    * regex heuristic): segment every DISTINCT word by replaying the
+    * merges in rank order (nMerges chained narrow replaces over the
+    * O(vocab) word table — the corpus itself is never re-segmented),
+    * then one word-keyed join attaches each word's symbol count to the
+    * exploded corpus and a map-side sum folds per doc. Returns (idCol,
+    * n_words, n_bpe_tokens); a doc with no tokens emits 0/0.
+    *
+    * `merges` empty (nothing learnable) degrades to character counting
+    * — exactly what a BPE tokenizer with no merges does. */
+  def bpeTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val S = "\u0002"; val E = "\u0003"
+    val words = docs.select(explode(corpusTokens(col(textCol))).as("w")).distinct()
+    val init = concat_ws("", transform(sequence(lit(1), length(col("w"))),
+      i => concat(lit(S), substring(col("w"), i, lit(1)), lit(E))))
+    val replayed = merges.foldLeft(init) { case (acc, (x, y)) =>
+      call_function("replace", acc, lit(S + x + E + S + y + E), lit(S + x + y + E))
+    }
+    val withRepr = words.withColumn("__repr", replayed)
+      .select(col("w"),
+        size(split(substring(col("__repr"), lit(2), length(col("__repr")) - 2), E + S))
+          .cast("long").as("ns"))
+    val perDoc = docs.select(col(idCol).as("id"), explode(corpusTokens(col(textCol))).as("w"))
+      .join(withRepr, "w")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_bpe_tokens"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** PMI collocation extraction (Church & Hanks 1990): adjacent token
     * pairs scored by pointwise mutual information — ln(p(w1,w2) /
     * (p(w1)·p(w2))) with pair probability over the corpus bigram total

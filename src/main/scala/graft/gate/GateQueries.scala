@@ -466,6 +466,15 @@ object GateQueries {
             .otherwise(lit(""))).as("text"))
       graft.functions.TextAnalysis.c4Filters(derived, minSentences = 3)
     }),
+    "t33_bpe_token_counts" -> ((s, d) => {
+      // the learned t32 merges APPLIED: per-doc real BPE token counts —
+      // segmentation replayed over the distinct-word table only, one
+      // word-keyed join back to the corpus
+      val docs = t(s, d, "documents")
+      val merges = graft.functions.TextAnalysis.bpeMerges(docs, nMerges = 12)
+        .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.functions.TextAnalysis.bpeTokenCounts(docs, merges)
+    }),
     "t32_bpe_merges" -> ((s, d) => {
       // BPE merge-rule learning, 12 ranks over the documents corpus —
       // the oracle unrolls the identical count → argmax → greedy-fuse
@@ -1269,7 +1278,7 @@ object GateQueries {
     * x, y) argmax), one LEFT JOIN ON TRUE apply (an empty argmax —
     * nothing left to merge — passes states through and emits no row,
     * matching the engine's early stop). */
-  private def bpeOracleSql(nMerges: Int): String = {
+  private def bpeCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { i =>
       s"""p$i AS (
          |  SELECT split_part(pr, chr(1), 1) AS x, split_part(pr, chr(1), 2) AS y,
@@ -1288,10 +1297,7 @@ object GateQueries {
          |  FROM w${i - 1} LEFT JOIN b$i b ON TRUE
          |)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to nMerges).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS rank, x AS \"left\", y AS \"right\", c AS pair_count FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH wf AS (
+    s"""wf AS (
        |  SELECT w AS word, count(*) AS freq FROM (
        |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS w
        |    FROM documents) GROUP BY 1
@@ -1300,9 +1306,35 @@ object GateQueries {
        |    array_to_string([chr(2) || word[i] || chr(3) for i in range(1, len(word) + 1)], '') AS repr
        |  FROM wf
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracleSql(nMerges: Int): String = {
+    val union = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, x AS \"left\", y AS \"right\", c AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeCtes(nMerges)}
        |$union""".stripMargin
   }
+
+  /** t33 oracle: the t32 CTE chain's FINAL word states (w<nMerges>)
+    * joined back onto the exploded corpus — per-doc real BPE token
+    * counts under the learned merges. */
+  private def bpeTokenCountOracleSql(nMerges: Int): String =
+    s"""WITH ${bpeCtes(nMerges)},
+       |syms AS (
+       |  SELECT word, CAST(len(string_split(substr(repr, 2, len(repr) - 2), chr(3) || chr(2))) AS BIGINT) AS ns
+       |  FROM w$nMerges
+       |), tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS w
+       |  FROM documents
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_words, CAST(SUM(syms.ns) AS BIGINT) AS n_bpe_tokens
+       |  FROM tok JOIN syms ON syms.word = tok.w GROUP BY 1
+       |)
+       |SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words,
+       |  COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
 
   /** e13 oracle: the [[graft.functions.Similarity.randomProject]] parity
     * contract — the SAME projectionPlanes call that the engine uses
@@ -2153,6 +2185,7 @@ object GateQueries {
         |  kept_text
         |FROM agg""".stripMargin,
     "t32_bpe_merges" -> bpeOracleSql(12),
+    "t33_bpe_token_counts" -> bpeTokenCountOracleSql(12),
     "t31_collocations" ->
       """WITH toks AS (
         |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t

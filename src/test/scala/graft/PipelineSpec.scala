@@ -227,6 +227,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(none.count() === 0L)
   }
 
+  test("bpeTokenCounts: learned merges shrink counts; empty merges = char count") {
+    val docs = docsDF(1L -> "low low low", 2L -> "lower lower", 3L -> "newest")
+    val merges = graft.functions.TextAnalysis.bpeMerges(docs, nMerges = 5)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = graft.functions.TextAnalysis.bpeTokenCounts(docs, merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // after 5 merges (see the bpeMerges test): low → [low] (1 symbol),
+    // lower → [low, er] (2), newest → [n, es, w, e, s, t]? — replay:
+    // chars n,e,w,e,s,t; (l,o)/(lo,w) no-ops; (e,r) no-op; (low,er)
+    // no-op; (e,s): n,e,w,[es],t = 5 symbols
+    assert(out(1L) === ((3L, 3L)))   // 3 words × 1 symbol
+    assert(out(2L) === ((2L, 4L)))   // 2 words × 2 symbols
+    assert(out(3L) === ((1L, 5L)))
+    // no merges learned/applied → plain character counts
+    val chars = graft.functions.TextAnalysis.bpeTokenCounts(docs, Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(chars === Map(1L -> 9L, 2L -> 10L, 3L -> 6L))
+  }
+
   test("collocations: hand-computed PMI, minCount floor") {
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
     // tokens a,b,a,b,a,c (N_t=6: a=3 b=2 c=1); bigrams (a,b)x2 (b,a) (a,c) (N_p=4)
