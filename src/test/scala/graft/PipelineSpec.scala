@@ -234,11 +234,10 @@ class PipelineSpec extends AnyFunSuite {
     val out = graft.functions.TextAnalysis.bpeTokenCounts(docs, merges)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // after 5 merges (see the bpeMerges test): low → [low] (1 symbol),
-    // lower → [low, er] (2), newest → [n, es, w, e, s, t]? — replay:
-    // chars n,e,w,e,s,t; (l,o)/(lo,w) no-ops; (e,r) no-op; (low,er)
-    // no-op; (e,s): n,e,w,[es],t = 5 symbols
+    // lower → [low, er] → merge 4 (low,er) fuses to [lower] (1);
+    // newest replay: n,e,w,e,s,t; only (e,s) applies → n,e,w,[es],t (5)
     assert(out(1L) === ((3L, 3L)))   // 3 words × 1 symbol
-    assert(out(2L) === ((2L, 4L)))   // 2 words × 2 symbols
+    assert(out(2L) === ((2L, 2L)))   // 2 words × 1 symbol
     assert(out(3L) === ((1L, 5L)))
     // no merges learned/applied → plain character counts
     val chars = graft.functions.TextAnalysis.bpeTokenCounts(docs, Seq.empty)
