@@ -193,6 +193,31 @@ object PipelineDemo {
     println(s"window anomalies: ${spikes.filter(col("anomaly")).count()} " +
       s"flagged of ${spikes.count()} (type, hour) buckets")
 
+    // 13. tokenizer learning: BPE merges from the corpus, then the real
+    // per-doc BPE token budget under those merges
+    val merges = TextAnalysis.bpeMerges(docs, nMerges = 8)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val bpe = TextAnalysis.bpeTokenCounts(docs, merges)
+    val bstats = bpe.agg(sum("n_words"), sum("n_bpe_tokens")).head()
+    println(s"BPE: ${merges.size} merges learned " +
+      s"(first: ${merges.take(3).map { case (a, b) => a + "+" + b }.mkString(", ")}); " +
+      s"${bstats.getLong(0)} words → ${bstats.getLong(1)} BPE tokens")
+
+    // 14. filtered + clustered embeddings: metadata-predicate ANN and
+    // deterministic k-means corpus bucketing
+    val filteredAnn = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 3,
+      nCentroids = 8, nProbe = 8, corpusFilter = Some(col("label") % 2 === 0))
+    println(s"filtered ANN (even labels only): ${filteredAnn.count()} rows")
+    val km = Similarity.kmeansAssign(emb, k = 4, iters = 2)
+    println(s"k-means corpus buckets: ${km.groupBy("cluster").count().count()} clusters")
+
+    // 15. attribution: last click before each purchase, 6-hour horizon
+    val attr = graft.streaming.EventStreams.attributeLastTouch(
+      graft.gate.GateQueries.events(spark, sfDir), "click", "purchase",
+      21600L * 1000000000L)
+    println(s"attribution: ${attr.filter(col("attributed")).count()} of " +
+      s"${attr.count()} purchases attributed to a click")
+
     spark.stop()
   }
 }
