@@ -296,6 +296,59 @@ object Similarity {
     * never a |corpus|·k window sort). Shared-cluster duplicates are
     * canonicalized and deduped; nAssign=1 keeps the original
     * no-dedup-shuffle single-assignment shape. */
+  /** Embedding-space decontamination: every (corpus, reference) pair
+    * with cosine ≥ threshold — the SEMANTIC complement of the n-gram
+    * decontamination op (paraphrased test-set leakage that no token
+    * overlap catches; the corpus side anti-joins the result to clean).
+    * Cross-corpus [[cosineDuplicates]]: same seeded hyperplane tables
+    * bucket BOTH sides, per-table bucket joins + union + pair dedup,
+    * exact cosine decides — candidates ∝ bucket collisions, never
+    * |corpus|×|reference|. `exhaustive = true` is the zero-bit
+    * one-bucket verification tier (EXACT — the oracle-checkable form);
+    * the reference side is usually small, so the exhaustive tier is
+    * often affordable too (|corpus|×|ref| streamed through codegen, no
+    * exchange). `probes` widens the CORPUS side's bucket list
+    * (Hamming-1 multi-probe) for recall at fixed index shape.
+    *
+    * Returns (doc_id, ref_id, cosine rounded 6 dp) — one row per
+    * contaminated pair; distinct doc_ids are the removal set. */
+  def semanticDecontam(corpus: DataFrame, reference: DataFrame,
+      threshold: Double, dim: Int,
+      bits: Int = 10, tables: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      exhaustive: Boolean = false, probes: Int = 0): DataFrame = {
+    useNative(corpus)
+    // bits <= 0 → adaptive width from the CORPUS side (the
+    // cosineDuplicates log2(n/32) rule); probes < 0 → full Hamming-1 at
+    // the resolved width — the d4 recall configuration
+    val (nBits, nTables) =
+      if (exhaustive) (0, 1)
+      else if (bits > 0) (bits, tables)
+      else {
+        val n = corpusCount(corpus)
+        (math.max(2, math.ceil(math.log(math.max(n, 128L) / 32.0)
+          / math.log(2.0)).toInt), tables)
+      }
+    val p1 = if (probes < 0) nBits else probes
+    val a = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("av"),
+      nnorm(col(vecCol)).as("an"))
+    val b = reference.select(col(idCol).as("ref_id"), col(vecCol).as("bv"),
+      nnorm(col(vecCol)).as("bn"))
+    val raw = (0 until nTables).map { t =>
+      val planes = hyperplanes(dim, nBits, t, seed)
+      val aB =
+        if (p1 <= 0) a.withColumn("bucket", nativeSignature(col("av"), planes))
+        else a.withColumn("bucket", explode(probeBuckets(col("av"), planes, p1)))
+      aB.join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")
+        .drop("bucket")
+    }.reduce(_ unionByName _)
+    val uniq = if (nTables == 1 && p1 <= 0) raw
+      else raw.dropDuplicates("doc_id", "ref_id")
+    uniq.withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_id"), col("ref_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   def semanticDedup(vectors: DataFrame, threshold: Double, nClusters: Int,
       maxClusterSize: Long = 100000,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -807,6 +807,16 @@ object GateQueries {
           emb.filter(col("vec_id") < 50), emb, k = 10, dim = 64, bits = 0, tables = 1)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
+    "d15_semantic_decontam" -> ((s, d) => {
+      // embedding-space decontamination, exhaustive verification tier:
+      // corpus = vec_id < 400, held-out reference = vec_id >= 400, the
+      // d6 threshold/rounding conventions; the LSH-bucketed scale tier
+      // is unit-pinned against this exact form
+      val emb = t(s, d, "embeddings")
+      graft.functions.Similarity.semanticDecontam(
+        emb.filter(col("vec_id") < 400), emb.filter(col("vec_id") >= 400),
+        threshold = 0.35, dim = 64, exhaustive = true)
+    }),
     "d6_embedding_dups_exact" -> ((s, d) => {
       // vec_id < 1000 bounds the deliberately-quadratic verification tier
       // in the bench (covers the whole corpus at the sf0.01 gate scale)
@@ -1794,6 +1804,11 @@ object GateQueries {
     // DOUBLE[] (float-space cosine differs ~1e-7 → rounding boundaries)
     // and rounds in double space (ROUND on a FLOAT returns FLOAT, whose
     // nearest value to 0.350084 prints as 0.35008400678…).
+    "d15_semantic_decontam" ->
+      """SELECT a.vec_id AS doc_id, b.vec_id AS ref_id,
+        |ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < 400 AND b.vec_id >= 400
+        |AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
     "d6_embedding_dups_exact" ->
       """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
         |ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine

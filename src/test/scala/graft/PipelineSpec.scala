@@ -1310,6 +1310,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"randomProject shuffled:\n$plan")
   }
 
+  test("semanticDecontam: bucketed tier recalls the exhaustive pair set; removal flow") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 250)
+    val ref = emb.filter(col("vec_id") >= 250)
+    val exact = Similarity.semanticDecontam(corpus, ref, threshold = 0.3,
+        dim = 64, exhaustive = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture has no cross-corpus near pairs — threshold too high")
+    // every pair crosses the split and clears the threshold
+    exact.foreach { case (d, r) => assert(d < 250 && r >= 250) }
+    // LSH-bucketed tier: a subset of the exact pairs at decent recall
+    // LSH-bucketed tier at the d4 recall config (adaptive bits, full
+    // Hamming-1 probes): a subset of the exact pairs at decent recall
+    val bucketed = Similarity.semanticDecontam(corpus, ref, threshold = 0.3,
+        dim = 64, bits = -1, tables = 8, probes = -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact), "bucketed tier emitted a below-threshold pair")
+    assert(bucketed.size.toDouble / exact.size >= 0.7,
+      s"bucketed recall ${bucketed.size}/${exact.size} collapsed")
+    // the removal flow: anti-join leaves no contaminated doc behind
+    val cleaned = corpus.join(
+      Similarity.semanticDecontam(corpus, ref, threshold = 0.3, dim = 64,
+        exhaustive = true).select(col("doc_id").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+    assert(cleaned.count() === corpus.count() - exact.map(_._1).size)
+  }
+
   test("kmeansAssign: separated blobs recover their groups; iters=0 is nearest-seed; null vectors drop") {
     import spark.implicits._
     // two tight blobs far apart: any 2-means run must split them cleanly
