@@ -74,6 +74,75 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * diversified top-k — greedily pick, per query, the candidate
+    * maximizing λ·rel(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s), so
+    * results cover the neighborhood instead of k copies of one cluster
+    * (the retrieval-diversity op every RAG stack bolts on). Relevance
+    * and inter-candidate similarity are both cosine.
+    *
+    * Scale shape: the candidate pool is the top-`candidates` relevance
+    * shortlist per query (one [[bruteForceTopK]]-shaped pass — compose
+    * with an ANN tier upstream for sublinear pools), pairwise sims are
+    * C²-per-query over the SHORTLIST only (never the corpus), and each
+    * of the k greedy rounds is one join + max-penalty aggregation +
+    * argmax min_by — all map-side combinable, lineage cut per round.
+    * First pick = pure relevance (empty penalty = 0, the classic
+    * definition); ties break to the smaller id everywhere.
+    *
+    * Returns (query_id, neighbor_id, mmr_rank, mmr_score rounded 6 dp).
+    * Queries with fewer than k candidates emit what they have. */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      lambda: Double = 0.7, candidates: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"mmrTopK: k must be >= 1, got $k")
+    require(lambda >= 0 && lambda <= 1, s"mmrTopK: lambda must be in [0,1], got $lambda")
+    require(candidates >= k, s"mmrTopK: candidates ($candidates) must be >= k ($k)")
+    useNative(queries)
+    val cands = bruteForceTopK(queries, corpus, candidates, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("cosine").as("rel"))
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        nnorm(col(vecCol)).as("n")), "id")
+      .localCheckpoint(true)
+    val pairs = cands.select(col("query_id"), col("id").as("a"),
+        col("v").as("av"), col("n").as("an"))
+      .join(cands.select(col("query_id"), col("id").as("b"),
+        col("v").as("bv"), col("n").as("bn")), "query_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        (ndot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
+      .localCheckpoint(true)
+    val lam = lit(lambda)
+    // round 1: pure relevance argmax
+    var selected = cands.groupBy(col("query_id"))
+      .agg(min_by(struct(col("id"), col("rel")), struct(-col("rel"), col("id"))).as("p"))
+      .select(col("query_id"), col("p.id").as("id"), lit(1).as("mmr_rank"),
+        (lam * col("p.rel")).as("mmr_score"))
+      .localCheckpoint(true)
+    var i = 2
+    while (i <= k) {
+      val remaining = cands.join(selected.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_anti")
+      val pen = remaining
+        .join(pairs.withColumnRenamed("a", "id"), Seq("query_id", "id"))
+        .join(selected.select(col("query_id"), col("id").as("b")), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("id"))
+        .agg(first(col("rel")).as("rel"), max(col("sim")).as("penalty"))
+      val pick = pen
+        .withColumn("score", lam * col("rel") - (lit(1.0) - lam) * col("penalty"))
+        .groupBy(col("query_id"))
+        .agg(min_by(struct(col("id"), col("score")),
+          struct(-col("score"), col("id"))).as("p"))
+        .select(col("query_id"), col("p.id").as("id"), lit(i).as("mmr_rank"),
+          col("p.score").as("mmr_score"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+      i += 1
+    }
+    selected.select(col("query_id"), col("id").as("neighbor_id"),
+      col("mmr_rank").cast("long").as("mmr_rank"),
+      round(col("mmr_score"), 6).as("mmr_score"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: dim × bits doubles in [-1,1),
     * seeded — same planes on every executor/run. */
   private def hyperplanes(dim: Int, bits: Int, table: Int, seed: Long): Seq[Seq[Double]] = {

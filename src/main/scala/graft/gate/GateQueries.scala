@@ -627,6 +627,13 @@ object GateQueries {
       graft.functions.Dedup.leakageSafeSplit(
         t(s, d, "documents"), minhashPairs(s, d), testFrac = 0.25)
     }),
+    "e14_mmr_rerank" -> ((s, d) => {
+      // MMR diversified top-5 from a top-20 relevance shortlist at
+      // λ=0.7 — the oracle unrolls the identical greedy rounds
+      val emb = t(s, d, "embeddings")
+      graft.functions.Similarity.mmrTopK(
+        emb.filter(col("vec_id") < 50), emb, k = 5, lambda = 0.7, candidates = 20)
+    }),
     "e13_random_projection" -> ((s, d) => {
       // JL dimensionality reduction 64 → 16 against the seeded
       // deterministic matrix; the oracle embeds the IDENTICAL literal
@@ -1282,6 +1289,58 @@ object GateQueries {
        |FROM d$maxDepth GROUP BY id""".stripMargin
   }
 
+  /** e14 oracle: [[graft.functions.Similarity.mmrTopK]] unrolled — the
+    * top-C relevance shortlist, C²-per-query pair sims, then k greedy
+    * rounds (argmax of λ·rel − (1−λ)·max-sim-to-selected, ties to the
+    * smaller id). λ literals are emitted from the SAME Scala doubles
+    * the engine uses, ::DOUBLE-cast so DuckDB doesn't read them as
+    * DECIMAL. */
+  private def mmrOracleSql(k: Int, lambda: Double, candidates: Int): String = {
+    val lam = s"${lambda}::DOUBLE"
+    val oneMinus = s"${1.0 - lambda}::DOUBLE"
+    val rounds = (2 to k).map { i =>
+      s"""r$i AS (
+         |  SELECT query_id, id, $i AS mmr_rank, score FROM (
+         |    SELECT p.query_id, p.id, $lam * p.rel - $oneMinus * p.pen AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |        ORDER BY $lam * p.rel - $oneMinus * p.pen DESC, p.id) AS rn
+         |    FROM (
+         |      SELECT c.query_id, c.id, c.rel, MAX(ps.sim) AS pen
+         |      FROM cands c
+         |      JOIN pairsim ps ON ps.query_id = c.query_id AND ps.a = c.id
+         |      JOIN s${i - 1} s ON s.query_id = ps.query_id AND s.id = ps.b
+         |      WHERE NOT EXISTS (SELECT 1 FROM s${i - 1} x
+         |        WHERE x.query_id = c.query_id AND x.id = c.id)
+         |      GROUP BY 1, 2, 3) p) WHERE rn = 1
+         |), s$i AS MATERIALIZED (
+         |  SELECT * FROM s${i - 1} UNION ALL SELECT * FROM r$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cands AS MATERIALIZED (
+       |  SELECT query_id, id, rel FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS id,
+       |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS rel,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 50) t WHERE rn <= $candidates
+       |), pairsim AS MATERIALIZED (
+       |  SELECT c1.query_id, c1.id AS a, c2.id AS b,
+       |    list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) AS sim
+       |  FROM cands c1 JOIN cands c2 ON c1.query_id = c2.query_id AND c1.id <> c2.id
+       |  JOIN embeddings e1 ON e1.vec_id = c1.id
+       |  JOIN embeddings e2 ON e2.vec_id = c2.id
+       |), s1 AS MATERIALIZED (
+       |  SELECT query_id, id, 1 AS mmr_rank, $lam * rel AS score FROM (
+       |    SELECT query_id, id, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rn
+       |    FROM cands) WHERE rn = 1
+       |),
+       |$rounds
+       |SELECT query_id, id AS neighbor_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+       |  ROUND(score, 6) AS mmr_score FROM s$k""".stripMargin
+  }
+
   /** t32 oracle: [[graft.functions.TextAnalysis.bpeMerges]] unrolled —
     * word-frequency table, chr(2)/chr(3)-wrapped symbol strings, each
     * round one pair count (chr(1)-joined, split back for the (c desc,
@@ -1775,6 +1834,7 @@ object GateQueries {
       "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1",
     "e12_kmeans_clusters" -> kmeansOracleSql(8, 2, 64),
     "e13_random_projection" -> randomProjectOracleSql(64, 16, 42L),
+    "e14_mmr_rerank" -> mmrOracleSql(5, 0.7, 20),
     "e11_ann_filtered_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1310,6 +1310,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"randomProject shuffled:\n$plan")
   }
 
+  test("mmrTopK: diversity beats redundancy at the second pick; pure relevance first") {
+    import spark.implicits._
+    // a and b are EXACT copies (rel ≈ 0.98 each, sim(a,b) = 1), c is
+    // orthogonal to them (rel ≈ 0.196, sim to a = 0). Plain top-2 =
+    // (a, b); MMR at λ=0.5 scores b at 0.5·(0.98 − 1) < 0 and c at
+    // 0.5·(0.196 − 0) > 0 — the near-copy loses to the diverse pick.
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0.0f, 0.0f)
+    val corpus = Seq(
+      (1L, v(1.0, 0.0)),       // a
+      (2L, v(1.0, 0.0)),       // b = a
+      (3L, v(0.0, 1.0)),       // c orthogonal
+      (100L, v(1.0, 0.2))).toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") === 100L)
+    val out = Similarity.mmrTopK(qs, corpus, k = 2, lambda = 0.5, candidates = 3)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L, "first pick must be the pure-relevance argmax")
+    assert(out(2L) === 3L, "second pick must be the diverse candidate, not the near-copy")
+    // λ=1 degenerates to plain relevance ranking
+    val rel = Similarity.mmrTopK(qs, corpus, k = 2, lambda = 1.0, candidates = 3)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(rel === Map(1L -> 1L, 2L -> 2L))
+    // fewer candidates than k: emits what exists
+    val short = Similarity.mmrTopK(qs, corpus.filter(col("vec_id") <= 1), k = 3,
+      lambda = 0.5, candidates = 3)
+    assert(short.count() === 1L)
+  }
+
   test("semanticDecontam: bucketed tier recalls the exhaustive pair set; removal flow") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = emb.filter(col("vec_id") < 250)
