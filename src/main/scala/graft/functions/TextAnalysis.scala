@@ -577,10 +577,13 @@ object TextAnalysis {
     // \u0001 separator can never mis-assign a context (the key string
     // keeps the repo-wide wordNgrams convention and with it the
     // documented count-collision caveat for such tokens)
-    val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2),
-          i => struct(element_at(toks, i + 1).as("u"),
-            concat_ws("\u0001", element_at(toks, i + 1), element_at(toks, i + 2)).as("b"))))
+    // zip_with over two slices, NOT transform+element_at — a lambda
+    // does not hoist outer expressions, so element_at(toks, i) would
+    // re-evaluate the split per element (the collocations fix:
+    // O(words²·chars) per doc otherwise)
+    val bigrams = when(size(toks) >= 2, zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("u"), concat_ws("\u0001", a, b).as("b"))))
       .otherwise(array().cast("array<struct<u:string,b:string>>"))
     val bg = docs.select(col(idCol).as("id"), explode(bigrams).as("g"))
       .select(col("id"), col("g.u").as("u"), col("g.b").as("b"))
@@ -975,15 +978,26 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(minCount >= 1, s"collocations: minCount must be >= 1, got $minCount")
     val toks = corpusTokens(col(textCol))
-    val pairs = when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
-        i => struct(element_at(toks, i + 1).as("w1"), element_at(toks, i + 2).as("w2"))))
+    // zip_with over two slices, NOT transform+element_at: higher-order
+    // lambdas don't hoist outer expressions, so element_at(toks, i)
+    // re-evaluates the SPLIT per element — O(words²·chars) per doc
+    // (measured 7.5 s → 0.9 s at sf0.1). The slices evaluate toks a
+    // constant number of times and the lambda touches only bound args.
+    val pairs = when(size(toks) >= 2, zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
     val bg = docs.select(explode(pairs).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // both vocab tables feed two subtrees each (their total AND the
+    // joins) — materialize the O(vocab) aggregates once so the corpus
+    // explode runs once per table, not once per consumer
     val uni = docs.select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val nTok = uni.agg(sum(col("c")).as("nt"))
     val pairFreq = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     val nPair = pairFreq.agg(sum(col("c12")).as("np"))
     pairFreq.filter(col("c12") >= minCount)
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
