@@ -898,10 +898,13 @@ object TextAnalysis {
     var rank = 1L
     var done = false
     while (rank <= nMerges && !done) {
-      // symbols between the wrappers; pairs via the t26 index transform
+      // symbols between the wrappers; adjacent pairs via zip_with over
+      // slices (the collocations rule — a transform lambda would
+      // re-split the state string per element)
       val syms = split(expr("substring(repr, 2, length(repr) - 2)"), E + S)
-      val pairs = when(size(syms) >= 2, transform(sequence(lit(0), size(syms) - 2),
-          i => struct(element_at(syms, i + 1).as("x"), element_at(syms, i + 2).as("y"))))
+      val pairs = when(size(syms) >= 2, zip_with(
+          slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("x"), b.as("y"))))
         .otherwise(array().cast("array<struct<x:string,y:string>>"))
       val best = words.select(col("freq"), explode(pairs).as("p"))
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
