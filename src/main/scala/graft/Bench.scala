@@ -187,6 +187,7 @@ object Bench {
       ("e8", "e8_ann_ivfpq_topk", "e1_ann_bruteforce_topk", Seq("query_id", "neighbor_id")),
       ("e9", "e9_ann_sq8_topk", "e1_ann_bruteforce_topk", Seq("query_id", "neighbor_id")),
       ("e10", "e10_ann_ivfsq8_topk", "e1_ann_bruteforce_topk", Seq("query_id", "neighbor_id")),
+      ("e15", "e15_ann_projected_topk", "e1_ann_bruteforce_topk", Seq("query_id", "neighbor_id")),
       ("d4", "d4_embedding_near_dups", "d6_embedding_dups_exact", Seq("doc_a", "doc_b")),
       ("d9", "d9_semantic_dedup", "d6_embedding_dups_exact", Seq("doc_a", "doc_b")))
     // memoized per query name: e1 is the exact twin of BOTH e7 and e8 —

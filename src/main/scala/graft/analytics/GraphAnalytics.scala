@@ -702,4 +702,58 @@ object GraphAnalytics {
     }
     auth.join(hub, Seq("id"))
   }
+
+  /** Deterministic random-walk corpus over an undirected edge list —
+    * the DeepWalk/node2vec(p=q=1) sampling stage (Perozzi et al. 2014)
+    * that turns a graph into walk "sentences" for embedding training.
+    * Returns (walk_id, step, node): `nWalks` walks of up to `walkLength`
+    * steps (step 0 = the start node; a walk that reaches an isolated
+    * node — impossible undirected, possible under a directed variant —
+    * simply ends short).
+    *
+    * Start nodes are the first `nWalks` vertices in md5(id) order (the
+    * [[harmonicCloseness]] pivot idiom: a seeded uniform sample no
+    * external engine has trouble replicating); walk_id = start node id.
+    * The "random" neighbor at step s of walk w is the argmin of
+    * md5(seed:w:s:y) over neighbors y of the current node — a hash-keyed
+    * uniform draw that is a pure function of (seed, walk, step,
+    * candidate), so an oracle unrolls the identical choice with its own
+    * md5. Collisions of 128-bit digests over distinct inputs do not
+    * occur, so argmin-by-hash is deterministic on both engines.
+    *
+    * Scale shape, per step: the frontier carries exactly one row per
+    * live walk — joined hash-keyed against the mirrored adjacency (the
+    * frontier side is tiny relative to |E| and rides a broadcast under
+    * AQE), then one min_by aggregation keyed by walk with map-side
+    * partial combine, so a hub node's candidate fan-out collapses
+    * before the exchange. Cost: walkLength × (|frontier|⋈|E| + agg) —
+    * linear in edges touched, never all-pairs; lineage cut per step. */
+  def randomWalks(edges: DataFrame, nWalks: Int, walkLength: Int,
+      seed: Long = 42L, uCol: String = "u", vCol: String = "v"): DataFrame = {
+    require(nWalks >= 1, s"randomWalks: nWalks must be >= 1, got $nWalks")
+    require(walkLength >= 1, s"randomWalks: walkLength must be >= 1, got $walkLength")
+    val e = canonicalEdges(edges, uCol, vCol)
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true)
+    val starts = und.select(col("x").as("id")).distinct()
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(nWalks)
+    var frontier = starts
+      .select(col("id").as("walk_id"), lit(0).as("step"), col("id").as("node"))
+      .localCheckpoint(true)
+    var out = frontier
+    var s = 1
+    while (s < walkLength) {
+      val draw = md5(concat_ws(":", lit(seed).cast("string"),
+        col("walk_id").cast("string"), lit(s).cast("string"), col("y").cast("string")))
+      frontier = frontier.join(und, frontier("node") === und("x"))
+        .groupBy(col("walk_id"))
+        .agg(min_by(col("y"), draw).as("node"))
+        .select(col("walk_id"), lit(s).as("step"), col("node"))
+        .localCheckpoint(true)
+      out = out.unionAll(frontier)
+      s += 1
+    }
+    out
+  }
 }

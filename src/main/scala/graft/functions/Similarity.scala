@@ -873,6 +873,33 @@ object Similarity {
         .otherwise(proj).as("proj"))
   }
 
+  /** Two-stage projected ANN (the Matryoshka/coarse-to-fine retrieval
+    * pattern): score the corpus in a [[randomProject]]ed `outDim`-wide
+    * space (a dim/outDim-times cheaper scan — the same compressed-scan
+    * family as PQ/SQ8), keep the top-`shortlist` candidates per query,
+    * then re-rank the survivors with exact full-dimension cosine to the
+    * final top-k ([[rerankExact]], the e7/e8 IVFADC+R refinement stage).
+    * Both sides project against the SAME seeded plane matrix, so the
+    * prefilter is a genuine JL sketch of the true geometry, not two
+    * unrelated embeddings.
+    *
+    * Scale shape: one narrow projection per side (no shuffle), the
+    * all-pairs stage runs at outDim width (compose with an IVF tier
+    * upstream when even that scan is too wide), and the re-rank join is
+    * bounded by |queries|·shortlist rows riding a broadcast. Approximate
+    * tier: recall floor pinned in RecallSpec against the e1 exact twin. */
+  def projectedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      outDim: Int, shortlist: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"projectedTopK: k must be >= 1, got $k")
+    require(shortlist >= k,
+      s"projectedTopK: shortlist must be >= k, got $shortlist < $k")
+    val qp = randomProject(queries, outDim, seed, idCol, vecCol)
+    val cp = randomProject(corpus, outDim, seed, idCol, vecCol)
+    val cand = bruteForceTopK(qp, cp, shortlist, idCol, "proj")
+    rerankExact(cand, queries, corpus, k, idCol, vecCol)
+  }
+
   /** ORACLE-REPLICABLE k-means clustering: `iters` Lloyd rounds from a
     * deterministic seed set (the k vectors with the smallest
     * md5(id-as-string), hex-ordered — the hash-sample idiom every

@@ -1146,6 +1146,57 @@ object TextAnalysis {
       .select(col("tok"), col("cnt"), (col("cnt") / col("tot")).as("frac"))
   }
 
+  /** Multinomial Naive Bayes source/label classifier, trained and scored
+    * on the corpus itself — the classic fastText-era quality/provenance
+    * classifier shape (a linear model over token counts) reduced to pure
+    * aggregations, which is what makes it both 100 TB-scalable and
+    * oracle-replicable. Add-one (Laplace) smoothing over the corpus
+    * vocabulary; per-doc score(c) = ln P(c) + Σ_tok tf·ln P(tok|c);
+    * prediction = argmax with smaller-label tie-break. Emits
+    * (idCol, predicted, score) with score rounded to 4 dp (the a5/a11
+    * precedent: rounding absorbs double-summation order between
+    * engines; argmax itself uses the unrounded scores, where an
+    * engine-order fp divergence would need two classes within ~1e-11 to
+    * flip).
+    *
+    * Scale shape: tokenization explodes once (|corpus tokens| rows,
+    * narrow); tf / per-class counts / class totals are map-side-combined
+    * aggregations; the dense likelihood table is |vocab|·|classes| rows
+    * built from a broadcast of the |classes|-row totals; scoring is ONE
+    * hash join keyed on token (tf ⋈ likelihood) followed by a
+    * (doc, class)-keyed partial-agg sum. No all-pairs stage; the only
+    * |corpus|-proportional exchanges are the tf and score aggregations. */
+  def naiveBayesClassify(docs: DataFrame, labelCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(labelCol).as("cls"),
+        explode(corpusTokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val ctok = toks.groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val ctot = toks.groupBy(col("cls")).agg(count(lit(1)).as("tot"))
+    val vocab = toks.select(col("tok")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    // priors from DOC counts (not token counts) — ln(n_docs_c / n_docs)
+    val nd = docs.filter(col(textCol).isNotNull)
+    val prior = nd.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("ndc"))
+      .crossJoin(broadcast(nd.agg(count(lit(1)).as("ndt"))))
+      .select(col("cls"), log(col("ndc").cast("double") / col("ndt")).as("lp"))
+    // dense |vocab|×|classes| likelihood: unseen (cls, tok) smooths to
+    // ln(1 / (tot_c + V)) via the left join's COALESCE(cnt, 0)
+    val lik = vocab.crossJoin(broadcast(ctot)).crossJoin(broadcast(vsize))
+      .join(ctok, Seq("cls", "tok"), "left")
+      .select(col("cls"), col("tok"),
+        log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) / (col("tot") + col("v"))).as("llh"))
+    val scored = tf.join(lik, Seq("tok"))
+      .groupBy(col(idCol), col("cls")).agg(sum(col("tf") * col("llh")).as("ll"))
+      .join(broadcast(prior), Seq("cls"))
+      .select(col(idCol), col("cls"), (col("ll") + col("lp")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("s").desc, col("cls").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("cls").as("predicted"), round(col("s"), 4).as("score"))
+  }
+
   def packSequences(docs: DataFrame, budgetTokens: Long, tokens: Column,
       shardCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")

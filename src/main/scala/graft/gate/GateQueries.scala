@@ -466,6 +466,12 @@ object GateQueries {
             .otherwise(lit(""))).as("text"))
       graft.functions.TextAnalysis.c4Filters(derived, minSentences = 3)
     }),
+    "t34_naive_bayes" -> ((s, d) => {
+      // multinomial NB source classifier, trained and scored on the
+      // corpus — the oracle replicates the count → smooth → ln-sum →
+      // argmax pipeline with the identical corpus tokenization
+      graft.functions.TextAnalysis.naiveBayesClassify(t(s, d, "documents"))
+    }),
     "t33_bpe_token_counts" -> ((s, d) => {
       // the learned t32 merges APPLIED: per-doc real BPE token counts —
       // segmentation replayed over the distinct-word table only, one
@@ -671,6 +677,20 @@ object GateQueries {
       graft.functions.Similarity.bruteForceTopK(
           emb.filter(col("vec_id") < 50), emb, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+    "e15_ann_projected_topk" -> ((s, d) => {
+      // two-stage coarse-to-fine on the e1 config: JL-projected 64→32
+      // prefilter scan (2× narrower), top-200 shortlist, exact
+      // full-dimension re-rank to top-10. Rows-only gate like e2/e7;
+      // quality = the e15_vs_e1 recall rider + the RecallSpec floor.
+      // Config swept in ProjectedRecallProbe: the near-isotropic
+      // synthetic corpus puts true-neighbor cosine gaps inside JL
+      // distortion at outDim 16 (recall 0.358 at shortlist 40); 32/200
+      // measures 0.924 at sf0.01 with wall FLAT vs the 16/40 config
+      // (the scan is overhead-dominated at bench scale).
+      val emb = t(s, d, "embeddings")
+      graft.functions.Similarity.projectedTopK(
+        emb.filter(col("vec_id") < 50), emb, k = 10, outDim = 32, shortlist = 200)
     }),
     "e7_ann_pq_topk" -> ((s, d) => {
       // product-quantization ADC over the same query/corpus/k config as
@@ -1063,6 +1083,13 @@ object GateQueries {
       // link-prediction trio on the shared oriented-triangle body
       graft.analytics.GraphAnalytics.jaccardLinks(coPurchaseEdges(s, d))
     }),
+    "a16_random_walks" -> ((s, d) => {
+      // DeepWalk sampling stage on the co-purchase graph: 16 walks × 6
+      // steps, hash-argmin neighbor draws — the oracle unrolls the
+      // identical md5 choice per step
+      graft.analytics.GraphAnalytics.randomWalks(
+        coPurchaseEdges(s, d), nWalks = 16, walkLength = 6, seed = 42L)
+    }),
 
     "a11_hits" -> ((s, d) => {
       // HITS hubs & authorities on the a5 subgraph (Placed stars +
@@ -1258,6 +1285,40 @@ object GateQueries {
     * rounds unrolled — md5-pivot seeds over the co-purchase vertex set,
     * maxDepth min-dist BFS rounds (carry ∪ expand → MIN), harmonic sum
     * over dist > 0 rounded 6 dp. */
+  /** a16 oracle: [[graft.analytics.GraphAnalytics.randomWalks]] unrolled —
+    * the same md5(id)-ordered start sample, then one arg_min(neighbor,
+    * md5(seed:walk:step:neighbor)) CTE per step. The draw key is a pure
+    * function of its four arguments, so both engines compute the same
+    * digest and pick the same neighbor. */
+  private def randomWalkOracleSql(nWalks: Int, walkLength: Int, seed: Long): String = {
+    val steps = (1 until walkLength).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT p.walk_id, $i AS step,
+         |    arg_min(und.y, md5(concat_ws(':', $seed, p.walk_id, $i, und.y))) AS node
+         |  FROM s${i - 1} p JOIN und ON und.x = p.node
+         |  GROUP BY p.walk_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (0 until walkLength)
+      .map(i => s"SELECT walk_id, step, node FROM s$i").mkString("\nUNION ALL\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+       |), e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey
+       |), und AS MATERIALIZED (
+       |  SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e
+       |), starts AS (
+       |  SELECT id FROM (SELECT DISTINCT x AS id FROM und)
+       |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nWalks
+       |), s0 AS MATERIALIZED (
+       |  SELECT id AS walk_id, 0 AS step, id AS node FROM starts
+       |),
+       |$steps
+       |$unioned""".stripMargin
+  }
+
   private def harmonicClosenessOracleSql(nSeeds: Int, maxDepth: Int): String = {
     val rounds = (1 to maxDepth).map { i =>
       s"""d$i AS MATERIALIZED (
@@ -1545,6 +1606,7 @@ object GateQueries {
         |  COALESCE(sup.aa, 0.0) AS aa
         |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b""".stripMargin,
     "a15_harmonic_closeness" -> harmonicClosenessOracleSql(8, 4),
+    "a16_random_walks" -> randomWalkOracleSql(16, 6, 42L),
     "a14_jaccard_links" ->
       """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
@@ -2261,6 +2323,37 @@ object GateQueries {
         |FROM agg""".stripMargin,
     "t32_bpe_merges" -> bpeOracleSql(12),
     "t33_bpe_token_counts" -> bpeTokenCountOracleSql(12),
+    "t34_naive_bayes" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, source AS cls,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |), ctok AS (
+        |  SELECT cls, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+        |), ctot AS (
+        |  SELECT cls, COUNT(*) AS tot FROM toks GROUP BY 1
+        |), vocab AS (SELECT DISTINCT tok FROM toks
+        |), vsize AS (SELECT COUNT(*) AS v FROM vocab
+        |), prior AS (
+        |  SELECT source AS cls,
+        |    LN(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL)) AS lp
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1
+        |), lik AS MATERIALIZED (
+        |  SELECT c.cls, vb.tok, LN((COALESCE(ct.cnt, 0) + 1.0) / (c.tot + vs.v)) AS llh
+        |  FROM vocab vb CROSS JOIN ctot c CROSS JOIN vsize vs
+        |  LEFT JOIN ctok ct ON ct.cls = c.cls AND ct.tok = vb.tok
+        |), scored AS (
+        |  SELECT tf.doc_id, l.cls, p.lp + SUM(tf.tf * l.llh) AS s
+        |  FROM tf JOIN lik l ON l.tok = tf.tok
+        |  JOIN prior p ON p.cls = l.cls
+        |  GROUP BY 1, 2, p.lp
+        |)
+        |SELECT doc_id, cls AS predicted, ROUND(s, 4) AS score FROM (
+        |  SELECT doc_id, cls, s,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rn
+        |  FROM scored) WHERE rn = 1""".stripMargin,
     "t31_collocations" ->
       """WITH toks AS (
         |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t

@@ -624,6 +624,42 @@ object EventStreams {
         (col("b_us") - col("a_us")).as("gap_us"))
   }
 
+  /** Streaming twin of [[pairsWithin]]: a genuine STREAM-STREAM interval
+    * self-join — the one Structured Streaming join shape the other twins
+    * (all single-stream stateful ops) don't exercise. Both sides carry a
+    * watermark and the join condition bounds `b_time` inside
+    * [a_time, a_time + within], which is what lets Spark derive state
+    * eviction: a buffered left row is dropped once the right watermark
+    * passes a_time + within (and symmetrically), so state is bounded by
+    * the interval × arrival rate, not the stream's history. The exact
+    * pairing predicate (µs gap + id tie-break) rides along unchanged, so
+    * emitted rows match the batch op row-for-row; the watermark only
+    * decides WHEN a pair can no longer appear.
+    *
+    * Returns the batch schema: (keyCol, event_a, event_b, gap_us). */
+  def pairsWithinStream(events: Dataset[Event], withinUs: Long,
+      keyCol: String = "user_id",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(withinUs > 0, s"pairsWithinStream: withinUs must be positive, got $withinUs")
+    val base = withEventTime(events.toDF())
+    val a = base.select(col(keyCol).as("key_a"), col("event_id").as("event_a"),
+        expr("ts DIV 1000").as("a_us"), col("event_time").as("a_time"))
+      .withWatermark("a_time", watermarkDelay)
+    val b = base.select(col(keyCol).as("key_b"), col("event_id").as("event_b"),
+        expr("ts DIV 1000").as("b_us"), col("event_time").as("b_time"))
+      .withWatermark("b_time", watermarkDelay)
+    val spanSecs = withinUs / 1000000.0
+    a.join(b,
+        col("key_a") === col("key_b") &&
+        col("b_time") >= col("a_time") &&
+        col("b_time") <= col("a_time") + expr(s"make_dt_interval(0, 0, 0, $spanSecs)") &&
+        (col("b_us") > col("a_us") ||
+          (col("b_us") === col("a_us") && col("event_b") > col("event_a"))) &&
+        col("b_us") - col("a_us") <= withinUs)
+      .select(col("key_a").as(keyCol), col("event_a"), col("event_b"),
+        (col("b_us") - col("a_us")).as("gap_us"))
+  }
+
   /** Per-type windowed-count anomaly scores: events bucketed into
     * tumbling `bucketNanos` windows, each (event_type, bucket) count
     * z-scored against its own TRAILING history — mean/stddev over the

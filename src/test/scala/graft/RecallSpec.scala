@@ -66,4 +66,10 @@ class RecallSpec extends AnyFunSuite {
     // perturb top-10 ordering on this corpus
     assert(recall("e9_ann_sq8_topk", "e1_ann_bruteforce_topk", annKeys) >= 0.95)
   }
+  test("e15 projected+rerank top-k recall >= 0.85 vs e1 brute force") {
+    // JL 64→32 prefilter only has to land true neighbors in the top-200
+    // shortlist; the exact re-rank fixes the ordering. Measured 0.924 at
+    // sf0.01 (ProjectedRecallProbe sweep).
+    assert(recall("e15_ann_projected_topk", "e1_ann_bruteforce_topk", annKeys) >= 0.85)
+  }
 }

@@ -350,6 +350,43 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pairsWithinStream: stream-stream interval self-join == batch pairs across micro-batches") {
+    val us = 1000000000L // ts nanos → µs is DIV 1000; pairs within 1000 s
+    // user 1: a chain spanning batches (1@10s, 2@510s, 3@1510s):
+    // (1,2) in-window, (2,3) in-window, (1,3) gap 1500s > 1000s — out.
+    // user 2: same-ts tie (4,5) — id tie-break keeps exactly one order.
+    // user 3: isolated event, no pairs. Times start ABOVE epoch 0: the
+    // initial watermark is epoch 0 and a row AT it is dropped as late.
+    def ev(id: Long, secs: Long, u: Long) = Event(id, secs * 1000000000L, u, "e", 0.0)
+    val b1 = Seq(ev(1, 10, 1L), ev(4, 100, 2L), ev(5, 100, 2L), ev(9, 200, 3L))
+    val b2 = Seq(ev(2, 510, 1L))
+    val b3 = Seq(ev(3, 1510, 1L),
+      ev(99, 999999, 9L)) // watermark flush far past every interval
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairs_stream").toString
+    def push(evs: Seq[Event]): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(dir)
+    push(b1)
+    val src = EventStreams.readEventStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = EventStreams.pairsWithinStream(src, withinUs = us,
+        watermarkDelay = "1 second")
+      .writeStream.outputMode("append").format("memory").queryName("pairs_out").start()
+    try {
+      q.processAllAvailable()
+      push(b2); q.processAllAvailable()
+      push(b3); q.processAllAvailable()
+      val streamed = spark.table("pairs_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = EventStreams.pairsWithin((b1 ++ b2 ++ b3).toDF(), withinUs = us)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+      assert(streamed === Set(
+        (1L, 1L, 2L, 500000000L), (1L, 2L, 3L, 1000000000L),
+        (2L, 4L, 5L, 0L)))
+    } finally q.stop()
+  }
+
   test("trendingTypes: per-bucket rank, deterministic ties, share sums to 1, k cut") {
     // bucket 0: a×3, b×2, c×1 (share 0.5/0.333333/0.166667); bucket 1:
     // x and y tied at 2 — type asc breaks the tie
@@ -1559,6 +1596,38 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     val sampled = GraphAnalytics.harmonicCloseness(e, nSeeds = 3, maxDepth = 4)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     sampled.foreach { case (id, h) => assert(h <= out(id)._2 + 1e-9, s"node $id oversum") }
+  }
+
+  test("randomWalks: valid edges, full length, deterministic, seed-sensitive") {
+    // K5 clique: every vertex has 4 neighbors, so walks never stall and
+    // every step is a genuine 4-way draw
+    val e = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)).toDF("u", "v")
+    val und = e.collect().flatMap(r =>
+      Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    def runWalks(seed: Long) = GraphAnalytics.randomWalks(e, nWalks = 5,
+      walkLength = 5, seed = seed).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val w = runWalks(42L)
+    // 5 walks × 5 steps, one start per vertex (nWalks = |V|)
+    assert(w.size === 25)
+    assert(w.keys.map(_._1).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    // step 0 is the start node; every consecutive pair is a real edge
+    for (walk <- 1L to 5L) {
+      assert(w((walk, 0)) === walk)
+      for (s <- 0 until 4)
+        assert(und.contains((w((walk, s)), w((walk, s + 1)))),
+          s"walk $walk step $s: ${w((walk, s))} -> ${w((walk, s + 1))} not an edge")
+    }
+    // deterministic: same seed → identical walks; different seed → different
+    assert(runWalks(42L) === w)
+    assert(runWalks(7L) !== w)
+    // a short graph walk ends when... (undirected graphs never stall: the
+    // predecessor is always a neighbor) — single-edge graph just oscillates
+    val osc = GraphAnalytics.randomWalks(Seq((1L, 2L)).toDF("u", "v"),
+      nWalks = 2, walkLength = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(osc((1L, 0)) === 1L && osc((1L, 1)) === 2L &&
+      osc((1L, 2)) === 1L && osc((1L, 3)) === 2L)
   }
 
   test("jaccardLinks: support over excluded-endpoint union; bridge 0") {
