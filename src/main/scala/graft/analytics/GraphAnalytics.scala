@@ -648,51 +648,64 @@ object GraphAnalytics {
     *
     * Scale shape: per iteration one dst-keyed and one src-keyed
     * aggregation over |E| (the two shuffles HITS is), each normalization
-    * total attached as a broadcast 1-row join (never a driver collect);
-    * the |V|-sized score vectors ride broadcast joins under
-    * `broadcastMaxVerts` (the [[personalizedPageRank]] lever) and fall
-    * back to |V|-bounded hash shuffles past it. Stride-2 lineage cuts
-    * keep plan depth constant at any iteration count.
+    * total attached as a broadcast 1-row join (never a driver collect).
+    * The edge relation is materialized pre-partitioned per join
+    * direction, so each step shuffles ONLY the |V|-row sparse score
+    * vector into a shuffle-hash join — no per-step |E| exchange, no
+    * per-step driver broadcast, no |V| driver-memory ceiling. Per-step
+    * lineage cuts keep plan depth constant at any iteration count.
     *
     * Graphs with NO edges have undefined normalized scores; auth/hub
     * come back 0.0 for isolated vertices of a non-empty edge set (the
     * iteration never reaches them and the L1 total is positive). */
-  def hits(g: PropertyGraph, numIter: Int,
-      broadcastMaxVerts: Long = 1000000L): DataFrame = {
+  def hits(g: PropertyGraph, numIter: Int): DataFrame = {
     require(numIter >= 1, s"hits: numIter must be >= 1, got $numIter")
     val spark = g.spark
     import spark.implicits._
-    val fwd = g.edges.filter(col("dir")).select(col("src"), col("dst"))
-      .localCheckpoint(true)
-    val verts = fwd.select(col("src").as("id"))
-      .unionAll(fwd.select(col("dst").as("id")))
+    // the edge relation is joined 2·numIter times, alternating join key —
+    // materialize it TWICE, pre-partitioned per direction, so every
+    // iteration's join co-locates on the already-shuffled fwd side and
+    // only the |V|-row score vector moves (localCheckpoint preserves
+    // outputPartitioning, so Catalyst plans no fwd Exchange). This
+    // replaces the round-10 per-step score BROADCAST: a driver
+    // collect+rebroadcast of |V| rows every step measured ~1.0 s/step at
+    // sf0.1 vs ~0.5 s/step for the shuffle-hash shape — and the shuffle
+    // shape needs no |V| driver-memory ceiling (the old broadcastMaxVerts
+    // knob) at any scale.
+    val fwd0 = g.edges.filter(col("dir")).select(col("src"), col("dst"))
+    val fwdBySrc = fwd0.repartition(col("src")).localCheckpoint(true)
+    val fwdByDst = fwd0.repartition(col("dst")).localCheckpoint(true)
+    val verts = fwd0.select(col("src").as("id"))
+      .unionAll(fwd0.select(col("dst").as("id")))
       .unionAll(g.explicitNodes.map(_.select(col("id")))
         .getOrElse(Seq.empty[Long].toDF("id")))
       .distinct().localCheckpoint(true)
-    val bcast = verts.count() <= broadcastMaxVerts
-    def side(df: DataFrame) = if (bcast) broadcast(df) else df
     // one normalized update: raw = neighbor-sum of `scores` through the
-    // edge keyed on `from`→grouped on `to`; out = raw / Σraw over verts
-    // (absent vertices contribute 0, so Σ over raw IS the L1 total)
+    // edge keyed on `from`→grouped on `to`; out = raw / Σraw. Score
+    // vectors stay SPARSE through the iteration — a vertex absent from
+    // raw would carry 0.0, and a 0 contributes nothing to the next
+    // neighbor-sum or the L1 total, so the dense |V| left-join the
+    // round-10 shape ran per step was pure overhead. Density is
+    // restored ONCE at the end.
     def step(scores: DataFrame, valCol: String, from: String, to: String,
         outCol: String): DataFrame = {
-      val s = side(scores)
+      val fwd = if (from == "src") fwdBySrc else fwdByDst
       // raw is referenced TWICE (the normalization total and the score
       // join) — materialize it once per step (|V|-bounded rows) or the
       // |E| aggregation runs twice; measured 19.9 s → ~12 s at sf0.1
-      val raw = fwd.join(s, fwd(from) === s("id"))
+      val raw = fwd.join(scores.hint("shuffle_hash"), fwd(from) === scores("id"))
         .groupBy(fwd(to).as("id")).agg(sum(col(valCol)).as("s"))
         .localCheckpoint(true)
       val tot = raw.agg(sum(col("s")).as("tot"))
-      verts.join(side(raw), Seq("id"), "left").crossJoin(broadcast(tot))
+      raw.crossJoin(broadcast(tot))
         .select(col("id"),
           // tot NULL/0 (edge-less graph, or an all-sink frontier) → all-0
           // scores rather than NULL poison
-          when(col("tot") > 0, coalesce(col("s"), lit(0.0)) / col("tot"))
+          when(col("tot") > 0, col("s") / col("tot"))
             .otherwise(lit(0.0)).as(outCol))
     }
     var hub = verts.select(col("id"), lit(1.0).as("hub"))
-    var auth = verts.select(col("id"), lit(0.0).as("auth"))
+    var auth = verts.select(col("id"), lit(0.0).as("auth")).limit(0)
     for (i <- 1 to numIter) {
       // no separate auth/hub lineage cuts: each step's raw checkpoint
       // already bounds plan depth at one join+projection per vector —
@@ -700,7 +713,11 @@ object GraphAnalytics {
       auth = step(hub, "hub", "src", "dst", "auth")
       hub = step(auth, "auth", "dst", "src", "hub")
     }
-    auth.join(hub, Seq("id"))
+    // dense-ify once: vertices the iteration never reached (isolated, or
+    // pure-source/pure-sink roles) surface with explicit 0.0 scores
+    verts.join(auth, Seq("id"), "left").join(hub, Seq("id"), "left")
+      .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth"),
+        coalesce(col("hub"), lit(0.0)).as("hub"))
   }
 
   /** Deterministic random-walk corpus over an undirected edge list —
