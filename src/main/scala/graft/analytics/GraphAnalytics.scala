@@ -580,6 +580,35 @@ object GraphAnalytics {
     e
   }
 
+  /** Bounded k-truss peeling (Cohen 2008): `iters` rounds of "drop every
+    * edge whose triangle [[edgeSupport]] is < k−2, recompute" — the
+    * edge-level analogue of [[kCoreEdges]]' vertex peeling and the
+    * stronger cohesion filter (every surviving edge sits in ≥ k−2
+    * triangles of the surviving subgraph). A FIXED round count keeps the
+    * computation deterministic and oracle-unrollable (the
+    * [[pageRankStatic]] trade); a round that removes no edge exits early
+    * (recomputing the identical set, so fixed-round and early-exit
+    * semantics agree). Returns the surviving edge list (a, b), a < b.
+    *
+    * Scale shape per round: one support recomputation (degree-oriented
+    * wedge join, O(Σ outdeg²) bounded — the a6/a10 body) + one filter;
+    * lineage cut per round. */
+  def kTrussEdges(edges: DataFrame, k: Int, iters: Int,
+      uCol: String = "u", vCol: String = "v"): DataFrame = {
+    require(k >= 2 && iters >= 1, s"kTrussEdges: need k >= 2, iters >= 1 (got $k, $iters)")
+    var e = canonicalEdges(edges, uCol, vCol).localCheckpoint(true)
+    var i = 0
+    var done = false
+    while (i < iters && !done) {
+      val next = edgeSupport(e, "a", "b")
+        .filter(col("support") >= k - 2).select("a", "b").localCheckpoint(true)
+      if (next.count() == e.count()) done = true
+      e = next
+      i += 1
+    }
+    e
+  }
+
   /** Synchronous label-propagation communities → (id, label): labels
     * start as vertex ids; each round every vertex adopts the PLURALITY
     * label among its undirected neighbors, ties broken by the SMALLEST

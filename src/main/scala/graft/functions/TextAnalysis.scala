@@ -1012,6 +1012,63 @@ object TextAnalysis {
             (col("c2").cast("double") / col("nt")))), 6).as("pmi"))
   }
 
+  /** TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over the
+    * corpus-level word co-occurrence graph — adjacent-token pairs (the
+    * [[collocations]] window-2 contract), canonicalized undirected,
+    * kept above `minCount`, then `numIter` damped PR rounds exactly in
+    * the a5 [[graft.analytics.GraphAnalytics.pageRankStatic]] form
+    * (0.15 + 0.85·Σ rank/outdeg, start 1.0, final ×|V|/Σ normalization,
+    * 6-dp round). Composes the engine's two halves: a text pipeline
+    * builds a graph, the graph machinery ranks it.
+    *
+    * Returns (word, rank) for every vocabulary word that survives the
+    * minCount edge filter. Top keywords = ORDER BY rank DESC.
+    *
+    * Scale shape: pair extraction is narrow per-row (zip_with over
+    * slices — the lambda-recompute rule); the edge aggregation is one
+    * (w1, w2)-keyed map-side-combined count whose result is VOCAB-,
+    * not corpus-, sized; the PR rounds then run entirely on that small
+    * graph (two hash joins + one agg per round, stride-2 lineage cuts).
+    * The corpus is touched exactly twice (pairs + nothing else). */
+  def textRankKeywords(docs: DataFrame, numIter: Int = 5, minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    require(numIter >= 1, s"textRankKeywords: numIter must be >= 1, got $numIter")
+    require(minCount >= 1, s"textRankKeywords: minCount must be >= 1, got $minCount")
+    val toks = corpusTokens(col(textCol))
+    val pairs = when(size(toks) >= 2, zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val canon = docs.select(explode(pairs).as("p"))
+      .filter(col("p.w1") =!= col("p.w2"))
+      .select(least(col("p.w1"), col("p.w2")).as("a"),
+        greatest(col("p.w1"), col("p.w2")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("a"), col("b")).localCheckpoint(true)
+    val edges = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val verts = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // outdeg attached ONCE — the per-round join then carries (src, dst, d)
+    val w = edges.join(outdeg, "src").localCheckpoint(true)
+    var pr = verts.select(col("id"), lit(1.0).as("rank"))
+    for (i <- 1 to numIter) {
+      val m = w.join(pr, w("src") === pr("id"))
+        .groupBy(w("dst").as("id")).agg(sum(col("rank") / col("d")).as("s"))
+      pr = verts.join(m, Seq("id"), "left")
+        .select(col("id"),
+          (lit(0.15) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("rank"))
+      if (i % 2 == 0 || i == numIter) pr = pr.localCheckpoint(true)
+    }
+    val nv = verts.agg(count(lit(1)).as("nv"))
+    val tot = pr.agg(sum(col("rank")).as("tot"))
+    pr.crossJoin(broadcast(nv)).crossJoin(broadcast(tot))
+      .select(col("id").as("word"),
+        round(col("rank") * col("nv") / col("tot"), 6).as("rank"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
     * public knowledge): word-count bounds, mean-word-length bounds,
     * symbol-to-word ratio (`#` and `...` load), fraction of words with

@@ -466,6 +466,12 @@ object GateQueries {
             .otherwise(lit(""))).as("text"))
       graft.functions.TextAnalysis.c4Filters(derived, minSentences = 3)
     }),
+    "t35_textrank" -> ((s, d) => {
+      // TextRank keywords: PageRank (5 rounds, a5's exact form) over the
+      // window-2 co-occurrence graph at minCount=5 — the oracle chains
+      // the t31 pair-extraction CTE into the a5 PR unroll
+      graft.functions.TextAnalysis.textRankKeywords(t(s, d, "documents"))
+    }),
     "t34_naive_bayes" -> ((s, d) => {
       // multinomial NB source classifier, trained and scored on the
       // corpus — the oracle replicates the count → smooth → ln-sum →
@@ -1090,6 +1096,13 @@ object GateQueries {
       graft.analytics.GraphAnalytics.randomWalks(
         coPurchaseEdges(s, d), nWalks = 16, walkLength = 6, seed = 42L)
     }),
+    "a17_ktruss" -> ((s, d) => {
+      // 4-truss peeling on the co-purchase graph, 3 bounded rounds
+      // (support ≥ 2 per surviving edge) — the oracle recomputes the
+      // identical support filter per unrolled round
+      graft.analytics.GraphAnalytics.kTrussEdges(
+        coPurchaseEdges(s, d), k = 4, iters = 3)
+    }),
 
     "a11_hits" -> ((s, d) => {
       // HITS hubs & authorities on the a5 subgraph (Placed stars +
@@ -1317,6 +1330,73 @@ object GateQueries {
        |),
        |$steps
        |$unioned""".stripMargin
+  }
+
+  /** t35 oracle: [[graft.functions.TextAnalysis.textRankKeywords]] — the
+    * t31 chr(1)-bigram extraction (same separator-collision caveat)
+    * feeding the a5 PR unroll over the canonicalized co-occurrence
+    * graph. */
+  private def textRankOracleSql(numIter: Int, minCount: Long): String = {
+    val iters = (1 to numIter).map { i =>
+      s"""pr$i AS (
+         |  SELECT v.id, 0.15 + 0.85 * COALESCE(m.s, 0.0) AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.rank / od.d) AS s
+         |    FROM pr${i - 1} p JOIN edges e ON e.src = p.id
+         |    JOIN outdeg od ON od.src = p.id
+         |    GROUP BY 1) m ON m.id = v.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents
+       |), pairsx AS (
+       |  SELECT split_part(b, chr(1), 1) AS w1, split_part(b, chr(1), 2) AS w2 FROM (
+       |    SELECT unnest([t[i] || chr(1) || t[i+1] for i in range(1, len(t))]) AS b FROM toks)
+       |), canon AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b, COUNT(*) AS c
+       |    FROM pairsx WHERE w1 <> w2 GROUP BY 1, 2)
+       |  WHERE c >= $minCount
+       |), edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM canon UNION ALL SELECT b, a FROM canon
+       |), verts AS (SELECT DISTINCT src AS id FROM edges),
+       |outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+       |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts),
+       |$iters
+       |SELECT id AS word,
+       |  ROUND(rank * (SELECT COUNT(*) FROM verts) / (SELECT SUM(rank) FROM pr$numIter), 6) AS rank
+       |FROM pr$numIter""".stripMargin
+  }
+
+  /** a17 oracle: [[graft.analytics.GraphAnalytics.kTrussEdges]] unrolled —
+    * per round, recompute each edge's common-neighbor count over the
+    * CURRENT surviving edge set (the a10/a13 witness-join body) and keep
+    * edges with support ≥ k−2. Fixed rounds ≡ the engine's early-exit
+    * (a no-change round recomputes the same set). */
+  private def kTrussOracleSql(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""u$i AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM e${i - 1} UNION ALL SELECT b, a FROM e${i - 1}
+         |), e$i AS MATERIALIZED (
+         |  SELECT g.a, g.b FROM e${i - 1} g LEFT JOIN (
+         |    SELECT t.a, t.b, COUNT(*) AS c FROM (
+         |      SELECT e2.a, e2.b, n1.v FROM e${i - 1} e2
+         |      JOIN u$i n1 ON n1.u = e2.a
+         |      JOIN u$i n2 ON n2.u = e2.b AND n2.v = n1.v) t
+         |    GROUP BY 1, 2) s ON s.a = g.a AND s.b = g.b
+         |  WHERE COALESCE(s.c, 0) >= ${k - 2}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+       |), e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey
+       |),
+       |$rounds
+       |SELECT a, b FROM e$iters""".stripMargin
   }
 
   private def harmonicClosenessOracleSql(nSeeds: Int, maxDepth: Int): String = {
@@ -1607,6 +1687,7 @@ object GateQueries {
         |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b""".stripMargin,
     "a15_harmonic_closeness" -> harmonicClosenessOracleSql(8, 4),
     "a16_random_walks" -> randomWalkOracleSql(16, 6, 42L),
+    "a17_ktruss" -> kTrussOracleSql(4, 3),
     "a14_jaccard_links" ->
       """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
@@ -2323,6 +2404,7 @@ object GateQueries {
         |FROM agg""".stripMargin,
     "t32_bpe_merges" -> bpeOracleSql(12),
     "t33_bpe_token_counts" -> bpeTokenCountOracleSql(12),
+    "t35_textrank" -> textRankOracleSql(5, 5),
     "t34_naive_bayes" ->
       """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, source AS cls,

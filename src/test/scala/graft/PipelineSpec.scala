@@ -1784,6 +1784,27 @@ class PipelineSpec extends AnyFunSuite {
       s"ratio join should broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("textRankKeywords: hand-rolled damped PR on the co-occurrence path graph; self-loops and rare pairs drop") {
+    // five copies of "a b c" → pairs (a,b), (b,c) at count 5 (= minCount);
+    // "x x" is a self-loop (dropped); "y z" appears once (< minCount)
+    val docs = ((1 to 5).map(i => (i.toLong, "a b c")) ++
+      Seq((6L, "x x"), (7L, "y z"))).toDF("doc_id", "text")
+    val got = TextAnalysis.textRankKeywords(docs, numIter = 5, minCount = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set("a", "b", "c"))
+    // hand-rolled: path a-b-c mirrored, outdeg a=1 b=2 c=1, start 1.0
+    var pr = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    for (_ <- 1 to 5) pr = Map(
+      "a" -> (0.15 + 0.85 * pr("b") / 2),
+      "b" -> (0.15 + 0.85 * (pr("a") + pr("c"))),
+      "c" -> (0.15 + 0.85 * pr("b") / 2))
+    val tot = pr.values.sum
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    pr.foreach { case (w, v) => assert(got(w) === r6(v * 3 / tot), s"word $w") }
+    // the hub of the path out-ranks its endpoints
+    assert(got("b") > got("a") && got("a") === got("c"))
+  }
+
   test("naiveBayesClassify: hand-computed smoothed log-likelihoods, argmax with class tiebreak") {
     // class A vocab {x, y}, class B vocab {z, w}; per-class token totals 5,
     // global vocab V = 4

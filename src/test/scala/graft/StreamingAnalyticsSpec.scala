@@ -1598,6 +1598,36 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     sampled.foreach { case (id, h) => assert(h <= out(id)._2 + 1e-9, s"node $id oversum") }
   }
 
+  test("kTrussEdges: bridge peels at k=3, triangle peels at k=4, K4 survives; cascade needs a round") {
+    // K4 on 1-4 + bridge 4-5 + triangle 5-6-7 (the edgeSupport fixture)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (5L, 7L)).toDF("u", "v")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k4 = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val tri = Set((5L, 6L), (6L, 7L), (5L, 7L))
+    // 3-truss: every edge in >= 1 triangle — only the bridge peels
+    assert(pairs(GraphAnalytics.kTrussEdges(e, k = 3, iters = 3)) === (k4 ++ tri))
+    // 4-truss: the triangle's edges have support 1 — K4 alone survives
+    assert(pairs(GraphAnalytics.kTrussEdges(e, k = 4, iters = 3)) === k4)
+    // 5-truss: K4 edges have support 2 < 3 — everything peels
+    assert(pairs(GraphAnalytics.kTrussEdges(e, k = 5, iters = 3)) === Set.empty)
+    // cascade: path of triangles sharing edges — (a) one round removes
+    // the weak triangle, (b) the SECOND round re-evaluates support in
+    // the shrunken graph. Fixture: K4 + pendant triangle (4,8,9): at
+    // k=4 round 1 peels (4,8),(4,9),(8,9) (support 1)... already
+    // covered; pin instead that iters=1 UNDER-peels when removal
+    // cascades: triangle chain 10-11-12, 11-12-13 — at k=4 both
+    // triangles peel in round 1 (each edge support <= 2... the shared
+    // edge (11,12) has support 2 >= 2) — shared edge survives round 1
+    // but its wings are gone, so round 2 must peel it too
+    val chain = Seq((10L, 11L), (10L, 12L), (11L, 12L), (11L, 13L), (12L, 13L))
+      .toDF("u", "v")
+    val r1 = pairs(GraphAnalytics.kTrussEdges(chain, k = 4, iters = 1))
+    assert(r1 === Set((11L, 12L)), s"round 1 keeps only the shared edge, got $r1")
+    assert(pairs(GraphAnalytics.kTrussEdges(chain, k = 4, iters = 2)) === Set.empty)
+  }
+
   test("randomWalks: valid edges, full length, deterministic, seed-sensitive") {
     // K5 clique: every vertex has 4 neighbors, so walks never stall and
     // every step is a genuine 4-way draw
