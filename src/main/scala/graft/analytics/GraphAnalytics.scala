@@ -701,9 +701,16 @@ object GraphAnalytics {
     // sf0.1 vs ~0.5 s/step for the shuffle-hash shape — and the shuffle
     // shape needs no |V| driver-memory ceiling (the old broadcastMaxVerts
     // knob) at any scale.
+    // persist, not localCheckpoint: a checkpoint's LogicalRDD loses the
+    // repartition's outputPartitioning under AQE (each step would plan a
+    // fresh |E| Exchange — PartitionPreserveProbe), while an
+    // InMemoryRelation reports it, so the per-step join reuses the
+    // cached layout with no |E| shuffle. Spark's cache manager dedupes
+    // by analyzed plan, so repeated calls share one materialization.
     val fwd0 = g.edges.filter(col("dir")).select(col("src"), col("dst"))
-    val fwdBySrc = fwd0.repartition(col("src")).localCheckpoint(true)
-    val fwdByDst = fwd0.repartition(col("dst")).localCheckpoint(true)
+    val fwdBySrc = fwd0.repartition(col("src")).persist()
+    val fwdByDst = fwd0.repartition(col("dst")).persist()
+    fwdBySrc.count(); fwdByDst.count()
     val verts = fwd0.select(col("src").as("id"))
       .unionAll(fwd0.select(col("dst").as("id")))
       .unionAll(g.explicitNodes.map(_.select(col("id")))

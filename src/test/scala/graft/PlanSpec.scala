@@ -321,4 +321,83 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 1, s"more than the scalar cross join:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
+
+  test("naiveBayesClassify: likelihood/prior fold in broadcast, scoring is one token-keyed hash join") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.functions.TextAnalysis.naiveBayesClassify(docs))
+    // the |classes|-row totals and the 1-row vocab size ride broadcasts;
+    // the only allowed nested-loop joins are those scalar folds
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"class totals not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    // tf and per-class counts partial-aggregate before their exchange
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"token counts not map-side combined:\n$plan")
+  }
+
+  test("randomWalks: per-step candidate fan-out collapses map-side, never a cartesian") {
+    // the library op checkpoints each step (the final plan is a union of
+    // materialized RDDs), so pin the per-step shape directly: frontier ⋈
+    // adjacency → min_by draw, with the argmin partial-combined
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") % 4 === 0).select(col("l_orderkey"), col("l_partkey"))
+    val e = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+      .filter(col("u") < col("v")).select("u", "v")
+    val und = e.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+    val frontier = und.select(col("x").as("walk_id"), col("x").as("node")).limit(4)
+    val draw = md5(concat_ws(":", col("walk_id").cast("string"), col("y").cast("string")))
+    val step = frontier.join(und, frontier("node") === und("x"))
+      .groupBy(col("walk_id")).agg(min_by(col("y"), draw).as("node"))
+    val plan = planOf(step)
+    assert(plan.contains("partial_min_by"), s"draw argmin not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("textRankKeywords: corpus collapses to the vocab graph before any join; PR joins stay keyed") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.functions.TextAnalysis.textRankKeywords(docs, numIter = 2))
+    // pair counts partial-aggregate (vocab-sized exchange, not |pairs|)
+    assert(plan.contains("partial_count"), s"pair counts not map-side combined:\n$plan")
+    // the only nested-loop shapes are the two 1-row normalization scalars
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(plan).size
+    assert(bnlj <= 2, s"more than the two normalization scalars:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("hits: per-step joins reuse the pre-partitioned edge relation — no fwd Exchange, no driver broadcast of scores") {
+    val g = GateQueries.graph(spark, sfDir)
+    val sub = g.copy(edges = g.edges.filter(col("label").isin(1, 4)))
+    val out = graft.analytics.GraphAnalytics.hits(sub, numIter = 2)
+    val plan = planOf(out)
+    // the final densify joins are all that remain in the visible plan
+    // (iteration steps are checkpointed) — they must be keyed joins
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    // the step plan itself: build one step un-checkpointed and pin the
+    // shuffle-hash shape — the PERSISTED repartition's partitioning must
+    // be reused, so no Exchange above the InMemoryRelation on the fwd
+    // side (the one inside the cached plan ran once at cache time)
+    val fwd = sub.edges.filter(col("dir")).select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    try {
+      fwd.count()
+      val scores = fwd.select(col("src").as("id")).distinct()
+        .select(col("id"), lit(1.0).as("hub")).localCheckpoint(true)
+      val step = fwd.join(scores.hint("shuffle_hash"), fwd("src") === scores("id"))
+        .groupBy(fwd("dst").as("id")).agg(sum(col("hub")).as("s"))
+      val sp = planOf(step)
+      assert(sp.contains("ShuffledHashJoin"), s"step join not shuffle-hash:\n$sp")
+      // the fwd (left/streamed) side must go join → [filter] → cache scan
+      // with NO Exchange between: the cached repartition layout is reused.
+      // (The formatted plan inlines the cached plan's interior, whose own
+      // one-time Exchange is expected — only the path ABOVE the scan
+      // matters.)
+      val tree = sp.linesIterator.toSeq
+      val jIdx = tree.indexWhere(_.contains("ShuffledHashJoin"))
+      val mIdx = tree.indexWhere(_.contains("InMemoryTableScan"))
+      assert(jIdx >= 0 && mIdx > jIdx, s"join/cache-scan shape missing:\n$sp")
+      assert(!tree.slice(jIdx + 1, mIdx).exists(_.contains("Exchange")),
+        s"fwd side re-shuffles above its cache scan:\n$sp")
+    } finally fwd.unpersist(blocking = false)
+  }
 }
