@@ -580,6 +580,44 @@ object GraphAnalytics {
     e
   }
 
+  /** Bounded Bellman–Ford single-source WEIGHTED shortest paths over an
+    * undirected weighted edge list — [[shortestPaths]]' hop-count BFS
+    * generalized to real edge costs, in the fixed-round form every
+    * oracle-replicable iteration here uses: `rounds` relaxations of
+    * dist(y) = min(dist(y), min_{(x,y)∈E} dist(x) + w(x,y)). After k
+    * rounds every ≤ k-edge path is optimal (full Bellman–Ford = |V|−1
+    * rounds; a bounded horizon is the practical setting at scale, the
+    * [[harmonicCloseness]] maxDepth trade). Returns (id, dist rounded
+    * 6 dp) for vertices REACHED within the horizon.
+    *
+    * Unlike the unweighted BFS, a vertex's distance can improve after
+    * first discovery (a longer-hop cheaper path), so each round re-joins
+    * the FULL dist table — carry ∪ relax → MIN, cumulative cost
+    * O(|dist ⋈ E|) per round, map-side-combined; lineage cut per round. */
+  def weightedSSSP(edges: DataFrame, source: Long, rounds: Int,
+      uCol: String = "u", vCol: String = "v", wCol: String = "w"): DataFrame = {
+    require(rounds >= 1, s"weightedSSSP: rounds must be >= 1, got $rounds")
+    val e = edges.select(col(uCol).as("a"), col(vCol).as("b"),
+        col(wCol).cast("double").as("w"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val und = e.select(col("a").as("x"), col("b").as("y"), col("w"))
+      .unionAll(e.select(col("b").as("x"), col("a").as("y"), col("w")))
+      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    var dist = spark.range(1).select(lit(source).as("id"), lit(0.0).as("dist"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val relax = dist.join(und, dist("id") === und("x"))
+        .select(col("y").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relax)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    dist.select(col("id"), round(col("dist"), 6).as("dist"))
+  }
+
   /** Bounded k-truss peeling (Cohen 2008): `iters` rounds of "drop every
     * edge whose triangle [[edgeSupport]] is < k−2, recompute" — the
     * edge-level analogue of [[kCoreEdges]]' vertex peeling and the

@@ -552,6 +552,37 @@ object TextAnalysis {
         coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
   }
 
+  /** CCNet-style perplexity tiering (Wenzek et al. 2020): per-language
+    * NTILE buckets over [[unigramSurprisal]] — bucket 1 ("head") = the
+    * most fluent (lowest-surprisal) third, "tail" = the most
+    * out-of-distribution, exactly the split CCNet uses to route web text
+    * into keep / maybe / drop. The LM here is the corpus's own unigram
+    * model (the t19 proxy for a KenLM); the bucketing machinery is
+    * model-agnostic — swap any score column in.
+    *
+    * Returns (idCol, lang, n_tokens, surprisal, bucket, tier) with
+    * bucket ∈ 1..nBuckets and tier ∈ head/middle/tail. Bucket order is
+    * (surprisal asc, idCol) — the rounded 6-dp score plus the id
+    * tie-break makes NTILE deterministic cross-engine.
+    *
+    * Scale shape: the surprisal pass is t19's (O(|tokens|) exchanges);
+    * the NTILE is ONE sort window partitioned by language over |docs|
+    * rows. At 100 TB the window sorts within language partitions —
+    * no global sort, no driver state. */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3,
+      langCol: String = "lang", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets >= 2, s"perplexityBuckets: nBuckets must be >= 2, got $nBuckets")
+    val sc = unigramSurprisal(docs, textCol, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("surprisal").asc, col(idCol).asc)
+    docs.select(col(idCol), col(langCol).as("lang")).join(sc, idCol)
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .withColumn("tier",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === nBuckets, "tail").otherwise("middle"))
+  }
+
   /** Bigram surprisal — [[unigramSurprisal]] one conditioning level up:
     * mean −ln p(wᵢ | wᵢ₋₁) under the corpus's own bigram model, with
     * p(w|u) = c(u,w) / Σ_x c(u,x) (no smoothing needed: the corpus

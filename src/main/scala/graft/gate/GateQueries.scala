@@ -466,6 +466,12 @@ object GateQueries {
             .otherwise(lit(""))).as("text"))
       graft.functions.TextAnalysis.c4Filters(derived, minSentences = 3)
     }),
+    "t36_perplexity_buckets" -> ((s, d) => {
+      // CCNet head/middle/tail tiering: per-language NTILE(3) over the
+      // t19 unigram surprisal — the oracle chains the t19 body into the
+      // identical deterministic (surprisal, doc_id) window
+      graft.functions.TextAnalysis.perplexityBuckets(t(s, d, "documents"))
+    }),
     "t35_textrank" -> ((s, d) => {
       // TextRank keywords: PageRank (5 rounds, a5's exact form) over the
       // window-2 co-occurrence graph at minCount=5 — the oracle chains
@@ -1103,6 +1109,21 @@ object GateQueries {
       graft.analytics.GraphAnalytics.kTrussEdges(
         coPurchaseEdges(s, d), k = 4, iters = 3)
     }),
+    "a18_weighted_sssp" -> ((s, d) => {
+      // Bellman–Ford on the WEIGHTED co-purchase graph (w = 1/co-order
+      // count: stronger ties are shorter), 4 relax rounds from the
+      // md5-min pivot (the a15 seed idiom — one bounded driver lookup)
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.toDF("ok", "u"); val b = li.toDF("ok", "v")
+      val we = a.join(b, "ok").filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+        .select(col("u"), col("v"), (lit(1.0) / col("c")).as("w"))
+      val seed = we.select(col("u").as("id")).unionAll(we.select(col("v").as("id")))
+        .distinct().orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(1).collect().head.getLong(0)
+      graft.analytics.GraphAnalytics.weightedSSSP(we, seed, rounds = 4)
+    }),
 
     "a11_hits" -> ((s, d) => {
       // HITS hubs & authorities on the a5 subgraph (Placed stars +
@@ -1330,6 +1351,39 @@ object GateQueries {
        |),
        |$steps
        |$unioned""".stripMargin
+  }
+
+  /** a18 oracle: [[graft.analytics.GraphAnalytics.weightedSSSP]] unrolled —
+    * weighted co-purchase edges (1/co-order count), md5-min seed
+    * subquery, `rounds` carry ∪ relax → MIN CTEs, 6-dp round. */
+  private def weightedSsspOracleSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT id, MIN(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT und.y AS id, p.dist + und.w FROM d${i - 1} p
+         |    JOIN und ON und.x = p.id) t
+         |  GROUP BY 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT l_orderkey AS ok, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+       |), we AS MATERIALIZED (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v, 1.0::DOUBLE / COUNT(*) AS w
+       |  FROM li a JOIN li b ON a.ok = b.ok
+       |  WHERE a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), und AS MATERIALIZED (
+       |  SELECT u AS x, v AS y, w FROM we UNION ALL SELECT v, u, w FROM we
+       |), seed AS (
+       |  SELECT id FROM (SELECT DISTINCT x AS id FROM und)
+       |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1
+       |), d0 AS (
+       |  SELECT id, 0.0::DOUBLE AS dist FROM seed
+       |),
+       |$rs
+       |SELECT id, ROUND(dist, 6) AS dist FROM d$rounds""".stripMargin
   }
 
   /** t35 oracle: [[graft.functions.TextAnalysis.textRankKeywords]] — the
@@ -1688,6 +1742,7 @@ object GateQueries {
     "a15_harmonic_closeness" -> harmonicClosenessOracleSql(8, 4),
     "a16_random_walks" -> randomWalkOracleSql(16, 6, 42L),
     "a17_ktruss" -> kTrussOracleSql(4, 3),
+    "a18_weighted_sssp" -> weightedSsspOracleSql(4),
     "a14_jaccard_links" ->
       """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
@@ -2405,6 +2460,30 @@ object GateQueries {
     "t32_bpe_merges" -> bpeOracleSql(12),
     "t33_bpe_token_counts" -> bpeTokenCountOracleSql(12),
     "t35_textrank" -> textRankOracleSql(5, 5),
+    "t36_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents
+        |), freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq),
+        |sc AS (
+        |  SELECT doc_id, -ln(CAST(c AS DOUBLE) / (SELECT t FROM tot)) AS s
+        |  FROM toks JOIN freq USING (tok)
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n, ROUND(AVG(s), 6) AS m FROM sc GROUP BY 1
+        |), scored AS (
+        |  SELECT d.doc_id, d.lang, COALESCE(agg.n, 0) AS n_tokens,
+        |    COALESCE(agg.m, 0.0) AS surprisal
+        |  FROM documents d LEFT JOIN agg USING (doc_id)
+        |), tiled AS (
+        |  SELECT doc_id, lang, n_tokens, surprisal,
+        |    CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY surprisal, doc_id) AS BIGINT) AS bucket
+        |  FROM scored
+        |)
+        |SELECT doc_id, lang, n_tokens, surprisal, bucket,
+        |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+        |       ELSE 'middle' END AS tier
+        |FROM tiled""".stripMargin,
     "t34_naive_bayes" ->
       """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, source AS cls,

@@ -731,6 +731,67 @@ object EventStreams {
         col("event_type"), col("cnt"), col("share"))
   }
 
+  case class TypeCount(tpe: String, cnt: Long)
+  case class TrendingRow(bucket: Long, rank: Long, event_type: String,
+    cnt: Long, share: Double)
+
+  /** Streaming twin of [[trendingTypes]]: per-bucket top-k emitted the
+    * moment the watermark closes the bucket. State is keyed by BUCKET
+    * (the inverse of [[windowAnomaliesStream]]'s per-type keying): a
+    * group accumulates its (type → count) map while open and flushes
+    * ranked rows on its event-time timeout at bucket end + delay —
+    * state per key is |types| counters, reclaimed at flush, so total
+    * state is bounded by open-buckets × type cardinality regardless of
+    * stream length. Ranks/shares reproduce the batch op exactly
+    * ((cnt desc, type) order, share = cnt/total rounded 6 dp half-up,
+    * Spark ROUND's mode). */
+  def trendingTypesStream(events: Dataset[Event], k: Int,
+      bucketNanos: Long = 3600L * 1000000000L,
+      watermarkDelay: String = "1 hour"): Dataset[TrendingRow] = {
+    require(k >= 1, s"trendingTypesStream: k must be >= 1, got $k")
+    require(bucketNanos > 0, "trendingTypesStream: bucketNanos must be > 0")
+    import events.sparkSession.implicits._
+    def bucketOf(ts: Long): Long =
+      ts / bucketNanos - (if (ts % bucketNanos < 0) 1 else 0)
+    def endMs(bucket: Long): Long = ((bucket + 1) * bucketNanos + 999999L) / 1000000L
+    def flush(bucket: Long, counts: Seq[TypeCount]): Iterator[TrendingRow] = {
+      val tot = counts.map(_.cnt).sum.toDouble
+      counts.sortBy(tc => (-tc.cnt, tc.tpe)).take(k).zipWithIndex.map {
+        case (tc, i) => TrendingRow(bucket, i + 1L, tc.tpe, tc.cnt,
+          BigDecimal(tc.cnt / tot).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.iterator
+    }
+    val withTime = withEventTime(events.toDF())
+      .withWatermark("event_time", watermarkDelay)
+      .as[Event]
+    withTime.groupByKey(e => bucketOf(e.ts))
+      .flatMapGroupsWithState[Seq[TypeCount], TrendingRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: Long, it: Iterator[Event], state: GroupState[Seq[TypeCount]]) =>
+          if (state.hasTimedOut) {
+            val out = flush(bucket, state.get)
+            state.remove()
+            out
+          } else {
+            val m = scala.collection.mutable.Map(
+              state.getOption.getOrElse(Seq.empty).map(tc => tc.tpe -> tc.cnt): _*)
+            for (e <- it) m(e.event_type) = m.getOrElse(e.event_type, 0L) + 1
+            val counts = m.toSeq.map { case (t, c) => TypeCount(t, c) }
+            // the watermark can pass a bucket's end inside the SAME
+            // micro-batch that delivered its last events — flush now
+            // (the timeout would otherwise never fire for this group)
+            if (endMs(bucket) <= state.getCurrentWatermarkMs()) {
+              state.remove()
+              flush(bucket, counts)
+            } else {
+              state.update(counts)
+              state.setTimeoutTimestamp(endMs(bucket))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   /** Active-user counts per tumbling bucket — the DAU/WAU primitive:
     * (bucket, active_users, n_events), FLOOR-bucketed (the
     * [[retentionCohorts]] rule). One map-side-combined aggregation;

@@ -1784,6 +1784,30 @@ class PipelineSpec extends AnyFunSuite {
       s"ratio join should broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("perplexityBuckets: per-lang NTILE tiers, fluent docs head, rare-token docs tail") {
+    // lang A: six docs — three from common vocabulary, three with rare
+    // singletons (high surprisal); lang B: three docs, its own tiling
+    val docs = Seq(
+      (1L, "the the the", "en"), (2L, "the the cat", "en"), (3L, "the cat cat", "en"),
+      (4L, "qq", "en"), (5L, "zz", "en"), (6L, "yy", "en"),
+      (10L, "bon bon", "fr"), (11L, "bon jour", "fr"), (12L, "xx", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getString(5)))).toMap
+    assert(out.size === 9)
+    // en: 6 docs → buckets of 2 by surprisal order (ranks 3 and 4 share
+    // bucket 2); no rare doc may out-rank a common-vocab doc
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).max <= Seq(4L, 5L, 6L).map(out(_)._1).min)
+    assert(Seq(4L, 5L, 6L).map(out(_)._2).contains("tail"))
+    assert(out(1L) === ((1L, "head"))) // most fluent: 3× the most common token
+    // fr tiles independently: 3 docs → one per bucket
+    assert(Set(10L, 11L, 12L).map(out(_)._1) === Set(1L, 2L, 3L))
+    assert(out(12L) === ((3L, "tail"))) // the rare singleton
+    // tier labels follow buckets
+    out.values.foreach { case (b, t) =>
+      assert(t === (if (b == 1) "head" else if (b == 3) "tail" else "middle")) }
+  }
+
   test("textRankKeywords: hand-rolled damped PR on the co-occurrence path graph; self-loops and rare pairs drop") {
     // five copies of "a b c" → pairs (a,b), (b,c) at count 5 (= minCount);
     // "x x" is a self-loop (dropped); "y z" appears once (< minCount)

@@ -387,6 +387,42 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trendingTypesStream: buckets flush ranked on watermark close, parity with batch") {
+    val h = 3600L * 1000000000L
+    // bucket 1: a×3, b×2, c×1 split across two micro-batches; bucket 2:
+    // tie x/y; bucket 9: the watermark flush rider
+    def ev(id: Long, t: Long, tpe: String) = Event(id, t, 1L, tpe, 0.0)
+    val b1 = Seq(ev(1, h + 1, "a"), ev(2, h + 2, "a"), ev(3, h + 3, "b"))
+    val b2 = Seq(ev(4, h + 4, "a"), ev(5, h + 5, "b"), ev(6, h + 6, "c"),
+      ev(7, 2 * h + 1, "x"), ev(8, 2 * h + 2, "x"), ev(9, 2 * h + 3, "y"), ev(10, 2 * h + 4, "y"))
+    val b3 = Seq(ev(99, 9 * h, "z")) // advances the watermark past buckets 1-2
+    val dir = java.nio.file.Files.createTempDirectory("graft_trend_stream").toString
+    def push(evs: Seq[Event]): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(dir)
+    push(b1)
+    val src = EventStreams.readEventStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = EventStreams.trendingTypesStream(src, k = 2, watermarkDelay = "1 second")
+      .writeStream.outputMode("append").format("memory").queryName("trend_out").start()
+    try {
+      q.processAllAvailable()
+      push(b2); q.processAllAvailable()
+      push(b3); q.processAllAvailable()
+      val streamed = spark.table("trend_out")
+        .filter(col("bucket").isin(1L, 2L)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+      val batch = EventStreams.trendingTypes((b1 ++ b2).toDF(), k = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+      assert(streamed === batch)
+      // cross-batch accumulation: a counted 3 across b1+b2
+      assert(streamed((1L, 1L)) === (("a", 3L, 0.5)))
+      assert(streamed((2L, 1L)) === (("x", 2L, 0.5))) // tie → type asc
+    } finally q.stop()
+  }
+
   test("trendingTypes: per-bucket rank, deterministic ties, share sums to 1, k cut") {
     // bucket 0: a×3, b×2, c×1 (share 0.5/0.333333/0.166667); bucket 1:
     // x and y tied at 2 — type asc breaks the tie
@@ -1596,6 +1632,24 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     val sampled = GraphAnalytics.harmonicCloseness(e, nSeeds = 3, maxDepth = 4)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     sampled.foreach { case (id, h) => assert(h <= out(id)._2 + 1e-9, s"node $id oversum") }
+  }
+
+  test("weightedSSSP: cheaper long path beats direct edge; horizon bounds; unreached absent") {
+    // 1 -(10)- 2; 1 -(1)- 3 -(1)- 4 -(1)- 2: the 3-edge path costs 3 <
+    // the direct 10, but needs >= 3 rounds to surface; 9 is unreachable
+    val e = Seq((1L, 2L, 10.0), (1L, 3L, 1.0), (3L, 4L, 1.0), (4L, 2L, 1.0),
+      (8L, 9L, 1.0)).toDF("u", "v", "w")
+    def run(r: Int) = GraphAnalytics.weightedSSSP(e, source = 1L, rounds = r)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val r1 = run(1)
+    assert(r1 === Map(1L -> 0.0, 2L -> 10.0, 3L -> 1.0))
+    val r2 = run(2)
+    assert(r2(2L) === 10.0 && r2(4L) === 2.0) // path not yet through
+    val r3 = run(3)
+    assert(r3(2L) === 3.0, s"3-edge path must win by round 3, got ${r3(2L)}")
+    assert(!r3.contains(8L) && !r3.contains(9L), "other component must not appear")
+    // a further round changes nothing (all shortest paths <= 3 edges)
+    assert(run(4) === r3)
   }
 
   test("kTrussEdges: bridge peels at k=3, triangle peels at k=4, K4 survives; cascade needs a round") {
