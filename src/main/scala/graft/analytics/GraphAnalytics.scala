@@ -146,20 +146,20 @@ object GraphAnalytics {
     * [[kCoreEdges]] idiom) so plan depth stays constant at any iteration
     * count.
     *
-    * Scale shape: the degree join is hoisted OUT of the loop (edges
-    * carry their source degree once, checkpointed); per iteration ONE
-    * dst-keyed aggregation shuffle — the rank and contribution vectors
-    * are |V|-sized, so up to `broadcastMaxVerts` they ride BROADCAST
-    * joins and the edge relation never re-shuffles (measured 5.5-6.3 s
-    * → 4.5-5.1 s at sf0.1, 165k vertices / 1.4M edges; the residual is
-    * per-round job overhead: one aggregation shuffle + two broadcast
-    * builds + the stride-2 checkpoint). Past the
-    * threshold both joins fall back to hash shuffles bounded by |E|
-    * and |V| per round — the canonical distributed PR step (at 10⁹+
-    * vertices, raise executor memory or leave the default and pay the
-    * shuffle; correctness is unchanged). */
+    * Scale shape (the [[hits]] discipline): the edge relation carries
+    * its source degree and is persisted PRE-PARTITIONED on src once, so
+    * every round's join reuses the cached layout and shuffle-hash-joins
+    * only the rank vector — no per-round |E| Exchange, no per-round
+    * driver broadcast, no |V| driver-memory ceiling (the old
+    * broadcastMaxVerts knob is gone for the same reason as hits').
+    * The rank vector stays SPARSE through the iteration: pr_0 is one
+    * row, and a vertex absent from a round's vector would carry rank
+    * reset·[v=source] ⊕ 0 contribution — exactly what the final dense
+    * verts join restores once at the end. Per round: one |reached|-row
+    * vector shuffle + one dst-keyed map-side-combined aggregation;
+    * lineage cut per round. */
   def personalizedPageRank(g: PropertyGraph, source: Long, numIter: Int,
-      resetProb: Double = 0.15, broadcastMaxVerts: Long = 1000000L): DataFrame = {
+      resetProb: Double = 0.15): DataFrame = {
     require(numIter >= 1, s"personalizedPageRank: numIter must be >= 1, got $numIter")
     val spark = g.spark
     import spark.implicits._
@@ -174,27 +174,27 @@ object GraphAnalytics {
         .getOrElse(Seq.empty[Long].toDF("id")))
       .unionAll(Seq(source).toDF("id"))
       .distinct().localCheckpoint(true)
-    // (src, dst, d): source out-degree attached once, not once per round
+    // (src, dst, d): source out-degree attached once, not once per round;
+    // persisted partitioned on the round-join key (localCheckpoint would
+    // drop the partitioning under AQE — PartitionPreserveProbe)
     val fwdD = fwd.join(fwd.groupBy(col("src")).agg(count(lit(1)).as("d")), "src")
+      .repartition(col("src")).persist()
+    fwdD.count()
+    val sourceRow = spark.range(1)
+      .select(lit(source).as("id"), lit(resetProb).as("rank"))
+    var pr = spark.range(1).select(lit(source).as("id"), lit(1.0).as("rank"))
       .localCheckpoint(true)
-    val bcast = verts.count() <= broadcastMaxVerts // verts already materialized
-    def side(df: DataFrame) = if (bcast) broadcast(df) else df
-    def reset = when(col("id") === source, lit(1.0)).otherwise(lit(0.0))
-    var pr = verts.select(col("id"), reset.as("rank"))
     for (i <- 1 to numIter) {
-      val prS = side(pr)
-      val contrib = fwdD.join(prS, fwdD("src") === prS("id"))
+      val contrib = fwdD.join(pr.hint("shuffle_hash"), fwdD("src") === pr("id"))
         .groupBy(fwdD("dst").as("id"))
-        .agg(sum(col("rank") / col("d")).as("s"))
-      pr = verts.join(side(contrib), Seq("id"), "left")
-        .select(col("id"),
-          (lit(resetProb) * reset + lit(1.0 - resetProb) * coalesce(col("s"), lit(0.0))).as("rank"))
-      // lineage cut every 2nd round (an eager checkpoint is a full
-      // materialization action — per-round cutting doubles the job count
-      // for no plan-depth benefit at this lineage length)
-      if (i % 2 == 0 || i == numIter) pr = pr.localCheckpoint(true)
+        .agg((lit(1.0 - resetProb) * sum(col("rank") / col("d"))).as("rank"))
+      // sparse next vector: damped contributions ⊕ the seed's reset mass
+      pr = contrib.unionByName(sourceRow)
+        .groupBy(col("id")).agg(sum(col("rank")).as("rank"))
+        .localCheckpoint(true)
     }
-    pr
+    verts.join(pr, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rank"), lit(0.0)).as("rank"))
   }
 
   /** Unweighted single-source shortest hop counts via Pregel → (id, dist). */

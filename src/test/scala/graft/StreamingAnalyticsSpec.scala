@@ -1832,11 +1832,6 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     val lone = GraphAnalytics.personalizedPageRank(g, source = 3L, numIter = 2).collect()
       .map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(lone(3L) === 0.15 && lone(0L) === 0.0)
-    // the past-threshold shuffle fallback computes the identical vector
-    val shuffled = GraphAnalytics.personalizedPageRank(g, source = 0L, numIter = iters,
-        broadcastMaxVerts = 0L).collect()
-      .map(x => x.getLong(0) -> math.rint(x.getDouble(1) * 1e6) / 1e6).toMap
-    assert(shuffled === got)
   }
 
   test("hits matches a hand-rolled L1-normalized mutual recursion") {
