@@ -670,31 +670,33 @@ object GraphAnalytics {
     * threshold both joins fall back to the canonical |E|/|V|-bounded
     * hash shuffles. Lineage cut stride-2 (the PPR idiom) keeps plan
     * depth constant at any round count. */
-  def labelPropagation(g: PropertyGraph, numIter: Int,
-      broadcastMaxVerts: Long = 1000000L): DataFrame = {
+  def labelPropagation(g: PropertyGraph, numIter: Int): DataFrame = {
     require(numIter >= 1, s"labelPropagation: numIter must be >= 1, got $numIter")
     val spark = g.spark
     import spark.implicits._
     val fwd = g.edges.filter(col("dir")).select(col("src"), col("dst"))
+    // mirrored neighbor relation persisted PRE-PARTITIONED on the label
+    // fetch key w (the [[hits]]/[[personalizedPageRank]] discipline):
+    // each round's fetch join reuses the cached layout and shuffles only
+    // the |V|-row label vector — no per-round |E| Exchange, no driver
+    // broadcast, no |V| ceiling (the old broadcastMaxVerts knob)
     val und = fwd.unionAll(fwd.select(col("dst"), col("src")))
       .toDF("v", "w")
       .filter(col("v") =!= col("w")).distinct()
-      .localCheckpoint(true)
+      .repartition(col("w")).persist()
+    und.count()
     val verts = und.select(col("v").as("id"))
       .unionAll(g.explicitNodes.map(_.select(col("id")))
         .getOrElse(Seq.empty[Long].toDF("id")))
       .distinct().localCheckpoint(true)
-    val bcast = verts.count() <= broadcastMaxVerts
-    def side(df: DataFrame) = if (bcast) broadcast(df) else df
     var lbl = verts.select(col("id"), col("id").as("label"))
     for (i <- 1 to numIter) {
-      val lblS = side(lbl)
-      val pick = und.join(lblS, und("w") === lblS("id"))
+      val pick = und.join(lbl.hint("shuffle_hash"), und("w") === lbl("id"))
         .groupBy(und("v").as("vid"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("vid"))
         .agg(min_by(col("label"), struct((-col("c")).as("nc"), col("label"))).as("nl"))
-      lbl = lbl.join(side(pick), lbl("id") === pick("vid"), "left")
+      lbl = lbl.join(pick, lbl("id") === pick("vid"), "left")
         .select(lbl("id"), coalesce(col("nl"), col("label")).as("label"))
       if (i % 2 == 0 || i == numIter) lbl = lbl.localCheckpoint(true)
     }
