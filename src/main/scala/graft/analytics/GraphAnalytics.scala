@@ -580,6 +580,35 @@ object GraphAnalytics {
     e
   }
 
+  /** Weighted bipartite projection: from a two-mode edge list
+    * (left, right) — customer×product, user×item, doc×entity — build
+    * the one-mode co-membership graph on the RIGHT vertices: (u, v,
+    * weight = number of shared left-neighbors), u < v. The general form
+    * of the co-purchase graph every a6/a10/a13/a14/a17 gate consumes,
+    * promoted to a first-class op (Newman 2001's weighted projection
+    * with simple co-occurrence counts).
+    *
+    * `maxLeftDegree` caps a left vertex's fan-out BEFORE pairing (0 =
+    * uncapped): the pair volume is Σ deg(l)², so one celebrity left
+    * vertex (an order containing 10⁶ items) otherwise mints 10¹² pairs —
+    * the [[graft.functions.Dedup]] maxPostings convention, explicit
+    * capped semantics instead of an OOM. Scale shape: one left-keyed
+    * self-join (hash on the left id), pair counts map-side combined. */
+  def bipartiteProject(edges: DataFrame, leftCol: String = "l",
+      rightCol: String = "r", maxLeftDegree: Int = 0): DataFrame = {
+    val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .filter(col("l").isNotNull && col("r").isNotNull).distinct()
+    val base =
+      if (maxLeftDegree <= 0) e
+      else e.join(
+        e.groupBy(col("l")).agg(count(lit(1)).as("__d"))
+          .filter(col("__d") > maxLeftDegree).select(col("l")),
+        Seq("l"), "left_anti")
+    val a = base.toDF("l", "u"); val b = base.toDF("l", "v")
+    a.join(b, "l").filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("weight"))
+  }
+
   /** Bounded Bellman–Ford single-source WEIGHTED shortest paths over an
     * undirected weighted edge list — [[shortestPaths]]' hop-count BFS
     * generalized to real edge costs, in the fixed-round form every

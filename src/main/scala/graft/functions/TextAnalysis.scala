@@ -552,6 +552,34 @@ object TextAnalysis {
         coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
   }
 
+  /** Frequency-ranked vocabulary construction — the tokenizer-artifact
+    * step between [[bpeMerges]] and training: (token, id, count) with
+    * dense ids assigned by (count desc, token) rank starting at
+    * `baseId` (reserve 0..baseId−1 for specials: PAD/UNK/BOS/EOS),
+    * `minCount` noise floor, optional `maxSize` cut. Deterministic —
+    * the rank order is total, so the id table is hash-checkable and
+    * reproducible across engines/runs (the property a training vocab
+    * must have).
+    *
+    * Scale shape: one token count (map-side combined, vocab-sized
+    * exchange) + one global sort window over the VOCAB (not the
+    * corpus) — at 100 TB the vocab is millions of rows, a trivial
+    * single-stage sort. */
+  def buildVocab(docs: DataFrame, maxSize: Int = 0, minCount: Long = 1,
+      baseId: Int = 4, textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"buildVocab: minCount must be >= 1, got $minCount")
+    require(baseId >= 0, s"buildVocab: baseId must be >= 0, got $baseId")
+    val counts = docs.select(explode(corpusTokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    val ranked = counts
+      .withColumn("id", (row_number().over(w) + lit(baseId - 1)).cast("long"))
+    (if (maxSize > 0) ranked.filter(col("id") < baseId + maxSize) else ranked)
+      .select(col("token"), col("id"), col("cnt"))
+  }
+
   /** CCNet-style perplexity tiering (Wenzek et al. 2020): per-language
     * NTILE buckets over [[unigramSurprisal]] — bucket 1 ("head") = the
     * most fluent (lowest-surprisal) third, "tail" = the most

@@ -466,6 +466,12 @@ object GateQueries {
             .otherwise(lit(""))).as("text"))
       graft.functions.TextAnalysis.c4Filters(derived, minSentences = 3)
     }),
+    "t37_vocab" -> ((s, d) => {
+      // frequency-ranked vocab with 4 reserved special ids and a
+      // minCount=2 floor — deterministic total order, hash-green
+      graft.functions.TextAnalysis.buildVocab(
+        t(s, d, "documents"), minCount = 2)
+    }),
     "t36_perplexity_buckets" -> ((s, d) => {
       // CCNet head/middle/tail tiering: per-language NTILE(3) over the
       // t19 unigram surprisal — the oracle chains the t19 body into the
@@ -690,19 +696,25 @@ object GateQueries {
           emb.filter(col("vec_id") < 50), emb, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
+    "e16_mutual_knn" -> ((s, d) => {
+      // corpus-wide mutual-kNN graph (exact tier): pair membership is a
+      // rank property (the hash-green e1 precedent), so the gate emits
+      // the edge list only — cosine stays engine-side
+      graft.functions.Similarity.mutualKnnGraph(t(s, d, "embeddings"), k = 10)
+        .select(col("a"), col("b"))
+    }),
     "e15_ann_projected_topk" -> ((s, d) => {
       // two-stage coarse-to-fine on the e1 config: JL-projected 64→32
-      // prefilter scan (2× narrower), top-200 shortlist, exact
+      // prefilter scan (2× narrower), ADAPTIVE 0.4·n shortlist, exact
       // full-dimension re-rank to top-10. Rows-only gate like e2/e7;
       // quality = the e15_vs_e1 recall rider + the RecallSpec floor.
-      // Config swept in ProjectedRecallProbe: the near-isotropic
-      // synthetic corpus puts true-neighbor cosine gaps inside JL
-      // distortion at outDim 16 (recall 0.358 at shortlist 40); 32/200
-      // measures 0.924 at sf0.01 with wall FLAT vs the 16/40 config
-      // (the scan is overhead-dominated at bench scale).
+      // Swept in ProjectedRecallProbe: outDim 16 / fixed-40 measured
+      // 0.358; 32 with 0.4·n holds 0.924 at sf0.01 AND 0.954 at sf0.1
+      // (a FIXED 200 decayed to 0.67 at sf0.1 — shortlists must scale
+      // with the corpus on this near-isotropic data).
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.projectedTopK(
-        emb.filter(col("vec_id") < 50), emb, k = 10, outDim = 32, shortlist = 200)
+        emb.filter(col("vec_id") < 50), emb, k = 10, outDim = 32, shortlist = -1)
     }),
     "e7_ann_pq_topk" -> ((s, d) => {
       // product-quantization ADC over the same query/corpus/k config as
@@ -1108,6 +1120,14 @@ object GateQueries {
       // identical support filter per unrolled round
       graft.analytics.GraphAnalytics.kTrussEdges(
         coPurchaseEdges(s, d), k = 4, iters = 3)
+    }),
+    "a19_bipartite_projection" -> ((s, d) => {
+      // the order×part two-mode list projected onto parts with co-order
+      // weights — the generalized co-purchase builder as its own
+      // hash-green gate (weights included; quarter cut as ever)
+      graft.analytics.GraphAnalytics.bipartiteProject(
+        t(s, d, "lineitem").filter(col("l_orderkey") % 4 === 0)
+          .select(col("l_orderkey").as("l"), col("l_partkey").as("r")))
     }),
     "a18_weighted_sssp" -> ((s, d) => {
       // Bellman–Ford on the WEIGHTED co-purchase graph (w = 1/co-order
@@ -1743,6 +1763,14 @@ object GateQueries {
     "a16_random_walks" -> randomWalkOracleSql(16, 6, 42L),
     "a17_ktruss" -> kTrussOracleSql(4, 3),
     "a18_weighted_sssp" -> weightedSsspOracleSql(4),
+    "a19_bipartite_projection" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS l, l_partkey AS r
+        |  FROM lineitem WHERE l_orderkey % 4 = 0
+        |)
+        |SELECT a.r AS u, b.r AS v, COUNT(*) AS weight
+        |FROM li a JOIN li b ON a.l = b.l
+        |WHERE a.r < b.r GROUP BY 1, 2""".stripMargin,
     "a14_jaccard_links" ->
       """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
@@ -2030,6 +2058,19 @@ object GateQueries {
         |WHERE q.vec_id < 50) t WHERE rank <= 10""".stripMargin,
     "e3_embedding_cluster_stats" ->
       "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1",
+    "e16_mutual_knn" ->
+      """WITH knn AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id) t
+        |  WHERE rank <= 10
+        |)
+        |SELECT k1.query_id AS a, k1.neighbor_id AS b
+        |FROM knn k1
+        |JOIN knn k2 ON k2.query_id = k1.neighbor_id AND k2.neighbor_id = k1.query_id
+        |WHERE k1.query_id < k1.neighbor_id""".stripMargin,
     "e12_kmeans_clusters" -> kmeansOracleSql(8, 2, 64),
     "e13_random_projection" -> randomProjectOracleSql(64, 16, 42L),
     "e14_mmr_rerank" -> mmrOracleSql(5, 0.7, 20),
@@ -2460,6 +2501,17 @@ object GateQueries {
     "t32_bpe_merges" -> bpeOracleSql(12),
     "t33_bpe_token_counts" -> bpeTokenCountOracleSql(12),
     "t35_textrank" -> textRankOracleSql(5, 5),
+    "t37_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents
+        |), counts AS (
+        |  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1 HAVING COUNT(*) >= 2
+        |)
+        |SELECT token,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) + 3 AS BIGINT) AS id,
+        |  cnt
+        |FROM counts""".stripMargin,
     "t36_perplexity_buckets" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok

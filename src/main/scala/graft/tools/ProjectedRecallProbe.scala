@@ -18,7 +18,7 @@ object ProjectedRecallProbe {
     val exact = graft.functions.Similarity.bruteForceTopK(q, emb, k = 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    for (outDim <- Seq(16, 24, 32); shortlist <- Seq(40, 100, 200)) {
+    for (outDim <- Seq(32, 48); shortlist <- Seq(200, 400, 800)) {
       val t0 = System.nanoTime()
       val got = graft.functions.Similarity.projectedTopK(q, emb, k = 10,
           outDim = outDim, shortlist = shortlist)

@@ -1784,6 +1784,39 @@ class PipelineSpec extends AnyFunSuite {
       s"ratio join should broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("buildVocab: frequency-rank ids after specials, minCount floor, maxSize cut, tie by token") {
+    val docs = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
+    // counts: a=3, b=3, c=1, d=1 — minCount 1 keeps all; ties by token asc
+    val v = TextAnalysis.buildVocab(docs, baseId = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(v === Map("a" -> ((4L, 3L)), "b" -> ((5L, 3L)), "c" -> ((6L, 1L)), "d" -> ((7L, 1L))))
+    // floor and cut
+    val floored = TextAnalysis.buildVocab(docs, minCount = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(floored === Set("a", "b"))
+    val cut = TextAnalysis.buildVocab(docs, maxSize = 3, baseId = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cut === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("mutualKnnGraph: hubs prune to mutual pairs only; canonical orientation") {
+    // two tight pairs on one axis-cluster each + a far outlier whose kNN
+    // list includes everyone (k >= n-1) but who enters nobody's top-1
+    def vec(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (1L, vec(1.0, 0.0)), (2L, vec(0.99, 0.01)),
+      (3L, vec(0.0, 1.0)), (4L, vec(0.01, 0.99)),
+      (5L, vec(-1.0, -1.0))).toDF("vec_id", "embedding")
+    val m1 = Similarity.mutualKnnGraph(emb, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m1 === Set((1L, 2L), (3L, 4L)), s"got $m1") // 5's nearest is not mutual
+    // k >= n-1: every pair is mutual — the complete graph
+    val all = Similarity.mutualKnnGraph(emb, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.size === 10)
+    all.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("perplexityBuckets: per-lang NTILE tiers, fluent docs head, rare-token docs tail") {
     // lang A: six docs — three from common vocabulary, three with rare
     // singletons (high surprisal); lang B: three docs, its own tiling

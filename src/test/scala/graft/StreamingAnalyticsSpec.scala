@@ -1634,6 +1634,22 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     sampled.foreach { case (id, h) => assert(h <= out(id)._2 + 1e-9, s"node $id oversum") }
   }
 
+  test("bipartiteProject: shared-left weights, canonical orientation, degree cap") {
+    // left 10: {1,2,3}; left 20: {2,3}; left 30: {3,4}; left 40: {1,2,3,4,5}
+    val e = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L),
+      (30L, 3L), (30L, 4L), (40L, 1L), (40L, 2L), (40L, 3L), (40L, 4L), (40L, 5L))
+      .toDF("l", "r")
+    val p = GraphAnalytics.bipartiteProject(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(p((2L, 3L)) === 3L) // shared lefts 10, 20, 40
+    assert(p((1L, 2L)) === 2L && p((3L, 4L)) === 2L && p((4L, 5L)) === 1L)
+    p.keys.foreach { case (u, v) => assert(u < v) }
+    // capping left degree at 3 drops the size-5 order 40 entirely
+    val capped = GraphAnalytics.bipartiteProject(e, maxLeftDegree = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped((2L, 3L)) === 2L && !capped.contains((4L, 5L)))
+  }
+
   test("weightedSSSP: cheaper long path beats direct edge; horizon bounds; unreached absent") {
     // 1 -(10)- 2; 1 -(1)- 3 -(1)- 4 -(1)- 2: the 3-edge path costs 3 <
     // the direct 10, but needs >= 3 rounds to surface; 9 is unreachable
