@@ -411,6 +411,104 @@ object Multimodal {
     }
   }
 
+  final case class MediaHash(media_id: Long, phash: Long, source: String)
+
+  /** Perceptual average-hash (aHash, the classic 64-bit image
+    * fingerprint): decode, downsample the luma raster to an 8×8 block
+    * grid, set bit (by·8 + bx) when the block's mean exceeds the global
+    * mean. Robust to resizing/recompression — near-identical images land
+    * within a few Hamming bits, which is what [[nearDuplicateMedia]]
+    * exploits. Payloads with no real decode path hash the deterministic
+    * [[decodeStub]] samples instead (source = "stub", the
+    * [[MediaFeatures]] honesty flag): stub hashes still dedup EXACT
+    * binary copies (same payload ⇒ same hash) without pretending
+    * perceptual similarity. Per-partition imperative decode like every
+    * codec stage — narrow, no shuffle. */
+  def perceptualHash(media: Dataset[MediaRow],
+      maxPixels: Long = DefaultMaxPixels): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = if (r.media == null) null else readBounded(r.media, maxPixels)
+        if (img != null) {
+          val w = img.getWidth; val h = img.getHeight
+          val luma = lumaBytes(img)
+          val blocks = new Array[Double](64)
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 8) {
+              val x0 = bx * w / 8; val x1 = math.max(x0 + 1, (bx + 1) * w / 8)
+              val y0 = by * h / 8; val y1 = math.max(y0 + 1, (by + 1) * h / 8)
+              var s = 0L; var n = 0
+              var y = y0
+              while (y < y1 && y < h) {
+                var x = x0
+                while (x < x1 && x < w) { s += luma(y * w + x) & 0xff; n += 1; x += 1 }
+                y += 1
+              }
+              blocks(by * 8 + bx) = if (n == 0) 0.0 else s.toDouble / n
+              bx += 1
+            }
+            by += 1
+          }
+          val mean = blocks.sum / 64
+          var bits = 0L
+          var i = 0
+          while (i < 64) { if (blocks(i) > mean) bits |= (1L << i); i += 1 }
+          MediaHash(r.media_id, bits, "image")
+        } else {
+          // stub path: FNV-1a over the WHOLE payload (the [[decodeStub]]
+          // samples touch only the first outLen bytes — two near-dup
+          // payloads sharing a 64-byte prefix would collide, turning
+          // "exact binary copy" into "shared prefix"). Distinct payloads
+          // land ~32 Hamming bits apart — far outside any dedup bound.
+          val bytes = if (r.media == null) Array.empty[Byte] else r.media
+          var hsh = 0xcbf29ce484222325L
+          var i = 0
+          while (i < bytes.length) {
+            hsh = (hsh ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+            i += 1
+          }
+          MediaHash(r.media_id, hsh, "stub")
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash Hamming distance ≤
+    * `maxHamming` — the image-dedup stage of a multimodal pipeline.
+    * Banded exactly like the SimHash text tier: the 64-bit hash splits
+    * into `maxHamming + 1` bands, and any pair within the bound shares
+    * ≥ 1 intact band (pigeonhole), so candidates come from band-keyed
+    * joins — NEVER an all-pairs scan — and a popcount(xor) verify
+    * keeps true positives only. Returns (media_a, media_b, hamming),
+    * a < b. Scale: candidate volume is Σ band-bucket², the d2
+    * discipline. */
+  def nearDuplicateMedia(media: Dataset[MediaRow], maxHamming: Int = 3,
+      maxPixels: Long = DefaultMaxPixels): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"nearDuplicateMedia: maxHamming must be in [0, 15], got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val h = perceptualHash(media, maxPixels).toDF()
+      .select(col("media_id"), col("phash")).localCheckpoint(true)
+    val banded = h.select(col("media_id"), col("phash"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("phash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("phash"), col("bk.band"), col("bk.key"))
+    val a = banded.toDF("media_a", "ha", "band", "key")
+    val b = banded.toDF("media_b", "hb", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Flatten the nested meta struct into a typed Dataset for the batch ops. */
   def typed(df: DataFrame): Dataset[MediaRow] = {
     import df.sparkSession.implicits._

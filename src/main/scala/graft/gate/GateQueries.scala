@@ -1160,6 +1160,26 @@ object GateQueries {
     }),
 
     // ---- multimodal plumbing (stubbed codec, real batch pipeline) ---------
+    "m2_media_near_dups" -> ((s, d) => {
+      // perceptual-hash media dedup over the synthesized (stub-path)
+      // payload table: stub hashes are a pure function of the payload,
+      // so Hamming-0 pairs ≡ exact binary copies ≡ exact text copies —
+      // which IS SQL-expressible (the md5 self-join). Accidental ≤3-bit
+      // collisions between distinct 64-bit hashes would break the
+      // equality (~n²·Σ C(64,i)/2⁶⁴ ≈ 10⁻⁹ at corpus scale — the d1
+      // empirically-pinned-oracle precedent). Real-image payloads take
+      // the perceptual path, pinned by unit tests instead.
+      // derived corpus with PLANTED exact copies (every %50 doc shares
+      // one payload — the corpus itself has no byte-exact text dups), so
+      // the gate has real positives instead of an empty result
+      val derived = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, lit("planted duplicate payload"))
+          .otherwise(col("text")).as("text"))
+      val media = graft.functions.Multimodal.synthesize(derived, "doc_id", "text")
+      graft.functions.Multimodal.nearDuplicateMedia(
+          graft.functions.Multimodal.typed(media), maxHamming = 3)
+        .select(col("media_a"), col("media_b"))
+    }),
     "m1_media_features" -> ((s, d) => {
       val media = graft.functions.Multimodal.synthesize(
         t(s, d, "documents"), "doc_id", "text")
@@ -2298,6 +2318,15 @@ object GateQueries {
     "m1_media_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(strlen(text) AS INT) AS n_bytes
         |FROM documents""".stripMargin,
+    "m2_media_near_dups" ->
+      """WITH derived AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 50 = 0
+        |    THEN 'planted duplicate payload' ELSE text END AS text
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b
+        |FROM derived a JOIN derived b
+        |  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id""".stripMargin,
     // the mail corpus is a deterministic generated file (MailGraph.generate,
     // fixed xorshift seed) — the oracle reads the same file back
     "miw_bulk_ingest" ->

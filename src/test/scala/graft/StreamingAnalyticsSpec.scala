@@ -736,6 +736,51 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(resized(3L).media.toSeq === Seq[Byte](1, 2, 3) && resized(3L).format === "corrupt")
   }
 
+  test("multimodal: perceptual aHash clusters real near-identical images; banded dedup finds them") {
+    import graft.functions.Multimodal
+    // a structured 64×64 image: left half bright, right half dark — a
+    // meaningful aHash (half the bits set); a near-copy with a small
+    // blemish; a recompressed JPEG of the same scene; an inverted scene
+    def scene(w: Int, h: Int, invert: Boolean, blemish: Boolean, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      val (l, r) = if (invert) (0x101010, 0xF0F0F0) else (0xF0F0F0, 0x101010)
+      g.setColor(new java.awt.Color(l)); g.fillRect(0, 0, w / 2, h)
+      g.setColor(new java.awt.Color(r)); g.fillRect(w / 2, 0, w - w / 2, h)
+      if (blemish) { g.setColor(new java.awt.Color(0x808080)); g.fillRect(2, 2, 3, 3) }
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, scene(64, 64, invert = false, blemish = false, "png"), "image/png", 64, 64, 0),
+      Multimodal.MediaRow(2L, scene(64, 64, invert = false, blemish = true, "png"), "image/png", 64, 64, 0),
+      Multimodal.MediaRow(3L, scene(64, 64, invert = false, blemish = false, "jpg"), "image/jpeg", 64, 64, 0),
+      Multimodal.MediaRow(4L, scene(64, 64, invert = true, blemish = false, "png"), "image/png", 64, 64, 0),
+      Multimodal.MediaRow(5L, Array[Byte](9, 9, 9), "corrupt", 0, 0, 0),
+      Multimodal.MediaRow(6L, Array[Byte](9, 9, 9), "corrupt", 0, 0, 0))
+    val media = spark.createDataset(rows)
+    val hashes = Multimodal.perceptualHash(media).collect()
+      .map(h => h.media_id -> h).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hashes(1L).source === "image" && hashes(5L).source === "stub")
+    // the scene hash is half-set (left bright / right dark), not degenerate
+    assert(java.lang.Long.bitCount(hashes(1L).phash) === 32)
+    // blemish and JPEG recompression stay perceptually close; the
+    // inverted scene is maximally far (~64 bits)
+    assert(ham(hashes(1L).phash, hashes(2L).phash) <= 3)
+    assert(ham(hashes(1L).phash, hashes(3L).phash) <= 3)
+    assert(ham(hashes(1L).phash, hashes(4L).phash) >= 48)
+    // identical corrupt payloads: identical stub hash
+    assert(hashes(5L).phash === hashes(6L).phash)
+    // banded dedup: {1,2,3} pairwise + (5,6); never across to 4
+    val pairs = Multimodal.nearDuplicateMedia(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)), s"got $pairs")
+  }
+
   test("multimodal: REAL WAV decode via javax.sound.sampled (rate/duration/RMS/peak per channel)") {
     import graft.functions.Multimodal
     // build real WAV bytes in-test: 16-bit signed little-endian PCM frames
