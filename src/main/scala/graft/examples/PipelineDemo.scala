@@ -218,6 +218,34 @@ object PipelineDemo {
     println(s"attribution: ${attr.filter(col("attributed")).count()} of " +
       s"${attr.count()} purchases attributed to a click")
 
+    // 16. classification + keywords + vocab: the provenance classifier,
+    // TextRank keyword ranking, and the frequency-ranked token-id table
+    val nb = TextAnalysis.naiveBayesClassify(docs)
+    val nbAcc = nb.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .filter(col("predicted") === col("source")).count()
+    println(s"naive Bayes self-classification: $nbAcc of ${nb.count()} sources recovered")
+    val kw = TextAnalysis.textRankKeywords(docs, minCount = 5)
+    println(s"TextRank: ${kw.count()} keywords ranked " +
+      s"(top: ${kw.orderBy(col("rank").desc).limit(3).collect().map(_.getString(0)).mkString(", ")})")
+    val vocab = TextAnalysis.buildVocab(docs, minCount = 2)
+    println(s"vocab: ${vocab.count()} tokens with reserved ids 0-3")
+
+    // 17. retrieval depth: two-stage projected ANN and the mutual-kNN graph
+    val proj = Similarity.projectedTopK(emb.filter(col("vec_id") < 5), emb,
+      k = 3, outDim = 32, shortlist = -1)
+    println(s"projected two-stage ANN: ${proj.count()} rows")
+    val mk = Similarity.mutualKnnGraph(emb, k = 5)
+    println(s"mutual-kNN graph: ${mk.count()} edges")
+
+    // 18. media dedup: perceptual/stub hashes over synthesized payloads
+    val mediaRows = graft.functions.Multimodal.typed(
+      graft.functions.Multimodal.synthesize(
+        docs.select(col("doc_id"),
+          when(col("doc_id") % 50 === 0, lit("planted dup")).otherwise(col("text")).as("p")),
+        "doc_id", "p"))
+    val mdups = graft.functions.Multimodal.nearDuplicateMedia(mediaRows)
+    println(s"media near-dups (planted copies): ${mdups.count()} pairs")
+
     spark.stop()
   }
 }
