@@ -99,6 +99,7 @@ object Verify {
       recallOf("e8_ann_ivfpq_topk", "e1_ann_bruteforce_topk", Seq("query_id", "neighbor_id")),
       recallOf("e9_ann_sq8_topk", "e1_ann_bruteforce_topk", Seq("query_id", "neighbor_id")),
       recallOf("e10_ann_ivfsq8_topk", "e1_ann_bruteforce_topk", Seq("query_id", "neighbor_id")),
+      recallOf("e15_ann_projected_topk", "e1_ann_bruteforce_topk", Seq("query_id", "neighbor_id")),
       recallOf("d4_embedding_near_dups", "d6_embedding_dups_exact", Seq("doc_a", "doc_b")),
       recallOf("d9_semantic_dedup", "d6_embedding_dups_exact", Seq("doc_a", "doc_b"))
     ).flatten
