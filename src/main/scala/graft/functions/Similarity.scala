@@ -91,6 +91,43 @@ object Similarity {
     val knn = bruteForceTopK(corpus, corpus, k, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .localCheckpoint(true)
+    mutualOf(knn)
+  }
+
+  /** IVF-backed approximate tier of [[mutualKnnGraph]] — the corpus-scale
+    * path: candidate neighbor lists come from [[ivfTopK]] (centroid-
+    * bucketed, ~|corpus|·nProbe/nlist scored pairs per vector instead of
+    * |corpus|²), then the same reversed-key mutuality semi-join. The
+    * exact tier (e16) stays the verification anchor; recall floor in
+    * RecallSpec, rider in the bench line. Returns (a, b, cosine 6 dp),
+    * a < b. */
+  def mutualKnnGraphIvf(corpus: DataFrame, k: Int, nCentroids: Int,
+      nProbe: Int = 2, nAssign: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val knn = ivfTopK(corpus, corpus, k, nCentroids, nProbe,
+        idCol, vecCol, nAssign = nAssign)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .localCheckpoint(true)
+    mutualOf(knn)
+  }
+
+  /** [[mutualKnnGraph]] with [[projectedTopK]] candidate lists — the
+    * tier that MEASURED best on the near-isotropic synthetic corpus
+    * (IVF candidates at any sublinear probe fraction collapsed to
+    * ≤ 0.72 recall there — MutualKnnProbe; the projected prefilter
+    * holds ≥ 0.9, the e15 finding's corpus-wide dual). Same mutuality
+    * semi-join; (a, b, cosine 6 dp), a < b. */
+  def mutualKnnGraphProjected(corpus: DataFrame, k: Int, outDim: Int = 32,
+      shortlist: Int = -1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val knn = projectedTopK(corpus, corpus, k, outDim, shortlist,
+        idCol = idCol, vecCol = vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .localCheckpoint(true)
+    mutualOf(knn)
+  }
+
+  private def mutualOf(knn: DataFrame): DataFrame = {
     val rev = knn.select(col("neighbor_id").as("query_id"),
       col("query_id").as("neighbor_id"))
     knn.join(rev, Seq("query_id", "neighbor_id"), "left_semi")

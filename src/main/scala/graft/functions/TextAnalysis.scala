@@ -552,6 +552,35 @@ object TextAnalysis {
         coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
   }
 
+  /** Flesch reading-ease features (Flesch 1948 — the classic readability
+    * quality-filter feature): per doc, word count ([[corpusTokens]]),
+    * sentence count (non-empty [.!?]+ splits, floor 1 so a fragment
+    * still scores), syllable count (vowel-group runs [aeiouy]+ per word
+    * — the standard heuristic), and
+    * flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    * rounded 4 dp. Null/token-less text: counts 0, flesch null (a score
+    * for no words is not 206.835).
+    *
+    * Scale shape: narrow per-row regex/array expressions, codegen'd, no
+    * shuffle — the t4/t30 family. */
+  def readabilityFeatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = corpusTokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val nSents = greatest(lit(1L),
+      size(filter(split(col(textCol), "[.!?]+"), x => length(trim(x)) > 0)).cast("long"))
+    val nSyll = aggregate(
+      transform(toks, w => size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    docs.select(col(idCol),
+      coalesce(nWords, lit(0L)).as("n_words"),
+      when(col(textCol).isNotNull, nSents).otherwise(lit(0L)).as("n_sentences"),
+      coalesce(nSyll, lit(0L)).as("n_syllables"),
+      when(col(textCol).isNotNull && nWords > 0,
+        round(lit(206.835) - lit(1.015) * (nWords.cast("double") / nSents)
+          - lit(84.6) * (nSyll.cast("double") / nWords), 4)).as("flesch"))
+  }
+
   /** Frequency-ranked vocabulary construction — the tokenizer-artifact
     * step between [[bpeMerges]] and training: (token, id, count) with
     * dense ids assigned by (count desc, token) rank starting at

@@ -466,6 +466,11 @@ object GateQueries {
             .otherwise(lit(""))).as("text"))
       graft.functions.TextAnalysis.c4Filters(derived, minSentences = 3)
     }),
+    "t38_readability" -> ((s, d) => {
+      // Flesch reading-ease per doc — the oracle replicates the
+      // vowel-group syllable heuristic and sentence-split floor
+      graft.functions.TextAnalysis.readabilityFeatures(t(s, d, "documents"))
+    }),
     "t37_vocab" -> ((s, d) => {
       // frequency-ranked vocab with 4 reserved special ids and a
       // minCount=2 floor — deterministic total order, hash-green
@@ -696,6 +701,16 @@ object GateQueries {
           emb.filter(col("vec_id") < 50), emb, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
+    // NOTE deliberately NO e17 gate: both approximate mutual-kNN tiers
+    // (mutualKnnGraphIvf, mutualKnnGraphProjected) measured strictly
+    // worse than the exact e16 scan on this corpus — IVF candidates
+    // ≤ 0.78 recall at ≥ exact wall (any sublinear probe fraction
+    // collapses on isotropic geometry), projected 0.96 recall at 3.6×
+    // wall (corpus-wide queries blow up the rerank shortlist broadcast).
+    // MutualKnnProbe records the sweep; the tiers stay library ops for
+    // clustered corpora, pinned by full-probe/full-shortlist exact
+    // identities in PipelineSpec (the e5 degenerate-identity
+    // discipline) instead of a gate that would ship a measured loss.
     "e16_mutual_knn" -> ((s, d) => {
       // corpus-wide mutual-kNN graph (exact tier): pair membership is a
       // rank property (the hash-green e1 precedent), so the gate emits
@@ -2530,6 +2545,24 @@ object GateQueries {
     "t32_bpe_merges" -> bpeOracleSql(12),
     "t33_bpe_token_counts" -> bpeTokenCountOracleSql(12),
     "t35_textrank" -> textRankOracleSql(5, 5),
+    "t38_readability" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), feat AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    GREATEST(1, CAST(len(list_filter(string_split_regex(text, '[.!?]+'), x -> len(trim(x)) > 0)) AS BIGINT)) AS n_sentences,
+        |    CAST(COALESCE(list_sum(list_transform(toks, w -> len(regexp_extract_all(w, '[aeiouy]+')))), 0) AS BIGINT) AS n_syllables
+        |  FROM base
+        |)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    ROUND(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+        |          - 84.6 * (n_syllables::DOUBLE / n_words), 4)
+        |  END AS flesch
+        |FROM feat""".stripMargin,
     "t37_vocab" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token

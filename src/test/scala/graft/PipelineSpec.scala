@@ -1784,6 +1784,24 @@ class PipelineSpec extends AnyFunSuite {
       s"ratio join should broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("readabilityFeatures: hand-computed Flesch, sentence floor, syllable heuristic, null/empty contract") {
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran!"), // 6 words, 2 sentences, 6 syllables
+      (2L, "beautiful"),                 // 1 word, fragment → 1 sentence; bea-u-ti-ful… vowel groups: eau,i,u = 3
+      (3L, ""), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readabilityFeatures(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    def flesch(w: Long, s: Long, sy: Long) =
+      math.rint((206.835 - 1.015 * (w.toDouble / s) - 84.6 * (sy.toDouble / w)) * 1e4) / 1e4
+    assert(out(1L) === ((6L, 2L, 6L, Some(flesch(6, 2, 6)))))
+    assert(out(2L) === ((1L, 1L, 3L, Some(flesch(1, 1, 3)))))
+    assert(out(3L) === ((0L, 1L, 0L, None))) // empty: no words, floor sentence, no score
+    assert(out(4L) === ((0L, 0L, 0L, None))) // null text: all-zero counts
+  }
+
   test("buildVocab: frequency-rank ids after specials, minCount floor, maxSize cut, tie by token") {
     val docs = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
     // counts: a=3, b=3, c=1, d=1 — minCount 1 keeps all; ties by token asc
@@ -1797,6 +1815,24 @@ class PipelineSpec extends AnyFunSuite {
     val cut = TextAnalysis.buildVocab(docs, maxSize = 3, baseId = 0)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(cut === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("mutual-kNN approximate tiers: full-probe/full-shortlist configs reproduce the exact graph") {
+    // the e5 degenerate-identity discipline: at nProbe = nCentroids (and
+    // at shortlist >= n) the approximate MACHINERY must equal the exact
+    // result — the correctness pin for tiers whose production configs
+    // are corpus-geometry-dependent (see the e17 note in GateQueries)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.mutualKnnGraph(emb, k = 5))
+    assert(exact.nonEmpty)
+    val ivfFull = pairs(Similarity.mutualKnnGraphIvf(emb, k = 5,
+      nCentroids = 4, nProbe = 4, nAssign = 1))
+    assert(ivfFull === exact, "full-probe IVF tier must equal exact")
+    val projFull = pairs(Similarity.mutualKnnGraphProjected(emb, k = 5,
+      outDim = 32, shortlist = emb.count().toInt))
+    assert(projFull === exact, "full-shortlist projected tier must equal exact")
   }
 
   test("mutualKnnGraph: hubs prune to mutual pairs only; canonical orientation") {
