@@ -1136,6 +1136,11 @@ object GateQueries {
       graft.analytics.GraphAnalytics.kTrussEdges(
         coPurchaseEdges(s, d), k = 4, iters = 3)
     }),
+    "a20_clustering_coefficient" -> ((s, d) => {
+      // local clustering coefficient on the co-purchase graph — the
+      // a6 triangle counts normalized by each node's wedge count
+      graft.analytics.GraphAnalytics.clusteringCoefficient(coPurchaseEdges(s, d))
+    }),
     "a19_bipartite_projection" -> ((s, d) => {
       // the order×part two-mode list projected onto parts with co-order
       // weights — the generalized co-purchase builder as its own
@@ -1798,6 +1803,30 @@ object GateQueries {
     "a16_random_walks" -> randomWalkOracleSql(16, 6, 42L),
     "a17_ktruss" -> kTrussOracleSql(4, 3),
     "a18_weighted_sssp" -> weightedSsspOracleSql(4),
+    "a20_clustering_coefficient" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), deg AS (
+        |  SELECT node, COUNT(*) AS degree FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+        |), t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), tc AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+        |  GROUP BY 1
+        |)
+        |SELECT d.node, d.degree, COALESCE(tc.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN d.degree >= 2
+        |    THEN ROUND(2.0 * COALESCE(tc.n_triangles, 0) / (d.degree * (d.degree - 1)), 6)
+        |    ELSE 0.0 END AS clustering_coef
+        |FROM deg d LEFT JOIN tc USING (node)""".stripMargin,
     "a19_bipartite_projection" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS l, l_partkey AS r
