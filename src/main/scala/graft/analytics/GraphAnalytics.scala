@@ -580,6 +580,31 @@ object GraphAnalytics {
     e
   }
 
+  /** Degree assortativity coefficient (Newman 2002): the Pearson
+    * correlation of endpoint degrees over the mirrored undirected edge
+    * list — positive when hubs attach to hubs (social graphs), negative
+    * when hubs attach to leaves (technological/star graphs). One number
+    * per graph; rounded 6 dp (the ratio's cross-engine fp divergence is
+    * ~1e-12). Scale shape: one degree aggregation + two |E|-row hash
+    * joins + a single-pass corr aggregate — no quadratic stage. */
+  def degreeAssortativity(edges: DataFrame,
+      uCol: String = "u", vCol: String = "v"): DataFrame = {
+    val e = canonicalEdges(edges, uCol, vCol)
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("x").as("n")).agg(count(lit(1)).as("d"))
+    und.join(deg.select(col("n").as("x"), col("d").as("du")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dv")), "y")
+      // explicit covar/stddev ratio instead of corr(): ANSI-mode corr
+      // raises DIVIDE_BY_ZERO on a degree-regular graph (zero variance)
+      // where the defined answer is NULL — DuckDB's corr convention
+      .agg(covar_pop(col("du"), col("dv")).as("c"),
+        stddev_pop(col("du")).as("sx"), stddev_pop(col("dv")).as("sy"))
+      .select(when(col("sx") > 0 && col("sy") > 0,
+        round(col("c") / (col("sx") * col("sy")), 6)).as("assortativity"))
+  }
+
   /** Weighted bipartite projection: from a two-mode edge list
     * (left, right) — customer×product, user×item, doc×entity — build
     * the one-mode co-membership graph on the RIGHT vertices: (u, v,

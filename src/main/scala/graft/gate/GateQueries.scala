@@ -1136,6 +1136,11 @@ object GateQueries {
       graft.analytics.GraphAnalytics.kTrussEdges(
         coPurchaseEdges(s, d), k = 4, iters = 3)
     }),
+    "a21_assortativity" -> ((s, d) => {
+      // degree-degree Pearson correlation over the co-purchase graph —
+      // one scalar row; 6-dp round absorbs the corr-accumulation order
+      graft.analytics.GraphAnalytics.degreeAssortativity(coPurchaseEdges(s, d))
+    }),
     "a20_clustering_coefficient" -> ((s, d) => {
       // local clustering coefficient on the co-purchase graph — the
       // a6 triangle counts normalized by each node's wedge count
@@ -1803,6 +1808,20 @@ object GateQueries {
     "a16_random_walks" -> randomWalkOracleSql(16, 6, 42L),
     "a17_ktruss" -> kTrussOracleSql(4, 3),
     "a18_weighted_sssp" -> weightedSsspOracleSql(4),
+    "a21_assortativity" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), und AS MATERIALIZED (
+        |  SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e
+        |), deg AS (
+        |  SELECT x AS n, COUNT(*) AS d FROM und GROUP BY 1
+        |)
+        |SELECT ROUND(corr(d1.d, d2.d), 6) AS assortativity
+        |FROM und JOIN deg d1 ON d1.n = und.x JOIN deg d2 ON d2.n = und.y""".stripMargin,
     "a20_clustering_coefficient" ->
       """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0

@@ -1679,6 +1679,29 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     sampled.foreach { case (id, h) => assert(h <= out(id)._2 + 1e-9, s"node $id oversum") }
   }
 
+  test("degreeAssortativity: star is maximally disassortative, balanced cycle undefined-free") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // star 0-{1..4}: every edge joins deg-4 to deg-1 twice (mirrored) →
+    // hand Pearson over pairs {(4,1)×4, (1,4)×4} = -1
+    val star = (1L to 4L).map(i => (0L, i)).toDF("u", "v")
+    val s = GraphAnalytics.degreeAssortativity(star).head()
+    assert(r6(s.getDouble(0)) === -1.0)
+    // 4-cycle: all degrees 2 → zero variance → corr NULL (not NaN/crash)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
+    assert(GraphAnalytics.degreeAssortativity(cyc).head().isNullAt(0))
+    // mixed: K3 + pendant — hand-computed via the same Pearson the
+    // oracle uses. degrees: 1,2 → 2; 3 → 3; 4 → 1
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    val pairs = Seq((2, 2), (2, 2), (2, 3), (3, 2), (2, 3), (3, 2), (3, 1), (1, 3))
+    val n = pairs.size.toDouble
+    val mx = pairs.map(_._1).sum / n; val my = pairs.map(_._2).sum / n
+    val cov = pairs.map { case (a, b) => (a - mx) * (b - my) }.sum
+    val sx = math.sqrt(pairs.map { case (a, _) => (a - mx) * (a - mx) }.sum)
+    val sy = math.sqrt(pairs.map { case (_, b) => (b - my) * (b - my) }.sum)
+    assert(r6(GraphAnalytics.degreeAssortativity(g).head().getDouble(0)) ===
+      r6(cov / (sx * sy)))
+  }
+
   test("bipartiteProject: shared-left weights, canonical orientation, degree cap") {
     // left 10: {1,2,3}; left 20: {2,3}; left 30: {3,4}; left 40: {1,2,3,4,5}
     val e = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L),
