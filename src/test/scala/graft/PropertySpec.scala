@@ -442,4 +442,42 @@ class PropertySpec extends AnyFunSuite {
         key(graft.functions.TextAnalysis.heavyHitters(docs, phi))
     }, n = 6)
   }
+
+  test("cohesion nesting on random graphs: k-truss edges survive the (k-1)-core") {
+    import spark.implicits._
+    import graft.analytics.GraphAnalytics
+    // every edge of the k-truss has support >= k-2, so each endpoint has
+    // >= k-1 truss-internal neighbors: the truss is a subgraph of the
+    // (k-1)-core — the standard nesting theorem, here an adversarial
+    // cross-op invariant (two independent peeling implementations)
+    val genG = Gen.choose(5, 30).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 11L); b <- Gen.choose(0L, 11L)
+    } yield (a, b)))
+    check("trussCore", Prop.forAll(genG, Gen.choose(3, 5)) { (es, k) =>
+      val e = es.toDF("u", "v")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // enough rounds to reach the fixpoint on <= 12 vertices
+      val truss = pairs(GraphAnalytics.kTrussEdges(e, k, iters = 12))
+      val core = pairs(GraphAnalytics.kCoreEdges(e, k - 1, iters = 12))
+      truss.subsetOf(core)
+    }, n = 5)
+  }
+
+  test("mutual-kNN is a subgraph of the kNN relation; walks follow edges (random embeddings/graphs)") {
+    import spark.implicits._
+    import graft.functions.Similarity
+    val genVecs = Gen.choose(6, 15).flatMap(n => Gen.listOfN(n,
+      Gen.listOfN(4, Gen.choose(-5, 5))))
+    check("mutualSubset", Prop.forAll(genVecs) { vs =>
+      val emb = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.map(x => x.toFloat + 0.01f * i).toArray) }
+        .toDF("vec_id", "embedding")
+      val knn = Similarity.bruteForceTopK(emb, emb, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mutual = Similarity.mutualKnnGraph(emb, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      mutual.forall { case (a, b) => knn((a, b)) && knn((b, a)) }
+    }, n = 4)
+  }
 }
