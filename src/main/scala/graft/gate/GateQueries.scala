@@ -905,6 +905,15 @@ object GateQueries {
         .slidingUserActivity(events(s, d), "1 hour", "30 minutes")
         .select(unix_timestamp(col("win_start")).as("win_s"), col("user_id"), col("n_events"))
     }),
+    "s12_session_stats" -> ((s, d) => {
+      import s.implicits._
+      // the engagement-vs-conversion curve over s2's sessions — one
+      // compact band table the oracle replicates end to end
+      val evs = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams.sessionStats(evs, gapNanos = 3600L * 1000000000L)
+    }),
     "s2_user_sessions" -> ((s, d) => {
       import s.implicits._
       val evs = events(s, d)
@@ -2210,6 +2219,28 @@ object GateQueries {
         |    FROM orders) WHERE nxt IS NOT NULL
         |), deg AS (SELECT src, COUNT(*) AS degree FROM fwd GROUP BY 1)
         |SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1""".stripMargin,
+    "s12_session_stats" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 3600000000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |), per AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_events,
+        |    COUNT(*) FILTER (event_type = 'purchase') AS n_purchases,
+        |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
+        |  FROM sess GROUP BY user_id, sid
+        |)
+        |SELECT CASE WHEN n_events = 1 THEN '1' WHEN n_events <= 4 THEN '2-4'
+        |            WHEN n_events <= 9 THEN '5-9' ELSE '10+' END AS len_bucket,
+        |  COUNT(*) AS n_sessions,
+        |  CAST(COUNT(*) FILTER (n_purchases > 0) AS BIGINT) AS n_converted,
+        |  ROUND(COUNT(*) FILTER (n_purchases > 0) / COUNT(*)::DOUBLE, 6) AS conversion_rate,
+        |  ROUND(AVG(dur_us) / 1000000.0, 6) AS mean_duration_s
+        |FROM per GROUP BY 1""".stripMargin,
     "s2_user_sessions" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type,

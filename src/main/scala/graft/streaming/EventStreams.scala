@@ -624,6 +624,33 @@ object EventStreams {
         (col("b_us") - col("a_us")).as("gap_us"))
   }
 
+  /** Session-level conversion analytics — the report layer over
+    * [[sessionize]]: sessions bucketed by event-count band (1 / 2–4 /
+    * 5–9 / 10+), each band reporting session count, converted-session
+    * count (≥ 1 purchase), conversion rate and mean duration (seconds,
+    * from µs-truncated bounds — the s2 oracle precision). The classic
+    * engagement-vs-conversion curve as one gate-checkable table.
+    *
+    * Scale shape: the sessionize window exchange (user-keyed sort, the
+    * s2 shape) followed by one ≤ 4-row aggregation. */
+  def sessionStats(events: Dataset[Event], gapNanos: Long): DataFrame = {
+    // per-bound µs truncation BEFORE the difference: the oracle's
+    // MAX(epoch_us) − MIN(epoch_us), not DIV of the ns difference
+    val per = sessionize(events, gapNanos).toDF()
+      .select(col("n_events"), col("n_purchases"),
+        (expr("end_ts DIV 1000") - expr("start_ts DIV 1000")).as("dur_us"))
+    per
+      .withColumn("len_bucket",
+        when(col("n_events") === 1, "1").when(col("n_events") <= 4, "2-4")
+          .when(col("n_events") <= 9, "5-9").otherwise("10+"))
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("n_purchases") > 0, 1)).as("n_converted"),
+        round(count(when(col("n_purchases") > 0, 1)) /
+          count(lit(1)).cast("double"), 6).as("conversion_rate"),
+        round(avg(col("dur_us")) / 1000000.0, 6).as("mean_duration_s"))
+  }
+
   /** Streaming twin of [[pairsWithin]]: a genuine STREAM-STREAM interval
     * self-join — the one Structured Streaming join shape the other twins
     * (all single-stream stateful ops) don't exercise. Both sides carry a

@@ -387,6 +387,27 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionStats: length bands, conversion rate, µs-truncated mean duration") {
+    val g = 3600L * 1000000000L
+    def ev(id: Long, t: Long, u: Long, tpe: String) = Event(id, t, u, tpe, 0.0)
+    val evs = Seq(
+      ev(1, 1500L, 1L, "view"),                        // user 1: lone event → "1"
+      ev(2, 0L, 2L, "view"), ev(3, 1000L, 2L, "click"),
+      ev(4, 3000L, 2L, "purchase"),                    // user 2: 3 events, converts, dur 3 µs... ns!
+      ev(5, 10L, 3L, "view"), ev(6, 2000000L, 3L, "view") // user 3: 2 events, no purchase
+    ).toDS()
+    val out = EventStreams.sessionStats(evs, gapNanos = g)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // "1": one session, no conversion, duration 0
+    assert(out("1") === ((1L, 0L, 0.0, 0.0)))
+    // "2-4": two sessions (users 2 and 3), one converted; durations in µs
+    // after per-bound truncation: user 2 = 3000 DIV 1000 = 3 µs → 3e-6 s,
+    // user 3 = 2000 − 0 = 2000 µs → 2e-3 s; mean = (3e-6 + 2e-3)/2
+    val expMean = math.rint(((3.0 + 2000.0) / 2 / 1e6) * 1e6) / 1e6
+    assert(out("2-4") === ((2L, 1L, 0.5, expMean)))
+  }
+
   test("trendingTypesStream: buckets flush ranked on watermark close, parity with batch") {
     val h = 3600L * 1000000000L
     // bucket 1: a×3, b×2, c×1 split across two micro-batches; bucket 2:
