@@ -179,22 +179,30 @@ object GraphAnalytics {
     // drop the partitioning under AQE — PartitionPreserveProbe)
     val fwdD = fwd.join(fwd.groupBy(col("src")).agg(count(lit(1)).as("d")), "src")
       .repartition(col("src")).persist()
-    fwdD.count()
-    val sourceRow = spark.range(1)
-      .select(lit(source).as("id"), lit(resetProb).as("rank"))
-    var pr = spark.range(1).select(lit(source).as("id"), lit(1.0).as("rank"))
-      .localCheckpoint(true)
-    for (i <- 1 to numIter) {
-      val contrib = fwdD.join(pr.hint("shuffle_hash"), fwdD("src") === pr("id"))
-        .groupBy(fwdD("dst").as("id"))
-        .agg((lit(1.0 - resetProb) * sum(col("rank") / col("d"))).as("rank"))
-      // sparse next vector: damped contributions ⊕ the seed's reset mass
-      pr = contrib.unionByName(sourceRow)
-        .groupBy(col("id")).agg(sum(col("rank")).as("rank"))
+    try {
+      fwdD.count()
+      val sourceRow = spark.range(1)
+        .select(lit(source).as("id"), lit(resetProb).as("rank"))
+      var pr = spark.range(1).select(lit(source).as("id"), lit(1.0).as("rank"))
         .localCheckpoint(true)
+      for (i <- 1 to numIter) {
+        val contrib = fwdD.join(pr.hint("shuffle_hash"), fwdD("src") === pr("id"))
+          .groupBy(fwdD("dst").as("id"))
+          .agg((lit(1.0 - resetProb) * sum(col("rank") / col("d"))).as("rank"))
+        // sparse next vector: damped contributions ⊕ the seed's reset mass
+        pr = contrib.unionByName(sourceRow)
+          .groupBy(col("id")).agg(sum(col("rank")).as("rank"))
+          .localCheckpoint(true)
+      }
+      verts.join(pr, Seq("id"), "left")
+        .select(col("id"), coalesce(col("rank"), lit(0.0)).as("rank"))
+    } finally {
+      // the returned frame depends only on the eager localCheckpoints
+      // (verts + the per-round pr), so the cached |E| layout can be
+      // released immediately — without this every distinct input graph
+      // left its repartitioned edge relation resident for the session
+      fwdD.unpersist(blocking = false)
     }
-    verts.join(pr, Seq("id"), "left")
-      .select(col("id"), coalesce(col("rank"), lit(0.0)).as("rank"))
   }
 
   /** Unweighted single-source shortest hop counts via Pregel → (id, dist). */
@@ -718,12 +726,13 @@ object GraphAnalytics {
     * labels, one (v, label)-keyed count with map-side partial
     * aggregation (the exchange carries |distinct (v, label)| ≤ |E|
     * rows, not |E|), one plurality min_by aggregation, one |V| left
-    * join carrying labels forward. The |V|-sized label vector rides
-    * BROADCAST joins under `broadcastMaxVerts` (the [[personalizedPageRank]]
-    * lever) so the mirrored edge relation never re-shuffles; past the
-    * threshold both joins fall back to the canonical |E|/|V|-bounded
-    * hash shuffles. Lineage cut stride-2 (the PPR idiom) keeps plan
-    * depth constant at any round count. */
+    * join carrying labels forward. The mirrored neighbor relation is
+    * persisted PRE-PARTITIONED on the label fetch key, so each round's
+    * fetch join reuses the cached layout and shuffle-hash-joins only
+    * the |V|-row label vector — no per-round |E| Exchange, no driver
+    * broadcast, no |V| ceiling (the old `broadcastMaxVerts` knob is
+    * gone). Lineage cut stride-2 (the PPR idiom) keeps plan depth
+    * constant at any round count. */
   def labelPropagation(g: PropertyGraph, numIter: Int): DataFrame = {
     require(numIter >= 1, s"labelPropagation: numIter must be >= 1, got $numIter")
     val spark = g.spark
@@ -738,23 +747,29 @@ object GraphAnalytics {
       .toDF("v", "w")
       .filter(col("v") =!= col("w")).distinct()
       .repartition(col("w")).persist()
-    und.count()
-    val verts = und.select(col("v").as("id"))
-      .unionAll(g.explicitNodes.map(_.select(col("id")))
-        .getOrElse(Seq.empty[Long].toDF("id")))
-      .distinct().localCheckpoint(true)
-    var lbl = verts.select(col("id"), col("id").as("label"))
-    for (i <- 1 to numIter) {
-      val pick = und.join(lbl.hint("shuffle_hash"), und("w") === lbl("id"))
-        .groupBy(und("v").as("vid"), col("label"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("vid"))
-        .agg(min_by(col("label"), struct((-col("c")).as("nc"), col("label"))).as("nl"))
-      lbl = lbl.join(pick, lbl("id") === pick("vid"), "left")
-        .select(lbl("id"), coalesce(col("nl"), col("label")).as("label"))
-      if (i % 2 == 0 || i == numIter) lbl = lbl.localCheckpoint(true)
+    try {
+      und.count()
+      val verts = und.select(col("v").as("id"))
+        .unionAll(g.explicitNodes.map(_.select(col("id")))
+          .getOrElse(Seq.empty[Long].toDF("id")))
+        .distinct().localCheckpoint(true)
+      var lbl = verts.select(col("id"), col("id").as("label"))
+      for (i <- 1 to numIter) {
+        val pick = und.join(lbl.hint("shuffle_hash"), und("w") === lbl("id"))
+          .groupBy(und("v").as("vid"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("vid"))
+          .agg(min_by(col("label"), struct((-col("c")).as("nc"), col("label"))).as("nl"))
+        lbl = lbl.join(pick, lbl("id") === pick("vid"), "left")
+          .select(lbl("id"), coalesce(col("nl"), col("label")).as("label"))
+        if (i % 2 == 0 || i == numIter) lbl = lbl.localCheckpoint(true)
+      }
+      lbl
+    } finally {
+      // the final round always ends in an eager localCheckpoint, so the
+      // returned label vector no longer references the cached relation
+      und.unpersist(blocking = false)
     }
-    lbl
   }
 
   /** HITS hubs & authorities (Kleinberg 1999), deterministic fixed-iteration
@@ -799,55 +814,65 @@ object GraphAnalytics {
     // repartition's outputPartitioning under AQE (each step would plan a
     // fresh |E| Exchange — PartitionPreserveProbe), while an
     // InMemoryRelation reports it, so the per-step join reuses the
-    // cached layout with no |E| shuffle. Spark's cache manager dedupes
-    // by analyzed plan, so repeated calls share one materialization.
+    // cached layout with no |E| shuffle. The caches live only for this
+    // call (finally-unpersist below): the layouts are per-invocation
+    // scratch, not session fixtures, and leaving one pair resident per
+    // distinct input graph accumulates for the session lifetime.
     val fwd0 = g.edges.filter(col("dir")).select(col("src"), col("dst"))
     val fwdBySrc = fwd0.repartition(col("src")).persist()
     val fwdByDst = fwd0.repartition(col("dst")).persist()
-    fwdBySrc.count(); fwdByDst.count()
-    val verts = fwd0.select(col("src").as("id"))
-      .unionAll(fwd0.select(col("dst").as("id")))
-      .unionAll(g.explicitNodes.map(_.select(col("id")))
-        .getOrElse(Seq.empty[Long].toDF("id")))
-      .distinct().localCheckpoint(true)
-    // one normalized update: raw = neighbor-sum of `scores` through the
-    // edge keyed on `from`→grouped on `to`; out = raw / Σraw. Score
-    // vectors stay SPARSE through the iteration — a vertex absent from
-    // raw would carry 0.0, and a 0 contributes nothing to the next
-    // neighbor-sum or the L1 total, so the dense |V| left-join the
-    // round-10 shape ran per step was pure overhead. Density is
-    // restored ONCE at the end.
-    def step(scores: DataFrame, valCol: String, from: String, to: String,
-        outCol: String): DataFrame = {
-      val fwd = if (from == "src") fwdBySrc else fwdByDst
-      // raw is referenced TWICE (the normalization total and the score
-      // join) — materialize it once per step (|V|-bounded rows) or the
-      // |E| aggregation runs twice; measured 19.9 s → ~12 s at sf0.1
-      val raw = fwd.join(scores.hint("shuffle_hash"), fwd(from) === scores("id"))
-        .groupBy(fwd(to).as("id")).agg(sum(col(valCol)).as("s"))
-        .localCheckpoint(true)
-      val tot = raw.agg(sum(col("s")).as("tot"))
-      raw.crossJoin(broadcast(tot))
-        .select(col("id"),
-          // tot NULL/0 (edge-less graph, or an all-sink frontier) → all-0
-          // scores rather than NULL poison
-          when(col("tot") > 0, col("s") / col("tot"))
-            .otherwise(lit(0.0)).as(outCol))
+    try {
+      fwdBySrc.count(); fwdByDst.count()
+      val verts = fwd0.select(col("src").as("id"))
+        .unionAll(fwd0.select(col("dst").as("id")))
+        .unionAll(g.explicitNodes.map(_.select(col("id")))
+          .getOrElse(Seq.empty[Long].toDF("id")))
+        .distinct().localCheckpoint(true)
+      // one normalized update: raw = neighbor-sum of `scores` through the
+      // edge keyed on `from`→grouped on `to`; out = raw / Σraw. Score
+      // vectors stay SPARSE through the iteration — a vertex absent from
+      // raw would carry 0.0, and a 0 contributes nothing to the next
+      // neighbor-sum or the L1 total, so the dense |V| left-join the
+      // round-10 shape ran per step was pure overhead. Density is
+      // restored ONCE at the end.
+      def step(scores: DataFrame, valCol: String, from: String, to: String,
+          outCol: String): DataFrame = {
+        val fwd = if (from == "src") fwdBySrc else fwdByDst
+        // raw is referenced TWICE (the normalization total and the score
+        // join) — materialize it once per step (|V|-bounded rows) or the
+        // |E| aggregation runs twice; measured 19.9 s → ~12 s at sf0.1
+        val raw = fwd.join(scores.hint("shuffle_hash"), fwd(from) === scores("id"))
+          .groupBy(fwd(to).as("id")).agg(sum(col(valCol)).as("s"))
+          .localCheckpoint(true)
+        val tot = raw.agg(sum(col("s")).as("tot"))
+        raw.crossJoin(broadcast(tot))
+          .select(col("id"),
+            // tot NULL/0 (edge-less graph, or an all-sink frontier) → all-0
+            // scores rather than NULL poison
+            when(col("tot") > 0, col("s") / col("tot"))
+              .otherwise(lit(0.0)).as(outCol))
+      }
+      var hub = verts.select(col("id"), lit(1.0).as("hub"))
+      var auth = verts.select(col("id"), lit(0.0).as("auth")).limit(0)
+      for (i <- 1 to numIter) {
+        // no separate auth/hub lineage cuts: each step's raw checkpoint
+        // already bounds plan depth at one join+projection per vector —
+        // the extra stride-2 materializations measured pure overhead
+        auth = step(hub, "hub", "src", "dst", "auth")
+        hub = step(auth, "auth", "dst", "src", "hub")
+      }
+      // dense-ify once: vertices the iteration never reached (isolated, or
+      // pure-source/pure-sink roles) surface with explicit 0.0 scores
+      verts.join(auth, Seq("id"), "left").join(hub, Seq("id"), "left")
+        .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth"),
+          coalesce(col("hub"), lit(0.0)).as("hub"))
+    } finally {
+      // every step's raw is eagerly checkpointed, so the returned frame
+      // never re-reads the two cached edge layouts — release them rather
+      // than leave 2·|E| cached blocks per distinct input graph resident
+      fwdBySrc.unpersist(blocking = false)
+      fwdByDst.unpersist(blocking = false)
     }
-    var hub = verts.select(col("id"), lit(1.0).as("hub"))
-    var auth = verts.select(col("id"), lit(0.0).as("auth")).limit(0)
-    for (i <- 1 to numIter) {
-      // no separate auth/hub lineage cuts: each step's raw checkpoint
-      // already bounds plan depth at one join+projection per vector —
-      // the extra stride-2 materializations measured pure overhead
-      auth = step(hub, "hub", "src", "dst", "auth")
-      hub = step(auth, "auth", "dst", "src", "hub")
-    }
-    // dense-ify once: vertices the iteration never reached (isolated, or
-    // pure-source/pure-sink roles) surface with explicit 0.0 scores
-    verts.join(auth, Seq("id"), "left").join(hub, Seq("id"), "left")
-      .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth"),
-        coalesce(col("hub"), lit(0.0)).as("hub"))
   }
 
   /** Deterministic random-walk corpus over an undirected edge list —

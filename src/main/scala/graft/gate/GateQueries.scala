@@ -669,8 +669,16 @@ object GateQueries {
       // planes (one generator, projectionPlanes, builds both sides).
       // 6-dp round on the projections is the gate's cross-engine
       // FP-accumulation absorber (the a5/a11 convention).
-      graft.functions.Similarity.randomProject(t(s, d, "embeddings"), outDim = 16)
-        .select(col("vec_id"), transform(col("proj"), x => round(x, 6)).as("proj"))
+      // Emitted UNNESTED as (vec_id, pos, value) — the gate-output rule
+      // is scalar columns only (the driver's row sorter cannot order
+      // ARRAY cells); a null embedding keeps its 16 positions with a
+      // null value so row counts match the per-plane oracle UNION.
+      val outDim = 16
+      val nullProj = array(Seq.fill(outDim)(lit(null).cast("double")): _*)
+      graft.functions.Similarity.randomProject(t(s, d, "embeddings"), outDim = outDim)
+        .select(col("vec_id"), posexplode(coalesce(col("proj"), nullProj)).as(Seq("pos", "value")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("value"), 6).as("value"))
     }),
     "e12_kmeans_clusters" -> ((s, d) => {
       // k-means as a first-class pipeline op (corpus bucketing /
@@ -1283,7 +1291,7 @@ object GateQueries {
        |outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
        |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts),
        |$iters
-       |SELECT id, ROUND(rank * (SELECT COUNT(*) FROM verts) / (SELECT SUM(rank) FROM pr$numIter), 6) AS rank
+       |SELECT id, ROUND(rank * (SELECT COUNT(*) FROM verts) / (SELECT SUM(rank) FROM pr$numIter), 6) + 0 AS rank
        |FROM pr$numIter""".stripMargin
   }
 
@@ -1315,7 +1323,7 @@ object GateQueries {
        |outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
        |pr0 AS (SELECT id, CASE WHEN id = $source THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank FROM verts),
        |$iters
-       |SELECT id, ROUND(rank, 6) AS rank FROM pr$numIter""".stripMargin
+       |SELECT id, ROUND(rank, 6) + 0 AS rank FROM pr$numIter""".stripMargin
   }
 
   // bounded k-core peeling, unrolled like the pagerank power iteration:
@@ -1457,7 +1465,7 @@ object GateQueries {
        |  SELECT id, 0.0::DOUBLE AS dist FROM seed
        |),
        |$rs
-       |SELECT id, ROUND(dist, 6) AS dist FROM d$rounds""".stripMargin
+       |SELECT id, ROUND(dist, 6) + 0 AS dist FROM d$rounds""".stripMargin
   }
 
   /** t35 oracle: [[graft.functions.TextAnalysis.textRankKeywords]] — the
@@ -1493,7 +1501,7 @@ object GateQueries {
        |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts),
        |$iters
        |SELECT id AS word,
-       |  ROUND(rank * (SELECT COUNT(*) FROM verts) / (SELECT SUM(rank) FROM pr$numIter), 6) AS rank
+       |  ROUND(rank * (SELECT COUNT(*) FROM verts) / (SELECT SUM(rank) FROM pr$numIter), 6) + 0 AS rank
        |FROM pr$numIter""".stripMargin
   }
 
@@ -1554,7 +1562,7 @@ object GateQueries {
        |),
        |$rounds
        |SELECT id, CAST(COUNT(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached,
-       |  ROUND(COALESCE(SUM(CASE WHEN dist > 0 THEN 1.0::DOUBLE / dist END), 0.0::DOUBLE), 6) AS harmonic
+       |  ROUND(COALESCE(SUM(CASE WHEN dist > 0 THEN 1.0::DOUBLE / dist END), 0.0::DOUBLE), 6) + 0 AS harmonic
        |FROM d$maxDepth GROUP BY id""".stripMargin
   }
 
@@ -1607,7 +1615,7 @@ object GateQueries {
        |),
        |$rounds
        |SELECT query_id, id AS neighbor_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
-       |  ROUND(score, 6) AS mmr_score FROM s$k""".stripMargin
+       |  ROUND(score, 6) + 0 AS mmr_score FROM s$k""".stripMargin
   }
 
   /** t32 oracle: [[graft.functions.TextAnalysis.bpeMerges]] unrolled —
@@ -1678,16 +1686,23 @@ object GateQueries {
     * contract — the SAME projectionPlanes call that the engine uses
     * emits the matrix as SQL double literals (Double.toString
     * round-trips, so both engines hold bit-identical planes); 6-dp
-    * round absorbs dot-accumulation order. */
+    * round absorbs dot-accumulation order. UNNESTED to one scalar row
+    * per (vec_id, plane) — a UNION ALL branch per plane — mirroring the
+    * gate's posexplode (no ARRAY columns in gate outputs); null
+    * embeddings keep every position with a null value. */
   private def randomProjectOracleSql(dim: Int, outDim: Int, seed: Long): String = {
     val planes = graft.functions.Similarity.projectionPlanes(dim, outDim, seed)
-    val entries = planes.map { p =>
+    val branches = planes.zipWithIndex.map { case (p, i) =>
       val lits = p.map(_.toString).mkString("[", ", ", "]")
-      s"ROUND(list_dot_product(v, $lits) / sqrt($outDim.0), 6)"
-    }.mkString("list_value(", ", ", ")")
-    s"""SELECT vec_id,
-       |  CASE WHEN embedding IS NULL THEN NULL ELSE $entries END AS proj
-       |FROM (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
+      s"""SELECT vec_id, CAST($i AS BIGINT) AS pos,
+         |  CASE WHEN embedding IS NULL THEN NULL
+         |    ELSE ROUND(list_dot_product(v, $lits) / sqrt($outDim.0), 6) + 0
+         |  END AS value
+         |FROM base""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |$branches""".stripMargin
   }
 
   /** e12 oracle: the [[graft.functions.Similarity.kmeansAssign]] parity
@@ -1697,7 +1712,7 @@ object GateQueries {
     * engines carry bit-identical centroids between rounds; dim is
     * unrolled as 64 ROUND(AVG(v[i])) columns). */
   private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
-    val centroid = (1 to dim).map(i => s"ROUND(AVG(v[$i]), 6)")
+    val centroid = (1 to dim).map(i => s"ROUND(AVG(v[$i]), 6) + 0")
       .mkString("list_value(", ", ", ")")
     def assignCte(name: String, cents: String) =
       s"""$name AS MATERIALIZED (
@@ -1747,7 +1762,7 @@ object GateQueries {
        |  FROM l$numIter l LEFT JOIN degs d ON d.n = l.id GROUP BY 1)
        |SELECT dc.label, n_nodes,
        |  CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges, total_degree,
-       |  ROUND(COALESCE(i.intra_edges, 0) / mm.m - POW(total_degree / (2 * mm.m), 2), 6) AS q
+       |  ROUND(COALESCE(i.intra_edges, 0) / mm.m - POW(total_degree / (2 * mm.m), 2), 6) + 0 AS q
        |FROM degc dc LEFT JOIN intra i ON i.label = dc.label, mm""".stripMargin
 
   /** a11 oracle: HITS unrolled as the same mutual recursion the engine
@@ -1784,10 +1799,21 @@ object GateQueries {
        |verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges) u),
        |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM verts),
        |$iters
-       |SELECT a.id, ROUND(a.auth, 6) AS auth, ROUND(h.hub, 6) AS hub
+       |SELECT a.id, ROUND(a.auth, 6) + 0 AS auth, ROUND(h.hub, 6) + 0 AS hub
        |FROM a$numIter a JOIN h$numIter h ON a.id = h.id""".stripMargin
   }
 
+  /** Oracle rounding convention (driver hashes at bit/string level):
+    * every rounded DOUBLE in oracle SQL is written `ROUND(x, n) + 0`.
+    * DuckDB's ROUND preserves IEEE signed zero (ROUND(-1e-9, 6) →
+    * -0.0) while Spark's round goes through BigDecimal, which has no
+    * signed zero (→ 0.0); `+ 0` normalizes (-0.0 + 0 = 0.0 in IEEE
+    * 754) and is a bit-exact no-op on every other value, including
+    * NULL. Round-11's a12 red gate was exactly this: 4/1502 rows
+    * differing only in the sign of zero. Second gate-output rule:
+    * scalar columns only — the driver's pandas row sorter cannot
+    * order ARRAY cells (round-11 e13); emit arrays unnested. Both
+    * conventions are pinned by OracleConventionSpec. */
   val oracles: Map[String, String] = Map(
     "a11_hits" -> hitsOracleSql(5),
     "a12_modularity" -> modularityOracleSql(4),
@@ -1803,7 +1829,7 @@ object GateQueries {
         |), degs AS (
         |  SELECT u AS n, count(*) AS d FROM und GROUP BY 1
         |), sup AS (
-        |  SELECT t.a, t.b, COUNT(*) AS s, ROUND(SUM(1.0 / LN(dg.d)), 6) AS aa FROM (
+        |  SELECT t.a, t.b, COUNT(*) AS s, ROUND(SUM(1.0 / LN(dg.d)), 6) + 0 AS aa FROM (
         |    SELECT e.a, e.b, n1.v FROM e
         |    JOIN und n1 ON n1.u = e.a
         |    JOIN und n2 ON n2.u = e.b AND n2.v = n1.v) t
@@ -1829,7 +1855,7 @@ object GateQueries {
         |), deg AS (
         |  SELECT x AS n, COUNT(*) AS d FROM und GROUP BY 1
         |)
-        |SELECT ROUND(corr(d1.d, d2.d), 6) AS assortativity
+        |SELECT ROUND(corr(d1.d, d2.d), 6) + 0 AS assortativity
         |FROM und JOIN deg d1 ON d1.n = und.x JOIN deg d2 ON d2.n = und.y""".stripMargin,
     "a20_clustering_coefficient" ->
       """WITH li AS MATERIALIZED (
@@ -1852,7 +1878,7 @@ object GateQueries {
         |)
         |SELECT d.node, d.degree, COALESCE(tc.n_triangles, 0) AS n_triangles,
         |  CASE WHEN d.degree >= 2
-        |    THEN ROUND(2.0 * COALESCE(tc.n_triangles, 0) / (d.degree * (d.degree - 1)), 6)
+        |    THEN ROUND(2.0 * COALESCE(tc.n_triangles, 0) / (d.degree * (d.degree - 1)), 6) + 0
         |    ELSE 0.0 END AS clustering_coef
         |FROM deg d LEFT JOIN tc USING (node)""".stripMargin,
     "a19_bipartite_projection" ->
@@ -1884,7 +1910,7 @@ object GateQueries {
         |SELECT e.a, e.b, CAST(COALESCE(sup.s, 0) AS BIGINT) AS support,
         |  CASE WHEN da.d + db.d - 2 - COALESCE(sup.s, 0) > 0
         |    THEN ROUND(CAST(COALESCE(sup.s, 0) AS DOUBLE)
-        |      / (da.d + db.d - 2 - COALESCE(sup.s, 0)), 6)
+        |      / (da.d + db.d - 2 - COALESCE(sup.s, 0)), 6) + 0
         |    ELSE 0.0 END AS jaccard
         |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b
         |JOIN degs da ON da.n = e.a JOIN degs db ON db.n = e.b""".stripMargin,
@@ -2105,7 +2131,7 @@ object GateQueries {
         |), dfreq AS (SELECT gram, count(*) AS dfc FROM grams GROUP BY 1)
         |SELECT doc_id, count(*) AS n_ngrams,
         |  CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams,
-        |  ROUND(CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |  ROUND(CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) + 0
         |    AS dup_ngram_frac
         |FROM grams JOIN dfreq USING (gram) GROUP BY doc_id""".stripMargin,
     // same tokenization as d10 (\s+ split, empties kept, lowercased gram
@@ -2197,12 +2223,12 @@ object GateQueries {
     // nearest value to 0.350084 prints as 0.35008400678…).
     "d15_semantic_decontam" ->
       """SELECT a.vec_id AS doc_id, b.vec_id AS ref_id,
-        |ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) + 0 AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < 400 AND b.vec_id >= 400
         |AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
     "d6_embedding_dups_exact" ->
       """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-        |ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) + 0 AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 1000 AND b.vec_id < 1000
         |AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin,
@@ -2238,8 +2264,8 @@ object GateQueries {
         |            WHEN n_events <= 9 THEN '5-9' ELSE '10+' END AS len_bucket,
         |  COUNT(*) AS n_sessions,
         |  CAST(COUNT(*) FILTER (n_purchases > 0) AS BIGINT) AS n_converted,
-        |  ROUND(COUNT(*) FILTER (n_purchases > 0) / COUNT(*)::DOUBLE, 6) AS conversion_rate,
-        |  ROUND(AVG(dur_us) / 1000000.0, 6) AS mean_duration_s
+        |  ROUND(COUNT(*) FILTER (n_purchases > 0) / COUNT(*)::DOUBLE, 6) + 0 AS conversion_rate,
+        |  ROUND(AVG(dur_us) / 1000000.0, 6) + 0 AS mean_duration_s
         |FROM per GROUP BY 1""".stripMargin,
     "s2_user_sessions" ->
       """WITH marked AS (
@@ -2292,7 +2318,7 @@ object GateQueries {
         |SELECT bucket, rank, event_type, cnt, share FROM (
         |  SELECT bucket, event_type, cnt,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY cnt DESC, event_type) AS BIGINT) AS rank,
-        |    ROUND(cnt::DOUBLE / SUM(cnt) OVER (PARTITION BY bucket), 6) AS share
+        |    ROUND(cnt::DOUBLE / SUM(cnt) OVER (PARTITION BY bucket), 6) + 0 AS share
         |  FROM c) t WHERE rank <= 3""".stripMargin,
     "s10_attribution" ->
       """WITH e AS (
@@ -2330,7 +2356,7 @@ object GateQueries {
         |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
         |)
         |SELECT event_type, bucket, cnt,
-        |  ROUND(CASE WHEN np >= 2 AND sd > 0 THEN (cnt - mu) / sd END, 6) AS zscore,
+        |  ROUND(CASE WHEN np >= 2 AND sd > 0 THEN (cnt - mu) / sd END, 6) + 0 AS zscore,
         |  COALESCE((CASE WHEN np >= 2 AND sd > 0 THEN (cnt - mu) / sd END) >= 2.0, FALSE) AS anomaly
         |FROM w""".stripMargin,
     "s6_retention_cohorts" ->
@@ -2639,7 +2665,7 @@ object GateQueries {
         |SELECT doc_id, n_words, n_sentences, n_syllables,
         |  CASE WHEN n_words > 0 THEN
         |    ROUND(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
-        |          - 84.6 * (n_syllables::DOUBLE / n_words), 4)
+        |          - 84.6 * (n_syllables::DOUBLE / n_words), 4) + 0
         |  END AS flesch
         |FROM feat""".stripMargin,
     "t37_vocab" ->
@@ -2663,7 +2689,7 @@ object GateQueries {
         |  SELECT doc_id, -ln(CAST(c AS DOUBLE) / (SELECT t FROM tot)) AS s
         |  FROM toks JOIN freq USING (tok)
         |), agg AS (
-        |  SELECT doc_id, COUNT(*) AS n, ROUND(AVG(s), 6) AS m FROM sc GROUP BY 1
+        |  SELECT doc_id, COUNT(*) AS n, ROUND(AVG(s), 6) + 0 AS m FROM sc GROUP BY 1
         |), scored AS (
         |  SELECT d.doc_id, d.lang, COALESCE(agg.n, 0) AS n_tokens,
         |    COALESCE(agg.m, 0.0) AS surprisal
@@ -2704,7 +2730,7 @@ object GateQueries {
         |  JOIN prior p ON p.cls = l.cls
         |  GROUP BY 1, 2, p.lp
         |)
-        |SELECT doc_id, cls AS predicted, ROUND(s, 4) AS score FROM (
+        |SELECT doc_id, cls AS predicted, ROUND(s, 4) + 0 AS score FROM (
         |  SELECT doc_id, cls, s,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rn
         |  FROM scored) WHERE rn = 1""".stripMargin,
@@ -2721,7 +2747,7 @@ object GateQueries {
         |  GROUP BY 1
         |), np AS (SELECT CAST(sum(c12) AS BIGINT) AS np FROM pf)
         |SELECT split_part(b, chr(1), 1) AS w1, split_part(b, chr(1), 2) AS w2, c12,
-        |  ROUND(LN((c12::DOUBLE / np) / ((u1.c::DOUBLE / nt) * (u2.c::DOUBLE / nt))), 6) AS pmi
+        |  ROUND(LN((c12::DOUBLE / np) / ((u1.c::DOUBLE / nt) * (u2.c::DOUBLE / nt))), 6) + 0 AS pmi
         |FROM pf CROSS JOIN nt CROSS JOIN np
         |JOIN uc u1 ON u1.w = split_part(b, chr(1), 1)
         |JOIN uc u2 ON u2.w = split_part(b, chr(1), 2)
@@ -2743,20 +2769,20 @@ object GateQueries {
         |), f AS (
         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
         |    CASE WHEN len(words) > 0
-        |      THEN ROUND(list_sum(list_transform(words, x -> len(x)))::DOUBLE / len(words), 6)
+        |      THEN ROUND(list_sum(list_transform(words, x -> len(x)))::DOUBLE / len(words), 6) + 0
         |      ELSE 0.0 END AS mean_word_len,
         |    CASE WHEN len(words) > 0
         |      THEN ROUND((len(text) - len(replace(text, '#', ''))
-        |        + (len(text) - len(replace(text, '...', ''))) // 3)::DOUBLE / len(words), 6)
+        |        + (len(text) - len(replace(text, '...', ''))) // 3)::DOUBLE / len(words), 6) + 0
         |      ELSE 0.0 END AS symbol_ratio,
         |    CASE WHEN len(words) > 0
-        |      THEN ROUND(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words), 6)
+        |      THEN ROUND(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words), 6) + 0
         |      ELSE 0.0 END AS alpha_word_frac,
         |    CASE WHEN len(lines) > 0
-        |      THEN ROUND(len(list_filter(lines, l -> regexp_matches(l, '^[-*]')))::DOUBLE / len(lines), 6)
+        |      THEN ROUND(len(list_filter(lines, l -> regexp_matches(l, '^[-*]')))::DOUBLE / len(lines), 6) + 0
         |      ELSE 0.0 END AS bullet_frac,
         |    CASE WHEN len(lines) > 0
-        |      THEN ROUND(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))::DOUBLE / len(lines), 6)
+        |      THEN ROUND(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))::DOUBLE / len(lines), 6) + 0
         |      ELSE 0.0 END AS ellipsis_frac,
         |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
         |      s -> list_contains(list_transform(words, x -> lower(x)), s))) AS BIGINT) AS stop_hits
@@ -2776,9 +2802,9 @@ object GateQueries {
         |), vocab AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM vocab GROUP BY 1)
         |SELECT t.source, t.n AS total_tokens, t.v AS distinct_tokens,
-        |  ROUND(-SUM((c::DOUBLE / n) * LN(c::DOUBLE / n)), 6) AS entropy,
+        |  ROUND(-SUM((c::DOUBLE / n) * LN(c::DOUBLE / n)), 6) + 0 AS entropy,
         |  CASE WHEN t.v > 1
-        |    THEN ROUND(-SUM((c::DOUBLE / n) * LN(c::DOUBLE / n)) / LN(t.v::DOUBLE), 6)
+        |    THEN ROUND(-SUM((c::DOUBLE / n) * LN(c::DOUBLE / n)) / LN(t.v::DOUBLE), 6) + 0
         |    ELSE 0.0 END AS norm_entropy
         |FROM vocab JOIN tot t USING (source)
         |GROUP BY 1, 2, 3""".stripMargin,
@@ -2805,10 +2831,10 @@ object GateQueries {
     "t15_length_stats" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(min(length(text)) AS BIGINT) AS min_chars,
-        |  ROUND(quantile_cont(length(text), 0.5)::DOUBLE, 6) AS p50_chars,
-        |  ROUND(quantile_cont(length(text), 0.9)::DOUBLE, 6) AS p90_chars,
+        |  ROUND(quantile_cont(length(text), 0.5)::DOUBLE, 6) + 0 AS p50_chars,
+        |  ROUND(quantile_cont(length(text), 0.9)::DOUBLE, 6) + 0 AS p90_chars,
         |  CAST(max(length(text)) AS BIGINT) AS max_chars,
-        |  ROUND(avg(length(text))::DOUBLE, 6) AS mean_chars
+        |  ROUND(avg(length(text))::DOUBLE, 6) + 0 AS mean_chars
         |FROM documents GROUP BY 1""".stripMargin,
     "t16_pii" -> {
       // oracle built from the SAME pattern constants as the Spark side —
@@ -2980,8 +3006,8 @@ object GateQueries {
     "t18_length_filter" ->
       """WITH b AS (
         |  SELECT source,
-        |    ROUND(quantile_cont(length(text), 0.05)::DOUBLE, 6) AS lo_chars,
-        |    ROUND(quantile_cont(length(text), 0.95)::DOUBLE, 6) AS hi_chars
+        |    ROUND(quantile_cont(length(text), 0.05)::DOUBLE, 6) + 0 AS lo_chars,
+        |    ROUND(quantile_cont(length(text), 0.95)::DOUBLE, 6) + 0 AS hi_chars
         |  FROM documents GROUP BY 1
         |)
         |SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars, lo_chars, hi_chars
@@ -2997,7 +3023,7 @@ object GateQueries {
         |  SELECT doc_id, -ln(CAST(c AS DOUBLE) / (SELECT t FROM tot)) AS s
         |  FROM toks JOIN freq USING (tok)
         |), agg AS (
-        |  SELECT doc_id, COUNT(*) AS n, ROUND(AVG(s), 6) AS m FROM sc GROUP BY 1
+        |  SELECT doc_id, COUNT(*) AS n, ROUND(AVG(s), 6) + 0 AS m FROM sc GROUP BY 1
         |)
         |SELECT d.doc_id, COALESCE(agg.n, 0) AS n_tokens, COALESCE(agg.m, 0.0) AS surprisal
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
@@ -3018,7 +3044,7 @@ object GateQueries {
         |), ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rk FROM sc
         |)
-        |SELECT doc_id, term, tf, df, ROUND(w, 6) AS tfidf FROM ranked WHERE rk <= 10""".stripMargin,
+        |SELECT doc_id, term, tf, df, ROUND(w, 6) + 0 AS tfidf FROM ranked WHERE rk <= 10""".stripMargin,
     // BM25 (Okapi, Lucene non-negative idf), k1=1.2 b=0.75; identical
     // expression STRUCTURE to the Spark side so the double is
     // reproduced bit-for-bit (integer-exact sum/count for avg_dl, same
@@ -3040,7 +3066,7 @@ object GateQueries {
         |), ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rk FROM sc
         |)
-        |SELECT doc_id, term, tf, df, dl, ROUND(w, 6) AS bm25 FROM ranked WHERE rk <= 10""".stripMargin,
+        |SELECT doc_id, term, tf, df, dl, ROUND(w, 6) + 0 AS bm25 FROM ranked WHERE rk <= 10""".stripMargin,
     // DSIR hashed-unigram importance weights: t21's tokenization, buckets
     // = first 2 hex chars of md5(token), add-one smoothing over 256
     // buckets; expression STRUCTURE mirrors the Spark side (same +1.0 /
@@ -3061,7 +3087,7 @@ object GateQueries {
         |  FROM rawb LEFT JOIN tgtb USING (b) CROSS JOIN nr CROSS JOIN nt
         |)
         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-        |  ROUND(sum(n * lr), 6) AS dsir_logweight
+        |  ROUND(sum(n * lr), 6) + 0 AS dsir_logweight
         |FROM docb JOIN ratio USING (b) GROUP BY 1""".stripMargin,
     // t19's shape with a 2-token key: p(w|u) = c(u,w)/Σ_x c(u,x), no
     // smoothing (the corpus scores itself); chr(1) is the repo-wide
@@ -3077,7 +3103,7 @@ object GateQueries {
         |sc AS (
         |  SELECT doc_id, -ln(CAST(c AS DOUBLE) / CAST(cc AS DOUBLE)) AS s
         |  FROM bg JOIN freq USING (b) JOIN ctx ON ctx.u = split_part(b, chr(1), 1)
-        |), agg AS (SELECT doc_id, COUNT(*) AS n, ROUND(AVG(s), 6) AS m FROM sc GROUP BY 1)
+        |), agg AS (SELECT doc_id, COUNT(*) AS n, ROUND(AVG(s), 6) + 0 AS m FROM sc GROUP BY 1)
         |SELECT d.doc_id, COALESCE(agg.n, 0) AS n_bigrams, COALESCE(agg.m, 0.0) AS bigram_surprisal
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     // per-stratum t7 rule: 0.5/0.25/0.125 → round(f·2³²) as 8-hex-char
