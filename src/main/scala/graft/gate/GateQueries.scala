@@ -757,19 +757,23 @@ object GateQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
     "e8_ann_ivfpq_topk" -> ((s, d) => {
-      // the IVF-PQ composition: sublinear candidates (6 of 16 partitions
+      // the IVF-PQ composition: sublinear candidates (8 of 16 partitions
       // probed, soft nAssign=2) + compressed ADC scoring (e7's 96-bit
       // codes) + the IVFADC+R exact re-rank over the shortlist. Recall
-      // is coverage-capped (~0.73 at the old nProbe=4 no matter the
-      // rerank — a neighbor in an unprobed partition never reaches the
-      // shortlist), so the knobs split the work: nProbe/nAssign buy
-      // coverage, rerank fixes ADC mis-ordering inside it. 0.548 →
-      // 0.874 at sf0.1 (rerank=8; the ~0.89 plateau is nProbe=6
-      // coverage); quality = the emitted e8_vs_e1 recall.
+      // is coverage-capped (~0.73 at the old nProbe=4 and ~0.87 at
+      // nProbe=6, no matter the rerank — a neighbor in an unprobed
+      // partition never reaches the shortlist), so the knobs split the
+      // work: nProbe/nAssign buy coverage, rerank fixes ADC mis-ordering
+      // inside it. Round-12 coverage sweep (E8CoverageProbe, sf0.1,
+      // steady): nProbe 6→8 lifts 0.874→0.926 at FLAT wall (5.9 s both —
+      // probe cost is not the bottleneck at this corpus), nAssign 3
+      // reaches 0.934-0.964 but triples the index (each vector stored in
+      // its 3 nearest partitions — the wrong 100 TB trade when the
+      // query-side knob is free). Quality = the emitted e8_vs_e1 recall.
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.ivfPqTopK(
           emb.filter(col("vec_id") < 50), emb, k = 10,
-          nCentroids = 16, nProbe = 6, nSub = 16, nCodes = 64,
+          nCentroids = 16, nProbe = 8, nSub = 16, nCodes = 64,
           lloydIters = 2, nAssign = 2, rerank = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
