@@ -98,9 +98,16 @@ object Similarity {
     * path: candidate neighbor lists come from [[ivfTopK]] (centroid-
     * bucketed, ~|corpus|·nProbe/nlist scored pairs per vector instead of
     * |corpus|²), then the same reversed-key mutuality semi-join. The
-    * exact tier (e16) stays the verification anchor; recall floor in
-    * RecallSpec, rider in the bench line. Returns (a, b, cosine 6 dp),
-    * a < b. */
+    * exact tier (e16) stays the verification anchor. Measured on
+    * CLUSTERED geometry (the real-embedding corpus class —
+    * MutualKnnClusteredProbe on PlantedCorpus, round 12): 0.988 recall
+    * at 0.17× the exact wall at n=10k with nProbe=2, nAssign=1, and the
+    * gap widens with n; single assignment is the right default
+    * (nAssign=2 doubles candidate volume for ~1% recall). On
+    * near-ISOTROPIC corpora no sublinear probe fraction holds recall
+    * (the round-11 negative result, SCALING.md) — prefer the exact tier
+    * there. Floor pinned in RecallSpec on the clustered corpus.
+    * Returns (a, b, cosine 6 dp), a < b. */
   def mutualKnnGraphIvf(corpus: DataFrame, k: Int, nCentroids: Int,
       nProbe: Int = 2, nAssign: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -451,6 +451,43 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(p === q && q.size === 50)
   }
 
+  test("planner stats materialize once per graph: N planned queries run zero stats jobs") {
+    // round-12 pin (the VERDICT stretch): planStart/planExpansionOrder
+    // read two session-cached driver-side maps (labelCounts,
+    // labelEdgeStats) — the per-(label,label,attr) aggregation runs ONCE
+    // per graph, and every later planned query in the session plans
+    // without touching the cluster.
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)), RangeDef(100, 100, 1, Seq(1)),
+      RangeDef(200, 100, 2, Seq(1)))
+    val edges =
+      (0 until 20).map(i => InputEdge(i % 10, 100 + i % 4, Seq(1), addReverse = false)) ++
+      (0 until 10).map(i => InputEdge(100 + i % 4, 200 + i, Seq(1), addReverse = false))
+    val g = Loaders.fromList(spark, edges, ranges)
+    g.labelEdgeStats; g.labelCounts // first touch: one aggregation job each
+    // a fresh PropertyGraph over the SAME edge plan resolves its lazy
+    // stats through the session cache — the very Map instances, no job
+    val g2 = g.copy()
+    assert(g2.labelEdgeStats eq g.labelEdgeStats)
+    assert(g2.labelCounts eq g.labelCounts)
+    // and planning N queries on warm stats launches ZERO Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pat = labels(0) --| edge(attr(1)) |--> labels(1) --| edge(attr(1)) |--> labels(2)
+      (1 to 5).foreach { _ =>
+        Exec.planStart(g2, pat)
+        Exec.planExpansionOrder(g2, pat)
+      }
+      Thread.sleep(1000) // listener delivery is async; a launched job would land well inside this
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get === 0, s"planning on warm stats launched ${jobs.get} Spark jobs")
+  }
+
   test("fromTemp: composing query 2 from query 1's temp output matches one-shot") {
     val q1 = Query.temp(issueGraph, nodes32(0) --| edge(attr(Raises)) |-- labels(ISSUE))
     val start = Query.fromTemp(q1.last)

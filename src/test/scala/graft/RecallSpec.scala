@@ -68,6 +68,25 @@ class RecallSpec extends AnyFunSuite {
     // perturb top-10 ordering on this corpus
     assert(recall("e9_ann_sq8_topk", "e1_ann_bruteforce_topk", annKeys) >= 0.95)
   }
+  test("mutual-kNN IVF tier recall >= 0.85 vs exact on clustered geometry") {
+    // The round-11 verdict's one weak-at-scale item: on the driver's
+    // near-ISOTROPIC corpus no sublinear mutual-kNN tier wins (recorded
+    // honestly in SCALING.md) — but that is the corpus, not the operator.
+    // On planted-cluster geometry (the real-embedding corpus class,
+    // graft.tools.PlantedCorpus — fully deterministic, so this recall is
+    // a constant): measured 0.899 here (n=2k) and 0.988 at n=10k where
+    // the tier runs at 0.17× the exact wall (MutualKnnClusteredProbe,
+    // SCALING.md round 12). Floor a few points under the n=2k value.
+    val emb = graft.tools.PlantedCorpus.generate(spark, n = 2000, dim = 64, clusters = 8)
+      .localCheckpoint(true)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.functions.Similarity.mutualKnnGraph(emb, k = 10))
+    assert(exact.nonEmpty)
+    val ivf = pairs(graft.functions.Similarity.mutualKnnGraphIvf(
+      emb, k = 10, nCentroids = 16, nProbe = 2, nAssign = 1))
+    assert((ivf & exact).size.toDouble / exact.size >= 0.85)
+  }
   test("e15 projected+rerank top-k recall >= 0.85 vs e1 brute force") {
     // JL 64→32 prefilter only has to land true neighbors in the top-200
     // shortlist; the exact re-rank fixes the ordering. Measured 0.924 at
