@@ -1939,6 +1939,40 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(lone(3L) === 0.15 && lone(0L) === 0.0)
   }
 
+  test("iterative analytics release their per-call edge-relation caches on return") {
+    // round-12 ADVICE pin: hits/personalizedPageRank/labelPropagation
+    // persist() repartitioned |E| layouts for their iteration and must
+    // unpersist them before returning (the results ride eager
+    // localCheckpoints) — without the finally-unpersist every DISTINCT
+    // input graph left cached blocks resident for the session lifetime.
+    // Witness = the CacheManager entry count: persist() registers there
+    // (strongly held until unpersist — exactly the leak class), while
+    // localCheckpoint RDDs never touch it, so the count is immune to
+    // GC/cleaner timing. cachedData is private; read via reflection
+    // (pinned to the Spark 4.1 field, cheap to re-point on upgrade).
+    def cacheEntryCount(): Int = {
+      val cm = spark.sharedState.cacheManager
+      val m = cm.getClass.getDeclaredMethods.find(_.getName == "cachedData").get
+      m.setAccessible(true)
+      m.invoke(cm).asInstanceOf[IndexedSeq[_]].size
+    }
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
+    val base = cacheEntryCount()
+    // three DISTINCT graphs per op — identical plans would dedupe in the
+    // cache manager and mask a leak
+    for (shift <- 0 to 2) {
+      val g = Loaders.fromList(spark,
+        Seq(InputEdge(0, 1 + shift, Seq(1), addReverse = false),
+          InputEdge(0, 2, Seq(1), addReverse = false),
+          InputEdge(2, 3, Seq(1), addReverse = false)), ranges)
+      GraphAnalytics.personalizedPageRank(g, source = 0L, numIter = 2).collect()
+      GraphAnalytics.hits(g, numIter = 2).collect()
+      GraphAnalytics.labelPropagation(g, numIter = 2).collect()
+      assert(cacheEntryCount() === base,
+        s"graph $shift left persisted layouts registered in the cache manager")
+    }
+  }
+
   test("hits matches a hand-rolled L1-normalized mutual recursion") {
     // star + chain: 0→1, 0→2, 2→3 — 0 is a pure hub (no in-edges),
     // 1/3 are pure authorities (no out-edges), 2 is both
