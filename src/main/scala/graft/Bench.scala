@@ -84,17 +84,24 @@ object Bench {
       graft.bench.MailGraph.miwCached(spark, mailPath).edges.count()
     }
     val buildSec = (System.nanoTime() - tBuild) / 1e9
-    // embedding-index training warm (round 12): d9's centroid training is
-    // session-memoized and deterministic — own it HERE (timed separately
-    // as train_sec) so d9's line number measures the dedup query, not
-    // whichever consumer touches the memo first (BENCH_r11: d9 read
-    // 24.8 s vs a 7.5 s isolated steady state, D9StageProbe). The e-tier
-    // trainers (IVF nCentroids=16, PQ codebooks) stay query-owned: their
-    // first-touch measured ~1.6 s, inside line-noise
+    // embedding-index training warm (round 12): the trained indexes are
+    // session fixtures SHARED across gates — d9's ceil(n/256) centroids,
+    // e7+e8's PQ codebooks, e4+e10's lloydIters=3 and e8+e11's
+    // lloydIters=2 coarse centroids — so whichever gate ran first used
+    // to absorb the whole deterministic training cost (BENCH_r11: d9
+    // read 24.8 s vs a 7.5 s isolated steady state, D9StageProbe; e7
+    // owned the PQ run). Build them HERE, timed separately as
+    // train_sec, so every index gate's line number measures its QUERY
+    // stage. Configs mirror the gate calls exactly (the session memo
+    // keys on corpus plan + config).
     val tTrain = System.nanoTime()
-    if (warm && new java.io.File(s"$sfDir/embeddings.parquet").exists)
-      graft.functions.Similarity.warmClusterIndex(
-        spark.read.parquet(s"$sfDir/embeddings.parquet"), nClusters = -1)
+    if (warm && new java.io.File(s"$sfDir/embeddings.parquet").exists) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.functions.Similarity.warmClusterIndex(emb, nClusters = -1) // d9
+      graft.functions.Similarity.warmClusterIndex(emb, nClusters = 16, lloydIters = 3) // e4, e10
+      graft.functions.Similarity.warmClusterIndex(emb, nClusters = 16, lloydIters = 2) // e8, e11
+      graft.functions.Similarity.pqCodebooks(emb, nSub = 16, nCodes = 64, lloydIters = 2).count() // e7, e8
+    }
     val trainSec = (System.nanoTime() - tTrain) / 1e9
 
     def s3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))

@@ -496,12 +496,13 @@ object Similarity {
     * training that every later consumer got for free). Returns the
     * number of centroids built. */
   def warmClusterIndex(vectors: DataFrame, nClusters: Int = -1,
+      lloydIters: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
     useNative(vectors)
     val k =
       if (nClusters >= 1) nClusters
       else math.max(1, math.ceil(corpusCount(vectors) / 256.0).toInt)
-    centroidsCached(vectors, k, idCol, vecCol, lloydIters = 1).count()
+    centroidsCached(vectors, k, idCol, vecCol, lloydIters).count()
   }
 
   def semanticDedup(vectors: DataFrame, threshold: Double, nClusters: Int,
