@@ -1137,6 +1137,21 @@ object GateQueries {
       graft.analytics.GraphAnalytics.harmonicCloseness(
         coPurchaseEdges(s, d), nSeeds = 8, maxDepth = 4)
     }),
+    "a22_betweenness" -> ((s, d) => {
+      // sampled bounded-depth Brandes betweenness on the co-purchase
+      // graph (a15's seeds/depth): forward σ BFS + backward δ
+      // accumulation, both unrolled by the oracle level by level.
+      // SINGLE 3-dp round, NOT the usual 6: δ values reach O(10⁴) here,
+      // where double summation-order noise (~1e-9 abs) sits too close
+      // to a 1e-6 quantum across 2,000 cells — the rounding convention
+      // is magnitude-aware (noise ≪ quantum). And the round happens
+      // ONCE, on the raw sum: a fine-then-coarse chain re-quantizes and
+      // measured one flipped cell (8.016 vs 8.015) when the raw values
+      // landed on different 6-dp quanta straddling a 3-dp midpoint.
+      graft.analytics.GraphAnalytics.betweennessSampled(
+          coPurchaseEdges(s, d), nSeeds = 8, maxDepth = 4)
+        .select(col("id"), round(col("betweenness"), 3).as("betweenness"))
+    }),
     "a14_jaccard_links" -> ((s, d) => {
       // Jaccard link coefficient per co-purchase edge — support over the
       // excluded-endpoint neighborhood union; completes the a10/a13/a14
@@ -1570,6 +1585,80 @@ object GateQueries {
        |FROM d$maxDepth GROUP BY id""".stripMargin
   }
 
+  /** a22 oracle: [[graft.analytics.GraphAnalytics.betweennessSampled]]
+    * unrolled — the same md5-pivot seeds, then Brandes level by level:
+    * forward rounds carry (seed, id, dist, σ) with σ summed over the
+    * distance-(i−1) predecessors that discover a node (NOT EXISTS keeps
+    * first-discovery semantics), backward rounds compute
+    * δ(v) = Σ σ_v/σ_w·(1+δ_w) over distance-(l+1) neighbors, each
+    * level LEFT-joined so zero-δ nodes stay in the slice (their 1+0
+    * feeds predecessors). One SINGLE 3-dp round on the raw sum, both
+    * sides (see the gate comment: an intermediate fine round measured a
+    * flipped cell at the quantum boundary). */
+  private def betweennessOracleSql(nSeeds: Int, maxDepth: Int): String = {
+    val fwd = (1 to maxDepth).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT seed, id, dist, sigma FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT n.seed, n.id, n.dist, n.sigma FROM (
+         |    SELECT p.seed, und.y AS id, CAST($i AS BIGINT) AS dist,
+         |      CAST(SUM(p.sigma) AS BIGINT) AS sigma
+         |    FROM d${i - 1} p JOIN und ON und.x = p.id
+         |    WHERE p.dist = ${i - 1}
+         |    GROUP BY 1, 2
+         |  ) n WHERE NOT EXISTS (
+         |    SELECT 1 FROM d${i - 1} v WHERE v.seed = n.seed AND v.id = n.id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    val bwTop =
+      s"""bw$maxDepth AS MATERIALIZED (
+         |  SELECT seed, id, sigma, 0.0::DOUBLE AS delta
+         |  FROM d$maxDepth WHERE dist = $maxDepth
+         |)""".stripMargin
+    val bwRounds = (maxDepth - 1 to 0 by -1).map { l =>
+      s"""bw$l AS MATERIALIZED (
+         |  SELECT v.seed, v.id, v.sigma, COALESCE(agg.delta, 0.0::DOUBLE) AS delta
+         |  FROM (SELECT seed, id, sigma FROM d$maxDepth WHERE dist = $l) v
+         |  LEFT JOIN (
+         |    SELECT p.seed, p.id,
+         |      SUM(CAST(p.sigma AS DOUBLE) / w.sigma * (1.0::DOUBLE + w.delta)) AS delta
+         |    FROM (SELECT seed, id, sigma FROM d$maxDepth WHERE dist = $l) p
+         |    JOIN und ON und.x = p.id
+         |    JOIN bw${l + 1} w ON w.seed = p.seed AND w.id = und.y
+         |    GROUP BY 1, 2
+         |  ) agg ON agg.seed = v.seed AND agg.id = v.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    val allbw = (0 to maxDepth).map(l => s"SELECT seed, id, delta FROM bw$l")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+       |), e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey
+       |), und AS MATERIALIZED (
+       |  SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e
+       |), verts AS MATERIALIZED (
+       |  SELECT DISTINCT x AS id FROM und
+       |), seeds AS (
+       |  SELECT id FROM verts ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nSeeds
+       |), d0 AS (
+       |  SELECT id AS seed, id, CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma FROM seeds
+       |),
+       |$fwd,
+       |$bwTop,
+       |$bwRounds,
+       |allbw AS MATERIALIZED (
+       |  $allbw
+       |)
+       |SELECT v.id,
+       |  ROUND(COALESCE(SUM(CASE WHEN b.id <> b.seed THEN b.delta END),
+       |    0.0::DOUBLE), 3) + 0 AS betweenness
+       |FROM verts v LEFT JOIN allbw b ON b.id = v.id
+       |GROUP BY 1""".stripMargin
+  }
+
   /** e14 oracle: [[graft.functions.Similarity.mmrTopK]] unrolled — the
     * top-C relevance shortlist, C²-per-query pair sims, then k greedy
     * rounds (argmax of λ·rel − (1−λ)·max-sim-to-selected, ties to the
@@ -1844,6 +1933,7 @@ object GateQueries {
         |  COALESCE(sup.aa, 0.0) AS aa
         |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b""".stripMargin,
     "a15_harmonic_closeness" -> harmonicClosenessOracleSql(8, 4),
+    "a22_betweenness" -> betweennessOracleSql(8, 4),
     "a16_random_walks" -> randomWalkOracleSql(16, 6, 42L),
     "a17_ktruss" -> kTrussOracleSql(4, 3),
     "a18_weighted_sssp" -> weightedSsspOracleSql(4),

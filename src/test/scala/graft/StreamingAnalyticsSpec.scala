@@ -1939,6 +1939,31 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(lone(3L) === 0.15 && lone(0L) === 0.0)
   }
 
+  test("betweennessSampled matches hand-computed Brandes on path, star, and diamond") {
+    import spark.implicits._
+    def bc(edges: Seq[(Long, Long)], nSeeds: Int, maxDepth: Int = 4): Map[Long, Double] =
+      GraphAnalytics.betweennessSampled(edges.toDF("u", "v"), nSeeds, maxDepth)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // path 0-1-2-3-4, all 5 sources: ordered-pair interior counts 6/8/6
+    val path = bc(Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L), nSeeds = 5)
+    assert(path === Map(0L -> 0.0, 1L -> 6.0, 2L -> 8.0, 3L -> 6.0, 4L -> 0.0))
+    // star K1,3: the hub carries every ordered leaf pair (6), leaves 0
+    val star = bc(Seq(0L -> 1L, 0L -> 2L, 0L -> 3L), nSeeds = 4)
+    assert(star === Map(0L -> 6.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0))
+    // diamond C4 (0-1, 0-2, 1-3, 2-3): every opposite pair has TWO
+    // shortest paths, so each node carries 2 ordered pairs × 1/2 = 1.0 —
+    // pins the σ-division (path-count splitting), not just path counting
+    val diamond = bc(Seq(0L -> 1L, 0L -> 2L, 1L -> 3L, 2L -> 3L), nSeeds = 4)
+    assert(diamond === Map(0L -> 1.0, 1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+    // depth bound: on the path with maxDepth=2 only ≤2-hop pairs count —
+    // node 2 keeps exactly (1,3) and (3,1)
+    val bounded = bc(Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L), nSeeds = 5, maxDepth = 2)
+    assert(bounded(2L) === 2.0 && bounded(1L) === 2.0 && bounded(0L) === 0.0)
+    // sampling determinism: 2 md5-pivot seeds of the path = a fixed subset
+    val sampled = bc(Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L), nSeeds = 2)
+    assert(sampled.values.sum > 0.0 && sampled === bc(Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L), nSeeds = 2))
+  }
+
   test("iterative analytics release their per-call edge-relation caches on return") {
     // round-12 ADVICE pin: hits/personalizedPageRank/labelPropagation
     // persist() repartitioned |E| layouts for their iteration and must
