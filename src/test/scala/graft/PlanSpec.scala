@@ -145,6 +145,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
 
+  test("betweennessSampled: frontier joins stay keyed, never a cartesian product") {
+    // both passes join the |seeds|-scaled frontier against the mirrored
+    // edge list on the node key and the backward pass joins one distance
+    // slice — a cartesian anywhere would be |V|² and kill the |S|·|E|
+    // scale bound the op exists for
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") % 4 === 0).select(col("l_orderkey"), col("l_partkey"))
+    val co = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+      .filter(col("u") < col("v")).select("u", "v")
+    val plan = planOf(graft.analytics.GraphAnalytics.betweennessSampled(
+      co, nSeeds = 4, maxDepth = 2))
+    assert(!plan.contains("CartesianProduct"),
+      s"betweenness must expand through keyed frontier joins:\n$plan")
+  }
+
   test("dedupAgainst: banded candidate generation, never a cartesian product") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = planOf(graft.functions.Dedup.dedupAgainst(

@@ -464,6 +464,32 @@ class PropertySpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("betweenness on random graphs: degree-1 nodes carry 0 at any sample size") {
+    import spark.implicits._
+    import graft.analytics.GraphAnalytics
+    // (1) a degree-1 node is never interior to any shortest path, so its
+    // dependency sum is 0 at every depth bound and sample — a cross-op
+    // invariant against the independent degree aggregation
+    val genG = Gen.choose(4, 25).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L)
+    } yield (a, b)))
+    check("btwLeaves", Prop.forAll(genG, Gen.choose(1, 10)) { (es, nSeeds) =>
+      val es2 = es.filter { case (a, b) => a != b }
+      if (es2.isEmpty) true
+      else {
+        val e = es2.toDF("u", "v")
+        val und = e.select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")).distinct()
+        val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+          .groupBy("id").count()
+        val bc = GraphAnalytics.betweennessSampled(e, nSeeds, maxDepth = 4)
+        val leafNonZero = bc.join(deg, "id")
+          .filter(col("count") === 1 && col("betweenness") =!= 0.0).count()
+        leafNonZero == 0L
+      }
+    }, n = 5)
+  }
+
   test("mutual-kNN is a subgraph of the kNN relation; walks follow edges (random embeddings/graphs)") {
     import spark.implicits._
     import graft.functions.Similarity
