@@ -277,6 +277,44 @@ object GateQueries {
         .select(col("n0"), col("n3")).distinct()
     }),
 
+    "g8_dml_roundtrip" -> ((s, d) => {
+      // §2.2's point-mutation surface as an ORACLE gate (previously
+      // unit-only): deleteNodes → deleteEdges → upsert insertEdges →
+      // overlayLabels composed through the REAL GraphOps APIs on the
+      // Placed subgraph, then the final forward edge set. Every
+      // selector is a deterministic modulus (no data-dependent driver
+      // lists); the oracle replays the identical sequence as SQL set
+      // operations, so append/upsert keys, both-direction deletes, and
+      // the attrMask OR are all hash-checked, not just unit-pinned.
+      import graft.operators.GraphOps
+      val g0full = graph(s, d)
+      val g0 = g0full.copy(edges = g0full.edges.filter(col("label") === Placed))
+      val orders = t(s, d, "orders")
+      // 1. drop 15 customers (literal ids; at small sf the absent ones
+      //    make the filter a partial no-op — same on both sides)
+      val g1 = GraphOps.deleteNodes(g0, (0L until 15L).map(_ * 100 + 77))
+      // 2. drop the Placed edge of every 97th order (both directions)
+      val delPairs = orders.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("o_orderkey") + ORDER_BASE).cast("long").as("dst"))
+      val g2 = GraphOps.deleteEdges(g1, delPairs)
+      // 3. upsert: customer 1 claims every 101st order (new forward rows;
+      //    the upsert key (src,dst,label,dir) replaces only exact dupes)
+      val ins = orders.filter(col("o_orderkey") % 101 === 0)
+        .select(lit(1L).as("src"),
+          (col("o_orderkey") + ORDER_BASE).cast("long").as("dst"),
+          lit(Placed).as("label"), lit(1L << Placed).as("attrMask"),
+          lit(true).as("dir"))
+      val g3 = GraphOps.insertEdges(g2, ins, overwrite = true)
+      // 4. overlay bit 6 onto every 103rd order's original Placed pair
+      val ovl = orders.filter(col("o_orderkey") % 103 === 0)
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("o_orderkey") + ORDER_BASE).cast("long").as("dst"))
+      GraphOps.overlayLabels(g3, ovl, 1L << 6)
+        .edges.filter(col("dir"))
+        .select(col("src"), col("dst"), col("label"), col("attrMask"))
+    }),
+
     // ---- text / documents -------------------------------------------------
     "t1_token_counts" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
@@ -2127,6 +2165,43 @@ object GateQueries {
     "g6_orders_to_customer_backedges" ->
       """SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS order_node,
         |CAST(o_custkey AS BIGINT) AS cust_node FROM orders""".stripMargin,
+    // the DML sequence replayed as SQL set ops: base forward Placed rows
+    // → node-delete filter (customers x77) → edge-delete anti (every
+    // 97th order) → upsert (remove exact-key dupes, union the 101st-
+    // order inserts from customer 1) → attrMask OR 64 on the 103rd-
+    // order pairs. Forward rows only, like the gate's dir filter.
+    "g8_dml_roundtrip" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT CAST(o_custkey AS BIGINT) AS src,
+        |    CAST(o_orderkey + 10000000 AS BIGINT) AS dst,
+        |    1 AS label, CAST(2 AS BIGINT) AS attrMask
+        |  FROM orders
+        |), d1 AS (
+        |  SELECT * FROM base
+        |  WHERE src NOT IN (77, 177, 277, 377, 477, 577, 677, 777, 877,
+        |    977, 1077, 1177, 1277, 1377, 1477)
+        |), d2 AS (
+        |  SELECT * FROM d1 WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey % 97 = 0
+        |      AND d1.src = CAST(o.o_custkey AS BIGINT)
+        |      AND d1.dst = CAST(o.o_orderkey + 10000000 AS BIGINT))
+        |), ins AS (
+        |  SELECT CAST(1 AS BIGINT) AS src,
+        |    CAST(o_orderkey + 10000000 AS BIGINT) AS dst,
+        |    1 AS label, CAST(2 AS BIGINT) AS attrMask
+        |  FROM orders WHERE o_orderkey % 101 = 0
+        |), d3 AS (
+        |  SELECT * FROM d2 WHERE NOT EXISTS (
+        |    SELECT 1 FROM ins i WHERE i.src = d2.src AND i.dst = d2.dst)
+        |  UNION ALL SELECT * FROM ins
+        |)
+        |SELECT src, dst, label,
+        |  CASE WHEN EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey % 103 = 0
+        |      AND d3.src = CAST(o.o_custkey AS BIGINT)
+        |      AND d3.dst = CAST(o.o_orderkey + 10000000 AS BIGINT))
+        |    THEN attrMask | 64 ELSE attrMask END AS attrMask
+        |FROM d3""".stripMargin,
     "g7_part_suppliers_3hop" ->
       """SELECT DISTINCT CAST(c_custkey AS BIGINT) AS n0,
         |CAST(sup.l_suppkey + 30000000 AS BIGINT) AS n3
