@@ -315,6 +315,29 @@ object GateQueries {
         .select(col("src"), col("dst"), col("label"), col("attrMask"))
     }),
 
+    "g9_csv_dict_ingest" -> ((s, d) => {
+      // §2.1's string-keyed CSV ingest as an ORACLE gate (previously
+      // unit-only): write a deterministic CSV (every 3rd order's target
+      // blanked — exercising the reference's skip-malformed Left path
+      // via the null filter), ingest through the REAL Loaders.fromCSV
+      // (header parse → null skip → sorted-distinct dense dictionary →
+      // two resolve joins), emit the resolved (src, dst) id pairs. The
+      // oracle rebuilds the dictionary as ROW_NUMBER() OVER the same
+      // binary name ordering — the id assignment rule itself is
+      // hash-checked. Path is per-sf so concurrent sf dirs in one
+      // session never clobber each other's lazily-read CSV.
+      val path = s"/tmp/graft_g9_csv_${math.abs(d.hashCode)}"
+      t(s, d, "orders").select(
+          concat(lit("c"), col("o_custkey")).as("sname"),
+          when(col("o_orderkey") % 3 === 0, lit(null))
+            .otherwise(concat(lit("o"), col("o_orderkey"))).as("dname"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+      val (g, _) = graft.sources.Loaders.fromCSV(s, path, "sname", "dname",
+        label = 1, mirror = false,
+        ranges = Seq(graft.model.RangeDef(0, 10000000L, 0, Seq(1))))
+      g.edges.filter(col("dir")).select(col("src"), col("dst"))
+    }),
+
     // ---- text / documents -------------------------------------------------
     "t1_token_counts" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
@@ -2165,6 +2188,23 @@ object GateQueries {
     "g6_orders_to_customer_backedges" ->
       """SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS order_node,
         |CAST(o_custkey AS BIGINT) AS cust_node FROM orders""".stripMargin,
+    // the dictionary rule replayed: same skip filter, same distinct name
+    // set, ids = 0-based rank under binary string ordering (Spark
+    // orderBy ≡ DuckDB default VARCHAR collation), same two resolve joins
+    "g9_csv_dict_ingest" ->
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS sname,
+        |    'o' || CAST(o_orderkey AS VARCHAR) AS dname
+        |  FROM orders WHERE o_orderkey % 3 <> 0
+        |), names AS (
+        |  SELECT DISTINCT name FROM (
+        |    SELECT sname AS name FROM pairs UNION ALL SELECT dname FROM pairs)
+        |), dict AS MATERIALIZED (
+        |  SELECT name, ROW_NUMBER() OVER (ORDER BY name) - 1 AS id FROM names
+        |)
+        |SELECT ds.id AS src, dd.id AS dst FROM pairs
+        |JOIN dict ds ON ds.name = pairs.sname
+        |JOIN dict dd ON dd.name = pairs.dname""".stripMargin,
     // the DML sequence replayed as SQL set ops: base forward Placed rows
     // → node-delete filter (customers x77) → edge-delete anti (every
     // 97th order) → upsert (remove exact-key dupes, union the 101st-
