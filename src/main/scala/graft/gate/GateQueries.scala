@@ -315,6 +315,21 @@ object GateQueries {
         .select(col("src"), col("dst"), col("label"), col("attrMask"))
     }),
 
+    "g10_graph_query_subgraph" -> ((s, d) => {
+      // §2.6's subgraph-extraction result mode as an ORACLE gate — the
+      // op the REFERENCE STUBBED (Cypher.hs:895-898 returns its input;
+      // real here): every edge lying on a matched 2-hop path, recovered
+      // through the per-step (n_{k-1}, n_k, e_label) projection and the
+      // semi-join back to the edge relation. The oracle rebuilds both
+      // hop edge sets with the full-match constraint (an order with no
+      // part drops its hop-1 edge — inner-join path semantics).
+      val g = graph(s, d)
+      val custs = t(s, d, "customer").filter(col("c_custkey") <= 20)
+        .select(col("c_custkey").cast("long").as("id"))
+      Query.graphQuery(g, nodesDF(custs) --| edge(attr(Placed)) |--> labels(ORDER)
+          --| edge(attr(Contains)) |--> labels(PART))
+        .edges.select(col("src"), col("dst"), col("label"))
+    }),
     "g9_csv_dict_ingest" -> ((s, d) => {
       // §2.1's string-keyed CSV ingest as an ORACLE gate (previously
       // unit-only): write a deterministic CSV (every 3rd order's target
@@ -2188,6 +2203,23 @@ object GateQueries {
     "g6_orders_to_customer_backedges" ->
       """SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS order_node,
         |CAST(o_custkey AS BIGINT) AS cust_node FROM orders""".stripMargin,
+    // both hop edge sets under the full-match constraint, union-distinct
+    // like the engine's per-step projection → semi-join recovery
+    "g10_graph_query_subgraph" ->
+      """WITH placed AS MATERIALIZED (
+        |  SELECT CAST(o_custkey AS BIGINT) AS src,
+        |    CAST(o_orderkey + 10000000 AS BIGINT) AS dst
+        |  FROM orders WHERE o_custkey <= 20
+        |), cont AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(l_orderkey + 10000000 AS BIGINT) AS src,
+        |    CAST(l_partkey + 20000000 AS BIGINT) AS dst
+        |  FROM lineitem
+        |)
+        |SELECT p.src, p.dst, 1 AS label FROM placed p
+        |WHERE EXISTS (SELECT 1 FROM cont c WHERE c.src = p.dst)
+        |UNION ALL
+        |SELECT DISTINCT c.src, c.dst, 2 AS label FROM cont c
+        |JOIN placed p ON p.dst = c.src""".stripMargin,
     // the dictionary rule replayed: same skip filter, same distinct name
     // set, ids = 0-based rank under binary string ordering (Spark
     // orderBy ≡ DuckDB default VARCHAR collation), same two resolve joins
