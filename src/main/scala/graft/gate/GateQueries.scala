@@ -315,6 +315,24 @@ object GateQueries {
         .select(col("src"), col("dst"), col("label"), col("attrMask"))
     }),
 
+    "g11_orth_overlay_match" -> ((s, d) => {
+      // §2.5's orthogonal-bitmask EDSL matching as an ORACLE gate
+      // (previously unit-only): overlay bit 6 onto every 103rd order's
+      // Placed edge, then match with orth(Placed) ONLY — the subset
+      // rule (attrMask ⊆ orthMask AND ≠ 0, Cypher.hs:255-266) accepts
+      // the untouched edges (mask 2 ⊆ 2) and REJECTS the overlaid ones
+      // (66 ⊄ 2), so both the overlay plumbing and the bitmask
+      // predicate are hash-checked through the full query path.
+      import graft.operators.GraphOps
+      val g0full = graph(s, d)
+      val g0 = g0full.copy(edges = g0full.edges.filter(col("label") === Placed))
+      val ovl = t(s, d, "orders").filter(col("o_orderkey") % 103 === 0)
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("o_orderkey") + ORDER_BASE).cast("long").as("dst"))
+      val g1 = GraphOps.overlayLabels(g0, ovl, 1L << 6)
+      Query.paths(g1, labels(CUSTOMER) --| edge(orth(Placed)) |--> labels(ORDER))
+        .select(col("n0"), col("n1"))
+    }),
     "g10_graph_query_subgraph" -> ((s, d) => {
       // §2.6's subgraph-extraction result mode as an ORACLE gate — the
       // op the REFERENCE STUBBED (Cypher.hs:895-898 returns its input;
@@ -2203,6 +2221,11 @@ object GateQueries {
     "g6_orders_to_customer_backedges" ->
       """SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS order_node,
         |CAST(o_custkey AS BIGINT) AS cust_node FROM orders""".stripMargin,
+    // the subset rule's complement: exactly the NON-overlaid pairs
+    "g11_orth_overlay_match" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS n0,
+        |  CAST(o_orderkey + 10000000 AS BIGINT) AS n1
+        |FROM orders WHERE o_orderkey % 103 <> 0""".stripMargin,
     // both hop edge sets under the full-match constraint, union-distinct
     // like the engine's per-step projection → semi-join recovery
     "g10_graph_query_subgraph" ->
