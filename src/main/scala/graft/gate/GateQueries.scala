@@ -887,14 +887,15 @@ object GateQueries {
     }),
     "e10_ann_ivfsq8_topk" -> ((s, d) => {
       // IVF-SQ8 (FAISS "IVF,SQ8"): the e4 coarse quantizer (16 cells,
-      // probe 6, soft nAssign=2) scanning byte codes instead of floats —
+      // probe 8 since round 12 — the shared coverage knob moves with
+      // e4's, soft nAssign=2) scanning byte codes instead of floats —
       // sublinear candidates AND a 4× compressed scan, no rerank so the
       // recall rider measures the composed tier itself (≈ e4 coverage ×
       // e9 quality). Rows-only like e2/e4/e9.
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.ivfSq8TopK(
           emb.filter(col("vec_id") < 50), emb, k = 10,
-          nCentroids = 16, nProbe = 6, nAssign = 2, lloydIters = 3)
+          nCentroids = 16, nProbe = 8, nAssign = 2, lloydIters = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
     "e2_ann_lsh_topk" -> ((s, d) => {
@@ -922,13 +923,16 @@ object GateQueries {
       // redundancy factor, honest at 100 TB where nAssign multiplies the
       // index size) recovers them: recall 0.548 → 0.764 at sf0.01 / 0.782
       // at sf0.1 (0.874/0.884 at nAssign=3 — the knob, not the default).
-      // nProbe=6 (round 11, E4Probe): query-side coverage is the cheap
-      // lever — 6/16 partitions still sublinear, index size UNCHANGED,
-      // recall 0.782 → 0.904 at sf0.1 with wall flat (candidate volume
-      // 1.5×, still bounded by nProbe/nCentroids of the corpus)
+      // nProbe=8 (round 12, E4Probe — the e8 coverage lesson applied to
+      // its sibling): query-side coverage is the cheap lever — 8/16
+      // partitions still sublinear, index size UNCHANGED, recall
+      // 0.904 → 0.940 at sf0.1 / 0.888 → 0.952 at sf0.01 with wall
+      // FLAT-to-lower (0.97 → 0.84 s); nAssign=3 measured similar
+      // recall at 1.4× wall AND 1.5× index — the wrong side of the
+      // trade when the query-side knob is free
       val emb = t(s, d, "embeddings")
       graft.functions.Similarity.ivfTopK(
-        emb.filter(col("vec_id") < 50), emb, k = 10, nCentroids = 16, nProbe = 6,
+        emb.filter(col("vec_id") < 50), emb, k = 10, nCentroids = 16, nProbe = 8,
         lloydIters = 3, nAssign = 2)
     }),
     "d9_semantic_dedup" -> ((s, d) => {

@@ -13,8 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * hyperplanes, deterministic Lloyd), so recall on fixed testdata is a
   * deterministic number, not a distribution — floors sit a few points
   * under the measured value to absorb testdata regeneration, not noise.
-  * Measured at sf0.01 (round 11): d4 1.000, d9 1.000, e2 0.950
-  * (bits=8, tables=8, full H1+H2), e4 0.888 (nProbe=6), e7 0.998
+  * Measured at sf0.01: d4 1.000, d9 1.000, e2 0.950
+  * (bits=8, tables=8, full H1+H2), e4 0.952 / e10 0.950 (nProbe=8 —
+  * the round-12 coverage sweep moved the whole IVF family's query-side
+  * knob 6→8 at flat wall), e7 0.998
   * (rerank=8), e8 0.948 (nProbe=8, rerank=8 — the round-12 coverage
   * sweep lifted nProbe 6→8: 0.868→0.948 here, 0.874→0.926 at sf0.1,
   * flat wall; E8CoverageProbe).
@@ -50,8 +52,8 @@ class RecallSpec extends AnyFunSuite {
   test("e2 LSH top-k recall >= 0.85 vs e6 exact") {
     assert(recall("e2_ann_lsh_topk", "e6_ann_lsh_exact", annKeys) >= 0.85)
   }
-  test("e4 IVF top-k recall >= 0.80 vs e5 exact") {
-    assert(recall("e4_ann_ivf_topk", "e5_ann_ivf_exact", annKeys) >= 0.80)
+  test("e4 IVF top-k recall >= 0.90 vs e5 exact") {
+    assert(recall("e4_ann_ivf_topk", "e5_ann_ivf_exact", annKeys) >= 0.90)
   }
   test("e7 PQ+rerank top-k recall >= 0.95 vs e1 brute force") {
     assert(recall("e7_ann_pq_topk", "e1_ann_bruteforce_topk", annKeys) >= 0.95)
@@ -59,9 +61,9 @@ class RecallSpec extends AnyFunSuite {
   test("e8 IVF-PQ+rerank top-k recall >= 0.90 vs e1 brute force") {
     assert(recall("e8_ann_ivfpq_topk", "e1_ann_bruteforce_topk", annKeys) >= 0.90)
   }
-  test("e10 IVF-SQ8 top-k recall >= 0.75 vs e1 brute force") {
+  test("e10 IVF-SQ8 top-k recall >= 0.90 vs e1 brute force") {
     // composed tier ≈ e4 coverage × e9 quality, no rerank
-    assert(recall("e10_ann_ivfsq8_topk", "e1_ann_bruteforce_topk", annKeys) >= 0.75)
+    assert(recall("e10_ann_ivfsq8_topk", "e1_ann_bruteforce_topk", annKeys) >= 0.90)
   }
   test("e9 SQ8 top-k recall >= 0.95 vs e1 brute force") {
     // pure SQ8 (no rerank): 8-bit per-dim quantization should barely
