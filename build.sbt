@@ -30,9 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default on the 128 GiB box: the 80-query suite accumulates
-  // localCheckpoint blocks + the shared gate caches; at 8g the old gen
-  // fills mid-suite and late queries pay GC (measured: d9 in-suite 22.3 s
-  // at 8g vs 6.7 s at 24g, same isolated steady). SPARK_DRIVER_MEM overrides.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 24g default on the 128 GiB box: the 133-query suite accumulates
+  // localCheckpoint blocks + the shared gate caches; with a smaller old
+  // gen late queries pay GC (measured: d9 in-suite 22.3 s at 8g vs
+  // 6.7 s at 24g, same isolated steady — and the same 24 s d9 tail
+  // reappeared intermittently at 16g in round 12 as the suite grew to
+  // 133 queries, quiet cal throughout: GC bursts dodge the 10 ms
+  // witness samples). SPARK_DRIVER_MEM overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
