@@ -44,6 +44,66 @@ object Dedup {
       .select(col(idCol), col("rn"))
   }
 
+  /** EXACT decontamination of a huge batch against a bounded reference set
+    * via a broadcast Bloom sketch — "drop every crawled page whose exact
+    * text already sits in the eval/benchmark suite (or a previous crawl's
+    * keeper set)". Returns the flagged rows' (idCol): documents of `docs`
+    * whose text appears verbatim in `reference`; `docs.join(result, idCol,
+    * "left_anti")` is the decontaminated batch. Output is EXACT — the Bloom
+    * filter admits false positives but never false negatives, and every
+    * positive is re-verified by a real equi-join on the text itself (which
+    * also closes the 64-bit xxhash64 collision window), so the result is
+    * bit-identical to the naive `docs SEMI JOIN reference ON text` at any
+    * fpp. The d16 gate hash-checks exactly that equivalence.
+    *
+    * Scale shape — and when to use which exact-decontam plan:
+    *  - THIS op: |reference| bounded (benchmark suites, denylists, a prior
+    *    batch's keepers — 10^4..10^8 texts), |docs| huge. One bounded
+    *    aggregation builds the sketch (`stat.bloomFilter` tree-aggregates
+    *    fixed-size partials — the driver holds one sketch of
+    *    ceil(-n·ln fpp/ln²2) bits ≈ 1.2 MB per 10^6 items at fpp 1%, never
+    *    the texts), then the 100 TB side is filtered IN THE SCAN STAGE by
+    *    the codegen'd `graft_bloom_contains` predicate (Spark's own
+    *    BloomFilterMightContain, plan-embedded constant, deserialized once
+    *    per task) — the big corpus is never shuffled. Only the positive
+    *    sliver (true dups + fpp·|docs| rows) reaches the verify join.
+    *  - corpus-vs-corpus at comparable scale: the sketch no longer fits a
+    *    plan constant (10^9 items ≈ 1.2 GB) — use the hash-partitioned
+    *    semi-join ([[exact]] keys both sides) and let AQE size it; or raise
+    *    fpp (0.5 ⇒ ~0.6 GB per 10^9) and accept a fatter verify sliver.
+    * The fpp knob trades sketch size against verify-join volume; the
+    * default 1% keeps the sliver within 1% of |docs| rows.
+    *
+    * `expectedRefItems` = 0 counts the reference once for sizing (one
+    * bounded action — the standard Bloom sizing step); pass the known
+    * cardinality to skip it. `verify` = false exposes the sketch-only tier
+    * (fpp-bounded overcount, zero joins) for "estimate the contamination
+    * rate" probes — flagged rows may then include false positives by
+    * construction. */
+  def exactDedupAgainstBloom(
+      docs: DataFrame,
+      reference: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      fpp: Double = 0.01,
+      expectedRefItems: Long = 0L,
+      verify: Boolean = true): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"exactDedupAgainstBloom: fpp in (0,1), got $fpp")
+    val refTexts = reference.filter(col(textCol).isNotNull)
+      .select(col(textCol).as("__ref_text")).distinct()
+    val nRef = if (expectedRefItems > 0) expectedRefItems
+               else math.max(refTexts.count(), 1L)
+    val bloom = refTexts.stat.bloomFilter(xxhash64(col("__ref_text")), nRef, fpp)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream()
+                  bloom.writeTo(bos); bos.toByteArray }
+    graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
+    val positives = docs.filter(col(textCol).isNotNull)
+      .filter(call_function("graft_bloom_contains", xxhash64(col(textCol)), lit(bytes)))
+    if (!verify) positives.select(col(idCol))
+    else positives.join(refTexts, col(textCol) === col("__ref_text"), "left_semi")
+      .select(col(idCol))
+  }
+
   // ---- shingling / signatures (shared plumbing) ---------------------------
 
   /** Distinct character k-shingles of lowercased text as an array column —

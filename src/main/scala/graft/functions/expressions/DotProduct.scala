@@ -86,7 +86,17 @@ object GraftFunctions {
     "graft_ngram_hashes" -> (children => NgramHashes.fromChildren(children)),
     "graft_nfc" -> (children => NfcNormalize.fromChildren(children)),
     "graft_simhash" -> (children => SimHash64.fromChildren(children)),
-    "graft_top_gram_fracs" -> (children => TopGramFracs.fromChildren(children)))
+    "graft_top_gram_fracs" -> (children => TopGramFracs.fromChildren(children)),
+    // Spark's OWN runtime-filter predicate (the expression InjectRuntimeFilter
+    // pairs with BloomFilterAggregate), surfaced as a callable function:
+    // graft_bloom_contains(value BIGINT, bloom BINARY-constant). Codegen'd,
+    // deserializes the sketch once per task (its lazy bloomFilter val) — the
+    // scan-stage prefilter for Dedup.exactDedupAgainstBloom.
+    "graft_bloom_contains" -> (children => {
+      require(children.size == 2, "graft_bloom_contains(value, bloom) takes 2 arguments")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children(1), children(0))
+    }))
 
   /** Idempotently register graft's native SQL functions on a session. */
   def init(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
@@ -129,5 +139,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_top_gram_fracs"),
       new ExpressionInfo(classOf[TopGramFracs].getCanonicalName, "graft_top_gram_fracs"),
       children => TopGramFracs.fromChildren(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+        "graft_bloom_contains"),
+      children => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children(1), children(0))))
   }
 }

@@ -565,6 +565,18 @@ object GateQueries {
       // vowel-group syllable heuristic and sentence-split floor
       graft.functions.TextAnalysis.readabilityFeatures(t(s, d, "documents"))
     }),
+    "t39_distinct_tokens" -> ((s, d) => {
+      // exact per-source distinct token count — the hash-checked twin of
+      // the t40 HLL sketch tier
+      graft.functions.TextAnalysis.distinctTokenCounts(t(s, d, "documents"))
+    }),
+    "t40_distinct_tokens_sketch" -> ((s, d) => {
+      // Datasketches-HLL tier (lgK 12): mergeable bounded-size partials —
+      // the 100 TB distinct-count shape. No DuckDB oracle (different HLL
+      // implementation); SketchSpec pins shard-merge == one-pass estimate
+      // EXACTLY and ≤5% error vs the exact t39 twin
+      graft.functions.TextAnalysis.distinctTokenEstimates(t(s, d, "documents"))
+    }),
     "t37_vocab" -> ((s, d) => {
       // frequency-ranked vocab with 4 reserved special ids and a
       // minCount=2 floor — deterministic total order, hash-green
@@ -982,6 +994,18 @@ object GateQueries {
       graft.functions.Similarity.lshTopK(
           emb.filter(col("vec_id") < 50), emb, k = 10, dim = 64, bits = 0, tables = 1)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+    "d16_exact_dedup_against" -> ((s, d) => {
+      // exact decontamination via broadcast Bloom prefilter + text-equality
+      // verify — "which crawl docs already sit in the reference set". The
+      // reference is sampled FROM the corpus (doc_id % 5 = 0) so overlap is
+      // guaranteed at every sf (the synthetic corpus has no cross-doc exact
+      // dups at sf0.01); fpp 0.2 makes Bloom false positives near-certain
+      // at this scale, so hash-green REQUIRES the verify stage to strip
+      // them — the gate checks the exactness claim, not just the plumbing
+      val docs = t(s, d, "documents")
+      graft.functions.Dedup.exactDedupAgainstBloom(
+        docs, docs.filter(col("doc_id") % 5 === 0), fpp = 0.2)
     }),
     "d15_semantic_decontam" -> ((s, d) => {
       // embedding-space decontamination, exhaustive verification tier:
@@ -2489,6 +2513,12 @@ object GateQueries {
     // DOUBLE[] (float-space cosine differs ~1e-7 → rounding boundaries)
     // and rounds in double space (ROUND on a FLOAT returns FLOAT, whose
     // nearest value to 0.350084 prints as 0.35008400678…).
+    // exact-match decontamination: the Bloom tier is a prefilter only —
+    // after the verify join the result must equal the plain text semi-join
+    "d16_exact_dedup_against" ->
+      """SELECT doc_id FROM documents
+        |WHERE text IS NOT NULL AND text IN (
+        |  SELECT text FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL)""".stripMargin,
     "d15_semantic_decontam" ->
       """SELECT a.vec_id AS doc_id, b.vec_id AS ref_id,
         |ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) + 0 AS cosine
@@ -2936,6 +2966,13 @@ object GateQueries {
         |          - 84.6 * (n_syllables::DOUBLE / n_words), 4) + 0
         |  END AS flesch
         |FROM feat""".stripMargin,
+    "t39_distinct_tokens" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents
+        |)
+        |SELECT source, COUNT(DISTINCT token) AS n_distinct_tokens
+        |FROM toks GROUP BY 1""".stripMargin,
     "t37_vocab" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token

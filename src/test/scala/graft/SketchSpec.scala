@@ -1,0 +1,124 @@
+package graft
+
+import graft.functions.{Dedup, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch-tier operators: Bloom exact decontamination (d16) and HLL
+  * distinct-count sketches (t39/t40). The claims under test are the ones
+  * the 100 TB story rests on: the Bloom tier is EXACT after verify (false
+  * positives occur and are stripped), the prefilter runs in the scan stage
+  * (no shuffle below it), and HLL shard-merge is lossless vs one-pass.
+  */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** batch of 220 docs: ids 0..199 unique filler, 200..209 verbatim copies
+    * of reference texts, 210..219 near-misses (one char off). */
+  def batch: DataFrame = (
+    (0 until 200).map(i => (i.toLong, s"unique filler document number $i with some shared phrasing")) ++
+    (0 until 10).map(i => (200L + i, s"reference document $i body text")) ++
+    (0 until 10).map(i => (210L + i, s"reference document $i body texT"))
+  ).toDF("doc_id", "text")
+
+  def reference: DataFrame =
+    (0 until 10).map(i => (1000L + i, s"reference document $i body text"))
+      .toDF("doc_id", "text")
+
+  def naiveFlagged(docs: DataFrame, ref: DataFrame): Set[Long] =
+    docs.join(ref.select(col("text")), Seq("text"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+
+  test("exactDedupAgainstBloom == naive text semi-join at tight and loose fpp") {
+    val expect = naiveFlagged(batch, reference)
+    assert(expect === (200L until 210L).toSet)
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = Dedup.exactDedupAgainstBloom(batch, reference, fpp = fpp)
+        .as[Long].collect().toSet
+      assert(got === expect, s"fpp=$fpp")
+    }
+  }
+
+  test("bloom prefilter admits false positives; verify strips them (exactness is earned)") {
+    // fpp 0.5 over 10 reference items vs 200 non-matching texts: the
+    // sketch-only tier flags ~half the non-matches. Deterministic (fixed
+    // corpus, fixed hash) — the pin is FP_COUNT > 0, i.e. the gate-green
+    // path genuinely exercises FP removal rather than a vacuous bloom.
+    val sketchOnly = Dedup.exactDedupAgainstBloom(batch, reference, fpp = 0.5, verify = false)
+      .as[Long].collect().toSet
+    val verified = Dedup.exactDedupAgainstBloom(batch, reference, fpp = 0.5)
+      .as[Long].collect().toSet
+    assert(verified.subsetOf(sketchOnly))
+    assert((sketchOnly -- verified).nonEmpty,
+      "expected Bloom false positives at fpp=0.5; corpus no longer exercises the verify stage")
+    assert(verified === naiveFlagged(batch, reference))
+  }
+
+  test("exactDedupAgainstBloom: null texts are never flagged, either side") {
+    val docsWithNull = batch.unionByName(Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val refWithNull = reference.unionByName(Seq((1999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val got = Dedup.exactDedupAgainstBloom(docsWithNull, refWithNull, fpp = 0.01)
+      .as[Long].collect().toSet
+    assert(!got.contains(999L))
+    assert(got === (200L until 210L).toSet)
+  }
+
+  test("bloom prefilter is a scan-stage predicate: no shuffle below the might_contain filter") {
+    // parquet-backed input: over a LocalRelation, ConvertToLocalRelation
+    // folds the filter away at optimize time and there is no plan to pin
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.exactDedupAgainstBloom(
+        docs, docs.filter(col("doc_id") % 5 === 0), fpp = 0.01, verify = false)
+      .queryExecution.executedPlan
+    val filters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("might_contain") => f
+    }
+    assert(filters.nonEmpty, s"no might_contain FilterExec in:\n$plan")
+    assert(filters.forall(_.collect { case s: ShuffleExchangeExec => s }.isEmpty),
+      "the 100 TB side must not be shuffled before the Bloom prefilter")
+  }
+
+  // ---- HLL ------------------------------------------------------------------
+
+  def corpus: DataFrame = (0 until 300).map { i =>
+    val src = if (i % 3 == 0) "web" else "books"
+    (i.toLong, src, s"token$i shared alpha beta gamma token${i % 50} word${i % 7}")
+  }.toDF("doc_id", "source", "text")
+
+  test("HLL estimate within 5% of the exact distinct count per group") {
+    val exact = TextAnalysis.distinctTokenCounts(corpus)
+      .as[(String, Long)].collect().toMap
+    val est = TextAnalysis.distinctTokenEstimates(corpus)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    for ((g, e) <- exact) {
+      val rel = math.abs(est(g) - e).toDouble / e
+      assert(rel <= 0.05, s"group $g: exact $e, est ${est(g)}, rel err $rel")
+    }
+  }
+
+  test("HLL shard-merge is lossless: union of per-shard sketches == one-pass estimate") {
+    // shard by doc_id % 4 — four independent partial sketch sets, as a
+    // day-partitioned 100 TB pipeline would persist them
+    val sharded = (0 until 4).map { s =>
+      TextAnalysis.distinctTokenSketches(corpus.filter(col("doc_id") % 4 === s))
+    }.reduce(_ unionByName _)
+    val merged = TextAnalysis.mergeDistinctSketches(sharded)
+      .as[(String, Long)].collect().toMap
+    val onePass = TextAnalysis.distinctTokenEstimates(corpus)
+      .as[(String, Long)].collect().toMap
+    assert(merged === onePass)
+  }
+
+  test("distinctTokenCounts: brute-force twin on a tiny corpus") {
+    val tiny = Seq(
+      (1L, "a", "Red red BLUE"), (2L, "a", "blue green"), (3L, "b", "red")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.distinctTokenCounts(tiny).as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 3L, "b" -> 1L)) // a: {red, blue, green}
+  }
+}
