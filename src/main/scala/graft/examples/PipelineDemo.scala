@@ -246,6 +246,20 @@ object PipelineDemo {
     val mdups = graft.functions.Multimodal.nearDuplicateMedia(mediaRows)
     println(s"media near-dups (planted copies): ${mdups.count()} pairs")
 
+    // 19. sketch tiers: exact-match decontam via broadcast Bloom prefilter
+    // (reference = every 5th doc, so overlap is guaranteed), and mergeable
+    // HLL distinct-token counts vs their exact twin
+    val bloomFlagged = Dedup.exactDedupAgainstBloom(
+      docs, docs.filter(col("doc_id") % 5 === 0))
+    println(s"bloom exact decontam: ${bloomFlagged.count()} of ${docs.count()} docs flagged")
+    val exactDistinct = TextAnalysis.distinctTokenCounts(docs)
+      .as[(String, Long)].collect().toMap
+    val hllDistinct = TextAnalysis.distinctTokenEstimates(docs)
+      .as[(String, Long)].collect().toMap
+    val worstErr = exactDistinct.map { case (g, e) =>
+      math.abs(hllDistinct(g) - e).toDouble / e }.max
+    println(f"HLL distinct tokens: ${exactDistinct.size} sources, worst rel err $worstErr%.4f vs exact")
+
     spark.stop()
   }
 }

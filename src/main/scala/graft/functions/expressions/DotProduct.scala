@@ -79,72 +79,56 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (children => DotProduct(children(0), children(1))),
-    "graft_minhash" -> (children => MinHashSignature.fromChildren(children)),
-    "graft_shingle_hashes" -> (children => ShingleHashes.fromChildren(children)),
-    "graft_ngram_hashes" -> (children => NgramHashes.fromChildren(children)),
-    "graft_nfc" -> (children => NfcNormalize.fromChildren(children)),
-    "graft_simhash" -> (children => SimHash64.fromChildren(children)),
-    "graft_top_gram_fracs" -> (children => TopGramFracs.fromChildren(children)),
+  /** The single registry both entry points ([[init]] and
+    * [[GraftExtensions]]) iterate: (function name, ExpressionInfo class
+    * name, builder). One list, no per-site duplication to drift. */
+  private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct].getCanonicalName,
+      children => DotProduct(children(0), children(1))),
+    ("graft_minhash", classOf[MinHashSignature].getCanonicalName,
+      children => MinHashSignature.fromChildren(children)),
+    ("graft_shingle_hashes", classOf[ShingleHashes].getCanonicalName,
+      children => ShingleHashes.fromChildren(children)),
+    ("graft_ngram_hashes", classOf[NgramHashes].getCanonicalName,
+      children => NgramHashes.fromChildren(children)),
+    ("graft_nfc", classOf[NfcNormalize].getCanonicalName,
+      children => NfcNormalize.fromChildren(children)),
+    ("graft_simhash", classOf[SimHash64].getCanonicalName,
+      children => SimHash64.fromChildren(children)),
+    ("graft_top_gram_fracs", classOf[TopGramFracs].getCanonicalName,
+      children => TopGramFracs.fromChildren(children)),
     // Spark's OWN runtime-filter predicate (the expression InjectRuntimeFilter
     // pairs with BloomFilterAggregate), surfaced as a callable function:
     // graft_bloom_contains(value BIGINT, bloom BINARY-constant). Codegen'd,
     // deserializes the sketch once per task (its lazy bloomFilter val) — the
     // scan-stage prefilter for Dedup.exactDedupAgainstBloom.
-    "graft_bloom_contains" -> (children => {
-      require(children.size == 2, "graft_bloom_contains(value, bloom) takes 2 arguments")
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        children(1), children(0))
-    }))
+    ("graft_bloom_contains",
+      "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+      children => {
+        require(children.size == 2, "graft_bloom_contains(value, bloom) takes 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(1), children(0))
+      }))
 
   /** Idempotently register graft's native SQL functions on a session. */
-  def init(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+  def init(spark: SparkSession): Unit = fns.foreach { case (name, cls, builder) =>
     val id = FunctionIdentifier(name)
     if (!spark.sessionState.functionRegistry.functionExists(id)) {
       spark.sessionState.functionRegistry.registerFunction(
-        id, new ExpressionInfo(classOf[DotProduct].getCanonicalName, name), builder)
+        id, new ExpressionInfo(cls, name), builder)
     }
   }
+
+  private[expressions] def all: Seq[(String, String, Seq[Expression] => Expression)] = fns
 }
 
-/** Cluster entry point: `--conf spark.sql.extensions=graft.functions.expressions.GraftExtensions`. */
+/** Cluster entry point: `--conf spark.sql.extensions=graft.functions.expressions.GraftExtensions`.
+  * Iterates the same registry as [[GraftFunctions.init]] — the two
+  * registration paths cannot diverge. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
-      children => DotProduct(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHashSignature].getCanonicalName, "graft_minhash"),
-      children => MinHashSignature.fromChildren(children)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_shingle_hashes"),
-      new ExpressionInfo(classOf[ShingleHashes].getCanonicalName, "graft_shingle_hashes"),
-      children => ShingleHashes.fromChildren(children)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_ngram_hashes"),
-      new ExpressionInfo(classOf[NgramHashes].getCanonicalName, "graft_ngram_hashes"),
-      children => NgramHashes.fromChildren(children)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_nfc"),
-      new ExpressionInfo(classOf[NfcNormalize].getCanonicalName, "graft_nfc"),
-      children => NfcNormalize.fromChildren(children)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash"),
-      new ExpressionInfo(classOf[SimHash64].getCanonicalName, "graft_simhash"),
-      children => SimHash64.fromChildren(children)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_top_gram_fracs"),
-      new ExpressionInfo(classOf[TopGramFracs].getCanonicalName, "graft_top_gram_fracs"),
-      children => TopGramFracs.fromChildren(children)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_bloom_contains"),
-      new ExpressionInfo(
-        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
-        "graft_bloom_contains"),
-      children => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        children(1), children(0))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(cls, name), builder))
+    }
 }
