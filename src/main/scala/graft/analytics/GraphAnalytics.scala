@@ -108,6 +108,127 @@ object GraphAnalytics {
       .map { case (v, c) => (v, c) }.toDF("id", "component")
   }
 
+  /** STRONGLY connected components of a directed edge list → (id, scc),
+    * scc = the MAX member id of the component. [[connectedComponents]]'
+    * directed sibling: mutual reachability, so a DAG decomposes into
+    * singletons and every directed cycle collapses.
+    *
+    * Algorithm: Trim + distributed coloring (Orzan 2004; the FW-BW family,
+    * Fleischer et al. 2000) — THE published distributed SCC scheme;
+    * Tarjan's linear-time stack walk is inherently sequential and does
+    * not shard. Per outer round, on the still-unassigned subgraph:
+    *  0. TRIM: peel vertices with no surviving in-edges or out-edges
+    *     (each is a singleton SCC) to a capped fixpoint — one degree
+    *     aggregation + anti-joins per peel, and on real digraphs this
+    *     retires the bulk of |V| before any fixpoint runs;
+    *  1. forward MAX-color fixpoint: color(v) = max id u with a directed
+    *     path u→v (each step is one |E|⋈|V| join + max-aggregate);
+    *  2. every color class provably contains its own pivot c (color(c)=c:
+    *     if some u>c reached c, u would have recolored the whole class);
+    *     the pivot's SCC = class members that reach c — recovered by a
+    *     backward BFS restricted to the class, valid because every vertex
+    *     on a within-class return path shares the class (it is reached by
+    *     c via the path prefix and reaches c via the suffix, and any
+    *     higher-id recolorer of it would have recolored c through the
+    *     suffix too);
+    *  3. retire those vertices and their edges, recolor the remainder.
+    * Each round retires ≥1 SCC per surviving color class, so rounds are
+    * bounded by the SCC-DAG's chain depth (tiny on real graphs; `maxRounds`
+    * caps adversarial chains and a breach throws rather than returning a
+    * partial labelling).
+    *
+    * Scale shape: the state that shuffles per step is the |V|-row color
+    * (resp. frontier) vector against the localCheckpoint'd edge list —
+    * the [[labelPropagation]]/[[weightedSSSP]] discipline; early-exit
+    * counts run on checkpointed deltas (the [[kTrussEdges]] trade).
+    * Self-loops are dropped for propagation but their endpoints keep a
+    * (singleton) assignment; duplicate edges collapse up front. */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxRounds: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    var verts = e0.select(col("src").as("id"))
+      .unionAll(e0.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    var e = e0.filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var assigned = spark.range(0).select(col("id"), col("id").as("scc"))
+    var outer = 0
+    var remaining = verts.count()
+    while (remaining > 0 && outer < maxRounds) {
+      // 0. TRIM (the FW-BW-Trim stage): a vertex with no in-edges or no
+      // out-edges in the surviving subgraph is its own SCC — peel to
+      // fixpoint (capped) before any coloring. On real digraphs most
+      // vertices go here (the published motivation for the stage; the a23
+      // subgraph: 277 of 379), and each peel round costs one degree
+      // aggregation + anti-joins instead of a diameter-bounded fixpoint.
+      var t = 0; var trimmed = 1L
+      while (trimmed > 0 && t < maxRounds) {
+        val deg = e.select(col("src").as("id")).distinct()
+          .join(e.select(col("dst").as("id")).distinct(), Seq("id"), "inner")
+        val drop = verts.join(deg, Seq("id"), "left_anti").localCheckpoint(true)
+        trimmed = drop.count()
+        if (trimmed > 0) {
+          assigned = assigned.unionAll(drop.select(col("id"), col("id").as("scc")))
+            .localCheckpoint(true)
+          verts = verts.join(drop, Seq("id"), "left_anti").localCheckpoint(true)
+          e = e.join(drop.select(col("id").as("src")), Seq("src"), "left_anti")
+            .join(drop.select(col("id").as("dst")), Seq("dst"), "left_anti")
+            .localCheckpoint(true)
+        }
+        t += 1
+      }
+      remaining = verts.count()
+      if (remaining > 0) {
+        // 1. forward max-color fixpoint on the trimmed subgraph
+        var colors = verts.select(col("id"), col("id").as("color")).localCheckpoint(true)
+        var changed = 1L; var p = 0
+        while (changed > 0 && p < maxRounds * 4) {
+          val inc = e.join(colors.select(col("id").as("src"), col("color")), "src")
+            .groupBy(col("dst").as("id")).agg(max(col("color")).as("inc"))
+          // carry the previous color through the join so the convergence
+          // check is a filter on already-checkpointed rows, not a second
+          // |V| join per round
+          val next = colors.withColumnRenamed("color", "old")
+            .join(inc, Seq("id"), "left")
+            .select(col("id"),
+              greatest(col("old"), coalesce(col("inc"), col("old"))).as("color"),
+              col("old"))
+            .localCheckpoint(true)
+          changed = next.filter(col("color") =!= col("old")).count()
+          colors = next.select(col("id"), col("color")); p += 1
+        }
+        require(changed == 0,
+          s"stronglyConnectedComponents: color fixpoint not reached in ${maxRounds * 4} steps")
+        // 2. backward closure from each class pivot, restricted to the class
+        var member = colors.filter(col("color") === col("id"))
+          .select(col("id"), col("id").as("scc")).localCheckpoint(true)
+        var grew = 1L; var b = 0
+        while (grew > 0 && b < maxRounds * 4) {
+          val fresh = e.join(member.select(col("id").as("dst"), col("scc")), "dst")
+            .select(col("src").as("id"), col("scc"))
+            .join(colors, "id").filter(col("color") === col("scc"))
+            .select(col("id"), col("scc")).distinct()
+            .join(member, Seq("id"), "left_anti").localCheckpoint(true)
+          grew = fresh.count()
+          if (grew > 0) member = member.unionAll(fresh).localCheckpoint(true)
+          b += 1
+        }
+        // 3. retire the discovered SCCs and shrink the working graph
+        assigned = assigned.unionAll(member).localCheckpoint(true)
+        verts = verts.join(member, Seq("id"), "left_anti").localCheckpoint(true)
+        e = e.join(member.select(col("id").as("src")), Seq("src"), "left_anti")
+          .join(member.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .localCheckpoint(true)
+        remaining = verts.count()
+      }
+      outer += 1
+    }
+    require(remaining == 0,
+      s"stronglyConnectedComponents: $remaining vertices unassigned after $maxRounds rounds")
+    assigned
+  }
+
   /** PageRank → (id, rank). */
   def pageRank(g: PropertyGraph, tol: Double = 0.0001): DataFrame = {
     val spark = g.spark

@@ -1259,6 +1259,21 @@ object GateQueries {
       graft.analytics.GraphAnalytics.harmonicCloseness(
         coPurchaseEdges(s, d), nSeeds = 8, maxDepth = 4)
     }),
+    "a23_scc" -> ((s, d) => {
+      // strongly connected components via distributed coloring on the
+      // id<400 mail subgraph — the one gate graph with real DIRECTED
+      // structure at a discriminating density (379 verts, 577 arcs: one
+      // 95-vertex SCC, one 3-cycle, 281 singletons — cycles collapse AND
+      // DAG tails stay apart, so neither failure mode hides). The full
+      // mail graph (mean degree 36) and the nation-trade digraph are one
+      // giant SCC = a constant column; measured before choosing this cut.
+      // Oracle = mutual-reachability closure over the same CSV, no
+      // algorithm mirroring.
+      val path = graft.bench.MailGraph.generate("/tmp/graft_mail_data.txt")
+      graft.analytics.GraphAnalytics.stronglyConnectedComponents(
+        graft.bench.MailGraph.miwCached(s, path).edges
+          .filter(col("src") < 400 && col("dst") < 400))
+    }),
     "a22_betweenness" -> ((s, d) => {
       // sampled bounded-depth Brandes betweenness on the co-purchase
       // graph (a15's seeds/depth): forward σ BFS + backward δ
@@ -2056,6 +2071,27 @@ object GateQueries {
         |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b""".stripMargin,
     "a15_harmonic_closeness" -> harmonicClosenessOracleSql(8, 4),
     "a22_betweenness" -> betweennessOracleSql(8, 4),
+    // SCC = mutual reachability: scc(v) = MAX u with v→*u and u→*v (v
+    // itself always qualifies via the (id,id) seed, so singletons label
+    // themselves). Same CSV as miw/cw; same id<400 cut as the gate;
+    // self-loops dropped for propagation, endpoints kept as vertices.
+    "a23_scc" ->
+      """WITH RECURSIVE raw AS MATERIALIZED (
+        |  SELECT src, dst FROM read_csv('/tmp/graft_mail_data.txt', header=false, delim=' ',
+        |    columns={'src':'BIGINT','dst':'BIGINT'})
+        |  WHERE src < 400 AND dst < 400
+        |), verts AS MATERIALIZED (
+        |  SELECT src AS id FROM raw UNION SELECT dst FROM raw
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+        |), reach(a, b) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+        |)
+        |SELECT r1.a AS id, MAX(r1.b) AS scc
+        |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        |GROUP BY 1""".stripMargin,
     "a16_random_walks" -> randomWalkOracleSql(16, 6, 42L),
     "a17_ktruss" -> kTrussOracleSql(4, 3),
     "a18_weighted_sssp" -> weightedSsspOracleSql(4),

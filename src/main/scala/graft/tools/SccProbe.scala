@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Where does a23's wall go — mail ingest or the SCC rounds themselves?
+  * Times the gate's exact subgraph cut through two SCC passes on a warm
+  * session (pass 2 = steady state, the bench-relevant number) and prints
+  * the outer/inner round profile implied by the wall split.
+  */
+object SccProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("scc-probe")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SCC_PROBE_AQE", "true"))
+      .getOrCreate()
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scc-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val path = t("mail generate")(graft.bench.MailGraph.generate("/tmp/graft_mail_data.txt"))
+    val g = t("mail ingest")(graft.bench.MailGraph.miwCached(spark, path))
+    val edges = g.edges.filter(col("src") < 400 && col("dst") < 400)
+      .select(col("src"), col("dst")).localCheckpoint(true)
+    println(s"[scc-probe] subgraph edges: ${edges.count()}")
+    for (pass <- 1 to 2) {
+      val r = t(s"scc pass $pass")(
+        graft.analytics.GraphAnalytics.stronglyConnectedComponents(edges).count())
+      println(s"[scc-probe] rows: $r")
+    }
+    spark.stop()
+  }
+}

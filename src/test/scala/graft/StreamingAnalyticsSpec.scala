@@ -1964,6 +1964,46 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(sampled.values.sum > 0.0 && sampled === bc(Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L), nSeeds = 2))
   }
 
+  def sccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphAnalytics.stronglyConnectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("stronglyConnectedComponents: cycles collapse, DAGs stay apart, chained SCCs span rounds") {
+    // directed triangle + tail + self-loop singleton + duplicate edge
+    assert(sccOf(Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 0L, 2L -> 3L, 3L -> 4L, 5L -> 5L))
+      === Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    // pure DAG (the diamond): every vertex its own component — the
+    // directed/undirected distinction a3's CC cannot make
+    assert(sccOf(Seq(0L -> 1L, 0L -> 2L, 1L -> 3L, 2L -> 3L))
+      === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // high-id cycle FEEDING a low-id cycle: the first coloring paints all
+    // four vertices 21, only {20,21} retires (the class members reaching
+    // the pivot), and {0,1} must be recovered by outer round 2 — pins the
+    // multi-round path, not just the one-shot happy case
+    assert(sccOf(Seq(20L -> 21L, 21L -> 20L, 21L -> 0L, 0L -> 1L, 1L -> 0L))
+      === Map(20L -> 21L, 21L -> 21L, 0L -> 1L, 1L -> 1L))
+  }
+
+  test("stronglyConnectedComponents == brute-force mutual reachability on a deterministic random digraph") {
+    val n = 40
+    val edges = for {
+      a <- 0 until n; b <- 0 until n
+      if a != b && (a * 31 + b * 17) % 23 == 0
+    } yield (a.toLong, b.toLong)
+    val reach = Array.fill(n, n)(false)
+    edges.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expect = verts.map { v =>
+      v -> verts.filter(u => u == v ||
+        (reach(v.toInt)(u.toInt) && reach(u.toInt)(v.toInt))).max
+    }.toMap
+    assert(sccOf(edges) === expect)
+  }
+
   test("iterative analytics release their per-call edge-relation caches on return") {
     // round-12 ADVICE pin: hits/personalizedPageRank/labelPropagation
     // persist() repartitioned |E| layouts for their iteration and must
