@@ -229,6 +229,51 @@ object GraphAnalytics {
     assigned
   }
 
+  /** Condensation + longest-path topological layering → (id, scc, layer):
+    * contract each SCC of [[stronglyConnectedComponents]] to one vertex;
+    * on the resulting DAG, layer(C) = length of the longest cross-SCC arc
+    * chain ending at C (0 = no incoming cross-SCC arc). The cycle-safe
+    * "dependency depth" — build stages, pipeline waves, import layers —
+    * where a plain topological sort would reject the cyclic input outright.
+    *
+    * Pass a precomputed `sccs` frame (the (id, scc) output) to share one
+    * SCC run across consumers — the a23/a24 gates' memo. Layering is a
+    * monotone max fixpoint over the condensation arcs, so it converges in
+    * DAG-depth rounds (each round: one arc ⋈ layer join + max-aggregate —
+    * the [[stronglyConnectedComponents]] shuffle shape, bounded state). */
+  def condensationLayers(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxRounds: Int = 64,
+      sccs: Option[DataFrame] = None): DataFrame = {
+    val scc = sccs.getOrElse(stronglyConnectedComponents(edges, srcCol, dstCol, maxRounds))
+      .localCheckpoint(true)
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val arcs = e0
+      .join(scc.select(col("id").as("src"), col("scc").as("s")), "src")
+      .join(scc.select(col("id").as("dst"), col("scc").as("d")), "dst")
+      .filter(col("s") =!= col("d")).select(col("s"), col("d")).distinct()
+      .localCheckpoint(true)
+    var layers = scc.select(col("scc").as("s")).distinct()
+      .withColumn("layer", lit(0L)).localCheckpoint(true)
+    var changed = 1L; var r = 0
+    while (changed > 0 && r < maxRounds * 4) {
+      val inc = arcs.join(layers, "s")
+        .groupBy(col("d").as("s")).agg((max(col("layer")) + 1L).as("cand"))
+      val next = layers.withColumnRenamed("layer", "old").join(inc, Seq("s"), "left")
+        .select(col("s"),
+          greatest(col("old"), coalesce(col("cand"), col("old"))).as("layer"),
+          col("old"))
+        .localCheckpoint(true)
+      changed = next.filter(col("layer") =!= col("old")).count()
+      layers = next.select(col("s"), col("layer")); r += 1
+    }
+    require(changed == 0,
+      s"condensationLayers: layering fixpoint not reached in ${maxRounds * 4} rounds " +
+        "(the condensation must be a DAG — a non-SCC `sccs` input breaks this)")
+    scc.join(layers.withColumnRenamed("s", "scc"), "scc")
+      .select(col("id"), col("scc"), col("layer"))
+  }
+
   /** PageRank → (id, rank). */
   def pageRank(g: PropertyGraph, tol: Double = 0.0001): DataFrame = {
     val spark = g.spark

@@ -82,6 +82,28 @@ class SketchSpec extends AnyFunSuite {
       "the 100 TB side must not be shuffled before the Bloom prefilter")
   }
 
+  test("bloom decontam runs unchanged on a stream (stateless prefilter + stream-static verify)") {
+    // the sketch is built from the STATIC reference side only, so the
+    // returned plan imposes no stateful operator on the doc side: the
+    // prefilter is a narrow filter, the verify join is stream-static
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomstream").toString
+    batch.write.parquet(s"$dir/docs")
+    val schema = batch.schema
+    val streamDocs = spark.readStream.schema(schema).parquet(s"$dir/docs")
+    for (verify <- Seq(false, true)) {
+      val name = s"bloom_stream_$verify"
+      val q = Dedup.exactDedupAgainstBloom(streamDocs, reference, fpp = 0.5, verify = verify)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table(name).as[Long].collect().toSet
+        val batched = Dedup.exactDedupAgainstBloom(batch, reference, fpp = 0.5, verify = verify)
+          .as[Long].collect().toSet
+        assert(streamed === batched, s"verify=$verify")
+      } finally q.stop()
+    }
+  }
+
   // ---- HLL ------------------------------------------------------------------
 
   def corpus: DataFrame = (0 until 300).map { i =>

@@ -1986,6 +1986,19 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       === Map(20L -> 21L, 21L -> 21L, 0L -> 1L, 1L -> 1L))
   }
 
+  test("condensationLayers: cycles contract, layers = longest cross-SCC chain") {
+    import spark.implicits._
+    // chain 20→21 into cycle {0,1}, which feeds cycle {10,11}; 5 also
+    // feeds {10,11} from layer 0 — the max (not min/any) path must win
+    val edges = Seq(20L -> 21L, 21L -> 0L, 0L -> 1L, 1L -> 0L,
+      1L -> 10L, 10L -> 11L, 11L -> 10L, 5L -> 10L)
+    val got = GraphAnalytics.condensationLayers(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (20L, 20L, 0L), (21L, 21L, 1L), (0L, 1L, 2L), (1L, 1L, 2L),
+      (5L, 5L, 0L), (10L, 11L, 3L), (11L, 11L, 3L)))
+  }
+
   test("stronglyConnectedComponents == brute-force mutual reachability on a deterministic random digraph") {
     val n = 40
     val edges = for {
