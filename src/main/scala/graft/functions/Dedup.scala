@@ -91,6 +91,9 @@ object Dedup {
     require(fpp > 0 && fpp < 1, s"exactDedupAgainstBloom: fpp in (0,1), got $fpp")
     val refTexts = reference.filter(col(textCol).isNotNull)
       .select(col(textCol).as("__ref_text")).distinct()
+    // Spark's stat.bloomFilter NPEs on an empty input (null aggregate
+    // buffer) — and an empty reference flags nothing by definition
+    if (refTexts.isEmpty) return docs.filter(lit(false)).select(col(idCol))
     val nRef = if (expectedRefItems > 0) expectedRefItems
                else math.max(refTexts.count(), 1L)
     val bloom = refTexts.stat.bloomFilter(xxhash64(col("__ref_text")), nRef, fpp)

@@ -82,6 +82,14 @@ class SketchSpec extends AnyFunSuite {
       "the 100 TB side must not be shuffled before the Bloom prefilter")
   }
 
+  test("exactDedupAgainstBloom: empty reference flags nothing, either tier") {
+    val empty = reference.filter(lit(false))
+    for (verify <- Seq(true, false)) {
+      assert(Dedup.exactDedupAgainstBloom(batch, empty, fpp = 0.5, verify = verify)
+        .count() === 0L, s"verify=$verify")
+    }
+  }
+
   test("bloom decontam runs unchanged on a stream (stateless prefilter + stream-static verify)") {
     // the sketch is built from the STATIC reference side only, so the
     // returned plan imposes no stateful operator on the doc side: the
@@ -142,5 +150,15 @@ class SketchSpec extends AnyFunSuite {
     ).toDF("doc_id", "source", "text")
     val got = TextAnalysis.distinctTokenCounts(tiny).as[(String, Long)].collect().toMap
     assert(got === Map("a" -> 3L, "b" -> 1L)) // a: {red, blue, green}
+  }
+
+  test("null-text-only groups are absent from BOTH the exact and sketch distinct tiers") {
+    val tiny = Seq(
+      (1L, "a", "red blue"), (2L, "nulls", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "text")
+    assert(TextAnalysis.distinctTokenCounts(tiny).as[(String, Long)].collect().toMap
+      === Map("a" -> 2L))
+    assert(TextAnalysis.distinctTokenEstimates(tiny).as[(String, Long)].collect().toMap
+      === Map("a" -> 2L))
   }
 }
