@@ -214,6 +214,13 @@ object GraphAnalytics {
           if (grew > 0) member = member.unionAll(fresh).localCheckpoint(true)
           b += 1
         }
+        // a truncated closure would retire a PARTIAL SCC and silently
+        // mislabel the orphaned members as singletons next round — the
+        // backward depth is NOT bounded by the forward round count (a
+        // pivot can color every member in one hop while the return path
+        // is a long chain), so the cap needs its own breach guard
+        require(grew == 0,
+          s"stronglyConnectedComponents: backward closure not complete in ${maxRounds * 4} steps")
         // 3. retire the discovered SCCs and shrink the working graph
         assigned = assigned.unionAll(member).localCheckpoint(true)
         verts = verts.join(member, Seq("id"), "left_anti").localCheckpoint(true)

@@ -89,13 +89,17 @@ object Dedup {
       expectedRefItems: Long = 0L,
       verify: Boolean = true): DataFrame = {
     require(fpp > 0 && fpp < 1, s"exactDedupAgainstBloom: fpp in (0,1), got $fpp")
+    // one reference scan total: the distinct text set is materialized
+    // once and reused by the emptiness check, the sizing count, the
+    // sketch aggregation, and the verify join (without the checkpoint the
+    // reference lineage would be re-scanned up to four times)
     val refTexts = reference.filter(col(textCol).isNotNull)
-      .select(col(textCol).as("__ref_text")).distinct()
+      .select(col(textCol).as("__ref_text")).distinct().localCheckpoint(true)
+    val refCount = refTexts.count()
     // Spark's stat.bloomFilter NPEs on an empty input (null aggregate
     // buffer) — and an empty reference flags nothing by definition
-    if (refTexts.isEmpty) return docs.filter(lit(false)).select(col(idCol))
-    val nRef = if (expectedRefItems > 0) expectedRefItems
-               else math.max(refTexts.count(), 1L)
+    if (refCount == 0) return docs.filter(lit(false)).select(col(idCol))
+    val nRef = if (expectedRefItems > 0) expectedRefItems else refCount
     val bloom = refTexts.stat.bloomFilter(xxhash64(col("__ref_text")), nRef, fpp)
     val bytes = { val bos = new java.io.ByteArrayOutputStream()
                   bloom.writeTo(bos); bos.toByteArray }

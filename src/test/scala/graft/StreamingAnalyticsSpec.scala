@@ -1986,6 +1986,26 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       === Map(20L -> 21L, 21L -> 21L, 0L -> 1L, 1L -> 1L))
   }
 
+  test("stronglyConnectedComponents: backward-closure cap breach throws, never partial-labels") {
+    import spark.implicits._
+    // star-out pivot with a long return chain: the forward fixpoint
+    // converges in ~2 rounds (the pivot colors every member in one hop),
+    // but the backward closure needs chainLen steps — a too-small cap
+    // must THROW, not retire a partial SCC and let the orphans trim as
+    // singletons (the silent-wrongness mode the guard exists for)
+    val chainLen = 20; val pivot = 1000L
+    val edges = (1 to chainLen).map(i => (pivot, i.toLong)) ++
+      (1 until chainLen).map(i => (i.toLong, (i + 1).toLong)) ++
+      Seq((chainLen.toLong, pivot))
+    assertThrows[IllegalArgumentException] {
+      GraphAnalytics.stronglyConnectedComponents(
+        edges.toDF("src", "dst"), maxRounds = 3).collect()
+    }
+    // with an adequate cap the same graph is ONE component
+    val ok = sccOf(edges)
+    assert(ok.size === chainLen + 1 && ok.values.toSet === Set(pivot))
+  }
+
   test("condensationLayers: cycles contract, layers = longest cross-SCC chain") {
     import spark.implicits._
     // chain 20→21 into cycle {0,1}, which feeds cycle {10,11}; 5 also
