@@ -26,6 +26,16 @@ import org.apache.spark.sql.SparkSession
   * session fixture several consumers share, not any one query's work.
   */
 object Bench {
+  /** Evaluate a gate's plan AS WRITTEN. Timing `df.count()` measured
+    * pruned plans (rounds ≤12 wave 2): the appended count-Aggregate lets
+    * Catalyst drop every unreferenced output — aggregate expressions AND
+    * scan columns — so a distinct-count gate shuffled 0 B under count()
+    * vs 219 MiB evaluated fully (SketchScaleProbe, 20M-token corpus).
+    * `queryExecution.toRdd` executes the query's own physical plan (no
+    * parent to prune from) and the count action just drains it. */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -117,7 +127,7 @@ object Bench {
         if (i > 0 && i % calEvery == 0) cal.foreach(_ += calibrate())
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { materialize(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             errors += name; false
@@ -262,7 +272,7 @@ object Bench {
           if (budget <= 0) None
           else {
             val t0 = System.nanoTime()
-            val ok = try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+            val ok = try { materialize(SparkEntry.queries(n)(spark, sfDir)); true }
               catch { case _: Throwable => false }
             val r = (System.nanoTime() - t0) / 1e9
             budget -= r

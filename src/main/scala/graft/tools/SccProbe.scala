@@ -22,13 +22,21 @@ object SccProbe {
     }
     val path = t("mail generate")(graft.bench.MailGraph.generate("/tmp/graft_mail_data.txt"))
     val g = t("mail ingest")(graft.bench.MailGraph.miwCached(spark, path))
-    val edges = g.edges.filter(col("src") < 400 && col("dst") < 400)
-      .select(col("src"), col("dst")).localCheckpoint(true)
-    println(s"[scc-probe] subgraph edges: ${edges.count()}")
-    for (pass <- 1 to 2) {
-      val r = t(s"scc pass $pass")(
-        graft.analytics.GraphAnalytics.stronglyConnectedComponents(edges).count())
-      println(s"[scc-probe] rows: $r")
+    // SCC_PROBE_CAPS: comma-separated id cuts; 0 = the full 10k-vertex
+    // graph (one giant SCC at mean degree 36 — the dense regime where
+    // rounds collapse to the graph's small diameter and per-round cost
+    // is the |E| join)
+    val caps = sys.env.getOrElse("SCC_PROBE_CAPS", "400").split(",").map(_.trim.toLong)
+    for (cap <- caps) {
+      val edges = (if (cap > 0) g.edges.filter(col("src") < cap && col("dst") < cap)
+                   else g.edges)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      println(s"[scc-probe] cap $cap edges: ${edges.count()}")
+      for (pass <- 1 to 2) {
+        val r = t(s"cap $cap scc pass $pass")(
+          graft.analytics.GraphAnalytics.stronglyConnectedComponents(edges).count())
+        println(s"[scc-probe] cap $cap rows: $r")
+      }
     }
     spark.stop()
   }
