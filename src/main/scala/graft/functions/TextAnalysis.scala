@@ -1389,6 +1389,46 @@ object TextAnalysis {
       .select(col(idCol), col("cls").as("predicted"), round(col("s"), 4).as("score"))
   }
 
+  /** Overlapping token-window chunking — the RAG/context-window ingestion
+    * primitive: split each doc into windows of `chunkTokens` corpus
+    * tokens with `overlapTokens` shared between consecutive windows
+    * (stride = chunk − overlap). Returns one row per chunk:
+    * (idCol, chunk_idx, n_tokens, chunk_text), chunk_text re-joined with
+    * single spaces (the [[corpusTokens]] convention — original whitespace
+    * runs are NOT preserved; this is the tokenized view).
+    *
+    * Window count = max(1, ceil((n − overlap) / stride)): every token is
+    * covered, each window beyond the first starts `overlap` tokens
+    * before fresh material, the tail window may be short. Docs with no
+    * tokens (null/empty/whitespace text) yield no rows.
+    *
+    * Scale shape: one narrow lambda pipeline per row (tokenize →
+    * per-window slice → explode) — chunking 100 TB is a map over the
+    * scan, no shuffle, no UDF; the t41 oracle replays the same window
+    * arithmetic in SQL. [[packSequences]] is the complementary op
+    * (many docs → one budgeted sequence; this is one doc → many
+    * windows). */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 512,
+      overlapTokens: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"chunkDocuments: need 0 <= overlap < chunk, got chunk=$chunkTokens overlap=$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = corpusTokens(col(textCol))
+    val n = size(toks)
+    val nChunks = greatest(lit(1L),
+      ceil((n - lit(overlapTokens)).cast("double") / lit(stride)).cast("long"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__tk"), n.as("__n"), nChunks.as("__c"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L), col("__c") - 1L),
+        i => slice(col("__tk"), (i * stride + 1L).cast("int"), lit(chunkTokens)))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
   def packSequences(docs: DataFrame, budgetTokens: Long, tokens: Column,
       shardCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")

@@ -578,6 +578,14 @@ object GateQueries {
       // vowel-group syllable heuristic and sentence-split floor
       graft.functions.TextAnalysis.readabilityFeatures(t(s, d, "documents"))
     }),
+    "t41_chunking" -> ((s, d) => {
+      // overlapping 64-token windows, 16-token overlap (stride 48): the
+      // RAG-ingestion view of the corpus — 694 chunks from 500 docs at
+      // sf0.01, so single-chunk docs, multi-chunk docs and short tails
+      // are all present in the hash
+      graft.functions.TextAnalysis.chunkDocuments(
+        t(s, d, "documents"), chunkTokens = 64, overlapTokens = 16)
+    }),
     "t39_distinct_tokens" -> ((s, d) => {
       // exact per-source distinct token count — the hash-checked twin of
       // the t40 HLL sketch tier
@@ -3056,6 +3064,24 @@ object GateQueries {
         |          - 84.6 * (n_syllables::DOUBLE / n_words), 4) + 0
         |  END AS flesch
         |FROM feat""".stripMargin,
+    // same window arithmetic as the engine: nChunks = max(1,
+    // ceil((n-16)/48)), window i = tokens [i*48+1, i*48+64] (list_slice
+    // clamps the tail), re-joined with single spaces
+    "t41_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), sized AS (
+        |  SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+        |), win AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(0, GREATEST(1, CAST(ceil((n - 16) / 48.0) AS BIGINT)))) AS chunk_idx
+        |  FROM sized
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ') AS chunk_text
+        |FROM win""".stripMargin,
     "t39_distinct_tokens" ->
       """WITH toks AS (
         |  SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token

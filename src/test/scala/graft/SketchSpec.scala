@@ -144,6 +144,30 @@ class SketchSpec extends AnyFunSuite {
     assert(merged === onePass)
   }
 
+  test("chunkDocuments: hand-computed windows, overlap, tails, and null/empty policy") {
+    val docs = Seq(
+      (1L, "a b c d e"),                 // n=5, chunk=4, overlap=1, stride=3 → [a b c d], [d e]
+      (2L, "a b c d"),                   // n=4 → exactly one full window
+      (3L, "x"),                         // n=1 → one short window
+      (4L, null.asInstanceOf[String]),   // no rows
+      (5L, "   ")                        // whitespace-only → no rows
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis
+      .chunkDocuments(docs, chunkTokens = 4, overlapTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got === Set(
+      (1L, 0L, 4L, "a b c d"), (1L, 1L, 2L, "d e"),
+      (2L, 0L, 4L, "a b c d"),
+      (3L, 0L, 1L, "x")))
+    // every token is covered and consecutive windows share exactly the
+    // overlap on a longer doc
+    val long = Seq((9L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = graft.functions.TextAnalysis
+      .chunkDocuments(long, chunkTokens = 4, overlapTokens = 2)
+      .collect().map(r => (r.getLong(1), r.getString(3))).sortBy(_._1)
+    assert(chunks.map(_._2) === Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+  }
+
   test("distinctTokenCounts: brute-force twin on a tiny corpus") {
     val tiny = Seq(
       (1L, "a", "Red red BLUE"), (2L, "a", "blue green"), (3L, "b", "red")
