@@ -497,6 +497,60 @@ object TextAnalysis {
     substring(md5(key.cast("string").cast("binary")), 1, 8) <= threshold
   }
 
+  /** Mixture rebalancing — derive per-source acceptance rates from target
+    * mixture weights and a global token budget, then apply them as a
+    * deterministic sample: source s with normalized weight share w_s gets
+    * target w_s·B tokens, so its docs are kept with probability
+    * rate_s = min(1, w_s·B / tokens_s) via [[weightedSampleByHash]].
+    * This is the step BEFORE [[stratifiedSampleByHash]] in a mixture
+    * build: the operator computes the fractions the stratified sampler
+    * would be handed (DoReMi-style reweighting hands you weights over
+    * domains, not per-source keep fractions — the conversion needs the
+    * corpus's own token counts). Sources absent from `targetWeights` (or
+    * with weight 0) are dropped; zero-token docs are dropped before
+    * counting (the [[chunkDocuments]] policy).
+    *
+    * Determinism contract: rates reach the keep decision UNROUNDED, and
+    * the whole rate expression uses only IEEE-exact ops (+,·,/, min) in
+    * a fixed structure, so any engine replaying the same expression over
+    * the same counts reproduces the identical kept set — the weight
+    * normalizer is summed in sorted-key order for the same reason. The
+    * emitted `rate` column is 6-dp rounded for reporting.
+    *
+    * Scale shape: one aggregation over (source, n_tokens) — partial
+    * map-side sums, |sources| rows out — then the tiny rate relation
+    * broadcast back onto the scan; the keep predicate is a pure narrow
+    * expression. Rebalancing 100 TB shuffles |sources| rows. */
+  def mixtureRebalance(docs: DataFrame, targetWeights: Map[String, Double],
+      budgetTokens: Long, textCol: String = "text", idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ >= 0.0),
+      s"targetWeights must be non-empty and non-negative: $targetWeights")
+    // sorted-key left fold: Map iteration order is unspecified, and float
+    // addition is order-sensitive — an oracle must sum in the same order
+    val wSum = targetWeights.toSeq.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    require(wSum > 0.0, s"targetWeights must have positive mass: $targetWeights")
+    val wCol = targetWeights.toSeq.sortBy(_._1).foldRight(lit(0.0): Column) {
+      case ((s, w), els) => when(col(sourceCol) === lit(s), lit(w)).otherwise(els)
+    }
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(sourceCol),
+        size(corpusTokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val rates = base.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .select(col(sourceCol), least(lit(1.0),
+        wCol / lit(wSum) * lit(budgetTokens.toDouble) /
+          col("src_tokens").cast("double")).as("__rate"))
+      .filter(col("__rate") > 0.0)
+    base.join(broadcast(rates), Seq(sourceCol))
+      .filter(weightedSampleByHash(col(idCol), col("__rate")))
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        round(col("__rate"), 6).as("rate"))
+  }
+
   /** Deterministic per-group TOKEN-BUDGET sampling — the "take B tokens
     * from each source" step of mixture building (fraction-based
     * [[sampleByHash]] can't hit a token quota when doc lengths vary).

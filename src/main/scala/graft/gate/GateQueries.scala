@@ -586,6 +586,17 @@ object GateQueries {
       graft.functions.TextAnalysis.chunkDocuments(
         t(s, d, "documents"), chunkTokens = 64, overlapTokens = 16)
     }),
+    "t42_mixture_rebalance" -> ((s, d) => {
+      // weights chosen so the corpus exercises both regimes at sf0.01:
+      // src0's target (0.8 · 3000 = 2400 tokens > its ~1435 available)
+      // caps at rate 1.0 (all 25 docs kept, incl. any 'ffffffff' key),
+      // src1-3 get fractional rates ~0.11-0.19, the other 16 sources
+      // carry weight 0 and are dropped entirely
+      graft.functions.TextAnalysis.mixtureRebalance(
+        t(s, d, "documents"),
+        Map("src0" -> 2.0, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.125),
+        budgetTokens = 3000L)
+    }),
     "t39_distinct_tokens" -> ((s, d) => {
       // exact per-source distinct token count — the hash-checked twin of
       // the t40 HLL sketch tier
@@ -3082,6 +3093,31 @@ object GateQueries {
         |  CAST(len(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS BIGINT) AS n_tokens,
         |  array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ') AS chunk_text
         |FROM win""".stripMargin,
+    // same rate derivation as the engine: share = w / 2.5 (the sorted-key
+    // sum of the gate's weights), rate = least(1, share·3000/src_tokens)
+    // reaching the md5 keep rule UNROUNDED (IEEE-exact ops only, same
+    // left-assoc structure), 6-dp round for the emitted column only
+    "t42_mixture_rebalance" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL
+        |), nz AS (
+        |  SELECT * FROM base WHERE n_tokens > 0
+        |), rates AS (
+        |  SELECT source,
+        |    least(1.0,
+        |      (CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 0.25
+        |                   WHEN 'src2' THEN 0.125 WHEN 'src3' THEN 0.125
+        |                   ELSE 0.0 END)
+        |        / 2.5 * 3000.0 / CAST(sum(n_tokens) AS DOUBLE)) AS rate
+        |  FROM nz GROUP BY source
+        |)
+        |SELECT nz.doc_id, nz.source, nz.n_tokens, ROUND(r.rate, 6) + 0 AS rate
+        |FROM nz JOIN rates r ON nz.source = r.source
+        |WHERE r.rate > 0.0
+        |  AND substr(md5(CAST(nz.doc_id AS VARCHAR)), 1, 8)
+        |   <= lpad(lower(to_hex(CAST(floor(r.rate * 4294967295.0) AS BIGINT))), 8, '0')""".stripMargin,
     "t39_distinct_tokens" ->
       """WITH toks AS (
         |  SELECT source, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token

@@ -168,6 +168,42 @@ class SketchSpec extends AnyFunSuite {
     assert(chunks.map(_._2) === Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
   }
 
+  test("mixtureRebalance: rates, cap, zero-weight drop, and budget monotonicity") {
+    // ids chosen by md5 fraction: 6 (0x1679...) and 9 (0x45c4...) sit
+    // BELOW 0.5, 1 (0xc4ca...) and 4 (0xa87f...) ABOVE — so the
+    // fractional tier exercises both keep and drop
+    val docs = Seq(
+      (6L, "a", "w x y z"),            // 4 tokens, hashes low
+      (1L, "a", "u v w x y z"),        // 6 tokens, hashes high → a: 10 total
+      (9L, "b", "p q r s t"),          // 5 tokens, hashes low
+      (4L, "b", "f g h i j"),          // 5 tokens, hashes high → b: 10 total
+      (5L, "c", "m n o"),              // weight 0 → dropped
+      (7L, "a", null.asInstanceOf[String]), // null text → dropped
+      (8L, "a", "   ")                 // zero tokens → dropped
+    ).toDF("doc_id", "source", "text")
+    val w = Map("a" -> 1.0, "b" -> 1.0)
+    // budget 40 ≥ every source's tokens → every rate caps at exactly 1.0
+    // and ALL non-empty a/b docs are kept ('<=' keeps weight-1.0 keys)
+    val full = TextAnalysis.mixtureRebalance(docs, w, budgetTokens = 40L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(full.map(x => (x._1, x._2, x._3)).toSet ===
+      Set((6L, "a", 4L), (1L, "a", 6L), (9L, "b", 5L), (4L, "b", 5L)))
+    assert(full.forall(_._4 === 1.0))
+    // budget 10 → share 0.5 each → rate = 0.5·10/10 = exactly 0.5: the
+    // low-hash docs survive, the high-hash ones drop, and the kept set
+    // matches applying weightedSampleByHash(0.5) directly
+    val half = TextAnalysis.mixtureRebalance(docs, w, budgetTokens = 10L)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(half.toSet === Set((6L, 0.5), (9L, 0.5)))
+    val expectHalf = docs.filter(col("text").isNotNull && col("source").isin("a", "b"))
+      .filter(TextAnalysis.weightedSampleByHash(col("doc_id"), lit(0.5)))
+      .filter(col("doc_id") =!= 8L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(half.map(_._1).toSet === expectHalf)
+    // raising the budget only ADDS docs (per-source rate is monotone in B)
+    assert(half.map(_._1).toSet.subsetOf(full.map(_._1).toSet))
+  }
+
   test("distinctTokenCounts: brute-force twin on a tiny corpus") {
     val tiny = Seq(
       (1L, "a", "Red red BLUE"), (2L, "a", "blue green"), (3L, "b", "red")
