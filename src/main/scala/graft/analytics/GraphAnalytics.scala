@@ -668,6 +668,40 @@ object GraphAnalytics {
       uCol: String = "u", vCol: String = "v"): DataFrame = {
     require(nSeeds >= 1, s"harmonicCloseness: nSeeds must be >= 1, got $nSeeds")
     require(maxDepth >= 1, s"harmonicCloseness: maxDepth must be >= 1, got $maxDepth")
+    seededBfsDistances(edges, nSeeds, maxDepth, uCol, vCol)
+      .groupBy(col("id"))
+      .agg(count(when(col("dist") > 0, 1)).as("n_reached"),
+        round(coalesce(sum(when(col("dist") > 0, lit(1.0) / col("dist"))), lit(0.0)), 6)
+          .as("harmonic"))
+  }
+
+  /** Sampled eccentricity + pseudo-diameter view — the other standard
+    * report over the same pivot BFS (Eppstein & Wang sampling again):
+    * per seed, ecc = max BFS distance reached within `maxDepth` (a lower
+    * bound on the true eccentricity, exact once maxDepth ≥ diameter) and
+    * n_reached = vertices found at dist > 0. max(ecc) over the rows is
+    * the sampled pseudo-diameter lower bound. Returns one row per seed:
+    * (seed, ecc, n_reached) — an isolated-in-subgraph seed emits (0, 0).
+    *
+    * Scale shape: identical to [[harmonicCloseness]] (the shared
+    * [[seededBfsDistances]] body) with the final aggregation keyed by
+    * seed instead of vertex — nSeeds output rows, map-side max/count. */
+  def eccentricitySampled(edges: DataFrame, nSeeds: Int, maxDepth: Int,
+      uCol: String = "u", vCol: String = "v"): DataFrame = {
+    require(nSeeds >= 1, s"eccentricitySampled: nSeeds must be >= 1, got $nSeeds")
+    require(maxDepth >= 1, s"eccentricitySampled: maxDepth must be >= 1, got $maxDepth")
+    seededBfsDistances(edges, nSeeds, maxDepth, uCol, vCol)
+      .groupBy(col("seed"))
+      .agg(max(col("dist")).as("ecc"),
+        count(when(col("dist") > 0, 1)).as("n_reached"))
+  }
+
+  /** Shared seeded bounded-BFS body of [[harmonicCloseness]] and
+    * [[eccentricitySampled]] — one (seed, id, dist) table for the
+    * `nSeeds` smallest-md5 pivots, `maxDepth` rounds. Kept private so
+    * the two reports cannot drift in seed choice or BFS semantics. */
+  private def seededBfsDistances(edges: DataFrame, nSeeds: Int, maxDepth: Int,
+      uCol: String, vCol: String): DataFrame = {
     val e = canonicalEdges(edges, uCol, vCol)
     // materialize the undirected edge list ONCE: it is joined every
     // round, and an expensive upstream (e.g. the co-purchase self-join)
@@ -699,10 +733,7 @@ object GraphAnalytics {
       frontier = discovered
       k += 1
     }
-    d.groupBy(col("id"))
-      .agg(count(when(col("dist") > 0, 1)).as("n_reached"),
-        round(coalesce(sum(when(col("dist") > 0, lit(1.0) / col("dist"))), lit(0.0)), 6)
-          .as("harmonic"))
+    d
   }
 
   /** Sampled bounded-depth betweenness centrality (Brandes 2001 with
