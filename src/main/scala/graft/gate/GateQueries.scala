@@ -122,6 +122,43 @@ object GateQueries {
           .filter(col("src") < 400 && col("dst") < 400)).cache()
     }
 
+  /** The e17/e18 planted-cluster embedding corpus (round 13): 4,000
+    * vectors, dim 64, 16 planted clusters — the clustered geometry the
+    * driver's near-isotropic embeddings table deliberately lacks, and the
+    * corpus class the sublinear mutual-kNN tier exists for (see the e17
+    * gate note). Generated by the fully deterministic
+    * [[graft.tools.PlantedCorpus]] expressions and written ONCE to a
+    * shared parquet path so the Spark gates and the DuckDB oracle read
+    * the SAME file (the mail-CSV discipline — /tmp/graft_mail_data.txt).
+    * Write-to-tmp + rename keeps a crashed writer from leaving a
+    * half-written corpus that the oracle would silently read. */
+  private val PLANTED_PATH = "/tmp/graft_planted_embeddings.parquet"
+  private[graft] def plantedEmbeddings(spark: SparkSession): DataFrame = {
+    val dir = new java.io.File(PLANTED_PATH)
+    if (!new java.io.File(dir, "_SUCCESS").exists) {
+      val tmp = PLANTED_PATH + ".tmp"
+      graft.tools.PlantedCorpus.generate(spark, n = 4000, dim = 64, clusters = 16)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      if (!new java.io.File(tmp).renameTo(dir) && !new java.io.File(dir, "_SUCCESS").exists)
+        throw new java.io.IOException(s"planted-corpus rename failed for $PLANTED_PATH")
+    }
+    spark.read.parquet(PLANTED_PATH)
+  }
+
+  /** Bench-warmup hooks for the shared analytics memos (round 13): the
+    * a9/a12 LPA labels and the a23/a24 SCC assignment are session fixtures
+    * consumed by two gates each — without a warm, whichever gate runs
+    * first in sorted order absorbs the whole shared compute (BENCH_r12:
+    * a12 read 51.6 s of 4-round LPA first-touch while a9 read 0.03 s;
+    * a23 19.8 s). Bench calls these in its train phase and attributes the
+    * cost to `train_sec`, exactly as the d9 centroid trainer was fixed in
+    * round 12 (24.8 → 6.4 s). Each drains the memoized frame so the cache
+    * is materialized, not merely planned. */
+  def warmLpa(spark: SparkSession, dir: String): Unit =
+    lpaLabels(spark, dir).count()
+  def warmSccs(spark: SparkSession): Unit =
+    mailSccs(spark).count()
+
   private val graphCache = new graft.util.SessionCache[PropertyGraph](
     maxEntries = 4, onEvict = _.edges.unpersist(blocking = false))
   def graph(spark: SparkSession, dir: String): PropertyGraph =
@@ -345,6 +382,47 @@ object GateQueries {
       val g1 = GraphOps.overlayLabels(g0, ovl, 1L << 6)
       Query.paths(g1, labels(CUSTOMER) --| edge(orth(Placed)) |--> labels(ORDER))
         .select(col("n0"), col("n1"))
+    }),
+    "g12_createmem_diff" -> ((s, d) => {
+      // §2.6's query-driven-update result mode as an ORACLE gate
+      // (previously unit-only): the SortNodes.hs:53-69 shape — an
+      // appl-rewired traversal whose (src, dst', label) triples are
+      // novel, so createMem's GraphDiff carries real work on both
+      // sides. Every customer's Placed targets are remapped to
+      // ORDER_BASE + (orderkey % 1000); newEdges = remapped triples
+      // absent from the edge relation (the upsert's append set),
+      // deletedEdges = forward Placed edges whose (src, label, dir)
+      // slot is overwritten (insertNodeEdgeAttr overwrite=True,
+      // Cypher.hs:866-889). The oracle replays both set ops over the
+      // same orders table, so the diff SEMANTICS — not just row counts
+      // — are hash-checked.
+      val pat = labels(CUSTOMER) --| edge(attr(Placed)) |--> labels(ORDER)
+        .appl(df => df.withColumn("n1",
+          lit(ORDER_BASE) + (col("n1") - lit(ORDER_BASE)) % 1000))
+      val diff = Query.createMem(graph(s, d), pat)
+      diff.newEdges.select(lit("new").as("kind"), col("src"), col("dst"), col("label"))
+        .unionByName(
+          diff.deletedEdges.select(lit("del").as("kind"), col("src"), col("dst"), col("label")))
+    }),
+    "g14_temp_nested_layers" -> ((s, d) => {
+      // §2.6's nested result mode (reference `temp`, Cypher.hs:473-479)
+      // as an ORACLE gate (previously unit-only): the 2-hop customer →
+      // order → part walk's per-layer (prefix, children) views,
+      // flattened with explode_outer so the quick-view contract — a
+      // prefix whose branch dries up keeps an EMPTY child list (the
+      // reference's Nodes2..9 nesting with empty sublists) — is itself
+      // hash-checked: an orderless customer must emit (1, cust, -1, -1),
+      // not vanish. -1 sentinels replace NULLs on both sides.
+      val custs = t(s, d, "customer").filter(col("c_custkey") <= 20)
+        .select(col("c_custkey").cast("long").as("id"))
+      val layers = Query.temp(graph(s, d),
+        nodesDF(custs) --| edge(attr(Placed)) |--> labels(ORDER)
+          --| edge(attr(Contains)) |--> labels(PART))
+      val l1 = layers(0).select(lit(1L).as("layer"), col("n0"), lit(-1L).as("n1"),
+        explode_outer(col("children")).as("child"))
+      val l2 = layers(1).select(lit(2L).as("layer"), col("n0"), col("n1"),
+        explode_outer(col("children")).as("child"))
+      l1.unionByName(l2).na.fill(-1L, Seq("child"))
     }),
     "g10_graph_query_subgraph" -> ((s, d) => {
       // §2.6's subgraph-extraction result mode as an ORACLE gate — the
@@ -847,16 +925,32 @@ object GateQueries {
           emb.filter(col("vec_id") < 50), emb, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
-    // NOTE deliberately NO e17 gate: both approximate mutual-kNN tiers
-    // (mutualKnnGraphIvf, mutualKnnGraphProjected) measured strictly
-    // worse than the exact e16 scan on this corpus — IVF candidates
-    // ≤ 0.78 recall at ≥ exact wall (any sublinear probe fraction
-    // collapses on isotropic geometry), projected 0.96 recall at 3.6×
-    // wall (corpus-wide queries blow up the rerank shortlist broadcast).
-    // MutualKnnProbe records the sweep; the tiers stay library ops for
-    // clustered corpora, pinned by full-probe/full-shortlist exact
-    // identities in PipelineSpec (the e5 degenerate-identity
-    // discipline) instead of a gate that would ship a measured loss.
+    // e17/e18 (round 13): the IVF mutual-kNN tier, gated on the corpus
+    // class it exists for. On the driver's near-ISOTROPIC embeddings
+    // table every sublinear tier measured strictly worse than the exact
+    // e16 scan (round-11 negative result, MutualKnnProbe/SCALING.md:
+    // IVF ≤ 0.78 recall at ≥ exact wall, projected 0.96 at 3.6× wall) —
+    // a gate there would ship a measured loss. But that is the corpus,
+    // not the operator: on planted-cluster geometry (the real-embedding
+    // corpus class) the tier holds 0.988 recall at 0.17× the exact wall
+    // at n=10k (MutualKnnClusteredProbe, round 12). So the gates run on
+    // the deterministic planted corpus: e18 is the exact anchor with a
+    // full DuckDB oracle over the SAME parquet file, e17 is the IVF
+    // tier (no_oracle rows check + the e17-vs-e18 bench recall rider +
+    // the RecallSpec floor).
+    "e18_mutual_knn_planted_exact" -> ((s, _) => {
+      // edge list only, like e16: pair membership is the rank property
+      graft.functions.Similarity.mutualKnnGraph(plantedEmbeddings(s), k = 10)
+        .select(col("a"), col("b"))
+    }),
+    "e17_mutual_knn_ivf" -> ((s, _) => {
+      // nCentroids ≈ n/256 (the MutualKnnClusteredProbe config), 2 of 16
+      // probed = 8× fewer scored pairs than the exact scan; single
+      // assignment (nAssign=2 measured ~1% recall for 2× candidates)
+      graft.functions.Similarity.mutualKnnGraphIvf(plantedEmbeddings(s),
+          k = 10, nCentroids = 16, nProbe = 2, nAssign = 1)
+        .select(col("a"), col("b"))
+    }),
     "e16_mutual_knn" -> ((s, d) => {
       // corpus-wide mutual-kNN graph (exact tier): pair membership is a
       // rank property (the hash-green e1 precedent), so the gate emits
@@ -2434,6 +2528,44 @@ object GateQueries {
         |      AND d3.dst = CAST(o.o_orderkey + 10000000 AS BIGINT))
         |    THEN attrMask | 64 ELSE attrMask END AS attrMask
         |FROM d3""".stripMargin,
+    // g12: createMem's GraphDiff replayed as SQL set ops — trav = the
+    // appl-remapped traversal triples, newe = trav minus the stored
+    // Placed set (the upsert's append side), dele = stored forward
+    // Placed edges whose (src, label, dir) slot a new edge overwrites
+    "g12_createmem_diff" ->
+      """WITH placed AS MATERIALIZED (
+        |  SELECT CAST(o_custkey AS BIGINT) AS src,
+        |    CAST(o_orderkey + 10000000 AS BIGINT) AS dst
+        |  FROM orders
+        |), trav AS MATERIALIZED (
+        |  SELECT DISTINCT src, 10000000 + ((dst - 10000000) % 1000) AS dst FROM placed
+        |), newe AS MATERIALIZED (
+        |  SELECT t.src, t.dst FROM trav t
+        |  WHERE NOT EXISTS (SELECT 1 FROM placed p WHERE p.src = t.src AND p.dst = t.dst)
+        |)
+        |SELECT 'new' AS kind, src, dst, 1 AS label FROM newe
+        |UNION ALL
+        |SELECT 'del' AS kind, p.src, p.dst, 1 AS label FROM placed p
+        |WHERE EXISTS (SELECT 1 FROM newe n WHERE n.src = p.src)""".stripMargin,
+    // g14: temp's per-layer nested views flattened — LEFT joins keep
+    // dried-up prefixes (orderless customers) as (-1)-child rows,
+    // exactly the explode_outer contract on the Spark side
+    "g14_temp_nested_layers" ->
+      """WITH custs AS MATERIALIZED (
+        |  SELECT CAST(c_custkey AS BIGINT) AS n0 FROM customer WHERE c_custkey <= 20
+        |), hop1 AS MATERIALIZED (
+        |  SELECT DISTINCT c.n0, CAST(o.o_orderkey + 10000000 AS BIGINT) AS n1
+        |  FROM custs c JOIN orders o ON CAST(o.o_custkey AS BIGINT) = c.n0
+        |), hop2 AS MATERIALIZED (
+        |  SELECT DISTINCT h.n0, h.n1, CAST(l.l_partkey + 20000000 AS BIGINT) AS n2
+        |  FROM hop1 h JOIN lineitem l ON CAST(l.l_orderkey + 10000000 AS BIGINT) = h.n1
+        |)
+        |SELECT CAST(1 AS BIGINT) AS layer, c.n0, CAST(-1 AS BIGINT) AS n1,
+        |  COALESCE(h.n1, -1) AS child
+        |FROM custs c LEFT JOIN hop1 h ON h.n0 = c.n0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS layer, h.n0, h.n1, COALESCE(p.n2, -1) AS child
+        |FROM hop1 h LEFT JOIN hop2 p ON p.n0 = h.n0 AND p.n1 = h.n1""".stripMargin,
     "g7_part_suppliers_3hop" ->
       """SELECT DISTINCT CAST(c_custkey AS BIGINT) AS n0,
         |CAST(sup.l_suppkey + 30000000 AS BIGINT) AS n3
@@ -2584,6 +2716,26 @@ object GateQueries {
         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id) t
+        |  WHERE rank <= 10
+        |)
+        |SELECT k1.query_id AS a, k1.neighbor_id AS b
+        |FROM knn k1
+        |JOIN knn k2 ON k2.query_id = k1.neighbor_id AND k2.neighbor_id = k1.query_id
+        |WHERE k1.query_id < k1.neighbor_id""".stripMargin,
+    // e18 = e16's SQL over the planted-corpus parquet (the SAME file the
+    // Spark gate reads — the mail-CSV discipline). DOUBLE[] cast matches
+    // Spark's promote-then-accumulate-in-double dot product (the d6
+    // convention); rank ties break on vec_id on both sides.
+    "e18_mutual_knn_planted_exact" ->
+      """WITH emb AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+        |  FROM read_parquet('/tmp/graft_planted_embeddings.parquet/*.parquet')
+        |), knn AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id) t
         |  WHERE rank <= 10
         |)
         |SELECT k1.query_id AS a, k1.neighbor_id AS b

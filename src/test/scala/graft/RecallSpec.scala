@@ -89,6 +89,16 @@ class RecallSpec extends AnyFunSuite {
       emb, k = 10, nCentroids = 16, nProbe = 2, nAssign = 1))
     assert((ivf & exact).size.toDouble / exact.size >= 0.85)
   }
+  test("e17 gate config recall >= 0.90 vs the e18 exact anchor") {
+    // The DRIVER-FACING gate pair (round 13): e17/e18 run on the shared
+    // planted-corpus parquet (n=4000, 16 clusters — GateQueries
+    // .plantedEmbeddings), nCentroids=16, nProbe=2, nAssign=1. Fully
+    // deterministic; measured 0.993 at the gate config, floor a few
+    // points under. The n=2000 test above pins the library op; this one
+    // pins the exact artifact the bench recall rider reports.
+    assert(recall("e17_mutual_knn_ivf", "e18_mutual_knn_planted_exact",
+      Seq("a", "b")) >= 0.90)
+  }
   test("e15 projected+rerank top-k recall >= 0.85 vs e1 brute force") {
     // JL 64→32 prefilter only has to land true neighbors in the top-200
     // shortlist; the exact re-rank fixes the ordering. Measured 0.924 at
