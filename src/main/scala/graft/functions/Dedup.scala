@@ -1239,11 +1239,59 @@ object Dedup {
     * side, 3× slower. A drift between the exact and banded gram fronts
     * would silently break the d14 ≡ d3 equality pin — that is why this
     * body exists. */
-  private def prunedGramPostings(docs: DataFrame, n: Int,
+  private[graft] def prunedGramPostings(docs: DataFrame, n: Int,
       textCol: String, idCol: String, maxPostings: Int): DataFrame = {
     graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
-    docs.select(col(idCol).as("id"),
-        explode(call_function("graft_ngram_hashes", col(textCol), lit(n))).as("gram"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def postings = docs.select(col(idCol).as("id"),
+      explode(call_function("graft_ngram_hashes", col(textCol), lit(n))).as("gram"))
+    // SKEW VALVE (round 13): the df window below hash-shuffles the FULL
+    // postings relation on the gram key, so a mega-df gram (a clone-heavy
+    // corpus's boilerplate line) concentrates its entire posting list in
+    // one partition before the cap drops it — the one skew hazard in this
+    // body at 100 TB. Pre-drop the PROVABLY heavy grams: a per-partition
+    // Misra–Gries summary (Misra & Gries 1982; the t27 heavyHittersSketch
+    // partials, here over the already-hashed gram longs) whose counters
+    // are LOWER bounds on occurrence counts — increments only on real
+    // occurrences, decrement-all only subtracts — so a summed counter
+    // > maxPostings proves df > maxPostings, and dropping the gram here
+    // is exactly what the window would do anyway (semantics-preserving;
+    // d3/d13/d14 stay hash-identical by construction). Grams that
+    // survive the valve carry df ≤ maxPostings + N/(k+1), so the window's
+    // max partition is BOUNDED regardless of corpus skew (measured:
+    // SketchScaleProbe planted-gram witness, SCALING.md round 13). Cost
+    // is one extra narrow pass over the postings stream (zero-shuffle
+    // sketch; candidate merge is ≤ partitions·k rows, map-side combined)
+    // — the full groupBy+anti-join alternative shuffles the whole
+    // vocabulary and measured 3× slower.
+    val mgK = 65536 // 16 B/counter → ~1 MiB/partition; at N = 10⁹
+                    // postings the cross-partition slack N/(k+1) ≈ 15k
+    val partials = postings.select(col("gram")).as[Long].mapPartitions { it =>
+      // LongMap: primitive-keyed open addressing (counts are ≥ 1, so
+      // getOrElse(-1) encodes absence without boxing)
+      val counters = new scala.collection.mutable.LongMap[Long](mgK * 2)
+      it.foreach { g =>
+        val c = counters.getOrElse(g, -1L)
+        if (c >= 0L) counters.update(g, c + 1)
+        else if (counters.size < mgK) counters.update(g, 1L)
+        else {
+          // decrement-all: snapshot keys first — mutating mid-iteration
+          // is undefined behavior
+          val keys = counters.keys.toArray
+          var i = 0
+          while (i < keys.length) {
+            val k = keys(i); val v = counters(k)
+            if (v == 1L) counters -= k else counters.update(k, v - 1L)
+            i += 1
+          }
+        }
+      }
+      counters.iterator
+    }.toDF("gram", "cnt")
+    val heavy = partials.groupBy(col("gram")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") > maxPostings).select(col("gram"))
+    postings.join(broadcast(heavy), Seq("gram"), "left_anti")
       .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("df") <= maxPostings).drop("df")
   }
