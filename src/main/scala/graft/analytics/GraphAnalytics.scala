@@ -164,6 +164,14 @@ object GraphAnalytics {
       // aggregation + anti-joins instead of a diameter-bounded fixpoint.
       var t = 0; var trimmed = 1L
       while (trimmed > 0 && t < maxRounds) {
+        // NOTE (round 13, negative result #4): replacing these two
+        // distincts + inner join with ONE tagged-union max-aggregation
+        // (groupBy(id).agg(max(out), max(in))) measured WORSE — 14.4 →
+        // 16.4 s steady on the gate cut (SccProbe): the union doubles the
+        // scanned rows and the wall here is sequential action latency,
+        // not exchange count. Kept the distinct/join form; see SCALING.md
+        // round-13 SCC note alongside the batching/AQE-off/lazy-acc
+        // dead-ends.
         val deg = e.select(col("src").as("id")).distinct()
           .join(e.select(col("dst").as("id")).distinct(), Seq("id"), "inner")
         val drop = verts.join(deg, Seq("id"), "left_anti").localCheckpoint(true)
@@ -255,6 +263,21 @@ object GraphAnalytics {
       .localCheckpoint(true)
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // Coverage precondition on a CALLER-SUPPLIED assignment (round 13,
+    // advisor find): the arc build inner-joins both endpoints against
+    // `sccs`, so an id missing from a mismatched frame would silently
+    // vanish from the labelling instead of failing. One cheap bounded
+    // probe (endpoints anti-join sccs, limit 1) turns that into an error.
+    sccs.foreach { s =>
+      val uncovered = e0.select(col("src").as("id"))
+        .unionAll(e0.select(col("dst").as("id")))
+        .join(s.select(col("id")), Seq("id"), "left_anti").limit(1)
+        .collect()
+      require(uncovered.isEmpty,
+        s"condensationLayers: sccs frame does not cover edge endpoint id=" +
+          s"${uncovered.head.getLong(0)} — the supplied assignment must label " +
+          "every vertex of `edges` (pass sccs = None to compute it here)")
+    }
     val arcs = e0
       .join(scc.select(col("id").as("src"), col("scc").as("s")), "src")
       .join(scc.select(col("id").as("dst"), col("scc").as("d")), "dst")

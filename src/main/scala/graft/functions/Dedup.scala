@@ -95,11 +95,15 @@ object Dedup {
     // reference lineage would be re-scanned up to four times)
     val refTexts = reference.filter(col(textCol).isNotNull)
       .select(col(textCol).as("__ref_text")).distinct().localCheckpoint(true)
-    val refCount = refTexts.count()
     // Spark's stat.bloomFilter NPEs on an empty input (null aggregate
-    // buffer) — and an empty reference flags nothing by definition
-    if (refCount == 0) return docs.filter(lit(false)).select(col(idCol))
-    val nRef = if (expectedRefItems > 0) expectedRefItems else refCount
+    // buffer) — and an empty reference flags nothing by definition. With
+    // a caller-supplied cardinality the sizing count is skipped as
+    // documented and the emptiness guard degrades to the O(1-partition)
+    // isEmpty probe (round 13 — previously count() ran unconditionally,
+    // silently voiding the parameter's documented saving).
+    val nRef = if (expectedRefItems > 0) expectedRefItems else refTexts.count()
+    val refEmpty = if (expectedRefItems > 0) refTexts.isEmpty else nRef == 0
+    if (refEmpty) return docs.filter(lit(false)).select(col(idCol))
     val bloom = refTexts.stat.bloomFilter(xxhash64(col("__ref_text")), nRef, fpp)
     val bytes = { val bos = new java.io.ByteArrayOutputStream()
                   bloom.writeTo(bos); bos.toByteArray }

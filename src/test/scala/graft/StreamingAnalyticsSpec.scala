@@ -1700,6 +1700,36 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     sampled.foreach { case (id, h) => assert(h <= out(id)._2 + 1e-9, s"node $id oversum") }
   }
 
+  test("eccentricitySampled: exact ecc on a path when all vertices seed; depth bound; loop-only ids dropped") {
+    // path 1-2-3-4-5 plus the isolated pair 8-9 and a self-loop-only
+    // node (7,7) — hand eccentricities at maxDepth=4: 1↦4, 2↦3, 3↦2,
+    // 4↦3, 5↦4, 8/9↦1. (round 13, advisor find: the op had no test.)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L), (7L, 7L)).toDF("u", "v")
+    val out = GraphAnalytics.eccentricitySampled(e, nSeeds = 10, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // canonicalEdges drops self-loops, so a loop-only id is not a vertex
+    // at all (it cannot surface as an isolated (0,0) seed — absence IS
+    // the contract)
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 8L, 9L))
+    assert(out(1L) === ((4L, 4L))) // reaches 2,3,4,5
+    assert(out(2L) === ((3L, 4L)))
+    assert(out(3L) === ((2L, 4L)))
+    assert(out(5L) === ((4L, 4L)))
+    assert(out(8L) === ((1L, 1L))) // isolated pair: ecc 1, reaches 9 only
+    // depth bound truncates: seed 1 at maxDepth=2 sees only 2 and 3
+    val bounded = GraphAnalytics.eccentricitySampled(e, nSeeds = 10, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(bounded(1L) === ((2L, 2L)))
+    // fewer seeds than vertices: a subset of the full rows, same values
+    val sampled = GraphAnalytics.eccentricitySampled(e, nSeeds = 3, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sampled.size === 3)
+    sampled.foreach { case (id, v) => assert(v === out(id), s"seed $id drifted") }
+    // argument guards
+    intercept[IllegalArgumentException] { GraphAnalytics.eccentricitySampled(e, 0, 4) }
+    intercept[IllegalArgumentException] { GraphAnalytics.eccentricitySampled(e, 3, 0) }
+  }
+
   test("degreeAssortativity: star is maximally disassortative, balanced cycle undefined-free") {
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
     // star 0-{1..4}: every edge joins deg-4 to deg-1 twice (mirrored) →
