@@ -383,6 +383,22 @@ object GateQueries {
       Query.paths(g1, labels(CUSTOMER) --| edge(orth(Placed)) |--> labels(ORDER))
         .select(col("n0"), col("n1"))
     }),
+    "g13_unbounded_reachability" -> ((s, _) => {
+      // §2.5's `***` (several 1 ∞, Cypher.hs:276-277) as an ORACLE gate
+      // (previously unit-only): the unbounded-repetition fixpoint on a
+      // CYCLIC graph — the a23 mail cut (95-vertex SCC + 3-cycle), where
+      // the visited-set early exit is load-bearing (without it the loop
+      // never dries). Start node 6 sits INSIDE the big SCC, so the walk
+      // must traverse cycles and still terminate; closure = 180 nodes.
+      // Engine contract pinned here: the start seeds the visited set, so
+      // it is NOT in its own closure even on a cycle (frontier depth ≥ 1).
+      val path = graft.bench.MailGraph.generate("/tmp/graft_mail_data.txt")
+      val g0 = graft.bench.MailGraph.miwCached(s, path)
+      val g = g0.copy(edges = g0.edges.filter(col("src") < 400 && col("dst") < 400))
+      Query.paths(g, nodes32(6) --|
+          edge(attr(graft.bench.MailGraph.MAILED), several(1, Int.MaxValue)) |--> anyNode)
+        .select(col("n1").as("id"))
+    }),
     "g12_createmem_diff" -> ((s, d) => {
       // §2.6's query-driven-update result mode as an ORACLE gate
       // (previously unit-only): the SortNodes.hs:53-69 shape — an
@@ -2528,6 +2544,20 @@ object GateQueries {
         |      AND d3.dst = CAST(o.o_orderkey + 10000000 AS BIGINT))
         |    THEN attrMask | 64 ELSE attrMask END AS attrMask
         |FROM d3""".stripMargin,
+    // g13: the `***` closure as a recursive CTE over the same CSV and
+    // cut; UNION (not UNION ALL) is the oracle's own cycle termination.
+    // dst <> 6 mirrors the engine's visited-seeded start exclusion.
+    "g13_unbounded_reachability" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT src, dst FROM read_csv('/tmp/graft_mail_data.txt', header=false, delim=' ',
+        |    columns={'src':'BIGINT','dst':'BIGINT'})
+        |  WHERE src < 400 AND dst < 400
+        |), r AS (
+        |  SELECT dst FROM e WHERE src = 6
+        |  UNION
+        |  SELECT e.dst FROM r JOIN e ON e.src = r.dst
+        |)
+        |SELECT DISTINCT dst AS id FROM r WHERE dst <> 6""".stripMargin,
     // g12: createMem's GraphDiff replayed as SQL set ops — trav = the
     // appl-remapped traversal triples, newe = trav minus the stored
     // Placed set (the upsert's append side), dele = stored forward
