@@ -122,22 +122,29 @@ object GateQueries {
           .filter(col("src") < 400 && col("dst") < 400)).cache()
     }
 
-  /** The e17/e18 planted-cluster embedding corpus (round 13): 4,000
-    * vectors, dim 64, 16 planted clusters — the clustered geometry the
+  /** The e17/e18 planted-cluster embedding corpus (round 13): 2,000
+    * vectors, dim 64, 10 planted clusters — the clustered geometry the
     * driver's near-isotropic embeddings table deliberately lacks, and the
     * corpus class the sublinear mutual-kNN tier exists for (see the e17
-    * gate note). Generated by the fully deterministic
-    * [[graft.tools.PlantedCorpus]] expressions and written ONCE to a
-    * shared parquet path so the Spark gates and the DuckDB oracle read
-    * the SAME file (the mail-CSV discipline — /tmp/graft_mail_data.txt).
+    * gate note). Sizing: n matches the sf0.1 embeddings table (e18's
+    * exact n² anchor then costs what e16 already costs, ~5 s, not the
+    * 17 s a 4k corpus measured), and 10 clusters of 200 put the IVF
+    * tier's recall at a DISCRIMINATING 0.964 (16 clusters saturate at
+    * 1.000 — a rider pinned at 1.00 can't witness quality drift;
+    * MutualKnnClusteredProbe sweep). Generated by the fully
+    * deterministic [[graft.tools.PlantedCorpus]] expressions and written
+    * ONCE to a shared parquet path so the Spark gates and the DuckDB
+    * oracle read the SAME file (the mail-CSV discipline —
+    * /tmp/graft_mail_data.txt); the config is keyed into the path so a
+    * config change can never silently read a stale corpus.
     * Write-to-tmp + rename keeps a crashed writer from leaving a
     * half-written corpus that the oracle would silently read. */
-  private val PLANTED_PATH = "/tmp/graft_planted_embeddings.parquet"
+  private val PLANTED_PATH = "/tmp/graft_planted_embeddings_n2000_c10.parquet"
   private[graft] def plantedEmbeddings(spark: SparkSession): DataFrame = {
     val dir = new java.io.File(PLANTED_PATH)
     if (!new java.io.File(dir, "_SUCCESS").exists) {
       val tmp = PLANTED_PATH + ".tmp"
-      graft.tools.PlantedCorpus.generate(spark, n = 4000, dim = 64, clusters = 16)
+      graft.tools.PlantedCorpus.generate(spark, n = 2000, dim = 64, clusters = 10)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       if (!new java.io.File(tmp).renameTo(dir) && !new java.io.File(dir, "_SUCCESS").exists)
         throw new java.io.IOException(s"planted-corpus rename failed for $PLANTED_PATH")
@@ -960,8 +967,8 @@ object GateQueries {
         .select(col("a"), col("b"))
     }),
     "e17_mutual_knn_ivf" -> ((s, _) => {
-      // nCentroids ≈ n/256 (the MutualKnnClusteredProbe config), 2 of 16
-      // probed = 8× fewer scored pairs than the exact scan; single
+      // 2 of 16 centroids probed = 8× fewer scored pairs than the exact
+      // scan (recall 0.964 on this corpus, RecallSpec floor 0.90); single
       // assignment (nAssign=2 measured ~1% recall for 2× candidates)
       graft.functions.Similarity.mutualKnnGraphIvf(plantedEmbeddings(s),
           k = 10, nCentroids = 16, nProbe = 2, nAssign = 1)
@@ -2759,7 +2766,7 @@ object GateQueries {
     "e18_mutual_knn_planted_exact" ->
       """WITH emb AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
-        |  FROM read_parquet('/tmp/graft_planted_embeddings.parquet/*.parquet')
+        |  FROM read_parquet('/tmp/graft_planted_embeddings_n2000_c10.parquet/*.parquet')
         |), knn AS MATERIALIZED (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

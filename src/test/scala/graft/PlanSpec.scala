@@ -197,6 +197,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"no partial aggregation in:\n$plan")
   }
 
+  test("gram-df skew valve: heavy drop-set folds in BROADCAST anti-join below the window") {
+    // round 13: the Misra-Gries valve must never introduce its own
+    // shuffle — the provably-heavy gram set joins the postings stream as
+    // a broadcast LeftAnti (a hash-partitioned anti-join would re-create
+    // the very gram-keyed skew exchange the valve exists to protect)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.functions.Dedup.prunedGramPostings(
+      docs, 3, "text", "doc_id", 10000))
+    assert(plan.contains("Window"), s"df cap window missing:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"valve anti-join must broadcast:\n$plan")
+    // functional: a planted df=|corpus| gram is dropped by the valve at a
+    // cap below |corpus| and the light grams' postings are untouched —
+    // identical to what the window alone would produce
+    val planted = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma "), lit("u"), col("id"), lit(" v"), col("id")).as("text"))
+    val out = graft.functions.Dedup.prunedGramPostings(
+      planted, 3, "text", "doc_id", 100)
+    val byGram = out.groupBy("gram").count().collect()
+    assert(byGram.nonEmpty && byGram.forall(_.getLong(1) <= 100),
+      "a df=200 gram survived the cap")
+    // each doc keeps its 2 unique trigrams ("gamma u<i> v<i>" etc.)
+    assert(out.groupBy("id").count().collect().forall(_.getLong(1) === 2))
+  }
+
   test("PQ rerank: the shortlist joins the corpus BROADCAST — no corpus shuffle, no cartesian") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)
