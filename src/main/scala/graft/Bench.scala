@@ -121,6 +121,13 @@ object Bench {
     if (warm) {
       graft.gate.GateQueries.warmLpa(spark, sfDir)
       graft.gate.GateQueries.warmSccs(spark)
+      // e17/e18's planted-corpus fixture (written to /tmp on first touch)
+      // + e17's IVF centroids (lloydIters=1, the ivfTopK default the
+      // mutualKnnGraphIvf gate path trains) — without this a fresh-VM
+      // driver run charges the corpus write + training to the e17 line
+      // (measured 12.75 s cold vs 1.44 s steady)
+      val planted = graft.gate.GateQueries.plantedEmbeddings(spark)
+      graft.functions.Similarity.warmClusterIndex(planted, nClusters = 16, lloydIters = 1)
     }
     val trainSec = (System.nanoTime() - tTrain) / 1e9
 
