@@ -1092,8 +1092,17 @@ object GraphAnalytics {
   /** HITS hubs & authorities (Kleinberg 1999), deterministic fixed-iteration
     * form with L1 normalization → (id, auth, hub).
     *
-    *   auth_i(v) = Σ_{(u,v)∈E} hub_{i−1}(u)   , then auth_i /= Σ_v auth_i(v)
-    *   hub_i(u)  = Σ_{(u,v)∈E} auth_i(v)      , then hub_i  /= Σ_u hub_i(u)
+    *   authRaw_i(v) = Σ_{(u,v)∈E} hub_{i−1}(u)
+    *   hubRaw_i(u)  = Σ_{(u,v)∈E} authRaw_i(v) , hub_i = hubRaw_i / Σ hubRaw_i
+    *   outputs: auth = authRaw_N / Σ authRaw_N , hub = hub_N
+    *
+    * Equal to the textbook per-half-step-normalized recursion: every L1
+    * division is a positive scalar that commutes through the linear
+    * sums, so deferring auth's division to the end changes nothing but
+    * fp noise (absorbed by the gate's 6-dp round; the oracle runs this
+    * same once-per-iteration schedule). hub IS still normalized each
+    * iteration, which bounds all raw scores by maxdeg² at any scale —
+    * full deferral would grow them geometrically per round.
     *
     * L1 (not the textbook L2) because the oracle-replication contract
     * (the a5/a8 precedent) wants both engines to compute bit-comparable
@@ -1102,8 +1111,9 @@ object GraphAnalytics {
     * per engine. Rankings are identical under any positive scaling.
     *
     * Scale shape: per iteration one dst-keyed and one src-keyed
-    * aggregation over |E| (the two shuffles HITS is), each normalization
-    * total attached as a broadcast 1-row join (never a driver collect).
+    * aggregation over |E| (the two shuffles HITS is), the per-iteration
+    * normalization total attached as a broadcast 1-row join (never a
+    * driver collect).
     * The edge relation is materialized pre-partitioned per join
     * direction, so each step shuffles ONLY the |V|-row sparse score
     * vector into a shuffle-hash join — no per-step |E| exchange, no
@@ -1135,52 +1145,73 @@ object GraphAnalytics {
     // call (finally-unpersist below): the layouts are per-invocation
     // scratch, not session fixtures, and leaving one pair resident per
     // distinct input graph accumulates for the session lifetime.
-    val fwd0 = g.edges.filter(col("dir")).select(col("src"), col("dst"))
-    val fwdBySrc = fwd0.repartition(col("src")).persist()
-    val fwdByDst = fwd0.repartition(col("dst")).persist()
+    // the base edge relation is scanned ONCE: the dst layout and the
+    // vertex set both derive from the already-cached src layout (a
+    // narrow cache scan), not from three more passes over g.edges —
+    // setup cost matters because the layouts are rebuilt per invocation
+    val fwdBySrc = g.edges.filter(col("dir")).select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    val fwdByDst = fwdBySrc.repartition(col("dst")).persist()
     try {
       fwdBySrc.count(); fwdByDst.count()
-      val verts = fwd0.select(col("src").as("id"))
-        .unionAll(fwd0.select(col("dst").as("id")))
+      val verts = fwdBySrc.select(col("src").as("id"))
+        .unionAll(fwdBySrc.select(col("dst").as("id")))
         .unionAll(g.explicitNodes.map(_.select(col("id")))
           .getOrElse(Seq.empty[Long].toDF("id")))
         .distinct().localCheckpoint(true)
-      // one normalized update: raw = neighbor-sum of `scores` through the
-      // edge keyed on `from`→grouped on `to`; out = raw / Σraw. Score
-      // vectors stay SPARSE through the iteration — a vertex absent from
-      // raw would carry 0.0, and a 0 contributes nothing to the next
-      // neighbor-sum or the L1 total, so the dense |V| left-join the
-      // round-10 shape ran per step was pure overhead. Density is
-      // restored ONCE at the end.
-      def step(scores: DataFrame, valCol: String, from: String, to: String,
-          outCol: String): DataFrame = {
+      // one raw neighbor-sum of `scores` through the edge keyed on
+      // `from`, grouped on `to`. Score vectors stay SPARSE through the
+      // iteration — a vertex absent from raw would carry 0.0, and a 0
+      // contributes nothing to the next neighbor-sum or the L1 total, so
+      // the dense |V| left-join the round-10 shape ran per step was pure
+      // overhead. Density is restored ONCE at the end.
+      def rawStep(scores: DataFrame, valCol: String, from: String,
+          to: String): DataFrame = {
         val fwd = if (from == "src") fwdBySrc else fwdByDst
-        // raw is referenced TWICE (the normalization total and the score
-        // join) — materialize it once per step (|V|-bounded rows) or the
-        // |E| aggregation runs twice; measured 19.9 s → ~12 s at sf0.1
-        val raw = fwd.join(scores.hint("shuffle_hash"), fwd(from) === scores("id"))
+        fwd.join(scores.hint("shuffle_hash"), fwd(from) === scores("id"))
           .groupBy(fwd(to).as("id")).agg(sum(col(valCol)).as("s"))
-          .localCheckpoint(true)
+      }
+      // L1-normalize a raw vector: the total attaches as a broadcast
+      // 1-row join (never a driver collect); tot NULL/0 (edge-less
+      // graph, or an all-sink frontier) → all-0 scores, not NULL poison.
+      // Callers must pass a MATERIALIZED raw (it is referenced twice —
+      // the total and the division) or the producing join runs twice.
+      def l1(raw: DataFrame, outCol: String): DataFrame = {
         val tot = raw.agg(sum(col("s")).as("tot"))
         raw.crossJoin(broadcast(tot))
           .select(col("id"),
-            // tot NULL/0 (edge-less graph, or an all-sink frontier) → all-0
-            // scores rather than NULL poison
             when(col("tot") > 0, col("s") / col("tot"))
               .otherwise(lit(0.0)).as(outCol))
       }
+      // Normalization is applied ONCE per iteration (to hub), not after
+      // every half-step: each L1 division is a positive scalar that
+      // commutes through the linear neighbor-sums, so
+      // norm(A·norm(Aᵀh)) ≡ norm(A·Aᵀh) exactly — the textbook per-step
+      // schedule and this one agree to fp noise, which the 6-dp gate
+      // round absorbs (the oracle runs this same recursion). Dropping
+      // the per-auth normalization halves the broadcast-total stages,
+      // and letting authRaw stay lazy inside hubRaw's checkpoint job
+      // cuts the sequential actions per iteration from 2 to 1 — at gate
+      // scale the wall is action latency, not shuffle volume (HitsProbe).
+      // One un-normalized half-step cannot overflow: hub is normalized
+      // (Σ=1, entries ≤1), so authRaw entries ≤ in-degree and hubRaw
+      // entries ≤ maxdeg², at any scale and iteration count — unlike
+      // full deferral, whose raw scores grow geometrically per round.
       var hub = verts.select(col("id"), lit(1.0).as("hub"))
-      var auth = verts.select(col("id"), lit(0.0).as("auth")).limit(0)
+      var authRaw: DataFrame = null
+      var hubRaw: DataFrame = null
       for (i <- 1 to numIter) {
-        // no separate auth/hub lineage cuts: each step's raw checkpoint
-        // already bounds plan depth at one join+projection per vector —
-        // the extra stride-2 materializations measured pure overhead
-        auth = step(hub, "hub", "src", "dst", "auth")
-        hub = step(auth, "auth", "dst", "src", "hub")
+        authRaw = rawStep(hub, "hub", "src", "dst")
+        // the final authRaw feeds BOTH the last hubRaw join and the
+        // output normalization — materialize exactly that one
+        if (i == numIter) authRaw = authRaw.localCheckpoint(true)
+        hubRaw = rawStep(authRaw, "s", "dst", "src").localCheckpoint(true)
+        hub = l1(hubRaw, "hub")
       }
       // dense-ify once: vertices the iteration never reached (isolated, or
       // pure-source/pure-sink roles) surface with explicit 0.0 scores
-      verts.join(auth, Seq("id"), "left").join(hub, Seq("id"), "left")
+      verts.join(l1(authRaw, "auth"), Seq("id"), "left")
+        .join(hub, Seq("id"), "left")
         .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth"),
           coalesce(col("hub"), lit(0.0)).as("hub"))
     } finally {

@@ -2153,26 +2153,27 @@ object GateQueries {
        |FROM degc dc LEFT JOIN intra i ON i.label = dc.label, mm""".stripMargin
 
   /** a11 oracle: HITS unrolled as the same mutual recursion the engine
-    * runs — per iteration a raw in-sum of hubs (ar), its L1-normalized
-    * authority vector (a), a raw out-sum of authorities (hr), and the
-    * normalized hub vector (h). MATERIALIZED throughout (the kCore
-    * lesson: inlined CTEs re-evaluate the prefix per reference —
-    * exponential in iterations). Vertices never reached by the sums
-    * COALESCE to 0, matching the engine's left-join + 0-fill. */
+    * runs — per iteration a raw in-sum of hubs (ar), a raw out-sum of
+    * those raw authorities (hr), and ONE L1 normalization (h). auth's
+    * division commutes through the linear sums, so the engine and this
+    * oracle both defer it to the final projection (norm(A·norm(Aᵀh)) ≡
+    * norm(A·Aᵀh) exactly; fp noise absorbed by the 6-dp round).
+    * MATERIALIZED throughout (the kCore lesson: inlined CTEs
+    * re-evaluate the prefix per reference — exponential in iterations).
+    * Score vectors stay sparse through the iteration (an absent vertex
+    * is an exact 0 that contributes nothing to any sum); vertices never
+    * reached COALESCE to 0 in the final dense projection, matching the
+    * engine's left-join + 0-fill. */
   private def hitsOracleSql(numIter: Int): String = {
     val iters = (1 to numIter).map { i =>
       s"""ar$i AS MATERIALIZED (
          |  SELECT e.dst AS id, SUM(h.hub) AS s
          |  FROM h${i - 1} h JOIN edges e ON e.src = h.id GROUP BY 1
-         |), a$i AS MATERIALIZED (
-         |  SELECT v.id, COALESCE(m.s, 0.0) / (SELECT SUM(s) FROM ar$i) AS auth
-         |  FROM verts v LEFT JOIN ar$i m ON m.id = v.id
          |), hr$i AS MATERIALIZED (
-         |  SELECT e.src AS id, SUM(a.auth) AS s
-         |  FROM a$i a JOIN edges e ON e.dst = a.id GROUP BY 1
+         |  SELECT e.src AS id, SUM(a.s) AS s
+         |  FROM ar$i a JOIN edges e ON e.dst = a.id GROUP BY 1
          |), h$i AS MATERIALIZED (
-         |  SELECT v.id, COALESCE(m.s, 0.0) / (SELECT SUM(s) FROM hr$i) AS hub
-         |  FROM verts v LEFT JOIN hr$i m ON m.id = v.id
+         |  SELECT id, s / (SELECT SUM(s) FROM hr$i) AS hub FROM hr$i
          |)""".stripMargin
     }.mkString(",\n")
     s"""WITH
@@ -2186,8 +2187,11 @@ object GateQueries {
        |verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges) u),
        |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM verts),
        |$iters
-       |SELECT a.id, ROUND(a.auth, 6) + 0 AS auth, ROUND(h.hub, 6) + 0 AS hub
-       |FROM a$numIter a JOIN h$numIter h ON a.id = h.id""".stripMargin
+       |SELECT v.id,
+       |  ROUND(COALESCE(a.s, 0.0) / (SELECT SUM(s) FROM ar$numIter), 6) + 0 AS auth,
+       |  ROUND(COALESCE(h.hub, 0.0), 6) + 0 AS hub
+       |FROM verts v LEFT JOIN ar$numIter a ON a.id = v.id
+       |LEFT JOIN h$numIter h ON h.id = v.id""".stripMargin
   }
 
   /** Oracle rounding convention (driver hashes at bit/string level):
