@@ -3,6 +3,7 @@ package graft.analytics
 import graft.model.PropertyGraph
 import org.apache.spark.graphx.{Edge => GxEdge, EdgeDirection, Graph => GxGraph, VertexId}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** GraphX bridge for whole-graph analytics the reference lacks entirely
@@ -360,23 +361,30 @@ object GraphAnalytics {
     val spark = g.spark
     import spark.implicits._
     val fwd = g.edges.filter(col("dir")).select(col("src"), col("dst"))
-    // vertex set = edge endpoints ∪ explicitNodes (the toGraphX invariant:
-    // isolated nodes must appear as ranked vertices — pageRankStatic
-    // honors it via GraphX, this path must too) ∪ the seed itself, so a
-    // seed with no edges still gets its resetProb row instead of a
-    // silent all-zero vector
-    val verts = fwd.select(col("src").as("id")).unionAll(fwd.select(col("dst").as("id")))
-      .unionAll(g.explicitNodes.map(_.select(col("id")))
-        .getOrElse(Seq.empty[Long].toDF("id")))
-      .unionAll(Seq(source).toDF("id"))
-      .distinct().localCheckpoint(true)
-    // (src, dst, d): source out-degree attached once, not once per round;
-    // persisted partitioned on the round-join key (localCheckpoint would
-    // drop the partitioning under AQE — PartitionPreserveProbe)
-    val fwdD = fwd.join(fwd.groupBy(col("src")).agg(count(lit(1)).as("d")), "src")
-      .repartition(col("src")).persist()
+    // (src, dst, d): source out-degree attached once, not once per round.
+    // The degree rides a count window rather than a groupBy+self-join:
+    // ONE pass over the base relation and one |E| exchange — and that
+    // exchange IS the src-hash layout the round joins need, reported
+    // through the persist (localCheckpoint would drop the partitioning
+    // under AQE — PartitionPreserveProbe), so no separate repartition
+    val fwdD = fwd.withColumn("d",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
+      .persist()
     try {
       fwdD.count()
+      // vertex set = edge endpoints ∪ explicitNodes (the toGraphX
+      // invariant: isolated nodes must appear as ranked vertices —
+      // pageRankStatic honors it via GraphX, this path must too) ∪ the
+      // seed itself, so a seed with no edges still gets its resetProb
+      // row instead of a silent all-zero vector. Derived from the CACHED
+      // relation (every fwd src survives the degree window), not from
+      // two more base-relation passes — the a11 setup lesson
+      val verts = fwdD.select(col("src").as("id"))
+        .unionAll(fwdD.select(col("dst").as("id")))
+        .unionAll(g.explicitNodes.map(_.select(col("id")))
+          .getOrElse(Seq.empty[Long].toDF("id")))
+        .unionAll(Seq(source).toDF("id"))
+        .distinct().localCheckpoint(true)
       val sourceRow = spark.range(1)
         .select(lit(source).as("id"), lit(resetProb).as("rank"))
       var pr = spark.range(1).select(lit(source).as("id"), lit(1.0).as("rank"))
