@@ -4,8 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch: per-phase wall breakdown of the a11 HITS gate at a given sf
-  * dir — separates graph-cache build, fwd/verts materialization, and the
-  * iteration itself. */
+  * dir. Round-13 shape: times the LIBRARY path (GraphAnalytics.hits,
+  * once-per-iteration normalization, single-base-scan setup) plus an
+  * instrumented inline copy that splits setup from iteration — the
+  * round-11/12 inline variants (per-half-step normalization, broadcast
+  * vs shuffle-hash) were superseded and lived in git history. */
 object HitsProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -22,81 +25,61 @@ object HitsProbe {
       println(f"PHASE $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val g = t("graph-cache") { val g0 = graft.gate.GateQueries.graph(spark, d); g0.edges.count(); g0 }
-    for (pass <- 1 to 2) {
+    // end-to-end library path, 3 passes (pass 1 = warm layout first-touch)
+    for (pass <- 1 to 3) {
       val sub = g.copy(edges = g.edges.filter(col("label").isin(1, 4)))
-      // inline hits body with per-step timing
-      val out = t(s"hits-pass$pass") {
-        import org.apache.spark.sql.DataFrame
-        val fwd = t("fwd-ckpt") {
-          sub.edges.filter(col("dir")).select(col("src"), col("dst")).localCheckpoint(true) }
-        val verts = t("verts-ckpt") {
-          import spark.implicits._
-          fwd.select(col("src").as("id")).unionAll(fwd.select(col("dst").as("id")))
-            .distinct().localCheckpoint(true) }
-        val bcast = t("verts-count") { verts.count() <= 1000000L }
-        def side(df: DataFrame) = if (bcast) broadcast(df) else df
-        def step(scores: DataFrame, valCol: String, from: String, to: String,
-            outCol: String, label: String): DataFrame = {
-          val s = side(scores)
-          val raw = t(s"$label-raw") {
-            fwd.join(s, fwd(from) === s("id"))
-              .groupBy(fwd(to).as("id")).agg(sum(col(valCol)).as("s"))
-              .localCheckpoint(true) }
-          val tot = raw.agg(sum(col("s")).as("tot"))
-          raw.crossJoin(broadcast(tot))
-            .select(col("id"),
-              when(col("tot") > 0, col("s") / col("tot")).otherwise(lit(0.0)).as(outCol))
-        }
-        var hub = verts.select(col("id"), lit(1.0).as("hub"))
-        var auth = verts.select(col("id"), lit(0.0).as("auth")).limit(0)
-        for (i <- 1 to 5) {
-          auth = step(hub, "hub", "src", "dst", "auth", s"it$i-auth")
-          hub = step(auth, "auth", "dst", "src", "hub", s"it$i-hub")
-        }
-        t("final-densify") {
-          verts.join(side(auth), Seq("id"), "left").join(side(hub), Seq("id"), "left")
-            .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth"),
-              coalesce(col("hub"), lit(0.0)).as("hub"))
-            .collect().length }
+      val n = t(s"hits-lib-pass$pass") {
+        graft.analytics.GraphAnalytics.hits(sub, numIter = 5).collect().length
       }
-      println(s"rows=$out")
+      println(s"rows=$n")
     }
-    // variant B: fwd pre-partitioned per direction, scores shuffle-hash-joined
-    for (pass <- 1 to 2) {
+    // instrumented copy of the library body: setup vs per-iteration walls
+    {
       val sub = g.copy(edges = g.edges.filter(col("label").isin(1, 4)))
       import org.apache.spark.sql.DataFrame
-      val out = t(s"hitsB-pass$pass") {
-        val fwd0 = sub.edges.filter(col("dir")).select(col("src"), col("dst"))
-        val fwdBySrc = t("fwdBySrc") { fwd0.repartition(col("src")).localCheckpoint(true) }
-        val fwdByDst = t("fwdByDst") { fwd0.repartition(col("dst")).localCheckpoint(true) }
-        val verts = t("vertsB") {
-          fwd0.select(col("src").as("id")).unionAll(fwd0.select(col("dst").as("id")))
-            .distinct().localCheckpoint(true) }
-        def step(scores: DataFrame, valCol: String, from: String, to: String,
-            outCol: String, label: String): DataFrame = {
-          val fwdX = if (from == "src") fwdBySrc else fwdByDst
-          val raw = t(s"$label-raw") {
-            fwdX.join(scores.hint("shuffle_hash"), fwdX(from) === scores("id"))
-              .groupBy(fwdX(to).as("id")).agg(sum(col(valCol)).as("s"))
-              .localCheckpoint(true) }
-          val tot = raw.agg(sum(col("s")).as("tot"))
-          raw.crossJoin(broadcast(tot))
-            .select(col("id"),
-              when(col("tot") > 0, col("s") / col("tot")).otherwise(lit(0.0)).as(outCol))
-        }
-        var hub = verts.select(col("id"), lit(1.0).as("hub"))
-        var auth: DataFrame = null
-        for (i <- 1 to 5) {
-          auth = step(hub, "hub", "src", "dst", "auth", s"Bit$i-auth")
-          hub = step(auth, "auth", "dst", "src", "hub", s"Bit$i-hub")
-        }
-        t("B-final-densify") {
-          verts.join(auth, Seq("id"), "left").join(hub, Seq("id"), "left")
-            .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth"),
-              coalesce(col("hub"), lit(0.0)).as("hub"))
-            .collect().length }
+      val fwdBySrc = t("setup-fwdBySrc") {
+        val f = sub.edges.filter(col("dir")).select(col("src"), col("dst"))
+          .repartition(col("src")).persist()
+        f.count(); f
       }
-      println(s"rowsB=$out")
+      val fwdByDst = t("setup-fwdByDst") {
+        val f = fwdBySrc.repartition(col("dst")).persist(); f.count(); f
+      }
+      val verts = t("setup-verts") {
+        fwdBySrc.select(col("src").as("id"))
+          .unionAll(fwdBySrc.select(col("dst").as("id")))
+          .distinct().localCheckpoint(true)
+      }
+      def rawStep(scores: DataFrame, valCol: String, from: String, to: String): DataFrame = {
+        val fwd = if (from == "src") fwdBySrc else fwdByDst
+        fwd.join(scores.hint("shuffle_hash"), fwd(from) === scores("id"))
+          .groupBy(fwd(to).as("id")).agg(sum(col(valCol)).as("s"))
+      }
+      def l1(raw: DataFrame, outCol: String): DataFrame = {
+        val tot = raw.agg(sum(col("s")).as("tot"))
+        raw.crossJoin(broadcast(tot))
+          .select(col("id"), when(col("tot") > 0, col("s") / col("tot"))
+            .otherwise(lit(0.0)).as(outCol))
+      }
+      var hub = verts.select(col("id"), lit(1.0).as("hub"))
+      var authRaw: DataFrame = null
+      var hubRaw: DataFrame = null
+      for (i <- 1 to 5) {
+        authRaw = rawStep(hub, "hub", "src", "dst")
+        if (i == 5) authRaw = t(s"it$i-authRaw-ckpt") { authRaw.localCheckpoint(true) }
+        hubRaw = t(s"it$i-hubRaw-ckpt") { rawStep(authRaw, "s", "dst", "src").localCheckpoint(true) }
+        hub = l1(hubRaw, "hub")
+      }
+      val n = t("final-densify") {
+        verts.join(l1(authRaw, "auth"), Seq("id"), "left")
+          .join(hub, Seq("id"), "left")
+          .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth"),
+            coalesce(col("hub"), lit(0.0)).as("hub"))
+          .collect().length
+      }
+      println(s"rows-instrumented=$n")
+      fwdBySrc.unpersist(blocking = false)
+      fwdByDst.unpersist(blocking = false)
     }
     spark.stop()
   }
