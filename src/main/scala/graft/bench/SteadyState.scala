@@ -45,6 +45,7 @@ object SteadyState {
     "a22_betweenness" -> 6.13,
     "a23_scc" -> 0.02,
     "a24_condensation_layers" -> 5.02,
+    "a25_eccentricity" -> 3.69, // isolated REPEAT=2, 2026-08-15 (gate added round 13)
     "a2_shortest_hops" -> 1.49,
     "a3_connected_components" -> 0.51,
     "a4_degree_histogram" -> 1.16,

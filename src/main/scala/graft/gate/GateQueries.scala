@@ -1408,6 +1408,15 @@ object GateQueries {
       graft.analytics.GraphAnalytics.harmonicCloseness(
         coPurchaseEdges(s, d), nSeeds = 8, maxDepth = 4)
     }),
+    "a25_eccentricity" -> ((s, d) => {
+      // sampled eccentricity on the co-purchase graph, the a15 seeds and
+      // depth bound — per-seed max BFS distance + reached count over the
+      // SAME seededBfsDistances body a15 aggregates (gate closes the
+      // round-13 advisor's "no gate, no caller" find). All-BIGINT
+      // output, so the oracle needs no rounding convention.
+      graft.analytics.GraphAnalytics.eccentricitySampled(
+        coPurchaseEdges(s, d), nSeeds = 8, maxDepth = 4)
+    }),
     "a23_scc" -> ((s, d) => {
       // strongly connected components via distributed coloring on the
       // id<400 mail subgraph — the one gate graph with real DIRECTED
@@ -1848,7 +1857,13 @@ object GateQueries {
        |SELECT a, b FROM e$iters""".stripMargin
   }
 
-  private def harmonicClosenessOracleSql(nSeeds: Int, maxDepth: Int): String = {
+  /** Shared BFS CTE prefix of the a15/a25 oracles — mirrors
+    * [[graft.analytics.GraphAnalytics]]'s private seededBfsDistances
+    * (the one body both reports aggregate): md5-pivot seeds over the
+    * co-purchase vertex set, maxDepth carry ∪ expand → MIN rounds.
+    * Ends with the final min-dist table `d$maxDepth`; callers append
+    * their own aggregation. */
+  private def seededBfsOracleCtes(nSeeds: Int, maxDepth: Int): String = {
     val rounds = (1 to maxDepth).map { i =>
       s"""d$i AS MATERIALIZED (
          |  SELECT seed, id, MIN(dist) AS dist FROM (
@@ -1873,11 +1888,23 @@ object GateQueries {
        |), d0 AS (
        |  SELECT id AS seed, id, CAST(0 AS BIGINT) AS dist FROM seeds
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def harmonicClosenessOracleSql(nSeeds: Int, maxDepth: Int): String =
+    s"""${seededBfsOracleCtes(nSeeds, maxDepth)}
        |SELECT id, CAST(COUNT(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached,
        |  ROUND(COALESCE(SUM(CASE WHEN dist > 0 THEN 1.0::DOUBLE / dist END), 0.0::DOUBLE), 6) + 0 AS harmonic
        |FROM d$maxDepth GROUP BY id""".stripMargin
-  }
+
+  /** a25 oracle: [[graft.analytics.GraphAnalytics.eccentricitySampled]]
+    * over the same BFS body — per SEED the max bounded-BFS distance and
+    * reached count (all BIGINT, no rounding needed). */
+  private def eccentricityOracleSql(nSeeds: Int, maxDepth: Int): String =
+    s"""${seededBfsOracleCtes(nSeeds, maxDepth)}
+       |SELECT seed, CAST(MAX(dist) AS BIGINT) AS ecc,
+       |  CAST(COUNT(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached
+       |FROM d$maxDepth GROUP BY seed""".stripMargin
 
   /** a22 oracle: [[graft.analytics.GraphAnalytics.betweennessSampled]]
     * unrolled — the same md5-pivot seeds, then Brandes level by level:
@@ -2231,6 +2258,7 @@ object GateQueries {
         |  COALESCE(sup.aa, 0.0) AS aa
         |FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b""".stripMargin,
     "a15_harmonic_closeness" -> harmonicClosenessOracleSql(8, 4),
+    "a25_eccentricity" -> eccentricityOracleSql(8, 4),
     "a22_betweenness" -> betweennessOracleSql(8, 4),
     // SCC = mutual reachability: scc(v) = MAX u with v→*u and u→*v (v
     // itself always qualifies via the (id,id) seed, so singletons label
