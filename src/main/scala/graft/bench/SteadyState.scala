@@ -70,7 +70,7 @@ object SteadyState {
     "d6_embedding_dups_exact" -> 0.61,
     "d7_dedup_against" -> 4.11,
     "d8_dedup_keepers" -> 1.79,
-    "d9_semantic_dedup" -> 7.51,
+    "d9_semantic_dedup" -> 1.32, // re-measured 2026-08-15: score-then-dedup restructure (narrow dedup exchange)
     "e10_ann_ivfsq8_topk" -> 2.54,
     "e11_ann_filtered_topk" -> 0.51,
     "e12_kmeans_clusters" -> 1.19,

@@ -536,23 +536,33 @@ object Similarity {
       col("v").as("bv"), col("n").as("bn"))
     val cands = a.join(b, "centroid_id")
       .filter(col("doc_a") < col("doc_b"))
-    // soft assignment finds the same pair in every shared cluster — dedup
-    // BEFORE the per-pair cosine so duplicates cost a shuffle, not dots;
-    // single assignment has no duplicates (each doc in exactly 1 cluster).
+    // per-pair cosine FIRST, then the threshold, then the soft-assignment
+    // dedup. Soft assignment finds the same pair in every shared cluster;
+    // the pre-round-13 shape deduped those copies before scoring — a
+    // groupBy whose exchange carried BOTH embeddings per candidate row
+    // (O(candidates · vector width) shuffle bytes, ~1 GB at the 2,000 ×
+    // dim-64 × nAssign=3 bench scale). Scoring each copy in place is
+    // map-side work on the cluster-local join output (never shuffled),
+    // the threshold drops all-but-duplicates, and the dedup exchange
+    // shrinks to O(passing pairs · 32 B) — the duplicate dots it re-buys
+    // are codegen'd and shuffle nothing. Copies of a pair score
+    // BIT-IDENTICALLY (same expression over the same two vectors,
+    // whichever shared cluster the row came from), so the threshold
+    // keeps all copies or none and first(cosine) is value-deterministic.
     // min(centroid_id), not dropDuplicates: the kept cluster_id is part
-    // of the public output and must not depend on partition ordering
-    // (av/an/bv/bn are identical across a pair's duplicate rows, so
-    // first() on them is value-deterministic)
-    val uniq = if (m == 1) cands
-      else cands.groupBy(col("doc_a"), col("doc_b"))
-        .agg(min(col("centroid_id")).as("centroid_id"),
-          first(col("av")).as("av"), first(col("an")).as("an"),
-          first(col("bv")).as("bv"), first(col("bn")).as("bn"))
-    uniq
+    // of the public output and must not depend on partition ordering.
+    // Single assignment has no duplicates (each doc in exactly 1
+    // cluster) — no dedup aggregation at all.
+    val scored = cands
       .withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cosine") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("cosine"),
-        col("centroid_id").as("cluster_id"))
+      .select(col("doc_a"), col("doc_b"), col("cosine"), col("centroid_id"))
+    val uniq = if (m == 1) scored
+      else scored.groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("centroid_id")).as("centroid_id"),
+          first(col("cosine")).as("cosine"))
+    uniq.select(col("doc_a"), col("doc_b"), col("cosine"),
+      col("centroid_id").as("cluster_id"))
   }
 
   /** m-nearest-centroid SOFT assignment: one row per (vector, assigned
