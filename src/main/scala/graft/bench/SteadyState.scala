@@ -65,7 +65,7 @@ object SteadyState {
     "d1_minhash_near_dups" -> 0.04,
     "d2_simhash_signatures" -> 1.58,
     "d3_ngram_jaccard_pairs" -> 2.67,
-    "d4_embedding_near_dups" -> 6.68,
+    "d4_embedding_near_dups" -> 2.20, // re-measured 2026-08-15: score-then-dedup restructure
     "d5_dedup_clusters" -> 1.6, // isolated REPEAT=3 (full-run pass-2 read 6.2 under tail contention)
     "d6_embedding_dups_exact" -> 0.61,
     "d7_dedup_against" -> 4.11,

@@ -381,19 +381,31 @@ object Similarity {
       aB.join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")
         .drop("bucket")
     }.reduce(_ unionByName _)
-    val uniq =
-      if (!probed) {
-        val c = raw.filter(col("doc_a") < col("doc_b"))
-        if (nTables == 1) c else c.dropDuplicates("doc_a", "doc_b")
-      } else // cosine is symmetric: ids canonicalize, vectors need no swap
-        raw.filter(col("doc_a") =!= col("doc_b"))
-          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-            greatest(col("doc_a"), col("doc_b")).as("doc_b"),
-            col("av"), col("an"), col("bv"), col("bn"))
-          .dropDuplicates("doc_a", "doc_b")
-    uniq.withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
+    // per-pair cosine FIRST, then the threshold, then the cross-table
+    // dedup (the d9 score-then-dedup restructure): a pair found by
+    // several tables (or probe orientations) carries its embeddings on
+    // EVERY copy, so deduping first pushed O(candidates · vector width)
+    // bytes through the dropDuplicates exchange. Scoring each copy is
+    // map-side on the bucket-join output (never shuffled) and
+    // bit-deterministic across copies — same two vectors, and both
+    // orientations multiply element-wise (commutative) in the same
+    // summation order — so the threshold keeps all copies or none and
+    // the dedup exchange carries only the passing (doc_a, doc_b, cosine)
+    // rows. The one-table exhaustive tier keeps its scan shape: no dedup
+    // exchange at all, exactly as before.
+    def score(df: DataFrame): DataFrame = df
+      .withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
+    if (!probed) {
+      val c = score(raw.filter(col("doc_a") < col("doc_b")))
+      if (nTables == 1) c else c.dropDuplicates("doc_a", "doc_b")
+    } else // cosine is symmetric: ids canonicalize, vectors need no swap
+      score(raw.filter(col("doc_a") =!= col("doc_b"))
+          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+            col("av"), col("an"), col("bv"), col("bn")))
+        .dropDuplicates("doc_a", "doc_b")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
