@@ -76,14 +76,14 @@ object SteadyState {
     "e12_kmeans_clusters" -> 1.19,
     "e13_random_projection" -> 0.39,
     "e14_mmr_rerank" -> 1.81,
-    "e15_ann_projected_topk" -> 1.89,
-    "e16_mutual_knn" -> 5.17,
-    "e17_mutual_knn_ivf" -> 1.44,
-    "e18_mutual_knn_planted_exact" -> 3.92,
+    "e15_ann_projected_topk" -> 1.99,
+    "e16_mutual_knn" -> 4.25, // e1/e2/e4/e15/e16/e17/e18 re-measured 2026-08-15 after the narrow-exchange ANN restructure
+    "e17_mutual_knn_ivf" -> 1.30,
+    "e18_mutual_knn_planted_exact" -> 3.49,
     "e1_ann_bruteforce_topk" -> 0.43,
-    "e2_ann_lsh_topk" -> 3.48,
+    "e2_ann_lsh_topk" -> 2.71,
     "e3_embedding_cluster_stats" -> 0.2,
-    "e4_ann_ivf_topk" -> 1.33,
+    "e4_ann_ivf_topk" -> 1.24,
     "e5_ann_ivf_exact" -> 0.83,
     "e6_ann_lsh_exact" -> 0.43,
     "e7_ann_pq_topk" -> 3.13,

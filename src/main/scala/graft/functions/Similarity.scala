@@ -66,9 +66,15 @@ object Similarity {
       nnorm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       nnorm(col(vecCol)).as("cn"))
+    // the vectors are projected away BEFORE the rank window: the window
+    // exchange repartitions its whole input on query_id, and carrying
+    // qv/cv through it costs O(|q|·|c| · vector width) shuffle bytes —
+    // ~2 GB at the 2,000² dim-64 e16 scale — for columns the ranking
+    // never reads. Scoring is map-side on the codegen'd cross-join scan.
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -303,14 +309,23 @@ object Similarity {
         .drop("bucket")
     }.reduce(_ unionByName _)
       .filter(col("query_id") =!= col("neighbor_id"))
+    // score FIRST, map-side on the bucket-join output, and project the
+    // vectors away BEFORE any exchange (the d9/d4 score-then-dedup
+    // restructure): the cross-table dedup and the per-query rank window
+    // both shuffle their input, and pre-restructure BOTH exchanges
+    // carried qv/cv per candidate row. Duplicate (q,c) copies score
+    // bit-identically (same two vectors, same expression), so deduping
+    // after scoring keeps the exact same rows — now at (query_id,
+    // neighbor_id, cosine) width.
+    val scored0 = cands0.withColumn("cosine",
+        ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
     // single table → one bucket per CORPUS vector and distinct probe
     // buckets per query (base + distinct weight-1/2 flips) → no duplicate
     // (q,c) pairs; skip the dedup shuffle (matters for the bits=0
     // exhaustive config)
-    val candidates = if (tables == 1) cands0
-      else cands0.dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates.withColumn("cosine",
-      ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val scored = if (tables == 1) scored0
+      else scored0.dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -932,12 +947,20 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"), col("cid").as("centroid_id"))
     val cands = qprobe.join(assigned, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-    // a neighbor indexed under several probed clusters would occupy
-    // several ranks and push true neighbors out of the top-k cut — dedup
-    // first; single assignment is duplicate-free by construction
-    val uniq = if (m == 1) cands else cands.dropDuplicates("query_id", "neighbor_id")
-    val scored = uniq
+    // score map-side on the bucket-join output and project the vectors
+    // away before ANY exchange (the d9/d4 restructure): both the
+    // soft-assignment dedup and the rank window shuffle their input, and
+    // carrying qv/cv through them is O(candidates · vector width) for
+    // columns neither needs. A neighbor indexed under several probed
+    // clusters still dedups BEFORE the rank cut (it would otherwise
+    // occupy several ranks and push true neighbors out of the top-k);
+    // its copies score bit-identically, so post-score dedup keeps the
+    // same rows. Single assignment is duplicate-free by construction.
+    val scored0 = cands
       .withColumn("cosine", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val scored = if (m == 1) scored0
+      else scored0.dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
