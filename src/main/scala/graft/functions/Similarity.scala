@@ -507,11 +507,17 @@ object Similarity {
       aB.join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")
         .drop("bucket")
     }.reduce(_ unionByName _)
-    val uniq = if (nTables == 1 && p1 <= 0) raw
-      else raw.dropDuplicates("doc_id", "ref_id")
-    uniq.withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
+    // score-then-dedup (the d9/d4 restructure): cosine + threshold run
+    // map-side on the bucket-join output, so the cross-table dedup
+    // exchange carries only passing (doc_id, ref_id, cosine) rows
+    // instead of both embeddings per candidate copy. Copies score
+    // bit-identically — the threshold keeps all or none of them.
+    val scored = raw
+      .withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cosine") >= threshold)
       .select(col("doc_id"), col("ref_id"), round(col("cosine"), 6).as("cosine"))
+    if (nTables == 1 && p1 <= 0) scored
+    else scored.dropDuplicates("doc_id", "ref_id")
   }
 
   /** Pre-builds the session-memoized centroid table [[semanticDedup]]
