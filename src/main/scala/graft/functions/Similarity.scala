@@ -883,25 +883,30 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"), col("cid").as("centroid_id"))
     val cands = indexed.join(broadcast(qprobe), "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-    // an index built with soft assignment ([[saveIvfIndex]] nAssign > 1,
-    // stamped in _nassign) holds each vector under several centroids —
-    // dedup candidates so duplicate ranks can't evict true neighbors; a
+    // score map-side on the pruned-partition join output and project the
+    // vectors away before any exchange (the d9/d4 restructure — the
+    // dedup AND the rank window used to carry qv/cv). An index built
+    // with soft assignment ([[saveIvfIndex]] nAssign > 1, stamped in
+    // _nassign) holds each vector under several centroids — dedup so
+    // duplicate ranks can't evict true neighbors; copies score
+    // bit-identically, so the post-score dedup keeps the same rows. A
     // legacy/hard index (stamp absent or 1) skips the extra exchange.
     // A STREAM-MAINTAINED index (_streamed stamp, [[ivfIndexStream]])
     // may additionally hold several VERSIONS of an id (at-least-once
-    // appends, re-ingest with a changed vector) whose cosines differ, so
-    // the value-blind dropDuplicates would pick nondeterministically —
-    // collapse AFTER scoring to max cosine per (query, neighbor) instead
+    // appends, re-ingest with a changed vector) whose cosines DIFFER, so
+    // a value-blind dropDuplicates would pick nondeterministically —
+    // collapse to max cosine per (query, neighbor) instead
     // (deterministic, and a stale version can never outrank the best one)
     val softBuilt = graft.util.MetaFiles.readLong(spark, s"$dir/_nassign").exists(_ > 1L)
     val streamed = graft.util.MetaFiles.readLong(spark, s"$dir/_streamed").nonEmpty
-    val uniq = if (softBuilt && !streamed)
-      cands.dropDuplicates("query_id", "neighbor_id") else cands
-    val scored0 = uniq
+    val scoredAll = cands
       .withColumn("cosine", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val scored = if (!streamed) scored0
-      else scored0.groupBy(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val scored =
+      if (streamed) scoredAll.groupBy(col("query_id"), col("neighbor_id"))
         .agg(max(col("cosine")).as("cosine"))
+      else if (softBuilt) scoredAll.dropDuplicates("query_id", "neighbor_id")
+      else scoredAll
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -1456,9 +1461,14 @@ object Similarity {
       model.scaledQuery(col(vecCol)).as("sq"),
       model.base(col(vecCol)).as("base"),
       nnorm(col(vecCol)).as("qn"))
+    // codes/scaled-query arrays projected away before the rank window
+    // (the d9/d4 restructure): scoring is map-side on the codegen'd
+    // broadcast-join scan; the window exchange moves only
+    // (query_id, neighbor_id, cosine).
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", model.pairCosine)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     val cut = if (rerank > 0) k * rerank else k
     val ranked = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= cut)
@@ -1502,8 +1512,14 @@ object Similarity {
         col("cid").as("centroid_id"))
     val cands = qprobe.join(coded, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-    val uniq = if (m == 1) cands else cands.dropDuplicates("query_id", "neighbor_id")
-    val scored = uniq.withColumn("cosine", model.pairCosine)
+    // score map-side, project the codes/scaled-query arrays away, THEN
+    // dedup soft-assignment duplicates and rank (the d9/d4 restructure;
+    // copies of a duplicated vector carry identical codes, so they score
+    // bit-identically and post-score dedup keeps the same rows).
+    val scored0 = cands.withColumn("cosine", model.pairCosine)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val scored = if (m == 1) scored0
+      else scored0.dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     val cut = if (rerank > 0) k * rerank else k
     val ranked = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= cut)
