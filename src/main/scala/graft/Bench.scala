@@ -121,6 +121,11 @@ object Bench {
     if (warm) {
       graft.gate.GateQueries.warmLpa(spark, sfDir)
       graft.gate.GateQueries.warmSccs(spark)
+      // co-purchase fixtures (round 13): the edge relation feeds ~12
+      // a-gates, its support memo a10+a17, its triangle memo a6+a20 —
+      // unwarmed, the alphabetically-first consumer absorbs the shared
+      // lineitem self-join + wedge join
+      graft.gate.GateQueries.warmCoPurchase(spark, sfDir)
       // e17/e18's planted-corpus fixture (written to /tmp on first touch)
       // + e17's IVF centroids (lloydIters=1, the ivfTopK default the
       // mutualKnnGraphIvf gate path trains) — without this a fresh-VM

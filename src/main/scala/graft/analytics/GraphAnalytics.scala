@@ -861,15 +861,26 @@ object GraphAnalytics {
     * the fraction of a node's neighbor pairs that are themselves
     * connected — [[triangleCounts]] normalized by the wedge count. Nodes
     * of degree ≤ 1 have no wedge and emit coefficient 0. Cost =
-    * triangleCounts + one degree aggregation + one join on node. */
-  def clusteringCoefficient(edges: DataFrame, uCol: String = "u", vCol: String = "v"): DataFrame = {
+    * triangleCounts + one degree aggregation + one join on node.
+    *
+    * Pass a precomputed `triangles0` frame ([[triangleCounts]]' (node,
+    * n_triangles) output over the SAME edge set) to skip the wedge join
+    * — the [[kTrussEdges]] `support0` pattern. No coverage guard is
+    * possible here: absence from triangleCounts output legitimately
+    * means zero triangles (the left join's coalesce), so a mismatched
+    * frame cannot be told apart from a triangle-free node — the
+    * precondition is on the caller. */
+  def clusteringCoefficient(edges: DataFrame, uCol: String = "u", vCol: String = "v",
+      triangles0: Option[DataFrame] = None): DataFrame = {
     val e = edges
       .select(least(col(uCol), col(vCol)).as("a"), greatest(col(uCol), col(vCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
     val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    deg.join(triangleCounts(e, "a", "b"), Seq("node"), "left")
+    val tri = triangles0.map(_.select(col("node"), col("n_triangles")))
+      .getOrElse(triangleCounts(e, "a", "b"))
+    deg.join(tri, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("degree") >= 2,
@@ -1015,23 +1026,89 @@ object GraphAnalytics {
     * (recomputing the identical set, so fixed-round and early-exit
     * semantics agree). Returns the surviving edge list (a, b), a < b.
     *
-    * Scale shape per round: one support recomputation (degree-oriented
-    * wedge join, O(Σ outdeg²) bounded — the a6/a10 body) + one filter;
-    * lineage cut per round. */
+    * Scale shape: ONE full support computation (degree-oriented wedge
+    * join, O(Σ outdeg²) bounded — the a6/a10 body), then INCREMENTAL
+    * maintenance per peel round (round 13): a triangle only disappears
+    * when one of its edges peels, so instead of re-running the wedge
+    * join on the survivor graph, each round enumerates just the
+    * triangles through that round's removed edges (seeded from the
+    * lower-degree endpoint, O(Σ_removed min-deg), deduped by sorted
+    * vertex triple so a triangle losing 2+ edges decrements once) and
+    * subtracts them from the carried support relation. Identical output
+    * to recompute-per-round — support(new graph) = support(old) −
+    * |old triangles through a removed edge| — pinned by the
+    * naive-equivalence property test; the quiet late rounds typical of
+    * truss peeling (small removal sets) become near-free. Lineage cut
+    * per round.
+    *
+    * Pass a precomputed `support0` frame ([[edgeSupport]]'s (a, b,
+    * support) output over the SAME edge set) to also skip the one full
+    * wedge join — the [[condensationLayers]] `sccs` pattern: a pipeline
+    * that already materialized per-edge support (tie strength, truss
+    * input) feeds it here instead of recomputing. Guarded the same way:
+    * a supplied frame that misses any canonical edge fails fast (one
+    * bounded anti-join probe) rather than silently peeling edges whose
+    * support it never stated; extra rows for non-edges are ignored. */
   def kTrussEdges(edges: DataFrame, k: Int, iters: Int,
-      uCol: String = "u", vCol: String = "v"): DataFrame = {
+      uCol: String = "u", vCol: String = "v",
+      support0: Option[DataFrame] = None): DataFrame = {
     require(k >= 2 && iters >= 1, s"kTrussEdges: need k >= 2, iters >= 1 (got $k, $iters)")
-    var e = canonicalEdges(edges, uCol, vCol).localCheckpoint(true)
+    val e0 = canonicalEdges(edges, uCol, vCol).localCheckpoint(true)
+    var sup = (support0 match {
+      case Some(s) =>
+        val s0 = s.select(col("a"), col("b"), col("support"))
+        val missing = e0.join(s0, Seq("a", "b"), "left_anti").limit(1).collect()
+        require(missing.isEmpty,
+          s"kTrussEdges: support0 does not cover canonical edge " +
+            s"(${missing.head.get(0)}, ${missing.head.get(1)}) — the supplied " +
+            "frame must be edgeSupport over the same edge set " +
+            "(pass support0 = None to compute it here)")
+        e0.join(s0, Seq("a", "b"))
+      case None => edgeSupport(e0, "a", "b")
+    }).localCheckpoint(true)
     var i = 0
     var done = false
     while (i < iters && !done) {
-      val next = edgeSupport(e, "a", "b")
-        .filter(col("support") >= k - 2).select("a", "b").localCheckpoint(true)
-      if (next.count() == e.count()) done = true
-      e = next
+      val removed = sup.filter(col("support") < k - 2).select("a", "b")
+      if (removed.isEmpty) done = true
+      else {
+        // adjacency of the CURRENT graph (removed edges included — lost
+        // triangles live in the graph BEFORE this round's peel)
+        val cur = sup.select(col("a"), col("b"))
+        val und = cur.unionAll(cur.select(col("b"), col("a"))).toDF("x", "y")
+        val deg = und.groupBy(col("x").as("n")).agg(count(lit(1)).as("dg"))
+        // seed each removed edge's triangle scan from its lower-degree
+        // endpoint (ties by the canonical a-side) — the wedge join's
+        // celebrity guard, applied to the removal frontier
+        val seeded = removed
+          .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+          .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+          .select(when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("s"),
+            when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("o"))
+        val lost = seeded
+          .join(und.select(col("x").as("s"), col("y").as("c")), "s")
+          .filter(col("c") =!= col("o"))
+          .join(und.select(col("x").as("o"), col("y").as("c")), Seq("o", "c"), "left_semi")
+          .select(array_sort(array(col("s"), col("o"), col("c"))).as("t"))
+          .select(col("t")(0).as("t1"), col("t")(1).as("t2"), col("t")(2).as("t3"))
+          .distinct()
+        // each lost triangle debits its three edges; sorted triples make
+        // the pairs canonical (p < q) so they key straight into `sup`
+        val decr = lost.select(explode(array(
+            struct(col("t1").as("p"), col("t2").as("q")),
+            struct(col("t1").as("p"), col("t3").as("q")),
+            struct(col("t2").as("p"), col("t3").as("q")))).as("e"))
+          .select(col("e.p").as("a"), col("e.q").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("dec"))
+        sup = sup.filter(col("support") >= k - 2)
+          .join(decr, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
+          .localCheckpoint(true)
+      }
       i += 1
     }
-    e
+    sup.select(col("a"), col("b"))
   }
 
   /** Synchronous label-propagation communities → (id, label): labels

@@ -27,7 +27,10 @@ object SteadyState {
     * cal_ms all 9-11; e17/e18 from an isolated REPEAT=2 run after their
     * corpus was resized to n=2000/c10). */
   val sec: Map[String, Double] = Map(
-    "a10_edge_support" -> 3.35,
+    // a6/a10/a17/a20 re-measured 2026-08-15 after the co-purchase session
+    // memos (edge relation + support + triangles warmed in train phase;
+    // a6/a10 now emit their memo) and the incremental-truss rewrite
+    "a10_edge_support" -> 0.15,
     // re-measured 2026-08-14 after the once-per-iteration normalization
     // + single-base-scan setup restructure (isolated REPEAT=2 pass-2)
     "a11_hits" -> 9.22,
@@ -36,11 +39,11 @@ object SteadyState {
     "a14_jaccard_links" -> 3.75,
     "a15_harmonic_closeness" -> 3.87,
     "a16_random_walks" -> 2.19,
-    "a17_ktruss" -> 7.29,
+    "a17_ktruss" -> 5.8,
     "a18_weighted_sssp" -> 3.55,
     "a19_bipartite_projection" -> 1.19,
     "a1_reachable_orders" -> 1.85,
-    "a20_clustering_coefficient" -> 3.13,
+    "a20_clustering_coefficient" -> 0.88,
     "a21_assortativity" -> 1.56,
     "a22_betweenness" -> 6.13,
     "a23_scc" -> 0.02,
@@ -50,7 +53,7 @@ object SteadyState {
     "a3_connected_components" -> 0.51,
     "a4_degree_histogram" -> 1.16,
     "a5_pagerank" -> 0.9,
-    "a6_triangles" -> 2.69,
+    "a6_triangles" -> 0.11,
     "a7_kcore" -> 3.02,
     "a8_ppr" -> 2.73,  // re-measured 2026-08-14: window-degree single-scan setup
     "a9_label_propagation" -> 0.03,

@@ -464,6 +464,36 @@ class PropertySpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("incremental k-truss == naive recompute-per-round on random graphs") {
+    import spark.implicits._
+    import graft.analytics.GraphAnalytics
+    // kTrussEdges maintains support by decrementing lost triangles
+    // (round 13); the naive reference recomputes edgeSupport on every
+    // survivor graph — the two must agree at every (graph, k, iters)
+    val genG = Gen.choose(5, 30).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 11L); b <- Gen.choose(0L, 11L)
+    } yield (a, b)))
+    check("trussIncr", Prop.forAll(genG, Gen.choose(3, 5), Gen.choose(1, 4)) { (es, k, iters) =>
+      val e = es.toDF("u", "v")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def naive(): Set[(Long, Long)] = {
+        var cur = pairs(GraphAnalytics.edgeSupport(e).select("a", "b"))
+        var i = 0; var done = false
+        while (i < iters && !done) {
+          val df = cur.toSeq.toDF("u", "v")
+          val next = pairs(GraphAnalytics.edgeSupport(df)
+            .filter(col("support") >= k - 2).select("a", "b"))
+          if (next == cur) done = true
+          cur = next; i += 1
+        }
+        cur
+      }
+      if (es.forall { case (a, b) => a == b }) true // no canonical edges
+      else pairs(GraphAnalytics.kTrussEdges(e, k, iters)) == naive()
+    }, n = 5)
+  }
+
   test("betweenness on random graphs: degree-1 nodes carry 0 at any sample size") {
     import spark.implicits._
     import graft.analytics.GraphAnalytics

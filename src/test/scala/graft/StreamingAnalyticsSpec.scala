@@ -1817,6 +1817,38 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(pairs(GraphAnalytics.kTrussEdges(chain, k = 4, iters = 2)) === Set.empty)
   }
 
+  test("kTrussEdges support0: precomputed support == recompute path; coverage guarded") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (5L, 7L)).toDF("u", "v")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sup = GraphAnalytics.edgeSupport(e)
+    for (k <- Seq(3, 4, 5))
+      assert(pairs(GraphAnalytics.kTrussEdges(e, k, iters = 3, support0 = Some(sup)))
+        === pairs(GraphAnalytics.kTrussEdges(e, k, iters = 3)),
+        s"support0 path must match the recompute path at k=$k")
+    // extra rows for non-edges are ignored (the inner join drops them)
+    val extra = sup.unionAll(Seq((100L, 200L, 99L)).toDF("a", "b", "support"))
+    assert(pairs(GraphAnalytics.kTrussEdges(e, k = 4, iters = 3, support0 = Some(extra)))
+      === pairs(GraphAnalytics.kTrussEdges(e, k = 4, iters = 3)))
+    // a frame that misses a canonical edge fails fast, not silently
+    val missing = sup.filter(!(col("a") === 4L && col("b") === 5L))
+    val err = intercept[IllegalArgumentException] {
+      GraphAnalytics.kTrussEdges(e, k = 4, iters = 3, support0 = Some(missing))
+    }
+    assert(err.getMessage.contains("support0"), err.getMessage)
+  }
+
+  test("clusteringCoefficient triangles0: precomputed triangle counts == recompute path") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    val tri = GraphAnalytics.triangleCounts(e)
+    val direct = GraphAnalytics.clusteringCoefficient(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val shared = GraphAnalytics.clusteringCoefficient(e, triangles0 = Some(tri)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(shared === direct)
+  }
+
   test("randomWalks: valid edges, full length, deterministic, seed-sensitive") {
     // K5 clique: every vertex has 4 neighbors, so walks never stall and
     // every step is a genuine 4-way draw
