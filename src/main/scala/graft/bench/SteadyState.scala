@@ -54,6 +54,9 @@ object SteadyState {
     "a4_degree_histogram" -> 1.16,
     "a5_pagerank" -> 0.9,
     "a6_triangles" -> 0.11,
+    // t43/t44 measured 2026-08-15 (isolated REPEAT=2 pass-2, quiet VM)
+    "t43_source_overlap" -> 4.16,
+    "t44_source_overlap_sketch" -> 3.15,
     "a7_kcore" -> 3.02,
     "a8_ppr" -> 2.73,  // re-measured 2026-08-14: window-degree single-scan setup
     "a9_label_propagation" -> 0.03,

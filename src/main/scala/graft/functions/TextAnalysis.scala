@@ -276,6 +276,116 @@ object TextAnalysis {
       textCol: String = "text", lgK: Int = 12): DataFrame =
     mergeDistinctSketches(distinctTokenSketches(docs, groupCol, textCol, lgK), groupCol)
 
+  // ---- cross-source overlap audit -------------------------------------------
+
+  /** Exact pairwise source-overlap matrix: word n-gram set Jaccard
+    * between every pair of sources — the corpus-level contamination /
+    * redundancy audit (how much of dump A is already in dump B; which
+    * snapshot pair shares boilerplate) that doc-level near-dup
+    * ([[graft.functions.Dedup.minHashDuplicates]]) and doc-vs-reference
+    * decontamination ([[findContaminationNgrams]]) do not answer.
+    * N-grams are [[graft.functions.Dedup.wordNgrams]]' convention
+    * (lowercase whitespace tokens joined by the repo-wide `\u0001`
+    * separator, distinct per doc — distinct again per source here).
+    *
+    * Returns (src_a, src_b, grams_a, grams_b, intersection, jaccard
+    * rounded 6 dp) for every src_a < src_b pair — ZERO-overlap pairs
+    * included (the audit's whole point is seeing which pairs are clean);
+    * a gram-less source pairs with jaccard 0.0.
+    *
+    * Scale shape: the heavy relation is distinct (source, gram) — one
+    * linear shuffle with map-side combine; the intersection self-join is
+    * gram-keyed and emits at most C(df, 2) ≤ |sources|²/2 rows PER GRAM,
+    * bounded because |sources| is small by construction (dumps,
+    * snapshots, providers — tens, not millions); the final assembly is a
+    * broadcast join over the |sources|-row size table. For corpora where
+    * even the distinct-gram relation is too hot, the sketch tier
+    * ([[sourceOverlapEstimates]]) replaces all of it with one
+    * map-side-combined pass. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    require(n >= 1, s"sourceOverlap: n must be >= 1, got $n")
+    val grams = docs.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("src"),
+        explode(graft.functions.Dedup.wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    val inter = grams.toDF("src_a", "g")
+      .join(grams.toDF("src_b", "g"), "g")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("i"))
+    val allSrc = docs.select(col(sourceCol).as("src")).distinct()
+      .join(sizes, Seq("src"), "left")
+      .select(col("src"), coalesce(col("sz"), lit(0L)).as("sz"))
+    allSrc.toDF("src_a", "sz_a")
+      .join(broadcast(allSrc.toDF("src_b", "sz_b")), col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        col("sz_a").as("grams_a"), col("sz_b").as("grams_b"),
+        coalesce(col("i"), lit(0L)).as("intersection"),
+        when(col("sz_a") + col("sz_b") - coalesce(col("i"), lit(0L)) > 0,
+          round(coalesce(col("i"), lit(0L)).cast("double")
+            / (col("sz_a") + col("sz_b") - coalesce(col("i"), lit(0L))), 6))
+          .otherwise(lit(0.0)).as("jaccard"))
+  }
+
+  /** Per-source MinHash sketch over word n-grams: k minima of
+    * xxhash64(xxhash64(gram), seed) — [[sourceOverlap]]'s sketch tier,
+    * the [[distinctTokenSketches]] discipline applied to set similarity.
+    * `min` is idempotent, so duplicate grams need NO distinct pass: the
+    * whole sketch is one linear scan with map-side-combined min
+    * aggregates, |sources| rows (k longs each) out — the exchange
+    * carries partial minima, never the gram set. Sketches persist as
+    * ordinary array columns; shard-then-[[mergeSourceSketches]] equals
+    * the one-pass sketch EXACTLY (min is associative/commutative —
+    * SketchSpec pins the equality). Gram-less sources emit no row (no
+    * minima exist), matching [[graft.functions.Dedup.minHashSignatures]]'
+    * null-doc rule. */
+  def sourceMinHashSketches(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    require(n >= 1 && numHashes >= 1,
+      s"sourceMinHashSketches: need n >= 1, numHashes >= 1 (got $n, $numHashes)")
+    val g = docs.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("src"),
+        explode(graft.functions.Dedup.wordNgrams(col(textCol), n)).as("g"))
+      .select(col("src"), xxhash64(col("g")).as("h0"))
+    val mins = (0 until numHashes).map(s => min(xxhash64(col("h0"), lit(s))).as(s"h$s"))
+    g.groupBy(col("src")).agg(mins.head, mins.tail: _*)
+      .select(col("src"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+  }
+
+  /** Merge sketch partials (element-wise min per position) — sharded
+    * builds roll up losslessly: merge(shard sketches) == one-pass sketch,
+    * bit for bit. */
+  def mergeSourceSketches(sketches: DataFrame, sourceCol: String = "src",
+      sigCol: String = "sig"): DataFrame = {
+    val k = sketches.select(size(col(sigCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val mins = (0 until k).map(i => min(element_at(col(sigCol), i + 1)).as(s"h$i"))
+    if (k == 0) sketches.select(col(sourceCol).as("src"), col(sigCol).as("sig")).limit(0)
+    else sketches.groupBy(col(sourceCol).as("src"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("src"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Pairwise Jaccard estimates from [[sourceMinHashSketches]] output:
+    * est = |matching signature positions| / k (the classic MinHash
+    * estimator, Broder 1997; rsd ≈ √(j(1−j)/k) ≤ 0.063 at k=64).
+    * Returns (src_a, src_b, jaccard_est rounded 6 dp) for src_a < src_b
+    * — a |sources|² broadcast self-join over k-long arrays, independent
+    * of corpus size: THE 100 TB path for cross-dump audits. */
+  def sourceOverlapEstimates(sketches: DataFrame, sourceCol: String = "src",
+      sigCol: String = "sig"): DataFrame = {
+    val a = sketches.select(col(sourceCol).as("src_a"), col(sigCol).as("sig_a"))
+    val b = sketches.select(col(sourceCol).as("src_b"), col(sigCol).as("sig_b"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(aggregate(
+            zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v).cast("double") / size(col("sig_a")), 6)
+          .as("jaccard_est"))
+  }
+
   // ---- normalization --------------------------------------------------------
 
   /** Canonical text normalization ahead of hashing/dedup: Unicode NFC

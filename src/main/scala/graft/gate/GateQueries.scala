@@ -753,6 +753,24 @@ object GateQueries {
       // EXACTLY and ≤5% error vs the exact t39 twin
       graft.functions.TextAnalysis.distinctTokenEstimates(t(s, d, "documents"))
     }),
+    "t43_source_overlap" -> ((s, d) => {
+      // exact pairwise source trigram-set Jaccard — the corpus-level
+      // contamination/redundancy audit (190 pairs at 20 sources,
+      // zero-overlap pairs included); hash-checked twin of the t44
+      // MinHash sketch tier
+      graft.functions.TextAnalysis.sourceOverlap(t(s, d, "documents"), n = 3)
+    }),
+    "t44_source_overlap_sketch" -> ((s, d) => {
+      // mergeable per-source MinHash tier (k=64, Broder estimator): one
+      // linear min-combined pass, |sources| sketch rows, pairwise
+      // estimates independent of corpus size — the 100 TB cross-dump
+      // audit shape. No DuckDB oracle (an estimator, not a computation
+      // DuckDB replicates); SketchSpec pins shard-merge == one-pass
+      // EXACTLY and estimator error vs the exact t43 twin
+      graft.functions.TextAnalysis.sourceOverlapEstimates(
+        graft.functions.TextAnalysis.sourceMinHashSketches(
+          t(s, d, "documents"), n = 3, numHashes = 64))
+    }),
     "t37_vocab" -> ((s, d) => {
       // frequency-ranked vocab with 4 reserved special ids and a
       // minCount=2 floor — deterministic total order, hash-green
@@ -3396,6 +3414,33 @@ object GateQueries {
         |)
         |SELECT source, COUNT(DISTINCT token) AS n_distinct_tokens
         |FROM toks GROUP BY 1""".stripMargin,
+    // wordNgrams' exact convention (split(lower(text)), NO trim/empty
+    // filter — the t13 gram builder), distinct per (source, gram)
+    "t43_source_overlap" ->
+      """WITH dt AS (
+        |  SELECT source, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), dg AS (
+        |  SELECT DISTINCT source,
+        |    unnest([t[i] || chr(1) || t[i+1] || chr(1) || t[i+2] for i in range(1, len(t) - 1)]) AS g
+        |  FROM dt
+        |), sz AS (
+        |  SELECT source, count(*) AS sz FROM dg GROUP BY 1
+        |), sized AS (
+        |  SELECT s.source, COALESCE(z.sz, 0) AS sz
+        |  FROM (SELECT DISTINCT source FROM documents) s LEFT JOIN sz z USING (source)
+        |), inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+        |  FROM dg a JOIN dg b USING (g) WHERE a.source < b.source GROUP BY 1, 2
+        |)
+        |SELECT sa.source AS src_a, sb.source AS src_b,
+        |  sa.sz AS grams_a, sb.sz AS grams_b,
+        |  COALESCE(i.i, 0) AS intersection,
+        |  CASE WHEN sa.sz + sb.sz - COALESCE(i.i, 0) > 0
+        |    THEN ROUND(COALESCE(i.i, 0)::DOUBLE / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) + 0
+        |    ELSE 0.0 END AS jaccard
+        |FROM sized sa JOIN sized sb ON sa.source < sb.source
+        |LEFT JOIN inter i ON i.src_a = sa.source AND i.src_b = sb.source""".stripMargin,
     "t37_vocab" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token

@@ -221,4 +221,71 @@ class SketchSpec extends AnyFunSuite {
     assert(TextAnalysis.distinctTokenEstimates(tiny).as[(String, Long)].collect().toMap
       === Map("a" -> 2L))
   }
+
+  // ---- cross-source overlap (t43/t44) ---------------------------------------
+
+  test("sourceOverlap: hand-computed trigram Jaccard matrix incl. zero and gram-less pairs") {
+    val docs = Seq(
+      (0L, "A", "a b c d"),  // grams: "a b c", "b c d"
+      (4L, "A", "a b c d"),  // duplicate doc: source gram set unchanged
+      (1L, "B", "a b c x"),  // grams: "a b c", "b c x"
+      (2L, "C", "z z z q"),  // grams: "z z z", "z z q"
+      (3L, "D", "one two")   // < 3 tokens: no grams at all
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceOverlap(docs, n = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.size === 6, s"C(4,2) pairs expected, got ${out.keySet}")
+    assert(out(("A", "B")) === ((2L, 2L, 1L, 0.333333))) // 1/(2+2-1)
+    assert(out(("A", "C")) === ((2L, 2L, 0L, 0.0)))      // zero overlap kept
+    assert(out(("B", "C")) === ((2L, 2L, 0L, 0.0)))
+    assert(out(("A", "D")) === ((2L, 0L, 0L, 0.0)))      // gram-less source pairs at 0
+    assert(out(("B", "D")) === ((2L, 0L, 0L, 0.0)))
+    assert(out(("C", "D")) === ((2L, 0L, 0L, 0.0)))
+  }
+
+  test("sourceMinHash: shard-merge lossless, identical sources estimate exactly 1.0, error bounded") {
+    // s0 and s1 carry IDENTICAL text sets (same gram set => same sketch
+    // => estimate exactly 1.0); s2 is disjoint from both
+    val docs = (0 until 60).map { i =>
+      val src = s"s${i % 3}"
+      val text =
+        if (i % 3 == 2) s"zulu yankee xray token${i % 10} quebec papa oscar"
+        else s"alpha bravo charlie delta echo token${i % 10} foxtrot golf"
+      (i.toLong, src, text)
+    }.toDF("doc_id", "source", "text")
+    val onePass = TextAnalysis.sourceMinHashSketches(docs)
+    // shard by doc_id % 4 — partial sketches persisted per shard, rolled
+    // up later; element-wise min must equal the one-pass sketch bit-for-bit
+    val sharded = (0 until 4).map(s =>
+      TextAnalysis.sourceMinHashSketches(docs.filter(col("doc_id") % 4 === s)))
+      .reduce(_ unionByName _)
+    val merged = TextAnalysis.mergeSourceSketches(sharded)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged === onePass.as[(String, Seq[Long])].collect().toMap)
+    val exact = TextAnalysis.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val est = TextAnalysis.sourceOverlapEstimates(onePass).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.keySet === exact.keySet)
+    assert(exact(("s0", "s1")) === 1.0)
+    assert(est(("s0", "s1")) === 1.0, "identical gram sets must estimate exactly 1.0")
+    for ((k, e) <- exact)
+      assert(math.abs(est(k) - e) <= 0.2, // ~3 rsd at k=64
+        s"pair $k: exact $e, est ${est(k)}")
+  }
+
+  test("sourceMinHash: gram-less sources emit no sketch row; estimator is deterministic") {
+    val docs = Seq(
+      (1L, "long", "alpha bravo charlie delta"),
+      (2L, "short", "one two")
+    ).toDF("doc_id", "source", "text")
+    val sk = TextAnalysis.sourceMinHashSketches(docs)
+    assert(sk.select("src").as[String].collect().toSet === Set("long"))
+    val r1 = TextAnalysis.sourceOverlapEstimates(
+      TextAnalysis.sourceMinHashSketches(corpus)).collect()
+    val r2 = TextAnalysis.sourceOverlapEstimates(
+      TextAnalysis.sourceMinHashSketches(corpus)).collect()
+    assert(r1.map(_.toString).sorted.toSeq === r2.map(_.toString).sorted.toSeq)
+  }
 }
