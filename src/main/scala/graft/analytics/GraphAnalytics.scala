@@ -255,8 +255,10 @@ object GraphAnalytics {
     * Pass a precomputed `sccs` frame (the (id, scc) output) to share one
     * SCC run across consumers — the a23/a24 gates' memo. Layering is a
     * monotone max fixpoint over the condensation arcs, so it converges in
-    * DAG-depth rounds (each round: one arc ⋈ layer join + max-aggregate —
-    * the [[stronglyConnectedComponents]] shuffle shape, bounded state). */
+    * DAG-depth rounds; each round joins the arcs against the CHANGED
+    * frontier only (delta propagation — the carried layer vector already
+    * holds every earlier max), so total fixpoint work is the sum of
+    * changed nodes' out-arcs, not depth·|arcs|. */
   def condensationLayers(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxRounds: Int = 64,
       sccs: Option[DataFrame] = None): DataFrame = {
@@ -286,16 +288,23 @@ object GraphAnalytics {
       .localCheckpoint(true)
     var layers = scc.select(col("scc").as("s")).distinct()
       .withColumn("layer", lit(0L)).localCheckpoint(true)
+    // delta propagation (round 13): max-layer is monotone, so a round
+    // only needs candidates from sources whose layer CHANGED last round
+    // — the carried `layers` already holds every earlier max. Work
+    // across the whole fixpoint is Σ|out-arcs of changed nodes|, not
+    // depth·|arcs|; round 1's frontier is every SCC (all start changed)
+    var frontier = layers
     var changed = 1L; var r = 0
     while (changed > 0 && r < maxRounds * 4) {
-      val inc = arcs.join(layers, "s")
+      val inc = arcs.join(frontier, "s")
         .groupBy(col("d").as("s")).agg((max(col("layer")) + 1L).as("cand"))
       val next = layers.withColumnRenamed("layer", "old").join(inc, Seq("s"), "left")
         .select(col("s"),
           greatest(col("old"), coalesce(col("cand"), col("old"))).as("layer"),
           col("old"))
         .localCheckpoint(true)
-      changed = next.filter(col("layer") =!= col("old")).count()
+      frontier = next.filter(col("layer") =!= col("old")).select(col("s"), col("layer"))
+      changed = frontier.count()
       layers = next.select(col("s"), col("layer")); r += 1
     }
     require(changed == 0,
