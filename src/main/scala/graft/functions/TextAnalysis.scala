@@ -305,10 +305,16 @@ object TextAnalysis {
   def sourceOverlap(docs: DataFrame, n: Int = 3,
       textCol: String = "text", sourceCol: String = "source"): DataFrame = {
     require(n >= 1, s"sourceOverlap: n must be >= 1, got $n")
+    // materialized once: the distinct (source, gram) relation feeds THREE
+    // consumers (the size aggregate and both sides of the intersection
+    // join). Catalyst's ReusedExchange already covers them (measured
+    // neutral), but the explicit cut makes the single-computation
+    // contract independent of exchange-reuse heuristics and keeps the
+    // downstream plans flat
     val grams = docs.filter(col(textCol).isNotNull)
       .select(col(sourceCol).as("src"),
         explode(graft.functions.Dedup.wordNgrams(col(textCol), n)).as("g"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("sz"))
     val inter = grams.toDF("src_a", "g")
       .join(grams.toDF("src_b", "g"), "g")
