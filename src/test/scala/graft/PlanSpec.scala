@@ -441,4 +441,21 @@ class PlanSpec extends AnyFunSuite {
         s"fwd side re-shuffles above its cache scan:\n$sp")
     } finally fwd.unpersist(blocking = false)
   }
+
+  test("sourceMinHashSketches: minima partial-aggregate; estimates join broadcast, no cartesian blowup") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sk = graft.functions.TextAnalysis.sourceMinHashSketches(docs)
+    val skPlan = planOf(sk)
+    // the 64 min aggregates must combine map-side so the one exchange
+    // carries |sources| partial rows, never the exploded gram stream
+    assert(skPlan.contains("partial_min"), s"sketch minima not map-side combined:\n$skPlan")
+    assert(skPlan.linesIterator.count(_.trim.startsWith("(")) > 0)
+    val est = graft.functions.TextAnalysis.sourceOverlapEstimates(sk.localCheckpoint(true))
+    val estPlan = planOf(est)
+    // the pairwise estimator is a broadcast self-join over the tiny
+    // sketch table (inequality key ⇒ BNLJ) — the corpus never appears
+    assert(estPlan.contains("BroadcastNestedLoopJoin"),
+      s"estimate join not broadcast:\n$estPlan")
+    assert(!estPlan.contains("CartesianProduct"), s"unexpected cartesian:\n$estPlan")
+  }
 }
