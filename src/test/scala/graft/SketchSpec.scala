@@ -275,6 +275,29 @@ class SketchSpec extends AnyFunSuite {
         s"pair $k: exact $e, est ${est(k)}")
   }
 
+  test("sourceMinHash runs unchanged on a stream: complete-mode state == batch sketch") {
+    // min aggregates are Structured-Streaming-native state, so the SAME
+    // function maintains a live sketch over a document stream — the
+    // incremental corpus-audit shape (new dump files append, the
+    // per-source sketch updates in place, estimates stay O(|sources|²))
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcsketch").toString
+    corpus.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/docs")
+    corpus.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(s"$dir/docs")
+    val streamDocs = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/docs")
+    val q = TextAnalysis.sourceMinHashSketches(streamDocs)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("src_sketch_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("src_sketch_stream")
+        .as[(String, Seq[Long])].collect().toMap
+      val batched = TextAnalysis.sourceMinHashSketches(corpus)
+        .as[(String, Seq[Long])].collect().toMap
+      assert(streamed === batched)
+    } finally q.stop()
+  }
+
   test("sourceMinHash: gram-less sources emit no sketch row; estimator is deterministic") {
     val docs = Seq(
       (1L, "long", "alpha bravo charlie delta"),
