@@ -345,23 +345,25 @@ object Bench {
     val line = {
       var keep = recalls
       var keepRr = reruns
+      // FIRST shed rung (reordered round 13): the cal MIDPOINTS. They
+      // existed to catch load spikes between the bracketing samples, a
+      // job the committed steady-state anchors + absolute rerun rider
+      // now do better (round 13) — so when t43/t44 pushed the full line
+      // past the window, the ladder was shedding e7/e9 recall signal
+      // while ~35 chars of redundant midpoints rode along. Start/end
+      // witnesses still bracket the run; stderr keeps all samples.
+      var cal: Seq[Double] = calSamples.toSeq
       def rider = riderOf(keep) + rerunOf(keepRr)
-      while (keep.nonEmpty && assemble(rider, calSamples.toSeq, build = true).length > 1920)
+      if (cal.length > 2 && assemble(rider, cal, build = true).length > 1920)
+        cal = Seq(calSamples.head, calSamples.last)
+      while (keep.nonEmpty && assemble(rider, cal, build = true).length > 1920)
         keep = keep.patch(keep.indexOf(keep.maxBy(_._2)), Nil, 1)
       // rerun entries shed AFTER recall (they exist to adjudicate this
       // very line's worst numbers), smallest timing first — the largest
       // flagged queries carry the adjudication signal
-      while (keepRr.nonEmpty && assemble(rider, calSamples.toSeq, build = true).length > 1920)
+      while (keepRr.nonEmpty && assemble(rider, cal, build = true).length > 1920)
         keepRr = keepRr.patch(keepRr.indexOf(keepRr.minBy(_._2)), Nil, 1)
-      val withCal = assemble(rider, calSamples.toSeq, build = true)
-      // second-stage shed for failure rounds: errors[] plus "null" timings
-      // re-grow the line after the rider is gone — drop the cal MIDPOINTS
-      // (the start/end witnesses still bracket the run; stderr-less, but a
-      // failing round's forensics run isolated anyway) before risking the
-      // ~1945-char point where the window truncates the line's head
-      val calShed =
-        if (withCal.length <= 1920 || calSamples.length <= 2) withCal
-        else assemble(rider, Seq(calSamples.head, calSamples.last), build = true)
+      val calShed = assemble(rider, cal, build = true)
       // third stage: drop build_sec (~15 chars — a warmup diagnostic;
       // cal_ms + cpu_sec remain the noise witnesses). Pre-short-key this
       // stage was load-bearing (the 73-full-name line measured 1921 chars
