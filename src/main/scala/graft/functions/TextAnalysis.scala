@@ -288,10 +288,14 @@ object TextAnalysis {
     * (lowercase whitespace tokens joined by the repo-wide `\u0001`
     * separator, distinct per doc — distinct again per source here).
     *
-    * Returns (src_a, src_b, grams_a, grams_b, intersection, jaccard
-    * rounded 6 dp) for every src_a < src_b pair — ZERO-overlap pairs
-    * included (the audit's whole point is seeing which pairs are clean);
-    * a gram-less source pairs with jaccard 0.0.
+    * Returns (src_a, src_b, grams_a, grams_b, intersection, jaccard,
+    * cont_a_in_b, cont_b_in_a — ratios rounded 6 dp) for every
+    * src_a < src_b pair — ZERO-overlap pairs included (the audit's whole
+    * point is seeing which pairs are clean); a gram-less source pairs
+    * with all ratios 0.0. The asymmetric containments answer the
+    * question Jaccard hides: a small dump fully inside a big one scores
+    * jaccard ≈ 0 but cont_small_in_big ≈ 1 — the dump-superset signal a
+    * crawl-snapshot pipeline deduplicates on (CCNet-style).
     *
     * Scale shape: the heavy relation is distinct (source, gram) — one
     * linear shuffle with map-side combine; the intersection self-join is
@@ -323,16 +327,20 @@ object TextAnalysis {
     val allSrc = docs.select(col(sourceCol).as("src")).distinct()
       .join(sizes, Seq("src"), "left")
       .select(col("src"), coalesce(col("sz"), lit(0L)).as("sz"))
+    val iC = coalesce(col("i"), lit(0L))
     allSrc.toDF("src_a", "sz_a")
       .join(broadcast(allSrc.toDF("src_b", "sz_b")), col("src_a") < col("src_b"))
       .join(inter, Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"),
         col("sz_a").as("grams_a"), col("sz_b").as("grams_b"),
-        coalesce(col("i"), lit(0L)).as("intersection"),
-        when(col("sz_a") + col("sz_b") - coalesce(col("i"), lit(0L)) > 0,
-          round(coalesce(col("i"), lit(0L)).cast("double")
-            / (col("sz_a") + col("sz_b") - coalesce(col("i"), lit(0L))), 6))
-          .otherwise(lit(0.0)).as("jaccard"))
+        iC.as("intersection"),
+        when(col("sz_a") + col("sz_b") - iC > 0,
+          round(iC.cast("double") / (col("sz_a") + col("sz_b") - iC), 6))
+          .otherwise(lit(0.0)).as("jaccard"),
+        when(col("sz_a") > 0, round(iC.cast("double") / col("sz_a"), 6))
+          .otherwise(lit(0.0)).as("cont_a_in_b"),
+        when(col("sz_b") > 0, round(iC.cast("double") / col("sz_b"), 6))
+          .otherwise(lit(0.0)).as("cont_b_in_a"))
   }
 
   /** Per-source MinHash sketch over word n-grams: k minima of

@@ -3438,7 +3438,13 @@ object GateQueries {
         |  COALESCE(i.i, 0) AS intersection,
         |  CASE WHEN sa.sz + sb.sz - COALESCE(i.i, 0) > 0
         |    THEN ROUND(COALESCE(i.i, 0)::DOUBLE / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) + 0
-        |    ELSE 0.0 END AS jaccard
+        |    ELSE 0.0 END AS jaccard,
+        |  CASE WHEN sa.sz > 0
+        |    THEN ROUND(COALESCE(i.i, 0)::DOUBLE / sa.sz, 6) + 0
+        |    ELSE 0.0 END AS cont_a_in_b,
+        |  CASE WHEN sb.sz > 0
+        |    THEN ROUND(COALESCE(i.i, 0)::DOUBLE / sb.sz, 6) + 0
+        |    ELSE 0.0 END AS cont_b_in_a
         |FROM sized sa JOIN sized sb ON sa.source < sb.source
         |LEFT JOIN inter i ON i.src_a = sa.source AND i.src_b = sb.source""".stripMargin,
     "t37_vocab" ->

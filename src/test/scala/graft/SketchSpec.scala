@@ -234,14 +234,22 @@ class SketchSpec extends AnyFunSuite {
     ).toDF("doc_id", "source", "text")
     val out = TextAnalysis.sourceOverlap(docs, n = 3).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
     assert(out.size === 6, s"C(4,2) pairs expected, got ${out.keySet}")
-    assert(out(("A", "B")) === ((2L, 2L, 1L, 0.333333))) // 1/(2+2-1)
-    assert(out(("A", "C")) === ((2L, 2L, 0L, 0.0)))      // zero overlap kept
-    assert(out(("B", "C")) === ((2L, 2L, 0L, 0.0)))
-    assert(out(("A", "D")) === ((2L, 0L, 0L, 0.0)))      // gram-less source pairs at 0
-    assert(out(("B", "D")) === ((2L, 0L, 0L, 0.0)))
-    assert(out(("C", "D")) === ((2L, 0L, 0L, 0.0)))
+    assert(out(("A", "B")) === ((2L, 2L, 1L, 0.333333, 0.5, 0.5))) // 1/(2+2-1); 1/2 each way
+    assert(out(("A", "C")) === ((2L, 2L, 0L, 0.0, 0.0, 0.0)))      // zero overlap kept
+    assert(out(("B", "C")) === ((2L, 2L, 0L, 0.0, 0.0, 0.0)))
+    assert(out(("A", "D")) === ((2L, 0L, 0L, 0.0, 0.0, 0.0)))      // gram-less source pairs at 0
+    assert(out(("B", "D")) === ((2L, 0L, 0L, 0.0, 0.0, 0.0)))
+    assert(out(("C", "D")) === ((2L, 0L, 0L, 0.0, 0.0, 0.0)))
+    // asymmetric containment: E's grams are a strict subset of A's —
+    // jaccard hides the superset relation, cont_e_in_a exposes it
+    val sup = TextAnalysis.sourceOverlap(docs.unionByName(
+        Seq((9L, "E", "a b c")).toDF("doc_id", "source", "text")), n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(sup(("A", "E")) === ((0.5, 0.5, 1.0))) // E ⊂ A: containment 1.0, jaccard only 0.5
   }
 
   test("sourceMinHash: shard-merge lossless, identical sources estimate exactly 1.0, error bounded") {
