@@ -260,6 +260,19 @@ object PipelineDemo {
       math.abs(hllDistinct(g) - e).toDouble / e }.max
     println(f"HLL distinct tokens: ${exactDistinct.size} sources, worst rel err $worstErr%.4f vs exact")
 
+    // 20. cross-source overlap audit: the exact trigram Jaccard matrix and
+    // its MinHash sketch tier (estimates from |sources|-row sketches only)
+    val ovl = TextAnalysis.sourceOverlap(docs)
+      .orderBy(desc("jaccard"), col("src_a"), col("src_b"))
+    val top = ovl.limit(1).collect().head
+    val estErr = TextAnalysis.sourceOverlapEstimates(
+        TextAnalysis.sourceMinHashSketches(docs))
+      .join(ovl, Seq("src_a", "src_b"))
+      .select(avg(abs(col("jaccard_est") - col("jaccard"))))
+      .collect().head.getDouble(0)
+    println(f"source overlap: ${ovl.count()} pairs, top ${top.getString(0)}~${top.getString(1)} " +
+      f"jaccard ${top.getDouble(5)}%.3f; sketch mean abs err $estErr%.4f")
+
     spark.stop()
   }
 }
