@@ -874,11 +874,14 @@ object GraphAnalytics {
     *
     * Pass a precomputed `triangles0` frame ([[triangleCounts]]' (node,
     * n_triangles) output over the SAME edge set) to skip the wedge join
-    * — the [[kTrussEdges]] `support0` pattern. No coverage guard is
-    * possible here: absence from triangleCounts output legitimately
-    * means zero triangles (the left join's coalesce), so a mismatched
-    * frame cannot be told apart from a triangle-free node — the
-    * precondition is on the caller. */
+    * — the [[kTrussEdges]] `support0` pattern. A FULL coverage guard is
+    * impossible here: absence from triangleCounts output legitimately
+    * means zero triangles (the left join's coalesce), so an
+    * under-covering frame cannot be told apart from triangle-free nodes
+    * — that half of the precondition stays on the caller. The converse
+    * IS checkable and is: a triangles0 node absent from the edge set's
+    * vertex set proves a wrong-graph frame, so one bounded anti-join
+    * probe fails fast on that class of mistake. */
   def clusteringCoefficient(edges: DataFrame, uCol: String = "u", vCol: String = "v",
       triangles0: Option[DataFrame] = None): DataFrame = {
     val e = edges
@@ -887,8 +890,17 @@ object GraphAnalytics {
       .distinct()
     val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    val tri = triangles0.map(_.select(col("node"), col("n_triangles")))
-      .getOrElse(triangleCounts(e, "a", "b"))
+    val tri = triangles0.map { t =>
+      val t0 = t.select(col("node"), col("n_triangles"))
+      val alien = t0.join(deg.select(col("node")), Seq("node"), "left_anti")
+        .limit(1).collect()
+      require(alien.isEmpty,
+        s"clusteringCoefficient: triangles0 names node " +
+          s"${alien.head.get(0)} absent from the edge set — the supplied " +
+          "frame must be triangleCounts over the same edges " +
+          "(pass triangles0 = None to compute it here)")
+      t0
+    }.getOrElse(triangleCounts(e, "a", "b"))
     deg.join(tri, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
@@ -1072,6 +1084,17 @@ object GraphAnalytics {
             s"(${missing.head.get(0)}, ${missing.head.get(1)}) — the supplied " +
             "frame must be edgeSupport over the same edge set " +
             "(pass support0 = None to compute it here)")
+        // uniqueness probe (mirrors the coverage probe): a frame with
+        // duplicate (a, b) rows would pass the anti-join above, then the
+        // inner join below duplicates edges in `sup` and the peel emits
+        // duplicate output rows silently
+        val dup = s0.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"kTrussEdges: support0 has duplicate rows for edge " +
+            s"(${dup.headOption.map(_.get(0)).orNull}, " +
+            s"${dup.headOption.map(_.get(1)).orNull}) — one (a, b, support) " +
+            "row per canonical edge required")
         e0.join(s0, Seq("a", "b"))
       case None => edgeSupport(e0, "a", "b")
     }).localCheckpoint(true)

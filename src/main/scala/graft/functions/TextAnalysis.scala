@@ -373,8 +373,19 @@ object TextAnalysis {
     * bit for bit. */
   def mergeSourceSketches(sketches: DataFrame, sourceCol: String = "src",
       sigCol: String = "sig"): DataFrame = {
-    val k = sketches.select(size(col(sigCol))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    // k probed as min AND max signature length: shards sketched with
+    // different numHashes must fail fast here — merged silently,
+    // element_at past the shorter array yields NULL minima (the probe is
+    // a full scan, but a sketch table is |sources| rows of k longs)
+    val sz = sketches
+      .agg(min(size(col(sigCol))).as("lo"), max(size(col(sigCol))).as("hi"))
+      .collect().head
+    val k = if (sz.isNullAt(0)) 0 else {
+      require(sz.getInt(0) == sz.getInt(1),
+        s"mergeSourceSketches: mixed signature lengths (${sz.getInt(0)} vs " +
+          s"${sz.getInt(1)}) — all shards must be sketched with the same numHashes")
+      sz.getInt(1)
+    }
     val mins = (0 until k).map(i => min(element_at(col(sigCol), i + 1)).as(s"h$i"))
     if (k == 0) sketches.select(col(sourceCol).as("src"), col(sigCol).as("sig")).limit(0)
     else sketches.groupBy(col(sourceCol).as("src"))

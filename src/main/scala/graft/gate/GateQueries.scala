@@ -2283,7 +2283,9 @@ object GateQueries {
        |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM verts),
        |$iters
        |SELECT v.id,
-       |  ROUND(COALESCE(a.s, 0.0) / (SELECT SUM(s) FROM ar$numIter), 6) + 0 AS auth,
+       |  CASE WHEN (SELECT COALESCE(SUM(s), 0) FROM ar$numIter) > 0
+       |       THEN ROUND(COALESCE(a.s, 0.0) / (SELECT SUM(s) FROM ar$numIter), 6) + 0
+       |       ELSE 0.0 END AS auth,
        |  ROUND(COALESCE(h.hub, 0.0), 6) + 0 AS hub
        |FROM verts v LEFT JOIN ar$numIter a ON a.id = v.id
        |LEFT JOIN h$numIter h ON h.id = v.id""".stripMargin

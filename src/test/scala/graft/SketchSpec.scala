@@ -271,6 +271,14 @@ class SketchSpec extends AnyFunSuite {
     val merged = TextAnalysis.mergeSourceSketches(sharded)
       .as[(String, Seq[Long])].collect().toMap
     assert(merged === onePass.as[(String, Seq[Long])].collect().toMap)
+    // shards sketched with different numHashes must fail fast, not merge
+    // silently (element_at past the shorter array would yield NULL minima)
+    val mixedK = sharded.unionByName(
+      TextAnalysis.sourceMinHashSketches(docs, numHashes = 32))
+    val errK = intercept[IllegalArgumentException] {
+      TextAnalysis.mergeSourceSketches(mixedK)
+    }
+    assert(errK.getMessage.contains("numHashes"), errK.getMessage)
     val exact = TextAnalysis.sourceOverlap(docs).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
     val est = TextAnalysis.sourceOverlapEstimates(onePass).collect()

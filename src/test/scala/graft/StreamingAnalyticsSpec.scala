@@ -1837,6 +1837,13 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       GraphAnalytics.kTrussEdges(e, k = 4, iters = 3, support0 = Some(missing))
     }
     assert(err.getMessage.contains("support0"), err.getMessage)
+    // a frame with duplicate (a, b) rows fails fast too — it would pass
+    // the coverage anti-join, then silently duplicate edges in the peel
+    val dup = sup.unionAll(sup.limit(1))
+    val err2 = intercept[IllegalArgumentException] {
+      GraphAnalytics.kTrussEdges(e, k = 4, iters = 3, support0 = Some(dup))
+    }
+    assert(err2.getMessage.contains("duplicate"), err2.getMessage)
   }
 
   test("clusteringCoefficient triangles0: precomputed triangle counts == recompute path") {
@@ -1847,6 +1854,15 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     val shared = GraphAnalytics.clusteringCoefficient(e, triangles0 = Some(tri)).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(shared === direct)
+    // wrong-graph probe: a triangles0 node absent from the edge set's
+    // vertex set proves a mismatched frame (under-coverage is legitimately
+    // unguardable — absence means zero triangles — but THIS direction is
+    // checkable, so it fails fast)
+    val alien = tri.unionAll(Seq((999L, 7L)).toDF("node", "n_triangles"))
+    val err = intercept[IllegalArgumentException] {
+      GraphAnalytics.clusteringCoefficient(e, triangles0 = Some(alien)).collect()
+    }
+    assert(err.getMessage.contains("triangles0"), err.getMessage)
   }
 
   test("randomWalks: valid edges, full length, deterministic, seed-sensitive") {
