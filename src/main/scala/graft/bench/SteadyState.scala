@@ -103,6 +103,16 @@ object SteadyState {
     "g12_createmem_diff" -> 1.85,
     "g13_unbounded_reachability" -> 3.88,
     "g14_temp_nested_layers" -> 2.3,
+    // g15-g17 + s13 measured 2026-08-15 (gates added round 14; isolated
+    // REPEAT=3 pass-2/3, quiet VM). s13's steady excludes the one-time
+    // streaming-machinery first-touch (~18 s incl. state-store/codegen
+    // init, honest on the driver's first pass and visible cross-pass on
+    // stderr); g17's wall is the bucketed SAVE of the edge relation —
+    // persistence IS the op.
+    "g15_planned_strategy" -> 1.35,
+    "g16_where_predicate" -> 1.53,
+    "g17_bucketed_reopen" -> 3.8,
+    "s13_sessionize_stream" -> 7.7,
     "g1_building_customer_orders" -> 0.5,
     "g2_parts_of_customer_orders" -> 2.17,
     "g3_out_degrees" -> 1.02,

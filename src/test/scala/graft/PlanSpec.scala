@@ -79,6 +79,42 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"), plan)
   }
 
+  test("reloaded bucketed graph: frontier traversal plans no Exchange over the edge scan") {
+    // the g17 gate flow (saveBucketed → loadBucketed → Query.paths): the
+    // whole point of the bucketed layout is that reopened adjacency joins
+    // read pre-partitioned buckets instead of reshuffling the edge
+    // relation — a frontier hop over the RELOADED graph must not put an
+    // Exchange above the bucketed scan (the frontier side broadcasts; an
+    // edge-side Exchange would mean the bucketing metadata was lost on
+    // reload)
+    import graft.cypher.Dsl._
+    import graft.sources.Loaders
+    val g0 = GateQueries.graph(spark, sfDir)
+    Loaders.saveBucketed(g0, "graft_plan_reopen", "/tmp/graft_plan_reopen", buckets = 8)
+    val g = Loaders.loadBucketed(spark, "graft_plan_reopen", GateQueries.ranges)
+    val custs = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_custkey") <= 20).select(col("c_custkey").cast("long").as("id"))
+    val paths = graft.cypher.Query.paths(g,
+      nodesDF(custs) --| edge(orth(GateQueries.Placed)) |--> labels(GateQueries.ORDER))
+    val plan = planOf(paths)
+    // the only acceptable Exchange is a BroadcastExchange of the tiny
+    // frontier; a shuffle Exchange (hashpartitioning) over the edge scan
+    // defeats the layout (the planner rightly reads the scan un-bucketed
+    // under a broadcast join — bucketing exploitation is pinned below)
+    assert(plan.contains("BroadcastHashJoin"), s"frontier hop not broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"reloaded adjacency join reshuffles the edge relation:\n$plan")
+    // bucket-metadata round-trip: a src-keyed aggregation over the
+    // RELOADED table must satisfy its required distribution from the
+    // buckets — zero Exchange, bucketed read enabled
+    val agg = g.edges.groupBy(col("src")).count()
+    val aggPlan = planOf(agg)
+    assert(aggPlan.contains("Bucketed: true"),
+      s"reloaded scan lost its bucketing:\n$aggPlan")
+    assert(!"\\(\\d+\\) Exchange".r.findFirstIn(aggPlan).isDefined,
+      s"src aggregation over the reloaded bucketed table shuffles:\n$aggPlan")
+  }
+
   test("full-graph 1-hop (QW-FN) compiles to one scan + partial agg, no join") {
     // anyNode --| e |--> anyNode with a groupBy: the predicate-only start
     // must fold into the edge scan — a frontier materialization would put
