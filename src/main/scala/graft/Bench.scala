@@ -382,14 +382,19 @@ object Bench {
       while (keep.nonEmpty && assemble(rider, cal, build = true).length > 1920)
         keep = keep.patch(keep.indexOf(keep.maxBy(_._2)), Nil, 1)
       // rerun entries shed AFTER recall (they exist to adjudicate this
-      // very line's worst numbers), smallest ANCHOR RATIO first — the
-      // most-smeared lines (pass-1 / anchor) carry the adjudication
-      // signal, not the largest absolute timings (adjudicated_sec keeps
-      // the shed entries' correction in the scalar regardless)
-      def rrRatio(kv: (String, Double)): Double =
-        ratioOf(kv._1, pass1Of.getOrElse(kv._1, kv._2))
+      // very line's worst numbers). Shed preference: CONFIRMERS first
+      // (rerun ≈ pass-1 — the entry only certifies the line was real;
+      // adjudicated_sec is unaffected by dropping it), then correctors by
+      // smallest anchor ratio — the most-smeared lines keep their
+      // adjudication longest. stderr retains the full rerun list either
+      // way, and adjudicated_sec always reflects ALL reruns performed.
+      def rrShedKey(kv: (String, Double)): (Int, Double) = {
+        val p1 = pass1Of.getOrElse(kv._1, kv._2)
+        val confirms = kv._2 >= 0.8 * p1
+        (if (confirms) 0 else 1, ratioOf(kv._1, p1))
+      }
       while (keepRr.nonEmpty && assemble(rider, cal, build = true).length > 1920)
-        keepRr = keepRr.patch(keepRr.indexOf(keepRr.minBy(rrRatio)), Nil, 1)
+        keepRr = keepRr.patch(keepRr.indexOf(keepRr.minBy(rrShedKey)), Nil, 1)
       val calShed = assemble(rider, cal, build = true)
       // third stage: drop build_sec (~15 chars — a warmup diagnostic;
       // cal_ms + cpu_sec remain the noise witnesses). Pre-short-key this
