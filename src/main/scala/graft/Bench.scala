@@ -379,7 +379,15 @@ object Bench {
       def rider = riderOf(keep) + rerunOf(keepRr)
       if (cal.length > 2 && assemble(rider, cal, build = true).length > 1920)
         cal = Seq(calSamples.head, calSamples.last)
-      while (keep.nonEmpty && assemble(rider, cal, build = true).length > 1920)
+      // SECOND rung (round 14): build_sec/train_sec (~37 chars). They are
+      // warmup diagnostics that stderr already carries at FULL precision
+      // every run — before this rung the 152-query line shed 4 recall
+      // entries on a QUIET VM while those chars rode along. Shedding them
+      // before recall keeps the quality signal whole.
+      var buildKeep = true
+      def asm = assemble(rider, cal, build = buildKeep)
+      if (buildKeep && asm.length > 1920) buildKeep = false
+      while (keep.nonEmpty && asm.length > 1920)
         keep = keep.patch(keep.indexOf(keep.maxBy(_._2)), Nil, 1)
       // rerun entries shed AFTER recall (they exist to adjudicate this
       // very line's worst numbers). Shed preference: CONFIRMERS first
@@ -393,15 +401,9 @@ object Bench {
         val confirms = kv._2 >= 0.8 * p1
         (if (confirms) 0 else 1, ratioOf(kv._1, p1))
       }
-      while (keepRr.nonEmpty && assemble(rider, cal, build = true).length > 1920)
+      while (keepRr.nonEmpty && asm.length > 1920)
         keepRr = keepRr.patch(keepRr.indexOf(keepRr.minBy(rrShedKey)), Nil, 1)
-      val calShed = assemble(rider, cal, build = true)
-      // third stage: drop build_sec (~15 chars — a warmup diagnostic;
-      // cal_ms + cpu_sec remain the noise witnesses). Pre-short-key this
-      // stage was load-bearing (the 73-full-name line measured 1921 chars
-      // fully shed); it stays as the last rung of the failure-round ladder
-      if (calShed.length <= 1920) calShed
-      else assemble(rider, Seq(calSamples.head, calSamples.last), build = false)
+      asm
     }
     // stderr keeps build/train full-precision even when the line sheds them
     System.err.println(s"[bench] build_sec=${s3(buildSec)} train_sec=${s3(trainSec)} line_chars=${line.length}")
