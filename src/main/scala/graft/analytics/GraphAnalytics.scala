@@ -879,9 +879,12 @@ object GraphAnalytics {
     * means zero triangles (the left join's coalesce), so an
     * under-covering frame cannot be told apart from triangle-free nodes
     * — that half of the precondition stays on the caller. The converse
-    * IS checkable and is: a triangles0 node absent from the edge set's
-    * vertex set proves a wrong-graph frame, so one bounded anti-join
-    * probe fails fast on that class of mistake. */
+    * IS checkable and is checked FREE: the output join runs FULL OUTER
+    * when triangles0 is supplied, and a row with NULL degree proves a
+    * triangles0 node absent from the edge set's vertex set — an
+    * assert_true predicate in the same codegen span raises with the
+    * node named, costing zero extra jobs (a separate anti-join probe
+    * measured ~0.4 s of the gate's steady wall). */
   def clusteringCoefficient(edges: DataFrame, uCol: String = "u", vCol: String = "v",
       triangles0: Option[DataFrame] = None): DataFrame = {
     val e = edges
@@ -890,18 +893,17 @@ object GraphAnalytics {
       .distinct()
     val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    val tri = triangles0.map { t =>
-      val t0 = t.select(col("node"), col("n_triangles"))
-      val alien = t0.join(deg.select(col("node")), Seq("node"), "left_anti")
-        .limit(1).collect()
-      require(alien.isEmpty,
-        s"clusteringCoefficient: triangles0 names node " +
-          s"${alien.head.get(0)} absent from the edge set — the supplied " +
-          "frame must be triangleCounts over the same edges " +
-          "(pass triangles0 = None to compute it here)")
-      t0
-    }.getOrElse(triangleCounts(e, "a", "b"))
-    deg.join(tri, Seq("node"), "left")
+    val tri = triangles0.map(_.select(col("node"), col("n_triangles")))
+      .getOrElse(triangleCounts(e, "a", "b"))
+    val joined0 = deg.join(tri, Seq("node"), if (triangles0.isDefined) "full" else "left")
+    val joined = if (triangles0.isEmpty) joined0 else joined0.filter(
+      assert_true(col("degree").isNotNull,
+        concat(lit("clusteringCoefficient: triangles0 names node "),
+          col("node").cast("string"),
+          lit(" absent from the edge set — the supplied frame must be " +
+            "triangleCounts over the same edges (pass triangles0 = None " +
+            "to compute it here)"))).isNull)
+    joined
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("degree") >= 2,
@@ -1077,25 +1079,30 @@ object GraphAnalytics {
     val e0 = canonicalEdges(edges, uCol, vCol).localCheckpoint(true)
     var sup = (support0 match {
       case Some(s) =>
-        val s0 = s.select(col("a"), col("b"), col("support"))
-        val missing = e0.join(s0, Seq("a", "b"), "left_anti").limit(1).collect()
-        require(missing.isEmpty,
-          s"kTrussEdges: support0 does not cover canonical edge " +
-            s"(${missing.head.get(0)}, ${missing.head.get(1)}) — the supplied " +
-            "frame must be edgeSupport over the same edge set " +
-            "(pass support0 = None to compute it here)")
-        // uniqueness probe (mirrors the coverage probe): a frame with
-        // duplicate (a, b) rows would pass the anti-join above, then the
-        // inner join below duplicates edges in `sup` and the peel emits
-        // duplicate output rows silently
-        val dup = s0.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
-          .filter(col("n") > 1).limit(1).collect()
-        require(dup.isEmpty,
-          s"kTrussEdges: support0 has duplicate rows for edge " +
-            s"(${dup.headOption.map(_.get(0)).orNull}, " +
-            s"${dup.headOption.map(_.get(1)).orNull}) — one (a, b, support) " +
-            "row per canonical edge required")
-        e0.join(s0, Seq("a", "b"))
+        // Precondition guard folded INTO the seed join — zero extra jobs
+        // (a separate probe job measured ~0.4-0.6 s of the gate's steady
+        // wall): per canonical edge the matching support0 row count must
+        // be exactly 1. n = 0 (coverage hole) would silently drop the
+        // edge from the peel; n > 1 (duplicate rows) would silently
+        // duplicate it in `sup` and in the output. Extra s0 rows for
+        // NON-edges stay allowed (the left join never sees them). The
+        // groupBy collapses duplicates so `support` stays well-defined
+        // downstream even though assert_true aborts the action; the
+        // guard raises at the localCheckpoint below — still inside this
+        // call, with the offending edge named in the error.
+        val s0g = s.select(col("a"), col("b"), col("support"))
+          .groupBy(col("a"), col("b"))
+          .agg(max(col("support")).as("support"), count(lit(1)).as("__n"))
+        e0.join(s0g, Seq("a", "b"), "left")
+          .filter(assert_true(col("support").isNotNull && col("__n") === 1,
+            concat(lit("kTrussEdges: support0 must have exactly one (a, b, support) row " +
+                "per canonical edge, found "),
+              coalesce(col("__n"), lit(0L)).cast("string"),
+              lit(" for ("), col("a").cast("string"), lit(", "),
+              col("b").cast("string"),
+              lit(") — the supplied frame must be edgeSupport over the same " +
+                "edge set (pass support0 = None to compute it here)"))).isNull)
+          .drop("__n")
       case None => edgeSupport(e0, "a", "b")
     }).localCheckpoint(true)
     var i = 0

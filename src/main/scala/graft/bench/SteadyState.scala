@@ -39,11 +39,11 @@ object SteadyState {
     "a14_jaccard_links" -> 3.75,
     "a15_harmonic_closeness" -> 3.87,
     "a16_random_walks" -> 2.19,
-    "a17_ktruss" -> 5.8,
+    "a17_ktruss" -> 4.9, // re-measured 2026-08-15 r14: guard folded into the seed join (groupBy-collapsed support0)
     "a18_weighted_sssp" -> 3.55,
     "a19_bipartite_projection" -> 1.19,
     "a1_reachable_orders" -> 1.85,
-    "a20_clustering_coefficient" -> 0.88,
+    "a20_clustering_coefficient" -> 1.0, // re-measured 2026-08-15 r14: free full-outer wrong-graph guard
     "a21_assortativity" -> 1.56,
     "a22_betweenness" -> 6.13,
     "a23_scc" -> 0.02,

@@ -1831,19 +1831,24 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     val extra = sup.unionAll(Seq((100L, 200L, 99L)).toDF("a", "b", "support"))
     assert(pairs(GraphAnalytics.kTrussEdges(e, k = 4, iters = 3, support0 = Some(extra)))
       === pairs(GraphAnalytics.kTrussEdges(e, k = 4, iters = 3)))
+    // guard failures raise from the codegen'd assert_true inside the seed
+    // join (zero-extra-job guard), surfacing wrapped in a SparkException
+    // at kTrussEdges' eager localCheckpoint — walk the cause chain
+    def chainMsg(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chainMsg(t.getCause)}"
     // a frame that misses a canonical edge fails fast, not silently
     val missing = sup.filter(!(col("a") === 4L && col("b") === 5L))
-    val err = intercept[IllegalArgumentException] {
+    val err = intercept[Exception] {
       GraphAnalytics.kTrussEdges(e, k = 4, iters = 3, support0 = Some(missing))
     }
-    assert(err.getMessage.contains("support0"), err.getMessage)
-    // a frame with duplicate (a, b) rows fails fast too — it would pass
-    // the coverage anti-join, then silently duplicate edges in the peel
+    assert(chainMsg(err).contains("support0"), chainMsg(err))
+    // a frame with duplicate (a, b) rows fails fast too — it would
+    // otherwise silently duplicate edges in the peel
     val dup = sup.unionAll(sup.limit(1))
-    val err2 = intercept[IllegalArgumentException] {
+    val err2 = intercept[Exception] {
       GraphAnalytics.kTrussEdges(e, k = 4, iters = 3, support0 = Some(dup))
     }
-    assert(err2.getMessage.contains("duplicate"), err2.getMessage)
+    assert(chainMsg(err2).contains("exactly one"), chainMsg(err2))
   }
 
   test("clusteringCoefficient triangles0: precomputed triangle counts == recompute path") {
@@ -1854,15 +1859,18 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     val shared = GraphAnalytics.clusteringCoefficient(e, triangles0 = Some(tri)).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(shared === direct)
-    // wrong-graph probe: a triangles0 node absent from the edge set's
+    // wrong-graph guard: a triangles0 node absent from the edge set's
     // vertex set proves a mismatched frame (under-coverage is legitimately
     // unguardable — absence means zero triangles — but THIS direction is
-    // checkable, so it fails fast)
+    // checkable, via the zero-extra-job assert_true on the full-outer
+    // output join, raising at the caller's first action)
+    def chainMsg(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chainMsg(t.getCause)}"
     val alien = tri.unionAll(Seq((999L, 7L)).toDF("node", "n_triangles"))
-    val err = intercept[IllegalArgumentException] {
+    val err = intercept[Exception] {
       GraphAnalytics.clusteringCoefficient(e, triangles0 = Some(alien)).collect()
     }
-    assert(err.getMessage.contains("triangles0"), err.getMessage)
+    assert(chainMsg(err).contains("triangles0"), chainMsg(err))
   }
 
   test("randomWalks: valid edges, full length, deterministic, seed-sensitive") {
