@@ -267,24 +267,36 @@ object GraphAnalytics {
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // Coverage precondition on a CALLER-SUPPLIED assignment (round 13,
-    // advisor find): the arc build inner-joins both endpoints against
-    // `sccs`, so an id missing from a mismatched frame would silently
-    // vanish from the labelling instead of failing. One cheap bounded
-    // probe (endpoints anti-join sccs, limit 1) turns that into an error.
-    sccs.foreach { s =>
-      val uncovered = e0.select(col("src").as("id"))
-        .unionAll(e0.select(col("dst").as("id")))
-        .join(s.select(col("id")), Seq("id"), "left_anti").limit(1)
-        .collect()
-      require(uncovered.isEmpty,
-        s"condensationLayers: sccs frame does not cover edge endpoint id=" +
-          s"${uncovered.head.getLong(0)} — the supplied assignment must label " +
-          "every vertex of `edges` (pass sccs = None to compute it here)")
-    }
-    val arcs = e0
-      .join(scc.select(col("id").as("src"), col("scc").as("s")), "src")
-      .join(scc.select(col("id").as("dst"), col("scc").as("d")), "dst")
-      .filter(col("s") =!= col("d")).select(col("s"), col("d")).distinct()
+    // advisor find; round 14: folded into the arc build — the separate
+    // bounded probe cost ~1-2 s of the a24 gate's steady wall): the arc
+    // build used to inner-join both endpoints against `sccs`, so an id
+    // missing from a mismatched frame would silently vanish from the
+    // labelling. With a supplied frame the joins run LEFT and a NULL
+    // component proves the hole — the codegen'd assert_true raises at
+    // the arcs localCheckpoint below, zero extra jobs, endpoint named.
+    // CATALYST TRAP, learned empirically: guarding with a null-intolerant
+    // filter (s =!= d, or assert_true combined with it) above the left
+    // joins lets EliminateOuterJoin convert them back to INNER joins —
+    // the uncovered rows vanish before the assert ever runs. So the
+    // cross-component cut below is written null-TOLERANT (explicit isNull
+    // arms keep the outer join alive) and the raise lives in the
+    // PROJECTION, where evaluating the kept null row is unavoidable.
+    val joinType = if (sccs.isDefined) "left" else "inner"
+    val arcs0 = e0
+      .join(scc.select(col("id").as("src"), col("scc").as("s")), Seq("src"), joinType)
+      .join(scc.select(col("id").as("dst"), col("scc").as("d")), Seq("dst"), joinType)
+    def guarded(c: String, ep: String) =
+      if (sccs.isEmpty) col(c)
+      else when(col(c).isNull, raise_error(
+        concat(lit("condensationLayers: sccs frame does not cover edge endpoint id="),
+          col(ep).cast("string"),
+          lit(" — the supplied assignment must label every vertex of `edges` " +
+            "(pass sccs = None to compute it here)"))).cast("long"))
+        .otherwise(col(c))
+    val arcs = arcs0
+      .filter(col("s").isNull || col("d").isNull || col("s") =!= col("d"))
+      .select(guarded("s", "src").as("s"), guarded("d", "dst").as("d"))
+      .distinct()
       .localCheckpoint(true)
     var layers = scc.select(col("scc").as("s")).distinct()
       .withColumn("layer", lit(0L)).localCheckpoint(true)

@@ -47,10 +47,10 @@ object SteadyState {
     "a21_assortativity" -> 1.56,
     "a22_betweenness" -> 6.13,
     "a23_scc" -> 0.02,
-    // a24 re-measured 2026-08-15: the round-13 sccs coverage guard added
-    // a bounded probe per call (5.02 → 8.3), frontier-delta propagation
-    // in the layer fixpoint bought most of it back (→ 6.35)
-    "a24_condensation_layers" -> 6.35,
+    // a24 re-measured 2026-08-15 r14: the round-13 probe-job coverage
+    // guard replaced by a raise_error projection riding the arc build
+    // (left joins + null-tolerant cut; zero extra jobs) — 6.35 → 6.1
+    "a24_condensation_layers" -> 6.1,
     "a25_eccentricity" -> 3.69, // isolated REPEAT=2, 2026-08-15 (gate added round 13)
     "a2_shortest_hops" -> 1.49,
     "a3_connected_components" -> 0.51,

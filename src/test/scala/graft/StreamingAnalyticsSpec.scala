@@ -2103,6 +2103,22 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(got === Set(
       (20L, 20L, 0L), (21L, 21L, 1L), (0L, 1L, 2L), (1L, 1L, 2L),
       (5L, 5L, 0L), (10L, 11L, 3L), (11L, 11L, 3L)))
+    // supplied-sccs path: the memo share (a23 → a24) must equal the
+    // self-computed run, and an under-covering assignment must raise
+    // (the r14 zero-extra-job guard: left-join + assert_true in the arc
+    // build, surfacing wrapped at the arcs localCheckpoint)
+    val scc = GraphAnalytics.stronglyConnectedComponents(edges.toDF("src", "dst"))
+    val shared = GraphAnalytics.condensationLayers(edges.toDF("src", "dst"),
+        sccs = Some(scc))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(shared === got)
+    def chainMsg(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chainMsg(t.getCause)}"
+    val holey = scc.filter(col("id") =!= 5L)
+    val err = intercept[Exception] {
+      GraphAnalytics.condensationLayers(edges.toDF("src", "dst"), sccs = Some(holey))
+    }
+    assert(chainMsg(err).contains("does not cover"), chainMsg(err))
   }
 
   test("stronglyConnectedComponents == brute-force mutual reachability on a deterministic random digraph") {
