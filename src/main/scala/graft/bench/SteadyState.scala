@@ -36,7 +36,7 @@ object SteadyState {
     "a11_hits" -> 9.22,
     "a12_modularity" -> 2.78,
     "a13_adamic_adar" -> 3.95,
-    "a14_jaccard_links" -> 3.75,
+    "a14_jaccard_links" -> 1.75, // re-measured 2026-08-15 r14 isolated REPEAT=3 (co-purchase memo landed r13, anchor never refreshed)
     "a15_harmonic_closeness" -> 3.87,
     "a16_random_walks" -> 2.19,
     "a17_ktruss" -> 4.9, // re-measured 2026-08-15 r14: guard folded into the seed join (groupBy-collapsed support0)
@@ -141,7 +141,7 @@ object SteadyState {
     "qwfs_find_shortest" -> 0.32,
     "s10_attribution" -> 0.39,
     "s11_trending_types" -> 0.4,
-    "s12_session_stats" -> 2.38,
+    "s12_session_stats" -> 0.85, // re-measured 2026-08-15 r14 isolated REPEAT=3
     "s1_sliding_window_counts" -> 0.58,
     "s2_user_sessions" -> 0.56,
     "s3_asof_join" -> 0.59,
@@ -178,7 +178,7 @@ object SteadyState {
     "t31_collocations" -> 1.25,
     "t32_bpe_merges" -> 1.53,
     "t33_bpe_token_counts" -> 2.25,
-    "t34_naive_bayes" -> 4.41,
+    "t34_naive_bayes" -> 2.6, // re-measured 2026-08-15 r14 isolated REPEAT=3
     "t35_textrank" -> 3.46,
     "t36_perplexity_buckets" -> 1.6,
     "t37_vocab" -> 0.64,
@@ -190,7 +190,7 @@ object SteadyState {
     "t42_mixture_rebalance" -> 0.92,
     "t4_quality_scores" -> 0.79,
     "t5_lang_id" -> 1.26,
-    "t6_fingerprints" -> 6.2,
+    "t6_fingerprints" -> 4.4, // re-measured 2026-08-15 r14 isolated REPEAT=3 (the 6.2 was tail-contended)
     "t7_deterministic_sample" -> 0.13,
     "t8_pack_sequences" -> 0.43,
     "t9_decontamination" -> 0.29
