@@ -79,6 +79,42 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"), plan)
   }
 
+  test("where_ predicates push into the edge-relation filter, not a post-join stage") {
+    // the g16 shape: whereEdge's target-node predicate and where_'s label
+    // predicate are ordinary Column predicates composed into edgePred —
+    // they must land in the Filter directly above the edge source (where
+    // Catalyst can use them for pruning and codegen them into the scan
+    // stage), not in a filter above the join output
+    import graft.cypher.Dsl._
+    val g = GateQueries.graph(spark, sfDir)
+    val paths = graft.cypher.Query.paths(g, labels(GateQueries.CUSTOMER)
+      --| edge(attr(GateQueries.Placed), whereEdge(v => v.dst % 3 === 0)) |-->
+      labels(GateQueries.ORDER))
+    val plan = planOf(paths)
+    // the mod-3 predicate appears exactly once, in a Filter whose other
+    // conjuncts are the scan-level label/direction predicates (i.e. it
+    // rides the edge filter, pre-join)
+    assert(plan.contains("% 3)"), s"where_ predicate missing from the plan:\n$plan")
+    val filterBlock = plan.split("\n\n").find(b => b.contains("% 3)") && b.contains("Condition"))
+    assert(filterBlock.exists(b => b.contains("label") || b.contains("__label")),
+      s"where_ predicate not composed with the scan-level edge filter:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"predicate-start hop should not shuffle:\n$plan")
+  }
+
+  test("planned strategy (g15 shape): leftward expansion plans broadcast hops, no shuffle join") {
+    import graft.cypher.Dsl._
+    val g = GateQueries.graph(spark, sfDir)
+    val pat = (labels(GateQueries.CUSTOMER)
+      --| edge(attr(GateQueries.Placed)) |--> labels(GateQueries.ORDER)
+      --| edge(attr(GateQueries.Contains)) |-->
+        nodes32((1L to 40L).map(GateQueries.PART_BASE + _): _*))
+    assert(graft.cypher.Exec.planExpansionOrder(g, pat) === Vector(2, 1, 0),
+      "planner must start at the 40-id layer and expand leftward")
+    val plan = planOf(graft.cypher.Query.paths(g, pat, quick = false))
+    assert(plan.contains("BroadcastHashJoin"), s"planned hops not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"planned walk shuffles a frontier:\n$plan")
+  }
+
   test("reloaded bucketed graph: frontier traversal plans no Exchange over the edge scan") {
     // the g17 gate flow (saveBucketed → loadBucketed → Query.paths): the
     // whole point of the bucketed layout is that reopened adjacency joins
