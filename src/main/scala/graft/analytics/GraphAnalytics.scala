@@ -890,13 +890,16 @@ object GraphAnalytics {
     * impossible here: absence from triangleCounts output legitimately
     * means zero triangles (the left join's coalesce), so an
     * under-covering frame cannot be told apart from triangle-free nodes
-    * — that half of the precondition stays on the caller. The converse
-    * IS checkable and is checked FREE: the output join runs FULL OUTER
-    * when triangles0 is supplied, and a row with NULL degree proves a
-    * triangles0 node absent from the edge set's vertex set — an
-    * assert_true predicate in the same codegen span raises with the
-    * node named, costing zero extra jobs (a separate anti-join probe
-    * measured ~0.4 s of the gate's steady wall). */
+    * — that half of the precondition stays on the caller. What IS
+    * checkable is checked FREE, riding the output join: it runs FULL
+    * OUTER when triangles0 is supplied, so a row with NULL degree proves
+    * a node absent from the edge set's vertex set (wrong graph), and the
+    * supplied frame is collapsed through a counting groupBy so duplicate
+    * (node) rows — which would silently duplicate output rows — are
+    * caught too (the [[kTrussEdges]] support0 rule). Both raise from an
+    * assert_true in the same codegen span with the node named, zero
+    * extra jobs (the separate anti-join probe this replaces measured
+    * ~0.4 s of the gate's steady wall). */
   def clusteringCoefficient(edges: DataFrame, uCol: String = "u", vCol: String = "v",
       triangles0: Option[DataFrame] = None): DataFrame = {
     val e = edges
@@ -905,16 +908,21 @@ object GraphAnalytics {
       .distinct()
     val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    val tri = triangles0.map(_.select(col("node"), col("n_triangles")))
+    val tri = triangles0.map(_.select(col("node"), col("n_triangles"))
+        .groupBy(col("node"))
+        .agg(max(col("n_triangles")).as("n_triangles"), count(lit(1)).as("__tn")))
       .getOrElse(triangleCounts(e, "a", "b"))
     val joined0 = deg.join(tri, Seq("node"), if (triangles0.isDefined) "full" else "left")
     val joined = if (triangles0.isEmpty) joined0 else joined0.filter(
-      assert_true(col("degree").isNotNull,
-        concat(lit("clusteringCoefficient: triangles0 names node "),
-          col("node").cast("string"),
-          lit(" absent from the edge set — the supplied frame must be " +
-            "triangleCounts over the same edges (pass triangles0 = None " +
-            "to compute it here)"))).isNull)
+      assert_true(col("degree").isNotNull && (col("__tn").isNull || col("__tn") === 1),
+        concat(lit("clusteringCoefficient: triangles0 "),
+          when(col("degree").isNull,
+            concat(lit("names node "), col("node").cast("string"),
+              lit(" absent from the edge set")))
+            .otherwise(concat(lit("has duplicate rows for node "),
+              col("node").cast("string"))),
+          lit(" — the supplied frame must be triangleCounts over the same " +
+            "edges (pass triangles0 = None to compute it here)"))).isNull)
     joined
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),

@@ -45,7 +45,7 @@ object SteadyState {
     "a1_reachable_orders" -> 1.85,
     "a20_clustering_coefficient" -> 1.0, // re-measured 2026-08-15 r14: free full-outer wrong-graph guard
     "a21_assortativity" -> 1.56,
-    "a22_betweenness" -> 9.0, // re-measured 2026-08-15 r14 isolated REPEAT=3; code unchanged since the 6.13 reading (git-diff verified) — drift is environmental, the honest current steady is committed
+    "a22_betweenness" -> 6.8, // bimodal across JVMs (6.8 probe min-of-two ↔ 9.0-9.8 isolated REPEAT=3, code unchanged since the 6.13 reading); anchor = the quiet mode so the slow mode gets adjudicated (the siw rule)
     "a23_scc" -> 0.02,
     // a24 re-measured 2026-08-15 r14: the round-13 probe-job coverage
     // guard replaced by a raise_error projection riding the arc build

@@ -118,16 +118,16 @@ object GateQueries {
     * every hop of every gate query, so at scale it must be materialized
     * once, not recomputed per join.
     */
-  /** The ≥0.8 minhash near-dup pair set, computed once per (session, dir):
-    * d1 emits it and d5 clusters it — in a real pipeline the clustering
-    * step consumes the pair stage's output, it does not re-shingle the
-    * corpus. Cached as a materialized DataFrame (d5's CC conversion and
-    * any recount reuse it). */
   /** Unique memory-sink names for the s13 streaming gate: a restarted
     * query may not reuse a still-registered name within one session
     * (bench pass-1 + rerun both execute the gate). */
   private val s13Runs = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The ≥0.8 minhash near-dup pair set, computed once per (session, dir):
+    * d1 emits it and d5 clusters it — in a real pipeline the clustering
+    * step consumes the pair stage's output, it does not re-shingle the
+    * corpus. Cached as a materialized DataFrame (d5's CC conversion and
+    * any recount reuse it). */
   private val pairsCache = new graft.util.SessionCache[DataFrame](
     maxEntries = 4, onEvict = _.unpersist(blocking = false))
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =

@@ -31,19 +31,8 @@ object CondensationProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.analytics.GraphAnalytics
 
-    val shuffled = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null)
-          shuffled.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    })
-    def t(label: String)(f: => Long): Unit = {
-      Thread.sleep(300); shuffled.set(0)
-      val t0 = System.nanoTime(); val r = f
-      Thread.sleep(300)
-      println(f"[cond-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"($r rows, ${shuffled.get() / 1048576.0}%.1f MiB shuffled)")
-    }
+    val h = new ProbeHarness(spark, "cond-probe")
+    def t(label: String)(f: => Long): Unit = h.timed(label)(f)
 
     /** Pointer-jumping variant: same (id, scc, layer) output as
       * condensationLayers, layers from the max-plus closure. */
@@ -65,9 +54,15 @@ object CondensationProbe {
           .groupBy(col("s"), col("d")).agg(max(col("w")).as("w"))
           .localCheckpoint(true)
         // fixpoint when neither the arc set nor any max length grew —
-        // sum(w) is monotone under max-plus union, so it is a cheap witness
-        val (c0, w0) = (a.count(), a.agg(sum(col("w"))).collect().head.getLong(0))
-        val (c1, w1) = (next.count(), next.agg(sum(col("w"))).collect().head.getLong(0))
+        // sum(w) is monotone under max-plus union, so it is a cheap
+        // witness; sum over ZERO rows is NULL (a cut with no cross-SCC
+        // arcs), read as 0 instead of NPE-ing the probe
+        def sumW(df: DataFrame): Long = {
+          val r = df.agg(sum(col("w"))).collect().head
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+        val (c0, w0) = (a.count(), sumW(a))
+        val (c1, w1) = (next.count(), sumW(next))
         grew = c1 != c0 || w1 != w0
         a = next; rounds += 1
         println(s"[cond-probe]   jump round $rounds: closure ${c1} arcs")

@@ -41,19 +41,8 @@ object Sf1ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.analytics.GraphAnalytics
 
-    val shuffled = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null)
-          shuffled.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    })
-    def t(label: String)(f: => Long): Unit = {
-      Thread.sleep(300); shuffled.set(0)
-      val t0 = System.nanoTime(); val r = f
-      Thread.sleep(300)
-      println(f"[sf1-probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"($r rows, ${shuffled.get() / 1048576.0}%.1f MiB shuffled)")
-    }
+    val h = new ProbeHarness(spark, "sf1-probe")
+    def t(label: String)(f: => Long): Unit = h.timed(label)(f)
 
     val sf = "/root/testdata/sf0.1"
 

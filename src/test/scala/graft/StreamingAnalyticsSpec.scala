@@ -17,6 +17,13 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
 
   val sfDir = "/root/testdata/sf0.001"
 
+  /** Flattened message of a wrapped-exception chain: the zero-extra-job
+    * guards (assert_true/raise_error inside operator plans) surface
+    * wrapped in SparkException at action time — assertions walk the
+    * whole cause chain for the guard's message. */
+  private def chainMsg(t: Throwable): String =
+    if (t == null) "" else s"${t.getMessage} | ${chainMsg(t.getCause)}"
+
   test("streaming windowed counts == batch windowed counts (memory sink)") {
     val batch = EventStreams.windowedTypeCounts(
       spark.read.parquet(s"$sfDir/events.parquet"))
@@ -1834,8 +1841,6 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     // guard failures raise from the codegen'd assert_true inside the seed
     // join (zero-extra-job guard), surfacing wrapped in a SparkException
     // at kTrussEdges' eager localCheckpoint — walk the cause chain
-    def chainMsg(t: Throwable): String =
-      if (t == null) "" else s"${t.getMessage} | ${chainMsg(t.getCause)}"
     // a frame that misses a canonical edge fails fast, not silently
     val missing = sup.filter(!(col("a") === 4L && col("b") === 5L))
     val err = intercept[Exception] {
@@ -1864,13 +1869,19 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     // unguardable — absence means zero triangles — but THIS direction is
     // checkable, via the zero-extra-job assert_true on the full-outer
     // output join, raising at the caller's first action)
-    def chainMsg(t: Throwable): String =
-      if (t == null) "" else s"${t.getMessage} | ${chainMsg(t.getCause)}"
     val alien = tri.unionAll(Seq((999L, 7L)).toDF("node", "n_triangles"))
     val err = intercept[Exception] {
       GraphAnalytics.clusteringCoefficient(e, triangles0 = Some(alien)).collect()
     }
     assert(chainMsg(err).contains("triangles0"), chainMsg(err))
+    // duplicate (node) rows raise too — they would otherwise silently
+    // duplicate output rows through the full-outer join (the kTrussEdges
+    // support0 rule, applied here)
+    val dup = tri.unionAll(tri.limit(1))
+    val err2 = intercept[Exception] {
+      GraphAnalytics.clusteringCoefficient(e, triangles0 = Some(dup)).collect()
+    }
+    assert(chainMsg(err2).contains("duplicate"), chainMsg(err2))
   }
 
   test("randomWalks: valid edges, full length, deterministic, seed-sensitive") {
@@ -2112,8 +2123,6 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
         sccs = Some(scc))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(shared === got)
-    def chainMsg(t: Throwable): String =
-      if (t == null) "" else s"${t.getMessage} | ${chainMsg(t.getCause)}"
     val holey = scc.filter(col("id") =!= 5L)
     val err = intercept[Exception] {
       GraphAnalytics.condensationLayers(edges.toDF("src", "dst"), sccs = Some(holey))
