@@ -413,6 +413,17 @@ object Bench {
       var buildKeep = true
       def asm = assemble(rider, cal, build = buildKeep)
       if (buildKeep && asm.length > 1920) buildKeep = false
+      // THIRD rung: SUB-SECOND rerun entries (both pass-1 and rerun
+      // < 1 s) shed before recall — a sub-second line's smear is bounded
+      // by its own size, the correction already rides adjudicated_sec,
+      // and with the 0.5 s suspect floor a noisy round can carry several
+      // of these (one final-run line kept 9 rerun entries and squeezed
+      // recall to 4). stderr keeps the full rerun list.
+      while (keepRr.exists(kv => math.max(pass1Of.getOrElse(kv._1, kv._2), kv._2) < 1.0) &&
+          asm.length > 1920)
+        keepRr = keepRr.patch(keepRr.indexOf(
+          keepRr.filter(kv => math.max(pass1Of.getOrElse(kv._1, kv._2), kv._2) < 1.0)
+            .minBy(_._2)), Nil, 1)
       while (keep.nonEmpty && asm.length > 1920)
         keep = keep.patch(keep.indexOf(keep.maxBy(_._2)), Nil, 1)
       // rerun entries shed AFTER recall (they exist to adjudicate this
