@@ -36,6 +36,13 @@ object Bench {
   private def materialize(df: org.apache.spark.sql.DataFrame): Long =
     df.queryExecution.toRdd.count()
 
+  /** One bench observation of one query: pass-1 wall, per-query executor
+    * CPU seconds and shuffle-write MiB (task metrics, listener-bus-drained
+    * so the attribution is per-query, see
+    * [[org.apache.spark.graft.BusDrain]]). `wall = None` = the query
+    * failed. */
+  final case class QRun(name: String, wall: Option[Double], cpuSec: Double, shufMiB: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -164,15 +171,39 @@ object Bench {
 
     def s3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
+    // Per-query task-metrics witness (round 15, VERDICT r14 #3/#4): the
+    // bracketing cal samples missed ~29 load-smeared lines in r14 — a
+    // 10 ms spin between queries can't see sustained contention INSIDE a
+    // query's window. Executor CPU time can: a smeared line shows wall ≫
+    // its rerun's wall while both runs burn the SAME executor CPU (the
+    // plan did identical work and waited), a real plan regression burns
+    // more. Both counters feed bench_detail.json, never the stdout line.
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong
+    val taskShufBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          taskCpuNs.addAndGet(te.taskMetrics.executorCpuTime)
+          taskShufBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+    })
+    // (cpuNs, shuffleBytes) snapshot with the async listener bus drained —
+    // without the drain a query's tail tasks land on the NEXT query's tab
+    def metricSnap(): (Long, Long) = {
+      org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
+      (taskCpuNs.get, taskShufBytes.get)
+    }
+
     // per-pass error buffer: only pass 1 feeds the reported JSON — an
     // extra-pass failure must not list a query in `errors` whose reported
     // (pass-1) timing is non-null and counted in the total
     def runPass(errors: scala.collection.mutable.ArrayBuffer[String],
-                cal: Option[scala.collection.mutable.ArrayBuffer[Double]]): Seq[(String, Option[Double])] =
+                cal: Option[scala.collection.mutable.ArrayBuffer[Double]]): Seq[QRun] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .zipWithIndex.map { case ((name, fn), i) =>
         if (i > 0 && i % calEvery == 0) cal.foreach(_ += calibrate())
+        val (cpu0, shuf0) = metricSnap()
         val t0 = System.nanoTime()
         val ok =
           try { materialize(fn(spark, sfDir)); true }
@@ -180,7 +211,10 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             errors += name; false
           }
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (cpu1, shuf1) = metricSnap()
+        QRun(name, if (ok) Some(wall) else None,
+          (cpu1 - cpu0) / 1e9, (shuf1 - shuf0) / 1048576.0)
       }
     // Second noise witness: process CPU seconds over the reported pass
     // (graft.util.CpuWitness — observed: a 100.7 s full-suite run with
@@ -194,11 +228,12 @@ object Bench {
     // full names at full precision for forensics (stderr is not tail-
     // capped) — printed BEFORE the extra passes so stderr reads in run
     // order (pass 1, 2, 3), not with the cold pass trailing the steady ones
-    System.err.println(s"[bench] pass 1: ${results.map { case (k, v) => s"$k=${v.fold("err")(s3)}" }.mkString(" ")}")
-    for (i <- 2 to repeat) {
+    System.err.println(s"[bench] pass 1: ${results.map(r => s"${r.name}=${r.wall.fold("err")(s3)}").mkString(" ")}")
+    val extraPasses = (2 to repeat).map { i =>
       val extraErrors = scala.collection.mutable.ArrayBuffer[String]()
-      val extra = runPass(extraErrors, None).map { case (k, v) => s"$k=${v.fold("err")(s3)}" }
-      System.err.println(s"[bench] pass $i: ${extra.mkString(" ")}")
+      val extra = runPass(extraErrors, None)
+      System.err.println(s"[bench] pass $i: ${extra.map(r => s"${r.name}=${r.wall.fold("err")(s3)}").mkString(" ")}")
+      extra
     }
     // The harness reading this line keeps only the LAST 2000 chars of stdout
     // (observed: BENCH_r03 truncated a ~2.7k-char full-precision line and
@@ -222,7 +257,7 @@ object Bench {
       if (s.endsWith(".00")) s.dropRight(3) else s
     }
     val shortOf: Map[String, String] = {
-      val names = results.map(_._1)
+      val names = results.map(_.name)
       val byPrefix = names.groupBy(_.takeWhile(_ != '_'))
       byPrefix.filter(_._2.size > 1).foreach { case (p, ns) =>
         System.err.println(s"[bench] WARNING: short-key collision on '$p' " +
@@ -233,7 +268,7 @@ object Bench {
         if (byPrefix(p).size == 1) p else n // collision → keep full name
       }).toMap
     }
-    val qs = results.map { case (k, v) => "\"" + shortOf(k) + "\":" + v.fold("null")(s2) }
+    val qs = results.map(r => "\"" + shortOf(r.name) + "\":" + r.wall.fold("null")(s2))
       .mkString("{", ",", "}")
     // cap the error list: an N-failure round must not grow the line past
     // the stdout tail window and truncate the WHOLE bench to unparseable —
@@ -241,7 +276,7 @@ object Bench {
     val errJson = (errors.take(2).map("\"" + _ + "\"") ++
       (if (errors.size > 2) Seq("\"+" + (errors.size - 2) + " more\"") else Nil))
       .mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
+    val total = results.flatMap(_.wall).sum
     // cal emitted as integer MILLISECONDS ("cal_ms"): ~10 on a quiet VM,
     // hundreds under load — ms resolution is the witness's working range,
     // and 3-4 chars/sample (vs 5 for "0.010") buys the line-length headroom
@@ -322,7 +357,7 @@ object Bench {
     // anchored smears adjudicate first, time breaking ties
     def ratioOf(n: String, t: Double): Double =
       graft.bench.SteadyState.sec.get(n).fold(1.0)(s => t / s)
-    val reruns: Seq[(String, Double)] =
+    val rerunDetails: Seq[QRun] =
       if (!rerunEnabled || calSamples.size < 2) Nil
       else {
         val floor = calSamples.min
@@ -332,28 +367,46 @@ object Bench {
           val hi = calSamples(math.min(w + 1, calSamples.size - 1))
           math.max(lo, hi) > 2 * floor
         }
+        // per-query multiplier: 2.5 default, tighter for known-bimodal
+        // queries whose slow mode never clears 2.5× (SteadyState.adjMult)
         def overSteady(n: String, t: Double): Boolean =
-          graft.bench.SteadyState.sec.get(n).exists(s => t > 2.5 * s)
+          graft.bench.SteadyState.sec.get(n)
+            .exists(s => t > graft.bench.SteadyState.multOf(n) * s)
         val suspects = results.zipWithIndex.collect {
-          case ((n, Some(t)), i) if (noisy(i) || overSteady(n, t)) && t > 0.5 => (n, t)
+          case (QRun(n, Some(t), _, _), i) if (noisy(i) || overSteady(n, t)) && t > 0.5 => (n, t)
         }.sortBy { case (n, t) => (-ratioOf(n, t), -t) }
         var budget = 120.0
         val out = suspects.flatMap { case (n, _) =>
+          // admission gated on the anchor ESTIMATE (ADVICE r14): worst-
+          // ratio-first ordering made a one-gate overshoot of the whole
+          // budget likely when a big smeared gate came up last; a suspect
+          // whose steady anchor alone exceeds the remaining budget is
+          // skipped (the NEXT, cheaper suspect may still fit). Anchorless
+          // suspects admit while any budget remains, as before.
+          val anchor = graft.bench.SteadyState.sec.get(n)
           if (budget <= 0) None
-          else {
+          else if (anchor.exists(_ > budget)) {
+            System.err.println(s"[bench] rerun skip $n: anchor ${s3(anchor.get)} " +
+              s"exceeds remaining budget ${s3(budget)}")
+            None
+          } else {
+            val (cpu0, shuf0) = metricSnap()
             val t0 = System.nanoTime()
             val ok = try { materialize(SparkEntry.queries(n)(spark, sfDir)); true }
               catch { case _: Throwable => false }
             val r = (System.nanoTime() - t0) / 1e9
+            val (cpu1, shuf1) = metricSnap()
             budget -= r
-            if (ok) Some(n -> r) else None
+            if (ok) Some(QRun(n, Some(r), (cpu1 - cpu0) / 1e9, (shuf1 - shuf0) / 1048576.0))
+            else None
           }
         }
         if (out.nonEmpty) System.err.println(
           s"[bench] rerun (noise-flagged, ${s3(120.0 - budget)}s of budget): " +
-            out.map { case (k, v) => s"$k=${s3(v)}" }.mkString(" "))
+            out.map(r => s"${r.name}=${s3(r.wall.get)}").mkString(" "))
         out
       }
+    val reruns: Seq[(String, Double)] = rerunDetails.map(r => r.name -> r.wall.get)
     // in-line recall at 2 decimals (stderr above keeps 3). The line must
     // stay inside the ~1.9k stdout tail window (1920 cutoff vs the hard
     // 2000); instead of all-or-nothing, shed rider entries one at a time —
@@ -380,7 +433,7 @@ object Bench {
     // performed, not just the entries surviving the char-budget shed, so
     // the scalar stays honest even on a failure-heavy line. Emitted only
     // when reruns happened (otherwise it duplicates `value`).
-    val pass1Of = results.collect { case (n, Some(t)) => n -> t }.toMap
+    val pass1Of = results.collect { case QRun(n, Some(t), _, _) => n -> t }.toMap
     val adjudicated = total - reruns.map { case (n, r) =>
       math.max(0.0, pass1Of.getOrElse(n, r) - math.min(pass1Of.getOrElse(n, r), r))
     }.sum
@@ -441,6 +494,63 @@ object Bench {
       while (keepRr.nonEmpty && asm.length > 1920)
         keepRr = keepRr.patch(keepRr.indexOf(keepRr.minBy(rrShedKey)), Nil, 1)
       asm
+    }
+    // Committed per-query sidecar (round 15, VERDICT r14 #1/#2: the 1.9k-
+    // char stdout window evicted 16 of ~29 rerun correctors and ALL 10
+    // recall entries from the r14 line, leaving adjudicated_sec and the
+    // no_oracle recall evidence unverifiable from the binding artifact).
+    // The stdout line stays the shed-laddered summary; EVERYTHING rides
+    // here uncapped — per query: pass-1 wall, executor CPU sec + shuffle
+    // MiB (task metrics, bus-drained), the committed anchor + multiplier,
+    // every rerun with its own cpu/shuffle, extra-pass walls — plus all
+    // cal samples, full-precision recall for every approx tier, and the
+    // adjudication rule itself. adjudicated_sec is recomputable as
+    // Σ min(p1, min(rerun)) over all queries. Skipped for SPARK_GRAFT_ONLY
+    // subset runs (a partial write must not shadow the full-suite record);
+    // the file is repo-tracked so every driver bench run updates it in the
+    // working tree and the next commit pins it.
+    if (only.isEmpty) {
+      def jnum(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+      def jarr(xs: Seq[Double]): String = xs.map(jnum).mkString("[", ",", "]")
+      val rrByName = rerunDetails.groupBy(_.name)
+      val extraByName: Map[String, Seq[Double]] =
+        extraPasses.flatten.collect { case QRun(n, Some(t), _, _) => n -> t }
+          .groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
+      val qObjs = results.map { r =>
+        val anchor = graft.bench.SteadyState.sec.get(r.name)
+        val fields = Seq(
+          Some("\"p1\":" + r.wall.fold("null")(jnum)),
+          Some("\"cpu\":" + jnum(r.cpuSec)),
+          Some("\"shuf_mib\":" + jnum(r.shufMiB)),
+          anchor.map(a => "\"anchor\":" + jnum(a)),
+          anchor.map(_ => "\"mult\":" + jnum(graft.bench.SteadyState.multOf(r.name))),
+          anchor.flatMap(a => r.wall.map(t => "\"ratio\":" + jnum(t / a))),
+          rrByName.get(r.name).map(rs => "\"rerun\":" + jarr(rs.flatMap(_.wall))),
+          rrByName.get(r.name).map(rs => "\"rerun_cpu\":" + jarr(rs.map(_.cpuSec))),
+          rrByName.get(r.name).map(rs => "\"rerun_shuf_mib\":" + jarr(rs.map(_.shufMiB))),
+          extraByName.get(r.name).map(ts => "\"passes\":" + jarr(ts))
+        ).flatten
+        "\"" + r.name + "\":" + fields.mkString("{", ",", "}")
+      }
+      val recallJson = recalls.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+        .mkString("{", ",", "}")
+      val detail =
+        s"""{"schema":1,"round_hint":"adjudicated_sec = sum over queries of min(p1, min(rerun)); cpu/shuf are executor task metrics for THIS query's jobs (load witness: wall diverges from rerun wall while cpu matches => machine noise, not plan cost)",
+           |"ts_ms":${System.currentTimeMillis},"sf":"$sfName","repeat":$repeat,
+           |"build_sec":${jnum(buildSec)},"train_sec":${jnum(trainSec)},
+           |"cal_ms":${calJsonOf(calSamples.toSeq)},"cpu_sec":${jnum(cpuSec)},
+           |"total_sec":${jnum(total)},"adjudicated_sec":${jnum(adjudicated)},
+           |"errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")},
+           |"recall":$recallJson,
+           |"queries":${qObjs.mkString("{", ",", "}")}}""".stripMargin
+      val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json")
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+          detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[bench] sidecar: $detailPath (${detail.length} chars)")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sidecar write FAILED: ${e.getMessage}")
+      }
     }
     // stderr keeps build/train full-precision even when the line sheds them
     System.err.println(s"[bench] build_sec=${s3(buildSec)} train_sec=${s3(trainSec)} line_chars=${line.length}")

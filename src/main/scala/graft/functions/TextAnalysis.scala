@@ -378,8 +378,15 @@ object TextAnalysis {
     // element_at past the shorter array yields NULL minima (the probe is
     // a full scan, but a sketch table is |sources| rows of k longs)
     val sz = sketches
-      .agg(min(size(col(sigCol))).as("lo"), max(size(col(sigCol))).as("hi"))
+      .agg(min(size(col(sigCol))).as("lo"), max(size(col(sigCol))).as("hi"),
+        count(when(col(sigCol).isNull, 1)).as("nulls"))
       .collect().head
+    // NULL sigs named first (checked even when every sig is NULL and the
+    // min/max read as NULL): legacy size(NULL) = -1 would otherwise
+    // surface as a baffling "mixed signature lengths (-1 vs k)"
+    require(sz.getLong(2) == 0L,
+      s"mergeSourceSketches: ${sz.getLong(2)} rows have a NULL $sigCol — " +
+        "every shard row must carry a signature")
     val k = if (sz.isNullAt(0)) 0 else {
       require(sz.getInt(0) == sz.getInt(1),
         s"mergeSourceSketches: mixed signature lengths (${sz.getInt(0)} vs " +

@@ -118,10 +118,11 @@ object GateQueries {
     * every hop of every gate query, so at scale it must be materialized
     * once, not recomputed per join.
     */
-  /** Unique memory-sink names for the s13 streaming gate: a restarted
+  /** Unique memory-sink names for the s13/s14 streaming gates: a restarted
     * query may not reuse a still-registered name within one session
     * (bench pass-1 + rerun both execute the gate). */
   private val s13Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val s14Runs = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The ≥0.8 minhash near-dup pair set, computed once per (session, dir):
     * d1 emits it and d5 clusters it — in a real pipeline the clustering
@@ -560,7 +561,10 @@ object GateQueries {
       // oracle is the in-memory twin's SQL (g2's shape), so reload ≡
       // original is the hashed claim.
       val g0 = graph(s, d)
-      val tag = math.abs(d.hashCode).toString
+      // hex of the raw hash: math.abs(Int.MinValue) is still negative (an
+      // invalid unquoted identifier char in the table name), and hex keeps
+      // all 32 bits so distinct data dirs can't alias by sign-folding
+      val tag = java.lang.Integer.toHexString(d.hashCode)
       graft.sources.Loaders.saveBucketed(g0, s"graft_g17_$tag", s"/tmp/graft_g17_$tag")
       val g = graft.sources.Loaders.loadBucketed(s, s"graft_g17_$tag", ranges)
       val custs = t(s, d, "customer").filter(col("c_custkey") <= 20)
@@ -568,6 +572,30 @@ object GateQueries {
       Query.paths(g, nodesDF(custs) --| edge(orth(Placed)) |--> labels(ORDER)
           --| edge(attr(Contains)) |--> labels(PART))
         .select(col("n0"), col("n2")).distinct()
+    }),
+    "g18_planned_middle" -> ((s, d) => {
+      // The planner's SIDE-CHOICE itself as an ORACLE gate (VERDICT r14
+      // #5): g15 pins the planner starting at a cheap pattern END (both
+      // expansions forced leftward by the boundary); here the 40-id set
+      // sits in the MIDDLE — customer → 40 ORDER ids → part — so the
+      // first expansion is a genuine cost-model decision between the two
+      // frontier-adjacent steps (the reference's useLeft tie-break,
+      // Cypher.hs:777-782; our stepCost over real label-edge stats,
+      // Exec.scala:planExpansionOrder). Contains carries ~4× the edge
+      // rows of Placed at every TPC-H sf, so the planner must expand
+      // LEFT first (Vector(1, 0, 2)) — one left and one right expansion,
+      // both directions hash-covered by the quick twin's SQL replay.
+      val g = graph(s, d)
+      val pat = (labels(CUSTOMER) --| edge(attr(Placed))
+        |--> nodes32((1L to 40L).map(ORDER_BASE + _): _*)
+        --| edge(attr(Contains)) |--> labels(PART))
+      val order = Exec.planExpansionOrder(g, pat)
+      require(order == Vector(1, 0, 2),
+        s"g18 precondition: planner must start at the 40-id MIDDLE layer, " +
+          s"expand left (Placed ~4x cheaper than Contains), then right " +
+          s"(got $order) — the gate exists to execute that path")
+      Query.paths(g, pat, quick = false)
+        .select(col("n0"), col("n1"), col("n2")).distinct()
     }),
     "g9_csv_dict_ingest" -> ((s, d) => {
       // §2.1's string-keyed CSV ingest as an ORACLE gate (previously
@@ -580,7 +608,7 @@ object GateQueries {
       // binary name ordering — the id assignment rule itself is
       // hash-checked. Path is per-sf so concurrent sf dirs in one
       // session never clobber each other's lazily-read CSV.
-      val path = s"/tmp/graft_g9_csv_${math.abs(d.hashCode)}"
+      val path = s"/tmp/graft_g9_csv_${java.lang.Integer.toHexString(d.hashCode)}"
       t(s, d, "orders").select(
           concat(lit("c"), col("o_custkey")).as("sname"),
           when(col("o_orderkey") % 3 === 0, lit(null))
@@ -1408,6 +1436,74 @@ object GateQueries {
           "— streaming parity broken")
       streamed.select(col("user_id"), expr("start_ts DIV 1000").as("start_us"),
         expr("end_ts DIV 1000").as("end_us"), col("n_events"), col("n_purchases"))
+    }),
+
+    "s14_sliding_window_stream" -> ((s, d) => {
+      // The WATERMARKED WINDOW-AGGREGATION streaming family through the
+      // real path (VERDICT r14 #6): s13 covers custom state
+      // (flatMapGroupsWithState + event-time timeout); this gate runs
+      // s1's sliding-window body — withWatermark + groupBy(window(...)) —
+      // through an actual readStream file source in four ts-ordered
+      // chunks, so window partials genuinely accumulate in the streaming
+      // aggregation state store across micro-batches. Append mode emits a
+      // window only once the watermark (2 h delay, s1's own setting)
+      // passes its END — the two far-future sentinels advance it past
+      // every real window, then trigger the emitting batch. Chunk k+1's
+      // min ts >= chunk k's max ts (value cuts), so no real event is ever
+      // late. Batch parity is asserted in-gate (one-job signed-count
+      // diff); the STREAM's rows are what the oracle hashes — s1's SQL,
+      // so stream ≡ batch ≡ SQL is the checked chain.
+      import s.implicits._
+      import graft.streaming.EventStreams
+      val hourNs = 3600L * 1000000000L
+      val evs = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val bounds = evs.agg(min(col("ts")), max(col("ts"))).collect().head
+      val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
+      val span = maxTs - minTs + 1
+      val dir = java.nio.file.Files.createTempDirectory("graft_s14").toString
+      def push(df: DataFrame): Unit = df.write.mode("append").parquet(dir)
+      // integer DIV (the s13 rule): fractional quotients match no chunk
+      def chunk(k: Int) =
+        evs.filter(expr(s"((ts - ${minTs}L) * 4) DIV ${span}L") === k)
+      push(chunk(0))
+      val qname = s"graft_s14_out_${s14Runs.incrementAndGet()}"
+      val src = EventStreams.readEventStream(s, dir)
+      // state partitions are a per-query plan-time property (the s13
+      // rationale: fixed per-partition state-store commit I/O dominates
+      // at gate scale); session conf restored right after start
+      val shufConf = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try EventStreams.slidingUserActivity(src, "1 hour", "30 minutes")
+          .writeStream.outputMode("append").format("memory").queryName(qname).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", shufConf)
+      try {
+        q.processAllAvailable()
+        (1 to 3).foreach { k => push(chunk(k)); q.processAllAvailable() }
+        // TWO sentinels (the s13 rule): the first advances the watermark
+        // past every real window end + 2 h delay; emission happens on the
+        // batch AFTER the watermark moves, so the second triggers it
+        push(Seq(EventStreams.Event(-1L, maxTs + 100 * hourNs, -1L, "view", 0.0)).toDF())
+        q.processAllAvailable()
+        push(Seq(EventStreams.Event(-2L, maxTs + 101 * hourNs, -2L, "view", 0.0)).toDF())
+        q.processAllAvailable()
+      } finally q.stop()
+      val proj = Seq(unix_timestamp(col("win_start")).as("win_s"),
+        col("user_id"), col("n_events"))
+      val streamed = s.table(qname).filter(col("user_id") >= 0L)
+        .select(proj: _*).localCheckpoint(true)
+      val batch = EventStreams.slidingUserActivity(evs, "1 hour", "30 minutes")
+        .select(proj: _*)
+      // multiset symmetric difference in ONE job (the s13 rule)
+      val diverged = streamed.withColumn("__s", lit(1))
+        .unionByName(batch.withColumn("__s", lit(-1)))
+        .groupBy(col("win_s"), col("user_id"), col("n_events"))
+        .agg(sum(col("__s")).as("d")).filter(col("d") =!= 0).count()
+      require(diverged == 0,
+        s"s14: stream/batch sliding-window aggregation diverged on $diverged " +
+          "window rows — streaming aggregation parity broken")
+      streamed
     }),
 
     "s4_event_pairs" -> ((s, d) => {
@@ -2712,6 +2808,15 @@ object GateQueries {
         |  CAST(l_partkey + 20000000 AS BIGINT) AS n2
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE (o_orderkey + 10000000) % 3 = 0""".stripMargin,
+    // the quick twin's replay: planned-from-the-middle ≡ quick is the
+    // hashed claim (n0 = the customer the Placed edge resolves — every
+    // order has exactly one, so the customer join is o_custkey itself)
+    "g18_planned_middle" ->
+      """SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n0,
+        |  CAST(o_orderkey + 10000000 AS BIGINT) AS n1,
+        |  CAST(l_partkey + 20000000 AS BIGINT) AS n2
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey BETWEEN 1 AND 40""".stripMargin,
     // the in-memory twin's SQL: reload ≡ original is the hashed claim
     "g17_bucketed_reopen" ->
       """SELECT DISTINCT CAST(c_custkey AS BIGINT) AS n0, CAST(l_partkey + 20000000 AS BIGINT) AS n2
@@ -3157,6 +3262,18 @@ object GateQueries {
         |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS INT) AS n_purchases
         |FROM sess GROUP BY user_id, sid""".stripMargin,
     "s1_sliding_window_counts" ->
+      """WITH grid AS (
+        |  SELECT user_id, (ts_ns // 1800000000000) * 1800 AS s1 FROM
+        |  (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts_ns FROM events))
+        |SELECT win_s, user_id, COUNT(*) AS n_events FROM (
+        |  SELECT user_id, s1 AS win_s FROM grid
+        |  UNION ALL
+        |  SELECT user_id, s1 - 1800 AS win_s FROM grid
+        |) GROUP BY 1, 2""".stripMargin,
+    // the batch twin's SQL (= s1's): the hashed frame is the STREAM's
+    // output — readStream file source + watermarked sliding-window
+    // aggregation — so stream ≡ batch ≡ SQL is the checked chain
+    "s14_sliding_window_stream" ->
       """WITH grid AS (
         |  SELECT user_id, (ts_ns // 1800000000000) * 1800 AS s1 FROM
         |  (SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts_ns FROM events))
