@@ -24,11 +24,12 @@ package graft.bench
 object SteadyState {
   /** Per-query adjudication multiplier override (default 2.5 in
     * [[graft.Bench]]): a pass-1 line above `mult × anchor` is re-run.
-    * Known-BIMODAL queries need a tighter trigger — a22 runs 6.8 s in one
-    * JVM mode and 9.0–9.8 s in the other (code byte-identical), so with
-    * the anchor at the quiet mode the slow mode is only ~1.4× and the
-    * default 2.5× would never fire; 1.3× adjudicates it every time it
-    * shows (ADVICE r14). The multiplier must still clear honest run-to-run
+    * Wide-variance queries need a tighter trigger — a22's wall is a
+    * smooth 7.7–10.4 s per-task-CPU/JIT band (A22ModeProbe, SCALING.md),
+    * so with the anchor at the 9.0 median the default 2.5× would only
+    * fire at 22.5 s and let a 14.76 s load smear (the r14 line) ride;
+    * 1.3× (trigger 11.7) adjudicates real smears while the JIT band
+    * rides un-rerun. The multiplier must still clear honest run-to-run
     * variance (±20%), so never set below ~1.25. */
   val adjMult: Map[String, Double] = Map(
     "a22_betweenness" -> 1.3)
@@ -58,7 +59,14 @@ object SteadyState {
     "a1_reachable_orders" -> 1.85,
     "a20_clustering_coefficient" -> 1.0, // re-measured 2026-08-15 r14: free full-outer wrong-graph guard
     "a21_assortativity" -> 1.56,
-    "a22_betweenness" -> 6.8, // bimodal across JVMs (6.8 probe min-of-two ↔ 9.0-9.8 isolated REPEAT=3, code unchanged since the 6.13 reading); anchor = the quiet mode + adjMult 1.3 above so the slow mode actually fires the rerun (the default 2.5× never would at ~1.4×) — see SCALING.md a22 decomposition
+    // a22 re-anchored 2026-08-15 r15 after the A22ModeProbe decomposition
+    // (SCALING.md "a22 bimodality decomposed"): 4 JVMs × 20 passes show
+    // wall ≈ executor CPU 1:1 with task count constant (160), GC ≈ 0,
+    // fetch-wait 0 — the "modes" are per-task CPU under JIT warmth, a
+    // smooth 7.7–10.4 s band, not two plan states. Anchor = the 9.0
+    // cross-JVM steady median; adjMult 1.3 (trigger 11.7) adjudicates
+    // genuine load smears (r14's 14.76) while the JIT band rides.
+    "a22_betweenness" -> 9.0,
     "a23_scc" -> 0.02,
     // a24 re-measured 2026-08-15 r14: the round-13 probe-job coverage
     // guard replaced by a raise_error projection riding the arc build
