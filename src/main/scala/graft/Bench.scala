@@ -357,8 +357,12 @@ object Bench {
     // anchored smears adjudicate first, time breaking ties
     def ratioOf(n: String, t: Double): Double =
       graft.bench.SteadyState.sec.get(n).fold(1.0)(s => t / s)
-    val rerunDetails: Seq[QRun] =
-      if (!rerunEnabled || calSamples.size < 2) Nil
+    // The flagged-suspect set is computed UNCONDITIONALLY (even when the
+    // rerun stage is disabled under REPEAT) so the sidecar can list which
+    // queries the witnesses flagged — the per-query load-witness claim is
+    // then checkable against the adjudications actually performed.
+    val suspects: Seq[(String, Double)] =
+      if (calSamples.size < 2) Nil
       else {
         val floor = calSamples.min
         def noisy(i: Int): Boolean = {
@@ -372,9 +376,13 @@ object Bench {
         def overSteady(n: String, t: Double): Boolean =
           graft.bench.SteadyState.sec.get(n)
             .exists(s => t > graft.bench.SteadyState.multOf(n) * s)
-        val suspects = results.zipWithIndex.collect {
+        results.zipWithIndex.collect {
           case (QRun(n, Some(t), _, _), i) if (noisy(i) || overSteady(n, t)) && t > 0.5 => (n, t)
         }.sortBy { case (n, t) => (-ratioOf(n, t), -t) }
+      }
+    val rerunDetails: Seq[QRun] =
+      if (!rerunEnabled || suspects.isEmpty) Nil
+      else {
         var budget = 120.0
         val out = suspects.flatMap { case (n, _) =>
           // admission gated on the anchor ESTIMATE (ADVICE r14): worst-
@@ -525,6 +533,7 @@ object Bench {
           anchor.map(a => "\"anchor\":" + jnum(a)),
           anchor.map(_ => "\"mult\":" + jnum(graft.bench.SteadyState.multOf(r.name))),
           anchor.flatMap(a => r.wall.map(t => "\"ratio\":" + jnum(t / a))),
+          if (suspects.exists(_._1 == r.name)) Some("\"flagged\":true") else None,
           rrByName.get(r.name).map(rs => "\"rerun\":" + jarr(rs.flatMap(_.wall))),
           rrByName.get(r.name).map(rs => "\"rerun_cpu\":" + jarr(rs.map(_.cpuSec))),
           rrByName.get(r.name).map(rs => "\"rerun_shuf_mib\":" + jarr(rs.map(_.shufMiB))),

@@ -359,11 +359,36 @@ object Similarity {
     // the LSH configs' recall is gauged — and the oracle-checkable form.
     val (nBits, nTables) =
       if (exhaustive) (0, 1)
-      else if (bits > 0) (bits, tables)
-      else {
+      else if (bits > 0) {
+        require(tables > 0,
+          "cosineDuplicates: adaptive tables (<= 0) needs adaptive bits " +
+            "(bits <= 0) — the table formula is anchored to the resolved bit width")
+        (bits, tables)
+      } else {
         val n = corpusCount(vectors)
-        (math.max(2, math.ceil(math.log(math.max(n, 128L) / 32.0)
-          / math.log(2.0)).toInt), tables)
+        val b = math.max(2, math.ceil(math.log(math.max(n, 128L) / 32.0)
+          / math.log(2.0)).toInt)
+        // tables <= 0 → scale the table count WITH the adaptive bits
+        // (round 15, D4ScaleRecallProbe): adaptive bits hold per-bucket
+        // work constant as n grows, but each added bit multiplies a
+        // threshold-angle pair's per-table hit probability by
+        // c = 1 − θ/π (random-hyperplane LSH, Charikar 2002), so FIXED
+        // tables decay in recall with log n — measured at 10×: 0.417 at
+        // the 1×-tuned tables=8, back to 0.990 at 64. Holding the miss
+        // probability (1 − c^bits)^T constant as bits grows by Δ needs
+        // T ∝ c^-Δ; anchor = (8 tables @ 6 bits, the n=2000 sweet spot
+        // where recall measured 1.00). Capped at 64 (the measured-good
+        // point; beyond it the cross-table dedup exchange dominates).
+        // floored at the hand-tuned 8: below the n=2000 anchor the formula
+        // would SHRINK tables (Δ < 0), trading recall for work that is
+        // already cheap — the knob exists to stop decay at scale, not to
+        // thin small corpora
+        val t = if (tables > 0) tables
+          else {
+            val c = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+            math.min(64, math.max(8, math.ceil(8.0 * math.pow(c, -(b - 6).toDouble)).toInt))
+          }
+        (b, t)
       }
     // Per-table bucket joins + union (NOT one posexplode'd composite-key
     // join — measured 14% slower at sf0.1: the 8× exploded rows through a
@@ -460,7 +485,19 @@ object Similarity {
     * pair cost ([[assignTopM]]: one linear min_by pass per extra rank —
     * never a |corpus|·k window sort). Shared-cluster duplicates are
     * canonicalized and deduped; nAssign=1 keeps the original
-    * no-dedup-shuffle single-assignment shape. */
+    * no-dedup-shuffle single-assignment shape.
+    *
+    * SCALE CONTRACT for nAssign (round 15, D4ScaleRecallProbe at 10×
+    * corpus, k = 79): as k grows with the corpus the Voronoi boundaries
+    * get finer and a FIXED width recovers a shrinking share of
+    * near-threshold pairs — recall 0.507 (nAssign=3, the k=8-tuned
+    * value) → 0.862 (6) → 0.948 (8) → 0.999 (12) at near-flat wall
+    * (7 → 15 s; the pair stage stays cluster-local). Rule of thumb:
+    * grow nAssign ~ log₂ k (3 at k=8, 8–12 at k≈80). Kept a manual
+    * knob, unlike [[cosineDuplicates]]'s auto-scaled tables: the right
+    * width also depends on how isotropic the geometry is (clustered
+    * corpora need less), and the caller knows that; the probe table in
+    * SCALING.md is the sizing guide. */
   /** Embedding-space decontamination: every (corpus, reference) pair
     * with cosine ≥ threshold — the SEMANTIC complement of the n-gram
     * decontamination op (paraphrased test-set leakage that no token

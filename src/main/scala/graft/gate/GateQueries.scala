@@ -1275,8 +1275,14 @@ object GateQueries {
       // constant. probes = -1 → full Hamming-1 at the resolved width
       // (round 9): recall vs d6 0.738 → 1.000 at sf0.01 for ~+0.5 s —
       // the probe list rides the query side of each bucket join only
+      // tables = -1 (round 15): scale the table count with the adaptive
+      // bits — D4ScaleRecallProbe measured recall 0.417 at 10× with the
+      // 1×-tuned tables=8 (each adaptive bit multiplies a threshold-pair's
+      // per-table hit rate by 1 − θ/π) and 0.99 back at the formula's
+      // resolved count; identical to tables=8 at every driver sf (the
+      // formula floors at 8 until the corpus outgrows the n=2000 anchor)
       graft.functions.Similarity.cosineDuplicates(
-        t(s, d, "embeddings"), threshold = 0.35, dim = 64, bits = -1, tables = 8,
+        t(s, d, "embeddings"), threshold = 0.35, dim = 64, bits = -1, tables = -1,
         probes = -1)
     }),
     // ---- degenerate-exact configurations of the approximate tiers: at

@@ -882,6 +882,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(base.subsetOf(probedPairs.toSet), "probing lost pairs the base config found")
     assert(probedPairs.toSet.subsetOf(exact), "probing can never emit a non-pair")
     assert(probedPairs.forall(p => p._1 < p._2), "canonical a<b ordering preserved")
+    // adaptive TABLES (round 15, tables <= 0): below the n=2000 anchor the
+    // formula floors at 8, so the small-corpus pair set is identical to
+    // the explicit tables=8 config (it only grows tables at scale — the
+    // D4ScaleRecallProbe contract)
+    val autoT = Similarity.cosineDuplicates(clustered, threshold = 0.98, dim = dim,
+      bits = -1, tables = -1).collect()
+    assert(autoT.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      auto.map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "adaptive tables must floor at 8 below the anchor corpus size")
+    // adaptive tables without adaptive bits has no bit-width anchor: reject
+    assertThrows[IllegalArgumentException] {
+      Similarity.cosineDuplicates(clustered, threshold = 0.98, dim = dim,
+        bits = 6, tables = -1)
+    }
   }
 
   test("ivfAssign: one centroid per vector, same-cluster vectors co-assigned") {
