@@ -133,15 +133,15 @@ object SteadyState {
     "g15_planned_strategy" -> 1.35,
     "g16_where_predicate" -> 1.53,
     "g17_bucketed_reopen" -> 3.8,
-    "s13_sessionize_stream" -> 7.7,
+    "s13_sessionize_stream" -> 6.9, // re-measured 2026-08-15 r15: state partitions 8 -> 4 (sweep in GateQueries.streamStateParts)
     // g18/s14 measured 2026-08-15 (gates added round 15; isolated
     // REPEAT=3 pass-2/3, quiet VM). s14's wall is the s13 shape: 7
-    // micro-batches × 8 state partitions of fixed streaming-aggregation
-    // state-store commit I/O — the data is small, the wall is commit
-    // latency, and it's the only gate exercising watermarked window
-    // state across micro-batches.
+    // micro-batches × 4 state partitions (r15 sweep) of fixed
+    // streaming-aggregation state-store commit I/O — the data is small,
+    // the wall is commit latency, and it's the only gate exercising
+    // watermarked window state across micro-batches.
     "g18_planned_middle" -> 1.8,
-    "s14_sliding_window_stream" -> 8.2,
+    "s14_sliding_window_stream" -> 7.7, // state partitions 4 (r15 sweep)
     "g1_building_customer_orders" -> 0.5,
     "g2_parts_of_customer_orders" -> 2.17,
     "g3_out_degrees" -> 1.02,

@@ -124,6 +124,21 @@ object GateQueries {
   private val s13Runs = new java.util.concurrent.atomic.AtomicInteger(0)
   private val s14Runs = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** State-store partition count for the two real-streaming gates
+    * (s13/s14): a per-QUERY plan-time property (the session conf is
+    * restored right after start). The gates' wall is dominated by fixed
+    * per-partition per-micro-batch state-store commit I/O, so fewer
+    * partitions = less wall until commit parallelism is lost — swept in
+    * round 15 (isolated REPEAT=3, pass-2/3, s13/s14): 32 → 15.5 s
+    * (round-14 reading), 8 → 7.8/8.7 s, 4 → **6.9/7.7 s**, 2 → 7.9/8.6 s
+    * (regresses: the per-batch commits serialize). Env override is the
+    * sweep harness, not a tuning surface — the committed default IS the
+    * measured optimum. At production state volumes the count must grow
+    * with keyspace; these gates' state is tiny, so the floor is pure
+    * commit overhead. */
+  private def streamStateParts: String =
+    sys.env.getOrElse("GRAFT_STREAM_STATE_PARTS", "4")
+
   /** The ≥0.8 minhash near-dup pair set, computed once per (session, dir):
     * d1 emits it and d5 clusters it — in a real pipeline the clustering
     * step consumes the pair stage's output, it does not re-shingle the
@@ -1408,7 +1423,7 @@ object GateQueries {
       // is a per-QUERY property (the session conf is restored right
       // after start; batch gates are unaffected)
       val shufConf = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
       val q =
         try EventStreams.sessionizeStream(src, gapNanos = gap, watermarkDelay = "1 second")
           .writeStream.outputMode("append").format("memory").queryName(qname).start()
@@ -1479,7 +1494,7 @@ object GateQueries {
       // rationale: fixed per-partition state-store commit I/O dominates
       // at gate scale); session conf restored right after start
       val shufConf = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
       val q =
         try EventStreams.slidingUserActivity(src, "1 hour", "30 minutes")
           .writeStream.outputMode("append").format("memory").queryName(qname).start()
