@@ -67,6 +67,16 @@ object A22ModeProbe {
     graft.gate.GateQueries.graph(spark, sfDir).edges.count()
     graft.gate.GateQueries.warmCoPurchase(spark, sfDir)
 
+    // PROBE_COALESCE=0 disables AQE partition coalescing for the timed
+    // passes (wall ≈ cpu at ~1.05 effective cores in the baseline probe
+    // — if the rounds' stages are being coalesced to single partitions,
+    // keeping them wide should parallelize the fixed per-round work)
+    if (sys.env.get("PROBE_COALESCE").contains("0"))
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // PROBE_ADVISORY=<bytes> lowers the coalesce target instead (keeps
+    // AQE on but aims for more, smaller partitions)
+    sys.env.get("PROBE_ADVISORY").foreach(b =>
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", b))
     val gate = graft.SparkEntry.queries("a22_betweenness")
     for (i <- 1 to repeat) {
       peakMem.set(0)
