@@ -115,6 +115,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"planned walk shuffles a frontier:\n$plan")
   }
 
+  test("planned strategy (g18 shape): middle start expands the cheap side first, broadcast hops") {
+    // the g18 gate's plan pinned at spec level too: cheap 40-id set in
+    // the pattern MIDDLE, so the first expansion is a genuine stepCost
+    // decision (Placed ~4× fewer edge rows than Contains → left first),
+    // and BOTH walk directions ride broadcast joins over the oriented
+    // edge rows — a SortMergeJoin on either side would mean a frontier
+    // got big enough to shuffle, which a 40-id-seeded walk never should
+    import graft.cypher.Dsl._
+    val g = GateQueries.graph(spark, sfDir)
+    val pat = (labels(GateQueries.CUSTOMER)
+      --| edge(attr(GateQueries.Placed)) |-->
+        nodes32((1L to 40L).map(GateQueries.ORDER_BASE + _): _*)
+      --| edge(attr(GateQueries.Contains)) |--> labels(GateQueries.PART))
+    assert(graft.cypher.Exec.planExpansionOrder(g, pat) === Vector(1, 0, 2),
+      "planner must start at the 40-id middle layer and expand the cheap (Placed) side first")
+    val plan = planOf(graft.cypher.Query.paths(g, pat, quick = false))
+    assert(plan.contains("BroadcastHashJoin"), s"planned hops not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"planned walk shuffles a frontier:\n$plan")
+  }
+
   test("reloaded bucketed graph: frontier traversal plans no Exchange over the edge scan") {
     // the g17 gate flow (saveBucketed → loadBucketed → Query.paths): the
     // whole point of the bucketed layout is that reopened adjacency joins
