@@ -151,8 +151,8 @@ object SteadyState {
     "g7_part_suppliers_3hop" -> 3.35,
     "g8_dml_roundtrip" -> 0.69,
     "g9_csv_dict_ingest" -> 1.93,
-    "m1_media_features" -> 0.72, // re-measured 2026-08-15 isolated REPEAT=3 (full-run pass-2 read 1.34)
-    "m2_media_near_dups" -> 0.92, // re-measured 2026-08-15 isolated REPEAT=3
+    "m1_media_features" -> 0.3, // re-measured 2026-08-15 r15 isolated REPEAT=3 (0.29/0.29; the r14 0.72 reading carried warm-path cost the train phase now owns)
+    "m2_media_near_dups" -> 0.45, // re-measured 2026-08-15 r15 isolated REPEAT=3 (0.47/0.42)
     "miw_bulk_ingest" -> 0.06,
     "q10_scalar_functions" -> 0.21,
     "q11_analytic_windows" -> 0.62,
