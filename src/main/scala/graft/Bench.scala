@@ -114,7 +114,11 @@ object Bench {
     val tTrain = System.nanoTime()
     if (warm && new java.io.File(s"$sfDir/embeddings.parquet").exists) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      graft.functions.Similarity.warmClusterIndex(emb, nClusters = -1) // d9
+      graft.functions.Similarity.warmClusterIndex(emb, nClusters = -1) // d9 + d17
+      // d17's width calibration (one sample job + driver math, session-
+      // memoized): a shared fixture like the trainer above — without this
+      // the d17 line absorbs the measurement instead of the dedup query
+      graft.functions.Similarity.calibratedAssignWidth(emb, threshold = 0.35)
       graft.functions.Similarity.warmClusterIndex(emb, nClusters = 16, lloydIters = 3) // e4, e10
       graft.functions.Similarity.warmClusterIndex(emb, nClusters = 16, lloydIters = 2) // e8, e11
       graft.functions.Similarity.pqCodebooks(emb, nSub = 16, nCodes = 64, lloydIters = 2).count() // e7, e8
@@ -284,10 +288,10 @@ object Bench {
     def calJsonOf(xs: Seq[Double]): String =
       xs.map(s => math.round(s * 1000).toString).mkString("[", ",", "]")
     // cal cadence (calEvery above) is documented in SCALING.md, not the
-    // line — "cpu_sec" (integer seconds) took its chars inside the window
-    // sf emitted as the basename ("sf0.1"), not the full path: the path
-    // spent 18 chars of the ~1.9k stdout window on redundant prefix
-    val sfName = sfDir.stripSuffix("/").split('/').last
+    // line — "cpu_sec" (integer seconds) took its chars inside the window.
+    // sf is emitted as the basename ("sf0.1"), not the full path (the path
+    // spent 18 chars of the ~1.9k stdout window on redundant prefix):
+    // sfName is defined below with the anchor-set selection.
     // Approximation-quality rider: recall@k of each approximate tier vs
     // its exact twin — the same rank-insensitive key-set recall Verify
     // emits in verify_meta.json — recomputed UNTIMED after the measured
@@ -305,7 +309,8 @@ object Bench {
       ("e15", "e15_ann_projected_topk", "e1_ann_bruteforce_topk", Seq("query_id", "neighbor_id")),
       ("e17", "e17_mutual_knn_ivf", "e18_mutual_knn_planted_exact", Seq("a", "b")),
       ("d4", "d4_embedding_near_dups", "d6_embedding_dups_exact", Seq("doc_a", "doc_b")),
-      ("d9", "d9_semantic_dedup", "d6_embedding_dups_exact", Seq("doc_a", "doc_b")))
+      ("d9", "d9_semantic_dedup", "d6_embedding_dups_exact", Seq("doc_a", "doc_b")),
+      ("d17", "d17_semantic_dedup_auto", "d6_embedding_dups_exact", Seq("doc_a", "doc_b")))
     // memoized per query name: e1 is the exact twin of BOTH e7 and e8 —
     // without the memo its full brute-force cross join would run twice
     // in the untimed rider
@@ -352,11 +357,16 @@ object Bench {
     // stderr); SPARK_GRAFT_RERUN=0 disables.
     val rerunEnabled = repeat == 1 &&
       sys.env.get("SPARK_GRAFT_RERUN").forall(_ != "0")
+    // scale-aware anchor set (round 16): sf1 runs adjudicate against sf1
+    // anchors instead of running anchor-blind (SteadyState.anchorsFor)
+    val sfName = sfDir.stripSuffix("/").split('/').last
+    val anchorSec = graft.bench.SteadyState.anchorsFor(sfName)
+    def anchorMult(n: String): Double = graft.bench.SteadyState.multFor(sfName)(n)
     // anchor ratio: >1 means pass-1 exceeded the committed steady anchor;
     // anchorless queries (no SteadyState entry yet) rank at 1.0 so
     // anchored smears adjudicate first, time breaking ties
     def ratioOf(n: String, t: Double): Double =
-      graft.bench.SteadyState.sec.get(n).fold(1.0)(s => t / s)
+      anchorSec.get(n).fold(1.0)(s => t / s)
     // The flagged-suspect set is computed UNCONDITIONALLY (even when the
     // rerun stage is disabled under REPEAT) so the sidecar can list which
     // queries the witnesses flagged — the per-query load-witness claim is
@@ -374,8 +384,7 @@ object Bench {
         // per-query multiplier: 2.5 default, tighter for known-bimodal
         // queries whose slow mode never clears 2.5× (SteadyState.adjMult)
         def overSteady(n: String, t: Double): Boolean =
-          graft.bench.SteadyState.sec.get(n)
-            .exists(s => t > graft.bench.SteadyState.multOf(n) * s)
+          anchorSec.get(n).exists(s => t > anchorMult(n) * s)
         results.zipWithIndex.collect {
           case (QRun(n, Some(t), _, _), i) if (noisy(i) || overSteady(n, t)) && t > 0.5 => (n, t)
         }.sortBy { case (n, t) => (-ratioOf(n, t), -t) }
@@ -391,7 +400,7 @@ object Bench {
           // whose steady anchor alone exceeds the remaining budget is
           // skipped (the NEXT, cheaper suspect may still fit). Anchorless
           // suspects admit while any budget remains, as before.
-          val anchor = graft.bench.SteadyState.sec.get(n)
+          val anchor = anchorSec.get(n)
           if (budget <= 0) None
           else if (anchor.exists(_ > budget)) {
             System.err.println(s"[bench] rerun skip $n: anchor ${s3(anchor.get)} " +
@@ -518,20 +527,26 @@ object Bench {
     // the file is repo-tracked so every driver bench run updates it in the
     // working tree and the next commit pins it.
     if (only.isEmpty) {
-      def jnum(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+      // non-finite → null (ADVICE r15): %.3f renders NaN/Infinity as bare
+      // tokens, and a single non-finite recall or metric value would make
+      // the whole committed sidecar unparseable JSON
+      def jnum(d: Double): String =
+        if (java.lang.Double.isFinite(d))
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+        else "null"
       def jarr(xs: Seq[Double]): String = xs.map(jnum).mkString("[", ",", "]")
       val rrByName = rerunDetails.groupBy(_.name)
       val extraByName: Map[String, Seq[Double]] =
         extraPasses.flatten.collect { case QRun(n, Some(t), _, _) => n -> t }
           .groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
       val qObjs = results.map { r =>
-        val anchor = graft.bench.SteadyState.sec.get(r.name)
+        val anchor = anchorSec.get(r.name)
         val fields = Seq(
           Some("\"p1\":" + r.wall.fold("null")(jnum)),
           Some("\"cpu\":" + jnum(r.cpuSec)),
           Some("\"shuf_mib\":" + jnum(r.shufMiB)),
           anchor.map(a => "\"anchor\":" + jnum(a)),
-          anchor.map(_ => "\"mult\":" + jnum(graft.bench.SteadyState.multOf(r.name))),
+          anchor.map(_ => "\"mult\":" + jnum(anchorMult(r.name))),
           anchor.flatMap(a => r.wall.map(t => "\"ratio\":" + jnum(t / a))),
           if (suspects.exists(_._1 == r.name)) Some("\"flagged\":true") else None,
           rrByName.get(r.name).map(rs => "\"rerun\":" + jarr(rs.flatMap(_.wall))),

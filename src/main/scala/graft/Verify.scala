@@ -102,6 +102,7 @@ object Verify {
       recallOf("e15_ann_projected_topk", "e1_ann_bruteforce_topk", Seq("query_id", "neighbor_id")),
       recallOf("d4_embedding_near_dups", "d6_embedding_dups_exact", Seq("doc_a", "doc_b")),
       recallOf("d9_semantic_dedup", "d6_embedding_dups_exact", Seq("doc_a", "doc_b")),
+      recallOf("d17_semantic_dedup_auto", "d6_embedding_dups_exact", Seq("doc_a", "doc_b")),
       recallOf("e17_mutual_knn_ivf", "e18_mutual_knn_planted_exact", Seq("a", "b"))
     ).flatten
 

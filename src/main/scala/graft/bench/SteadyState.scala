@@ -36,6 +36,25 @@ object SteadyState {
 
   def multOf(name: String): Double = adjMult.getOrElse(name, 2.5)
 
+  /** Anchor-set selection (round 16, VERDICT r15 #4): a 10×-scale bench
+    * run must adjudicate against 10× anchors — the r15 sf1 rider ran
+    * REPEAT=2 with the sf0.1-anchored rerun stage disabled, so its
+    * flagged set was ad hoc. Bench picks the set from the data dir's
+    * basename ("sf1" marks the ScaleTestData 10× replica); the sf0.1
+    * driver path is byte-identical to before. The per-query adjMult
+    * overrides are sf0.1 measurements and do NOT transfer — sf1 runs use
+    * the 2.5 default until a bimodality is measured there. */
+  def anchorsFor(sfName: String): Map[String, Double] =
+    if (sfName.contains("sf1")) sf1Sec else sec
+  def multFor(sfName: String)(name: String): Double =
+    if (sfName.contains("sf1")) 2.5 else multOf(name)
+
+  /** sf1 (10×, /tmp/graft_sf1_full — ScaleTestData) steady anchors:
+    * pass-2 of the round-16 full-suite REPEAT=2 run on the final binary.
+    * Sparse-by-construction is fine — anchorless queries rank at ratio
+    * 1.0 and never flag, exactly like a new gate on the sf0.1 path. */
+  val sf1Sec: Map[String, Double] = Map.empty
+
   /** sf0.1 steady seconds by full query name (round-13 measurement:
     * pass-2 of the full-suite REPEAT=2 run, 2026-08-14, quiet VM,
     * cal_ms all 9-11; e17/e18 from an isolated REPEAT=2 run after their
@@ -92,6 +111,11 @@ object SteadyState {
     "d14_ngram_jaccard_banded" -> 4.61,
     "d15_semantic_decontam" -> 0.42,
     "d16_exact_dedup_against" -> 0.49,
+    // d17/m3 measured 2026-08-15 (gates added round 16; isolated
+    // REPEAT=3 pass-2/3, quiet VM). d17's steady excludes the width
+    // calibration + centroid training the bench train phase owns.
+    "d17_semantic_dedup_auto" -> 1.54,
+    "m3_crossmodal_dedup" -> 0.97,
     "d1_minhash_near_dups" -> 0.04,
     "d2_simhash_signatures" -> 1.58,
     "d3_ngram_jaccard_pairs" -> 2.67,

@@ -509,6 +509,74 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Cross-modal document-level dedup decision — the real multimodal
+    * pipeline op: a page is a DUPLICATE iff EITHER modality matches an
+    * earlier document (smaller id, the deterministic first-occurrence-
+    * wins rule) — its text exactly, or its media payload perceptually
+    * (phash Hamming ≤ `maxHamming`). Returns one row per document:
+    * (idCol, dup_text, dup_media, keep) with 0/1 LONG flags
+    * (`keep = 1` iff neither modality matched earlier).
+    *
+    * Scale shape, per modality:
+    *  - TEXT: exact dedup by md5 — the shuffle carries (hash, id), never
+    *    the text; min(id) per hash group is the keeper.
+    *  - MEDIA: phash EQUALITY FAMILIES collapse first (a viral exact-copy
+    *    family is ONE distinct hash with its min id), then the banded
+    *    Hamming join ([[nearDuplicateMedia]]'s pigeonhole bands) runs
+    *    over DISTINCT hashes only — the family-size² pair blowup of the
+    *    pair-emitting tier never happens, and the cross-hash matches
+    *    aggregate straight to min(first_id) per hash (groupBy-min absorbs
+    *    multi-band candidate duplicates, so no distinct() exchange).
+    * The per-doc decision is then two broadcast-size joins on the
+    * collapsed tables. "Earlier document" (not "earlier keeper"): within
+    * equality families the two coincide; across genuinely perceptual
+    * chains this is the standard streaming-dedup convention (a doc is
+    * dropped if ANY earlier doc matches, whether or not that doc was
+    * itself kept). */
+  def crossModalDedup(docs: DataFrame, media: Dataset[MediaRow],
+      idCol: String = "doc_id", textCol: String = "text",
+      maxHamming: Int = 3, maxPixels: Long = DefaultMaxPixels): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"crossModalDedup: maxHamming must be in [0, 15], got $maxHamming")
+    // text keeper per exact-text family (null text = the empty-string
+    // family, matching the oracle's coalesce convention)
+    val tmin = docs
+      .select(col(idCol).as("tid"), md5(coalesce(col(textCol), lit(""))).as("th"))
+      .groupBy(col("th")).agg(min(col("tid")).as("tkeeper"))
+    // media: hash → collapse equality families → banded join over
+    // DISTINCT hashes → earliest cross-hash match per hash
+    val h = perceptualHash(media, maxPixels).toDF()
+      .select(col("media_id"), col("phash")).localCheckpoint(true)
+    val fams = h.groupBy(col("phash")).agg(min(col("media_id")).as("first_id"))
+      .localCheckpoint(true) // referenced by both banded sides + the decision join
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    def banded(p: String, f: String) = fams.select(col("phash").as(p),
+      col("first_id").as(f),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("phash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+      .select(col(p), col(f), col("bk.band"), col("bk.key"))
+    val xmin = banded("pa", "fa").join(banded("pb", "fb"), Seq("band", "key"))
+      .filter(col("pa") =!= col("pb") &&
+        bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
+      .groupBy(col("pa")).agg(min(col("fb")).as("xmin"))
+    val mDecision = h.join(fams, Seq("phash"))
+      .join(xmin, h("phash") === xmin("pa"), "left")
+      .select(col("media_id").as(idCol),
+        (least(col("first_id"), coalesce(col("xmin"), lit(Long.MaxValue)))
+          < col("media_id")).as("mdup"))
+    docs.select(col(idCol), md5(coalesce(col(textCol), lit(""))).as("th"))
+      .join(tmin, Seq("th"))
+      .join(mDecision, Seq(idCol), "left")
+      .select(col(idCol),
+        (col("tkeeper") < col(idCol)).cast("long").as("dup_text"),
+        coalesce(col("mdup"), lit(false)).cast("long").as("dup_media"),
+        (col("tkeeper") >= col(idCol) && !coalesce(col("mdup"), lit(false)))
+          .cast("long").as("keep"))
+  }
+
   /** Flatten the nested meta struct into a typed Dataset for the batch ops. */
   def typed(df: DataFrame): Dataset[MediaRow] = {
     import df.sparkSession.implicits._

@@ -124,6 +124,18 @@ object GateQueries {
   private val s13Runs = new java.util.concurrent.atomic.AtomicInteger(0)
   private val s14Runs = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Recursive best-effort delete for the stream gates' per-execution
+    * chunk dirs: each run writes ~5 copies of the events table to a FRESH
+    * temp dir, so without cleanup repeated bench runs (pass-1 + extra
+    * passes + reruns) accumulate unbounded /tmp data (ADVICE r15).
+    * Try-guarded — cleanup failure must never fail a green gate. */
+  private def deleteStreamDir(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+    }
+    scala.util.Try(rm(new java.io.File(dir)))
+  }
+
   /** State-store partition count for the two real-streaming gates
     * (s13/s14): a per-QUERY plan-time property (the session conf is
     * restored right after start). The gates' wall is dominated by fixed
@@ -1282,6 +1294,21 @@ object GateQueries {
         t(s, d, "embeddings"), threshold = 0.35, nClusters = -1, nAssign = 3)
         .select(col("doc_a"), col("doc_b"))
     }),
+    "d17_semantic_dedup_auto" -> ((s, d) => {
+      // d9's SCALE-DEFAULT configuration (round 16): nAssign = -1 measures
+      // the soft-assignment width on the trained model instead of pinning
+      // the k=8-tuned 3 (Similarity.calibratedAssignWidth — the fix for
+      // the r15 10× finding that the manual width reads recall 0.507 once
+      // k grows to 79). d9 stays the manual-config gate; this gate is the
+      // artifact that carries the AUTO tier's recall in the bench rider
+      // and verify_meta at every scale the driver runs (rows-only gate;
+      // floors in RecallSpec/ScaleRecallSpec, exact twin d6). At driver
+      // sf0.1 the probe resolves width 4 (recall 0.996 vs manual-3's
+      // 0.956); at 10× it resolves 9 (0.977 vs 0.507) — D9ScaleRecallProbe.
+      graft.functions.Similarity.semanticDedup(
+        t(s, d, "embeddings"), threshold = 0.35, nClusters = -1, nAssign = -1)
+        .select(col("doc_a"), col("doc_b"))
+    }),
     "d4_embedding_near_dups" -> ((s, d) => {
       // synthetic embeddings top out at pairwise cosine ~0.5, so the
       // "near-dup" bar is 0.35 here; bits = -1 → bucket width sized from
@@ -1402,6 +1429,7 @@ object GateQueries {
       val evs = events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       val bounds = evs.agg(min(col("ts")), max(col("ts"))).collect().head
+      require(!bounds.isNullAt(0), "s13: events table is empty") // named, not an opaque NPE (ADVICE r15, s14's twin)
       val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
       val span = maxTs - minTs + 1
       val dir = java.nio.file.Files.createTempDirectory("graft_s13").toString
@@ -1438,7 +1466,7 @@ object GateQueries {
         q.processAllAvailable()
         push(Seq(EventStreams.Event(-2L, maxTs + 101 * gap, -2L, "view", 0.0)).toDF())
         q.processAllAvailable()
-      } finally q.stop()
+      } finally { q.stop(); deleteStreamDir(dir) }
       val streamed = s.table(qname).filter(col("user_id") >= 0L)
         .select(col("user_id"), col("start_ts"), col("end_ts"),
           col("n_events"), col("n_purchases")).localCheckpoint(true)
@@ -1480,6 +1508,7 @@ object GateQueries {
       val evs = events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       val bounds = evs.agg(min(col("ts")), max(col("ts"))).collect().head
+      require(!bounds.isNullAt(0), "s14: events table is empty") // named, not an opaque NPE (ADVICE r15)
       val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
       val span = maxTs - minTs + 1
       val dir = java.nio.file.Files.createTempDirectory("graft_s14").toString
@@ -1509,7 +1538,7 @@ object GateQueries {
         q.processAllAvailable()
         push(Seq(EventStreams.Event(-2L, maxTs + 101 * hourNs, -2L, "view", 0.0)).toDF())
         q.processAllAvailable()
-      } finally q.stop()
+      } finally { q.stop(); deleteStreamDir(dir) }
       val proj = Seq(unix_timestamp(col("win_start")).as("win_s"),
         col("user_id"), col("n_events"))
       val streamed = s.table(qname).filter(col("user_id") >= 0L)
@@ -1868,6 +1897,28 @@ object GateQueries {
       graft.functions.Multimodal.nearDuplicateMedia(
           graft.functions.Multimodal.typed(media), maxHamming = 3)
         .select(col("media_a"), col("media_b"))
+    }),
+    "m3_crossmodal_dedup" -> ((s, d) => {
+      // cross-modal keep/drop decision (round 16, VERDICT r15 #5): a page
+      // is a duplicate iff EITHER modality matches an earlier document —
+      // text exactly OR media phash within Hamming 3. TWO disjoint planted
+      // families make each modality discriminating on its own: every %41
+      // doc shares one TEXT (its payload stays unique), every %50 doc
+      // shares one PAYLOAD (its text stays unique); id 0 sits in both
+      // families and must come out keep=1 (it IS the earliest of each).
+      // Stub phash ≡ payload function (the m2 equivalence: Hamming-0 ≡
+      // byte-equal, distinct payloads ~32 bits apart), so the decision is
+      // SQL-expressible exactly — md5-equality keepers per modality.
+      val base = t(s, d, "documents")
+      val derived = base.select(col("doc_id"),
+        when(col("doc_id") % 41 === 0, lit("planted text duplicate"))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"),
+        when(col("doc_id") % 50 === 0, lit("planted duplicate payload"))
+          .otherwise(coalesce(col("text"), lit(""))).as("payload"))
+      val media = graft.functions.Multimodal.synthesize(derived, "doc_id", "payload")
+      graft.functions.Multimodal.crossModalDedup(
+        derived.select(col("doc_id"), col("text")),
+        graft.functions.Multimodal.typed(media))
     }),
     "m1_media_features" -> ((s, d) => {
       val media = graft.functions.Multimodal.synthesize(
@@ -3460,6 +3511,29 @@ object GateQueries {
         |SELECT a.doc_id AS media_a, b.doc_id AS media_b
         |FROM derived a JOIN derived b
         |  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id""".stripMargin,
+    // phash Hamming <= 3 ≡ payload byte-equality on the stub path (the m2
+    // equivalence), so the keep/drop decision reduces to per-modality
+    // md5-equality keepers
+    "m3_crossmodal_dedup" ->
+      """WITH derived AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 41 = 0 THEN 'planted text duplicate'
+        |         ELSE COALESCE(text, '') END AS dtext,
+        |    CASE WHEN doc_id % 50 = 0 THEN 'planted duplicate payload'
+        |         ELSE COALESCE(text, '') END AS payload
+        |  FROM documents),
+        |tmin AS (SELECT md5(dtext) AS th, MIN(doc_id) AS tkeeper
+        |         FROM derived GROUP BY 1),
+        |pmin AS (SELECT md5(payload) AS ph, MIN(doc_id) AS pkeeper
+        |         FROM derived GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN t.tkeeper < d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS dup_text,
+        |  CAST(CASE WHEN p.pkeeper < d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS dup_media,
+        |  CAST(CASE WHEN t.tkeeper >= d.doc_id AND p.pkeeper >= d.doc_id
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM derived d
+        |JOIN tmin t ON md5(d.dtext) = t.th
+        |JOIN pmin p ON md5(d.payload) = p.ph""".stripMargin,
     // the mail corpus is a deterministic generated file (MailGraph.generate,
     // fixed xorshift seed) — the oracle reads the same file back
     "miw_bulk_ingest" ->

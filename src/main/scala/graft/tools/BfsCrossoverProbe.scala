@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measure the BFS-family crossover (round 16, VERDICT r15 #3): the
+  * a1/a2/a5 gates carried the largest honest 10× wall ratios (a2 15.9×,
+  * a1 13.0×), and two plan families exist for their reachability /
+  * shortest-hops core:
+  *  - PREGEL (shipped): GraphX with activeDirection=Out — per-superstep
+  *    triplet scans limited to the frontier, but each superstep
+  *    re-walks the full partition set and the toGraphX conversion is a
+  *    fixed per-graph cost (memoized; warmed before timing here).
+  *  - DATAFRAME FRONTIER: one join per hop against the edge relation,
+  *    per-round localCheckpoint (the flat-plan discipline), anti-join
+  *    against the reached set.
+  * Both run at 1× (sf0.1) and 10× (/tmp/graft_sf1_full — build with
+  * ScaleTestData first) on the a1/a2 instance (NextOrder chain from
+  * customer 1's first order), REPEAT=2 so pass 2 is the steady reading;
+  * wall + shuffle witness per ProbeHarness. Row-set agreement between
+  * the paths is asserted per scale. Results land in SCALING.md.
+  * One-off diagnostic, not a gate. */
+object BfsCrossoverProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("bfs-crossover-probe")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val h = new ProbeHarness(spark, "bfsx")
+    import graft.analytics.GraphAnalytics
+
+    // DataFrame-frontier reachability: one broadcast-able frontier join
+    // per hop, anti-join vs reached, flat localCheckpoint rounds
+    def dfReach(edges: DataFrame, source: Long): DataFrame = {
+      var frontier = spark.range(1).select(lit(source).as("id")).localCheckpoint(true)
+      var reached = frontier
+      var done = false
+      while (!done) {
+        val next = frontier.join(edges, frontier("id") === edges("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(reached, Seq("id"), "left_anti").localCheckpoint(true)
+        if (next.count() == 0) done = true
+        else {
+          reached = reached.unionByName(next).localCheckpoint(true)
+          frontier = next
+        }
+      }
+      reached.filter(col("id") =!= source)
+    }
+    // DataFrame-frontier shortest hops: same loop, dist stamped per round
+    def dfHops(edges: DataFrame, source: Long): DataFrame = {
+      var frontier = spark.range(1).select(lit(source).as("id")).localCheckpoint(true)
+      var reached = frontier.select(col("id"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      var dist = 0L
+      var done = false
+      while (!done) {
+        dist += 1
+        val next = frontier.join(edges, frontier("id") === edges("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(reached, Seq("id"), "left_anti").localCheckpoint(true)
+        if (next.count() == 0) done = true
+        else {
+          reached = reached.unionByName(next.select(col("id"), lit(dist).as("dist")))
+            .localCheckpoint(true)
+          frontier = next
+        }
+      }
+      reached
+    }
+
+    def suite(tag: String, dir: String): Unit = {
+      val g = graft.gate.GateQueries.graph(spark, dir)
+      g.edges.count() // gate-graph warm (the bench protocol)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val first = spark.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("o_custkey") === 1 && col("rn") === 1)
+        .select((col("o_orderkey") + 10000000L).cast("long")).head().getLong(0)
+      val label = graft.gate.GateQueries.NextOrder
+      val chainEdges = g.edges.filter(col("dir") && col("label") === label)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      val chain = g.copy(edges = g.edges.filter(col("label") === label))
+      // warm the memoized GraphX conversion so pregel times the ROUNDS
+      // (the probe question), mirroring how the bench warm phase would
+      GraphAnalytics.reachableFrom(g, Seq(first), Some(label)).count()
+      for (pass <- 1 to 2) {
+        h.timed(s"$tag pregel_reach pass $pass")(
+          GraphAnalytics.reachableFrom(g, Seq(first), Some(label)).count())
+        h.timed(s"$tag df_reach pass $pass")(dfReach(chainEdges, first).count())
+        h.timed(s"$tag pregel_hops pass $pass")(
+          GraphAnalytics.shortestPaths(chain, first).count())
+        h.timed(s"$tag df_hops pass $pass")(dfHops(chainEdges, first).count())
+      }
+      // row-set agreement: the two plan families must compute the same op
+      val pr = GraphAnalytics.reachableFrom(g, Seq(first), Some(label))
+        .collect().map(_.getLong(0)).toSet
+      val dr = dfReach(chainEdges, first).collect().map(_.getLong(0)).toSet
+      require(pr == dr, s"$tag: reach disagreement pregel=${pr.size} df=${dr.size}")
+      val ph = GraphAnalytics.shortestPaths(chain, first)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dh = dfHops(chainEdges, first).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(ph == dh, s"$tag: hops disagreement pregel=${ph.size} df=${dh.size}")
+      println(s"[bfsx] $tag agreement OK: reach=${pr.size} hops=${ph.size}")
+    }
+
+    suite("1x", "/root/testdata/sf0.1")
+    suite("10x", "/tmp/graft_sf1_full")
+    spark.stop()
+  }
+}

@@ -49,8 +49,17 @@ class RecallSpec extends AnyFunSuite {
   test("d9 semantic dedup recall >= 0.90 vs d6 exact") {
     assert(recall("d9_semantic_dedup", "d6_embedding_dups_exact", pairKeys) >= 0.90)
   }
-  test("e2 LSH top-k recall >= 0.85 vs e6 exact") {
-    assert(recall("e2_ann_lsh_topk", "e6_ann_lsh_exact", annKeys) >= 0.85)
+  test("d17 auto-width semantic dedup recall >= 0.90 vs d6 exact") {
+    // nAssign = -1: the measured-width scale default (round 16). The 1×
+    // floor guards the calibration code path; the decay-at-scale guard
+    // is ScaleRecallSpec (the knob only engages above the 1× anchor).
+    assert(recall("d17_semantic_dedup_auto", "d6_embedding_dups_exact", pairKeys) >= 0.90)
+  }
+  test("e2 LSH top-k recall >= 0.90 vs e6 exact") {
+    // floor lifted 0.85 → 0.90 (round 16, VERDICT r15 #7): measured 0.950
+    // at sf0.01 / 0.96 at sf0.1 / 0.998 at 10× — the old slack could hide
+    // a real banding regression; 0.90 matches the other ANN tiers
+    assert(recall("e2_ann_lsh_topk", "e6_ann_lsh_exact", annKeys) >= 0.90)
   }
   test("e4 IVF top-k recall >= 0.90 vs e5 exact") {
     assert(recall("e4_ann_ivf_topk", "e5_ann_ivf_exact", annKeys) >= 0.90)

@@ -809,6 +809,52 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)), s"got $pairs")
   }
 
+  test("multimodal: cross-modal dedup — either modality matching an earlier doc drops the page") {
+    import graft.functions.Multimodal
+    // the full keep/drop matrix: text-only dup (2), media-only dup (4),
+    // both (5), neither (6); 1 and 3 are the keepers of their families
+    val docs = Seq(
+      (1L, "shared text"), (2L, "shared text"), (3L, "unique t3"),
+      (4L, "unique t4"), (5L, "shared text"), (6L, "unique t6"))
+      .toDF("doc_id", "text")
+    val payloads = Seq(
+      (1L, "unique p1"), (2L, "unique p2"), (3L, "shared payload"),
+      (4L, "shared payload"), (5L, "shared payload"), (6L, "unique p6"))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.typed(Multimodal.synthesize(payloads, "doc_id", "payload"))
+    val out = Multimodal.crossModalDedup(docs, media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((0L, 0L, 1L))) // earliest of the text family: keep
+    assert(out(2L) === ((1L, 0L, 0L))) // text matches doc 1 → drop
+    assert(out(3L) === ((0L, 0L, 1L))) // earliest of the payload family: keep
+    assert(out(4L) === ((0L, 1L, 0L))) // payload matches doc 3 → drop
+    assert(out(5L) === ((1L, 1L, 0L))) // both modalities match earlier docs
+    assert(out(6L) === ((0L, 0L, 1L))) // unique in both: keep
+
+    // perceptual path: a blemished near-copy (Hamming <= 3, NOT byte-equal)
+    // of an earlier image drops the later doc even though its text is unique
+    def scene(blemish: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(0xF0F0F0)); g.fillRect(0, 0, 32, 64)
+      g.setColor(new java.awt.Color(0x101010)); g.fillRect(32, 0, 32, 64)
+      if (blemish) { g.setColor(new java.awt.Color(0x808080)); g.fillRect(2, 2, 3, 3) }
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val imgDocs = Seq((10L, "text a"), (11L, "text b")).toDF("doc_id", "text")
+    val imgMedia = spark.createDataset(Seq(
+      Multimodal.MediaRow(10L, scene(blemish = false), "image/png", 64, 64, 0),
+      Multimodal.MediaRow(11L, scene(blemish = true), "image/png", 64, 64, 0)))
+    val out2 = Multimodal.crossModalDedup(imgDocs, imgMedia).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out2(10L) === ((0L, 0L, 1L)))
+    assert(out2(11L) === ((0L, 1L, 0L))) // perceptual cross-hash match, no byte equality
+  }
+
   test("multimodal: REAL WAV decode via javax.sound.sampled (rate/duration/RMS/peak per channel)") {
     import graft.functions.Multimodal
     // build real WAV bytes in-test: 16-bit signed little-endian PCM frames
