@@ -471,6 +471,77 @@ object GraphAnalytics {
       .map(_._1).toDF("id")
   }
 
+  /** DataFrame-frontier BFS — the measured SCALE path of the
+    * [[reachableFrom]]/[[shortestPaths]] pair (BfsCrossoverProbe, round
+    * 16, REPEAT=2 steady on the a1/a2 NextOrder-chain instance):
+    *
+    *   | scale | Pregel | frontier join | shuffle (pregel / df) |
+    *   |---|---|---|---|
+    *   | 1× (sf0.1)  | **1.6–2.0 s** | 6.1–6.6 s | 0.9 / 13.7 MiB |
+    *   | 10×         | 14.5–14.8 s | **4.3–4.5 s** | 25 / 133 MiB |
+    *
+    * The crossover RULE the two-point curve establishes: GraphX's
+    * per-superstep cost scales with the GRAPH (vertex-state joins and
+    * edge-partition walks run over |V|/|E| structures every superstep,
+    * even when activeDirection limits message emission to a tiny
+    * frontier — measured ~10× wall at 10× data for the same 10-round
+    * chain), while the frontier join's per-round cost is one AQE-planned
+    * broadcast-frontier join + fixed exchange latency — round-latency-
+    * bound, scale-flat until the frontier itself is large. It shuffles
+    * MORE bytes (the per-round match outputs) and still walls less at
+    * 10×: the bytes are parallel codegen'd joins, not superstep
+    * machinery. Below roughly the sf0.1 graph size (~10⁵ edges per
+    * label) Pregel's small-graph superstep latency wins; past it, this.
+    * The a1/a2 GATES stay on Pregel (right plan at their anchor scale);
+    * at 100 TB this is the form to reach for. Per-round
+    * localCheckpoint = the flat-plan discipline; the anti-join keeps
+    * re-expansion of reached vertices off the frontier, so total work
+    * is Σ frontier-out-degree, the BFS contract. */
+  def reachableFromFrontier(g: PropertyGraph, sources: Seq[Long],
+      label: Option[Int] = None): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val srcDF = sources.toDF("id")
+    val dists = frontierBfs(g, srcDF, label)
+    dists.join(srcDF, Seq("id"), "left_anti").select(col("id"))
+  }
+
+  /** Frontier-join form of [[shortestPaths]] (single source) — see
+    * [[reachableFromFrontier]] for the measured Pregel crossover. */
+  def shortestPathsFrontier(g: PropertyGraph, source: Long): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    frontierBfs(g, Seq(source).toDF("id"), label = None)
+  }
+
+  /** Shared frontier loop: (id, dist) for every vertex reachable from
+    * the seed set (dist 0 at the seeds). One hop per round: frontier ⋈
+    * edges → distinct → anti-join vs reached → localCheckpoint. */
+  private def frontierBfs(g: PropertyGraph, seeds: DataFrame,
+      label: Option[Int]): DataFrame = {
+    val fwd = label.fold(g.edges.filter(col("dir")))(l =>
+      g.edges.filter(col("dir") && col("label") === l))
+      .select(col("src"), col("dst"))
+    var frontier = seeds.select(col("id")).distinct().localCheckpoint(true)
+    var reached = frontier.select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+    var dist = 0L
+    var done = false
+    while (!done) {
+      dist += 1
+      val next = frontier.join(fwd, frontier("id") === fwd("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(reached, Seq("id"), "left_anti").localCheckpoint(true)
+      if (next.count() == 0) done = true
+      else {
+        reached = reached
+          .unionByName(next.select(col("id"), lit(dist).as("dist")))
+          .localCheckpoint(true)
+        frontier = next
+      }
+    }
+    reached
+  }
+
   /** Reachability along one edge label by pointer doubling: O(log depth)
     * rounds of two joins, vs one Pregel superstep (or BFS join) per hop.
     * J holds exactly-h-step jumps and squares each round; R (nodes within

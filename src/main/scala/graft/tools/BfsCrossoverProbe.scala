@@ -33,46 +33,6 @@ object BfsCrossoverProbe {
     val h = new ProbeHarness(spark, "bfsx")
     import graft.analytics.GraphAnalytics
 
-    // DataFrame-frontier reachability: one broadcast-able frontier join
-    // per hop, anti-join vs reached, flat localCheckpoint rounds
-    def dfReach(edges: DataFrame, source: Long): DataFrame = {
-      var frontier = spark.range(1).select(lit(source).as("id")).localCheckpoint(true)
-      var reached = frontier
-      var done = false
-      while (!done) {
-        val next = frontier.join(edges, frontier("id") === edges("src"))
-          .select(col("dst").as("id")).distinct()
-          .join(reached, Seq("id"), "left_anti").localCheckpoint(true)
-        if (next.count() == 0) done = true
-        else {
-          reached = reached.unionByName(next).localCheckpoint(true)
-          frontier = next
-        }
-      }
-      reached.filter(col("id") =!= source)
-    }
-    // DataFrame-frontier shortest hops: same loop, dist stamped per round
-    def dfHops(edges: DataFrame, source: Long): DataFrame = {
-      var frontier = spark.range(1).select(lit(source).as("id")).localCheckpoint(true)
-      var reached = frontier.select(col("id"), lit(0L).as("dist"))
-        .localCheckpoint(true)
-      var dist = 0L
-      var done = false
-      while (!done) {
-        dist += 1
-        val next = frontier.join(edges, frontier("id") === edges("src"))
-          .select(col("dst").as("id")).distinct()
-          .join(reached, Seq("id"), "left_anti").localCheckpoint(true)
-        if (next.count() == 0) done = true
-        else {
-          reached = reached.unionByName(next.select(col("id"), lit(dist).as("dist")))
-            .localCheckpoint(true)
-          frontier = next
-        }
-      }
-      reached
-    }
-
     def suite(tag: String, dir: String): Unit = {
       val g = graft.gate.GateQueries.graph(spark, dir)
       g.edges.count() // gate-graph warm (the bench protocol)
@@ -83,8 +43,6 @@ object BfsCrossoverProbe {
         .filter(col("o_custkey") === 1 && col("rn") === 1)
         .select((col("o_orderkey") + 10000000L).cast("long")).head().getLong(0)
       val label = graft.gate.GateQueries.NextOrder
-      val chainEdges = g.edges.filter(col("dir") && col("label") === label)
-        .select(col("src"), col("dst")).localCheckpoint(true)
       val chain = g.copy(edges = g.edges.filter(col("label") === label))
       // warm the memoized GraphX conversion so pregel times the ROUNDS
       // (the probe question), mirroring how the bench warm phase would
@@ -92,19 +50,23 @@ object BfsCrossoverProbe {
       for (pass <- 1 to 2) {
         h.timed(s"$tag pregel_reach pass $pass")(
           GraphAnalytics.reachableFrom(g, Seq(first), Some(label)).count())
-        h.timed(s"$tag df_reach pass $pass")(dfReach(chainEdges, first).count())
+        h.timed(s"$tag df_reach pass $pass")(
+          GraphAnalytics.reachableFromFrontier(g, Seq(first), Some(label)).count())
         h.timed(s"$tag pregel_hops pass $pass")(
           GraphAnalytics.shortestPaths(chain, first).count())
-        h.timed(s"$tag df_hops pass $pass")(dfHops(chainEdges, first).count())
+        h.timed(s"$tag df_hops pass $pass")(
+          GraphAnalytics.shortestPathsFrontier(chain, first).count())
       }
       // row-set agreement: the two plan families must compute the same op
       val pr = GraphAnalytics.reachableFrom(g, Seq(first), Some(label))
         .collect().map(_.getLong(0)).toSet
-      val dr = dfReach(chainEdges, first).collect().map(_.getLong(0)).toSet
+      val dr = GraphAnalytics.reachableFromFrontier(g, Seq(first), Some(label))
+        .collect().map(_.getLong(0)).toSet
       require(pr == dr, s"$tag: reach disagreement pregel=${pr.size} df=${dr.size}")
       val ph = GraphAnalytics.shortestPaths(chain, first)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val dh = dfHops(chainEdges, first).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dh = GraphAnalytics.shortestPathsFrontier(chain, first)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       require(ph == dh, s"$tag: hops disagreement pregel=${ph.size} df=${dh.size}")
       println(s"[bfsx] $tag agreement OK: reach=${pr.size} hops=${ph.size}")
     }

@@ -1,0 +1,166 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Consolidated recall-at-scale probe harness (round 16, VERDICT r15
+  * #6): the standing re-runnable sweeps behind SCALING.md's
+  * recall-at-scale tables, keyed by op name —
+  *
+  *   runMain graft.tools.RecallProbes d4      # tables sweep at 10× + d9 nAssign curve
+  *   runMain graft.tools.RecallProbes d9      # auto-width validation, 3 corpora
+  *   runMain graft.tools.RecallProbes d9geom  # clustered-geometry counter-measurement
+  *
+  * The 20+ single-op probe files this replaces (per-op LSH/PQ/IVF/
+  * rerank sweeps, the d9 stage decomposition, plan diagnostics like
+  * A22ModeProbe/SccProbe/TrussProbe) informed configs that are now
+  * committed and floor-pinned; their numbers are durable in SCALING.md
+  * and their code in git history. What stays runnable here is the class
+  * of measurement that must RECUR: adaptive-knob recall above the 1×
+  * anchor scale (the defect family rounds 15–16 kept finding).
+  * All protocols unchanged from the originals: exact twin = exhaustive
+  * cosine pairs over the unperturbed copy-0 slice, REPEAT-style
+  * pass-2-is-steady timing where relevant, deterministic seeds.
+  */
+object RecallProbes {
+  private def session(name: String): SparkSession = {
+    val spark = SparkSession.builder().master("local[32]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** The 10× isotropic fixture (the AnnScaleProbe construction: sf0.1
+    * embeddings ×10 with id offsets; copies >= 1 perturbed so duplicate
+    * points are near- not bit-equal; copy 0 keeps the query cuts). */
+  private def emb10x(spark: SparkSession): DataFrame = {
+    val path = "/tmp/graft_sf1_embeddings.parquet"
+    if (!new java.io.File(path, "_SUCCESS").exists) {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      (0 until 10).map { k =>
+        val e0 = emb.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+        if (k == 0) e0
+        else e0.withColumn("embedding", expr(
+          s"transform(embedding, (x, i) -> cast(x + 0.005d * sin(vec_id * (i + 1) + $k) as float))"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path).localCheckpoint(true)
+  }
+
+  /** d4 at 10× — recall vs table count (the r15 defect curve: adaptive
+    * bits hold per-bucket work constant while fixed tables decay with
+    * log n; tables=-1 is the Charikar-probability formula). Plus the d9
+    * manual-width curve on the same corpus (the companion r15 sweep). */
+  private def d4(spark: SparkSession): Unit = {
+    import graft.functions.Similarity
+    val emb10 = emb10x(spark)
+    val exact = pairSet(Similarity.cosineDuplicates(
+      emb10.filter(col("vec_id") < 1000), threshold = 0.35, dim = 64,
+      exhaustive = true))
+    println(s"[d4probe] exact twin pairs: ${exact.size}")
+    for (tables <- Seq(8, 16, 32, 64, -1)) { // -1 = the adaptive formula
+      val t0 = System.nanoTime()
+      val got = pairSet(Similarity.cosineDuplicates(
+        emb10, threshold = 0.35, dim = 64, bits = -1, tables = tables,
+        probes = -1))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val recall = if (exact.isEmpty) 1.0 else (got & exact).size.toDouble / exact.size
+      println(f"[d4probe] 10x tables=$tables: recall=$recall%.3f " +
+        f"pairs=${got.size} wall=$wall%.1f s")
+    }
+    for (na <- Seq(3, 4, 6, 8, 12)) {
+      val t0 = System.nanoTime()
+      val got = pairSet(Similarity.semanticDedup(
+        emb10, threshold = 0.35, nClusters = -1, nAssign = na))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val recall = if (exact.isEmpty) 1.0 else (got & exact).size.toDouble / exact.size
+      println(f"[d4probe] 10x d9 nAssign=$na: recall=$recall%.3f " +
+        f"pairs=${got.size} wall=$wall%.1f s")
+    }
+  }
+
+  /** d9 auto-width (nAssign = -1) validation across the three corpus
+    * classes — the round-16 done-criteria run (see SCALING.md round 16):
+    * 10× isotropic >= 0.90, clustered stays narrow, gate scale never
+    * regresses vs the manual config. */
+  private def d9(spark: SparkSession): Unit = {
+    import graft.functions.Similarity
+    def run(tag: String, emb: DataFrame, threshold: Double,
+        sliceMax: Long, widths: Seq[Int]): Unit = {
+      val exact = pairSet(Similarity.cosineDuplicates(
+        emb.filter(col("vec_id") < sliceMax), threshold = threshold, dim = 64,
+        exhaustive = true))
+      println(s"[d9scale] $tag exact twin pairs: ${exact.size}")
+      for (na <- widths) {
+        val resolved =
+          if (na >= 0) na
+          else Similarity.calibratedAssignWidth(emb, threshold)
+        val t0 = System.nanoTime()
+        val got = pairSet(Similarity.semanticDedup(
+          emb, threshold = threshold, nClusters = -1, nAssign = na))
+        val wall = (System.nanoTime() - t0) / 1e9
+        val recall =
+          if (exact.isEmpty) 1.0 else (got & exact).size.toDouble / exact.size
+        println(f"[d9scale] $tag nAssign=$na (resolved $resolved): " +
+          f"recall=$recall%.3f pairs=${got.size} wall=$wall%.1f s")
+      }
+    }
+    run("10x-isotropic(k=79)", emb10x(spark), threshold = 0.35,
+      sliceMax = 1000, widths = Seq(3, -1))
+    val planted = PlantedCorpus.generate(spark, n = 20000, dim = 64,
+      clusters = 50, sigma = 0.3).localCheckpoint(true)
+    run("clustered(k=79)", planted, threshold = 0.9, sliceMax = 1000,
+      widths = Seq(3, -1))
+    val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .localCheckpoint(true)
+    run("sf0.1(k=8)", emb1, threshold = 0.35, sliceMax = 1000,
+      widths = Seq(3, -1))
+  }
+
+  /** The d9 geometry counter-measurement (round 15): on the planted
+    * CLUSTERED corpus (the real-embedding geometry class) the trained
+    * Voronoi cells align with the duplicate structure, so small widths
+    * already saturate where the isotropic corpus needed 8–12. */
+  private def d9geom(spark: SparkSession): Unit = {
+    import graft.functions.Similarity
+    val emb = PlantedCorpus.generate(spark, n = 20000, dim = 64,
+      clusters = 50, sigma = 0.3).localCheckpoint(true)
+    val exact = pairSet(Similarity.cosineDuplicates(
+      emb.filter(col("vec_id") < 1000), threshold = 0.9, dim = 64,
+      exhaustive = true))
+    println(s"[d9geom] exact twin pairs (n=20000 clustered, thr 0.9): ${exact.size}")
+    for (na <- Seq(1, 2, 3)) {
+      val t0 = System.nanoTime()
+      val got = pairSet(Similarity.semanticDedup(
+        emb, threshold = 0.9, nClusters = -1, nAssign = na))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val recall = if (exact.isEmpty) 1.0 else (got & exact).size.toDouble / exact.size
+      println(f"[d9geom] clustered k=79 nAssign=$na: recall=$recall%.3f " +
+        f"pairs=${got.size} wall=$wall%.1f s")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val probes: Map[String, SparkSession => Unit] =
+      Map("d4" -> d4, "d9" -> d9, "d9geom" -> d9geom)
+    val name = args.headOption.getOrElse("")
+    probes.get(name) match {
+      case Some(p) =>
+        val spark = session(s"recall-probe-$name")
+        try p(spark) finally spark.stop()
+      case None =>
+        System.err.println(
+          s"usage: RecallProbes <${probes.keys.toSeq.sorted.mkString("|")}>")
+        sys.exit(2)
+    }
+  }
+}
