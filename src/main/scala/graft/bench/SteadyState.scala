@@ -53,7 +53,163 @@ object SteadyState {
     * pass-2 of the round-16 full-suite REPEAT=2 run on the final binary.
     * Sparse-by-construction is fine — anchorless queries rank at ratio
     * 1.0 and never flag, exactly like a new gate on the sf0.1 path. */
-  val sf1Sec: Map[String, Double] = Map.empty
+  val sf1Sec: Map[String, Double] = Map(
+    "a10_edge_support" -> 0.15,
+    "a11_hits" -> 14.11,
+    "a12_modularity" -> 6.61,
+    "a13_adamic_adar" -> 25.34,
+    "a14_jaccard_links" -> 4.44,
+    "a15_harmonic_closeness" -> 7.88,
+    "a16_random_walks" -> 5.07,
+    "a17_ktruss" -> 13.38,
+    "a18_weighted_sssp" -> 7.83,
+    "a19_bipartite_projection" -> 2.00,
+    "a1_reachable_orders" -> 18.91,
+    "a20_clustering_coefficient" -> 2.48,
+    "a21_assortativity" -> 3.22,
+    "a22_betweenness" -> 9.67,
+    "a23_scc" -> 0.02,
+    "a24_condensation_layers" -> 4.89,
+    "a25_eccentricity" -> 7.00,
+    "a2_shortest_hops" -> 18.45,
+    "a3_connected_components" -> 3.69,
+    "a4_degree_histogram" -> 1.88,
+    "a5_pagerank" -> 7.95,
+    "a6_triangles" -> 0.12,
+    "a7_kcore" -> 9.91,
+    "a8_ppr" -> 4.85,
+    "a9_label_propagation" -> 0.02,
+    "cw_mailed_1hop" -> 0.23,
+    "d10_dup_ngrams" -> 1.22,
+    "d11_dup_ngram_removal" -> 6.64,
+    "d12_leakage_split" -> 1.63,
+    "d13_containment_pairs" -> 20.70,
+    "d14_ngram_jaccard_banded" -> 35.19,
+    "d15_semantic_decontam" -> 1.76,
+    "d16_exact_dedup_against" -> 0.69,
+    "d17_semantic_dedup_auto" -> 9.38,
+    "d1_minhash_near_dups" -> 0.06,
+    "d2_simhash_signatures" -> 2.74,
+    "d3_ngram_jaccard_pairs" -> 15.88,
+    "d4_embedding_near_dups" -> 57.27,
+    "d5_dedup_clusters" -> 1.44,
+    "d6_embedding_dups_exact" -> 0.38,
+    "d7_dedup_against" -> 10.52,
+    "d8_dedup_keepers" -> 1.73,
+    "d9_semantic_dedup" -> 3.85,
+    "e10_ann_ivfsq8_topk" -> 4.87,
+    "e11_ann_filtered_topk" -> 1.70,
+    "e12_kmeans_clusters" -> 3.33,
+    "e13_random_projection" -> 1.76,
+    "e14_mmr_rerank" -> 3.00,
+    "e15_ann_projected_topk" -> 7.52,
+    "e16_mutual_knn" -> 65.39,
+    "e17_mutual_knn_ivf" -> 1.30,
+    "e18_mutual_knn_planted_exact" -> 3.99,
+    "e1_ann_bruteforce_topk" -> 1.38,
+    "e2_ann_lsh_topk" -> 6.10,
+    "e3_embedding_cluster_stats" -> 0.23,
+    "e4_ann_ivf_topk" -> 2.06,
+    "e5_ann_ivf_exact" -> 1.46,
+    "e6_ann_lsh_exact" -> 0.49,
+    "e7_ann_pq_topk" -> 20.23,
+    "e8_ann_ivfpq_topk" -> 21.41,
+    "e9_ann_sq8_topk" -> 1.98,
+    "g10_graph_query_subgraph" -> 3.25,
+    "g11_orth_overlay_match" -> 1.32,
+    "g12_createmem_diff" -> 2.56,
+    "g13_unbounded_reachability" -> 3.57,
+    "g14_temp_nested_layers" -> 1.84,
+    "g15_planned_strategy" -> 2.01,
+    "g16_where_predicate" -> 2.12,
+    "g17_bucketed_reopen" -> 9.79,
+    "g18_planned_middle" -> 1.62,
+    "g1_building_customer_orders" -> 0.57,
+    "g2_parts_of_customer_orders" -> 1.51,
+    "g3_out_degrees" -> 1.09,
+    "g4_union_overlap" -> 1.02,
+    "g5_second_next_order" -> 3.49,
+    "g6_orders_to_customer_backedges" -> 0.29,
+    "g7_part_suppliers_3hop" -> 2.75,
+    "g8_dml_roundtrip" -> 1.73,
+    "g9_csv_dict_ingest" -> 4.63,
+    "m1_media_features" -> 0.90,
+    "m2_media_near_dups" -> 1.87,
+    "m3_crossmodal_dedup" -> 1.90,
+    "miw_bulk_ingest" -> 0.05,
+    "q10_scalar_functions" -> 0.44,
+    "q11_analytic_windows" -> 0.70,
+    "q1_pricing_summary" -> 1.15,
+    "q2_revenue_by_nation" -> 0.72,
+    "q3_top_customers" -> 0.88,
+    "q4_first_events_per_user" -> 0.46,
+    "q5_customers_with_orders" -> 0.69,
+    "q6_customers_without_orders" -> 0.65,
+    "q7_events_hourly" -> 0.49,
+    "q8_orders_by_year_priority" -> 0.51,
+    "q9_rollup_totals" -> 0.71,
+    "qwfa_find_adjacent" -> 0.61,
+    "qwfn_find_neighbours" -> 0.26,
+    "qwfs_find_shortest" -> 0.34,
+    "s10_attribution" -> 0.76,
+    "s11_trending_types" -> 0.47,
+    "s12_session_stats" -> 1.19,
+    "s13_sessionize_stream" -> 11.50, // r16 re-measure: atomic single-file pushes serialize the 10x chunk write
+    "s14_sliding_window_stream" -> 15.60, // r16 re-measure: atomic single-file pushes
+    "s1_sliding_window_counts" -> 0.57,
+    "s2_user_sessions" -> 0.76,
+    "s3_asof_join" -> 0.91,
+    "s4_event_pairs" -> 1.33,
+    "s5_event_funnel" -> 0.72,
+    "s6_retention_cohorts" -> 1.01,
+    "s7_type_transitions" -> 0.86,
+    "s8_window_anomalies" -> 0.64,
+    "s9_active_users" -> 0.77,
+    "siw_incremental_ingest" -> 2.32,
+    "t10_interleave_sources" -> 0.21,
+    "t11_repetition" -> 0.33,
+    "t12_normalize" -> 0.36,
+    "t13_ngram_decontam" -> 0.52,
+    "t14_token_stats" -> 0.83,
+    "t15_length_stats" -> 0.35,
+    "t16_pii" -> 0.57,
+    "t17_token_budget" -> 0.96,
+    "t18_length_filter" -> 0.39,
+    "t19_surprisal" -> 1.32,
+    "t1_token_counts" -> 0.46,
+    "t20_line_dedup" -> 1.17,
+    "t21_tfidf" -> 3.53,
+    "t22_bm25" -> 3.06,
+    "t23_dsir_weights" -> 2.06,
+    "t24_stratified_sample" -> 0.15,
+    "t25_weighted_sample" -> 0.81,
+    "t26_bigram_surprisal" -> 2.26,
+    "t27_heavy_hitters" -> 0.57,
+    "t28_c4_filters" -> 0.29,
+    "t29_corpus_entropy" -> 0.70,
+    "t2_dedup_exact" -> 0.33,
+    "t30_gopher_filters" -> 1.19,
+    "t31_collocations" -> 1.40,
+    "t32_bpe_merges" -> 1.72,
+    "t33_bpe_token_counts" -> 2.89,
+    "t34_naive_bayes" -> 22.75,
+    "t35_textrank" -> 2.17,
+    "t36_perplexity_buckets" -> 1.66,
+    "t37_vocab" -> 0.52,
+    "t38_readability" -> 0.62,
+    "t39_distinct_tokens" -> 0.63,
+    "t3_doc_stats" -> 0.29,
+    "t40_distinct_tokens_sketch" -> 0.34,
+    "t41_chunking" -> 0.36,
+    "t42_mixture_rebalance" -> 0.66,
+    "t43_source_overlap" -> 5.96,
+    "t44_source_overlap_sketch" -> 4.26,
+    "t4_quality_scores" -> 0.82,
+    "t5_lang_id" -> 1.18,
+    "t6_fingerprints" -> 4.82,
+    "t7_deterministic_sample" -> 0.15,
+    "t8_pack_sequences" -> 0.67,
+    "t9_decontamination" -> 0.22)
 
   /** sf0.1 steady seconds by full query name (round-13 measurement:
     * pass-2 of the full-suite REPEAT=2 run, 2026-08-14, quiet VM,
@@ -157,7 +313,7 @@ object SteadyState {
     "g15_planned_strategy" -> 1.35,
     "g16_where_predicate" -> 1.53,
     "g17_bucketed_reopen" -> 3.8,
-    "s13_sessionize_stream" -> 6.9, // re-measured 2026-08-15 r15: state partitions 8 -> 4 (sweep in GateQueries.streamStateParts)
+    "s13_sessionize_stream" -> 6.2, // re-measured 2026-08-15 r16: atomic single-file chunk pushes (race fix) — fewer files to list/read
     // g18/s14 measured 2026-08-15 (gates added round 15; isolated
     // REPEAT=3 pass-2/3, quiet VM). s14's wall is the s13 shape: 7
     // micro-batches × 4 state partitions (r15 sweep) of fixed
@@ -165,7 +321,7 @@ object SteadyState {
     // the wall is commit latency, and it's the only gate exercising
     // watermarked window state across micro-batches.
     "g18_planned_middle" -> 1.8,
-    "s14_sliding_window_stream" -> 7.7, // state partitions 4 (r15 sweep)
+    "s14_sliding_window_stream" -> 7.4, // re-measured 2026-08-15 r16: atomic single-file chunk pushes
     "g1_building_customer_orders" -> 0.5,
     "g2_parts_of_customer_orders" -> 2.17,
     "g3_out_degrees" -> 1.02,

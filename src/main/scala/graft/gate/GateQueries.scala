@@ -136,6 +136,34 @@ object GateQueries {
     scala.util.Try(rm(new java.io.File(dir)))
   }
 
+  /** ATOMIC chunk push for the s13/s14 stream gates: write the chunk to a
+    * staging dir as ONE file, then rename that file into the watched dir.
+    * A plain multi-file `write.parquet(watchedDir)` races the running
+    * query's continuous trigger — the FileStreamSource can LIST the dir
+    * mid-write and split one logical push across two micro-batches, so
+    * the first slice advances the watermark past users whose files land
+    * in the second (observed on a 10× Run: s13 died re-arming a
+    * past-watermark timeout; for s14 the same split would silently DROP
+    * the second slice's rows below the watermark and fail the parity
+    * assert). One file = one atomic rename = one indivisible batch
+    * boundary. Gate-scale chunks are a few MB, so the repartition(1)
+    * write is cheap; production streams own this at the ingestion layer
+    * (atomic staging is exactly what real file-based pipelines do). */
+  private val pushSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def pushAtomic(df: DataFrame, dir: String): Unit = {
+    val staging = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    try {
+      df.repartition(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"pushAtomic: no part file written to $staging"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, s"chunk-${pushSeq.incrementAndGet()}.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally deleteStreamDir(staging)
+  }
+
   /** State-store partition count for the two real-streaming gates
     * (s13/s14): a per-QUERY plan-time property (the session conf is
     * restored right after start). The gates' wall is dominated by fixed
@@ -1433,8 +1461,7 @@ object GateQueries {
       val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
       val span = maxTs - minTs + 1
       val dir = java.nio.file.Files.createTempDirectory("graft_s13").toString
-      def push(df: DataFrame): Unit =
-        df.write.mode("append").parquet(dir)
+      def push(df: DataFrame): Unit = pushAtomic(df, dir) // one file, renamed in — see pushAtomic
       // integer DIV, not the Column `/` (double division — fractional
       // quotients match no chunk and silently drop every non-boundary row)
       def chunk(k: Int) =
@@ -1512,7 +1539,7 @@ object GateQueries {
       val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
       val span = maxTs - minTs + 1
       val dir = java.nio.file.Files.createTempDirectory("graft_s14").toString
-      def push(df: DataFrame): Unit = df.write.mode("append").parquet(dir)
+      def push(df: DataFrame): Unit = pushAtomic(df, dir) // one file, renamed in — see pushAtomic
       // integer DIV (the s13 rule): fractional quotients match no chunk
       def chunk(k: Int) =
         evs.filter(expr(s"((ts - ${minTs}L) * 4) DIV ${span}L") === k)

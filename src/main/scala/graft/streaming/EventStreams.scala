@@ -180,8 +180,23 @@ object EventStreams {
           }
           cur.foreach { s =>
             state.update(s)
-            // fire once the watermark passes session end + gap
-            state.setTimeoutTimestamp(s.last / 1000000L + gapNanos / 1000000L)
+            // fire once the watermark passes session end + gap — CLAMPED
+            // to watermark + 1 ms: a within-watermark late batch can leave
+            // s.last + gap BEHIND the already-advanced watermark (seen in
+            // the wild when a file source lists one logical append
+            // mid-write and splits it across two micro-batches: the first
+            // slice advances the watermark to its max ts, the second
+            // slice's users then re-arm from older events), and Spark
+            // REJECTS a past event-time timeout, failing the whole query
+            // [FLATMAPGROUPSWITHSTATE_USER_FUNCTION_ERROR]. Unlike the
+            // funnel/attribution states (which REAP on a passed deadline
+            // — their outcome is already decided), an overdue session
+            // still owes its emission, so the earliest legal timeout
+            // fires it on the next batch; the emitted row carries
+            // s.start/s.last and is byte-identical either way.
+            state.setTimeoutTimestamp(math.max(
+              s.last / 1000000L + gapNanos / 1000000L,
+              state.getCurrentWatermarkMs() + 1L))
           }
           closed.iterator
         }

@@ -33,4 +33,16 @@ class AnchorSpec extends AnyFunSuite {
     val bad = graft.bench.SteadyState.sec.filter { case (_, s) => s <= 0.0 || s > 600.0 }
     assert(bad.isEmpty, s"implausible anchors: $bad")
   }
+
+  test("sf1 anchors name live queries and are positive (round 16)") {
+    // the sf1 set is allowed to be SPARSE (an anchorless query never
+    // flags, like a new gate on the sf0.1 path) but never STALE — and
+    // staleness is the failure hygiene exists for, since the sf1 rider
+    // runs once a round at most
+    val stale = graft.bench.SteadyState.sf1Sec.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"sf1 anchors for queries that no longer exist: ${stale.toSeq.sorted.mkString(", ")}")
+    val bad = graft.bench.SteadyState.sf1Sec.filter { case (_, s) => s <= 0.0 || s > 600.0 }
+    assert(bad.isEmpty, s"implausible sf1 anchors: $bad")
+  }
 }
