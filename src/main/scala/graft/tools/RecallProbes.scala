@@ -88,6 +88,35 @@ object RecallProbes {
     }
   }
 
+  /** d4's recall-vs-wall frontier at 10× (round 16): the adaptive-tables
+    * fix buys recall 0.417 → 0.975 at 58 tables ≈ 57–68 s — the single
+    * biggest honest sf1 line after the deliberate exact tiers. Hamming-2
+    * multi-probe is the untested cheaper axis: each H2 probe multiplies
+    * per-table coverage without another table's bucket join + union +
+    * dedup input, so fewer tables might hold the recall at less wall.
+    * Sweep (tables × probes2) at the resolved 10-bit width. */
+  private def d4cost(spark: SparkSession): Unit = {
+    import graft.functions.Similarity
+    val emb10 = emb10x(spark)
+    val exact = pairSet(Similarity.cosineDuplicates(
+      emb10.filter(col("vec_id") < 1000), threshold = 0.35, dim = 64,
+      exhaustive = true))
+    println(s"[d4cost] exact twin pairs: ${exact.size}")
+    val configs = Seq( // (tables, probes2) at probes = -1 (full H1)
+      (-1, 0),  // shipped formula: 58 tables, H1 only
+      (8, 45), (16, 45), (24, 45), (32, 0), (32, 45))
+    for ((tables, p2) <- configs) {
+      val t0 = System.nanoTime()
+      val got = pairSet(Similarity.cosineDuplicates(
+        emb10, threshold = 0.35, dim = 64, bits = -1, tables = tables,
+        probes = -1, probes2 = p2))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val recall = if (exact.isEmpty) 1.0 else (got & exact).size.toDouble / exact.size
+      println(f"[d4cost] 10x tables=$tables probes2=$p2: recall=$recall%.3f " +
+        f"pairs=${got.size} wall=$wall%.1f s")
+    }
+  }
+
   /** d9 auto-width (nAssign = -1) validation across the three corpus
     * classes — the round-16 done-criteria run (see SCALING.md round 16):
     * 10× isotropic >= 0.90, clustered stays narrow, gate scale never
@@ -151,7 +180,7 @@ object RecallProbes {
 
   def main(args: Array[String]): Unit = {
     val probes: Map[String, SparkSession => Unit] =
-      Map("d4" -> d4, "d9" -> d9, "d9geom" -> d9geom)
+      Map("d4" -> d4, "d4cost" -> d4cost, "d9" -> d9, "d9geom" -> d9geom)
     val name = args.headOption.getOrElse("")
     probes.get(name) match {
       case Some(p) =>
