@@ -430,8 +430,33 @@ object GraphAnalytics {
     }
   }
 
-  /** Unweighted single-source shortest hop counts via Pregel → (id, dist). */
-  def shortestPaths(g: PropertyGraph, source: Long): DataFrame = {
+  /** Plan-family dispatch threshold for the BFS pair (round 16,
+    * BfsCrossoverProbe): Pregel wins 3-4× below ~1.4·10⁵ directed edges
+    * (superstep latency is small and the conversion is memoized) and
+    * LOSES 3× at ~1.4·10⁶ (per-superstep cost scales with the graph even
+    * at frontier-only message emission — see [[reachableFromFrontier]]'s
+    * measured table). 5·10⁵ is the geometric midpoint of the measured
+    * bracket — a coarse dial between two measured points, not a tuned
+    * constant; both families compute identical rows (unit-pinned), so a
+    * mis-dial costs wall, never correctness. The count is session-
+    * memoized per edge plan (one job per distinct graph). */
+  private val FrontierCrossoverEdges = 500000L
+  private val edgeCountCache = new graft.util.SessionCache[Long]
+  private def dirEdgeCount(g: PropertyGraph): Long = {
+    val fwd = g.edges.filter(col("dir"))
+    edgeCountCache(g.spark,
+      s"bfsE|${fwd.queryExecution.logical.semanticHash()}")(fwd.count())
+  }
+
+  /** Unweighted single-source shortest hop counts → (id, dist).
+    * Dispatches between the Pregel and frontier-join plan families on
+    * the measured crossover ([[FrontierCrossoverEdges]]). */
+  def shortestPaths(g: PropertyGraph, source: Long): DataFrame =
+    if (dirEdgeCount(g) >= FrontierCrossoverEdges) shortestPathsFrontier(g, source)
+    else shortestPathsPregel(g, source)
+
+  /** Pregel form of [[shortestPaths]] — the small-graph winner. */
+  def shortestPathsPregel(g: PropertyGraph, source: Long): DataFrame = {
     val spark = g.spark
     import spark.implicits._
     val gx = toGraphX(g).mapVertices((v, _) =>
@@ -450,11 +475,22 @@ object GraphAnalytics {
   }
 
   /** All nodes reachable from `sources` following a given edge label
-    * (optionally any) — Pregel form of the `***` pattern. Routes through
-    * the memoized [[toGraphX]] of the label-filtered subgraph, so
+    * (optionally any) — the `***` pattern. Dispatches between the Pregel
+    * and frontier-join plan families on the measured crossover
+    * ([[FrontierCrossoverEdges]], counted on the label-filtered
+    * subgraph). */
+  def reachableFrom(g: PropertyGraph, sources: Seq[Long], label: Option[Int] = None): DataFrame = {
+    val sub = label.fold(g)(l => g.copy(edges = g.edges.filter(col("label") === l)))
+    if (dirEdgeCount(sub) >= FrontierCrossoverEdges)
+      reachableFromFrontier(g, sources, label)
+    else reachableFromPregel(g, sources, label)
+  }
+
+  /** Pregel form of [[reachableFrom]] — the small-graph winner. Routes
+    * through the memoized [[toGraphX]] of the label-filtered subgraph, so
     * reachability and shortest paths over the same chain share one
     * conversion. */
-  def reachableFrom(g: PropertyGraph, sources: Seq[Long], label: Option[Int] = None): DataFrame = {
+  def reachableFromPregel(g: PropertyGraph, sources: Seq[Long], label: Option[Int] = None): DataFrame = {
     val spark = g.spark
     import spark.implicits._
     val sub = label.fold(g)(l => g.copy(edges = g.edges.filter(col("label") === l)))
@@ -491,9 +527,10 @@ object GraphAnalytics {
     * MORE bytes (the per-round match outputs) and still walls less at
     * 10×: the bytes are parallel codegen'd joins, not superstep
     * machinery. Below roughly the sf0.1 graph size (~10⁵ edges per
-    * label) Pregel's small-graph superstep latency wins; past it, this.
-    * The a1/a2 GATES stay on Pregel (right plan at their anchor scale);
-    * at 100 TB this is the form to reach for. Per-round
+    * label) Pregel's small-graph superstep latency wins; past it, this —
+    * and [[reachableFrom]]/[[shortestPaths]] DISPATCH on that measured
+    * crossover ([[FrontierCrossoverEdges]]), so callers get the right
+    * family at every scale without choosing. Per-round
     * localCheckpoint = the flat-plan discipline; the anti-join keeps
     * re-expansion of reached vertices off the frontier, so total work
     * is Σ frontier-out-degree, the BFS contract. */

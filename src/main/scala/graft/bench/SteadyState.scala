@@ -64,14 +64,14 @@ object SteadyState {
     "a17_ktruss" -> 13.38,
     "a18_weighted_sssp" -> 7.83,
     "a19_bipartite_projection" -> 2.00,
-    "a1_reachable_orders" -> 18.91,
+    "a1_reachable_orders" -> 4.80, // r16: edge-count dispatch picks the frontier family at sf1
     "a20_clustering_coefficient" -> 2.48,
     "a21_assortativity" -> 3.22,
     "a22_betweenness" -> 9.67,
     "a23_scc" -> 0.02,
     "a24_condensation_layers" -> 4.89,
     "a25_eccentricity" -> 7.00,
-    "a2_shortest_hops" -> 18.45,
+    "a2_shortest_hops" -> 4.70, // r16: edge-count dispatch picks the frontier family at sf1
     "a3_connected_components" -> 3.69,
     "a4_degree_histogram" -> 1.88,
     "a5_pagerank" -> 7.95,
@@ -91,7 +91,7 @@ object SteadyState {
     "d1_minhash_near_dups" -> 0.06,
     "d2_simhash_signatures" -> 2.74,
     "d3_ngram_jaccard_pairs" -> 15.88,
-    "d4_embedding_near_dups" -> 57.27,
+    "d4_embedding_near_dups" -> 41.90, // r16 re-measure: auto-H2 formula (16 tables + 45 H2 probes vs 58 tables H1), recall 0.975 -> 0.977
     "d5_dedup_clusters" -> 1.44,
     "d6_embedding_dups_exact" -> 0.38,
     "d7_dedup_against" -> 10.52,

@@ -389,7 +389,27 @@ object Similarity {
             // ceil(NaN).toInt == 0 would silently floor the table count
             // to 8 for an invalid threshold instead of scaling it
             val c = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-            math.min(64, math.max(8, math.ceil(8.0 * math.pow(c, -(b - 6).toDouble)).toInt))
+            if (probes2 < 0 && b > 6) {
+              // probes2 = -1 (auto Hamming-2) + adaptive tables: H2 probes
+              // multiply PER-TABLE coverage far cheaper than extra tables
+              // (each extra table costs a bucket join + union + dedup
+              // input; a probe only widens one side's bucket list) —
+              // measured at 10× (RecallProbes d4cost): 16 tables + H2 =
+              // recall 0.977 at 22.5 s vs the H1 formula's 58 tables =
+              // 0.975 at 47.1 s. Table count holds the ANCHOR's total
+              // miss probability (1 − p1hit(6 bits))^8 under the H≤2
+              // per-table hit rate at the resolved width,
+              //   p2hit(b) = c^b + b·c^(b−1)(1−c) + C(b,2)·c^(b−2)(1−c)²,
+              // with a 1.35 safety margin calibrated to that measured
+              // 16-table point (the raw closed form gives 12 there).
+              val p1a = math.pow(c, 6) + 6 * math.pow(c, 5) * (1 - c)
+              val p2 = math.pow(c, b) + b * math.pow(c, b - 1) * (1 - c) +
+                b * (b - 1) / 2.0 * math.pow(c, b - 2) * (1 - c) * (1 - c)
+              val lnMiss = 8 * math.log(1 - p1a)
+              math.min(64, math.max(8,
+                math.ceil(1.35 * lnMiss / math.log(1 - p2)).toInt))
+            } else
+              math.min(64, math.max(8, math.ceil(8.0 * math.pow(c, -(b - 6).toDouble)).toInt))
           }
         (b, t)
       }
@@ -415,12 +435,22 @@ object Similarity {
     // `bits <= 0` sizing is only known here, so a caller can't spell
     // "probe every bit" as a literal)
     val p1 = if (probes < 0) nBits else probes
-    val probed = p1 > 0 || probes2 > 0
+    // probes2 < 0 → FULL Hamming-2 at the resolved width, but only once
+    // the corpus outgrew the 6-bit anchor: below it the H1 configuration
+    // already measures recall 1.00 and the extra C(b,2) probe rows would
+    // be pure cost — so the auto setting is byte-identical to probes2 = 0
+    // at every driver scale and engages exactly where the table formula
+    // above starts trading (the same "stop decay at scale, don't thin
+    // small corpora" contract as the floor-at-8)
+    val p2n =
+      if (probes2 < 0) { if (nBits > 6) nBits * (nBits - 1) / 2 else 0 }
+      else probes2
+    val probed = p1 > 0 || p2n > 0
     val raw = (0 until nTables).map { t =>
       val planes = hyperplanes(dim, nBits, t, seed)
       val aB =
         if (!probed) a.withColumn("bucket", nativeSignature(col("av"), planes))
-        else a.withColumn("bucket", explode(probeBuckets(col("av"), planes, p1, probes2)))
+        else a.withColumn("bucket", explode(probeBuckets(col("av"), planes, p1, p2n)))
       aB.join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")
         .drop("bucket")
     }.reduce(_ unionByName _)

@@ -1346,14 +1346,22 @@ object GateQueries {
       // (round 9): recall vs d6 0.738 → 1.000 at sf0.01 for ~+0.5 s —
       // the probe list rides the query side of each bucket join only
       // tables = -1 (round 15): scale the table count with the adaptive
-      // bits — D4ScaleRecallProbe measured recall 0.417 at 10× with the
+      // bits — the r15 probe measured recall 0.417 at 10× with the
       // 1×-tuned tables=8 (each adaptive bit multiplies a threshold-pair's
       // per-table hit rate by 1 − θ/π) and 0.99 back at the formula's
       // resolved count; identical to tables=8 at every driver sf (the
-      // formula floors at 8 until the corpus outgrows the n=2000 anchor)
+      // formula floors at 8 until the corpus outgrows the n=2000 anchor).
+      // probes2 = -1 (round 16, RecallProbes d4cost): auto Hamming-2
+      // probing past the anchor — H2 probes buy per-table coverage far
+      // cheaper than tables, so the H2-aware formula resolves 16 tables
+      // at 10× instead of 58 for the SAME recall at less wall (probe
+      // shape: 0.977 @ 22.5 s vs 0.975 @ 47.1 s on a checkpointed
+      // corpus; bench shape: 57.3 → 41.9 s steady at sf1, recall rider
+      // 0.975 → 0.977); still byte-identical at every driver sf (auto
+      // H2 stays 0 until the resolved width passes 6 bits)
       graft.functions.Similarity.cosineDuplicates(
         t(s, d, "embeddings"), threshold = 0.35, dim = 64, bits = -1, tables = -1,
-        probes = -1)
+        probes = -1, probes2 = -1)
     }),
     // ---- degenerate-exact configurations of the approximate tiers: at
     // nProbe = nCentroids / zero-bit signatures / exhaustive pairs, the

@@ -46,24 +46,24 @@ object BfsCrossoverProbe {
       val chain = g.copy(edges = g.edges.filter(col("label") === label))
       // warm the memoized GraphX conversion so pregel times the ROUNDS
       // (the probe question), mirroring how the bench warm phase would
-      GraphAnalytics.reachableFrom(g, Seq(first), Some(label)).count()
+      GraphAnalytics.reachableFromPregel(g, Seq(first), Some(label)).count()
       for (pass <- 1 to 2) {
         h.timed(s"$tag pregel_reach pass $pass")(
-          GraphAnalytics.reachableFrom(g, Seq(first), Some(label)).count())
+          GraphAnalytics.reachableFromPregel(g, Seq(first), Some(label)).count())
         h.timed(s"$tag df_reach pass $pass")(
           GraphAnalytics.reachableFromFrontier(g, Seq(first), Some(label)).count())
         h.timed(s"$tag pregel_hops pass $pass")(
-          GraphAnalytics.shortestPaths(chain, first).count())
+          GraphAnalytics.shortestPathsPregel(chain, first).count())
         h.timed(s"$tag df_hops pass $pass")(
           GraphAnalytics.shortestPathsFrontier(chain, first).count())
       }
       // row-set agreement: the two plan families must compute the same op
-      val pr = GraphAnalytics.reachableFrom(g, Seq(first), Some(label))
+      val pr = GraphAnalytics.reachableFromPregel(g, Seq(first), Some(label))
         .collect().map(_.getLong(0)).toSet
       val dr = GraphAnalytics.reachableFromFrontier(g, Seq(first), Some(label))
         .collect().map(_.getLong(0)).toSet
       require(pr == dr, s"$tag: reach disagreement pregel=${pr.size} df=${dr.size}")
-      val ph = GraphAnalytics.shortestPaths(chain, first)
+      val ph = GraphAnalytics.shortestPathsPregel(chain, first)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val dh = GraphAnalytics.shortestPathsFrontier(chain, first)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

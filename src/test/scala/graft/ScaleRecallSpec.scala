@@ -53,11 +53,13 @@ class ScaleRecallSpec extends AnyFunSuite {
     (got & exact).size.toDouble / exact.size
   }
 
-  test("d4 adaptive tables (tables = -1) holds recall >= 0.85 at 10x") {
+  test("d4 adaptive tables (tables = -1, auto H2) holds recall >= 0.85 at 10x") {
     // the r15 defect shape: fixed tables=8 at the resolved 8 bits read
-    // 0.417 at 10x-of-sf0.1; the formula must keep this >= 0.85 here
+    // 0.417 at 10x-of-sf0.1; the formula (H2-aware since round 16 — the
+    // GATE config) must keep this >= 0.85 here
     val got = pairSet(graft.functions.Similarity.cosineDuplicates(
-      emb10, threshold = 0.35, dim = 64, bits = -1, tables = -1, probes = -1))
+      emb10, threshold = 0.35, dim = 64, bits = -1, tables = -1, probes = -1,
+      probes2 = -1))
     val r = recallOf(got)
     info(f"d4 adaptive-tables recall at 10x: $r%.3f (${got.size} pairs)")
     assert(r >= 0.85)

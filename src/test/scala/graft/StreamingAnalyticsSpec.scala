@@ -1030,13 +1030,20 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     val dbl = GraphAnalytics.reachableByDoubling(g, Seq(0L), 1).collect().map(_.getLong(0)).toSet
     assert(dbl === reach)
     // frontier-join plan family ≡ Pregel (the BfsCrossoverProbe scale
-    // path, round 16) — same row sets from both plan families
+    // path, round 16) — same row sets from both plan families; the
+    // public reachableFrom/shortestPaths dispatch between them on the
+    // measured edge-count crossover, so family agreement here is what
+    // makes the dispatch invisible to callers
     val fReach = GraphAnalytics.reachableFromFrontier(g, Seq(0L))
       .collect().map(_.getLong(0)).toSet
     assert(fReach === reach)
+    assert(GraphAnalytics.reachableFromPregel(g, Seq(0L))
+      .collect().map(_.getLong(0)).toSet === reach)
     val fSp = GraphAnalytics.shortestPathsFrontier(g, 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fSp === sp)
+    assert(GraphAnalytics.shortestPathsPregel(g, 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === sp)
     // long chain: doubling must cover every hop, not just power-of-two depths
     val chain = Loaders.fromList(spark,
       (0 until 37).map(i => InputEdge(i, i + 1, Seq(1), addReverse = false)), ranges)
