@@ -338,6 +338,50 @@ object Similarity {
     * through one codegen'd projection instead of a shuffle+sort per query
     * partition (that window made this quadratic-ish on duplicate-heavy
     * corpora). */
+  /** Table count for the adaptive-LSH configuration (`tables <= 0` with
+    * `bits <= 0`) — shared by [[cosineDuplicates]] and
+    * [[semanticDecontam]] so the self-join and cross-corpus tiers can
+    * never drift apart on the scale rule.
+    *
+    * H1 form (round 15): adaptive bits hold per-bucket work constant as
+    * n grows, but each added bit multiplies a threshold-angle pair's
+    * per-table hit probability by c = 1 − θ/π (random-hyperplane LSH,
+    * Charikar 2002), so FIXED tables decay in recall with log n —
+    * measured at 10×: 0.417 at the 1×-tuned tables=8, back to 0.990 at
+    * 64. Holding the miss probability (1 − c^bits)^T constant as bits
+    * grows by Δ needs T ∝ c^−Δ; anchor = (8 tables @ 6 bits, the n=2000
+    * sweet spot where recall measured 1.00).
+    *
+    * autoH2 form (round 16, RecallProbes d4cost): with full Hamming-2
+    * probing, H2 probes multiply PER-TABLE coverage far cheaper than
+    * extra tables (each extra table costs a bucket join + union + dedup
+    * input; a probe only widens one side's bucket list) — measured at
+    * 10×: 16 tables + H2 = recall 0.977 at 22.5 s vs the H1 formula's
+    * 58 tables = 0.975 at 47.1 s. Table count holds the ANCHOR's total
+    * miss probability (1 − p1hit(6 bits))^8 under the H≤2 per-table hit
+    * rate p2hit(b) = c^b + b·c^(b−1)(1−c) + C(b,2)·c^(b−2)(1−c)², with
+    * a 1.35 safety margin calibrated to that measured 16-table point
+    * (the raw closed form gives 12 there).
+    *
+    * Capped at 64 (the measured-good point; beyond it the cross-table
+    * dedup exchange dominates); floored at the hand-tuned 8 — below the
+    * n=2000 anchor the formulas would SHRINK tables, trading recall for
+    * work that is already cheap: the knob exists to stop decay at
+    * scale, not to thin small corpora. Threshold clamped BOTH ends
+    * (ADVICE r15): acos(< −1) is NaN and ceil(NaN).toInt == 0 would
+    * silently floor an invalid threshold to 8 tables. */
+  private def adaptiveTables(b: Int, threshold: Double, autoH2: Boolean): Int = {
+    val c = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    if (autoH2 && b > 6) {
+      val p1a = math.pow(c, 6) + 6 * math.pow(c, 5) * (1 - c)
+      val p2 = math.pow(c, b) + b * math.pow(c, b - 1) * (1 - c) +
+        b * (b - 1) / 2.0 * math.pow(c, b - 2) * (1 - c) * (1 - c)
+      val lnMiss = 8 * math.log(1 - p1a)
+      math.min(64, math.max(8, math.ceil(1.35 * lnMiss / math.log(1 - p2)).toInt))
+    } else
+      math.min(64, math.max(8, math.ceil(8.0 * math.pow(c, -(b - 6).toDouble)).toInt))
+  }
+
   def cosineDuplicates(vectors: DataFrame, threshold: Double, dim: Int,
       bits: Int = 12, tables: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -369,48 +413,9 @@ object Similarity {
         val b = math.max(2, math.ceil(math.log(math.max(n, 128L) / 32.0)
           / math.log(2.0)).toInt)
         // tables <= 0 → scale the table count WITH the adaptive bits
-        // (round 15, D4ScaleRecallProbe): adaptive bits hold per-bucket
-        // work constant as n grows, but each added bit multiplies a
-        // threshold-angle pair's per-table hit probability by
-        // c = 1 − θ/π (random-hyperplane LSH, Charikar 2002), so FIXED
-        // tables decay in recall with log n — measured at 10×: 0.417 at
-        // the 1×-tuned tables=8, back to 0.990 at 64. Holding the miss
-        // probability (1 − c^bits)^T constant as bits grows by Δ needs
-        // T ∝ c^-Δ; anchor = (8 tables @ 6 bits, the n=2000 sweet spot
-        // where recall measured 1.00). Capped at 64 (the measured-good
-        // point; beyond it the cross-table dedup exchange dominates).
-        // floored at the hand-tuned 8: below the n=2000 anchor the formula
-        // would SHRINK tables (Δ < 0), trading recall for work that is
-        // already cheap — the knob exists to stop decay at scale, not to
-        // thin small corpora
+        // (see [[adaptiveTables]] — the shared H1/auto-H2 scale rule)
         val t = if (tables > 0) tables
-          else {
-            // clamp BOTH ends (ADVICE r15): acos(< -1) is NaN, and
-            // ceil(NaN).toInt == 0 would silently floor the table count
-            // to 8 for an invalid threshold instead of scaling it
-            val c = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-            if (probes2 < 0 && b > 6) {
-              // probes2 = -1 (auto Hamming-2) + adaptive tables: H2 probes
-              // multiply PER-TABLE coverage far cheaper than extra tables
-              // (each extra table costs a bucket join + union + dedup
-              // input; a probe only widens one side's bucket list) —
-              // measured at 10× (RecallProbes d4cost): 16 tables + H2 =
-              // recall 0.977 at 22.5 s vs the H1 formula's 58 tables =
-              // 0.975 at 47.1 s. Table count holds the ANCHOR's total
-              // miss probability (1 − p1hit(6 bits))^8 under the H≤2
-              // per-table hit rate at the resolved width,
-              //   p2hit(b) = c^b + b·c^(b−1)(1−c) + C(b,2)·c^(b−2)(1−c)²,
-              // with a 1.35 safety margin calibrated to that measured
-              // 16-table point (the raw closed form gives 12 there).
-              val p1a = math.pow(c, 6) + 6 * math.pow(c, 5) * (1 - c)
-              val p2 = math.pow(c, b) + b * math.pow(c, b - 1) * (1 - c) +
-                b * (b - 1) / 2.0 * math.pow(c, b - 2) * (1 - c) * (1 - c)
-              val lnMiss = 8 * math.log(1 - p1a)
-              math.min(64, math.max(8,
-                math.ceil(1.35 * lnMiss / math.log(1 - p2)).toInt))
-            } else
-              math.min(64, math.max(8, math.ceil(8.0 * math.pow(c, -(b - 6).toDouble)).toInt))
-          }
+          else adaptiveTables(b, threshold, autoH2 = probes2 < 0)
         (b, t)
       }
     // Per-table bucket joins + union (NOT one posexplode'd composite-key
@@ -561,20 +566,35 @@ object Similarity {
       threshold: Double, dim: Int,
       bits: Int = 10, tables: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      exhaustive: Boolean = false, probes: Int = 0): DataFrame = {
+      exhaustive: Boolean = false, probes: Int = 0,
+      probes2: Int = 0): DataFrame = {
     useNative(corpus)
     // bits <= 0 → adaptive width from the CORPUS side (the
     // cosineDuplicates log2(n/32) rule); probes < 0 → full Hamming-1 at
-    // the resolved width — the d4 recall configuration
+    // the resolved width — the d4 recall configuration. tables <= 0 →
+    // the SHARED [[adaptiveTables]] scale rule (round 16): before this,
+    // the cross-corpus tier had adaptive bits but a FIXED table count —
+    // exactly the d4-class silent recall decay the r15 10× run exposed
+    // on the self-join tier, unfixed here. probes2 = -1 → auto Hamming-2
+    // past the 6-bit anchor, the same contract as cosineDuplicates.
     val (nBits, nTables) =
       if (exhaustive) (0, 1)
-      else if (bits > 0) (bits, tables)
-      else {
+      else if (bits > 0) {
+        require(tables > 0,
+          "semanticDecontam: adaptive tables (<= 0) needs adaptive bits " +
+            "(bits <= 0) — the table formula is anchored to the resolved bit width")
+        (bits, tables)
+      } else {
         val n = corpusCount(corpus)
-        (math.max(2, math.ceil(math.log(math.max(n, 128L) / 32.0)
-          / math.log(2.0)).toInt), tables)
+        val bw = math.max(2, math.ceil(math.log(math.max(n, 128L) / 32.0)
+          / math.log(2.0)).toInt)
+        (bw, if (tables > 0) tables
+             else adaptiveTables(bw, threshold, autoH2 = probes2 < 0))
       }
     val p1 = if (probes < 0) nBits else probes
+    val p2n =
+      if (probes2 < 0) { if (nBits > 6) nBits * (nBits - 1) / 2 else 0 }
+      else probes2
     val a = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("av"),
       nnorm(col(vecCol)).as("an"))
     val b = reference.select(col(idCol).as("ref_id"), col(vecCol).as("bv"),
@@ -582,8 +602,9 @@ object Similarity {
     val raw = (0 until nTables).map { t =>
       val planes = hyperplanes(dim, nBits, t, seed)
       val aB =
-        if (p1 <= 0) a.withColumn("bucket", nativeSignature(col("av"), planes))
-        else a.withColumn("bucket", explode(probeBuckets(col("av"), planes, p1)))
+        if (p1 <= 0 && p2n <= 0)
+          a.withColumn("bucket", nativeSignature(col("av"), planes))
+        else a.withColumn("bucket", explode(probeBuckets(col("av"), planes, p1, p2n)))
       aB.join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")
         .drop("bucket")
     }.reduce(_ unionByName _)
@@ -596,7 +617,7 @@ object Similarity {
       .withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cosine") >= threshold)
       .select(col("doc_id"), col("ref_id"), round(col("cosine"), 6).as("cosine"))
-    if (nTables == 1 && p1 <= 0) scored
+    if (nTables == 1 && p1 <= 0 && p2n <= 0) scored
     else scored.dropDuplicates("doc_id", "ref_id")
   }
 

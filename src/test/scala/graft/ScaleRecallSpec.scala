@@ -75,6 +75,29 @@ class ScaleRecallSpec extends AnyFunSuite {
     assert(r >= 0.85)
   }
 
+  test("semanticDecontam adaptive tables + auto H2 hold recall >= 0.85 at 10x") {
+    // the same defect family on the CROSS-CORPUS tier (round 16): before
+    // the shared adaptiveTables rule, decontam had adaptive bits but a
+    // FIXED table count — the exact silent decay d4 showed at 10×.
+    // corpus = the 9 perturbed copies (4,500 vecs), reference = the 500
+    // copy-0 originals; the exhaustive tier is the exact twin (2.25M
+    // pairs, scan-shaped, cheap).
+    val corpus = emb10.filter(col("vec_id") >= 10000000L)
+    val ref = emb10.filter(col("vec_id") < 500)
+    def pset(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_id").cast("long"), col("ref_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pset(graft.functions.Similarity.semanticDecontam(
+      corpus, ref, threshold = 0.35, dim = 64, exhaustive = true))
+    assert(exact.nonEmpty, "exhaustive decontam twin returned no pairs")
+    val got = pset(graft.functions.Similarity.semanticDecontam(
+      corpus, ref, threshold = 0.35, dim = 64, bits = -1, tables = -1,
+      probes = -1, probes2 = -1))
+    val r = (got & exact).size.toDouble / exact.size
+    info(f"decontam adaptive recall at 10x: $r%.3f (${got.size} of ${exact.size} exact pairs)")
+    assert(r >= 0.85)
+  }
+
   test("d9 calibrated width grows past the 1x-tuned manual value at 10x") {
     // the defect class this guards: a fixed knob silently reused as the
     // trained k grows. At k = 20 the boundary-miss probe must ask for
