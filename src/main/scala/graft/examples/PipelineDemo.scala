@@ -273,6 +273,23 @@ object PipelineDemo {
     println(f"source overlap: ${ovl.count()} pairs, top ${top.getString(0)}~${top.getString(1)} " +
       f"jaccard ${top.getDouble(5)}%.3f; sketch mean abs err $estErr%.4f")
 
+    // 21. round 16: measured-width semantic dedup (nAssign = -1 probes
+    // the trained model's boundary-miss rate) and the cross-modal
+    // keep/drop decision (a page drops when EITHER modality matches an
+    // earlier doc — text exactly, payload perceptually)
+    val autoW = Similarity.calibratedAssignWidth(emb, threshold = 0.35)
+    val semAuto = Similarity.semanticDedup(emb, threshold = 0.35,
+      nClusters = -1, nAssign = -1)
+    println(s"auto-width semantic dedup: width $autoW, ${semAuto.count()} pairs")
+    val xm = graft.functions.Multimodal.crossModalDedup(
+      docs.select(col("doc_id"),
+        when(col("doc_id") % 41 === 0, lit("planted text dup"))
+          .otherwise(coalesce(col("text"), lit(""))).as("text")),
+      mediaRows)
+    println(s"cross-modal dedup: ${xm.filter(col("keep") === 1).count()} of " +
+      s"${xm.count()} pages kept (${xm.filter(col("dup_media") === 1).count()} media dups, " +
+      s"${xm.filter(col("dup_text") === 1).count()} text dups)")
+
     spark.stop()
   }
 }

@@ -98,6 +98,17 @@ class ScaleRecallSpec extends AnyFunSuite {
     assert(r >= 0.85)
   }
 
+  test("calibrated width shrinks as the threshold tightens") {
+    // geometry invariant of the boundary-miss probe: a TIGHTER threshold
+    // means a smaller pair angle, fewer Voronoi crossings, and so a
+    // narrower measured width — if a regression inverts this, the probe
+    // is sampling the wrong angle
+    val wide = graft.functions.Similarity.calibratedAssignWidth(emb10, threshold = 0.35)
+    val tight = graft.functions.Similarity.calibratedAssignWidth(emb10, threshold = 0.9)
+    info(s"width at thr 0.35: $wide; at thr 0.9: $tight")
+    assert(tight <= wide)
+  }
+
   test("d9 calibrated width grows past the 1x-tuned manual value at 10x") {
     // the defect class this guards: a fixed knob silently reused as the
     // trained k grows. At k = 20 the boundary-miss probe must ask for
