@@ -457,23 +457,95 @@ object Multimodal {
           var i = 0
           while (i < 64) { if (blocks(i) > mean) bits |= (1L << i); i += 1 }
           MediaHash(r.media_id, bits, "image")
-        } else {
-          // stub path: FNV-1a over the WHOLE payload (the [[decodeStub]]
-          // samples touch only the first outLen bytes — two near-dup
-          // payloads sharing a 64-byte prefix would collide, turning
-          // "exact binary copy" into "shared prefix"). Distinct payloads
-          // land ~32 Hamming bits apart — far outside any dedup bound.
-          val bytes = if (r.media == null) Array.empty[Byte] else r.media
-          var hsh = 0xcbf29ce484222325L
-          var i = 0
-          while (i < bytes.length) {
-            hsh = (hsh ^ (bytes(i) & 0xffL)) * 0x100000001b3L
-            i += 1
+        } else stubHashRow(r)
+      }
+    }
+  }
+
+  /** Stub fingerprint: FNV-1a over the WHOLE payload (the [[decodeStub]]
+    * samples touch only the first outLen bytes — two near-dup payloads
+    * sharing a 64-byte prefix would collide, turning "exact binary copy"
+    * into "shared prefix"). Distinct payloads land ~32 Hamming bits
+    * apart — far outside any dedup bound — so the stub path still dedups
+    * EXACT copies without pretending perceptual similarity. */
+  private def stubHashRow(r: MediaRow): MediaHash = {
+    val bytes = if (r.media == null) Array.empty[Byte] else r.media
+    var hsh = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      hsh = (hsh ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    MediaHash(r.media_id, hsh, "stub")
+  }
+
+  /** 64-bit audio fingerprint — the audio analogue of [[perceptualHash]]:
+    * REAL decode via `javax.sound.sampled` (WAV/AIFF/AU), mono-mixdown
+    * energy over 65 equal windows, bit w set iff energy RISES from window
+    * w to w+1. Sign-of-energy-delta is the classic volume-invariant audio
+    * hash: scaling amplitude multiplies every window energy by the same
+    * factor and flips no sign (short of clipping), while a different
+    * loudness CONTOUR — the thing that identifies a recording — flips
+    * many. Exact ties count as "not rising" (deterministic, digital
+    * silence hashes to 0). Payloads no audio path decodes — or too short
+    * for 65 windows (< 130 frames) — fall back to the whole-payload FNV
+    * stub ([[stubHashRow]]), flagged `source = "stub"`. Per-partition
+    * imperative decode like every codec stage — narrow, no shuffle. */
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val dec = if (r.media == null) null else readAudioPcm(r.media)
+        if (dec == null) stubHashRow(r)
+        else {
+          val (fmt, data) = dec
+          val ch = fmt.getChannels
+          val frames = data.length / (ch * 2)
+          val wins = 65
+          if (frames < 2 * wins) stubHashRow(r)
+          else {
+            val e = new Array[Double](wins)
+            var w = 0
+            while (w < wins) {
+              val f0 = (w.toLong * frames / wins).toInt
+              val f1 = ((w + 1).toLong * frames / wins).toInt
+              var s = 0.0; var f = f0
+              while (f < f1) {
+                var c = 0; var m = 0.0
+                while (c < ch) {
+                  val i = (f * ch + c) * 2
+                  m += ((data(i + 1) << 8) | (data(i) & 0xff)).toShort / 32768.0
+                  c += 1
+                }
+                val avg = m / ch
+                s += avg * avg
+                f += 1
+              }
+              // mean-square, not sum: window frame counts differ by ±1
+              // from the integer split, and a sum would flip boundary
+              // signs on otherwise-identical envelopes
+              e(w) = if (f1 > f0) s / (f1 - f0) else 0.0
+              w += 1
+            }
+            var bits = 0L; var i = 0
+            while (i < 64) { if (e(i + 1) > e(i)) bits |= (1L << i); i += 1 }
+            MediaHash(r.media_id, bits, "audio")
           }
-          MediaHash(r.media_id, hsh, "stub")
         }
       }
     }
+  }
+
+  /** Near-duplicate AUDIO pairs by fingerprint Hamming distance — the
+    * audio member of the media-dedup family, same banded pigeonhole
+    * join as [[nearDuplicateMedia]] over [[audioFingerprint]] instead of
+    * the image aHash. Returns (media_a, media_b, hamming), a < b. */
+  def nearDuplicateAudio(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"nearDuplicateAudio: maxHamming must be in [0, 15], got $maxHamming")
+    bandedHammingPairs(
+      audioFingerprint(media).toDF().select(col("media_id"), col("phash")),
+      maxHamming)
   }
 
   /** Near-duplicate media pairs by perceptual-hash Hamming distance ≤
@@ -489,10 +561,19 @@ object Multimodal {
       maxPixels: Long = DefaultMaxPixels): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"nearDuplicateMedia: maxHamming must be in [0, 15], got $maxHamming")
+    bandedHammingPairs(
+      perceptualHash(media, maxPixels).toDF().select(col("media_id"), col("phash")),
+      maxHamming)
+  }
+
+  /** Shared banded-Hamming pair join over a (media_id, phash LONG)
+    * fingerprint table — the [[nearDuplicateMedia]]/[[nearDuplicateAudio]]
+    * common core (one implementation so the modalities can never drift on
+    * the pigeonhole rule). */
+  private def bandedHammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands
-    val h = perceptualHash(media, maxPixels).toDF()
-      .select(col("media_id"), col("phash")).localCheckpoint(true)
+    val h = hashes.localCheckpoint(true)
     val banded = h.select(col("media_id"), col("phash"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),

@@ -855,6 +855,52 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(out2(11L) === ((0L, 1L, 0L))) // perceptual cross-hash match, no byte equality
   }
 
+  test("multimodal: audio fingerprint is volume-invariant and contour-discriminating; banded audio dedup") {
+    import graft.functions.Multimodal
+    // amplitude-modulated tones through the REAL javax.sound write/read
+    // path: the fingerprint hashes the loudness CONTOUR (m envelope
+    // periods), so a volume change preserves it and a different contour
+    // flips ~2m sign bits
+    def clip(m: Int, amp: Double): Array[Byte] = {
+      val rate = 8000f; val n = 4000
+      val data = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val env = 0.55 + 0.45 * math.sin(2 * math.Pi * m * i / n)
+        val v = (amp * env * math.sin(2 * math.Pi * 440 * i / rate) * 32767).round.toInt
+        data(i * 2) = (v & 0xff).toByte; data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, clip(m = 2, amp = 0.2), "audio/wav", 0, 0, 0),
+      Multimodal.MediaRow(2L, clip(m = 2, amp = 0.35), "audio/wav", 0, 0, 0), // louder, same contour
+      Multimodal.MediaRow(3L, clip(m = 5, amp = 0.2), "audio/wav", 0, 0, 0),  // different contour
+      Multimodal.MediaRow(4L, Array[Byte](7, 7, 7), "corrupt", 0, 0, 0),
+      Multimodal.MediaRow(5L, Array[Byte](7, 7, 7), "corrupt", 0, 0, 0))
+    val fps = Multimodal.audioFingerprint(spark.createDataset(rows)).collect()
+      .map(h => h.media_id -> h).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fps(1L).source === "audio" && fps(4L).source === "stub")
+    // volume scaling flips no sign-of-energy-delta bit
+    assert(ham(fps(1L).phash, fps(2L).phash) <= 3,
+      s"volume change moved the fingerprint ${ham(fps(1L).phash, fps(2L).phash)} bits")
+    // a different loudness contour is far outside the dedup bound
+    assert(ham(fps(1L).phash, fps(3L).phash) >= 16)
+    // identical corrupt payloads share the stub hash (exact-copy dedup)
+    assert(fps(4L).phash === fps(5L).phash)
+    val pairs = Multimodal.nearDuplicateAudio(spark.createDataset(rows), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (4L, 5L)), s"got $pairs")
+  }
+
   test("multimodal: REAL WAV decode via javax.sound.sampled (rate/duration/RMS/peak per channel)") {
     import graft.functions.Multimodal
     // build real WAV bytes in-test: 16-bit signed little-endian PCM frames
