@@ -553,13 +553,29 @@ object GraphAnalytics {
 
   /** Shared frontier loop: (id, dist) for every vertex reachable from
     * the seed set (dist 0 at the seeds). One hop per round: frontier ⋈
-    * edges → distinct → anti-join vs reached → localCheckpoint. */
+    * edges → distinct → anti-join vs reached → localCheckpoint.
+    *
+    * Seed agreement with the Pregel family (ADVICE r16): GraphX silently
+    * OMITS a seed absent from its vertex universe (explicit nodes when
+    * the graph carries them, else the dir-edge endpoints fromEdges
+    * derives), while this loop used to emit (seed, 0) for ANY id — so
+    * the same [[shortestPaths]] call could return different row sets
+    * depending on which side of the crossover the graph fell. Seeds are
+    * therefore semi-joined against the SAME universe toGraphX uses: one
+    * endpoint scan with the tiny seed set broadcast, never a large
+    * shuffle. */
   private def frontierBfs(g: PropertyGraph, seeds: DataFrame,
       label: Option[Int]): DataFrame = {
     val fwd = label.fold(g.edges.filter(col("dir")))(l =>
       g.edges.filter(col("dir") && col("label") === l))
       .select(col("src"), col("dst"))
-    var frontier = seeds.select(col("id")).distinct().localCheckpoint(true)
+    val universe = g.explicitNodes.fold(
+      fwd.select(col("src").as("id")).unionByName(fwd.select(col("dst").as("id"))))(
+      _ => g.nodes.select(col("id")))
+    val seedSet = seeds.select(col("id")).distinct()
+    var frontier = universe
+      .join(broadcast(seedSet), Seq("id"), "left_semi").distinct()
+      .localCheckpoint(true)
     var reached = frontier.select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
     var dist = 0L
     var done = false

@@ -643,11 +643,17 @@ object Multimodal {
       .filter(col("pa") =!= col("pb") &&
         bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
       .groupBy(col("pa")).agg(min(col("fb")).as("xmin"))
+    // one decision row per id (ADVICE r16): a document with SEVERAL media
+    // rows (or duplicate media_ids) would otherwise multiply the final
+    // per-doc join — a page is a media-dup iff ANY of its payloads
+    // matches an earlier document, so max() over the per-payload flags
+    // is the aggregate with that meaning
     val mDecision = h.join(fams, Seq("phash"))
       .join(xmin, h("phash") === xmin("pa"), "left")
       .select(col("media_id").as(idCol),
         (least(col("first_id"), coalesce(col("xmin"), lit(Long.MaxValue)))
           < col("media_id")).as("mdup"))
+      .groupBy(col(idCol)).agg(max(col("mdup")).as("mdup"))
     docs.select(col(idCol), md5(coalesce(col(textCol), lit(""))).as("th"))
       .join(tmin, Seq("th"))
       .join(mDecision, Seq(idCol), "left")

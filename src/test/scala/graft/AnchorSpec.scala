@@ -34,6 +34,36 @@ class AnchorSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"implausible anchors: $bad")
   }
 
+  test("sf1 anchor-set selection matches an exact token, never a substring (r17)") {
+    import graft.bench.SteadyState
+    // ADVICE r16: contains("sf1") would adjudicate "sf10"/"mysf1x" dirs
+    // against sf1 anchors and could flip a future sf0.1-variant name
+    assert(SteadyState.anchorsFor("sf1") eq SteadyState.sf1Sec)
+    assert(SteadyState.anchorsFor("graft_sf1_full") eq SteadyState.sf1Sec)
+    assert(SteadyState.anchorsFor("sf0.1") eq SteadyState.sec)
+    assert(SteadyState.anchorsFor("sf10") eq SteadyState.sec)
+    assert(SteadyState.anchorsFor("mysf1x") eq SteadyState.sec)
+  }
+
+  test("rerun band is anchor-aware: 2.0x for anchors >= 2 s, 2.5x below, overrides win (r17)") {
+    import graft.bench.SteadyState
+    // VERDICT r16 #2: the flat 2.5x band let t6 (anchor 4.40, ratio 2.17)
+    // and t35 (anchor 3.46, ratio 2.37) ride as ~10 s of load smear
+    val big = SteadyState.sec.collect { case (n, a) if a >= 2.0 => n }
+    val small = SteadyState.sec.collect {
+      case (n, a) if a < 2.0 && !SteadyState.adjMult.contains(n) => n }
+    assert(big.nonEmpty && small.nonEmpty, "band test needs both anchor classes")
+    big.filterNot(SteadyState.adjMult.contains)
+      .foreach(n => assert(SteadyState.multOf(n) === 2.0, n))
+    small.foreach(n => assert(SteadyState.multOf(n) === 2.5, n))
+    assert(SteadyState.multOf("a22_betweenness") === 1.3) // measured override wins
+    assert(SteadyState.multOf("no_such_anchor") === 2.5) // anchorless: wide band
+    // the sf1 path applies the same band against sf1 anchors
+    val sf1Big = SteadyState.sf1Sec.collect { case (n, a) if a >= 2.0 => n }
+    assert(sf1Big.nonEmpty)
+    sf1Big.foreach(n => assert(SteadyState.multFor("sf1")(n) === 2.0, n))
+  }
+
   test("sf1 anchors name live queries and are positive (round 16)") {
     // the sf1 set is allowed to be SPARSE (an anchorless query never
     // flags, like a new gate on the sf0.1 path) but never STALE — and

@@ -831,7 +831,8 @@ class PipelineSpec extends AnyFunSuite {
     // real config: pairs are a subset of exhaustive (cluster boundaries
     // only ever REMOVE pairs), all within a true generator cluster, and
     // k-means-aligned clusters keep most of them on well-separated data
-    val sem = Similarity.semanticDedup(clustered, threshold = 0.98, nClusters = 5)
+    val sem = Similarity.semanticDedup(clustered, threshold = 0.98, nClusters = 5,
+      nAssign = 1) // pin the HARD path — the r17 default is auto (-1)
       .collect()
     val semPairs = sem.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(semPairs.subsetOf(exhaustive))
@@ -845,8 +846,8 @@ class PipelineSpec extends AnyFunSuite {
     // soft assignment (nAssign=2): recovers boundary pairs — a superset
     // of single assignment, a subset of the exact set, deduped, and the
     // nAssign > k cap degenerates to every-cluster membership safely
-    val hard = Similarity.semanticDedup(clustered, threshold = 0.98, nClusters = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hard = Similarity.semanticDedup(clustered, threshold = 0.98, nClusters = 5,
+      nAssign = 1).collect().map(r => (r.getLong(0), r.getLong(1)))
     val soft = Similarity.semanticDedup(clustered, threshold = 0.98, nClusters = 5,
       nAssign = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(soft.length === soft.toSet.size, "soft-assignment pairs must be deduped")

@@ -855,6 +855,24 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(out2(11L) === ((0L, 1L, 0L))) // perceptual cross-hash match, no byte equality
   }
 
+  test("multimodal: cross-modal dedup emits ONE row per doc with several media payloads") {
+    import graft.functions.Multimodal
+    // ADVICE r16: a doc_id with multiple MediaRows used to multiply the
+    // final per-doc join. A page is a media-dup iff ANY payload matches
+    // an earlier doc — doc 21 carries one unique and one shared payload.
+    val docs = Seq((20L, "t20"), (21L, "t21"), (22L, "t22")).toDF("doc_id", "text")
+    val payloads = Seq(
+      (20L, "shared payload"), (21L, "unique p21a"), (21L, "shared payload"),
+      (22L, "unique p22")).toDF("doc_id", "payload")
+    val media = Multimodal.typed(Multimodal.synthesize(payloads, "doc_id", "payload"))
+    val out = Multimodal.crossModalDedup(docs, media).collect()
+    assert(out.length === 3, s"one row per document, got ${out.length}")
+    val byId = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byId(20L) === ((0L, 0L, 1L))) // earliest of the payload family
+    assert(byId(21L) === ((0L, 1L, 0L))) // ANY payload matching earlier → drop
+    assert(byId(22L) === ((0L, 0L, 1L)))
+  }
+
   test("multimodal: audio fingerprint is volume-invariant and contour-discriminating; banded audio dedup") {
     import graft.functions.Multimodal
     // amplitude-modulated tones through the REAL javax.sound write/read
@@ -1106,6 +1124,32 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     val ccIso = GraphAnalytics.connectedComponents(gIso).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ccIso.contains(42L) && ccIso(42L) === 42L)
+  }
+
+  test("analytics: BFS families agree on seeds ABSENT from the graph (ADVICE r16)") {
+    val ranges = Seq(RangeDef(0, 100, 0, Seq(1)))
+    val g = Loaders.fromList(spark,
+      Seq(InputEdge(0, 1, Seq(1), addReverse = false),
+        InputEdge(1, 2, Seq(1), addReverse = false)), ranges)
+    def spMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // seed 999 exists nowhere: Pregel omits it from its vertex universe;
+    // the frontier family used to emit (999, 0) regardless — the same
+    // shortestPaths call returned different row sets depending on which
+    // side of the edge-count crossover the graph fell
+    assert(spMap(GraphAnalytics.shortestPathsFrontier(g, 999L)) ===
+      spMap(GraphAnalytics.shortestPathsPregel(g, 999L)))
+    assert(spMap(GraphAnalytics.shortestPathsFrontier(g, 999L)).isEmpty)
+    assert(GraphAnalytics.reachableFromFrontier(g, Seq(999L)).collect().isEmpty)
+    assert(GraphAnalytics.reachableFromPregel(g, Seq(999L)).collect().isEmpty)
+    // an EXPLICIT isolated node is in BOTH families' universes: each
+    // must emit (42, 0) — the explicit-nodes branch of the seed filter
+    val gIso = Loaders.fromList(spark,
+      Seq(InputEdge(0, 1, Seq(1), addReverse = false)), ranges,
+      nodes = Seq(graft.model.NodeRow(0, 0), graft.model.NodeRow(1, 0),
+        graft.model.NodeRow(42, 0)))
+    assert(spMap(GraphAnalytics.shortestPathsFrontier(gIso, 42L)) === Map(42L -> 0L))
+    assert(spMap(GraphAnalytics.shortestPathsPregel(gIso, 42L)) === Map(42L -> 0L))
   }
 
   test("streamCSVEdgesNamed: cross-batch name→id dictionary assigns stable dense ids") {
