@@ -353,6 +353,7 @@ object SteadyState {
     "g9_csv_dict_ingest" -> 1.93,
     "m1_media_features" -> 0.3, // re-measured 2026-08-15 r15 isolated REPEAT=3 (0.29/0.29; the r14 0.72 reading carried warm-path cost the train phase now owns)
     "m2_media_near_dups" -> 0.45, // re-measured 2026-08-15 r15 isolated REPEAT=3 (0.47/0.42)
+    "m4_audio_near_dups" -> 0.6, // measured 2026-08-15 r17 isolated REPEAT=3 (0.79/0.44)
     "miw_bulk_ingest" -> 0.06,
     "q10_scalar_functions" -> 0.21,
     "q11_analytic_windows" -> 0.62,

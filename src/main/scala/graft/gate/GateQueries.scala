@@ -1962,6 +1962,24 @@ object GateQueries {
         graft.functions.Multimodal.typed(media)).toDF()
         .select(col("media_id"), col("n_bytes"))
     }),
+    "m4_audio_near_dups" -> ((s, d) => {
+      // audio-fingerprint dedup over synthesized (stub-path) payloads —
+      // the m2 precedent applied to the AUDIO tier (round 17, VERDICT r16
+      // #4): payloads no audio codec decodes take the whole-payload FNV
+      // stub, so Hamming-0 pairs ≡ exact binary copies ≡ md5 text
+      // equality — SQL-expressible. Real-WAV payloads take the
+      // volume-invariant contour path, unit-pinned on real clips (the
+      // oracle can't decode WAV, and shouldn't). Planted family: every
+      // %47 doc shares one payload — a different modulus than m2's %50,
+      // so the two banded-join gates carry distinct result shapes.
+      val derived = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 47 === 0, lit("planted audio payload"))
+          .otherwise(col("text")).as("text"))
+      val media = graft.functions.Multimodal.synthesize(derived, "doc_id", "text")
+      graft.functions.Multimodal.nearDuplicateAudio(
+          graft.functions.Multimodal.typed(media), maxHamming = 3)
+        .select(col("media_a"), col("media_b"))
+    }),
 
     // ---- reference benchmark workloads (Bench.hs:40-58 shapes) ------------
     "miw_bulk_ingest" -> ((s, d) => {
@@ -3541,6 +3559,17 @@ object GateQueries {
       """WITH derived AS (
         |  SELECT doc_id, CASE WHEN doc_id % 50 = 0
         |    THEN 'planted duplicate payload' ELSE text END AS text
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b
+        |FROM derived a JOIN derived b
+        |  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id""".stripMargin,
+    // the audio stub path is the same FNV-over-payload function as m2's,
+    // so Hamming-0 ≡ byte-equal payloads ≡ md5 text equality
+    "m4_audio_near_dups" ->
+      """WITH derived AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 47 = 0
+        |    THEN 'planted audio payload' ELSE text END AS text
         |  FROM documents
         |)
         |SELECT a.doc_id AS media_a, b.doc_id AS media_b
