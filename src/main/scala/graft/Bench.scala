@@ -112,13 +112,17 @@ object Bench {
     // stage. Configs mirror the gate calls exactly (the session memo
     // keys on corpus plan + config).
     val tTrain = System.nanoTime()
+    // d17's resolved width rides the sidecar as a first-class number
+    // (round 17, VERDICT r16 #7): a calibration regression then shows as
+    // a width diff, not just a recall drop
+    var d17Width: Option[Int] = None
     if (warm && new java.io.File(s"$sfDir/embeddings.parquet").exists) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       graft.functions.Similarity.warmClusterIndex(emb, nClusters = -1) // d9 + d17
       // d17's width calibration (one sample job + driver math, session-
       // memoized): a shared fixture like the trainer above — without this
       // the d17 line absorbs the measurement instead of the dedup query
-      graft.functions.Similarity.calibratedAssignWidth(emb, threshold = 0.35)
+      d17Width = Some(graft.functions.Similarity.calibratedAssignWidth(emb, threshold = 0.35))
       graft.functions.Similarity.warmClusterIndex(emb, nClusters = 16, lloydIters = 3) // e4, e10
       graft.functions.Similarity.warmClusterIndex(emb, nClusters = 16, lloydIters = 2) // e8, e11
       graft.functions.Similarity.pqCodebooks(emb, nSub = 16, nCodes = 64, lloydIters = 2).count() // e7, e8
@@ -455,11 +459,24 @@ object Bench {
       math.max(0.0, pass1Of.getOrElse(n, r) - math.min(pass1Of.getOrElse(n, r), r))
     }.sum
     val adjField = if (reruns.isEmpty) "" else s""","adjudicated_sec":${s3(adjudicated)}"""
+    // exact-tier split (round 17, VERDICT r16 #5): the deliberately-exact
+    // verification anchors (SteadyState.exactTier — e16's quadratic
+    // mutual-kNN alone is ~16% of the sf1 ladder) mask the other ~150
+    // scale-path gates' trend when only one total is read. exact_sec is
+    // their adjudicated sum; scale-path trend = adjudicated − exact_sec.
+    // Coverage is untouched — the tiers still run in full, every round.
+    val rrMinOf: Map[String, Double] =
+      reruns.groupBy(_._1).map { case (n, rs) => n -> rs.map(_._2).min }
+    val exactSec = pass1Of.collect {
+      case (n, t) if graft.bench.SteadyState.exactTier(n) =>
+        math.min(t, rrMinOf.getOrElse(n, t))
+    }.sum
+    val exactField = if (exactSec == 0.0) "" else s""","exact_sec":${s3(exactSec)}"""
     def assemble(rider: String, cal: Seq[Double], build: Boolean): String = {
       val buildField =
         if (build) s""","build_sec":${s2(buildSec)},"train_sec":${s2(trainSec)}"""
         else ""
-      s"""{"metric":"total","value":${s3(total)}$adjField,"unit":"sec","protocol":"toRdd","queries":$qs,"sf":"$sfName"$buildField,"cal_ms":${calJsonOf(cal)},"cpu_sec":${math.round(cpuSec)}$rider$errField}"""
+      s"""{"metric":"total","value":${s3(total)}$adjField$exactField,"unit":"sec","protocol":"toRdd","queries":$qs,"sf":"$sfName"$buildField,"cal_ms":${calJsonOf(cal)},"cpu_sec":${math.round(cpuSec)}$rider$errField}"""
     }
     val line = {
       var keep = recalls
@@ -564,6 +581,10 @@ object Bench {
            |"build_sec":${jnum(buildSec)},"train_sec":${jnum(trainSec)},
            |"cal_ms":${calJsonOf(calSamples.toSeq)},"cpu_sec":${jnum(cpuSec)},
            |"total_sec":${jnum(total)},"adjudicated_sec":${jnum(adjudicated)},
+           |"exact_tier_sec":${jnum(exactSec)},"scale_tier_sec":${jnum(adjudicated - exactSec)},
+           |"exact_tier":${graft.bench.SteadyState.exactTier.toSeq.sorted
+             .map("\"" + _ + "\"").mkString("[", ",", "]")},
+           |"d17_width":${d17Width.fold("null")(_.toString)},
            |"errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")},
            |"recall":$recallJson,
            |"queries":${qObjs.mkString("{", ",", "}")}}""".stripMargin

@@ -69,6 +69,25 @@ object SteadyState {
   def multFor(sfName: String)(name: String): Double =
     if (isSf1(sfName)) bandOf(sf1Sec.get(name)) else multOf(name)
 
+  /** The deliberately-EXACT verification tiers (round 17, VERDICT r16
+    * #5): gates whose configuration is the degenerate-exact anchor of an
+    * approximate twin — brute-force / exhaustive / full-probe forms whose
+    * cost is quadratic or scan-shaped BY DESIGN (their job is verifying
+    * the sub-linear tiers, so "optimizing" them would defeat their
+    * purpose). At sf1 e16 alone is ~16% of the ladder and masks the
+    * trend of the other ~150 scale-path gates, so [[graft.Bench]] splits
+    * the adjudicated total into `exact_sec` (this set) and the
+    * scale-tier remainder — full verification coverage, nothing
+    * subsampled, but the scale-path trend is a first-class number. */
+  val exactTier: Set[String] = Set(
+    "e1_ann_bruteforce_topk",  // brute-force cosine top-k (e2/e7/e8/e9/e10/e15 twin)
+    "e5_ann_ivf_exact",        // nProbe = nCentroids degenerate IVF
+    "e6_ann_lsh_exact",        // zero-bit one-bucket LSH
+    "e16_mutual_knn",          // exact quadratic mutual-kNN (e17 twin)
+    "e18_mutual_knn_planted_exact",
+    "d6_embedding_dups_exact", // exhaustive cosine pairs (d4/d9/d17 twin)
+    "d15_semantic_decontam")   // exhaustive cross-corpus tier
+
   /** sf1 (10×, /tmp/graft_sf1_full — ScaleTestData) steady anchors:
     * pass-2 of the round-16 full-suite REPEAT=2 run on the final binary.
     * Sparse-by-construction is fine — anchorless queries rank at ratio

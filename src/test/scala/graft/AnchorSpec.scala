@@ -64,6 +64,13 @@ class AnchorSpec extends AnyFunSuite {
     sf1Big.foreach(n => assert(SteadyState.multFor("sf1")(n) === 2.0, n))
   }
 
+  test("exact-tier set names live queries (r17)") {
+    // a stale exact-tier entry would silently misreport the scale-tier
+    // split; a renamed gate must be renamed here too
+    val stale = graft.bench.SteadyState.exactTier -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"exact-tier entries without a live query: $stale")
+  }
+
   test("sf1 anchors name live queries and are positive (round 16)") {
     // the sf1 set is allowed to be SPARSE (an anchorless query never
     // flags, like a new gate on the sf0.1 path) but never STALE — and
