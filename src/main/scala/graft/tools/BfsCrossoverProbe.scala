@@ -71,8 +71,33 @@ object BfsCrossoverProbe {
       println(s"[bfsx] $tag agreement OK: reach=${pr.size} hops=${ph.size}")
     }
 
-    suite("1x", "/root/testdata/sf0.1")
-    suite("10x", "/tmp/graft_sf1_full")
+    // midpoint suites (round 17, VERDICT r16 #6): the 5e5 dispatch dial
+    // was the geometric midpoint of a 10× bracket (1.4e5 / 1.4e6); a
+    // measurement either side of it bounds the true inversion within 2×.
+    // Built by subsetting the 10× replica to its first k copies (orders
+    // keys are offset k·640 000 per copy — see ScaleTestData), giving
+    // ~k·1.4e5 NextOrder edges; only orders/lineitem are needed by the
+    // gate-graph builder.
+    def midDir(copies: Int): String = {
+      val out = s"/tmp/graft_mid${copies}x"
+      if (!new java.io.File(s"$out/orders.parquet/_SUCCESS").exists) {
+        val cut = copies * 640000L
+        spark.read.parquet("/tmp/graft_sf1_full/orders.parquet")
+          .filter(col("o_orderkey") < cut)
+          .write.mode("overwrite").parquet(s"$out/orders.parquet")
+        spark.read.parquet("/tmp/graft_sf1_full/lineitem.parquet")
+          .filter(col("l_orderkey") < cut)
+          .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      }
+      out
+    }
+
+    val which = if (args.isEmpty) Seq("1x", "3.5x-", "3.5x+", "10x")
+      else args.toSeq
+    if (which.contains("1x")) suite("1x", "/root/testdata/sf0.1")
+    if (which.contains("3.5x-")) suite("3.5x-(3copies~4.2e5)", midDir(3))
+    if (which.contains("3.5x+")) suite("3.5x+(4copies~5.6e5)", midDir(4))
+    if (which.contains("10x")) suite("10x", "/tmp/graft_sf1_full")
     spark.stop()
   }
 }
