@@ -73,7 +73,8 @@ object Multimodal {
     * flags every stub-derived feature. Deterministic: "samples" are a
     * fold of the payload so downstream stages have stable inputs to test
     * against. */
-  private def decodeStub(payload: Array[Byte], outLen: Int): Array[Byte] = {
+  private def decodeStub(payload0: Array[Byte], outLen: Int): Array[Byte] = {
+    val payload = if (payload0 == null) Array.empty[Byte] else payload0
     val out = new Array[Byte](outLen)
     var acc = 0x5a
     var i = 0
@@ -97,7 +98,7 @@ object Multimodal {
     * NOT audio (the extractFeatures dispatch path), a 4-byte compare
     * replaces fill-in-stack-trace as the common-case cost. */
   private def looksLikeAudio(b: Array[Byte]): Boolean =
-    b.length >= 4 &&
+    b != null && b.length >= 4 &&
       ((b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
        (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') ||
        (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
@@ -125,6 +126,7 @@ object Multimodal {
 
   /** RIFF-AVI container magic: "RIFF" <size:u32le> "AVI ". */
   private def looksLikeAvi(b: Array[Byte]): Boolean =
+    b != null &&
     b.length >= 12 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
@@ -262,7 +264,8 @@ object Multimodal {
                 }.find(_ != null)
               frame match {
                 case Some(f) => (lumaBytes(f), "video")
-                case None => (decodeStub(row.media, math.max(64, row.media.length)), "stub")
+                case None => (decodeStub(row.media,
+                  math.max(64, if (row.media == null) 0 else row.media.length)), "stub")
               }
             }
           }
@@ -270,7 +273,9 @@ object Multimodal {
         var i = 0
         while (i < decoded.length) { hist((decoded(i) & 0xff) % featureDim) += 1f; i += 1 }
         val n = math.max(decoded.length, 1).toFloat
-        MediaFeatures(row.media_id, row.media.length, hist.map(_ / n), source)
+        MediaFeatures(row.media_id,
+          if (row.media == null) 0 else row.media.length,
+          hist.map(_ / n), source)
       }
     }
   }
@@ -400,7 +405,8 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      if (looksLikeAvi(r.media))
+      if (r.media == null) Iterator.empty
+      else if (looksLikeAvi(r.media))
         aviVideoChunks(r.media).zipWithIndex.collect {
           case ((off, len), i) if i % stride == 0 =>
             Frame(r.media_id, i, java.util.Arrays.copyOfRange(r.media, off, off + len))

@@ -53,6 +53,43 @@ object Similarity {
   private def nnorm(a: Column): Column = sqrt(ndot(a, a))
   private def ncos(a: Column, b: Column): Column = ndot(a, b) / (nnorm(a) * nnorm(b))
 
+  /** Dirty-vector contract (the embedding-side twin of Dedup's null-text
+    * policy): a vector with no defined direction — NULL, a NaN or
+    * ±Infinity element, or zero norm — is never trained on, never emitted
+    * as a neighbor or duplicate, and never matches as a query. At 100 TB
+    * a failed encoder emitting zeros or NaNs is a certainty, and without
+    * the guard ONE such row is fatal, not just wrong: Spark 4's ANSI mode
+    * raises DIVIDE_BY_ZERO on the zero-norm cosine (the whole job dies
+    * hours in), sq8's code cast raises CAST_OVERFLOW on a NaN scale, and
+    * with ANSI off the failure turns silent — Spark SQL orders NaN ABOVE
+    * every double and `NaN >= threshold` is TRUE, so a zero-norm vector
+    * takes rank 1 of EVERY query's top-k and the threshold tiers emit it
+    * as a "duplicate" of its entire candidate bucket. Trainers need the
+    * guard independently: max() also treats NaN as largest, so one NaN
+    * element turns sq8Bounds' scales NaN (every corpus code overflows)
+    * and a dirty seed or Lloyd member poisons a k-means/PQ centroid.
+    *
+    * ONE norm predicate catches every class — the norm aggregates every
+    * element, so NULL vector → null norm, NaN element → NaN norm, ±Inf
+    * element → Inf norm, zero vector → 0 — and `0 < norm < +Inf` rejects
+    * all of them (NaN fails `< +Inf`: Spark orders NaN above it; null
+    * fails the WHERE). Null ELEMENTS are deliberately NOT dirty:
+    * graft_dot reads them as 0 (its dense-by-contract rule), so a
+    * null-padded vector behaves as its zero-filled twin throughout.
+    * DirtyVectorSpec pins the contract end to end. */
+  private def usableVec(v: Column): Column =
+    call_function("graft_finite_norm", v)
+  /** [[usableVec]] applied to a raw (id, vec) relation — the entry guard
+    * every public scoring/training path routes its sides through. The
+    * predicate is ONE native fused pass ([[graft.functions.expressions.FiniteNorm]]):
+    * a composed `nnorm(v) > 0 && nnorm(v) < Inf` gets its alias SUBSTITUTED
+    * when pushed below a projection, duplicating the whole norm subtree per
+    * comparison — on expression-backed vectors (projectedTopK's projection
+    * array) that blew whole-stage codegen past janino's 64 KB method limit
+    * and the stage silently fell back to interpreted execution. */
+  private def usable(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(usableVec(col(vecCol)))
+
   /** Exact top-k cosine neighbors for each query vector.
     * queries/corpus: (idCol, vecCol). Returns (query_id, neighbor_id,
     * cosine, rank) with rank 1..k, self-matches excluded.
@@ -61,11 +98,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     useNative(queries)
     // norms are per-vector, so compute them per SIDE (O(|q|+|c|) dots)
-    // before the join rather than per pair (O(|q|*|c|) extra dots)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      nnorm(col(vecCol)).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      nnorm(col(vecCol)).as("cn"))
+    // before the join rather than per pair (O(|q|*|c|) extra dots);
+    // dirty rows drop per the [[usableVec]] contract
+    val q = usable(queries, vecCol).select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), nnorm(col(vecCol)).as("qn"))
+    val c = usable(corpus, vecCol).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), nnorm(col(vecCol)).as("cn"))
     // the vectors are projected away BEFORE the rank window: the window
     // exchange repartitions its whole input on query_id, and carrying
     // qv/cv through it costs O(|q|·|c| · vector width) shuffle bytes —
@@ -298,10 +336,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       probes: Int = 0, probes2: Int = 0): DataFrame = {
     useNative(queries)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      nnorm(col(vecCol)).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      nnorm(col(vecCol)).as("cn"))
+    val q = usable(queries, vecCol).select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), nnorm(col(vecCol)).as("qn"))
+    val c = usable(corpus, vecCol).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), nnorm(col(vecCol)).as("cn"))
     val cands0 = (0 until tables).map { t =>
       val planes = hyperplanes(dim, bits, t, seed)
       q.withColumn("bucket", explode(probeBuckets(col("qv"), planes, probes, probes2)))
@@ -430,9 +468,10 @@ object Similarity {
     // Per-table bucket joins + union (NOT one posexplode'd composite-key
     // join — measured 14% slower at sf0.1: the 8× exploded rows through a
     // single exchange cost more than 8 small joins AQE can broadcast).
-    val a = vectors.select(col(idCol).as("doc_a"), col(vecCol).as("av"),
+    val vs = usable(vectors, vecCol) // dirty rows are never duplicates
+    val a = vs.select(col(idCol).as("doc_a"), col(vecCol).as("av"),
       nnorm(col(vecCol)).as("an"))
-    val b = vectors.select(col(idCol).as("doc_b"), col(vecCol).as("bv"),
+    val b = vs.select(col(idCol).as("doc_b"), col(vecCol).as("bv"),
       nnorm(col(vecCol)).as("bn"))
     // multi-probe (Hamming-1/2, margin-ordered — see [[probeBuckets]])
     // widens ONE side of the self-join: the probed side's bucket LIST
@@ -620,10 +659,10 @@ object Similarity {
     // flip set AND the full C(b,2) pair pool, which probeBuckets only
     // yields at probes >= nBits
     val p1 = if (probes < 0 || p2n > 0 && probes2 < 0) nBits else probes
-    val a = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("av"),
-      nnorm(col(vecCol)).as("an"))
-    val b = reference.select(col(idCol).as("ref_id"), col(vecCol).as("bv"),
-      nnorm(col(vecCol)).as("bn"))
+    val a = usable(corpus, vecCol).select(col(idCol).as("doc_id"),
+      col(vecCol).as("av"), nnorm(col(vecCol)).as("an"))
+    val b = usable(reference, vecCol).select(col(idCol).as("ref_id"),
+      col(vecCol).as("bv"), nnorm(col(vecCol)).as("bn"))
     val raw = (0 until nTables).map { t =>
       val planes = hyperplanes(dim, nBits, t, seed)
       val aB =
@@ -684,9 +723,15 @@ object Similarity {
       if (nAssign >= 0) math.max(nAssign, 1)
       else calibrateAssignWidth(vectors, cents, threshold, idCol, vecCol),
       k) // a pass past k has nothing to assign
+    // dirty rows ([[usableVec]] contract) are never assigned — their
+    // assignment cosine is 0/0, a job-killing DIVIDE_BY_ZERO under ANSI.
+    // The RAW relation stays the trainer/calibration argument above so
+    // the session memo keys match [[warmClusterIndex]]'s (the trainer
+    // filters internally).
+    val vs = usable(vectors, vecCol)
     val assigned0 =
-      if (m == 1) assignTo(vectors, cents, idCol, vecCol)
-      else assignTopM(vectors, cents, idCol, vecCol, m)
+      if (m == 1) assignTo(vs, cents, idCol, vecCol)
+      else assignTopM(vs, cents, idCol, vecCol, m)
     val assigned = assigned0
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         nnorm(col(vecCol)).as("n"), col("centroid_id"))
@@ -822,7 +867,8 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .filter(col("id").isNotNull && col("v").isNotNull &&
-        !exists(col("v"), _.isNull)) // a null ELEMENT would NPE the unboxing
+        !exists(col("v"), _.isNull) && // a null ELEMENT would NPE the unboxing
+        usableVec(col("v"))) // a dirty anchor would inflate m* to cap
       .withColumn("h", pmod(xxhash64(col("id"), lit(4242)), lit(1000000)))
       .orderBy(col("h"), col("id")).limit(sampleSize)
       .select(col("id"), col("v")).collect()
@@ -981,9 +1027,16 @@ object Similarity {
       s"ivf|${corpus.queryExecution.logical.semanticHash()}|$idCol|$vecCol|$nCentroids|$lloydIters")(
       ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters).localCheckpoint(true))
 
-  def ivfCentroids(vectors: DataFrame, nCentroids: Int,
+  def ivfCentroids(vectors0: DataFrame, nCentroids: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       lloydIters: Int = 1): DataFrame = {
+    // dirty-vector contract: a NULL/NaN/Inf-element or zero-norm row must
+    // not seed a centroid (a zero-norm seed is a job-killing 0/0 in the
+    // first Lloyd assignment under ANSI; a NaN element poisons the mean).
+    // Filtering HERE covers every trainer path — centroidsCached callers
+    // pass their raw relation, so the session memo keys stay consistent.
+    useNative(vectors0)
+    val vectors = usable(vectors0, vecCol)
     val seeds = vectors
       .withColumn("h", pmod(xxhash64(col(idCol)), lit(1000000)))
       .orderBy(col("h"), col(idCol)).limit(nCentroids) // id tie-break: hash collisions must not make the seed set run-dependent
@@ -1030,10 +1083,14 @@ object Similarity {
     * Lloyd-refined centroid — the partition key for pruned ANN search. */
   def ivfAssign(vectors: DataFrame, nCentroids: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      lloydIters: Int = 1): DataFrame =
-    assignTo(vectors, ivfCentroids(vectors, nCentroids, idCol, vecCol, lloydIters),
+      lloydIters: Int = 1): DataFrame = {
+    useNative(vectors)
+    // dirty rows get no assignment (the [[usableVec]] contract)
+    assignTo(usable(vectors, vecCol),
+        ivfCentroids(vectors, nCentroids, idCol, vecCol, lloydIters),
         idCol, vecCol)
       .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
 
   /** Persist an IVF index: Lloyd-refined centroids plus the corpus
     * assigned and physically PARTITIONED BY centroid_id (with per-vector
@@ -1053,9 +1110,12 @@ object Similarity {
     val m = math.min(math.max(nAssign, 1), nCentroids)
     val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol, lloydIters).cache()
     try {
+      // dirty rows are not indexed ([[usableVec]] contract) — they could
+      // never be returned, and one zero-norm row is a 0/0 crash here
+      val cleanCorpus = usable(corpus, vecCol)
       val assigned =
-        if (m == 1) assignTo(corpus, cents, idCol, vecCol)
-        else assignTopM(corpus, cents, idCol, vecCol, m)
+        if (m == 1) assignTo(cleanCorpus, cents, idCol, vecCol)
+        else assignTopM(cleanCorpus, cents, idCol, vecCol, m)
       val stored = assigned
         .select(col(idCol), col(vecCol), nnorm(col(vecCol)).as("norm"), col("centroid_id"))
       // metadata columns ride IN the index (one build-time join), so
@@ -1105,7 +1165,10 @@ object Similarity {
       case _ => ()
     }
     val m = graft.util.MetaFiles.readLong(spark, s"$dir/_nassign").getOrElse(1L).toInt
-    val vecs = batch.select(col(idCol), col(vecCol))
+    // dirty rows drop here ([[usableVec]] contract) — in a STREAM one
+    // zero-norm vector would otherwise kill the query permanently (the
+    // batch replays into the same 0/0 on every restart)
+    val vecs = usable(batch.select(col(idCol), col(vecCol)), vecCol)
     val assigned =
       if (m <= 1) assignTo(vecs, cents, idCol, vecCol)
       else assignTopM(vecs, cents, idCol, vecCol, m)
@@ -1172,8 +1235,8 @@ object Similarity {
     val indexed = corpusFilter.map(raw.filter).getOrElse(raw)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col("norm").as("cn"), col("centroid_id"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      nnorm(col(vecCol)).as("qn"))
+    val q = usable(queries, vecCol).select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), nnorm(col(vecCol)).as("qn"))
     val qprobe = probeCentroids(q, cents, nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cid").as("centroid_id"))
     val cands = indexed.join(broadcast(qprobe), "centroid_id")
@@ -1240,15 +1303,17 @@ object Similarity {
       corpusFilter: Option[Column] = None): DataFrame = {
     val cents = centroidsCached(corpus, nCentroids, idCol, vecCol, lloydIters)
     val m = math.min(math.max(nAssign, 1), nCentroids)
-    val searchCorpus = corpusFilter.map(corpus.filter).getOrElse(corpus)
+    // dirty rows never assigned or probed (the [[usableVec]] contract)
+    val searchCorpus = usable(
+      corpusFilter.map(corpus.filter).getOrElse(corpus), vecCol)
     val assigned0 =
       if (m == 1) assignTo(searchCorpus, cents, idCol, vecCol)
       else assignTopM(searchCorpus, cents, idCol, vecCol, m)
     val assigned = assigned0
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"),
         nnorm(col(vecCol)).as("cn"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      nnorm(col(vecCol)).as("qn"))
+    val q = usable(queries, vecCol).select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), nnorm(col(vecCol)).as("qn"))
     val qprobe = probeCentroids(q, cents, nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cid").as("centroid_id"))
     val cands = qprobe.join(assigned, "centroid_id")
@@ -1377,8 +1442,13 @@ object Similarity {
     require(k >= 1, s"kmeansAssign: k must be >= 1, got $k")
     require(iters >= 0, s"kmeansAssign: iters must be >= 0, got $iters")
     useNative(corpus)
+    // L2 k-means: a ZERO vector is a legitimate point (unlike the cosine
+    // tiers) — only NaN/±Inf elements are dirty here (they poison the
+    // Lloyd means and every distance involving them): norm < +Inf rejects
+    // exactly those (NaN norm orders above +Inf in Spark)
     val emb = corpus
-      .filter(col(vecCol).isNotNull)
+      .filter(col(vecCol).isNotNull &&
+        nnorm(col(vecCol)) < lit(Double.PositiveInfinity))
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
     // TakeOrderedAndProject, not a global window: distributed top-k
     var cents = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
@@ -1575,10 +1645,16 @@ object Similarity {
       pqCodebooksUncached(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
         .localCheckpoint(true))
 
-  private def pqCodebooksUncached(corpus: DataFrame, nSub: Int, nCodes: Int,
+  private def pqCodebooksUncached(corpus0: DataFrame, nSub: Int, nCodes: Int,
       lloydIters: Int,
       idCol: String, vecCol: String): DataFrame = {
-    useNative(corpus)
+    useNative(corpus0)
+    // dirty-vector contract: a NaN/Inf element in one seed or Lloyd
+    // member would turn a codeword NaN, and through the ADC LUT that
+    // poisons the score of EVERY vector quantized to it — clean rows
+    // included. Zero-norm rows are excluded too (they only feed cosine
+    // tiers, where they can never be emitted).
+    val corpus = usable(corpus0, vecCol)
     val dim = corpus.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
       .limit(1).collect().headOption.map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException("pqCodebooks: no non-empty vectors"))
@@ -1673,12 +1749,16 @@ object Similarity {
     // pqCodebooks table arrives checkpointed (deterministic lifecycle)
     val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
     val subDim = subDimOf(books)
+    // dirty rows drop on BOTH sides ([[usableVec]] contract — a NULL
+    // vector would raise in subVectors, a zero-norm one in the cosine)
+    val cleanCorpus = usable(corpus, vecCol)
+    val cleanQueries = usable(queries, vecCol)
     // codes carry the exact norm: ×nSub duplication of one float beats a
     // post-aggregation |queries|·|corpus| join against the norm table
-    val codes = encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
-      .join(corpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn")), "id")
-    val lut = adcLut(queries, books, nSub, subDim, idCol, vecCol)
-    val qn = queries.select(col(idCol).as("query_id"), nnorm(col(vecCol)).as("qn"))
+    val codes = encodeAgainst(cleanCorpus, books, nSub, subDim, idCol, vecCol)
+      .join(cleanCorpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn")), "id")
+    val lut = adcLut(cleanQueries, books, nSub, subDim, idCol, vecCol)
+    val qn = cleanQueries.select(col(idCol).as("query_id"), nnorm(col(vecCol)).as("qn"))
     val scored = codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("query_id") =!= col("id"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
@@ -1700,7 +1780,11 @@ object Similarity {
     * parallelism), never O(corpus)); the result is 2·dim doubles of
     * driver-held model state — the [[hyperplanes]] precedent. */
   private def sq8Bounds(corpus: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
-    val rows = corpus.select(posexplode(col(vecCol)))
+    // dirty-vector contract: Spark's min/max order NaN ABOVE every double,
+    // so ONE NaN element made hi — and therefore scale — NaN for that
+    // dimension, and every corpus code then raised CAST_OVERFLOW (ANSI)
+    // or went silently garbage. ±Inf bounds likewise poison the affine map.
+    val rows = usable(corpus, vecCol).select(posexplode(col(vecCol)))
       .toDF("pos", "x")
       .groupBy(col("pos"))
       .agg(min(col("x")).cast("double").as("lo"), max(col("x")).cast("double").as("hi"))
@@ -1776,9 +1860,12 @@ object Similarity {
       rerank: Int = 0): DataFrame = {
     useNative(queries)
     val model = { val (mn, sc) = sq8Bounds(corpus, vecCol); Sq8Model(mn, sc) }
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    // dirty rows drop before the encode ([[usableVec]] contract): a NaN
+    // element raises CAST_OVERFLOW inside model.codes, a zero norm 0/0s
+    // in the cosine
+    val c = usable(corpus, vecCol).select(col(idCol).as("neighbor_id"),
       model.codes(col(vecCol)).as("codes"), nnorm(col(vecCol)).as("cn"))
-    val q = queries.select(col(idCol).as("query_id"),
+    val q = usable(queries, vecCol).select(col(idCol).as("query_id"),
       model.scaledQuery(col(vecCol)).as("sq"),
       model.base(col(vecCol)).as("base"),
       nnorm(col(vecCol)).as("qn"))
@@ -1819,12 +1906,14 @@ object Similarity {
     val model = { val (mn, sc) = sq8Bounds(corpus, vecCol); Sq8Model(mn, sc) }
     val cents = centroidsCached(corpus, nCentroids, idCol, vecCol, lloydIters)
     val m = math.min(math.max(nAssign, 1), nCentroids)
+    // dirty rows never assigned, encoded or probed ([[usableVec]] contract)
+    val cleanCorpus = usable(corpus, vecCol)
     val assigned0 =
-      if (m == 1) assignTo(corpus, cents, idCol, vecCol)
-      else assignTopM(corpus, cents, idCol, vecCol, m)
+      if (m == 1) assignTo(cleanCorpus, cents, idCol, vecCol)
+      else assignTopM(cleanCorpus, cents, idCol, vecCol, m)
     val coded = assigned0.select(col(idCol).as("neighbor_id"), col("centroid_id"),
       model.codes(col(vecCol)).as("codes"), nnorm(col(vecCol)).as("cn"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val q = usable(queries, vecCol).select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       model.scaledQuery(col(vecCol)).as("sq"),
       model.base(col(vecCol)).as("base"),
       nnorm(col(vecCol)).as("qn"))
@@ -1890,19 +1979,24 @@ object Similarity {
     useNative(queries)
     val cents = centroidsCached(corpus, nCentroids, idCol, vecCol, lloydIters)
     val m = math.min(math.max(nAssign, 1), nCentroids)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    // dirty rows never probed, assigned or encoded (the [[usableVec]]
+    // contract; the trainers above filter internally on the raw relation
+    // so their session-memo keys stay caller-consistent)
+    val cleanQueries = usable(queries, vecCol)
+    val cleanCorpus = usable(corpus, vecCol)
+    val q = cleanQueries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       nnorm(col(vecCol)).as("qn"))
     val probeRows = probeCentroids(q, cents, nProbe)
-    val norms = corpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn"))
+    val norms = cleanCorpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn"))
     val scored0 =
       if (!residual) {
         val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
         val subDim = subDimOf(books)
-        val codes = pqCodedCorpus(corpus,
-          coarseAssigned(corpus, cents, m, idCol, vecCol), books, nSub, subDim,
+        val codes = pqCodedCorpus(cleanCorpus,
+          coarseAssigned(cleanCorpus, cents, m, idCol, vecCol), books, nSub, subDim,
           idCol, vecCol, normName = "cn")
         val qprobe = probeRows.select(col("query_id"), col("cid").as("centroid_id"))
-        val lut = adcLut(queries, books, nSub, subDim, idCol, vecCol)
+        val lut = adcLut(cleanQueries, books, nSub, subDim, idCol, vecCol)
         val cands = codes.join(broadcast(qprobe), "centroid_id")
           .join(broadcast(lut), Seq("query_id", "sub", "code"))
           .filter(col("query_id") =!= col("id"))
@@ -1932,8 +2026,8 @@ object Similarity {
         val centsB = broadcast(cents)
         val res = (x: Column, c: Column) => zip_with(x, c, (a, b) => a - b)
         val assigned =
-          if (m == 1) assignTo(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
-          else assignTopM(corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol, m)
+          if (m == 1) assignTo(cleanCorpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
+          else assignTopM(cleanCorpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol, m)
         val homes = assigned.join(centsB, col("centroid_id") === col("cid"))
           .select(struct(col(idCol).as("i"), col("centroid_id").as("c")).as("__rid"),
             res(col(vecCol), col("centroid")).as("__res"))
@@ -1946,7 +2040,7 @@ object Similarity {
           .join(norms.withColumnRenamed("id", "nid"), "nid")
         val qprobe = probeRows.select(col("query_id"),
           col("cid").as("centroid_id"), ndot(col("qv"), col("centroid")).as("base"))
-        val lut = adcLut(queries, books, nSub, subDim, idCol, vecCol)
+        val lut = adcLut(cleanQueries, books, nSub, subDim, idCol, vecCol)
         codes.join(broadcast(qprobe), "centroid_id")
           .join(broadcast(lut), Seq("query_id", "sub", "code"))
           .filter(col("query_id") =!= col("nid"))
@@ -2019,15 +2113,18 @@ object Similarity {
     val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
     val subDim = subDimOf(books)
     val m = math.min(math.max(nAssign, 1), nCentroids)
+    // dirty rows are not indexed ([[usableVec]] contract — they could
+    // never be returned, and one would 0/0 the assignment under ANSI)
+    val cleanCorpus = usable(corpus, vecCol)
     // the assignment feeds the coded corpus AND (optionally) the vector
     // store — materialize it once so both writes agree on homes and the
     // linear assignment pass runs once, not twice
-    val assigned0 = coarseAssigned(corpus, cents, m, idCol, vecCol)
+    val assigned0 = coarseAssigned(cleanCorpus, cents, m, idCol, vecCol)
     val assigned = if (storeVectors) assigned0.localCheckpoint(true) else assigned0
-    pqCodedCorpus(corpus, assigned, books, nSub, subDim, idCol, vecCol, normName = "norm")
+    pqCodedCorpus(cleanCorpus, assigned, books, nSub, subDim, idCol, vecCol, normName = "norm")
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/corpus")
     if (storeVectors)
-      corpus.select(col(idCol), col(vecCol))
+      cleanCorpus.select(col(idCol), col(vecCol))
         .join(assigned.withColumnRenamed("id", idCol), idCol)
         .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/vectors")
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -2074,11 +2171,13 @@ object Similarity {
             s"$dir was built on ${nSub * subDim}-dimensional vectors")
       }
     val codes = spark.read.parquet(s"$dir/corpus")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    // dirty queries match nothing (the [[usableVec]] contract)
+    val cleanQueries = usable(queries, vecCol)
+    val q = cleanQueries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       nnorm(col(vecCol)).as("qn"))
     val qprobe = probeCentroids(q, cents, nProbe)
       .select(col("query_id"), col("cid").as("centroid_id"))
-    val lut = adcLut(queries, books, nSub, subDim, idCol, vecCol)
+    val lut = adcLut(cleanQueries, books, nSub, subDim, idCol, vecCol)
     val cands = codes.join(broadcast(qprobe), "centroid_id")
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .filter(col("query_id") =!= col("id"))

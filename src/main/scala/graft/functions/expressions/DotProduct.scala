@@ -3,7 +3,7 @@ package graft.functions.expressions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSessionExtensions
@@ -78,6 +78,69 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Boolean "this vector has a usable direction" predicate — ONE fused
+  * pass over the array: sum of squares s, true iff 0 < s < +Inf. Exists
+  * as a native expression (not `nnorm(v) > 0 && nnorm(v) < Inf`) because
+  * a composed predicate on a norm ALIAS gets pushed below the projection
+  * with the alias SUBSTITUTED — duplicating the whole norm subtree per
+  * comparison. Where the vector is itself a derived expression (e.g.
+  * [[graft.functions.Similarity.projectedTopK]]'s projection array) that
+  * duplication blew whole-stage codegen past janino's 64 KB method limit
+  * and the stage fell back to interpreted execution. One call = one copy.
+  *
+  * Semantics (the dirty-vector contract): NaN/±Inf elements make s
+  * NaN/Inf (both fail `s < Inf` — in JAVA NaN comparisons are false),
+  * the zero vector fails `s > 0`, a NULL array returns NULL (dropped by
+  * any filter), and null ELEMENTS read as 0 — the [[DotProduct]] rule. */
+case class FiniteNorm(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_finite_norm requires an ARRAY<FLOAT>/ARRAY<DOUBLE> argument, " +
+            s"got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val f = elemIsFloat
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+      s += v * v
+      i += 1
+    }
+    s > 0.0 && s < Double.PositiveInfinity
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val getA = if (elemIsFloat) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |final int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $getA * $getA; }
+         |${ev.value} = ($s > 0.0 && $s < Double.POSITIVE_INFINITY);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** The single registry both entry points ([[init]] and
     * [[GraftExtensions]]) iterate: (function name, ExpressionInfo class
@@ -85,6 +148,11 @@ object GraftFunctions {
   private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", classOf[DotProduct].getCanonicalName,
       children => DotProduct(children(0), children(1))),
+    ("graft_finite_norm", classOf[FiniteNorm].getCanonicalName,
+      children => {
+        require(children.size == 1, "graft_finite_norm(vector) takes 1 argument")
+        FiniteNorm(children(0))
+      }),
     ("graft_minhash", classOf[MinHashSignature].getCanonicalName,
       children => MinHashSignature.fromChildren(children)),
     ("graft_shingle_hashes", classOf[ShingleHashes].getCanonicalName,

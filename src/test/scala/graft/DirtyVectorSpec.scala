@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dirty-vector contract (the embedding-side twin of [[graft.functions.Dedup]]'s
+  * null-text policy): a vector with no defined direction — NULL, a
+  * NaN/±Infinity element, or zero norm — is never trained on, never emitted
+  * as a neighbor or duplicate, and never matches as a query.
+  *
+  * Why this needs a standing guard and not good intentions: Spark SQL
+  * orders NaN ABOVE every double and `NaN >= threshold` is TRUE. Without
+  * the score-level filter, ONE zero-norm corpus vector (cosine 0/0 = NaN)
+  * takes rank 1 of EVERY query's top-k, and the threshold tiers emit it as
+  * a "duplicate" of its entire candidate bucket. The trainers need their
+  * own guard: Spark's max() also treats NaN as largest, so one NaN element
+  * made sq8Bounds' per-dimension scales NaN — every corpus CODE became NaN
+  * and the whole quantized tier collapsed, clean rows included; a dirty
+  * seed or Lloyd member likewise poisons a k-means/PQ centroid. At 100 TB
+  * a failed encoder emitting zeros or NaNs is a certainty, not an edge
+  * case — the engine must degrade by ignoring those rows, deterministically.
+  *
+  * NULL ELEMENTS are deliberately NOT dirty: `graft_dot` reads them as 0
+  * (its documented dense-by-contract rule), so a null-padded vector behaves
+  * exactly like its zero-filled twin everywhere — pinned below.
+  */
+class DirtyVectorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.functions.Similarity
+
+  // 8 clean vectors (three tight pairs 1~2, 3~4, 5~6 at cosine > 0.99 and
+  // two loners) + the dirty rows: 100 zero-norm, 101 NaN element,
+  // 102 null vector, 104 +Infinity element.
+  private lazy val df: DataFrame = spark.sql(
+    """select * from values
+      |  (1L,   array(cast(1.0 as float), cast(0.02 as float), cast(0.0 as float), cast(0.0 as float))),
+      |  (2L,   array(cast(1.0 as float), cast(0.03 as float), cast(0.01 as float), cast(0.0 as float))),
+      |  (3L,   array(cast(0.0 as float), cast(1.0 as float), cast(0.02 as float), cast(0.0 as float))),
+      |  (4L,   array(cast(0.0 as float), cast(1.0 as float), cast(0.03 as float), cast(0.01 as float))),
+      |  (5L,   array(cast(0.0 as float), cast(0.0 as float), cast(1.0 as float), cast(0.02 as float))),
+      |  (6L,   array(cast(0.01 as float), cast(0.0 as float), cast(1.0 as float), cast(0.03 as float))),
+      |  (7L,   array(cast(0.5 as float), cast(0.5 as float), cast(0.5 as float), cast(0.5 as float))),
+      |  (8L,   array(cast(-1.0 as float), cast(0.2 as float), cast(0.1 as float), cast(0.0 as float))),
+      |  (100L, array(cast(0.0 as float), cast(0.0 as float), cast(0.0 as float), cast(0.0 as float))),
+      |  (101L, array(cast('NaN' as float), cast(1.0 as float), cast(0.0 as float), cast(0.0 as float))),
+      |  (102L, cast(null as array<float>)),
+      |  (104L, array(cast('Infinity' as float), cast(1.0 as float), cast(0.0 as float), cast(0.0 as float)))
+      |as t(vec_id, embedding)""".stripMargin).localCheckpoint(true)
+
+  private lazy val clean = df.filter(col("vec_id") < 100L)
+  private lazy val dirtyIds = Set(100L, 101L, 102L, 104L)
+
+  /** Collect and assert the (query_id|doc_a, neighbor_id|doc_b, cosine)
+    * shape is free of dirty ids and non-finite scores. */
+  private def assertCleanPairs(res: DataFrame, aCol: String, bCol: String,
+      expectNonEmpty: Boolean = true): Seq[(Long, Long)] = {
+    val rows = res.select(col(aCol).cast("long"), col(bCol).cast("long"),
+      col("cosine").cast("double")).collect()
+    if (expectNonEmpty) assert(rows.nonEmpty, s"$aCol/$bCol result is empty")
+    rows.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1), s"null id in $r")
+      assert(!dirtyIds.contains(r.getLong(0)), s"dirty id as $aCol: $r")
+      assert(!dirtyIds.contains(r.getLong(1)), s"dirty id as $bCol: $r")
+      assert(!r.isNullAt(2) && !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite,
+        s"non-finite cosine in $r")
+    }
+    rows.map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  test("bruteForceTopK: dirty corpus vectors never reach any top-k; dirty queries match nothing") {
+    val res = Similarity.bruteForceTopK(clean, df, k = 3)
+    assertCleanPairs(res, "query_id", "neighbor_id")
+    // a clean pair still ranks first for its twin
+    val top1 = res.filter(col("query_id") === 1L && col("rank") === 1)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(2L), s"expected 2 at rank 1 for query 1, got $top1")
+    val dq = Similarity.bruteForceTopK(df.filter(col("vec_id") >= 100L), clean, k = 3)
+    assert(dq.count() == 0, "a dirty query vector matched something")
+  }
+
+  test("cosineDuplicates exhaustive: dirty vectors are never duplicates, clean pairs survive") {
+    val pairs = assertCleanPairs(
+      Similarity.cosineDuplicates(df, threshold = 0.9, dim = 4, exhaustive = true),
+      "doc_a", "doc_b")
+    assert(Set((1L, 2L), (3L, 4L), (5L, 6L)).subsetOf(pairs.toSet),
+      s"clean near-pairs missing from $pairs")
+  }
+
+  test("cosineDuplicates banded (auto defaults): dirty vectors are never duplicates") {
+    val pairs = assertCleanPairs(
+      Similarity.cosineDuplicates(df, threshold = 0.9, dim = 4),
+      "doc_a", "doc_b")
+    assert(Set((1L, 2L), (3L, 4L), (5L, 6L)).subsetOf(pairs.toSet),
+      s"clean near-pairs missing from $pairs")
+  }
+
+  test("semanticDedup: dirty vectors are never duplicates, training tolerates them") {
+    val pairs = assertCleanPairs(
+      Similarity.semanticDedup(df, threshold = 0.9, nClusters = 2),
+      "doc_a", "doc_b")
+    assert(pairs.nonEmpty)
+  }
+
+  test("semanticDecontam: dirty rows flag nothing on either side") {
+    assertCleanPairs(
+      Similarity.semanticDecontam(df, df, threshold = 0.9, dim = 4),
+      "doc_id", "ref_id")
+  }
+
+  test("lshTopK: dirty corpus vectors never reach the top-k") {
+    assertCleanPairs(
+      Similarity.lshTopK(clean, df, k = 2, dim = 4, bits = 2, tables = 2),
+      "query_id", "neighbor_id")
+  }
+
+  test("ivfTopK: dirty vectors train no centroid and reach no top-k") {
+    assertCleanPairs(
+      Similarity.ivfTopK(clean, df, k = 2, nCentroids = 2, nProbe = 2),
+      "query_id", "neighbor_id")
+  }
+
+  test("sq8TopK: a NaN element must not poison the quantizer bounds (clean rows keep exact order)") {
+    val res = Similarity.sq8TopK(clean, df, k = 2)
+    assertCleanPairs(res, "query_id", "neighbor_id")
+    val top1 = res.filter(col("query_id") === 1L && col("rank") === 1)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(2L), s"expected 2 at rank 1 for query 1, got $top1")
+  }
+
+  test("pqTopK with rerank: dirty vectors train no codebook and reach no shortlist") {
+    assertCleanPairs(
+      Similarity.pqTopK(clean, df, k = 2, nSub = 2, nCodes = 4, rerank = 3),
+      "query_id", "neighbor_id")
+  }
+
+  test("null media payloads degrade per row (stub/no-decode), never NPE the task") {
+    import graft.functions.Multimodal
+    import graft.functions.Multimodal.MediaRow
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    val rows = spark.createDataset(Seq(
+      MediaRow(1L, "hello media payload".getBytes, "fake/raw", 0, 0, 0),
+      MediaRow(2L, null, "fake/raw", 0, 0, 0),
+      MediaRow(3L, Array.empty[Byte], "fake/raw", 0, 0, 0)))
+    val feats = Multimodal.extractFeatures(rows).collect()
+    assert(feats.length == 3)
+    assert(feats.find(_.media_id == 2L).exists(f => f.source == "stub" && f.n_bytes == 0))
+    val audio = Multimodal.decodeAudio(rows).collect()
+    assert(audio.length == 3 && audio.forall(a => a.media_id == 1L || !a.decode_ok))
+    val prints = Multimodal.audioFingerprint(rows).collect()
+    assert(prints.length == 3)
+    assert(Multimodal.sampleFrames(rows, frameBytes = 4, stride = 1)
+      .collect().forall(_.media_id != 2L))
+    assert(Multimodal.perceptualHash(rows).collect().length == 3)
+  }
+
+  test("null elements read as 0: a null-padded vector behaves as its zero-filled twin") {
+    val twin = spark.sql(
+      """select * from values
+        |  (11L, array(cast(1.0 as float), cast(null as float), cast(0.0 as float), cast(0.0 as float))),
+        |  (12L, array(cast(1.0 as float), cast(0.0 as float), cast(0.0 as float), cast(0.0 as float)))
+        |as t(vec_id, embedding)""".stripMargin)
+    val res = Similarity.bruteForceTopK(twin, twin, k = 1)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 9).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(res == Set((11L, 12L, 1.0), (12L, 11L, 1.0)), s"got $res")
+  }
+}
