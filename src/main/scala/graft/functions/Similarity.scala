@@ -456,7 +456,10 @@ object Similarity {
             "(bits <= 0) — the table formula is anchored to the resolved bit width")
         (bits, tables)
       } else {
-        val n = corpusCount(vectors)
+        // size from the USABLE population — dirty rows never reach a
+        // bucket, and counting them would under-fill buckets vs the
+        // ~32-per-bucket calibration on a dirty-heavy corpus
+        val n = corpusCount(usable(vectors, vecCol))
         val b = math.max(2, math.ceil(math.log(math.max(n, 128L) / 32.0)
           / math.log(2.0)).toInt)
         // tables <= 0 → scale the table count WITH the adaptive bits
@@ -645,7 +648,8 @@ object Similarity {
             "(bits <= 0) — the table formula is anchored to the resolved bit width")
         (bits, tables)
       } else {
-        val n = corpusCount(corpus)
+        // usable-population sizing, the cosineDuplicates rule
+        val n = corpusCount(usable(corpus, vecCol))
         val bw = math.max(2, math.ceil(math.log(math.max(n, 128L) / 32.0)
           / math.log(2.0)).toInt)
         (bw, if (tables > 0) tables
@@ -699,7 +703,8 @@ object Similarity {
     useNative(vectors)
     val k =
       if (nClusters >= 1) nClusters
-      else math.max(1, math.ceil(corpusCount(vectors) / 256.0).toInt)
+      else math.max(1, math.ceil(
+        corpusCount(usable(vectors, vecCol)) / 256.0).toInt)
     centroidsCached(vectors, k, idCol, vecCol, lloydIters).count()
   }
 
@@ -710,7 +715,8 @@ object Similarity {
     useNative(vectors)
     val k =
       if (nClusters >= 1) nClusters
-      else math.max(1, math.ceil(corpusCount(vectors) / 256.0).toInt)
+      else math.max(1, math.ceil(
+        corpusCount(usable(vectors, vecCol)) / 256.0).toInt)
     // training rides the session memo (centroidsCached): deterministic, so
     // repeated dedup calls on the same corpus — and a bench/pipeline warm
     // phase via [[warmClusterIndex]] — share ONE Lloyd run; the memoized
@@ -784,7 +790,8 @@ object Similarity {
     useNative(vectors)
     val k =
       if (nClusters >= 1) nClusters
-      else math.max(1, math.ceil(corpusCount(vectors) / 256.0).toInt)
+      else math.max(1, math.ceil(
+        corpusCount(usable(vectors, vecCol)) / 256.0).toInt)
     val cents = centroidsCached(vectors, k, idCol, vecCol, lloydIters = 1)
     math.min(calibrateAssignWidth(vectors, cents, threshold, idCol, vecCol), k)
   }
@@ -1432,8 +1439,12 @@ object Similarity {
     * surface — [[ivfCentroids]] remains the unrounded internal trainer
     * for the ANN tiers.
     *
-    * Returns (vec_id, cluster) for every corpus row with a non-null
-    * vector. Scale shape per round: one broadcast cross join folded into
+    * Returns (vec_id, cluster) for every corpus row with a non-null,
+    * NaN/Inf-free vector (round 17: NaN/±Inf elements poison the Lloyd
+    * means and every distance involving them, so those rows get NO
+    * cluster; ZERO vectors are legitimate L2 points and keep theirs —
+    * the e12 oracle mirrors the same finite filter).
+    * Scale shape per round: one broadcast cross join folded into
     * a map-side-combined min_by aggregation (the [[assignTo]] exchange:
     * |corpus| rows moved regardless of k) + one posexplode groupBy
     * (k·dim result rows) — linear, no |corpus|² anywhere. */
@@ -1649,12 +1660,19 @@ object Similarity {
       lloydIters: Int,
       idCol: String, vecCol: String): DataFrame = {
     useNative(corpus0)
-    // dirty-vector contract: a NaN/Inf element in one seed or Lloyd
-    // member would turn a codeword NaN, and through the ADC LUT that
-    // poisons the score of EVERY vector quantized to it — clean rows
-    // included. Zero-norm rows are excluded too (they only feed cosine
-    // tiers, where they can never be emitted).
-    val corpus = usable(corpus0, vecCol)
+    // dirty-vector contract, L2 form: a NaN/Inf element in one seed or
+    // Lloyd member would turn a codeword NaN, and through the ADC LUT
+    // that poisons the score of EVERY vector quantized to it — clean
+    // rows included. ZERO vectors are KEPT: PQ trains under the L2
+    // reconstruction metric where the zero vector is a legitimate point
+    // — ivfPqTopK(residual = true) trains on home residuals, and an
+    // exact duplicate of its centroid has residual EXACTLY zero (the
+    // ~99-member replica families of the p100e8 probe); dropping those
+    // would un-train the near-zero codeword the encode side needs, and
+    // on an all-duplicate corpus would empty the train set entirely.
+    // A NULL vector makes the norm NULL → predicate NULL → dropped.
+    val corpus = corpus0.filter(
+      nnorm(col(vecCol)) < lit(Double.PositiveInfinity))
     val dim = corpus.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
       .limit(1).collect().headOption.map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException("pqCodebooks: no non-empty vectors"))
@@ -1712,7 +1730,13 @@ object Similarity {
       catch { case _: NoSuchElementException =>
         throw new IllegalArgumentException("pqEncode: empty codebook table") }
     val nSub = books.agg(max(col("sub"))).collect().head.getInt(0) + 1
-    encodeAgainst(corpus, books, nSub, subDim, idCol, vecCol)
+    // dirty-vector contract, L2 form (the pqCodebooks rule): a NULL
+    // vector would raise inside subVectors and a NaN/Inf one would
+    // min_by an arbitrary garbage code into the caller's index; zero
+    // vectors encode fine (legitimate L2 points)
+    encodeAgainst(corpus.filter(
+        nnorm(col(vecCol)) < lit(Double.PositiveInfinity)),
+      books, nSub, subDim, idCol, vecCol)
   }
 
   /** PQ top-k by ASYMMETRIC DISTANCE COMPUTATION: queries stay exact,

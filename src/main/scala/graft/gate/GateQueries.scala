@@ -2577,6 +2577,8 @@ object GateQueries {
     s"""WITH emb AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |  WHERE embedding IS NOT NULL
+       |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                         CAST(embedding AS DOUBLE[])) < 'infinity'::DOUBLE
        |), seeds AS (
        |  SELECT vec_id AS cid, v AS c FROM emb
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k

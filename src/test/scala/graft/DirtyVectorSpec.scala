@@ -134,6 +134,34 @@ class DirtyVectorSpec extends AnyFunSuite {
       "query_id", "neighbor_id")
   }
 
+  test("residual PQ trains on zero residuals: an all-duplicates corpus must not empty the train set") {
+    // exact duplicates sit ON their home centroid, so every home residual
+    // is the zero vector — a legitimate L2 point the codebook trainer must
+    // keep (the cosine-tier zero-norm rule does NOT apply to residuals)
+    val dup = spark.sql(
+      """select id as vec_id,
+        |  array(cast(1.0 + (id % 2) as float), cast(0.5 as float),
+        |        cast(0.25 as float), cast(0.0 as float)) as embedding
+        |from range(0, 64) t(id)""".stripMargin)
+    val res = Similarity.ivfPqTopK(dup, dup, k = 2, nCentroids = 2,
+      nProbe = 2, nSub = 2, nCodes = 4, residual = true, rerank = 2)
+    assert(res.count() > 0)
+    assert(res.select(col("cosine")).collect()
+      .forall(r => !r.isNullAt(0) && !r.getDouble(0).isNaN))
+  }
+
+  test("pqEncode: NULL vector no longer kills the job; NaN/Inf rows are not encoded; zero rows are") {
+    val books = Similarity.pqCodebooks(clean, nSub = 2, nCodes = 4,
+      lloydIters = 1)
+    val codes = Similarity.pqEncode(df, books)
+    val ids = codes.select(col("id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(101L) && !ids.contains(102L) && !ids.contains(104L),
+      s"NaN/null/Inf rows were encoded: $ids")
+    assert(ids.contains(100L), "zero vector is a legitimate L2 encode")
+    assert(ids.contains(1L))
+  }
+
   test("null media payloads degrade per row (stub/no-decode), never NPE the task") {
     import graft.functions.Multimodal
     import graft.functions.Multimodal.MediaRow
