@@ -182,6 +182,49 @@ class DirtyVectorSpec extends AnyFunSuite {
     assert(Multimodal.perceptualHash(rows).collect().length == 3)
   }
 
+  test("contract property: op(clean ++ dirty) == op(clean), row for row") {
+    // The strongest form of the contract: dirty rows are INVISIBLE — the
+    // output over the polluted corpus equals the output over its clean
+    // subset exactly. Pinned on the ops whose results are per-row exact
+    // or trained through order-independent aggregations (min/max bounds,
+    // full-probe IVF, single-cluster dedup), so FP summation order —
+    // which the extra rows CAN shift via partition boundaries — cannot
+    // move any value.
+    for (seed <- 1 to 2) {
+      val cleanN = spark.sql(
+        s"""select id as vec_id, transform(sequence(0, 7),
+           |  i -> cast(sin(id * 7 + i * 13 + $seed) as float)) as embedding
+           |from range(0, 120) t(id)""".stripMargin).localCheckpoint(true)
+      val dirtyN = spark.sql(
+        """select * from values
+          |  (9000001L, array(cast(0.0 as float), cast(0.0 as float), cast(0.0 as float), cast(0.0 as float), cast(0.0 as float), cast(0.0 as float), cast(0.0 as float), cast(0.0 as float))),
+          |  (9000002L, array(cast('NaN' as float), cast(1.0 as float), cast(1.0 as float), cast(1.0 as float), cast(1.0 as float), cast(1.0 as float), cast(1.0 as float), cast(1.0 as float))),
+          |  (9000003L, cast(null as array<float>)),
+          |  (9000004L, array(cast('Infinity' as float), cast(1.0 as float), cast(1.0 as float), cast(1.0 as float), cast(1.0 as float), cast(1.0 as float), cast(1.0 as float), cast(1.0 as float)))
+          |as t(vec_id, embedding)""".stripMargin)
+      val polluted = cleanN.unionByName(dirtyN)
+      def rowSet(res: DataFrame): Set[String] =
+        res.collect().map(_.mkString("|")).toSet
+      def same(name: String, f: DataFrame => DataFrame): Unit = {
+        val a = rowSet(f(cleanN)); val b = rowSet(f(polluted))
+        assert(a == b, s"$name seed $seed: clean-subset equality broken " +
+          s"(only-clean ${(a diff b).take(3)}, only-polluted ${(b diff a).take(3)})")
+        assert(a.nonEmpty, s"$name seed $seed: vacuous (empty output)")
+      }
+      same("bruteForceTopK", c => Similarity.bruteForceTopK(cleanN, c, k = 3))
+      same("cosineDuplicates(exhaustive)",
+        c => Similarity.cosineDuplicates(c, threshold = 0.8, dim = 8, exhaustive = true))
+      same("lshTopK", c => Similarity.lshTopK(cleanN, c, k = 2, dim = 8, bits = 3, tables = 2))
+      same("sq8TopK", c => Similarity.sq8TopK(cleanN, c, k = 2))
+      same("ivfTopK(full probe)",
+        c => Similarity.ivfTopK(cleanN, c, k = 2, nCentroids = 4, nProbe = 4))
+      same("semanticDedup(k=1)",
+        c => Similarity.semanticDedup(c, threshold = 0.8, nClusters = 1))
+      same("semanticDecontam(exhaustive)",
+        c => Similarity.semanticDecontam(c, c, threshold = 0.8, dim = 8, exhaustive = true))
+    }
+  }
+
   test("null elements read as 0: a null-padded vector behaves as its zero-filled twin") {
     val twin = spark.sql(
       """select * from values
