@@ -1242,6 +1242,11 @@ object Similarity {
     val indexed = corpusFilter.map(raw.filter).getOrElse(raw)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col("norm").as("cn"), col("centroid_id"))
+      // a LEGACY index (built before the dirty-vector contract) may hold
+      // rows with stored norm 0/NaN — same NaN-outranks-everything hazard
+      // at probe time; norm is a plain stored column, so the composed
+      // predicate duplicates only a column ref (no codegen-size concern)
+      .filter(col("cn") > lit(0d) && col("cn") < lit(Double.PositiveInfinity))
     val q = usable(queries, vecCol).select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), nnorm(col(vecCol)).as("qn"))
     val qprobe = probeCentroids(q, cents, nProbe)
@@ -2195,6 +2200,9 @@ object Similarity {
             s"$dir was built on ${nSub * subDim}-dimensional vectors")
       }
     val codes = spark.read.parquet(s"$dir/corpus")
+      // legacy-index guard, the ivfTopKIndexed rule: stored norm must be
+      // usable or the row's ADC cosine is 0/0 or NaN at probe time
+      .filter(col("norm") > lit(0d) && col("norm") < lit(Double.PositiveInfinity))
     // dirty queries match nothing (the [[usableVec]] contract)
     val cleanQueries = usable(queries, vecCol)
     val q = cleanQueries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),

@@ -162,6 +162,44 @@ class DirtyVectorSpec extends AnyFunSuite {
     assert(ids.contains(1L))
   }
 
+  test("persisted IVF index: dirty rows are not indexed, dirty appends don't wedge, legacy dirty norms are skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirty_ivf").toString
+    try {
+      Similarity.saveIvfIndex(df, dir, nCentroids = 2)
+      // the index holds only usable rows
+      val stored = spark.read.parquet(s"$dir/corpus")
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+      assert(stored.intersect(dirtyIds).isEmpty, s"dirty rows indexed: $stored")
+      // an appended batch carrying dirty rows must not fail (the stream
+      // replays the same batch forever on error) and must skip them
+      val batch = spark.sql(
+        """select * from values
+          |  (50L,  array(cast(0.9 as float), cast(0.1 as float), cast(0.0 as float), cast(0.0 as float))),
+          |  (200L, array(cast('NaN' as float), cast(0.0 as float), cast(0.0 as float), cast(0.0 as float))),
+          |  (201L, array(cast(0.0 as float), cast(0.0 as float), cast(0.0 as float), cast(0.0 as float)))
+          |as t(vec_id, embedding)""".stripMargin)
+      Similarity.appendToIvfIndex(batch, dir, batchId = 1L,
+        idCol = "vec_id", vecCol = "embedding")
+      val after = spark.read.parquet(s"$dir/corpus")
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+      assert(after.contains(50L) && !after.contains(200L) && !after.contains(201L))
+      // legacy-index guard: hand-plant a dirty stored row (norm = 0, the
+      // pre-contract on-disk shape) under a REAL centroid so probes see it
+      val cid0 = spark.read.parquet(s"$dir/centroids")
+        .agg(org.apache.spark.sql.functions.min(col("cid"))).collect().head.getLong(0)
+      spark.sql(
+        s"""select cast(999 as long) as vec_id,
+           |  array(cast(0.0 as float), cast(0.0 as float), cast(0.0 as float), cast(0.0 as float)) as embedding,
+           |  cast(0.0 as double) as norm, cast($cid0 as long) as centroid_id
+           |from range(1)""".stripMargin)
+        .write.mode("append").partitionBy("centroid_id").parquet(s"$dir/corpus")
+      val res = Similarity.ivfTopKIndexed(clean, dir, k = 3, nProbe = 2)
+      assertCleanPairs(res, "query_id", "neighbor_id")
+      assert(!res.select(col("neighbor_id")).collect().map(_.getLong(0)).contains(999L))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("null media payloads degrade per row (stub/no-decode), never NPE the task") {
     import graft.functions.Multimodal
     import graft.functions.Multimodal.MediaRow
