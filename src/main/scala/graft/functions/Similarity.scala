@@ -77,6 +77,33 @@ object Similarity {
     * graft_dot reads them as 0 (its dense-by-contract rule), so a
     * null-padded vector behaves as its zero-filled twin throughout.
     * DirtyVectorSpec pins the contract end to end. */
+  /** Widen a SMALL relation that feeds a quadratic or exploding scan
+    * (the brute-force cross join, the PQ broadcast-LUT join): scan
+    * parallelism equals the stream side's partition count, and a
+    * few-MB parquet relation arrives as a handful of file splits — at
+    * the 10× bench scale the e16 n² scan ran as 10 equal ~70 s tasks
+    * on a 32-thread box (wall = file count, not cores; measured with
+    * WideScanProbe). Work-based guard: only relations whose plan-stat
+    * size sits under defaultParallelism × 64 MB are repartitioned — a
+    * 100 TB corpus already carries thousands of natural splits and must
+    * NOT pay a gratuitous full exchange (repartition(n) shuffles even
+    * when the count is unchanged). The exchange this does add moves
+    * O(|small side|) bytes to unlock O(|q|·|corpus|) scan parallelism. */
+  private def widened(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // 4× the core count, not 1×: each widened task SORTS its slice of
+    // the pair stream (the partial WindowGroupLimit), and at 1× the
+    // 32 concurrent ~500 MB sorts spilled (measured: 32 tasks, maxTask
+    // 40 s vs 20 s mean) — finer slices keep every sort in memory and
+    // round out stragglers at negligible scheduling cost
+    val sized = graft.analytics.GraphAnalytics.sizedPartitions(df)
+    // sub-MB relations skip the widening: their scans are trivial either
+    // way, and unit-scale corpora would otherwise pay a 4p-task stage
+    // per op for kilobytes of data
+    val tiny = df.queryExecution.optimizedPlan.stats.sizeInBytes < (1L << 20)
+    if (!tiny && sized < p) df.repartition(4 * p) else df
+  }
+
   private def usableVec(v: Column): Column =
     call_function("graft_finite_norm", v)
   /** [[usableVec]] applied to a raw (id, vec) relation — the entry guard
@@ -109,7 +136,9 @@ object Similarity {
     // qv/cv through it costs O(|q|·|c| · vector width) shuffle bytes —
     // ~2 GB at the 2,000² dim-64 e16 scale — for columns the ranking
     // never reads. Scoring is map-side on the codegen'd cross-join scan.
-    val scored = q.crossJoin(c)
+    // the planner broadcasts the corpus side (BuildRight) and streams q:
+    // scan parallelism = q's partition count — widen it (see [[widened]])
+    val scored = widened(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
@@ -1538,7 +1567,10 @@ object Similarity {
     * cannot drift between the public op and the composed tiers. */
   private def encodeAgainst(corpus: DataFrame, books: DataFrame,
       nSub: Int, subDim: Int, idCol: String, vecCol: String): DataFrame =
-    pqAssign(subVectors(corpus, idCol, vecCol, nSub, subDim), books)
+    // widen the scan: encode cost is |corpus|·nSub·nCodes codeword dots
+    // fused into the corpus scan stage, whose parallelism is otherwise
+    // the file-split count (measured 10 splits ⇒ 10 tasks at 10×)
+    pqAssign(subVectors(widened(corpus), idCol, vecCol, nSub, subDim), books)
       .select(col("id"), col("sub"), col("code"))
 
   /** Codeword width of a trained codebook table (one tiny job). */
@@ -1788,7 +1820,7 @@ object Similarity {
       .join(cleanCorpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn")), "id")
     val lut = adcLut(cleanQueries, books, nSub, subDim, idCol, vecCol)
     val qn = cleanQueries.select(col(idCol).as("query_id"), nnorm(col(vecCol)).as("qn"))
-    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+    val scored = widened(codes).join(broadcast(lut), Seq("sub", "code"))
       .filter(col("query_id") =!= col("id"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(sum(col("part")).as("adc"), first(col("cn")).as("cn"))
@@ -1902,7 +1934,7 @@ object Similarity {
     // (the d9/d4 restructure): scoring is map-side on the codegen'd
     // broadcast-join scan; the window exchange moves only
     // (query_id, neighbor_id, cosine).
-    val scored = c.crossJoin(broadcast(q))
+    val scored = widened(c).crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", model.pairCosine)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
@@ -2026,7 +2058,7 @@ object Similarity {
           idCol, vecCol, normName = "cn")
         val qprobe = probeRows.select(col("query_id"), col("cid").as("centroid_id"))
         val lut = adcLut(cleanQueries, books, nSub, subDim, idCol, vecCol)
-        val cands = codes.join(broadcast(qprobe), "centroid_id")
+        val cands = widened(codes).join(broadcast(qprobe), "centroid_id")
           .join(broadcast(lut), Seq("query_id", "sub", "code"))
           .filter(col("query_id") =!= col("id"))
         // soft assignment duplicates a candidate's code rows once per
@@ -2070,7 +2102,7 @@ object Similarity {
         val qprobe = probeRows.select(col("query_id"),
           col("cid").as("centroid_id"), ndot(col("qv"), col("centroid")).as("base"))
         val lut = adcLut(cleanQueries, books, nSub, subDim, idCol, vecCol)
-        codes.join(broadcast(qprobe), "centroid_id")
+        widened(codes).join(broadcast(qprobe), "centroid_id")
           .join(broadcast(lut), Seq("query_id", "sub", "code"))
           .filter(col("query_id") =!= col("nid"))
           .groupBy(col("query_id"), col("nid"), col("centroid_id"))

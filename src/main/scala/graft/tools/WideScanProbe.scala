@@ -51,6 +51,11 @@ object WideScanProbe {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     println(s"corpus rows=${emb.count()} scanPartitions=${emb.rdd.getNumPartitions}")
 
+    if (which == "plan") {
+      val knn = graft.functions.Similarity.bruteForceTopK(emb, emb, 10)
+      knn.count()
+      println(knn.queryExecution.executedPlan.toString.linesIterator.take(60).mkString("\n"))
+    }
     if (which == "e16" || which == "both")
       report("e16 mutualKnnGraph k=10")(
         graft.functions.Similarity.mutualKnnGraph(emb, k = 10).count())

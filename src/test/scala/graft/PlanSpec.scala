@@ -550,4 +550,34 @@ class PlanSpec extends AnyFunSuite {
       s"estimate join not broadcast:\n$estPlan")
     assert(!estPlan.contains("CartesianProduct"), s"unexpected cartesian:\n$estPlan")
   }
+
+  test("bruteForceTopK widens the quadratic scan: >=1MB stream side gets a round-robin exchange") {
+    // round 17 (WideScanProbe): the n² scan's parallelism equals the
+    // stream side's partition count — a few-MB parquet relation arrives
+    // as a handful of file splits and the 10× e16 scan ran as 10 tasks
+    // on 32 cores. The widened() guard must fire for >=1MB relations
+    // (RoundRobinPartitioning exchange present) and must NOT re-exchange
+    // sub-MB unit-scale corpora.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen").toString
+    try {
+      spark.sql(
+        """select id as vec_id, transform(sequence(0, 63),
+          |  i -> cast(sin(id * 0.7919 + i * 1.37) as float)) as embedding
+          |from range(0, 24000) t(id)""".stripMargin)
+        .write.mode("overwrite").parquet(s"$dir/big")
+      val big = spark.read.parquet(s"$dir/big")
+      info(s"big stats bytes = ${big.queryExecution.optimizedPlan.stats.sizeInBytes}, " +
+        s"sizedPartitions = ${graft.analytics.GraphAnalytics.sizedPartitions(big)}")
+      val bigPlan = planOf(graft.functions.Similarity.bruteForceTopK(big, big, 3))
+      assert(bigPlan.contains("RoundRobinPartitioning"),
+        s"quadratic scan not widened on a >=1MB corpus:\n${bigPlan.take(2000)}")
+      big.filter(col("vec_id") < 40).write.mode("overwrite").parquet(s"$dir/small")
+      val small = spark.read.parquet(s"$dir/small")
+      val smallPlan = planOf(graft.functions.Similarity.bruteForceTopK(small, small, 3))
+      assert(!smallPlan.contains("RoundRobinPartitioning"),
+        s"sub-MB corpus needlessly re-exchanged:\n${smallPlan.take(2000)}")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
