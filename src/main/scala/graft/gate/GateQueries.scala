@@ -27,6 +27,22 @@ object GateQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The documents corpus read with a scan-parallelism guard (round 17):
+    * the per-row-HEAVY stages — md5-winnowing fingerprints, BPE token
+    * walks, codec decodes — fuse into the parquet scan, whose
+    * parallelism is the ROW-GROUP count, and the bench corpus arrives
+    * as one small file = one row group = ONE task on a 32-thread box
+    * (t6 measured CPU ≈ wall). Byte-based sizing cannot see per-row
+    * expression cost, so the guard is partition-count-based: widen only
+    * when the scan is under the core count — at 100 TB the table
+    * carries thousands of natural row groups and this is a no-op, no
+    * exchange. Values are per-row, so outputs are byte-identical. */
+  private def wideT(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** The events table with `ts` NORMALIZED to nanos-since-epoch LONG —
     * the contract every downstream query and [[graft.streaming.EventStreams]]
     * op assumes. The driver has generated this column under two physical
@@ -705,8 +721,15 @@ object GateQueries {
     }),
     "t6_fingerprints" -> ((s, d) => {
       // md5-winnowing variant → the fingerprint VALUE is oracle-checked
-      // (the xxhash64 form stays the production default)
-      t(s, d, "documents").select(col("doc_id"),
+      // (the xxhash64 form stays the production default).
+      // wideT (round 17): the md5-winnowing projection FUSES into the
+      // parquet scan, whose parallelism is the row-group count — one
+      // small file = ONE task (measured 9.6 s, CPU = wall); widened it
+      // reads 0.5 s. The OTHER documents gates keep the plain read:
+      // they re-read the relation through joins/aggregations, and the
+      // measured cost of re-paying the exchange per reuse exceeds the
+      // scan win everywhere except this pure per-row projection.
+      wideT(s, d, "documents").select(col("doc_id"),
         graft.functions.TextAnalysis.fingerprintMd5(col("text")).as("fp"),
         graft.functions.TextAnalysis.tokenCountBpe(col("text")).as("n_bpe_tokens"))
     }),
