@@ -141,11 +141,11 @@ object SteadyState {
     "e12_kmeans_clusters" -> 3.33,
     "e13_random_projection" -> 1.76,
     "e14_mmr_rerank" -> 3.00,
-    "e15_ann_projected_topk" -> 7.52,
-    "e16_mutual_knn" -> 65.39,
+    "e15_ann_projected_topk" -> 6.9, // widened-scan re-measure 2026-08-16 (round 17)
+    "e16_mutual_knn" -> 21.0, // widened-scan re-measure 2026-08-16: the n² scan was file-split-bound (WideScanProbe)
     "e17_mutual_knn_ivf" -> 1.30,
     "e18_mutual_knn_planted_exact" -> 3.99,
-    "e1_ann_bruteforce_topk" -> 1.38,
+    "e1_ann_bruteforce_topk" -> 0.45, // widened-scan re-measure 2026-08-16
     "e2_ann_lsh_topk" -> 6.10,
     "e3_embedding_cluster_stats" -> 0.23,
     "e4_ann_ivf_topk" -> 2.06,
@@ -245,7 +245,7 @@ object SteadyState {
     "t44_source_overlap_sketch" -> 4.26,
     "t4_quality_scores" -> 0.82,
     "t5_lang_id" -> 1.18,
-    "t6_fingerprints" -> 4.82,
+    "t6_fingerprints" -> 2.0, // wideT re-measure 2026-08-16: scan was row-group-bound
     "t7_deterministic_sample" -> 0.15,
     "t8_pack_sequences" -> 0.67,
     "t9_decontamination" -> 0.22)
@@ -439,7 +439,7 @@ object SteadyState {
     "t42_mixture_rebalance" -> 0.92,
     "t4_quality_scores" -> 0.79,
     "t5_lang_id" -> 1.26,
-    "t6_fingerprints" -> 4.4, // re-measured 2026-08-15 r14 isolated REPEAT=3 (the 6.2 was tail-contended)
+    "t6_fingerprints" -> 0.55, // wideT re-measure 2026-08-16 r17 isolated REPEAT=2 steady (was 4.4: the scan ran as ONE task)
     "t7_deterministic_sample" -> 0.13,
     "t8_pack_sequences" -> 0.43,
     "t9_decontamination" -> 0.29
