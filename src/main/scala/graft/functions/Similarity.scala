@@ -78,30 +78,23 @@ object Similarity {
     * null-padded vector behaves as its zero-filled twin throughout.
     * DirtyVectorSpec pins the contract end to end. */
   /** Widen a SMALL relation that feeds a quadratic or exploding scan
-    * (the brute-force cross join, the PQ broadcast-LUT join): scan
-    * parallelism equals the stream side's partition count, and a
-    * few-MB parquet relation arrives as a handful of file splits — at
-    * the 10× bench scale the e16 n² scan ran as 10 equal ~70 s tasks
-    * on a 32-thread box (wall = file count, not cores; measured with
-    * WideScanProbe). Work-based guard: only relations whose plan-stat
-    * size sits under defaultParallelism × 64 MB are repartitioned — a
-    * 100 TB corpus already carries thousands of natural splits and must
-    * NOT pay a gratuitous full exchange (repartition(n) shuffles even
-    * when the count is unchanged). The exchange this does add moves
-    * O(|small side|) bytes to unlock O(|q|·|corpus|) scan parallelism. */
-  private def widened(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    // 4× the core count, not 1×: each widened task SORTS its slice of
-    // the pair stream (the partial WindowGroupLimit), and at 1× the
-    // 32 concurrent ~500 MB sorts spilled (measured: 32 tasks, maxTask
-    // 40 s vs 20 s mean) — finer slices keep every sort in memory and
-    // round out stragglers at negligible scheduling cost
-    val sized = graft.analytics.GraphAnalytics.sizedPartitions(df)
-    // sub-MB relations skip the widening: their scans are trivial either
-    // way, and unit-scale corpora would otherwise pay a 4p-task stage
-    // per op for kilobytes of data
-    val tiny = df.queryExecution.optimizedPlan.stats.sizeInBytes < (1L << 20)
-    if (!tiny && sized < p) df.repartition(4 * p) else df
+    * (the brute-force cross join, the PQ broadcast-LUT join): see
+    * [[graft.util.Widen]] for the mechanism and its three scale guards
+    * (unclamped byte ceiling, 1 MB floor, 4×-cores granularity for the
+    * sorting pair-stream tasks). */
+  private def widened(df: DataFrame): DataFrame = graft.util.Widen.widened(df)
+
+  /** `true` when the planner will broadcast `df` as a join side — its
+    * plan-stat size sits under spark.sql.autoBroadcastJoinThreshold
+    * (−1 = broadcast disabled ⇒ false). [[bruteForceTopK]] relies on the
+    * PLANNER choosing BroadcastNestedLoopJoin(BuildRight) to make the
+    * stream side's partition count the scan parallelism; when the corpus
+    * outgrows the threshold the plan degrades to CartesianProduct, whose
+    * parallelism is |left parts| × |right parts| — widening the query
+    * side there is dead shuffle weight (ADVICE r17). */
+  private def broadcastSized(df: DataFrame): Boolean = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr)
   }
 
   private def usableVec(v: Column): Column =
@@ -137,8 +130,13 @@ object Similarity {
     // ~2 GB at the 2,000² dim-64 e16 scale — for columns the ranking
     // never reads. Scoring is map-side on the codegen'd cross-join scan.
     // the planner broadcasts the corpus side (BuildRight) and streams q:
-    // scan parallelism = q's partition count — widen it (see [[widened]])
-    val scored = widened(q).crossJoin(c)
+    // scan parallelism = q's partition count — widen it (see [[widened]]).
+    // Gated on the corpus actually being broadcast-sized: past the
+    // threshold the join degrades to CartesianProduct, where q's
+    // partition count no longer bounds parallelism and the extra
+    // exchange buys nothing (ADVICE r17).
+    val stream = if (broadcastSized(c)) widened(q) else q
+    val scored = stream.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
@@ -1449,9 +1447,13 @@ object Similarity {
     require(k >= 1, s"projectedTopK: k must be >= 1, got $k")
     require(shortlist >= k || shortlist == -1,
       s"projectedTopK: shortlist must be >= k or -1 (adaptive), got $shortlist < $k")
+    // adaptive cut sizes from the USABLE population (ADVICE r17): dirty
+    // vectors never reach the projected scan, so sizing from the raw
+    // count inflates the shortlist — and the rerank work — on a
+    // dirty-heavy corpus for zero recall benefit
     val cut =
       if (shortlist != -1) shortlist
-      else math.max(4 * k, math.ceil(0.4 * corpusCount(corpus)).toInt)
+      else math.max(4 * k, math.ceil(0.4 * corpusCount(usable(corpus, vecCol))).toInt)
     val qp = randomProject(queries, outDim, seed, idCol, vecCol)
     val cp = randomProject(corpus, outDim, seed, idCol, vecCol)
     val cand = bruteForceTopK(qp, cp, cut, idCol, "proj")
