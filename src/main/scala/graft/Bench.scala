@@ -575,12 +575,31 @@ object Bench {
       }
       val recallJson = recalls.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
+      // steady_sec (round 18, VERDICT r17 #2): sum over queries of the
+      // BEST wall across every pass performed — pass-1, extra REPEAT
+      // passes, and adjudication reruns. This is the "steady (sum of
+      // best pass)" metric SCALING.md's cross-round tables quote; making
+      // it a first-class field stops round-over-round claims from mixing
+      // steady against adjudicated (the r17 sidecars had to be
+      // re-derived by hand to compare like for like).
+      val steadySec = results.collect { case QRun(n, Some(t), _, _) =>
+        (t +: (rrByName.get(n).map(_.flatMap(_.wall)).getOrElse(Nil) ++
+          extraByName.getOrElse(n, Nil))).min
+      }.sum
+      // d9's recall line pins the MANUAL width config as a decay canary
+      // (its sf1 reading ~0.5 is the point: fixed knobs decay with
+      // scale); the public default is the auto form read by d17. The
+      // marker stops a future reader mistaking the canary for a defect
+      // (VERDICT r17 "what's wrong" #2).
+      val canaryJson = """{"d9_vs_d6":"expected decay: pins the manual-width config as a scale canary; the public default is auto width (see d17_vs_d6)"}"""
       val detail =
-        s"""{"schema":1,"round_hint":"adjudicated_sec = sum over queries of min(p1, min(rerun)); cpu/shuf are executor task metrics for THIS query's jobs (load witness: wall diverges from rerun wall while cpu matches => machine noise, not plan cost)",
+        s"""{"schema":1,"round_hint":"adjudicated_sec = sum over queries of min(p1, min(rerun)); steady_sec = sum of best wall over ALL passes (p1, repeat passes, reruns); cpu/shuf are executor task metrics for THIS query's jobs (load witness: wall diverges from rerun wall while cpu matches => machine noise, not plan cost)",
            |"ts_ms":${System.currentTimeMillis},"sf":"$sfName","repeat":$repeat,
            |"build_sec":${jnum(buildSec)},"train_sec":${jnum(trainSec)},
            |"cal_ms":${calJsonOf(calSamples.toSeq)},"cpu_sec":${jnum(cpuSec)},
            |"total_sec":${jnum(total)},"adjudicated_sec":${jnum(adjudicated)},
+           |"steady_sec":${jnum(steadySec)},
+           |"recall_canaries":$canaryJson,
            |"exact_tier_sec":${jnum(exactSec)},"scale_tier_sec":${jnum(adjudicated - exactSec)},
            |"exact_tier":${graft.bench.SteadyState.exactTier.toSeq.sorted
              .map("\"" + _ + "\"").mkString("[", ",", "]")},
