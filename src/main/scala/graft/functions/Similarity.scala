@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1126,6 +1126,32 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
+  /** On-disk index format version (round 18, VERDICT r17 #5): stamped as
+    * `<dir>/_format_version` by every index writer, required by every
+    * reader. Declarative drift detection — before this, a format change
+    * was only caught SEMANTICALLY (e.g. the r17 runtime guard that skips
+    * legacy dirty stored norms), which works for drifts someone thought
+    * to guard and silently mis-reads the ones nobody did. Versions:
+    *  - absent  = legacy (pre-round-18) dir: read COMPATIBLY — the
+    *    runtime norm guard covers the one known legacy hazard, and
+    *    DirtyVectorSpec pins that path; breaking every existing index
+    *    to add a stamp would be compatibility theater.
+    *  - 2       = current layout (corpus/ + centroids/ [+ codebooks/,
+    *    vectors/] + _nassign [+ _vectors, _streamed, _batches/]).
+    *  - other   = fail fast with the rebuild instruction — never guess
+    *    at a layout written by a different library version. */
+  private val IndexFormatVersion = 2L
+  private def stampIndexFormat(spark: SparkSession, dir: String): Unit =
+    graft.util.MetaFiles.writeLong(spark, s"$dir/_format_version", IndexFormatVersion)
+  private def requireIndexFormat(spark: SparkSession, dir: String, op: String): Unit =
+    graft.util.MetaFiles.readLong(spark, s"$dir/_format_version").foreach { v =>
+      if (v != IndexFormatVersion) throw new IllegalStateException(
+        s"$op: index at $dir has _format_version $v but this build reads " +
+          s"version $IndexFormatVersion (unstamped legacy dirs are read " +
+          "compatibly). Rebuild it with saveIvfIndex/saveIvfPqIndex from " +
+          "this library version, or open it with the version that wrote it.")
+    }
+
   /** Persist an IVF index: Lloyd-refined centroids plus the corpus
     * assigned and physically PARTITIONED BY centroid_id (with per-vector
     * norms precomputed) — train once, probe many. At 100 TB the index
@@ -1164,6 +1190,7 @@ object Similarity {
       // stamp AFTER the data: probes read it to decide whether candidate
       // dedup is needed (absence = legacy single-assignment index = 1)
       graft.util.MetaFiles.writeLong(corpus.sparkSession, s"$dir/_nassign", m.toLong)
+      stampIndexFormat(corpus.sparkSession, dir)
     } finally cents.unpersist(blocking = false)
   }
 
@@ -1185,6 +1212,7 @@ object Similarity {
     val spark = batch.sparkSession
     val marker = s"$dir/_batches/b$batchId"
     if (graft.util.MetaFiles.readLong(spark, marker).nonEmpty) return
+    requireIndexFormat(spark, dir, "appendToIvfIndex")
     val cents = spark.read.parquet(s"$dir/centroids")
     // fail fast on a dimension mismatch with the index (ncos over unequal
     // lengths zip-truncates — a silent recall collapse, not an error)
@@ -1260,6 +1288,7 @@ object Similarity {
       corpusFilter: Option[Column] = None): DataFrame = {
     useNative(queries)
     val spark = queries.sparkSession
+    requireIndexFormat(spark, dir, "ivfTopKIndexed")
     val cents = spark.read.parquet(s"$dir/centroids")
     // corpusFilter = filtered search against the stored metadata columns
     // ([[saveIvfIndex]] keeps them beside the codes): applied to the RAW
@@ -2199,6 +2228,7 @@ object Similarity {
     // against the old corpus's vectors (wrong homes, missing ids)
     graft.util.MetaFiles.writeLong(corpus.sparkSession, s"$dir/_vectors",
       if (storeVectors) 1L else 0L)
+    stampIndexFormat(corpus.sparkSession, dir)
   }
 
   /** ADC top-k against a [[saveIvfPqIndex]] index: per query the nProbe
@@ -2219,6 +2249,7 @@ object Similarity {
       rerank: Int = 0): DataFrame = {
     useNative(queries)
     val spark = queries.sparkSession
+    requireIndexFormat(spark, dir, "ivfPqTopKIndexed")
     val cents = spark.read.parquet(s"$dir/centroids")
     val books = spark.read.parquet(s"$dir/codebooks")
     val nSub = books.agg(max(col("sub"))).collect().head.getInt(0) + 1
