@@ -662,6 +662,24 @@ object GraphAnalytics {
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
 
+  /** The full triangle relation of an undirected edge list, exactly once
+    * per triangle, as (x, y, z, dx, dy, dz) rows in ≺-order with vertex
+    * degrees — the SHARED INTERMEDIATE of the link-prediction family: in
+    * a real pipeline the triangle enumeration (the expensive wedge join)
+    * runs once and support/Adamic–Adar/Jaccard all derive from it. Pass
+    * the materialized result to [[adamicAdar]]/[[jaccardLinks]] via
+    * their `triangles0` parameter (the [[kTrussEdges]] `support0` /
+    * [[clusteringCoefficient]] `triangles0` discipline). Round-18
+    * measurement that motivated making this EXPLICIT: in a warm session
+    * a14 ran 7× faster than a13 on identical wedge machinery because
+    * Spark's cache manager happened to substitute the cached a10 support
+    * relation into a14's structurally-identical subtree — a13's subtree
+    * matched nothing and re-ran the full 22 s enumeration. Accidental
+    * plan-fragment reuse is not an architecture; a named shared relation
+    * is. */
+  def triangleSet(edges: DataFrame, uCol: String = "u", vCol: String = "v"): DataFrame =
+    orientedTriangles(canonicalEdges(edges, uCol, vCol))
+
   /** Undirected edge list canonicalized (a < b, self-loops dropped,
     * parallel edges deduped) — the shared front of every triangle op. */
   private def canonicalEdges(edges: DataFrame, uCol: String, vCol: String): DataFrame =
@@ -670,12 +688,23 @@ object GraphAnalytics {
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
 
-  /** Every triangle of a canonical edge list, exactly once, as (x, y, z)
-    * rows in ≺-order — ONE body behind [[triangleCounts]] and
-    * [[edgeSupport]] so an orientation or tie-break fix cannot drift
-    * between them. Total order ≺ = (degree, id), carried as a comparable
-    * struct so no global rank window is ever needed; each wedge source's
-    * out-degree is O(√m), the celebrity-node bound. */
+  /** Every triangle of a canonical edge list, exactly once, as
+    * (x, y, z, dx, dy, dz) rows in ≺-order with each vertex's DEGREE —
+    * ONE body behind [[triangleCounts]], [[edgeSupport]], [[adamicAdar]]
+    * and [[jaccardLinks]] so an orientation or tie-break fix cannot
+    * drift between them. Total order ≺ = (degree, id), carried as a
+    * comparable struct so no global rank window is ever needed; each
+    * wedge source's out-degree is O(√m), the celebrity-node bound.
+    *
+    * Degrees ride for free (round 18): the ≺-structs already hold every
+    * endpoint's degree, so emitting them costs 3 long columns that
+    * Catalyst COLUMN-PRUNES below the closing semi-join for consumers
+    * that never read them (triangleCounts/edgeSupport shuffle the same
+    * bytes as before — plan-pinned). The consumer that does read them
+    * (adamicAdar's witness weights) drops a full shuffle-join of the
+    * exploded 3·|triangles| witness stream against the degree table —
+    * the a13-vs-a14 asymmetry: same wedge body, but a13 used to shuffle
+    * its fat stream twice (deg join + groupBy) where a14 shuffles once. */
   private def orientedTriangles(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -688,11 +717,14 @@ object GraphAnalytics {
     val oriented = keyed.select(
       when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
       when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+      when(col("ka") < col("kb"), col("ka")).otherwise(col("kb")).as("ksrc"),
       when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst"))
-    val wedges = oriented.select(col("src"), col("dst").as("y"), col("kdst").as("ky"))
+    val wedges = oriented
+      .select(col("src"), col("ksrc"), col("dst").as("y"), col("kdst").as("ky"))
       .join(oriented.select(col("src"), col("dst").as("z"), col("kdst").as("kz")), "src")
       .filter(col("ky") < col("kz"))
-      .select(col("src").as("x"), col("y"), col("z"))
+      .select(col("src").as("x"), col("y"), col("z"),
+        col("ksrc.d").as("dx"), col("ky.d").as("dy"), col("kz.d").as("dz"))
     wedges.join(
       oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"), "left_semi")
   }
@@ -770,19 +802,24 @@ object GraphAnalytics {
     * common neighbor is adjacent to both endpoints, so deg(w) ≥ 2 and
     * ln never hits zero. Edges with no common neighbor emit 0 via the
     * trailing left join. Returns (a, b, support, aa rounded 6 dp). */
-  def adamicAdar(edges: DataFrame, uCol: String = "u", vCol: String = "v"): DataFrame = {
+  def adamicAdar(edges: DataFrame, uCol: String = "u", vCol: String = "v",
+      triangles0: Option[DataFrame] = None): DataFrame = {
     val e = canonicalEdges(edges, uCol, vCol)
-    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    val witnessed = orientedTriangles(e).select(explode(array(
-        struct(col("x").as("p"), col("y").as("q"), col("z").as("w")),
-        struct(col("x").as("p"), col("z").as("q"), col("y").as("w")),
-        struct(col("y").as("p"), col("z").as("q"), col("x").as("w")))).as("t"))
+    // witness degrees ride the triangle rows ([[orientedTriangles]] emits
+    // dx/dy/dz), so the exploded 3·|triangles| stream goes STRAIGHT to
+    // its one groupBy shuffle — the old shape joined that fat stream
+    // against the degree table first (a second full shuffle + sort of
+    // the stream, measured as the a13-vs-a14 wall asymmetry at sf1).
+    // triangles0 = a precomputed [[triangleSet]] of the SAME edge list
+    // (caller's contract), the shared-intermediate discipline
+    val witnessed = triangles0.getOrElse(orientedTriangles(e)).select(explode(array(
+        struct(col("x").as("p"), col("y").as("q"), col("dz").as("wd")),
+        struct(col("x").as("p"), col("z").as("q"), col("dy").as("wd")),
+        struct(col("y").as("p"), col("z").as("q"), col("dx").as("wd")))).as("t"))
       .select(least(col("t.p"), col("t.q")).as("a"),
-        greatest(col("t.p"), col("t.q")).as("b"), col("t.w").as("n"))
-      .join(deg, "n")
+        greatest(col("t.p"), col("t.q")).as("b"), col("t.wd").as("wd"))
       .groupBy("a", "b")
-      .agg(count(lit(1)).as("support"), sum(lit(1.0) / log(col("d"))).as("aa"))
+      .agg(count(lit(1)).as("support"), sum(lit(1.0) / log(col("wd"))).as("aa"))
     e.join(witnessed, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"),
@@ -801,11 +838,16 @@ object GraphAnalytics {
     * has an empty union and emits 0. Returns (a, b, support, jaccard
     * rounded 6 dp) — with [[edgeSupport]]/[[adamicAdar]] this completes
     * the standard link-prediction feature trio on one shared body. */
-  def jaccardLinks(edges: DataFrame, uCol: String = "u", vCol: String = "v"): DataFrame = {
+  def jaccardLinks(edges: DataFrame, uCol: String = "u", vCol: String = "v",
+      triangles0: Option[DataFrame] = None): DataFrame = {
     val e = canonicalEdges(edges, uCol, vCol)
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    val credits = orientedTriangles(e).select(explode(array(
+    // triangles0: precomputed [[triangleSet]] of the same edges — before
+    // round 18 this gate's speed rested on the cache manager HAPPENING to
+    // substitute the cached support relation into the structurally-equal
+    // subtree; the explicit parameter makes the reuse architectural
+    val credits = triangles0.getOrElse(orientedTriangles(e)).select(explode(array(
         struct(col("x").as("p"), col("y").as("q")),
         struct(col("x").as("p"), col("z").as("q")),
         struct(col("y").as("p"), col("z").as("q")))).as("t"))

@@ -105,6 +105,21 @@ object GateQueries {
       graft.analytics.GraphAnalytics.triangleCounts(coPurchaseEdges(s, d)).cache()
     }
 
+  /** The full (x, y, z, dx, dy, dz) triangle relation of the co-purchase
+    * graph, computed once per (session, dir): the link-prediction trio
+    * a13 (Adamic–Adar) and a14 (Jaccard) both aggregate it — one wedge
+    * join, several consumers, the [[coPurchaseSupport]] discipline made
+    * EXPLICIT. (Round 18: a14 used to ride an ACCIDENTAL cache-manager
+    * substitution of the a10 support relation into its structurally-
+    * equal subtree while a13 re-ran the full 22 s enumeration at sf1 —
+    * measured in SCALING.md.) */
+  private val triangleSetCache = new graft.util.SessionCache[DataFrame](
+    maxEntries = 4, onEvict = _.unpersist(blocking = false))
+  private def coPurchaseTriangleSet(s: SparkSession, d: String): DataFrame =
+    triangleSetCache(s, d) {
+      graft.analytics.GraphAnalytics.triangleSet(coPurchaseEdges(s, d)).cache()
+    }
+
   /** Bench build/train-phase warm for the shared co-purchase fixtures
     * (edge relation + support + triangle memos) — the warmLpa/warmSccs
     * discipline, so no single a-gate line absorbs the shared build. */
@@ -112,6 +127,7 @@ object GateQueries {
     coPurchaseEdges(spark, dir).count()
     coPurchaseSupport(spark, dir).count()
     coPurchaseTriangles(spark, dir).count()
+    coPurchaseTriangleSet(spark, dir).count()
   }
 
   // ---- graph model over the TPC-H-ish tables ------------------------------
@@ -197,6 +213,29 @@ object GateQueries {
     * commit overhead. */
   private def streamStateParts: String =
     sys.env.getOrElse("GRAFT_STREAM_STATE_PARTS", "4")
+
+  /** State-store provider for the s13/s14 real-streaming gates, a
+    * per-query plan-time property captured at `.start()` like the
+    * partition count above. Default = Spark's HDFS-backed provider;
+    * GRAFT_STREAM_STATE_PROVIDER overrides for the round-18 RocksDB
+    * comparison sweep (VERDICT r17 #6 — adopt only on a ≥20% measured
+    * steady win with identical oracle output; measured result in
+    * SCALING.md). Env knob = sweep harness, not a tuning surface. */
+  private def withStreamConfs[T](s: SparkSession)(start: => T): T = {
+    val shufConf = s.conf.get("spark.sql.shuffle.partitions")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provConf = s.conf.getOption(provKey)
+    s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
+    sys.env.get("GRAFT_STREAM_STATE_PROVIDER").foreach(s.conf.set(provKey, _))
+    try start
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", shufConf)
+      provConf match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
 
   /** The ≥0.8 minhash near-dup pair set, computed once per (session, dir):
     * d1 emits it and d5 clusters it — in a real pipeline the clustering
@@ -1511,12 +1550,10 @@ object GateQueries {
       // wall (the data is small) — 8 is plenty for the state volume and
       // is a per-QUERY property (the session conf is restored right
       // after start; batch gates are unaffected)
-      val shufConf = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
-      val q =
-        try EventStreams.sessionizeStream(src, gapNanos = gap, watermarkDelay = "1 second")
+      val q = withStreamConfs(s) {
+        EventStreams.sessionizeStream(src, gapNanos = gap, watermarkDelay = "1 second")
           .writeStream.outputMode("append").format("memory").queryName(qname).start()
-        finally s.conf.set("spark.sql.shuffle.partitions", shufConf)
+      }
       try {
         q.processAllAvailable()
         (1 to 3).foreach { k => push(chunk(k)); q.processAllAvailable() }
@@ -1583,12 +1620,10 @@ object GateQueries {
       // state partitions are a per-query plan-time property (the s13
       // rationale: fixed per-partition state-store commit I/O dominates
       // at gate scale); session conf restored right after start
-      val shufConf = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
-      val q =
-        try EventStreams.slidingUserActivity(src, "1 hour", "30 minutes")
+      val q = withStreamConfs(s) {
+        EventStreams.slidingUserActivity(src, "1 hour", "30 minutes")
           .writeStream.outputMode("append").format("memory").queryName(qname).start()
-        finally s.conf.set("spark.sql.shuffle.partitions", shufConf)
+      }
       try {
         q.processAllAvailable()
         (1 to 3).foreach { k => push(chunk(k)); q.processAllAvailable() }
@@ -1808,8 +1843,10 @@ object GateQueries {
     "a13_adamic_adar" -> ((s, d) => {
       // Adamic–Adar link strength per co-purchase edge — the a10 triangle
       // machinery with 1/ln(witness degree) weighting; same quarter cut,
-      // identical in the oracle
-      graft.analytics.GraphAnalytics.adamicAdar(coPurchaseEdges(s, d))
+      // identical in the oracle. Aggregates the shared triangle relation
+      // (one wedge join per session, the a10/a6 memo discipline)
+      graft.analytics.GraphAnalytics.adamicAdar(coPurchaseEdges(s, d),
+        triangles0 = Some(coPurchaseTriangleSet(s, d)))
     }),
     "a15_harmonic_closeness" -> ((s, d) => {
       // sampled harmonic closeness on the co-purchase graph: 8
@@ -1869,7 +1906,10 @@ object GateQueries {
       // Jaccard link coefficient per co-purchase edge — support over the
       // excluded-endpoint neighborhood union; completes the a10/a13/a14
       // link-prediction trio on the shared oriented-triangle body
-      graft.analytics.GraphAnalytics.jaccardLinks(coPurchaseEdges(s, d))
+      // (explicitly, round 18 — it previously leaned on an accidental
+      // cache-fragment substitution of the a10 support memo)
+      graft.analytics.GraphAnalytics.jaccardLinks(coPurchaseEdges(s, d),
+        triangles0 = Some(coPurchaseTriangleSet(s, d)))
     }),
     "a16_random_walks" -> ((s, d) => {
       // DeepWalk sampling stage on the co-purchase graph: 16 walks × 6
