@@ -1575,7 +1575,19 @@ object TextAnalysis {
       .join(ctok, Seq("cls", "tok"), "left")
       .select(col("cls"), col("tok"),
         log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) / (col("tot") + col("v"))).as("llh"))
-    val scored = tf.join(lik, Seq("tok"))
+    // the likelihood table is the MODEL (|vocab|·|classes| rows,
+    // vocabulary-bounded) — broadcast it EXPLICITLY. Left to cost
+    // estimates, the bench-scale planner inverted the join (tf under
+    // the threshold → BuildLeft) and streamed the few-thousand-row lik
+    // side as ONE partition, producing the entire |tf|·|classes| score
+    // stream in a single 18.8 s task (GateStageSweep's top sf1 find,
+    // round 18). Broadcasting the model and streaming tf is also the
+    // 100 TB shape: tf is corpus-sized and never broadcastable, the
+    // model ships to workers — the fastText-classifier deployment
+    // assumption. (A 2^20-vocab × 100-class model outgrows broadcast;
+    // at that point swap the explicit hint for a tok-keyed shuffle
+    // join — the score math is unchanged.)
+    val scored = tf.join(broadcast(lik), Seq("tok"))
       .groupBy(col(idCol), col("cls")).agg(sum(col("tf") * col("llh")).as("ll"))
       .join(broadcast(prior), Seq("cls"))
       .select(col(idCol), col("cls"), (col("ll") + col("lp")).as("s"))

@@ -18,8 +18,13 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    println(df.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode))
+    if (args.contains("--exec")) {
+      df.queryExecution.toRdd.count()
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    } else
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }
