@@ -80,22 +80,30 @@ object Similarity {
   /** Widen a SMALL relation that feeds a quadratic or exploding scan
     * (the brute-force cross join, the PQ broadcast-LUT join): see
     * [[graft.util.Widen]] for the mechanism and its three scale guards
-    * (unclamped byte ceiling, 1 MB floor, 4×-cores granularity for the
-    * sorting pair-stream tasks). */
-  private def widened(df: DataFrame): DataFrame = graft.util.Widen.widened(df)
+    * (unclamped byte ceiling, byte floor, 4×-cores granularity for the
+    * sorting pair-stream tasks). Floor = 64 KB here, not the generic
+    * 1 MB: bytes under-count QUADRATIC work — a 780 KB 2,000-vector
+    * corpus is 4M scored-and-sorted pairs, measured as a single 3.7 s
+    * task at sf0.1 (e16) and 2.5 s at 10× (e18's planted corpus) when
+    * the 1 MB floor skipped them (GateStageSweep, round 18). 64 KB
+    * still excludes the unit-test fixtures (tens of rows, a few KB),
+    * which is all the floor exists for. */
+  private def widened(df: DataFrame): DataFrame =
+    graft.util.Widen.widened(df, floorBytes = 64L << 10)
 
-  /** `true` when the planner will broadcast `df` as a join side — its
-    * plan-stat size sits under spark.sql.autoBroadcastJoinThreshold
-    * (−1 = broadcast disabled ⇒ false). [[bruteForceTopK]] relies on the
-    * PLANNER choosing BroadcastNestedLoopJoin(BuildRight) to make the
-    * stream side's partition count the scan parallelism; when the corpus
-    * outgrows the threshold the plan degrades to CartesianProduct, whose
-    * parallelism is |left parts| × |right parts| — widening the query
-    * side there is dead shuffle weight (ADVICE r17). */
-  private def broadcastSized(df: DataFrame): Boolean = {
-    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr)
-  }
+  // NOTE on the widened(q) cross-join contract (ADVICE r17, resolved by
+  // measurement in round 18): the repartition only buys parallelism when
+  // the corpus side is broadcast (BNLJ streams q; scan width = q's
+  // partition count). When the corpus outgrows broadcast the plan
+  // degrades to CartesianProduct and the q exchange is dead weight —
+  // but a STATIC gate on the corpus' plan-stat size was tried and
+  // REVERTED: optimizer estimates overshoot on projected plans (e15's
+  // JL-projected corpus read as > threshold while AQE broadcast it at
+  // runtime from actual sizes), and the gate silently un-widened e15's
+  // scan (6.9 → 7.7 s at 10×). The documented trade instead: the waste
+  // case costs ONE exchange of a relation widened()'s own byte ceiling
+  // already bounds small; the un-widened case costs a serial quadratic
+  // scan. Cheap-and-rare beats wrong-and-measured.
 
   private def usableVec(v: Column): Column =
     call_function("graft_finite_norm", v)
@@ -130,13 +138,9 @@ object Similarity {
     // ~2 GB at the 2,000² dim-64 e16 scale — for columns the ranking
     // never reads. Scoring is map-side on the codegen'd cross-join scan.
     // the planner broadcasts the corpus side (BuildRight) and streams q:
-    // scan parallelism = q's partition count — widen it (see [[widened]]).
-    // Gated on the corpus actually being broadcast-sized: past the
-    // threshold the join degrades to CartesianProduct, where q's
-    // partition count no longer bounds parallelism and the extra
-    // exchange buys nothing (ADVICE r17).
-    val stream = if (broadcastSized(c)) widened(q) else q
-    val scored = stream.crossJoin(c)
+    // scan parallelism = q's partition count — widen it (see [[widened]]
+    // and the contract note above it: unconditional by measurement)
+    val scored = widened(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))

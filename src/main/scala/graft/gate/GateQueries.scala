@@ -969,8 +969,13 @@ object GateQueries {
       // exact pairwise source trigram-set Jaccard — the corpus-level
       // contamination/redundancy audit (190 pairs at 20 sources,
       // zero-overlap pairs included); hash-checked twin of the t44
-      // MinHash sketch tier
-      graft.functions.TextAnalysis.sourceOverlap(t(s, d, "documents"), n = 3)
+      // MinHash sketch tier. wideT (round 18): the shingle explode fuses
+      // into the 10-split scan (10-way on 32 cores, GateStageSweep);
+      // measured 5.96 -> ~3.4 s at 10x. Per-gate, not blanket: the same
+      // flip measured FLAT-TO-WORSE on d11/t26/e13 (join- and
+      // explode-output-heavy pipelines where the exchange cost eats the
+      // scan win — the r17 t14/d13 finding again, SCALING.md)
+      graft.functions.TextAnalysis.sourceOverlap(wideT(s, d, "documents"), n = 3)
     }),
     "t44_source_overlap_sketch" -> ((s, d) => {
       // mergeable per-source MinHash tier (k=64, Broder estimator): one
@@ -978,10 +983,11 @@ object GateQueries {
       // estimates independent of corpus size — the 100 TB cross-dump
       // audit shape. No DuckDB oracle (an estimator, not a computation
       // DuckDB replicates); SketchSpec pins shard-merge == one-pass
-      // EXACTLY and estimator error vs the exact t43 twin
+      // EXACTLY and estimator error vs the exact t43 twin. wideT: the
+      // t43 rationale (measured 4.26 -> ~2.5 s at 10x, round 18)
       graft.functions.TextAnalysis.sourceOverlapEstimates(
         graft.functions.TextAnalysis.sourceMinHashSketches(
-          t(s, d, "documents"), n = 3, numHashes = 64))
+          wideT(s, d, "documents"), n = 3, numHashes = 64))
     }),
     "t37_vocab" -> ((s, d) => {
       // frequency-ranked vocab with 4 reserved special ids and a
