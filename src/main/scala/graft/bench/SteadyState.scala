@@ -96,8 +96,8 @@ object SteadyState {
     "a10_edge_support" -> 0.15,
     "a11_hits" -> 14.11,
     "a12_modularity" -> 6.61,
-    "a13_adamic_adar" -> 25.34,
-    "a14_jaccard_links" -> 4.44,
+    "a13_adamic_adar" -> 1.40, // r18: shared triangle-set memo + one-shuffle witness stream
+    "a14_jaccard_links" -> 2.30, // r18: explicit triangle-set memo (was accidental cache-fragment reuse)
     "a15_harmonic_closeness" -> 7.88,
     "a16_random_walks" -> 5.07,
     "a17_ktruss" -> 13.38,
@@ -124,7 +124,7 @@ object SteadyState {
     "d12_leakage_split" -> 1.63,
     "d13_containment_pairs" -> 20.70,
     "d14_ngram_jaccard_banded" -> 35.19,
-    "d15_semantic_decontam" -> 1.76,
+    "d15_semantic_decontam" -> 0.55, // r18: 64KB widening floor on the exact tier
     "d16_exact_dedup_against" -> 0.69,
     "d17_semantic_dedup_auto" -> 9.38,
     "d1_minhash_near_dups" -> 0.06,
@@ -143,13 +143,13 @@ object SteadyState {
     "e14_mmr_rerank" -> 3.00,
     "e15_ann_projected_topk" -> 6.9, // widened-scan re-measure 2026-08-16 (round 17)
     "e16_mutual_knn" -> 21.0, // widened-scan re-measure 2026-08-16: the n² scan was file-split-bound (WideScanProbe)
-    "e17_mutual_knn_ivf" -> 1.30,
-    "e18_mutual_knn_planted_exact" -> 3.99,
+    "e17_mutual_knn_ivf" -> 0.95, // r18: floor fix inherits
+    "e18_mutual_knn_planted_exact" -> 0.70, // r18: 64KB widening floor (was one n^2 task)
     "e1_ann_bruteforce_topk" -> 0.45, // widened-scan re-measure 2026-08-16
     "e2_ann_lsh_topk" -> 6.10,
     "e3_embedding_cluster_stats" -> 0.23,
     "e4_ann_ivf_topk" -> 2.06,
-    "e5_ann_ivf_exact" -> 1.46,
+    "e5_ann_ivf_exact" -> 0.60, // r18: 64KB widening floor
     "e6_ann_lsh_exact" -> 0.49,
     "e7_ann_pq_topk" -> 20.23,
     "e8_ann_ivfpq_topk" -> 21.41,
@@ -231,7 +231,7 @@ object SteadyState {
     "t31_collocations" -> 1.40,
     "t32_bpe_merges" -> 1.72,
     "t33_bpe_token_counts" -> 2.89,
-    "t34_naive_bayes" -> 22.75,
+    "t34_naive_bayes" -> 2.90, // r18: likelihood table broadcast (join was inverted; one 18.8s task)
     "t35_textrank" -> 2.17,
     "t36_perplexity_buckets" -> 1.66,
     "t37_vocab" -> 0.52,
@@ -241,8 +241,8 @@ object SteadyState {
     "t40_distinct_tokens_sketch" -> 0.34,
     "t41_chunking" -> 0.36,
     "t42_mixture_rebalance" -> 0.66,
-    "t43_source_overlap" -> 5.96,
-    "t44_source_overlap_sketch" -> 4.26,
+    "t43_source_overlap" -> 3.50, // r18: wideT documents scan
+    "t44_source_overlap_sketch" -> 2.60, // r18: wideT documents scan
     "t4_quality_scores" -> 0.82,
     "t5_lang_id" -> 1.18,
     "t6_fingerprints" -> 2.0, // wideT re-measure 2026-08-16: scan was row-group-bound
@@ -263,8 +263,8 @@ object SteadyState {
     // + single-base-scan setup restructure (isolated REPEAT=2 pass-2)
     "a11_hits" -> 9.22,
     "a12_modularity" -> 2.78,
-    "a13_adamic_adar" -> 3.95,
-    "a14_jaccard_links" -> 1.75, // re-measured 2026-08-15 r14 isolated REPEAT=3 (co-purchase memo landed r13, anchor never refreshed)
+    "a13_adamic_adar" -> 1.40, // r18: shared triangle-set memo
+    "a14_jaccard_links" -> 1.60, // r18: explicit triangle-set memo
     "a15_harmonic_closeness" -> 3.87,
     "a16_random_walks" -> 2.19,
     "a17_ktruss" -> 4.9, // re-measured 2026-08-15 r14: guard folded into the seed join (groupBy-collapsed support0)
@@ -293,8 +293,8 @@ object SteadyState {
     "a5_pagerank" -> 0.9,
     "a6_triangles" -> 0.11,
     // t43/t44 measured 2026-08-15 (isolated REPEAT=2 pass-2, quiet VM)
-    "t43_source_overlap" -> 4.16,
-    "t44_source_overlap_sketch" -> 3.15,
+    "t43_source_overlap" -> 2.10, // r18: wideT documents scan
+    "t44_source_overlap_sketch" -> 1.20, // r18: wideT documents scan
     "a7_kcore" -> 3.02,
     "a8_ppr" -> 2.73,  // re-measured 2026-08-14: window-degree single-scan setup
     "a9_label_propagation" -> 0.03,
@@ -304,7 +304,7 @@ object SteadyState {
     "d12_leakage_split" -> 1.87,
     "d13_containment_pairs" -> 2.59,
     "d14_ngram_jaccard_banded" -> 4.61,
-    "d15_semantic_decontam" -> 0.42,
+    "d15_semantic_decontam" -> 0.55, // r18: floor-fix exchange cost at small scale
     "d16_exact_dedup_against" -> 0.49,
     // d17/m3 measured 2026-08-15 (gates added round 16; isolated
     // REPEAT=3 pass-2/3, quiet VM). d17's steady excludes the width
@@ -316,7 +316,7 @@ object SteadyState {
     "d3_ngram_jaccard_pairs" -> 2.67,
     "d4_embedding_near_dups" -> 2.20, // re-measured 2026-08-15: score-then-dedup restructure
     "d5_dedup_clusters" -> 1.6, // isolated REPEAT=3 (full-run pass-2 read 6.2 under tail contention)
-    "d6_embedding_dups_exact" -> 0.61,
+    "d6_embedding_dups_exact" -> 0.45, // r18 re-measure
     "d7_dedup_against" -> 4.11,
     "d8_dedup_keepers" -> 1.79,
     "d9_semantic_dedup" -> 1.32, // re-measured 2026-08-15: score-then-dedup restructure (narrow dedup exchange)
@@ -325,15 +325,15 @@ object SteadyState {
     "e12_kmeans_clusters" -> 1.19,
     "e13_random_projection" -> 0.39,
     "e14_mmr_rerank" -> 1.81,
-    "e15_ann_projected_topk" -> 1.99,
-    "e16_mutual_knn" -> 4.25, // e1/e2/e4/e15/e16/e17/e18 re-measured 2026-08-15 after the narrow-exchange ANN restructure
-    "e17_mutual_knn_ivf" -> 1.30,
-    "e18_mutual_knn_planted_exact" -> 3.49,
+    "e15_ann_projected_topk" -> 2.80, // r18: floor-fix exchange cost at small scale (sf1-side win; SCALING.md)
+    "e16_mutual_knn" -> 1.50, // r18: 64KB widening floor (780KB corpus = 4M pairs ran as ONE task)
+    "e17_mutual_knn_ivf" -> 1.85, // r18: floor fix adds small-scale exchanges here (sf1 wins 1.30->0.87; net positive, SCALING.md)
+    "e18_mutual_knn_planted_exact" -> 1.10, // r18: 64KB widening floor
     "e1_ann_bruteforce_topk" -> 0.43,
     "e2_ann_lsh_topk" -> 2.71,
     "e3_embedding_cluster_stats" -> 0.2,
     "e4_ann_ivf_topk" -> 1.24,
-    "e5_ann_ivf_exact" -> 0.83,
+    "e5_ann_ivf_exact" -> 0.55, // r18: 64KB widening floor
     "e6_ann_lsh_exact" -> 0.43,
     "e7_ann_pq_topk" -> 3.13,
     "e8_ann_ivfpq_topk" -> 5.69,
@@ -427,7 +427,7 @@ object SteadyState {
     "t31_collocations" -> 1.25,
     "t32_bpe_merges" -> 1.53,
     "t33_bpe_token_counts" -> 2.25,
-    "t34_naive_bayes" -> 2.6, // re-measured 2026-08-15 r14 isolated REPEAT=3
+    "t34_naive_bayes" -> 1.90, // r18: likelihood broadcast
     "t35_textrank" -> 3.46,
     "t36_perplexity_buckets" -> 1.6,
     "t37_vocab" -> 0.64,
