@@ -148,6 +148,11 @@ object Bench {
       // unwarmed, the alphabetically-first consumer absorbs the shared
       // lineitem self-join + wedge join
       graft.gate.GateQueries.warmCoPurchase(spark, sfDir)
+      // staged stream chunks (round 18): the s13/s14 file-stream INPUT is
+      // a deterministic per-dir fixture — staged once here, pushed as
+      // file copies per run, so the gate lines measure the stream
+      if (new java.io.File(s"$sfDir/events.parquet").exists)
+        graft.gate.GateQueries.warmStreamChunks(spark, sfDir)
       // streaming-runtime warm (round 14): the FIRST streaming query in a
       // session pays one-time init (state-store provider, offset/commit
       // log machinery, streaming codegen) measured as ~8-10 s of s13's

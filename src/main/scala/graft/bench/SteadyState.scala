@@ -96,8 +96,8 @@ object SteadyState {
     "a10_edge_support" -> 0.15,
     "a11_hits" -> 14.11,
     "a12_modularity" -> 6.61,
-    "a13_adamic_adar" -> 1.40, // r18: shared triangle-set memo + one-shuffle witness stream
-    "a14_jaccard_links" -> 2.30, // r18: explicit triangle-set memo (was accidental cache-fragment reuse)
+    "a13_adamic_adar" -> 3.00, // r18: disk-materialized triangle-set memo + one-shuffle witness stream (matched-epoch A/B: 25.8-29.5 -> 3.3-4.1)
+    "a14_jaccard_links" -> 5.50, // r18: explicit disk triangle-set memo (was accidental cache-fragment reuse; ~+1s vs the accident, architecture over luck)
     "a15_harmonic_closeness" -> 7.88,
     "a16_random_walks" -> 5.07,
     "a17_ktruss" -> 13.38,
@@ -193,8 +193,8 @@ object SteadyState {
     "s10_attribution" -> 0.76,
     "s11_trending_types" -> 0.47,
     "s12_session_stats" -> 1.19,
-    "s13_sessionize_stream" -> 11.50, // r16 re-measure: atomic single-file pushes serialize the 10x chunk write
-    "s14_sliding_window_stream" -> 15.60, // r16 re-measure: atomic single-file pushes
+    "s13_sessionize_stream" -> 8.50, // r18: chunk parquets staged per session, pushed as file copies
+    "s14_sliding_window_stream" -> 13.00, // r18: staged chunk pushes
     "s1_sliding_window_counts" -> 0.57,
     "s2_user_sessions" -> 0.76,
     "s3_asof_join" -> 0.91,
