@@ -1678,7 +1678,13 @@ object Similarity {
       nnorm(col(vecCol)).as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       nnorm(col(vecCol)).as("qn"))
-    val scored = c
+    // the corpus side STREAMS against the broadcast shortlist and the
+    // exact re-rank dots compute downstream of that scan — whose
+    // parallelism is the corpus' file-split count (e15's residual
+    // 10-task 5.1 s stage in the round-18 AFTER-sweep; e8's 8-task
+    // rerank stage is the same shape through the vector store).
+    // widened() is the usual stats-guarded no-op at scale.
+    val scored = widened(c)
       .join(broadcast(shortlist.select(col("query_id"), col("neighbor_id"))),
         "neighbor_id")
       .join(q, "query_id")

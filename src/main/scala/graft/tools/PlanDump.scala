@@ -17,6 +17,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.expressions.GraftFunctions.init(spark)
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("--exec")) {
       df.queryExecution.toRdd.count()
