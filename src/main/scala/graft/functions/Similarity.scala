@@ -1421,11 +1421,18 @@ object Similarity {
     * P_j / √outDim against the seeded deterministic matrix — the
     * dimensionality-reduction step that makes downstream ANN/dedup
     * cheaper at 100 TB (distances preserved within (1±ε) w.h.p.).
-    * Narrow per-row expressions against broadcast literal planes: no
-    * shuffle, no UDF, the corpus never moves. Null vectors pass
-    * through with a null projection (the pipeline null contract);
-    * dimension mismatches fail fast (ndot zip-truncation would
-    * silently corrupt every distance downstream).
+    * ONE narrow per-row expression against the broadcast literal
+    * planes — [[graft.functions.expressions.RandomProjection]], the
+    * fused whole-matrix form: the vector column is decoded once per row
+    * and the dim guard runs once, where the previous ndot-per-plane
+    * composition re-expanded both per OUTPUT dimension and Catalyst's
+    * alias substitution then re-duplicated the outDim-way tree into
+    * every pushed predicate/derived norm (e15's flagged 10-task × 4.1 s
+    * corpus-projection stage at 10×, round-18 AFTER-sweep). No shuffle,
+    * no UDF, the corpus never moves. Null vectors pass through with a
+    * null projection (the pipeline null contract); dimension mismatches
+    * fail fast (zip-truncation would silently corrupt every distance
+    * downstream).
     *
     * Returns (idCol, proj: array<double> of outDim entries). */
   def randomProject(corpus: DataFrame, outDim: Int, seed: Long = 42L,
@@ -1436,18 +1443,10 @@ object Similarity {
       .limit(1).collect().headOption.map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException(
         "randomProject: corpus has no non-empty vector to infer dim from"))
-    val checked = when(col(vecCol).isNull, col(vecCol))
-      .when(size(col(vecCol)) === dim, col(vecCol))
-      .otherwise(raise_error(concat(
-        lit(s"graft randomProject: expected $dim-dimensional vectors, found "),
-        size(col(vecCol)).cast("string"))))
-    val planes = projectionPlanes(dim, outDim, seed)
-    val scale = math.sqrt(outDim.toDouble)
-    val proj = array(planes.map(p =>
-      ndot(checked, array(p.map(lit): _*)) / lit(scale)): _*)
+    val flat = projectionPlanes(dim, outDim, seed).flatten
     corpus.select(col(idCol),
-      when(col(vecCol).isNull, lit(null).cast("array<double>"))
-        .otherwise(proj).as("proj"))
+      call_function("graft_project",
+        col(vecCol), array(flat.map(lit): _*), lit(outDim)).as("proj"))
   }
 
   /** Two-stage projected ANN (the Matryoshka/coarse-to-fine retrieval

@@ -163,6 +163,8 @@ object GraftFunctions {
       children => NfcNormalize.fromChildren(children)),
     ("graft_simhash", classOf[SimHash64].getCanonicalName,
       children => SimHash64.fromChildren(children)),
+    ("graft_project", classOf[RandomProjection].getCanonicalName,
+      children => RandomProjection.fromChildren(children)),
     ("graft_top_gram_fracs", classOf[TopGramFracs].getCanonicalName,
       children => TopGramFracs.fromChildren(children)),
     // Spark's OWN runtime-filter predicate (the expression InjectRuntimeFilter
