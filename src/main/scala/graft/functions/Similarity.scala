@@ -305,11 +305,15 @@ object Similarity {
       when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
+  /** Native single-pass B-bit signature ([[graft.functions.expressions.LshSignature]]):
+    * bit-identical to the composed per-plane `when(ndot >= 0, 1L << i)`
+    * OR-reduction, but the vector column is decoded once per row instead
+    * of once per BIT (round 19 — d4's signature work was the top sf1 CPU
+    * line; parity pinned in PipelineSpec). */
   private def nativeSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
     if (planes.isEmpty) lit(0L)
-    else planes.zipWithIndex.map { case (p, i) =>
-      when(ndot(vec, array(p.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+    else call_function("graft_lsh_sig", vec,
+      array(planes.flatten.map(lit): _*), lit(planes.size))
 
   /** Margin-ordered multi-probe buckets for the QUERY side (Lv et al.,
     * VLDB 2007): the base signature plus up to `probes` Hamming-1
@@ -322,37 +326,22 @@ object Similarity {
     * corpus side keeps one bucket per vector, so index size and the
     * per-bucket join shape are unchanged and candidate volume grows by
     * at most (1 + probes + probes2)×. Every emitted bucket is distinct
-    * by construction (weight-0/1/2 flips of distinct bit sets differ). */
+    * by construction (weight-0/1/2 flips of distinct bit sets differ).
+    *
+    * ONE native single-pass expression
+    * ([[graft.functions.expressions.LshProbeBuckets]], round 19): the
+    * composed sort_array/transform/flatten pipeline re-decoded the vector
+    * 2·bits times per (row, table) — bits signature dots plus bits margin
+    * dots, CSE does not reach across the when/struct branches — and ran
+    * the H1/H2 fan-out through interpreted HigherOrderFunctions. Same
+    * dots, same slice windows, same (m, i)/(mm, b) tie-breaks —
+    * bit-identical bucket lists, parity pinned in PipelineSpec. */
   private def probeBuckets(vec: Column, planes: Seq[Seq[Double]], probes: Int,
-      probes2: Int = 0): Column = {
-    val base = nativeSignature(vec, planes)
-    if (planes.isEmpty || (probes <= 0 && probes2 <= 0)) array(base)
-    else {
-      val masks = array(planes.indices.map(i => lit(1L << i)): _*)
-      val margins = array(planes.zipWithIndex.map { case (p, i) =>
-        struct(abs(ndot(vec, array(p.map(lit): _*))).as("m"), lit(i).as("i")) }: _*)
-      val sorted = sort_array(margins)
-      val flips1 =
-        if (probes <= 0) array().cast("array<long>")
-        else transform(slice(sorted, 1, math.min(probes, planes.size)),
-          s => base.bitwiseXOR(element_at(masks, s.getField("i") + 1)))
-      val flips2 =
-        if (probes2 <= 0) array().cast("array<long>")
-        else {
-          // pair pool: the max(probes, 2) lowest-margin bits (the same
-          // window the 1-bit probes draw from), every 2-subset scored by
-          // summed margin, globally re-sorted, truncated at probes2
-          val top = slice(sorted, 1, math.min(math.max(probes, 2), planes.size))
-          val pairs = flatten(transform(top, (s1, i1) =>
-            transform(slice(top, i1 + 2, size(top)), s2 =>
-              struct((s1.getField("m") + s2.getField("m")).as("mm"),
-                base.bitwiseXOR(element_at(masks, s1.getField("i") + 1))
-                  .bitwiseXOR(element_at(masks, s2.getField("i") + 1)).as("b")))))
-          transform(slice(sort_array(pairs), 1, probes2), p => p.getField("b"))
-        }
-      concat(array(base), flips1, flips2)
-    }
-  }
+      probes2: Int = 0): Column =
+    if (planes.isEmpty) array(lit(0L))
+    else call_function("graft_lsh_probes", vec,
+      array(planes.flatten.map(lit): _*), lit(planes.size),
+      lit(probes), lit(probes2))
 
   /** LSH-bucketed approximate top-k: union of per-table bucket joins,
     * exact cosine on the candidates, global top-k per query. `probes` > 0
@@ -694,8 +683,16 @@ object Similarity {
     // flip set AND the full C(b,2) pair pool, which probeBuckets only
     // yields at probes >= nBits
     val p1 = if (probes < 0 || p2n > 0 && probes2 < 0) nBits else probes
-    val a = usable(corpus, vecCol).select(col(idCol).as("doc_id"),
-      col(vecCol).as("av"), nnorm(col(vecCol)).as("an"))
+    // widened corpus side (round 19): the exhaustive tier's plan is a
+    // BNLJ streaming the corpus against the broadcast reference, and a
+    // FILTERED corpus (the d15 gate's vec_id range) can land entirely in
+    // one file split — at 10× the whole |corpus|·|reference| dot stream
+    // ran as ONE 1.2 s task of a 10-task stage (the round-18 sweep's
+    // only surviving serial flag). The usual stats-guarded no-op at
+    // scale; bucketed tiers distribute by construction but share the
+    // same skew exposure on a range-filtered corpus.
+    val a = widened(usable(corpus, vecCol).select(col(idCol).as("doc_id"),
+      col(vecCol).as("av"), nnorm(col(vecCol)).as("an")))
     val b = usable(reference, vecCol).select(col(idCol).as("ref_id"),
       col(vecCol).as("bv"), nnorm(col(vecCol)).as("bn"))
     val raw = (0 until nTables).map { t =>
@@ -1147,14 +1144,26 @@ object Similarity {
   private val IndexFormatVersion = 2L
   private def stampIndexFormat(spark: SparkSession, dir: String): Unit =
     graft.util.MetaFiles.writeLong(spark, s"$dir/_format_version", IndexFormatVersion)
-  private def requireIndexFormat(spark: SparkSession, dir: String, op: String): Unit =
-    graft.util.MetaFiles.readLong(spark, s"$dir/_format_version").foreach { v =>
+  private def requireIndexFormat(spark: SparkSession, dir: String, op: String): Unit = {
+    // readLongStrict, not readLong: a PRESENT-but-corrupt stamp must fail
+    // fast with the rebuild instruction, not collapse to the legacy-
+    // compatible None path (ADVICE r18) — "never guess" includes never
+    // guessing that an unreadable stamp meant legacy
+    val v = try graft.util.MetaFiles.readLongStrict(spark, s"$dir/_format_version")
+    catch {
+      case e: IllegalStateException => throw new IllegalStateException(
+        s"$op: index at $dir has an unreadable _format_version (${e.getMessage}). " +
+          "Rebuild it with saveIvfIndex/saveIvfPqIndex from this library " +
+          "version, or open it with the version that wrote it.", e)
+    }
+    v.foreach { v =>
       if (v != IndexFormatVersion) throw new IllegalStateException(
         s"$op: index at $dir has _format_version $v but this build reads " +
           s"version $IndexFormatVersion (unstamped legacy dirs are read " +
           "compatibly). Rebuild it with saveIvfIndex/saveIvfPqIndex from " +
           "this library version, or open it with the version that wrote it.")
     }
+  }
 
   /** Persist an IVF index: Lloyd-refined centroids plus the corpus
     * assigned and physically PARTITIONED BY centroid_id (with per-vector
@@ -1683,6 +1692,20 @@ object Similarity {
     // 10-task 5.1 s stage in the round-18 AFTER-sweep; e8's 8-task
     // rerank stage is the same shape through the vector store).
     // widened() is the usual stats-guarded no-op at scale.
+    //
+    // ACKNOWLEDGED TRADE (ADVICE r18): unlike the other widened() sites
+    // (where the exchanged side is the small query relation), this
+    // exchange is O(corpus) bytes whenever the corpus sits under the
+    // p×64 MB ceiling — a mid-size corpus pays a full exchange to
+    // parallelize work that is only O(shortlist) dots. Widening the
+    // post-join (shortlist-sized) relation instead was considered and
+    // REJECTED: the guard would then read optimizer stats off a
+    // join-derived plan, and derived-plan estimates overshooting is
+    // exactly what silently un-widened e15 in round 18 (the reverted
+    // static broadcast gate). The bounded waste case — one exchange of a
+    // relation the byte ceiling already caps — beats a guard that can
+    // quietly serialize the n² scan; the partial-agg ndots MUST run
+    // above an exchange, because map-side they run at file-split width.
     val scored = widened(c)
       .join(broadcast(shortlist.select(col("query_id"), col("neighbor_id"))),
         "neighbor_id")

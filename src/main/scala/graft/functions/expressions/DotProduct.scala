@@ -165,6 +165,10 @@ object GraftFunctions {
       children => SimHash64.fromChildren(children)),
     ("graft_project", classOf[RandomProjection].getCanonicalName,
       children => RandomProjection.fromChildren(children)),
+    ("graft_lsh_sig", classOf[LshSignature].getCanonicalName,
+      children => LshSignature.fromChildren(children)),
+    ("graft_lsh_probes", classOf[LshProbeBuckets].getCanonicalName,
+      children => LshProbeBuckets.fromChildren(children)),
     ("graft_top_gram_fracs", classOf[TopGramFracs].getCanonicalName,
       children => TopGramFracs.fromChildren(children)),
     // Spark's OWN runtime-filter predicate (the expression InjectRuntimeFilter

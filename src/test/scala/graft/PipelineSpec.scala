@@ -771,6 +771,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("native LSH sig/probe expressions match an independent scalar reference bit-for-bit") {
+    // The fused graft_lsh_sig / graft_lsh_probes expressions (round 19)
+    // replace the composed ndot-per-plane + sort_array/transform pipeline;
+    // the contract is BIT-identical bucket lists (candidate sets — and so
+    // every recall/sidecar measurement — must not drift). Reference is a
+    // plain-Scala replica of the documented semantics: ascending-index
+    // dot accumulation, >= 0 sign rule, (|m|, i) margin order, H2 pairs
+    // from the max(probes, 2) window ordered by (mm, bucket).
+    graft.functions.expressions.GraftFunctions.init(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val embDim = 64 // the embeddings table's width — full-width planes
+    val seed = 42L; val bits = 10; val table = 1
+    val rnd = new scala.util.Random(seed + table * 7919) // hyperplanes(dim, bits, table, seed)
+    val planes = Seq.fill(bits)(Seq.fill(embDim)(rnd.nextDouble() * 2 - 1))
+    def refBuckets(v: Seq[Float], probes: Int, probes2: Int): Seq[Long] = {
+      val dots = planes.map { p =>
+        var s = 0.0; var j = 0
+        while (j < math.min(v.size, p.size)) { s += v(j).toDouble * p(j); j += 1 }
+        s
+      }
+      val base = dots.zipWithIndex.map { case (d, i) => if (d >= 0) 1L << i else 0L }
+        .reduce(_ | _)
+      if (probes <= 0 && probes2 <= 0) Seq(base)
+      else {
+        val sorted = dots.map(math.abs).zipWithIndex.sortBy { case (m, i) => (m, i) }
+        val f1 = if (probes <= 0) Nil
+          else sorted.take(math.min(probes, bits)).map { case (_, i) => base ^ (1L << i) }
+        val f2 = if (probes2 <= 0) Nil
+          else {
+            val win = sorted.take(math.min(math.max(probes, 2), bits))
+            val pairs = for { a <- win.indices; b <- a + 1 until win.size } yield
+              (win(a)._1 + win(b)._1, base ^ (1L << win(a)._2) ^ (1L << win(b)._2))
+            pairs.sortBy(identity).take(probes2).map(_._2)
+          }
+        Seq(base) ++ f1 ++ f2
+      }
+    }
+    val flat = org.apache.spark.sql.functions.array(planes.flatten.map(lit): _*)
+    val rows = emb.limit(60).select(col("vec_id"),
+        org.apache.spark.sql.functions.call_function("graft_lsh_sig",
+          col("embedding"), flat, lit(bits)).as("sig"),
+        org.apache.spark.sql.functions.call_function("graft_lsh_probes",
+          col("embedding"), flat, lit(bits), lit(0), lit(0)).as("p00"),
+        org.apache.spark.sql.functions.call_function("graft_lsh_probes",
+          col("embedding"), flat, lit(bits), lit(3), lit(0)).as("p30"),
+        org.apache.spark.sql.functions.call_function("graft_lsh_probes",
+          col("embedding"), flat, lit(bits), lit(10), lit(45)).as("pFull"),
+        org.apache.spark.sql.functions.call_function("graft_lsh_probes",
+          col("embedding"), flat, lit(bits), lit(0), lit(5)).as("p05"),
+        col("embedding")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](6)
+      assert(r.getLong(1) === refBuckets(v, 0, 0).head, s"sig mismatch vec ${r.getLong(0)}")
+      assert(r.getSeq[Long](2) === refBuckets(v, 0, 0), s"p(0,0) mismatch vec ${r.getLong(0)}")
+      assert(r.getSeq[Long](3) === refBuckets(v, 3, 0), s"p(3,0) mismatch vec ${r.getLong(0)}")
+      assert(r.getSeq[Long](4) === refBuckets(v, 10, 45), s"p(10,45) mismatch vec ${r.getLong(0)}")
+      assert(r.getSeq[Long](5) === refBuckets(v, 0, 5), s"p(0,5) mismatch vec ${r.getLong(0)}")
+    }
+  }
+
   test("multi-probe LSH: recall never drops, exact config unaffected, pairs stay deduped") {
     val brute = Similarity.bruteForceTopK(clustered, clustered, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
