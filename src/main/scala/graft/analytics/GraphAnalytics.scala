@@ -310,11 +310,22 @@ object GraphAnalytics {
     while (changed > 0 && r < maxRounds * 4) {
       val inc = arcs.join(frontier, "s")
         .groupBy(col("d").as("s")).agg((max(col("layer")) + 1L).as("cand"))
+      // LAZY checkpoint, materialized BY the convergence count — one
+      // driver action per round, not two (round 19): with rounds = DAG
+      // depth and near-zero executor work, a24 was driver-latency-bound
+      // at sf1 (7.1 s wall over 2.6 executor-cpu-s, effPar 0.9); fusing
+      // checkpoint + count into one action measured 7.1 → 6.3 s. The
+      // count executes the plan, which persists the checkpoint blocks as
+      // a side effect; `layers` then reads those blocks, lineage cut as
+      // before. (Chaining 4 delta rounds per materialization was ALSO
+      // tried — 25% fewer stages but 6.27 → 6.16 s, noise: the residual
+      // is the ~3 shuffle barriers per round × DAG depth, which blocking
+      // rounds does not remove — negative recorded in SCALING.md.)
       val next = layers.withColumnRenamed("layer", "old").join(inc, Seq("s"), "left")
         .select(col("s"),
           greatest(col("old"), coalesce(col("cand"), col("old"))).as("layer"),
           col("old"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       frontier = next.filter(col("layer") =!= col("old")).select(col("s"), col("layer"))
       changed = frontier.count()
       layers = next.select(col("s"), col("layer")); r += 1

@@ -220,11 +220,22 @@ object Exec {
         val next0 = hop(g, cur, s"n$step", e, step + 1000, walkRight, keepEdgeCols = false)
           .drop(s"n$step").withColumnRenamed(s"n${step + 1000}", s"n$step")
           .dropDuplicates(prefix :+ s"n$step")
+        // LAZY checkpoints, materialized by the dry-count probe / the next
+        // round's anti-join (round 19, the a24 fix applied here): the
+        // unbounded walk ran THREE driver actions per round (eager next
+        // checkpoint + isEmpty + eager visited checkpoint) over
+        // tiny-frontier rounds — g13 measured 3.0 s wall over 4.6
+        // executor-cpu-s at sf1. The probe must be count(), NOT isEmpty:
+        // isEmpty is limit-based and materializes only the partitions the
+        // limit touches, so the lazy checkpoint stayed PARTIAL and every
+        // later round recomputed the full upstream lineage (measured 3.0
+        // → 4.0 s before the count swap). count() runs every partition —
+        // lineage is cut exactly as the eager form cut it, in one action.
         val next = (if (unbounded)
           next0.join(visited, (prefix :+ s"n$step").map(c => next0(c) === visited(c)).reduce(_ && _), "left_anti")
-        else next0).localCheckpoint(true)
+        else next0).localCheckpoint(false)
         count += 1
-        val dry = next.isEmpty
+        val dry = next.count() == 0L
         if (dry) {
           if (count == 1 || count < lo) { failedStep = true; done = true } // failed query (Cypher.hs:824-826)
           else done = true // success: frontier before the dry hop, i.e. `cur`
@@ -234,7 +245,7 @@ object Exec {
         } else {
           cur = next
           if (unbounded) {
-            visited = visited.unionByName(next.select((prefix :+ s"n$step").toSeq.map(col): _*)).localCheckpoint(true)
+            visited = visited.unionByName(next.select((prefix :+ s"n$step").toSeq.map(col): _*)).localCheckpoint(false)
             if (count >= lo) acc = if (acc == null) next else acc.unionByName(next)
           }
         }
