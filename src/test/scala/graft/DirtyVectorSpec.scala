@@ -221,6 +221,15 @@ class DirtyVectorSpec extends AnyFunSuite {
         Similarity.appendToIvfIndex(clean.limit(1), dir, batchId = 7L,
           idCol = "vec_id", vecCol = "embedding"))
       assert(ea.getMessage.contains("_format_version 99"))
+      // a PRESENT-but-corrupt stamp fails fast too (ADVICE r18): it must
+      // NOT collapse to the legacy-compatible path — absent means legacy,
+      // unreadable means unknown layout
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_format_version"),
+        "not-a-long\n".getBytes)
+      val ec = intercept[IllegalStateException](
+        Similarity.ivfTopKIndexed(clean, dir, k = 3, nProbe = 2).count())
+      assert(ec.getMessage.contains("unreadable _format_version") &&
+        ec.getMessage.contains("Rebuild"), s"unhelpful corrupt-stamp error: ${ec.getMessage}")
       // an UNSTAMPED (pre-round-18) dir still opens — the legacy
       // compatibility contract this spec's previous test pins semantically
       assert(new java.io.File(s"$dir/_format_version").delete())
