@@ -122,7 +122,8 @@ object GateQueries {
     * localCheckpoint blocks evict into recomputation). A parquet
     * intermediate costs a13/a14 a ~0.3 s scan and zero executor memory —
     * and IS the real-pipeline shape: a materialized shared table. */
-  private val triangleSetCache = new graft.util.SessionCache[String]()
+  private val triangleSetCache = new graft.util.SessionCache[String](
+    onEvict = deferDelete)
   private def coPurchaseTriangleSet(s: SparkSession, d: String): DataFrame = {
     val path = triangleSetCache(s, d) {
       val p = java.nio.file.Files.createTempDirectory("graft_triset").toString
@@ -185,6 +186,26 @@ object GateQueries {
     scala.util.Try(rm(new java.io.File(dir)))
   }
 
+  /** DEFERRED delete for disk-backed cache entries (the triangle-set
+    * parquet, the staged stream chunks): an evicted entry's path may
+    * already be handed out to an in-flight run — s13/s14 copy staged
+    * chunks 1–3 from a stage path obtained BEFORE the streaming query
+    * started, a13/a14 read the triangle parquet lazily — so deleting at
+    * eviction time turns an eviction under concurrent gates into a
+    * mid-run FileNotFoundException (ADVICE r18). Evicted dirs are
+    * instead queued and removed by ONE JVM shutdown hook: growth is
+    * bounded (evictions are rare — the caches hold per-directory
+    * fixtures and maxEntries exceeds realistic dir counts; eviction is a
+    * leak-release valve, not steady-state behavior), and a queued dir
+    * stays valid for any run that still holds its path. */
+  private val pendingDeletes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val deleteHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => pendingDeletes.forEach(d => deleteStreamDir(d))))
+  private def deferDelete(dir: String): Unit = {
+    deleteHook
+    pendingDeletes.add(dir)
+  }
+
   /** ATOMIC chunk push for the s13/s14 stream gates: write the chunk to a
     * staging dir as ONE file, then rename that file into the watched dir.
     * A plain multi-file `write.parquet(watchedDir)` races the running
@@ -226,7 +247,7 @@ object GateQueries {
     * 1-row and gate-specific. Warmed in the bench build phase
     * ([[warmStreamChunks]]), the warmCoPurchase discipline. */
   private val chunkStageCache = new graft.util.SessionCache[(String, Long, Long)](
-    maxEntries = 4, onEvict = t => deleteStreamDir(t._1))
+    maxEntries = 4, onEvict = t => deferDelete(t._1))
   /** Returns (stagingDir, minTs, maxTs) — bounds ride the memo so the
     * gates' sentinel arithmetic needs no per-run bounds job either. */
   private def stagedEventChunks(s: SparkSession, d: String): (String, Long, Long) =

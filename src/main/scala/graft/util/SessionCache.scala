@@ -18,8 +18,12 @@ import org.apache.spark.sql.SparkSession
   *    entry whose SparkContext already stopped must not throw from inside
   *    a NEW session's insert;
   *  - entries from OTHER applications are purged on insert (their context
-  *    is gone in sequential-session test JVMs; no unpersist needed —
-  *    dropping the reference is enough once the context died);
+  *    is gone in sequential-session test JVMs), and the purge ALSO calls
+  *    `onEvict` (ADVICE r18): for cached DataFrames the Try guard absorbs
+  *    the dead-context unpersist, but DISK-backed entries (the triangle-set
+  *    parquet, the staged stream chunks) hold artifacts that outlive the
+  *    context and leak across sequential sessions unless eviction
+  *    releases them;
   *  - eviction drops the cached handle only, never correctness: builders
   *    are pure, a late caller just rebuilds.
   */
@@ -37,8 +41,13 @@ final class SessionCache[T](maxEntries: Int = 16, onEvict: T => Unit = (_: T) =>
     map.synchronized(Option(map.get(k))).getOrElse {
       val v = build // built OUTSIDE the lock: builders run Spark jobs
       map.synchronized {
-        val it = map.keySet().iterator()
-        while (it.hasNext) if (!it.next().startsWith(appPrefix)) it.remove()
+        val it = map.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (!e.getKey.startsWith(appPrefix)) {
+            scala.util.Try(onEvict(e.getValue)); it.remove()
+          }
+        }
         Option(map.get(k)) match {
           case Some(prior) => scala.util.Try(onEvict(v)); prior // concurrent winner keeps
           case None => map.put(k, v); v
