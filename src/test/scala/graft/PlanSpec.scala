@@ -534,6 +534,36 @@ class PlanSpec extends AnyFunSuite {
     } finally fwd.unpersist(blocking = false)
   }
 
+  test("naiveBayesClassify: the likelihood model is the broadcast BUILD side; corpus-sized tf streams") {
+    // Round 18's worst plan: left to cost estimates the planner inverted
+    // the scoring join (bench-scale tf fell under the broadcast threshold
+    // → BuildLeft) and streamed the few-thousand-row likelihood table as
+    // ONE partition — the whole |tf|·|classes| score stream in a single
+    // 18.8 s task at sf1. The fix is an explicit broadcast(lik); nothing
+    // build-breaks if a refactor drops the hint, so pin it here: the
+    // tok-keyed broadcast join's BUILD side must be the model (its llh
+    // column), never the corpus-sized tf relation. Red when the hint is
+    // removed (the planner then picks tf at this scale too).
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.functions.TextAnalysis.naiveBayesClassify(docs)
+    val sp = out.queryExecution.sparkPlan
+    val bhjs = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+    // the scoring join is the single-key tok equi-join
+    val scoreJoins = bhjs.filter(j =>
+      j.leftKeys.size == 1 && j.leftKeys.head.toString.startsWith("tok#"))
+    assert(scoreJoins.nonEmpty, s"no tok-keyed broadcast scoring join:\n${sp.treeString}")
+    scoreJoins.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      }
+      val bs = build.treeString
+      assert(bs.contains("llh#") && !bs.contains("AS tf#"),
+        s"scoring join builds on the wrong side (model must broadcast, tf must stream):\n$bs")
+    }
+  }
+
   test("sourceMinHashSketches: minima partial-aggregate; estimates join broadcast, no cartesian blowup") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sk = graft.functions.TextAnalysis.sourceMinHashSketches(docs)
