@@ -92,6 +92,19 @@ object GraphScaleProbe {
         h.timed(s"a22 betweenness ${k}x p$pass")(
           GraphAnalytics.betweennessSampled(edges, nSeeds = 8, maxDepth = 4)
             .queryExecution.toRdd.count())
+        // round 19 (VERDICT r18 #6): the peeling heavyweights at the
+        // gates' configs. Expected shapes — a7 kcore: degree peel is a
+        // per-round groupBy + semi-join, wall/shuffle ∝ k at fixed
+        // rounds; a17 ktruss: per-round support recount is the wedge
+        // join, ∝ k on disjoint copies (the a13 argument). support0 is
+        // recomputed per factor (the memo is gate-dir-keyed, not
+        // probe-corpus-keyed).
+        h.timed(s"a7 kcore(16,6) ${k}x p$pass")(
+          GraphAnalytics.kCoreEdges(edges, k = 16, iters = 6)
+            .queryExecution.toRdd.count())
+        h.timed(s"a17 ktruss(4,3) ${k}x p$pass")(
+          GraphAnalytics.kTrussEdges(edges, k = 4, iters = 3)
+            .queryExecution.toRdd.count())
       }
     }
     spark.stop()

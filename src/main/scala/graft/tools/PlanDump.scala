@@ -2,30 +2,33 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Print a gate's formatted physical plan (diagnostic): runMain
-  * graft.tools.PlanDump <gateName> [sfDir]. Executes nothing beyond the
-  * fixture builds the gate body itself triggers. */
+/** Print a gate's optimized + final-adaptive physical plan at an
+  * arbitrary sf dir — the quick diagnostic behind join-strategy
+  * questions (which side built, which side streamed, where AQE coalesced
+  * to one partition). Usage:
+  *   SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.PlanDump <gate> [<gate>…]
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val name = args.head
-    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1_full")
     val spark = SparkSession.builder().master("local[32]")
+      .appName("plan-dump")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.functions.expressions.GraftFunctions.init(spark)
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    if (args.contains("--exec")) {
+    args.foreach { gate =>
+      val df = graft.gate.GateQueries.queries(gate)(spark, sfDir)
+      println(s"==== $gate: pre-execution formatted plan ====")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      val t0 = System.nanoTime()
       df.queryExecution.toRdd.count()
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-    } else
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      println(f"==== $gate: executed in ${(System.nanoTime() - t0) / 1e9}%.2f s; final adaptive plan ====")
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }
