@@ -956,15 +956,31 @@ object TextAnalysis {
     import org.apache.spark.sql.functions.broadcast
     val toks = docs.select(col(idCol),
       explode(corpusTokens(col(textCol))).as("term"))
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // explicit repartition on the groupBy keys (round 19): it satisfies
+    // the aggregation's required distribution (no extra exchange) and,
+    // being user-specified, is exempt from AQE's bytes-based coalescing —
+    // the final tf aggregate and everything fused above it (the idf join,
+    // the weight projection) then run at shuffle-partition width instead
+    // of collapsing to one task on this byte-light, CPU-heavy relation
+    val tf = toks.repartition(col(idCol), col("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfr, "term").crossJoin(broadcast(nDocs))
       .withColumn("w",
         col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+    // explicit doc-keyed repartition ahead of the rank window (round 19):
+    // left to ENSURE_REQUIREMENTS, AQE coalesced the tf shuffle read by
+    // BYTES and the whole fused stage — final tf aggregate, both joins, w,
+    // the sort and the partial WindowGroupLimit over |corpus tokens|-scale
+    // rows — ran as ONE task at 10× (2.7 s of the gate's 4.5 s wall, the
+    // t34 class: per-row work dwarfs bytes). The explicit repartition
+    // satisfies the window's required distribution, so it adds no extra
+    // exchange — it only pins the sort/limit width to shuffle.partitions.
     val cut =
       if (topM <= 0) scored
-      else scored.withColumn("rank", row_number().over(
+      else scored.repartition(col(idCol))
+        .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col(idCol)).orderBy(desc("w"), col("term"))))
         .filter(col("rank") <= topM).drop("rank")
