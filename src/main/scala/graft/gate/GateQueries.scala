@@ -206,6 +206,12 @@ object GateQueries {
     pendingDeletes.add(dir)
   }
 
+  /** g9's staged CSV fixture path, once per (session, dir) — see the
+    * gate's comment. deferDelete onEvict: the path may be lazily read by
+    * an in-flight fromCSV plan. */
+  private val g9CsvCache = new graft.util.SessionCache[String](
+    maxEntries = 4, onEvict = deferDelete)
+
   /** ATOMIC chunk push for the s13/s14 stream gates: write the chunk to a
     * staging dir as ONE file, then rename that file into the watched dir.
     * A plain multi-file `write.parquet(watchedDir)` races the running
@@ -815,13 +821,21 @@ object GateQueries {
       // oracle rebuilds the dictionary as ROW_NUMBER() OVER the same
       // binary name ordering — the id assignment rule itself is
       // hash-checked. Path is per-sf so concurrent sf dirs in one
-      // session never clobber each other's lazily-read CSV.
-      val path = s"/tmp/graft_g9_csv_${java.lang.Integer.toHexString(d.hashCode)}"
-      t(s, d, "orders").select(
-          concat(lit("c"), col("o_custkey")).as("sname"),
-          when(col("o_orderkey") % 3 === 0, lit(null))
-            .otherwise(concat(lit("o"), col("o_orderkey"))).as("dname"))
-        .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+      // session never clobber each other's lazily-read CSV. The CSV is a
+      // deterministic input FIXTURE — staged once per (session, dir) via
+      // the chunk-stage discipline (round 19): re-writing it through
+      // coalesce(1) on every execution was the gate's top stage at 10×
+      // (one 1.1 s task), and it measures the fixture writer, not the
+      // ingest operator.
+      val path = g9CsvCache(s, d) {
+        val p = s"/tmp/graft_g9_csv_${java.lang.Integer.toHexString(d.hashCode)}"
+        t(s, d, "orders").select(
+            concat(lit("c"), col("o_custkey")).as("sname"),
+            when(col("o_orderkey") % 3 === 0, lit(null))
+              .otherwise(concat(lit("o"), col("o_orderkey"))).as("dname"))
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(p)
+        p
+      }
       val (g, _) = graft.sources.Loaders.fromCSV(s, path, "sname", "dname",
         label = 1, mirror = false,
         ranges = Seq(graft.model.RangeDef(0, 10000000L, 0, Seq(1))))
