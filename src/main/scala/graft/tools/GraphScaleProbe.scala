@@ -99,8 +99,12 @@ object GraphScaleProbe {
         // join, ∝ k on disjoint copies (the a13 argument). support0 is
         // recomputed per factor (the memo is gate-dir-keyed, not
         // probe-corpus-keyed).
-        h.timed(s"a7 kcore(16,6) ${k}x p$pass")(
-          GraphAnalytics.kCoreEdges(edges, k = 16, iters = 6)
+        // k = 8, not the gate's 16: the sixteenth-cut probe graph is
+        // sparser than the gate's quarter cut and its 16-core is EMPTY —
+        // a probe peeling to nothing by round 2 measures early-exit
+        // plumbing, not peel scaling. The 8-core survives at every factor.
+        h.timed(s"a7 kcore(8,6) ${k}x p$pass")(
+          GraphAnalytics.kCoreEdges(edges, k = 8, iters = 6)
             .queryExecution.toRdd.count())
         h.timed(s"a17 ktruss(4,3) ${k}x p$pass")(
           GraphAnalytics.kTrussEdges(edges, k = 4, iters = 3)
