@@ -1621,6 +1621,31 @@ object Similarity {
     books.select(size(col("centroid")).as("d")).limit(1)
       .collect().head.getInt(0)
 
+  /** A trained codebook table collected into the fused-expression form
+    * ([[graft.functions.expressions.PqCore]]): centroid rows SORTED BY
+    * (sub, code) flattened to one literal double array, plus the nSub+1
+    * prefix offsets (codebooks are ragged — a codeword that loses every
+    * Lloyd member drops out). Driver-held model state, the hyperplanes
+    * precedent: nSub·nCodes·subDim doubles = a few KB. The (sub, code)
+    * sort is the tie-break contract — the fused encode's ties-to-lower-
+    * ROW rule is pqAssign's ties-to-lower-CODE exactly because rows
+    * within a sub are code-ascending. */
+  private def booksFlatLits(books: DataFrame, nSub: Int): (Column, Column) = {
+    val rows = books.select(col("sub").cast("int"), col("code").cast("int"),
+        col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2))
+    val perSub = rows.groupBy(_._1).map { case (s, g) => (s, g.length) }
+    require((0 until nSub).forall(s => perSub.getOrElse(s, 0) > 0),
+      s"graft PQ: trained codebooks must cover every subspace 0..${nSub - 1}, " +
+        s"got subs ${perSub.keys.toSeq.sorted.mkString(",")}")
+    val offs = new Array[Int](nSub + 1)
+    rows.foreach(t => offs(t._1 + 1) += 1)
+    (1 to nSub).foreach(s => offs(s) += offs(s - 1))
+    (array(rows.flatMap(_._3).map(lit).toSeq: _*),
+      array(offs.map(lit).toSeq: _*))
+  }
+
   /** The per-query nProbe nearest centroids — the shared probe-selection
     * block of every IVF tier (in-memory, indexed, and both PQ
     * compositions): rank against the BROADCAST centroid table, keep rank
@@ -1848,11 +1873,13 @@ object Similarity {
     * approximation lives in the dot).
     *
     * Scale shape: this is the COMPRESSED EXHAUSTIVE tier — every query
-    * still touches every corpus vector, but through nSub one-byte codes
-    * + one broadcast-LUT hash join + a map-side-combined (query, id)
-    * sum, instead of a dim-float dot per pair: the memory-bound regime
-    * PQ exists for (32× smaller scan at dim=64/nSub=8). The scored
-    * exchange carries ≤ |queries|·|corpus| partially-aggregated rows.
+    * still touches every corpus vector, but through nSub int codes and
+    * a fused codegen'd gather per pair (round 19,
+    * [[graft.functions.expressions.PqCore]]: codes one array per vector,
+    * the per-query LUT one broadcast array — no LUT hash join, no
+    * (query, id) sum exchange), instead of a dim-float dot per pair:
+    * the memory-bound regime PQ exists for. The only |q|·|corpus|-sized
+    * exchange left is the rank window's.
     * For sublinear candidate generation compose with the IVF tier
     * (classic IVF-PQ): prune partitions with [[ivfTopKIndexed]]'s probe
     * list, ADC-score inside them. Approximate by construction — recall
@@ -1872,23 +1899,32 @@ object Similarity {
     // codebooks feed the encode AND the LUT subtrees — the memoized
     // pqCodebooks table arrives checkpointed (deterministic lifecycle)
     val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
-    val subDim = subDimOf(books)
     // dirty rows drop on BOTH sides ([[usableVec]] contract — a NULL
-    // vector would raise in subVectors, a zero-norm one in the cosine)
+    // vector would raise in the fused encode, a zero-norm one in the cosine)
     val cleanCorpus = usable(corpus, vecCol)
     val cleanQueries = usable(queries, vecCol)
-    // codes carry the exact norm: ×nSub duplication of one float beats a
-    // post-aggregation |queries|·|corpus| join against the norm table
-    val codes = encodeAgainst(cleanCorpus, books, nSub, subDim, idCol, vecCol)
-      .join(cleanCorpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn")), "id")
-    val lut = adcLut(cleanQueries, books, nSub, subDim, idCol, vecCol)
-    val qn = cleanQueries.select(col(idCol).as("query_id"), nnorm(col(vecCol)).as("qn"))
-    val scored = widened(codes).join(broadcast(lut), Seq("sub", "code"))
+    // FUSED ADC (round 19, [[graft.functions.expressions.PqCore]]): codes
+    // as ONE array<int> per vector, the per-query LUT as ONE array<double>,
+    // the score a codegen'd gather per (query, vector) pair. The previous
+    // join formulation — (id, sub, code) rows ⋈ broadcast LUT rows, then
+    // a (query, id)-keyed sum — moved |q|·|corpus|·nSub rows through a
+    // hash join and an aggregation exchange for nSub array lookups of
+    // work (e7 was the 4th sf1 wall line at 18.9 s, previously mislabeled
+    // "intrinsic ADC CPU" — intrinsic to the join shape, not the math).
+    // subDim kept for the dim contract; encode fails fast on a mismatch
+    // with the same message as the row form.
+    val (centsL, startsL) = booksFlatLits(books, nSub)
+    val codes = widened(cleanCorpus).select(col(idCol).as("id"),
+      call_function("graft_pq_encode", col(vecCol), centsL, startsL).as("cidx"),
+      nnorm(col(vecCol)).as("cn"))
+    val qf = cleanQueries.select(col(idCol).as("query_id"),
+      call_function("graft_pq_lut", col(vecCol), centsL, startsL).as("lut"),
+      nnorm(col(vecCol)).as("qn"))
+    val scored = codes.crossJoin(broadcast(qf))
       .filter(col("query_id") =!= col("id"))
-      .groupBy(col("query_id"), col("id").as("neighbor_id"))
-      .agg(sum(col("part")).as("adc"), first(col("cn")).as("cn"))
-      .join(broadcast(qn), "query_id")
-      .withColumn("cosine", col("adc") / (col("qn") * col("cn")))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (call_function("graft_adc", col("cidx"), col("lut")) /
+          (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     if (rerank <= 0)
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -2088,10 +2124,11 @@ object Similarity {
     * Exact norms ride the index as in [[pqTopK]].
     *
     * Scale shape: index side = one coarse assignment (+ nAssign−1 linear
-    * passes), one PQ encode — all map-side-combined aggregations over
-    * |corpus|·nSub narrow rows; probe side = broadcast probe list +
-    * broadcast LUT, candidate rows |corpus|·nSub·(nProbe/nCentroids)
-    * per query partially aggregated before the one (query, id) exchange.
+    * passes) and one fused per-row encode; probe side = broadcast probe
+    * list + broadcast per-query LUT arrays, and each candidate
+    * (query, vector) pair scores as ONE codegen'd gather (round 19,
+    * [[graft.functions.expressions.PqCore]]) — candidate volume
+    * |corpus|·(nProbe/nCentroids) rows per query, no per-sub row blowup.
     * Persisted composition: partition the coded corpus by centroid_id
     * exactly as [[saveIvfIndex]] does and the probed scan
     * partition-prunes the same way. */
@@ -2114,27 +2151,34 @@ object Similarity {
     val norms = cleanCorpus.select(col(idCol).as("id"), nnorm(col(vecCol)).as("cn"))
     val scored0 =
       if (!residual) {
+        // FUSED ADC over the probed partitions (round 19 — the pqTopK
+        // restructure applied to the IVF composition): per candidate
+        // (query, vector) pair the score is one codegen'd gather, where
+        // the join formulation moved |candidates|·nSub LUT-joined rows
+        // through a dedup and a sum exchange (e8 was the 3rd sf1 wall
+        // line at 20.7 s).
         val books = pqCodebooks(corpus, nSub, nCodes, lloydIters, idCol, vecCol)
-        val subDim = subDimOf(books)
-        val codes = pqCodedCorpus(cleanCorpus,
-          coarseAssigned(cleanCorpus, cents, m, idCol, vecCol), books, nSub, subDim,
-          idCol, vecCol, normName = "cn")
+        val (centsL, startsL) = booksFlatLits(books, nSub)
+        val codes = widened(cleanCorpus).select(col(idCol).as("id"),
+            call_function("graft_pq_encode", col(vecCol), centsL, startsL).as("cidx"),
+            nnorm(col(vecCol)).as("cn"))
+          .join(coarseAssigned(cleanCorpus, cents, m, idCol, vecCol), "id")
         val qprobe = probeRows.select(col("query_id"), col("cid").as("centroid_id"))
-        val lut = adcLut(cleanQueries, books, nSub, subDim, idCol, vecCol)
+        val qlut = cleanQueries.select(col(idCol).as("query_id"),
+          call_function("graft_pq_lut", col(vecCol), centsL, startsL).as("lut"))
         val cands = widened(codes).join(broadcast(qprobe), "centroid_id")
-          .join(broadcast(lut), Seq("query_id", "sub", "code"))
+          .join(broadcast(qlut), "query_id")
           .filter(col("query_id") =!= col("id"))
-        // soft assignment duplicates a candidate's code rows once per
-        // shared probed centroid — summing them would double-count the
-        // ADC dot. Dedup at (query, id, sub) with first() (part is
-        // value-identical across duplicates) BEFORE the sum; hard
+          .select(col("query_id"), col("id"), col("cn"),
+            call_function("graft_adc", col("cidx"), col("lut")).as("adc"))
+        // soft assignment duplicates a candidate once per shared probed
+        // centroid — the fused score is value-identical across
+        // duplicates, so dedup at (query, id) with first(); hard
         // assignment needs no dedup.
-        val uniq =
-          if (m == 1) cands
-          else cands.groupBy(col("query_id"), col("id"), col("sub"))
-            .agg(first(col("part")).as("part"), first(col("cn")).as("cn"))
-        uniq.groupBy(col("query_id"), col("id").as("neighbor_id"))
-          .agg(sum(col("part")).as("adc"), first(col("cn")).as("cn"))
+        if (m == 1) cands.select(col("query_id"), col("id").as("neighbor_id"),
+          col("adc"), col("cn"))
+        else cands.groupBy(col("query_id"), col("id").as("neighbor_id"))
+          .agg(first(col("adc")).as("adc"), first(col("cn")).as("cn"))
       } else {
         // RESIDUAL encoding (Jégou §V's refinement): PQ codes v − c(v)
         // per HOME centroid; adc(q, v) = q·c_home + Σ_s q_s·codeword_s.

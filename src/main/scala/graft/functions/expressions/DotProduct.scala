@@ -169,6 +169,15 @@ object GraftFunctions {
       children => LshSignature.fromChildren(children)),
     ("graft_lsh_probes", classOf[LshProbeBuckets].getCanonicalName,
       children => LshProbeBuckets.fromChildren(children)),
+    ("graft_pq_encode", classOf[PqEncode].getCanonicalName,
+      children => PqEncode.fromChildren(children)),
+    ("graft_pq_lut", classOf[PqLut].getCanonicalName,
+      children => PqLut.fromChildren(children)),
+    ("graft_adc", classOf[AdcSum].getCanonicalName,
+      children => {
+        require(children.size == 2, "graft_adc(codes, lut) takes 2 arguments")
+        AdcSum(children(0), children(1))
+      }),
     ("graft_top_gram_fracs", classOf[TopGramFracs].getCanonicalName,
       children => TopGramFracs.fromChildren(children)),
     // Spark's OWN runtime-filter predicate (the expression InjectRuntimeFilter

@@ -323,11 +323,18 @@ class PlanSpec extends AnyFunSuite {
     // the refinement fetch must be shortlist-broadcast into one corpus
     // pass: a SortMergeJoin against the full-vector relation would
     // re-shuffle the corpus per query batch — the shape that cannot
-    // survive 100 TB. (The ADC LUT + qn joins are broadcast by
-    // construction; this pins the re-rank join added in round 11.)
+    // survive 100 TB. (This pins the re-rank join added in round 11.)
     assert(plan.contains("BroadcastHashJoin"), s"rerank fetch not broadcast:\n$plan")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"rerank must join by neighbor id:\n$plan")
+    // round 19 (fused ADC): the compressed scan is ONE BNLJ streaming
+    // int-code arrays against the broadcast per-query LUT arrays — the
+    // bruteForceTopK shape, by design for the compressed EXHAUSTIVE
+    // tier. What stays forbidden: any cartesian, a second nested-loop
+    // (the FULL-vector relation must reach the output only through the
+    // id-keyed rerank fetch), and any corpus re-shuffle join.
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"only the compressed ADC scan may nested-loop:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus re-shuffle join:\n$plan")
   }
 
   test("banded n-gram route: signature aggregation is partial, pairing is bucket-keyed only") {
