@@ -89,166 +89,168 @@ object SteadyState {
     "d15_semantic_decontam")   // exhaustive cross-corpus tier
 
   /** sf1 (10×, /tmp/graft_sf1_full — ScaleTestData) steady anchors:
-    * pass-2 of the round-16 full-suite REPEAT=2 run on the final binary.
+    * pass-2 of the round-19 full-suite REPEAT=2 run (bench_detail_sf1_r19.json). Regenerated wholesale: the r19 plan changes moved d4/e2/e15/d15/t21/g9/a24/g13, and the two r18 out-of-band anchors were re-measured, not waved off — e5 sweep-steady reads 0.63 ≈ its old 0.60 anchor while its bench line carries ~0.5 s of warm-set cost (cause noted in SCALING.md); d15 was a real skew, fixed. m4 gains its first committed anchor.
     * Sparse-by-construction is fine — anchorless queries rank at ratio
     * 1.0 and never flag, exactly like a new gate on the sf0.1 path. */
   val sf1Sec: Map[String, Double] = Map(
     "a10_edge_support" -> 0.15,
-    "a11_hits" -> 14.11,
-    "a12_modularity" -> 6.61,
-    "a13_adamic_adar" -> 3.00, // r18: disk-materialized triangle-set memo + one-shuffle witness stream (matched-epoch A/B: 25.8-29.5 -> 3.3-4.1)
-    "a14_jaccard_links" -> 5.50, // r18: explicit disk triangle-set memo (was accidental cache-fragment reuse; ~+1s vs the accident, architecture over luck)
-    "a15_harmonic_closeness" -> 7.88,
-    "a16_random_walks" -> 5.07,
-    "a17_ktruss" -> 13.38,
-    "a18_weighted_sssp" -> 7.83,
-    "a19_bipartite_projection" -> 2.00,
-    "a1_reachable_orders" -> 4.80, // r16: edge-count dispatch picks the frontier family at sf1
-    "a20_clustering_coefficient" -> 2.48,
-    "a21_assortativity" -> 3.22,
-    "a22_betweenness" -> 9.67,
+    "a11_hits" -> 15.77,
+    "a12_modularity" -> 7.01,
+    "a13_adamic_adar" -> 3.85,
+    "a14_jaccard_links" -> 9.22,
+    "a15_harmonic_closeness" -> 9.39,
+    "a16_random_walks" -> 5.04,
+    "a17_ktruss" -> 13.75,
+    "a18_weighted_sssp" -> 8.32,
+    "a19_bipartite_projection" -> 2.07,
+    "a1_reachable_orders" -> 8.12,
+    "a20_clustering_coefficient" -> 2.83,
+    "a21_assortativity" -> 3.94,
+    "a22_betweenness" -> 12.59,
     "a23_scc" -> 0.02,
-    "a24_condensation_layers" -> 4.89,
-    "a25_eccentricity" -> 7.00,
-    "a2_shortest_hops" -> 4.70, // r16: edge-count dispatch picks the frontier family at sf1
-    "a3_connected_components" -> 3.69,
-    "a4_degree_histogram" -> 1.88,
-    "a5_pagerank" -> 7.95,
-    "a6_triangles" -> 0.12,
-    "a7_kcore" -> 9.91,
-    "a8_ppr" -> 4.85,
-    "a9_label_propagation" -> 0.02,
+    "a24_condensation_layers" -> 5.78,
+    "a25_eccentricity" -> 7.35,
+    "a2_shortest_hops" -> 7.00,
+    "a3_connected_components" -> 4.32,
+    "a4_degree_histogram" -> 2.35,
+    "a5_pagerank" -> 9.62,
+    "a6_triangles" -> 0.11,
+    "a7_kcore" -> 11.42,
+    "a8_ppr" -> 5.11,
+    "a9_label_propagation" -> 0.07,
     "cw_mailed_1hop" -> 0.23,
-    "d10_dup_ngrams" -> 1.22,
-    "d11_dup_ngram_removal" -> 6.64,
-    "d12_leakage_split" -> 1.63,
-    "d13_containment_pairs" -> 20.70,
-    "d14_ngram_jaccard_banded" -> 35.19,
-    "d15_semantic_decontam" -> 0.55, // r18: 64KB widening floor on the exact tier
-    "d16_exact_dedup_against" -> 0.69,
-    "d17_semantic_dedup_auto" -> 9.38,
-    "d1_minhash_near_dups" -> 0.06,
-    "d2_simhash_signatures" -> 2.74,
-    "d3_ngram_jaccard_pairs" -> 15.88,
-    "d4_embedding_near_dups" -> 41.90, // r16 re-measure: auto-H2 formula (16 tables + 45 H2 probes vs 58 tables H1), recall 0.975 -> 0.977
-    "d5_dedup_clusters" -> 1.44,
-    "d6_embedding_dups_exact" -> 0.38,
-    "d7_dedup_against" -> 10.52,
-    "d8_dedup_keepers" -> 1.73,
-    "d9_semantic_dedup" -> 3.85,
-    "e10_ann_ivfsq8_topk" -> 4.87,
-    "e11_ann_filtered_topk" -> 1.70,
-    "e12_kmeans_clusters" -> 3.33,
-    "e13_random_projection" -> 1.76,
-    "e14_mmr_rerank" -> 3.00,
-    "e15_ann_projected_topk" -> 6.9, // widened-scan re-measure 2026-08-16 (round 17)
-    "e16_mutual_knn" -> 21.0, // widened-scan re-measure 2026-08-16: the n² scan was file-split-bound (WideScanProbe)
-    "e17_mutual_knn_ivf" -> 0.95, // r18: floor fix inherits
-    "e18_mutual_knn_planted_exact" -> 0.70, // r18: 64KB widening floor (was one n^2 task)
-    "e1_ann_bruteforce_topk" -> 0.45, // widened-scan re-measure 2026-08-16
-    "e2_ann_lsh_topk" -> 6.10,
-    "e3_embedding_cluster_stats" -> 0.23,
-    "e4_ann_ivf_topk" -> 2.06,
-    "e5_ann_ivf_exact" -> 0.60, // r18: 64KB widening floor
-    "e6_ann_lsh_exact" -> 0.49,
-    "e7_ann_pq_topk" -> 20.23,
-    "e8_ann_ivfpq_topk" -> 21.41,
-    "e9_ann_sq8_topk" -> 1.98,
-    "g10_graph_query_subgraph" -> 3.25,
-    "g11_orth_overlay_match" -> 1.32,
-    "g12_createmem_diff" -> 2.56,
-    "g13_unbounded_reachability" -> 3.57,
-    "g14_temp_nested_layers" -> 1.84,
-    "g15_planned_strategy" -> 2.01,
-    "g16_where_predicate" -> 2.12,
-    "g17_bucketed_reopen" -> 9.79,
-    "g18_planned_middle" -> 1.62,
-    "g1_building_customer_orders" -> 0.57,
-    "g2_parts_of_customer_orders" -> 1.51,
-    "g3_out_degrees" -> 1.09,
-    "g4_union_overlap" -> 1.02,
-    "g5_second_next_order" -> 3.49,
-    "g6_orders_to_customer_backedges" -> 0.29,
-    "g7_part_suppliers_3hop" -> 2.75,
-    "g8_dml_roundtrip" -> 1.73,
-    "g9_csv_dict_ingest" -> 4.63,
-    "m1_media_features" -> 0.90,
-    "m2_media_near_dups" -> 1.87,
-    "m3_crossmodal_dedup" -> 1.90,
-    "miw_bulk_ingest" -> 0.05,
-    "q10_scalar_functions" -> 0.44,
-    "q11_analytic_windows" -> 0.70,
-    "q1_pricing_summary" -> 1.15,
-    "q2_revenue_by_nation" -> 0.72,
-    "q3_top_customers" -> 0.88,
-    "q4_first_events_per_user" -> 0.46,
-    "q5_customers_with_orders" -> 0.69,
-    "q6_customers_without_orders" -> 0.65,
-    "q7_events_hourly" -> 0.49,
-    "q8_orders_by_year_priority" -> 0.51,
-    "q9_rollup_totals" -> 0.71,
-    "qwfa_find_adjacent" -> 0.61,
-    "qwfn_find_neighbours" -> 0.26,
-    "qwfs_find_shortest" -> 0.34,
+    "d10_dup_ngrams" -> 1.30,
+    "d11_dup_ngram_removal" -> 7.49,
+    "d12_leakage_split" -> 1.68,
+    "d13_containment_pairs" -> 28.25,
+    "d14_ngram_jaccard_banded" -> 34.56,
+    "d15_semantic_decontam" -> 1.04,
+    "d16_exact_dedup_against" -> 0.74,
+    "d17_semantic_dedup_auto" -> 9.70,
+    "d1_minhash_near_dups" -> 0.07,
+    "d2_simhash_signatures" -> 2.89,
+    "d3_ngram_jaccard_pairs" -> 14.79,
+    "d4_embedding_near_dups" -> 17.16,
+    "d5_dedup_clusters" -> 1.47,
+    "d6_embedding_dups_exact" -> 0.33,
+    "d7_dedup_against" -> 9.49,
+    "d8_dedup_keepers" -> 2.27,
+    "d9_semantic_dedup" -> 4.02,
+    "e10_ann_ivfsq8_topk" -> 4.34,
+    "e11_ann_filtered_topk" -> 1.34,
+    "e12_kmeans_clusters" -> 2.90,
+    "e13_random_projection" -> 0.28,
+    "e14_mmr_rerank" -> 3.16,
+    "e15_ann_projected_topk" -> 2.73,
+    "e16_mutual_knn" -> 23.75,
+    "e17_mutual_knn_ivf" -> 1.37,
+    "e18_mutual_knn_planted_exact" -> 0.84,
+    "e1_ann_bruteforce_topk" -> 0.44,
+    "e2_ann_lsh_topk" -> 3.94,
+    "e3_embedding_cluster_stats" -> 0.28,
+    "e4_ann_ivf_topk" -> 2.42,
+    "e5_ann_ivf_exact" -> 1.40,
+    "e6_ann_lsh_exact" -> 0.65,
+    "e7_ann_pq_topk" -> 3.80,
+    "e8_ann_ivfpq_topk" -> 4.84,
+    "e9_ann_sq8_topk" -> 2.65,
+    "g10_graph_query_subgraph" -> 4.37,
+    "g11_orth_overlay_match" -> 1.43,
+    "g12_createmem_diff" -> 3.24,
+    "g13_unbounded_reachability" -> 4.62,
+    "g14_temp_nested_layers" -> 2.33,
+    "g15_planned_strategy" -> 2.76,
+    "g16_where_predicate" -> 2.20,
+    "g17_bucketed_reopen" -> 9.43,
+    "g18_planned_middle" -> 1.50,
+    "g1_building_customer_orders" -> 0.73,
+    "g2_parts_of_customer_orders" -> 1.45,
+    "g3_out_degrees" -> 1.16,
+    "g4_union_overlap" -> 0.93,
+    "g5_second_next_order" -> 3.52,
+    "g6_orders_to_customer_backedges" -> 0.27,
+    "g7_part_suppliers_3hop" -> 2.64,
+    "g8_dml_roundtrip" -> 1.57,
+    "g9_csv_dict_ingest" -> 3.41,
+    "m1_media_features" -> 0.92,
+    "m2_media_near_dups" -> 1.90,
+    "m3_crossmodal_dedup" -> 2.49,
+    "m4_audio_near_dups" -> 0.81,
+    "miw_bulk_ingest" -> 0.06,
+    "q10_scalar_functions" -> 0.83,
+    "q11_analytic_windows" -> 0.93,
+    "q1_pricing_summary" -> 1.23,
+    "q2_revenue_by_nation" -> 1.03,
+    "q3_top_customers" -> 0.83,
+    "q4_first_events_per_user" -> 0.64,
+    "q5_customers_with_orders" -> 0.83,
+    "q6_customers_without_orders" -> 0.69,
+    "q7_events_hourly" -> 0.59,
+    "q8_orders_by_year_priority" -> 0.63,
+    "q9_rollup_totals" -> 0.79,
+    "qwfa_find_adjacent" -> 0.78,
+    "qwfn_find_neighbours" -> 0.28,
+    "qwfs_find_shortest" -> 0.37,
     "s10_attribution" -> 0.76,
     "s11_trending_types" -> 0.47,
-    "s12_session_stats" -> 1.19,
-    "s13_sessionize_stream" -> 8.50, // r18: chunk parquets staged per session, pushed as file copies
-    "s14_sliding_window_stream" -> 13.00, // r18: staged chunk pushes
-    "s1_sliding_window_counts" -> 0.57,
-    "s2_user_sessions" -> 0.76,
-    "s3_asof_join" -> 0.91,
-    "s4_event_pairs" -> 1.33,
-    "s5_event_funnel" -> 0.72,
-    "s6_retention_cohorts" -> 1.01,
-    "s7_type_transitions" -> 0.86,
-    "s8_window_anomalies" -> 0.64,
-    "s9_active_users" -> 0.77,
-    "siw_incremental_ingest" -> 2.32,
-    "t10_interleave_sources" -> 0.21,
-    "t11_repetition" -> 0.33,
-    "t12_normalize" -> 0.36,
-    "t13_ngram_decontam" -> 0.52,
-    "t14_token_stats" -> 0.83,
-    "t15_length_stats" -> 0.35,
-    "t16_pii" -> 0.57,
-    "t17_token_budget" -> 0.96,
-    "t18_length_filter" -> 0.39,
-    "t19_surprisal" -> 1.32,
-    "t1_token_counts" -> 0.46,
-    "t20_line_dedup" -> 1.17,
-    "t21_tfidf" -> 3.53,
-    "t22_bm25" -> 3.06,
-    "t23_dsir_weights" -> 2.06,
-    "t24_stratified_sample" -> 0.15,
-    "t25_weighted_sample" -> 0.81,
-    "t26_bigram_surprisal" -> 2.26,
-    "t27_heavy_hitters" -> 0.57,
-    "t28_c4_filters" -> 0.29,
-    "t29_corpus_entropy" -> 0.70,
-    "t2_dedup_exact" -> 0.33,
-    "t30_gopher_filters" -> 1.19,
-    "t31_collocations" -> 1.40,
-    "t32_bpe_merges" -> 1.72,
-    "t33_bpe_token_counts" -> 2.89,
-    "t34_naive_bayes" -> 2.90, // r18: likelihood table broadcast (join was inverted; one 18.8s task)
-    "t35_textrank" -> 2.17,
-    "t36_perplexity_buckets" -> 1.66,
-    "t37_vocab" -> 0.52,
-    "t38_readability" -> 0.62,
-    "t39_distinct_tokens" -> 0.63,
-    "t3_doc_stats" -> 0.29,
-    "t40_distinct_tokens_sketch" -> 0.34,
-    "t41_chunking" -> 0.36,
-    "t42_mixture_rebalance" -> 0.66,
-    "t43_source_overlap" -> 3.50, // r18: wideT documents scan
-    "t44_source_overlap_sketch" -> 2.60, // r18: wideT documents scan
-    "t4_quality_scores" -> 0.82,
-    "t5_lang_id" -> 1.18,
-    "t6_fingerprints" -> 2.0, // wideT re-measure 2026-08-16: scan was row-group-bound
-    "t7_deterministic_sample" -> 0.15,
-    "t8_pack_sequences" -> 0.67,
-    "t9_decontamination" -> 0.22)
+    "s12_session_stats" -> 1.25,
+    "s13_sessionize_stream" -> 9.23,
+    "s14_sliding_window_stream" -> 14.79,
+    "s1_sliding_window_counts" -> 0.70,
+    "s2_user_sessions" -> 1.02,
+    "s3_asof_join" -> 1.30,
+    "s4_event_pairs" -> 1.64,
+    "s5_event_funnel" -> 0.74,
+    "s6_retention_cohorts" -> 1.29,
+    "s7_type_transitions" -> 0.98,
+    "s8_window_anomalies" -> 1.50,
+    "s9_active_users" -> 1.03,
+    "siw_incremental_ingest" -> 3.12,
+    "t10_interleave_sources" -> 0.27,
+    "t11_repetition" -> 0.42,
+    "t12_normalize" -> 0.43,
+    "t13_ngram_decontam" -> 0.65,
+    "t14_token_stats" -> 1.00,
+    "t15_length_stats" -> 0.47,
+    "t16_pii" -> 0.71,
+    "t17_token_budget" -> 1.13,
+    "t18_length_filter" -> 0.54,
+    "t19_surprisal" -> 1.61,
+    "t1_token_counts" -> 0.45,
+    "t20_line_dedup" -> 1.42,
+    "t21_tfidf" -> 3.15,
+    "t22_bm25" -> 4.57,
+    "t23_dsir_weights" -> 2.60,
+    "t24_stratified_sample" -> 0.20,
+    "t25_weighted_sample" -> 1.08,
+    "t26_bigram_surprisal" -> 3.09,
+    "t27_heavy_hitters" -> 0.65,
+    "t28_c4_filters" -> 0.35,
+    "t29_corpus_entropy" -> 0.93,
+    "t2_dedup_exact" -> 0.54,
+    "t30_gopher_filters" -> 1.45,
+    "t31_collocations" -> 1.83,
+    "t32_bpe_merges" -> 2.16,
+    "t33_bpe_token_counts" -> 3.56,
+    "t34_naive_bayes" -> 5.35,
+    "t35_textrank" -> 2.82,
+    "t36_perplexity_buckets" -> 2.07,
+    "t37_vocab" -> 0.68,
+    "t38_readability" -> 0.86,
+    "t39_distinct_tokens" -> 0.85,
+    "t3_doc_stats" -> 0.37,
+    "t40_distinct_tokens_sketch" -> 0.40,
+    "t41_chunking" -> 0.46,
+    "t42_mixture_rebalance" -> 0.65,
+    "t43_source_overlap" -> 4.25,
+    "t44_source_overlap_sketch" -> 2.98,
+    "t4_quality_scores" -> 0.97,
+    "t5_lang_id" -> 1.23,
+    "t6_fingerprints" -> 2.76,
+    "t7_deterministic_sample" -> 0.18,
+    "t8_pack_sequences" -> 0.76,
+    "t9_decontamination" -> 0.29)
+    // 157 anchors from graft_sf1_full ts_ms=1786902068803 total=548.115
 
   /** sf0.1 steady seconds by full query name (round-13 measurement:
     * pass-2 of the full-suite REPEAT=2 run, 2026-08-14, quiet VM,
