@@ -431,7 +431,7 @@ object Dedup {
 
   /** Banded-LSH pair generation from a (id, sig) signature table: one
     * (doc_a, doc_b) row per shared band bucket (callers dedupe). */
-  private def candidatesFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+  private[graft] def candidatesFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucketSize: Int): DataFrame = {
     val banded = bandBuckets(sigs, bands, rowsPerBand)
     val bucketed = banded.groupBy("band", "bucket")
@@ -1213,20 +1213,35 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val pruned = prunedGramPostings(docs, n, textCol, idCol, maxPostings)
     // minhash over the gram-hash SET: sig[h] = min_g xxhash64(h, g) — the
-    // permutation-hash construction, as one map-side-combined aggregation
-    // with numHashes min() columns (grams are already distinct per doc)
-    val minCols = (0 until numHashes).map(h =>
-      min(xxhash64(lit(h), col("gram"))).as(s"m$h"))
+    // permutation-hash construction. Round 20: computed by the fused
+    // graft_minhash_longs expression in ONE pass over the collected gram
+    // array (bit-identical to the previous 64-min-column aggregate,
+    // parity-pinned in PipelineSpec) — the aggregate form evaluated 64
+    // codegen'd buffer-slot min-updates per POSTING row in both the
+    // partial and final agg (measured 438.7 task-seconds at 10×, d14's
+    // top stage); the verify side needs collect_list(gram) anyway, so
+    // the signature is a narrow projection of it, after the checkpoint
+    // (min is order-insensitive — collect_list's nondeterministic order
+    // cannot leak into the signature).
+    // gram arrays are stored SORTED: the per-pair verify below is a
+    // two-pointer merge (graft_inter_sorted), and one n·log n sort per
+    // DOC at checkpoint time amortizes over the ~80 candidate pairs each
+    // doc participates in at 10× (vs array_intersect's per-PAIR hash
+    // set — measured ~13 µs/pair over 49M candidates, 20.7 s of d14's
+    // 24.6 s wall; the merge + below-threshold early exit cut the
+    // verify to ~1/4)
     val gramSets = pruned.groupBy(col("id"))
-      .agg(minCols.head, (minCols.tail :+ collect_list(col("gram")).as("gs")): _*)
+      .agg(sort_array(collect_list(col("gram"))).as("gs"))
       .localCheckpoint(true) // feeds banding AND both verify sides
     val sigs = gramSets.select(col("id"),
-      array((0 until numHashes).map(h => col(s"m$h")): _*).as("sig"))
+      call_function("graft_minhash_longs", col("gs"), lit(numHashes)).as("sig"))
     val cands = candidatesFromSigs(sigs, bands, rowsPerBand, maxBucketSize).distinct()
     cands
       .join(gramSets.select(col("id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
       .join(gramSets.select(col("id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))))
+      .withColumn("inter", call_function("graft_inter_sorted",
+        col("gs_a"), col("gs_b"), lit(threshold)))
+      .filter(col("inter") >= 0) // -1 = provably below threshold mid-merge
       .withColumn("jaccard", col("inter") /
         (size(col("gs_a")) + size(col("gs_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -1243,8 +1258,21 @@ object Dedup {
     * side, 3× slower. A drift between the exact and banded gram fronts
     * would silently break the d14 ≡ d3 equality pin — that is why this
     * body exists. */
+  /** Pair-stage width: one task per ~2M Σdf² pair-rows, floored at the
+    * session's parallelism (the width a CPU-heavy stage needs on an idle
+    * cluster), capped at 4096 (past that, task overhead dominates and
+    * the Σdf² guard has long since fired anyway). est = 0 (unknown)
+    * yields the floor. */
+  private[graft] def gramStageWidth(spark: org.apache.spark.sql.SparkSession,
+      est: Long): Int = {
+    val base = math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    math.min(4096L, math.max(base.toLong, est / 2000000L)).toInt
+  }
+
   private[graft] def prunedGramPostings(docs: DataFrame, n: Int,
-      textCol: String, idCol: String, maxPostings: Int): DataFrame = {
+      textCol: String, idCol: String, maxPostings: Int,
+      width: Int = 0): DataFrame = {
     graft.functions.expressions.GraftFunctions.init(docs.sparkSession)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1295,7 +1323,19 @@ object Dedup {
     }.toDF("gram", "cnt")
     val heavy = partials.groupBy(col("gram")).agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") > maxPostings).select(col("gram"))
+    // WIDTH PIN (round 20): plant the caller's width as a USER
+    // repartition on the window's own partition key — it satisfies the
+    // window's required distribution (no exchange added; the window's
+    // ENSURE_REQUIREMENTS exchange is replaced, not preceded) and user
+    // repartitions are exempt from AQE's bytes-based coalescing, so the
+    // CPU-heavy stage above it (df window + the exact tier's pair join,
+    // which reuses this same gram partitioning) keeps its width instead
+    // of collapsing on these byte-light 16-byte rows. width <= 0 = the
+    // parallelism floor (the banded tier's case: its downstream work is
+    // a groupBy(id), only the window itself reads this exchange).
+    val w = if (width > 0) width else gramStageWidth(spark, 0L)
     postings.join(broadcast(heavy), Seq("gram"), "left_anti")
+      .repartition(w, col("gram"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("df") <= maxPostings).drop("df")
   }
@@ -1319,21 +1359,34 @@ object Dedup {
     // produced) estimates the join size; above budget this fails fast
     // naming the banded route instead of launching a runaway join.
     // pairBudget <= 0 disables (the caller accepts unbounded pair work).
-    if (pairBudget > 0) {
-      val est = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxPostings)
-        .agg(sum(col("df") * col("df")).as("s"))
-        .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-        .getOrElse(0L)
-      if (est > pairBudget) throw new IllegalStateException(
-        s"$caller: estimated postings self-join size (Sigma df^2 = $est over " +
-          s"df <= $maxPostings grams) exceeds pairBudget = $pairBudget — the " +
-          "exact tier is superlinear on duplicate-heavy corpora. Use " +
-          "ngramJaccardPairsBanded (banded minhash over the same gram " +
-          "identity, linear in duplicate mass) or raise pairBudget if the " +
-          "join size is genuinely acceptable.")
-    }
-    val pruned = prunedGramPostings(docs, n, textCol, idCol, maxPostings)
+    val est = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxPostings)
+      .agg(sum(col("df") * col("df")).as("s"))
+      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    if (pairBudget > 0 && est > pairBudget) throw new IllegalStateException(
+      s"$caller: estimated postings self-join size (Sigma df^2 = $est over " +
+        s"df <= $maxPostings grams) exceeds pairBudget = $pairBudget — the " +
+        "exact tier is superlinear on duplicate-heavy corpora. Use " +
+        "ngramJaccardPairsBanded (banded minhash over the same gram " +
+        "identity, linear in duplicate mass) or raise pairBudget if the " +
+        "join size is genuinely acceptable.")
+    // WIDTH PIN (round 20, the t21/t34 AQE-coalescing class): left to
+    // ENSURE_REQUIREMENTS, the pair stage's width comes from the df
+    // window's exchange, which AQE coalesces by BYTES — and gram-hash
+    // postings are 16-byte rows carrying df² PAIR work each, so the
+    // stage that generates every pair ran 16 uniform ~7.7 s tasks on 32
+    // cores at 10× (sweep r19 stage 6686: avg 7.7 s ≈ max 8.2 s — an
+    // under-wide uniform stage, NOT hot-bucket skew; no salting needed).
+    // The Σdf² estimate the budget guard already computes IS the pair
+    // count, so derive the width from it: one task per ~2M ordered
+    // pair-rows, floored at the session's parallelism, capped at 4096.
+    // prunedGramPostings plants the user repartition (coalesce-exempt)
+    // below its df window, whose gram partitioning the self-join then
+    // reuses — ONE exchange feeds window, join and pair generation, all
+    // at the pinned width, with no exchange added over the old plan.
+    val width = gramStageWidth(docs.sparkSession, est)
+    val pruned = prunedGramPostings(docs, n, textCol, idCol, maxPostings, width)
     val sizes = pruned.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = pruned.select(col("gram"), col("id").as("doc_a"))
       .join(pruned.select(col("gram"), col("id").as("doc_b")), "gram")

@@ -157,6 +157,10 @@ object GraftFunctions {
       children => MinHashSignature.fromChildren(children)),
     ("graft_shingle_hashes", classOf[ShingleHashes].getCanonicalName,
       children => ShingleHashes.fromChildren(children)),
+    ("graft_minhash_longs", classOf[MinHashFromLongs].getCanonicalName,
+      children => MinHashFromLongs.fromChildren(children)),
+    ("graft_inter_sorted", classOf[InterSortedGe].getCanonicalName,
+      children => InterSortedGe.fromChildren(children)),
     ("graft_ngram_hashes", classOf[NgramHashes].getCanonicalName,
       children => NgramHashes.fromChildren(children)),
     ("graft_nfc", classOf[NfcNormalize].getCanonicalName,

@@ -211,3 +211,163 @@ object NgramHashes {
     NgramHashes(children(0), MinHashSignature.intLit(children(1), "graft_ngram_hashes", "n"))
   }
 }
+
+/** Native MinHash signature over an ALREADY-HASHED gram set
+  * (ARRAY<LONG>) — the banded n-gram tier's signature
+  * (`Dedup.ngramJaccardPairsBanded`) in one codegen'd pass per document.
+  *
+  * Bit-for-bit equal (parity-pinned in PipelineSpec) to the 64-column
+  * aggregate formulation `agg(min(xxhash64(lit(h), gram)) for h <- 0
+  * until numHashes)` the tier previously built: Spark's
+  * `xxhash64(lit(h), gram)` hashes the INT literal h first
+  * (`XXH64.hashInt(h, seed 42)`) and chains the LONG gram through the
+  * result, and `min` on LONG is the signed minimum. Seeds are
+  * precomputed once per expression instance; the per-row cost is one
+  * `hashLong` per (gram, hash) pair in a tight loop — the same hash
+  * count as the aggregate form, without 64 codegen'd buffer-slot
+  * updates per posting row. An empty gram array yields the identity
+  * signature (Long.MaxValue everywhere) — unreachable from the postings
+  * path, where a doc with no gram has no row at all. */
+case class MinHashFromLongs(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) if numHashes > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_longs requires (ARRAY<LONG>, numHashes > 0), got " +
+          s"${other.catalogString}, numHashes=$numHashes")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val seeds: Array[Long] =
+    MinHashFromLongs.seedsFor(numHashes)
+
+  override def nullSafeEval(t: Any): Any =
+    MinHashFromLongs.compute(t.asInstanceOf[ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.MinHashFromLongs.compute($c, $seedsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashFromLongs {
+  /** seeds[h] = XXH64.hashInt(h, 42) — what Spark's xxhash64 folds the
+    * leading INT literal h into before the gram long is chained. */
+  def seedsFor(numHashes: Int): Array[Long] = {
+    val s = new Array[Long](numHashes)
+    var h = 0
+    while (h < numHashes) { s(h) = XXH64.hashInt(h, 42L); h += 1 }
+    s
+  }
+
+  def compute(grams: ArrayData, seeds: Array[Long]): ArrayData = {
+    val sig = new Array[Long](seeds.length)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = grams.numElements()
+    var i = 0
+    while (i < n) {
+      val g = grams.getLong(i)
+      var h = 0
+      while (h < seeds.length) {
+        val v = XXH64.hashLong(g, seeds(h))
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  private[expressions] def fromChildren(children: Seq[Expression]): Expression = {
+    require(children.size == 2, "graft_minhash_longs(grams, numHashes) takes 2 arguments")
+    MinHashFromLongs(children(0),
+      MinHashSignature.intLit(children(1), "graft_minhash_longs", "numHashes"))
+  }
+}
+
+/** Exact intersection size of two SORTED distinct LONG arrays with a
+  * provable below-threshold early exit — the banded tier's per-pair
+  * verify (`graft_inter_sorted(gs_a, gs_b, t)`), replacing
+  * `size(array_intersect(a, b))`, which builds a hash set PER PAIR
+  * (measured ~13 µs/pair over d14's 49M candidates at 10×; the merge is
+  * two pointer walks over pre-sorted arrays).
+  *
+  * Returns the exact intersection count when Jaccard(a, b) ≥ t can
+  * still hold, or -1 as soon as it provably cannot: Jaccard ≥ t ⟺
+  * inter ≥ t·(|a|+|b|)/(1+t), and during the merge
+  * `matches + min(remaining_a, remaining_b)` is a sharp upper bound on
+  * the final count — once it drops below the needed floor the pair is
+  * dead, no matter how the tails align. -1 is a FILTER signal only:
+  * callers must treat it as "below threshold", never as a count.
+  * Inputs MUST be sorted ascending (signed) and duplicate-free —
+  * `sort_array(collect_list(gram))` over per-doc distinct grams; the
+  * expression does not re-verify this. */
+case class InterSortedGe(left: Expression, right: Expression, threshold: Double)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _))
+        if threshold >= 0.0 && threshold <= 1.0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_inter_sorted requires (ARRAY<LONG>, ARRAY<LONG>, 0 <= t <= 1), got " +
+          s"${l.catalogString}, ${r.catalogString}, t=$threshold")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    InterSortedGe.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.InterSortedGe.compute($a, $b, $threshold)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object InterSortedGe {
+  def compute(a: ArrayData, b: ArrayData, t: Double): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    // the exact floor is i >= t(na+nb)/(1+t); a -1 slack makes `needed`
+    // a strict UNDER-estimate under any double rounding of the product —
+    // the final keep/drop decision is the caller's own jaccard >= t
+    // double compare on the returned count, so an under-estimate only
+    // costs one unit of pruning, never a wrongly dropped pair
+    val needed = math.floor(t * (na + nb) / (1.0 + t)).toInt - 1
+    var i = 0
+    var j = 0
+    var m = 0
+    while (i < na && j < nb) {
+      if (m + math.min(na - i, nb - j) < needed) return -1
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { m += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (m < needed) -1 else m
+  }
+
+  private[expressions] def fromChildren(children: Seq[Expression]): Expression = {
+    require(children.size == 3, "graft_inter_sorted(a, b, t) takes 3 arguments")
+    val t = children(2) match {
+      case Literal(v: Double, DoubleType) => v
+      case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_inter_sorted: t must be a DOUBLE literal, got $other")
+    }
+    InterSortedGe(children(0), children(1), t)
+  }
+}

@@ -122,6 +122,11 @@ object PqCore {
     require(starts.length >= 2 && starts(0) == 0 && starts.last > 0 &&
       cents.length % starts.last == 0,
       s"$fn: starts must be nSub+1 prefix offsets covering ${cents.length} cents")
+    // prefix offsets must be monotonic non-decreasing — a malformed array
+    // that passes the endpoint checks would silently skip subspaces or
+    // produce negative loop bounds downstream
+    require(starts.sliding(2).forall(p => p(0) <= p(1)),
+      s"$fn: starts must be non-decreasing prefix offsets, got ${starts.mkString("[", ",", "]")}")
     (cents, starts)
   }
 }
@@ -213,21 +218,45 @@ case class AdcSum(left: Expression, right: Expression) extends BinaryExpression 
     var s = 0.0
     var i = 0
     val n = codes.numElements()
-    while (i < n) { s += lut.getDouble(codes.getInt(i)); i += 1 }
+    val m = lut.numElements()
+    while (i < n) {
+      val c = codes.getInt(i)
+      // UnsafeArrayData.getDouble does NO bounds check — a mismatched
+      // codes/lut pair would silently read garbage off the row buffer
+      if (c < 0 || c >= m) AdcSum.outOfRange(c, m)
+      s += lut.getDouble(c); i += 1
+    }
     s
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
       val s = ctx.freshName("s")
       s"""
          |final int $n = $a.numElements();
+         |final int $m = $b.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $s += $b.getDouble($a.getInt($i)); }
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final int $c = $a.getInt($i);
+         |  if ($c < 0 || $c >= $m)
+         |    graft.functions.expressions.AdcSum.outOfRange($c, $m);
+         |  $s += $b.getDouble($c);
+         |}
          |${ev.value} = $s;
        """.stripMargin
     })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object AdcSum {
+  /** Shared throw helper for both eval paths (keeps the generated loop
+    * body free of string concatenation). */
+  def outOfRange(code: Int, lutLen: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"graft_adc: code $code out of range for LUT of $lutLen entries — " +
+        "codes and lut disagree on the subspace/centroid geometry")
 }

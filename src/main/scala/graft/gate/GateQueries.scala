@@ -828,7 +828,13 @@ object GateQueries {
       // (one 1.1 s task), and it measures the fixture writer, not the
       // ingest operator.
       val path = g9CsvCache(s, d) {
-        val p = s"/tmp/graft_g9_csv_${java.lang.Integer.toHexString(d.hashCode)}"
+        // collision-resistant staging key: the write is memoized per
+        // (session, dir), so two sf dirs colliding on a 32-bit hashCode
+        // would silently serve each other's CSV — key on a SHA-256 of
+        // the full dir path instead
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(d.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+        val p = s"/tmp/graft_g9_csv_$sha"
         t(s, d, "orders").select(
             concat(lit("c"), col("o_custkey")).as("sname"),
             when(col("o_orderkey") % 3 === 0, lit(null))

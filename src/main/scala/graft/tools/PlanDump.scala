@@ -14,6 +14,9 @@ object PlanDump {
     val spark = SparkSession.builder().master("local[32]")
       .appName("plan-dump")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC") // match the bench
+      // session — timestamp-sensitive gates (q7, s-series) must plan and
+      // execute here exactly as they do under the harness
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
