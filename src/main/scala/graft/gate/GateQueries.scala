@@ -201,10 +201,19 @@ object GateQueries {
   private val pendingDeletes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private lazy val deleteHook: Unit = Runtime.getRuntime.addShutdownHook(
     new Thread(() => pendingDeletes.forEach(d => deleteStreamDir(d))))
-  private def deferDelete(dir: String): Unit = {
+  private[graft] def deferDelete(dir: String): Unit = {
     deleteHook
     pendingDeletes.add(dir)
   }
+  /** Test hooks for the deferred-delete contract (round 20): eviction
+    * must QUEUE a disk-backed dir, not delete it — and the shutdown hook
+    * must reap the queue. The spec cannot fire a real JVM shutdown, so
+    * it reaps one dir through the same body the hook runs; reaping a
+    * single dir (not the whole queue) keeps the test from deleting other
+    * gates' live staged fixtures in the shared test JVM. */
+  private[graft] def isPendingDelete(dir: String): Boolean = pendingDeletes.contains(dir)
+  private[graft] def reapPendingDelete(dir: String): Boolean =
+    if (pendingDeletes.remove(dir)) { deleteStreamDir(dir); true } else false
 
   /** g9's staged CSV fixture path, once per (session, dir) — see the
     * gate's comment. deferDelete onEvict: the path may be lazily read by

@@ -2002,4 +2002,120 @@ class PipelineSpec extends AnyFunSuite {
     assert(out6.contains(6L) && Set("A", "B").contains(out6(6L)))
     assert(out6(1L) === "A" && out6(3L) === "B")
   }
+
+  test("graft_minhash_longs ≡ the min(xxhash64(h, gram)) aggregate, bit for bit") {
+    // the banded tier's round-20 fused signature must reproduce the
+    // 64-min-column aggregate it replaced EXACTLY — same seed chain
+    // (hashInt(h, 42) folded into hashLong(gram)), same signed min —
+    // including corpus unicode and the one-gram doc
+    graft.functions.expressions.GraftFunctions.init(spark)
+    val docs = docsDF(1L -> base, 2L -> nearDup, 3L -> unrelated,
+      4L -> "one two three", 5L -> "\u0130stanbul \u0130\u0130 tiny doc here")
+    val numHashes = 16
+    val grams = docs.select(col("doc_id").as("id"),
+      explode(call_function("graft_ngram_hashes", col("text"), lit(3))).as("gram"))
+    val aggForm = grams.groupBy(col("id"))
+      .agg(min(xxhash64(lit(0), col("gram"))).as("m0"),
+        (1 until numHashes).map(h => min(xxhash64(lit(h), col("gram"))).as(s"m$h")): _*)
+      .select(col("id"), array((0 until numHashes).map(h => col(s"m$h")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fused = grams.groupBy(col("id")).agg(sort_array(collect_list(col("gram"))).as("gs"))
+      .select(col("id"),
+        call_function("graft_minhash_longs", col("gs"), lit(numHashes)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused === aggForm)
+    // empty gram array (unreachable from postings) -> identity signature
+    val emptySig = Seq(Tuple1(Array.empty[Long])).toDF("gs")
+      .select(call_function("graft_minhash_longs", col("gs"), lit(4)).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(emptySig === Seq.fill(4)(Long.MaxValue))
+  }
+
+  test("graft_inter_sorted: exact count when >= threshold can hold, -1 only when provably below") {
+    // contract vs size(array_intersect): a non-negative return must EQUAL
+    // the intersect size; -1 may only appear where the true jaccard is
+    // below threshold (the early exit must never kill a passing pair)
+    graft.functions.expressions.GraftFunctions.init(spark)
+    val docs = docsDF(1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated,
+      5L -> "short text", 6L -> "the quick brown fox", 7L -> "a b c d e f g h")
+    val sets = docs.select(col("doc_id").as("id"),
+      sort_array(call_function("graft_ngram_hashes", col("text"), lit(2))).as("gs"))
+    for (t <- Seq(0.0, 0.3, 0.5, 1.0)) {
+      val pairs = sets.toDF("doc_a", "gs_a")
+        .crossJoin(sets.toDF("doc_b", "gs_b")).filter(col("doc_a") < col("doc_b"))
+        .withColumn("m", call_function("graft_inter_sorted", col("gs_a"), col("gs_b"), lit(t)))
+        .withColumn("exact", size(array_intersect(col("gs_a"), col("gs_b"))))
+        .withColumn("jac", col("exact") /
+          (size(col("gs_a")) + size(col("gs_b")) - col("exact")).cast("double"))
+        .collect()
+      assert(pairs.nonEmpty)
+      pairs.foreach { r =>
+        val (m, exact, jac) =
+          (r.getAs[Int]("m"), r.getAs[Int]("exact"), r.getAs[Double]("jac"))
+        if (m >= 0) assert(m === exact, s"count mismatch at t=$t: $r")
+        else assert(jac < t, s"early exit killed a passing pair at t=$t: $r")
+      }
+    }
+    // corners: identical, disjoint, empty-vs-nonempty, empty-vs-empty
+    val corner = Seq(
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array.empty[Long], Array.empty[Long])).toDF("a", "b")
+      .withColumn("m", call_function("graft_inter_sorted", col("a"), col("b"), lit(0.5)))
+      .collect().map(_.getInt(2))
+    assert(corner(0) === 3)
+    assert(corner(1) === -1) // 0/6 provably below 0.5
+    assert(corner(2) <= 0)   // 0 matches: either -1 or 0, never positive
+    assert(corner(3) === 0)  // 0/0: expression returns 0; the caller's
+                             // null-jaccard filter drops it, as array_intersect's did
+  }
+
+  test("gramStageWidth: parallelism floor, Sigma-df^2 scaling, 4096 cap") {
+    val base = math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    assert(Dedup.gramStageWidth(spark, 0L) === base)
+    assert(Dedup.gramStageWidth(spark, 2000000L * base) === base) // floor binds up to base tasks' worth
+    assert(Dedup.gramStageWidth(spark, 2000000L * (base + 7)) === base + 7)
+    assert(Dedup.gramStageWidth(spark, Long.MaxValue) === 4096)
+  }
+
+  test("deferred delete: eviction queues a disk-backed dir; the shutdown-hook body reaps it") {
+    // ADVICE r18 / VERDICT r19 #7: deleting at eviction time turns an
+    // eviction under concurrent gates into a mid-run
+    // FileNotFoundException, so onEvict must QUEUE the dir for the JVM
+    // shutdown hook — red if a refactor bypasses deferDelete again
+    val dir = java.nio.file.Files.createTempDirectory("graft_evict_test")
+    java.nio.file.Files.write(dir.resolve("x.txt"), "payload".getBytes)
+    val cache = new graft.util.SessionCache[String](
+      maxEntries = 1, onEvict = graft.gate.GateQueries.deferDelete)
+    cache(spark, "k1")(dir.toString)
+    cache(spark, "k2")("other-entry") // LRU-evicts k1 at maxEntries = 1
+    assert(java.nio.file.Files.exists(dir),
+      "eviction must defer the delete, not remove a possibly-handed-out dir")
+    assert(graft.gate.GateQueries.isPendingDelete(dir.toString),
+      "evicted dir was not queued for the shutdown hook")
+    assert(graft.gate.GateQueries.reapPendingDelete(dir.toString))
+    assert(!java.nio.file.Files.exists(dir), "the hook body must remove the dir")
+    assert(!graft.gate.GateQueries.isPendingDelete(dir.toString))
+  }
+
+  test("g9 staging is memoized per (session, dir) under a collision-resistant key") {
+    // round 19 memoized the fixture write; round 20 keys it by SHA-256 of
+    // the sf dir (a 32-bit hashCode collision between two dirs would
+    // silently serve the wrong CSV). Pin both: the staged path is the
+    // SHA-derived one, and a second execution does not rewrite it.
+    val d = "/root/testdata/sf0.001"
+    val q = graft.gate.GateQueries.queries("g9_csv_dict_ingest")
+    val c1 = q(spark, d).count()
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    val staged = new java.io.File(s"/tmp/graft_g9_csv_$sha")
+    assert(staged.isDirectory, s"staged CSV not at the SHA-derived path: $staged")
+    val stamps = staged.listFiles().map(f => f.getName -> f.lastModified).toMap
+    val c2 = q(spark, d).count()
+    assert(c2 === c1)
+    val after = staged.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after === stamps, "second execution rewrote the staged fixture")
+  }
 }

@@ -225,6 +225,38 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), s"no partial agg on the token explode:\n$plan")
   }
 
+  test("tfidf width pin: agg and window read user-repartitioned (coalesce-exempt) exchanges") {
+    // round 19's t21 fix, pinned round 20 the way t34's broadcast is
+    // (VERDICT r19 #3): the tf aggregate and the top-m rank window sit
+    // over byte-light CPU-heavy rows, and left to ENSURE_REQUIREMENTS
+    // their exchanges are AQE-coalesced by BYTES — at 10x the whole
+    // fused stage ran as ONE task. The explicit repartitions satisfy
+    // the required distributions (no extra exchange) and are exempt
+    // from coalescing; nothing else build-breaks if a refactor drops
+    // them, so the plan must show BOTH user-originated exchanges.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.functions.TextAnalysis.tfidfTerms(docs, topM = 10))
+    val userExchanges = "REPARTITION_BY_COL".r.findAllIn(plan).size
+    assert(userExchanges >= 2,
+      s"expected the (id, term) agg repartition AND the doc-keyed window repartition, found $userExchanges:\n$plan")
+  }
+
+  test("n-gram pair stage width pin: the postings exchange is user-originated at the Sigma-df^2 width") {
+    // round 20 (VERDICT r19 #1): the pair-generating self-join reads the
+    // df window's gram exchange, and AQE coalesced those byte-light
+    // 16-byte rows to HALF the core count while each row carried df^2
+    // pair work — 16 uniform ~7.7 s tasks on 32 cores at 10x (NOT
+    // hot-bucket skew; sweep avg = max). prunedGramPostings plants a
+    // user repartition (REPARTITION_BY_NUM, coalesce-exempt) below the
+    // window at the width gramPairSizes derives from the Sigma-df^2
+    // estimate, and window + self-join + pair generation all reuse that
+    // one exchange. Red if the repartition is dropped.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.functions.Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3))
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"gram postings exchange is not user-pinned (AQE will re-collapse the pair stage):\n$plan")
+  }
+
   test("tfidfTerms: partial-aggregated tf, broadcast N, term-keyed df join") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = planOf(graft.functions.TextAnalysis.tfidfTerms(docs, topM = 10))
