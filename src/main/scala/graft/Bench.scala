@@ -43,6 +43,21 @@ object Bench {
     * failed. */
   final case class QRun(name: String, wall: Option[Double], cpuSec: Double, shufMiB: Double)
 
+  /** Adjudication WATCHLIST (round 20, VERDICT r19 #5/#6): gates that
+    * always get a rerun rider in single-pass runs, independent of the
+    * noise/anchor triggers — the seven sf0.1 lines that drifted
+    * +0.5–0.9 s in r19 within their sf1 bands but with no committed
+    * rerun evidence (the documented box-epoch pattern needs the
+    * adjudicating number IN the artifact, not argued after the fact),
+    * headed by a11 (top a-line, anchor ratio 1.047 and drifting).
+    * ~13 s of the 120 s budget at sf0.1; watchlist entries rank at
+    * their natural anchor ratio, so genuinely smeared gates still
+    * adjudicate first. */
+  private[graft] val rerunWatchlist: Set[String] = Set(
+    "a11_hits", "s14_sliding_window_stream", "a12_modularity",
+    "t32_bpe_merges", "a15_harmonic_closeness", "d8_dedup_keepers",
+    "g17_bucketed_reopen")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -402,7 +417,9 @@ object Bench {
         def overSteady(n: String, t: Double): Boolean =
           anchorSec.get(n).exists(s => t > anchorMult(n) * s)
         results.zipWithIndex.collect {
-          case (QRun(n, Some(t), _, _), i) if (noisy(i) || overSteady(n, t)) && t > 0.5 => (n, t)
+          case (QRun(n, Some(t), _, _), i)
+            if Bench.rerunWatchlist.contains(n) ||
+              ((noisy(i) || overSteady(n, t)) && t > 0.5) => (n, t)
         }.sortBy { case (n, t) => (-ratioOf(n, t), -t) }
       }
     val rerunDetails: Seq[QRun] =

@@ -161,6 +161,8 @@ object GraftFunctions {
       children => MinHashFromLongs.fromChildren(children)),
     ("graft_inter_sorted", classOf[InterSortedGe].getCanonicalName,
       children => InterSortedGe.fromChildren(children)),
+    ("graft_inter_sorted_int", classOf[InterSortedGeInt].getCanonicalName,
+      children => InterSortedGeInt.fromChildren(children)),
     ("graft_ngram_hashes", classOf[NgramHashes].getCanonicalName,
       children => NgramHashes.fromChildren(children)),
     ("graft_nfc", classOf[NfcNormalize].getCanonicalName,

@@ -371,3 +371,70 @@ object InterSortedGe {
     InterSortedGe(children(0), children(1), t)
   }
 }
+
+/** [[InterSortedGe]] over sorted ARRAY<INT> MULTISETS — the banded
+  * tier's 32-bit prefilter stage (`graft_inter_sorted_int`). Inputs are
+  * 32-bit truncations of the sorted 64-bit gram arrays; truncation only
+  * MERGES grams (never splits), so the multiset merge-count
+  * Σ min(countA, countB) is an UPPER bound on the true 64-bit
+  * intersection — a -1 (provably below threshold) verdict here is
+  * final, while a non-negative return only admits the pair to the exact
+  * 64-bit stage. Duplicates are handled by the same merge (equal values
+  * consume one element from each side = min-count semantics). */
+case class InterSortedGeInt(left: Expression, right: Expression, threshold: Double)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _))
+        if threshold >= 0.0 && threshold <= 1.0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_inter_sorted_int requires (ARRAY<INT>, ARRAY<INT>, 0 <= t <= 1), got " +
+          s"${l.catalogString}, ${r.catalogString}, t=$threshold")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    InterSortedGeInt.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.InterSortedGeInt.compute($a, $b, $threshold)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object InterSortedGeInt {
+  def compute(a: ArrayData, b: ArrayData, t: Double): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    // same conservative floor as InterSortedGe (see there)
+    val needed = math.floor(t * (na + nb) / (1.0 + t)).toInt - 1
+    var i = 0
+    var j = 0
+    var m = 0
+    while (i < na && j < nb) {
+      if (m + math.min(na - i, nb - j) < needed) return -1
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x == y) { m += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (m < needed) -1 else m
+  }
+
+  private[expressions] def fromChildren(children: Seq[Expression]): Expression = {
+    require(children.size == 3, "graft_inter_sorted_int(a, b, t) takes 3 arguments")
+    val t = children(2) match {
+      case Literal(v: Double, DoubleType) => v
+      case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_inter_sorted_int: t must be a DOUBLE literal, got $other")
+    }
+    InterSortedGeInt(children(0), children(1), t)
+  }
+}

@@ -20,7 +20,8 @@ object D14Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.expressions.GraftFunctions.init(spark)
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = spark.read.parquet(
+      sys.env.getOrElse("D14_DOCS", s"$sfDir/documents.parquet"))
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[d14probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
@@ -54,15 +55,14 @@ object D14Probe {
         .count()
     }
     println(s"[d14probe] ratio survivors: $surv of $cc")
-    val out = cands
-      .join(gramSets.select(col("id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
-      .join(gramSets.select(col("id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))))
-      .withColumn("jaccard", col("inter") /
-        (size(col("gs_a")) + size(col("gs_b")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.3)
-    val oc = time("verify count") { out.count() }
+    // the phases above decompose the tier's internals; the final number
+    // is the REAL gate function (incl. the round-20 two-stage verify
+    // guard), so probe totals stay comparable to the sweep
+    val out = graft.functions.Dedup.ngramJaccardPairsBanded(docs, n, threshold = 0.3)
+    val oc = time("full banded gate") { out.count() }
     println(s"[d14probe] pairs: $oc")
+    if (sys.env.contains("D14_EXPLAIN"))
+      println(out.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

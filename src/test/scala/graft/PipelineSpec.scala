@@ -2071,6 +2071,65 @@ class PipelineSpec extends AnyFunSuite {
                              // null-jaccard filter drops it, as array_intersect's did
   }
 
+  test("banded verify: past-broadcast two-stage path ≡ the single-stage path, bit for bit") {
+    // round 20 scale guard: past the broadcast threshold the verify runs
+    // a 32-bit-truncated prefilter stage before the exact 64-bit merge
+    // (halves the dominant wide-shuffle payload; 240 -> 49 s at the
+    // 500k-doc probe point). Truncation only merges grams, so the
+    // prefilter's multiset count upper-bounds the true intersection and
+    // a -1 there is final — meaning the two paths must produce the SAME
+    // pairs and values. Force the big path by shrinking the broadcast
+    // threshold and compare against the default path on the same corpus.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val small = keyed(Dedup.ngramJaccardPairsBanded(docs, n = 3, threshold = 0.3))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val big = keyed(Dedup.ngramJaccardPairsBanded(docs, n = 3, threshold = 0.3))
+      assert(small.nonEmpty)
+      assert(big === small)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("graft_inter_sorted_int: upper bound on the 64-bit intersection, -1 only when provably below") {
+    graft.functions.expressions.GraftFunctions.init(spark)
+    val docs = docsDF(1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated,
+      5L -> "short text", 6L -> "the quick brown fox")
+    val sets = docs.select(col("doc_id").as("id"),
+      sort_array(call_function("graft_ngram_hashes", col("text"), lit(2))).as("gs"))
+      .withColumn("g32", sort_array(transform(col("gs"),
+        g => shiftright(g, 32).cast("int"))))
+    val t = 0.3
+    val rows = sets.select(col("id").as("doc_a"), col("gs").as("gs_a"), col("g32").as("g32_a"))
+      .crossJoin(sets.select(col("id").as("doc_b"), col("gs").as("gs_b"), col("g32").as("g32_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("ub", call_function("graft_inter_sorted_int", col("g32_a"), col("g32_b"), lit(t)))
+      .withColumn("exact", size(array_intersect(col("gs_a"), col("gs_b"))))
+      .withColumn("jac", col("exact") /
+        (size(col("gs_a")) + size(col("gs_b")) - col("exact")).cast("double"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ub, exact, jac) = (r.getAs[Int]("ub"), r.getAs[Int]("exact"), r.getAs[Double]("jac"))
+      if (ub >= 0) assert(ub >= exact, s"prefilter bound below the true intersection: $r")
+      else assert(jac < t, s"prefilter killed a passing pair: $r")
+    }
+    // forced-collision multiset corner: two distinct longs sharing the
+    // same high 32 bits truncate to a duplicate — the merge must count
+    // min-multiplicity, keeping the bound >= the true intersection
+    val a = Seq(Tuple2(Array(1L << 32 | 1L, 1L << 32 | 2L, 7L << 32),
+      Array(1L << 32 | 3L, 7L << 32))).toDF("ga", "gb")
+      .select(
+        call_function("graft_inter_sorted_int",
+          sort_array(transform(col("ga"), g => shiftright(g, 32).cast("int"))),
+          sort_array(transform(col("gb"), g => shiftright(g, 32).cast("int"))),
+          lit(0.0)).as("ub"))
+      .collect().head.getInt(0)
+    assert(a === 2) // ints [1,1,7] vs [1,7]: min-counts 1+1 — true 64-bit inter is 1
+  }
+
   test("gramStageWidth: parallelism floor, Sigma-df^2 scaling, 4096 cap") {
     val base = math.max(spark.sessionState.conf.numShufflePartitions,
       spark.sparkContext.defaultParallelism)
