@@ -433,6 +433,7 @@ object Dedup {
     * (doc_a, doc_b) row per shared band bucket (callers dedupe). */
   private[graft] def candidatesFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucketSize: Int): DataFrame = {
+    graft.functions.expressions.GraftFunctions.init(sigs.sparkSession)
     val banded = bandBuckets(sigs, bands, rowsPerBand)
     val bucketed = banded.groupBy("band", "bucket")
       .agg(collect_list(col("id")).as("ids"))
@@ -442,10 +443,15 @@ object Dedup {
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
   }
 
-  /** All ordered pairs (a<b) of a sorted array — lambda expression. */
+  /** All ordered pairs (a<b) of a sorted array — the fused
+    * [[graft.functions.expressions.PairsOfSorted]] expression (round 20):
+    * the lambda chain (`flatten(transform(ids, (a, i) =>
+    * transform(slice(ids, i + 2, n), …)))`) re-evaluated interpreted
+    * HigherOrderFunctions per element and copied an O(s) slice per OUTER
+    * element; emission order and values are bit-identical (parity-pinned
+    * in PipelineSpec). */
   private def pairsOf(sorted: Column): Column =
-    flatten(transform(sorted, (a, i) =>
-      transform(slice(sorted, i + 2, size(sorted)), b => struct(a.as("_1"), b.as("_2")))))
+    call_function("graft_pairs_of", sorted)
 
   /** MinHash LSH candidates verified by exact shingle Jaccard ≥ threshold.
     *

@@ -163,6 +163,8 @@ object GraftFunctions {
       children => InterSortedGe.fromChildren(children)),
     ("graft_inter_sorted_int", classOf[InterSortedGeInt].getCanonicalName,
       children => InterSortedGeInt.fromChildren(children)),
+    ("graft_pairs_of", classOf[PairsOfSorted].getCanonicalName,
+      children => PairsOfSorted.fromChildren(children)),
     ("graft_ngram_hashes", classOf[NgramHashes].getCanonicalName,
       children => NgramHashes.fromChildren(children)),
     ("graft_nfc", classOf[NfcNormalize].getCanonicalName,

@@ -2130,6 +2130,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(a === 2) // ints [1,1,7] vs [1,7]: min-counts 1+1 — true 64-bit inter is 1
   }
 
+  test("graft_pairs_of ≡ the transform/slice lambda chain, order and values") {
+    graft.functions.expressions.GraftFunctions.init(spark)
+    val arrs = Seq(
+      Tuple1(Array(3L, 7L, 9L, 12L)), Tuple1(Array(1L, 2L)),
+      Tuple1(Array(5L)), Tuple1(Array.empty[Long])).toDF("ids")
+    val lambda = arrs.select(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("_1"), b.as("_2"))))).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1))))
+    val native = arrs.select(call_function("graft_pairs_of", col("ids")).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1))))
+    assert(native.toSeq === lambda.toSeq)
+    assert(native(0) === Seq((3L, 7L), (3L, 9L), (3L, 12L), (7L, 9L), (7L, 12L), (9L, 12L)))
+    assert(native(3).isEmpty)
+  }
+
   test("gramStageWidth: parallelism floor, Sigma-df^2 scaling, 4096 cap") {
     val base = math.max(spark.sessionState.conf.numShufflePartitions,
       spark.sparkContext.defaultParallelism)
