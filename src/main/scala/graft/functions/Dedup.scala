@@ -558,10 +558,16 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     // each side's signatures feed BOTH the bucket stage and the estimate
     // stage: materialized eagerly, blocks released when the returned plan
-    // is dereferenced (same lifecycle rationale as minHashDuplicates)
-    val newSigs = minHashSignaturesNative(docs, textCol, idCol, shingleK, numHashes)
+    // is dereferenced (same lifecycle rationale as minHashDuplicates).
+    // widened scans (round 20, measured): the signature pass is per-row
+    // heavy (64 hashes × |shingles|) but NARROW, so its parallelism was
+    // the input's file-split count — 10 tasks on 32 cores at sf1 (the
+    // e16/t6 class). factor = 1: map-only, no sort state to bound.
+    val newSigs = minHashSignaturesNative(
+        graft.util.Widen.widened(docs, factor = 1), textCol, idCol, shingleK, numHashes)
       .localCheckpoint(true)
-    val refSigs = minHashSignaturesNative(reference, textCol, idCol, shingleK, numHashes)
+    val refSigs = minHashSignaturesNative(
+        graft.util.Widen.widened(reference, factor = 1), textCol, idCol, shingleK, numHashes)
       .localCheckpoint(true)
     val newB = bandBuckets(newSigs, bands, rowsPerBand)
     // reference side: only the buckets this batch touches

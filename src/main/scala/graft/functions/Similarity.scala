@@ -761,7 +761,13 @@ object Similarity {
     // assignment cosine is 0/0, a job-killing DIVIDE_BY_ZERO under ANSI.
     // The RAW relation stays the trainer/calibration argument above so
     // the session memo keys match [[warmClusterIndex]]'s (the trainer
-    // filters internally).
+    // filters internally). NOT widened (round 20, measured negative):
+    // the 5-task stages in d17's sweep suggested the e16/t6 file-split
+    // class, but widening this relation measured 7.5 → 9.1 s at sf1 —
+    // embedding rows are WIDE (the vector payload), so the round-robin
+    // exchange ships real bytes for parallelism the assignment stage
+    // didn't lack; the flagged stages are elsewhere (cluster-size skew
+    // in the pair join, bounded by maxClusterSize).
     val vs = usable(vectors, vecCol)
     val assigned0 =
       if (m == 1) assignTo(vs, cents, idCol, vecCol)
