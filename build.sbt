@@ -38,4 +38,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 133 queries, quiet cal throughout: GC bursts dodge the 10 ms
   // witness samples). SPARK_DRIVER_MEM overrides.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // JDK 17's GCLocker allocation path retries only TWICE before
+  // reporting "Not enough memory to build and broadcast" (the
+  // JDK-8192647 class): d4's plan materializes all its per-table
+  // broadcast builds concurrently, and one ~512 MB HashedRelation
+  // allocation racing a JNI-critical GCLocker window failed the gate
+  // intermittently (2 of 4 full-suite 10x runs, never standalone,
+  // heap nowhere near full). More retries = the allocation waits out
+  // the locker instead of aborting a healthy job.
+  "-XX:GCLockerRetryAllocationCount=100",
 )
