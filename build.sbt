@@ -45,6 +45,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // allocation racing a JNI-critical GCLocker window failed the gate
   // intermittently (2 of 4 full-suite 10x runs, never standalone,
   // heap nowhere near full). More retries = the allocation waits out
-  // the locker instead of aborting a healthy job.
+  // the locker instead of aborting a healthy job. The flag is
+  // diagnostic-class in JDK 17, so it needs the unlock switch first.
+  "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=100",
 )
