@@ -89,168 +89,168 @@ object SteadyState {
     "d15_semantic_decontam")   // exhaustive cross-corpus tier
 
   /** sf1 (10×, /tmp/graft_sf1_full — ScaleTestData) steady anchors:
-    * pass-2 of the round-20 full-suite REPEAT=2 run (bench_detail_sf1_r20.json). Regenerated wholesale: the r20 plan changes moved the whole d3/d13/d14 n-gram family (width pin + fused verify + native pair generation: 14.8/28.3/34.6 → 10.1/10.8/10.1) and the epoch tailwind moved e16/d4/a11/s14/g17 down; no gate moved up by more than 0.2 s vs its r19 steady.
+    * pass-2 of the round-20 FINAL-binary full-suite REPEAT=2 run (bench_detail_sf1_r20.json — post d7-widening, post GCLocker fix, errors []). The r20 plan changes moved the whole d3/d13/d14 n-gram family (width pin + fused verify + native pair generation: 14.8/28.3/34.6 → 10.6/12.8/9.6) and d7 (9.3 with 32/64-wide signature stages); an earlier same-binary-minus-d7 run in a faster epoch read 383.1 s total — both runs in git history, cross-checked in SCALING.md.
     * Sparse-by-construction is fine — anchorless queries rank at ratio
     * 1.0 and never flag, exactly like a new gate on the sf0.1 path. */
   val sf1Sec: Map[String, Double] = Map(
-"a10_edge_support" -> 0.16,
-    "a11_hits" -> 12.38,
-    "a12_modularity" -> 6.31,
-    "a13_adamic_adar" -> 2.89,
-    "a14_jaccard_links" -> 6.51,
-    "a15_harmonic_closeness" -> 6.57,
-    "a16_random_walks" -> 4.32,
-    "a17_ktruss" -> 12.83,
-    "a18_weighted_sssp" -> 7.61,
-    "a19_bipartite_projection" -> 2.25,
-    "a1_reachable_orders" -> 6.42,
-    "a20_clustering_coefficient" -> 2.80,
-    "a21_assortativity" -> 3.34,
-    "a22_betweenness" -> 10.12,
+"a10_edge_support" -> 0.12,
+    "a11_hits" -> 13.14,
+    "a12_modularity" -> 6.05,
+    "a13_adamic_adar" -> 3.14,
+    "a14_jaccard_links" -> 5.72,
+    "a15_harmonic_closeness" -> 7.17,
+    "a16_random_walks" -> 4.96,
+    "a17_ktruss" -> 13.01,
+    "a18_weighted_sssp" -> 6.62,
+    "a19_bipartite_projection" -> 1.84,
+    "a1_reachable_orders" -> 6.92,
+    "a20_clustering_coefficient" -> 2.89,
+    "a21_assortativity" -> 3.86,
+    "a22_betweenness" -> 10.93,
     "a23_scc" -> 0.03,
-    "a24_condensation_layers" -> 5.33,
-    "a25_eccentricity" -> 6.52,
-    "a2_shortest_hops" -> 5.98,
-    "a3_connected_components" -> 3.53,
-    "a4_degree_histogram" -> 1.85,
-    "a5_pagerank" -> 7.75,
-    "a6_triangles" -> 0.10,
-    "a7_kcore" -> 8.92,
-    "a8_ppr" -> 4.35,
-    "a9_label_propagation" -> 0.07,
-    "cw_mailed_1hop" -> 0.18,
-    "d10_dup_ngrams" -> 1.29,
-    "d11_dup_ngram_removal" -> 7.05,
-    "d12_leakage_split" -> 1.43,
-    "d13_containment_pairs" -> 10.82,
-    "d14_ngram_jaccard_banded" -> 10.06,
-    "d15_semantic_decontam" -> 1.03,
-    "d16_exact_dedup_against" -> 0.69,
-    "d17_semantic_dedup_auto" -> 9.03,
-    "d1_minhash_near_dups" -> 0.06,
-    "d2_simhash_signatures" -> 2.83,
-    "d3_ngram_jaccard_pairs" -> 10.12,
-    "d4_embedding_near_dups" -> 13.68,
-    "d5_dedup_clusters" -> 0.83,
-    "d6_embedding_dups_exact" -> 0.31,
-    "d7_dedup_against" -> 9.02,
-    "d8_dedup_keepers" -> 1.20,
-    "d9_semantic_dedup" -> 3.44,
-    "e10_ann_ivfsq8_topk" -> 3.76,
-    "e11_ann_filtered_topk" -> 1.20,
-    "e12_kmeans_clusters" -> 2.12,
-    "e13_random_projection" -> 0.23,
-    "e14_mmr_rerank" -> 2.06,
-    "e15_ann_projected_topk" -> 2.05,
-    "e16_mutual_knn" -> 14.40,
-    "e17_mutual_knn_ivf" -> 1.00,
-    "e18_mutual_knn_planted_exact" -> 0.60,
-    "e1_ann_bruteforce_topk" -> 0.32,
-    "e2_ann_lsh_topk" -> 2.90,
-    "e3_embedding_cluster_stats" -> 0.18,
-    "e4_ann_ivf_topk" -> 1.64,
-    "e5_ann_ivf_exact" -> 1.15,
-    "e6_ann_lsh_exact" -> 0.45,
-    "e7_ann_pq_topk" -> 2.36,
-    "e8_ann_ivfpq_topk" -> 2.66,
-    "e9_ann_sq8_topk" -> 1.70,
-    "g10_graph_query_subgraph" -> 3.08,
-    "g11_orth_overlay_match" -> 1.10,
-    "g12_createmem_diff" -> 2.64,
-    "g13_unbounded_reachability" -> 3.54,
-    "g14_temp_nested_layers" -> 1.71,
-    "g15_planned_strategy" -> 2.21,
-    "g16_where_predicate" -> 1.95,
-    "g17_bucketed_reopen" -> 6.47,
-    "g18_planned_middle" -> 1.57,
-    "g1_building_customer_orders" -> 0.57,
-    "g2_parts_of_customer_orders" -> 1.32,
-    "g3_out_degrees" -> 1.22,
-    "g4_union_overlap" -> 1.00,
-    "g5_second_next_order" -> 3.60,
-    "g6_orders_to_customer_backedges" -> 0.31,
-    "g7_part_suppliers_3hop" -> 2.72,
-    "g8_dml_roundtrip" -> 1.53,
-    "g9_csv_dict_ingest" -> 3.20,
-    "m1_media_features" -> 0.79,
-    "m2_media_near_dups" -> 1.62,
+    "a24_condensation_layers" -> 6.07,
+    "a25_eccentricity" -> 6.77,
+    "a2_shortest_hops" -> 6.11,
+    "a3_connected_components" -> 3.93,
+    "a4_degree_histogram" -> 2.07,
+    "a5_pagerank" -> 8.87,
+    "a6_triangles" -> 0.11,
+    "a7_kcore" -> 9.27,
+    "a8_ppr" -> 4.54,
+    "a9_label_propagation" -> 0.06,
+    "cw_mailed_1hop" -> 0.21,
+    "d10_dup_ngrams" -> 1.13,
+    "d11_dup_ngram_removal" -> 6.24,
+    "d12_leakage_split" -> 1.22,
+    "d13_containment_pairs" -> 12.76,
+    "d14_ngram_jaccard_banded" -> 9.64,
+    "d15_semantic_decontam" -> 0.97,
+    "d16_exact_dedup_against" -> 0.67,
+    "d17_semantic_dedup_auto" -> 8.25,
+    "d1_minhash_near_dups" -> 0.05,
+    "d2_simhash_signatures" -> 2.72,
+    "d3_ngram_jaccard_pairs" -> 10.57,
+    "d4_embedding_near_dups" -> 14.40,
+    "d5_dedup_clusters" -> 1.05,
+    "d6_embedding_dups_exact" -> 0.34,
+    "d7_dedup_against" -> 9.30,
+    "d8_dedup_keepers" -> 1.49,
+    "d9_semantic_dedup" -> 3.45,
+    "e10_ann_ivfsq8_topk" -> 3.89,
+    "e11_ann_filtered_topk" -> 1.15,
+    "e12_kmeans_clusters" -> 2.08,
+    "e13_random_projection" -> 0.25,
+    "e14_mmr_rerank" -> 2.10,
+    "e15_ann_projected_topk" -> 2.43,
+    "e16_mutual_knn" -> 16.34,
+    "e17_mutual_knn_ivf" -> 0.99,
+    "e18_mutual_knn_planted_exact" -> 0.56,
+    "e1_ann_bruteforce_topk" -> 0.26,
+    "e2_ann_lsh_topk" -> 3.10,
+    "e3_embedding_cluster_stats" -> 0.22,
+    "e4_ann_ivf_topk" -> 1.68,
+    "e5_ann_ivf_exact" -> 1.18,
+    "e6_ann_lsh_exact" -> 0.44,
+    "e7_ann_pq_topk" -> 2.46,
+    "e8_ann_ivfpq_topk" -> 2.65,
+    "e9_ann_sq8_topk" -> 1.81,
+    "g10_graph_query_subgraph" -> 3.31,
+    "g11_orth_overlay_match" -> 1.28,
+    "g12_createmem_diff" -> 2.36,
+    "g13_unbounded_reachability" -> 4.02,
+    "g14_temp_nested_layers" -> 1.76,
+    "g15_planned_strategy" -> 2.29,
+    "g16_where_predicate" -> 1.97,
+    "g17_bucketed_reopen" -> 6.13,
+    "g18_planned_middle" -> 1.74,
+    "g1_building_customer_orders" -> 0.65,
+    "g2_parts_of_customer_orders" -> 1.56,
+    "g3_out_degrees" -> 1.00,
+    "g4_union_overlap" -> 0.88,
+    "g5_second_next_order" -> 3.31,
+    "g6_orders_to_customer_backedges" -> 0.33,
+    "g7_part_suppliers_3hop" -> 2.65,
+    "g8_dml_roundtrip" -> 1.70,
+    "g9_csv_dict_ingest" -> 3.74,
+    "m1_media_features" -> 0.92,
+    "m2_media_near_dups" -> 1.74,
     "m3_crossmodal_dedup" -> 1.99,
-    "m4_audio_near_dups" -> 0.66,
-    "miw_bulk_ingest" -> 0.06,
+    "m4_audio_near_dups" -> 0.65,
+    "miw_bulk_ingest" -> 0.05,
     "q10_scalar_functions" -> 0.61,
-    "q11_analytic_windows" -> 0.73,
-    "q1_pricing_summary" -> 1.06,
-    "q2_revenue_by_nation" -> 0.73,
-    "q3_top_customers" -> 0.76,
-    "q4_first_events_per_user" -> 0.48,
-    "q5_customers_with_orders" -> 0.73,
+    "q11_analytic_windows" -> 0.81,
+    "q1_pricing_summary" -> 1.24,
+    "q2_revenue_by_nation" -> 0.72,
+    "q3_top_customers" -> 0.71,
+    "q4_first_events_per_user" -> 0.58,
+    "q5_customers_with_orders" -> 0.70,
     "q6_customers_without_orders" -> 0.58,
     "q7_events_hourly" -> 0.45,
     "q8_orders_by_year_priority" -> 0.50,
-    "q9_rollup_totals" -> 0.72,
-    "qwfa_find_adjacent" -> 0.59,
-    "qwfn_find_neighbours" -> 0.24,
-    "qwfs_find_shortest" -> 0.33,
-    "s10_attribution" -> 0.77,
-    "s11_trending_types" -> 0.41,
-    "s12_session_stats" -> 1.19,
-    "s13_sessionize_stream" -> 7.45,
-    "s14_sliding_window_stream" -> 11.62,
-    "s1_sliding_window_counts" -> 0.52,
-    "s2_user_sessions" -> 0.82,
-    "s3_asof_join" -> 0.82,
-    "s4_event_pairs" -> 1.15,
-    "s5_event_funnel" -> 0.53,
-    "s6_retention_cohorts" -> 0.91,
-    "s7_type_transitions" -> 0.69,
-    "s8_window_anomalies" -> 0.54,
-    "s9_active_users" -> 0.70,
-    "siw_incremental_ingest" -> 2.34,
-    "t10_interleave_sources" -> 0.22,
-    "t11_repetition" -> 0.39,
-    "t12_normalize" -> 0.36,
-    "t13_ngram_decontam" -> 0.58,
+    "q9_rollup_totals" -> 0.69,
+    "qwfa_find_adjacent" -> 0.71,
+    "qwfn_find_neighbours" -> 0.27,
+    "qwfs_find_shortest" -> 0.32,
+    "s10_attribution" -> 0.69,
+    "s11_trending_types" -> 0.44,
+    "s12_session_stats" -> 1.22,
+    "s13_sessionize_stream" -> 7.89,
+    "s14_sliding_window_stream" -> 12.45,
+    "s1_sliding_window_counts" -> 0.56,
+    "s2_user_sessions" -> 0.95,
+    "s3_asof_join" -> 0.93,
+    "s4_event_pairs" -> 1.35,
+    "s5_event_funnel" -> 0.63,
+    "s6_retention_cohorts" -> 1.08,
+    "s7_type_transitions" -> 0.74,
+    "s8_window_anomalies" -> 0.65,
+    "s9_active_users" -> 0.78,
+    "siw_incremental_ingest" -> 3.14,
+    "t10_interleave_sources" -> 0.26,
+    "t11_repetition" -> 0.33,
+    "t12_normalize" -> 0.38,
+    "t13_ngram_decontam" -> 0.57,
     "t14_token_stats" -> 0.83,
-    "t15_length_stats" -> 0.36,
-    "t16_pii" -> 0.55,
-    "t17_token_budget" -> 0.95,
-    "t18_length_filter" -> 0.41,
-    "t19_surprisal" -> 1.33,
-    "t1_token_counts" -> 0.35,
-    "t20_line_dedup" -> 0.98,
-    "t21_tfidf" -> 2.22,
-    "t22_bm25" -> 3.62,
-    "t23_dsir_weights" -> 1.98,
+    "t15_length_stats" -> 0.39,
+    "t16_pii" -> 0.58,
+    "t17_token_budget" -> 0.92,
+    "t18_length_filter" -> 0.45,
+    "t19_surprisal" -> 1.58,
+    "t1_token_counts" -> 0.41,
+    "t20_line_dedup" -> 1.13,
+    "t21_tfidf" -> 2.34,
+    "t22_bm25" -> 3.31,
+    "t23_dsir_weights" -> 2.46,
     "t24_stratified_sample" -> 0.15,
-    "t25_weighted_sample" -> 0.92,
-    "t26_bigram_surprisal" -> 2.19,
-    "t27_heavy_hitters" -> 0.53,
-    "t28_c4_filters" -> 0.26,
-    "t29_corpus_entropy" -> 0.68,
-    "t2_dedup_exact" -> 0.35,
-    "t30_gopher_filters" -> 0.97,
-    "t31_collocations" -> 1.18,
-    "t32_bpe_merges" -> 1.58,
-    "t33_bpe_token_counts" -> 2.71,
-    "t34_naive_bayes" -> 3.67,
-    "t35_textrank" -> 2.01,
-    "t36_perplexity_buckets" -> 1.63,
-    "t37_vocab" -> 0.51,
-    "t38_readability" -> 0.63,
-    "t39_distinct_tokens" -> 0.77,
-    "t3_doc_stats" -> 0.34,
-    "t40_distinct_tokens_sketch" -> 0.59,
-    "t41_chunking" -> 0.45,
-    "t42_mixture_rebalance" -> 0.74,
-    "t43_source_overlap" -> 4.42,
-    "t44_source_overlap_sketch" -> 2.86,
-    "t4_quality_scores" -> 0.70,
-    "t5_lang_id" -> 0.93,
-    "t6_fingerprints" -> 2.24,
-    "t7_deterministic_sample" -> 0.15,
-    "t8_pack_sequences" -> 0.80,
+    "t25_weighted_sample" -> 0.79,
+    "t26_bigram_surprisal" -> 2.73,
+    "t27_heavy_hitters" -> 0.85,
+    "t28_c4_filters" -> 0.33,
+    "t29_corpus_entropy" -> 0.74,
+    "t2_dedup_exact" -> 0.37,
+    "t30_gopher_filters" -> 1.03,
+    "t31_collocations" -> 1.36,
+    "t32_bpe_merges" -> 1.82,
+    "t33_bpe_token_counts" -> 2.81,
+    "t34_naive_bayes" -> 4.04,
+    "t35_textrank" -> 2.23,
+    "t36_perplexity_buckets" -> 1.57,
+    "t37_vocab" -> 0.47,
+    "t38_readability" -> 0.56,
+    "t39_distinct_tokens" -> 0.60,
+    "t3_doc_stats" -> 0.32,
+    "t40_distinct_tokens_sketch" -> 0.46,
+    "t41_chunking" -> 0.35,
+    "t42_mixture_rebalance" -> 0.68,
+    "t43_source_overlap" -> 3.76,
+    "t44_source_overlap_sketch" -> 2.50,
+    "t4_quality_scores" -> 0.65,
+    "t5_lang_id" -> 0.78,
+    "t6_fingerprints" -> 2.13,
+    "t7_deterministic_sample" -> 0.14,
+    "t8_pack_sequences" -> 0.74,
     "t9_decontamination" -> 0.22)
-    // 157 anchors from graft_sf1_full ts_ms=1786917414790 total=440.077
+    // 157 anchors from graft_sf1_full ts_ms=1786925522215 total=500.708
 
   /** sf0.1 steady seconds by full query name (round-13 measurement:
     * pass-2 of the full-suite REPEAT=2 run, 2026-08-14, quiet VM,
