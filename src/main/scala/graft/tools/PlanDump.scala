@@ -11,7 +11,13 @@ import org.apache.spark.sql.SparkSession
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1_full")
-    val spark = SparkSession.builder().master("local[32]")
+    // SPARK_GRAFT_CONF passthrough (round 21, mirrors Bench): lets a
+    // plan capture force a guarded path (e.g. a small broadcast
+    // threshold) without recompiling — diagnostic surface only
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val spark = extraConf.foldLeft(SparkSession.builder().master("local[32]")
       .appName("plan-dump")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC") // match the bench
@@ -19,7 +25,7 @@ object PlanDump {
       // execute here exactly as they do under the harness
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { gate =>

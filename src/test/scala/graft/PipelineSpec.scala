@@ -2093,6 +2093,77 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("banded verify: the two-stage prefilter engages EXACTLY when the gram relation outgrows the broadcast threshold") {
+    // round 21 (VERDICT r20 #7): the equality pin above proves the big
+    // path CORRECT; this one pins WHEN it engages — a conf change (or a
+    // refactor losing the stats read) that silently flips the plan must
+    // go red here, not surface as an unexplained bench move. The int
+    // prefilter's expression is the big path's plan witness.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def planOf() = Dedup.ngramJaccardPairsBanded(docs, n = 3, threshold = 0.3)
+      .queryExecution.executedPlan.toString.toLowerCase
+    val smallPlan = planOf()
+    assert(!smallPlan.contains("inter_sorted_int") && !smallPlan.contains("intersortedgeint"),
+      "broadcast-scale corpus must keep the single-stage verify (no int prefilter)")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val bigPlan = planOf()
+      assert(bigPlan.contains("inter_sorted_int") || bigPlan.contains("intersortedgeint"),
+        "past-broadcast corpus must engage the two-stage int prefilter")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("cosineDuplicates: past-broadcast composite-key single-join path ≡ the per-table union path, bit for bit") {
+    // round 21 scale guard (VERDICT r20 #1): past the broadcast threshold
+    // the per-table union's nTables branches each degrade to a shuffle
+    // join — 2·nTables exchanges and corpus scans; the big path
+    // posexplodes the per-table buckets into ONE (table, bucket)-keyed
+    // join per side. Same hyperplanes, same signature/probe expressions
+    // → the candidate pair set is identical; scoring stays map-side and
+    // is deterministic per pair (dot sums index-ascending on both
+    // orientations) → the emitted (doc_a, doc_b, cosine) rows must match
+    // bit for bit. Force the big path via the broadcast threshold,
+    // compare against the default path on the same corpus — probed
+    // adaptive config AND the unprobed multi-table branch.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def probedRun() = Similarity.cosineDuplicates(emb, threshold = 0.35,
+      dim = 64, bits = -1, tables = -1, probes = -1, probes2 = -1)
+    def unprobedRun() = Similarity.cosineDuplicates(emb, threshold = 0.35,
+      dim = 64, bits = -1, tables = 8, probes = 0, probes2 = 0)
+    val (smallProbed, smallUnprobed) = (keyed(probedRun()), keyed(unprobedRun()))
+    // gate-scale plan witness: the default path must carry NO posexplode
+    // (the per-table union shape the bench measures is unchanged)
+    val smallPlan = probedRun().queryExecution.executedPlan.toString.toLowerCase
+    assert(!smallPlan.contains("posexplode"),
+      "broadcast-scale corpus must keep the per-table union shape")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      // tier 2 (broadcast-metadata): the default 512 MB budget admits the
+      // test corpus, so the big path must be the broadcast-hash shape
+      val bigPlan = probedRun().queryExecution.executedPlan.toString.toLowerCase
+      assert(bigPlan.contains("posexplode"),
+        "past-broadcast corpus must engage the composite-bucket path")
+      assert(bigPlan.contains("broadcasthashjoin"),
+        "within the broadcast budget the big path must stay broadcast-hash")
+      assert(smallProbed.nonEmpty)
+      assert(keyed(probedRun()) === smallProbed)
+      assert(smallUnprobed.nonEmpty)
+      assert(keyed(unprobedRun()) === smallUnprobed)
+      // tier 3 (composite-key sort-merge): force by zeroing the budget —
+      // same rows, bit for bit, with no broadcast in the candidate join
+      spark.conf.set("spark.graft.lsh.broadcastBudgetBytes", "0")
+      assert(keyed(probedRun()) === smallProbed)
+      assert(keyed(unprobedRun()) === smallUnprobed)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.graft.lsh.broadcastBudgetBytes")
+    }
+  }
+
   test("graft_inter_sorted_int: upper bound on the 64-bit intersection, -1 only when provably below") {
     graft.functions.expressions.GraftFunctions.init(spark)
     val docs = docsDF(1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated,
