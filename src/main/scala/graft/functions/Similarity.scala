@@ -796,30 +796,99 @@ object Similarity {
     // only surviving serial flag). The usual stats-guarded no-op at
     // scale; bucketed tiers distribute by construction but share the
     // same skew exposure on a range-filtered corpus.
+    val refRel = usable(reference, vecCol)
     val a = widened(usable(corpus, vecCol).select(col(idCol).as("doc_id"),
       col(vecCol).as("av"), nnorm(col(vecCol)).as("an")))
-    val b = usable(reference, vecCol).select(col(idCol).as("ref_id"),
+    val b = refRel.select(col(idCol).as("ref_id"),
       col(vecCol).as("bv"), nnorm(col(vecCol)).as("bn"))
-    val raw = (0 until nTables).map { t =>
-      val planes = hyperplanes(dim, nBits, t, seed)
-      val aB =
-        if (p1 <= 0 && p2n <= 0)
-          a.withColumn("bucket", nativeSignature(col("av"), planes))
-        else a.withColumn("bucket", explode(probeBuckets(col("av"), planes, p1, p2n)))
-      aB.join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")
-        .drop("bucket")
-    }.reduce(_ unionByName _)
     // score-then-dedup (the d9/d4 restructure): cosine + threshold run
     // map-side on the bucket-join output, so the cross-table dedup
     // exchange carries only passing (doc_id, ref_id, cosine) rows
     // instead of both embeddings per candidate copy. Copies score
     // bit-identically — the threshold keeps all or none of them.
-    val scored = raw
+    def score(df: DataFrame): DataFrame = df
       .withColumn("cosine", ndot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cosine") >= threshold)
       .select(col("doc_id"), col("ref_id"), round(col("cosine"), 6).as("cosine"))
-    if (nTables == 1 && p1 <= 0 && p2n <= 0) scored
-    else scored.dropDuplicates("doc_id", "ref_id")
+    val probed = p1 > 0 || p2n > 0
+    // SCALE GUARD (round 21, D15ScaleProbe — the cosineDuplicates guard
+    // applied to the cross-corpus tier): the per-table union broadcasts
+    // the REFERENCE once per table, which is the measured-fastest shape
+    // while the reference fits the planner threshold (the usual
+    // decontamination regime — eval/benchmark references are small by
+    // construction). But a corpus-class reference (dedup-against style)
+    // past the threshold degrades EVERY branch to a shuffle join whose
+    // a-side exchange carries the probe-exploded corpus VECTOR payload —
+    // the d4 cliff class, measured on the reference axis by
+    // D15ScaleProbe. Past the threshold the probe-exploded stream must
+    // never be shuffled (the worked-example rule): candidates come from
+    // ONE (table, bucket)-keyed join, and within the explicit broadcast
+    // budget (`spark.graft.lsh.broadcastBudgetBytes`, sizes from the
+    // memoized exact count, never plan-stat estimates) the reference
+    // rides as broadcast METADATA + one by-id relation so the whole
+    // plan's only exchange is the pair dedup. Both tiers reuse the same
+    // hyperplanes and signature/probe expressions → identical candidate
+    // sets and bit-identical rows (PipelineSpec pins both tiers and the
+    // gate-scale plan witness; the d15 gate itself is the exhaustive
+    // tier, which never reaches this branch).
+    val bigRef = (probed || nTables > 1) &&
+      refRel.queryExecution.optimizedPlan.stats.sizeInBytes >
+        refRel.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (bigRef) {
+      val planesAll = (0 until nTables).map(t => hyperplanes(dim, nBits, t, seed))
+      def bucketsOfA(p: Seq[Seq[Double]]): Column =
+        if (probed) probeBuckets(col("av"), p, p1, p2n)
+        else array(nativeSignature(col("av"), p))
+      val aB = a
+        .select(col("doc_id"), col("av"), col("an"),
+          posexplode(array(planesAll.map(bucketsOfA): _*)))
+        .select(col("doc_id"), col("av"), col("an"),
+          col("pos").as("tbl"), explode(col("col")).as("bucket"))
+      val n = corpusCount(refRel)
+      val budget = refRel.sparkSession.conf
+        .get("spark.graft.lsh.broadcastBudgetBytes", (512L << 20).toString).toLong
+      val metaBytes = 20L * nTables * n
+      val refBytes = (4L * dim + 48L) * n
+      if (math.max(metaBytes, refBytes) <= budget) {
+        // broadcast-metadata tier: candidate BHJ on (tbl, bucket)
+        // reference metadata, vectors re-attached by id from one
+        // broadcast reference relation, score map-side, ONE skinny
+        // dedup exchange of the passing rows
+        val bMeta = refRel
+          .select(col(idCol).as("ref_id"), posexplode(array(
+            planesAll.map(p => nativeSignature(col(vecCol), p)): _*)))
+          .select(col("ref_id"), col("pos").as("tbl"), col("col").as("bucket"))
+        val cand = aB.join(broadcast(bMeta), Seq("tbl", "bucket"))
+          .drop("tbl", "bucket")
+          .join(broadcast(b), "ref_id")
+        score(cand).dropDuplicates("doc_id", "ref_id")
+      } else {
+        // composite-key tier (reference outgrew the broadcast budget
+        // too): one (table, bucket)-keyed sort-merge join — the same
+        // bytes as the per-table cascade in TWO exchanges and TWO
+        // reference scans instead of 2·nTables of each
+        val bB = b
+          .select(col("ref_id"), col("bv"), col("bn"), posexplode(array(
+            planesAll.map(p => nativeSignature(col("bv"), p)): _*)))
+          .select(col("ref_id"), col("bv"), col("bn"),
+            col("pos").as("tbl"), col("col").as("bucket"))
+        score(aB.join(bB, Seq("tbl", "bucket")).drop("tbl", "bucket"))
+          .dropDuplicates("doc_id", "ref_id")
+      }
+    } else {
+      val raw = (0 until nTables).map { t =>
+        val planes = hyperplanes(dim, nBits, t, seed)
+        val aB =
+          if (!probed)
+            a.withColumn("bucket", nativeSignature(col("av"), planes))
+          else a.withColumn("bucket", explode(probeBuckets(col("av"), planes, p1, p2n)))
+        aB.join(b.withColumn("bucket", nativeSignature(col("bv"), planes)), "bucket")
+          .drop("bucket")
+      }.reduce(_ unionByName _)
+      val scored = score(raw)
+      if (nTables == 1 && !probed) scored
+      else scored.dropDuplicates("doc_id", "ref_id")
+    }
   }
 
   /** Pre-builds the session-memoized centroid table [[semanticDedup]]

@@ -2164,6 +2164,55 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDecontam: past-broadcast reference single-join path ≡ the per-table union path, bit for bit") {
+    // round 21 (the cosineDuplicates guard applied to the cross-corpus
+    // tier, D15ScaleProbe): past the broadcast threshold the per-table
+    // union's nTables branches each shuffle the probe-exploded corpus
+    // vectors; the big path posexplodes into ONE (table, bucket)-keyed
+    // join — same hyperplanes, same signature/probe expressions, scoring
+    // map-side and deterministic per pair → bit-identical
+    // (doc_id, ref_id, cosine) rows. The d15 GATE is the exhaustive tier
+    // and never reaches the guard; this pins the LSH scale tier.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 400)
+    val ref = emb.filter(col("vec_id") >= 400)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def probedRun() = Similarity.semanticDecontam(corpus, ref, threshold = 0.35,
+      dim = 64, bits = -1, tables = -1, probes = -1, probes2 = -1)
+    def unprobedRun() = Similarity.semanticDecontam(corpus, ref, threshold = 0.35,
+      dim = 64, bits = -1, tables = 8, probes = 0, probes2 = 0)
+    val (smallProbed, smallUnprobed) = (keyed(probedRun()), keyed(unprobedRun()))
+    // gate-scale plan witness: a broadcast-scale reference must keep the
+    // per-table union shape (no posexplode — the plan the bench measures)
+    val smallPlan = probedRun().queryExecution.executedPlan.toString.toLowerCase
+    assert(!smallPlan.contains("posexplode"),
+      "broadcast-scale reference must keep the per-table union shape")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      // tier 2 (broadcast-metadata): the default 512 MB budget admits the
+      // test reference, so the big path must be the broadcast-hash shape
+      val bigPlan = probedRun().queryExecution.executedPlan.toString.toLowerCase
+      assert(bigPlan.contains("posexplode"),
+        "past-broadcast reference must engage the composite-bucket path")
+      assert(bigPlan.contains("broadcasthashjoin"),
+        "within the broadcast budget the big path must stay broadcast-hash")
+      assert(smallProbed.nonEmpty)
+      assert(keyed(probedRun()) === smallProbed)
+      assert(smallUnprobed.nonEmpty)
+      assert(keyed(unprobedRun()) === smallUnprobed)
+      // tier 3 (composite-key sort-merge): force by zeroing the budget —
+      // same rows, bit for bit
+      spark.conf.set("spark.graft.lsh.broadcastBudgetBytes", "0")
+      assert(keyed(probedRun()) === smallProbed)
+      assert(keyed(unprobedRun()) === smallUnprobed)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.graft.lsh.broadcastBudgetBytes")
+    }
+  }
+
   test("graft_inter_sorted_int: upper bound on the 64-bit intersection, -1 only when provably below") {
     graft.functions.expressions.GraftFunctions.init(spark)
     val docs = docsDF(1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated,
