@@ -2071,6 +2071,37 @@ class PipelineSpec extends AnyFunSuite {
                              // null-jaccard filter drops it, as array_intersect's did
   }
 
+  test("graft_pairs_of: Long pair math — an oversized bucket fails fast naming the maxBucketSize valve") {
+    // ADVICE r20: n·(n−1)/2 in Int overflows for buckets ≥ ~46,342 ids
+    // (reachable with the caller's maxBucketSize valve left open),
+    // yielding a NegativeArraySizeException with no actionable message.
+    // n = 65,537 → 2,147,516,416 pairs > Int.MaxValue: the Long math
+    // must reject it BEFORE allocation, naming the valve.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.expressions.PairsOfSorted.compute(
+        new GenericArrayData((0L until 65537L).toArray))
+    }
+    assert(e.getMessage.contains("maxBucketSize"))
+    // the normal path still enumerates every ordered pair
+    val small = graft.functions.expressions.PairsOfSorted.compute(
+      new GenericArrayData(Array(1L, 2L, 3L, 4L)))
+    assert(small.numElements() === 6)
+  }
+
+  test("graft_inter_sorted / _int: SQL-text DECIMAL thresholds resolve (the Decimal literal arm)") {
+    // ADVICE r20: SQL text parses 0.3 as DECIMAL(1,1), which Spark
+    // carries as o.a.s.sql.types.Decimal — the old java.math.BigDecimal
+    // arm never matched, so SQL-text invocation died with the
+    // must-be-DOUBLE error despite the arm's intent
+    graft.functions.expressions.GraftFunctions.init(spark)
+    val r = spark.sql(
+      "SELECT graft_inter_sorted(array(1L,2L,3L), array(1L,2L,4L), 0.3) AS m, " +
+        "graft_inter_sorted_int(array(1,2,3), array(1,2,4), 0.3) AS ub").collect()(0)
+    assert(r.getInt(0) === 2) // exact intersection, jac 0.5 >= 0.3
+    assert(r.getInt(1) === 2) // upper bound on the same sets
+  }
+
   test("banded verify: past-broadcast two-stage path ≡ the single-stage path, bit for bit") {
     // round 20 scale guard: past the broadcast threshold the verify runs
     // a 32-bit-truncated prefilter stage before the exact 64-bit merge
